@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed fully (noop sink — computation without driver
+result serialization), timed wall-clock. A small warm-up query runs
+first so JVM/codegen warm-up isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+
+# Headline set: one per workload family (scan+transform, star join,
+# TPC-H Q1 agg, window, event-time window, dedup/text/vector extensions).
+HEADLINE = [
+    "q_flagship_season_rollup",
+    "q_derived_metrics",
+    "q_groupby_agg",
+    "q_star_join_agg",
+    "q_window_rank",
+    "q_tumbling_window_agg",
+]
+# Extension queries are included when registered (phase 3+).
+OPTIONAL = [
+    "q_dedup_exact",
+    "q_text_stats",
+    "q_token_topk",
+    "q_similarity_topk",
+    "q_minhash_near_dup",
+]
+
+
+def main() -> None:
+    from weatherflow_spark.session import get_spark
+    from weatherflow_spark.plans import QUERIES
+
+    spark = get_spark(app_name="weatherflow-bench", master=f"local[{CPUS}]")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # warm-up (JVM + parquet footer caches), not billed
+    QUERIES["q_flagship_season_rollup"](spark, SF_DIR).count()
+
+    names = HEADLINE + [n for n in OPTIONAL if n in QUERIES]
+    timings = {name: run(name) for name in names}
+    total = round(sum(timings.values()), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from weatherflow_spark.plans.queries import QUERIES
+from weatherflow_spark.plans import QUERIES
 from weatherflow_spark.plans.parity import check_query
 from tests.conftest import SF_SMALL
 

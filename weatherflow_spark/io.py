@@ -46,11 +46,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos → microsecond-truncated naive timestamp (DuckDB-parity).
+        # Integer DIV, not `/`: epoch nanos (~1.7e18) exceed double's
+        # 2^53 exact-integer range, so float division is off by ±1 µs.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
         )
     return df
 

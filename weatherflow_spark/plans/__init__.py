@@ -8,6 +8,9 @@ check (approx / hash-seeded / streaming operators).
 """
 
 from weatherflow_spark.plans.queries import QUERIES, flagship
+from weatherflow_spark.plans.relational import RELATIONAL_QUERIES
 from weatherflow_spark.plans.oracles import ORACLES
+
+QUERIES = {**QUERIES, **RELATIONAL_QUERIES}
 
 __all__ = ["QUERIES", "ORACLES", "flagship"]

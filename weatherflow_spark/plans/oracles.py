@@ -46,6 +46,23 @@ HEAT_INDEX = (
     " - 32.0) * 5.0 / 9.0) * 100.0 + 0.5) / 100.0"
 )
 
+# exact integer-scaled sum (mirrors queries.scaled_sum)
+def _ssum(expr: str, scale: int = 100) -> str:
+    p = float(scale)
+    return f"sum(CAST(floor(({expr}) * {p} + 0.5) AS BIGINT)) / {p}"
+
+
+# surrogate key (mirrors operators/star.surrogate_key)
+def _skey(tag: str, key: str = "event_id") -> str:
+    return f"sha256(concat_ws('|', CAST({key} AS VARCHAR), '{tag}'))"
+
+
+SEASON_SQL = (
+    "CASE WHEN month({ts}) BETWEEN 3 AND 5 THEN 'Spring' "
+    "WHEN month({ts}) BETWEEN 6 AND 8 THEN 'Summer' "
+    "WHEN month({ts}) BETWEEN 9 AND 11 THEN 'Fall' ELSE 'Winter' END"
+)
+
 ORACLES: dict[str, str] = {
     "q_flagship_season_rollup": f"""
         WITH w AS ({EVENTS_SIM}),
@@ -65,7 +82,7 @@ ORACLES: dict[str, str] = {
             season,
             quarter,
             count(*) AS n_events,
-            round(sum(CAST(round(value * 100.0, 0) AS BIGINT)) / 100.0, 2) AS sum_value
+            round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_value
         FROM t
         GROUP BY season, quarter
     """,
@@ -174,3 +191,189 @@ ORACLES: dict[str, str] = {
         JOIN calc_branch c USING (event_id)
     """,
 }
+
+# ---------------------------------------------------------------------------
+# relational surface (plans/relational.py)
+# ---------------------------------------------------------------------------
+
+ORACLES.update(
+    {
+        "q_scan_filter_project": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            WHERE c_mktsegment = 'FURNITURE' AND c_acctbal > 1000.0
+        """,
+        "q_json_extract": """
+            SELECT
+                event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events
+        """,
+        "q_star_build": f"""
+            SELECT
+                {_skey('record')} AS record_id,
+                user_id AS station_id,
+                {_skey('time')} AS time_id,
+                {_skey('param')} AS parameter_id,
+                {_skey('temp')} AS temp_id,
+                {_skey('heat_index')} AS heat_index_id
+            FROM events
+        """,
+        "q_star_time_dim": f"""
+            WITH w AS ({EVENTS_SIM})
+            SELECT
+                {_skey('time')} AS time_id,
+                strftime({LOCAL_TS}, '%Y-%m-%d %H:%M:%S') AS recorded_datetime_local,
+                strftime({LOCAL_TS}, '%Y-%m-%d') AS recorded_date_local,
+                monthname({LOCAL_TS}) AS recorded_month_local,
+                'Q' || CAST(quarter({LOCAL_TS}) AS VARCHAR) AS recorded_quarter_local,
+                {SEASON_SQL.format(ts=LOCAL_TS)} AS recorded_season_local,
+                dayname({LOCAL_TS}) AS recorded_weekday_local,
+                CAST(year({LOCAL_TS}) AS INTEGER) AS recorded_year_local
+            FROM w
+        """,
+        "q_star_join_agg": f"""
+            SELECT
+                n_name,
+                count(*) AS n_items,
+                {_ssum('l_extendedprice * (1.0 - l_discount)', 10000)} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_join_left": f"""
+            SELECT
+                c_custkey,
+                count(o_orderkey) AS n_orders,
+                coalesce({_ssum('o_totalprice')}, 0.0) AS total_spend
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "q_join_semi": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        """,
+        "q_join_anti": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        """,
+        "q_groupby_agg": f"""
+            SELECT
+                l_returnflag,
+                l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                {_ssum('l_extendedprice')} AS sum_base_price,
+                {_ssum('l_extendedprice * (1.0 - l_discount)', 10000)} AS sum_disc_price,
+                {_ssum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 1000000)} AS sum_charge,
+                sum(l_quantity) / count(*) AS avg_qty,
+                {_ssum('l_extendedprice')} / count(*) AS avg_price,
+                {_ssum('l_discount')} AS sum_disc,
+                count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_count_distinct": """
+            SELECT
+                o_orderpriority,
+                count(DISTINCT o_custkey) AS n_customers,
+                count(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "q_rollup_time": f"""
+            WITH t AS (
+                SELECT
+                    CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                    'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS order_quarter,
+                    o_totalprice
+                FROM orders
+            )
+            SELECT
+                order_year,
+                order_quarter,
+                count(*) AS n_orders,
+                {_ssum('o_totalprice')} AS total_price
+            FROM t
+            GROUP BY ROLLUP (order_year, order_quarter)
+        """,
+        "q_window_rank": """
+            SELECT user_id, event_id, ts, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) = 1
+        """,
+        "q_window_lag": """
+            SELECT
+                event_id,
+                user_id,
+                value,
+                lag(value) OVER w AS prev_value,
+                value - lag(value) OVER w AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q_window_moving_avg": """
+            SELECT
+                event_id,
+                user_id,
+                value,
+                sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+                    / (100.0 * count(*) OVER w) AS moving_avg
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "q_sort": """
+            WITH top AS (
+                SELECT o_orderkey, o_totalprice
+                FROM orders
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+                LIMIT 1000
+            )
+            SELECT
+                CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+                     AS INTEGER) AS sort_rank,
+                o_orderkey,
+                o_totalprice
+            FROM top
+        """,
+        "q_topk": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC
+            LIMIT 10
+        """,
+        "q_union": """
+            SELECT p_partkey, p_size, p_brand FROM part WHERE p_size <= 10
+            UNION ALL
+            SELECT p_partkey, p_size, p_brand FROM part WHERE p_size >= 40
+        """,
+        "q_except": """
+            SELECT p_partkey FROM part
+            EXCEPT
+            SELECT p_partkey FROM part WHERE p_size > 20
+        """,
+        "q_intersect": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        """,
+        "q_tumbling_window_agg": f"""
+            SELECT
+                date_trunc('hour', ts) AS window_start,
+                count(*) AS n_events,
+                {_ssum('value')} AS sum_value
+            FROM events
+            GROUP BY 1
+        """,
+    }
+)

@@ -16,8 +16,7 @@ import pandas as pd
 
 from pyspark.sql import SparkSession
 
-from weatherflow_spark.plans.oracles import ORACLES
-from weatherflow_spark.plans.queries import QUERIES
+from weatherflow_spark.plans import ORACLES, QUERIES
 from weatherflow_spark.io import TABLES
 
 

@@ -43,21 +43,28 @@ from weatherflow_spark.io import load_table
 # ---------------------------------------------------------------------------
 
 
-def cents_sum(x: Column) -> Column:
-    """Order-independent exact sum of a 2-decimal double, as double.
+def scaled_sum(x: Column, scale: int = 100) -> Column:
+    """Order-independent exact sum of a fixed-decimal double, as double.
 
-    ``sum(round(x*100) :: long) / 100.0`` — integer summation is
-    associative, so Spark's partial/final agg order and DuckDB's
-    single-threaded order produce bit-identical results.
+    ``sum(floor(x*scale + 0.5) :: long) / scale`` — integer summation
+    is associative, so Spark's partial/final agg order and DuckDB's
+    single-threaded order produce bit-identical results; the
+    floor(+0.5) rounding is the engine's deterministic half-up
+    (functions/numeric.py). Scale 100 for 2-decimal inputs, 10^4/10^6
+    for computed expressions like price*(1-discount)[*(1+tax)].
     """
-    return F.sum(F.round(x * F.lit(100.0), 0).cast("long")) / F.lit(100.0)
+    p = F.lit(float(scale))
+    return F.sum(F.floor(x * p + F.lit(0.5))) / p
 
 
-def scaled_sum(x: Column, scale: int = 10000) -> Column:
-    """Like :func:`cents_sum` but with a configurable decimal scale for
-    computed per-row expressions (e.g. price*(1-discount) has 4
-    exact decimals)."""
-    return F.sum(F.round(x * F.lit(float(scale)), 0).cast("long")) / F.lit(float(scale))
+def cents_sum(x: Column) -> Column:
+    return scaled_sum(x, 100)
+
+
+def scaled_sum_sql(expr: str, scale: int = 100) -> str:
+    """The identical computation as DuckDB SQL text."""
+    p = float(scale)
+    return f"sum(CAST(floor(({expr}) * {p} + 0.5) AS BIGINT)) / {p}"
 
 
 def events_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
