@@ -37,8 +37,11 @@ OPTIONAL = [
     "q_dedup_exact",
     "q_text_stats",
     "q_token_topk",
+    "q_doc_fingerprint",
     "q_similarity_topk",
+    "q_ann_ivf_topk",
     "q_minhash_near_dup",
+    "q_multimodal_features",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Unit tests for the extension tier (E1 dedup, E2 similarity, E3
+text, multimodal/UDF) on crafted inline data — the sf tables contain
+no true near-dups, so these tests build clusters where the detectors
+must fire, and verify exact expected behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weatherflow_spark.functions import text as T
+from weatherflow_spark.plans import QUERIES
+from weatherflow_spark.plans.ext_dedup import (
+    JACCARD_THRESHOLD,
+    q_minhash_near_dup,
+    q_simhash_near_dup,
+)
+from weatherflow_spark.multimodal.binary import multimodal_features
+from tests.conftest import SF_SMALL
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm mat near the old oak door"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token edit → high jaccard
+FAR = "completely different words about spark shuffles and parquet row groups here"
+
+
+def _docs_df(spark):
+    rows = [
+        (1, BASE, "en", "s0", len(BASE)),
+        (2, NEAR, "en", "s0", len(NEAR)),
+        (3, FAR, "en", "s0", len(FAR)),
+        (4, BASE, "en", "s0", len(BASE)),  # exact dup of 1 (same block)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    """Crafted docs written as a parquet 'sf dir' so the registered
+    queries can run on them unmodified."""
+    d = tmp_path_factory.mktemp("craft")
+    _docs_df(spark).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_near_dup_finds_cluster(spark, docs_dir):
+    out = q_minhash_near_dup(spark, docs_dir).toPandas()
+    pairs = {(r.doc_a, r.doc_b): (r.jaccard, r.is_dup) for r in out.itertuples()}
+    assert (1, 4) in pairs and pairs[(1, 4)][0] == 1.0 and pairs[(1, 4)][1] == 1
+    assert (1, 2) in pairs and pairs[(1, 2)][1] == 1  # one-token edit ≥ threshold
+    assert pairs[(1, 2)][0] > JACCARD_THRESHOLD
+    # FAR shares no shingles with BASE — never a verified dup
+    assert all(not (a == 3 or b == 3) or jd[1] == 0 for (a, b), jd in pairs.items())
+
+
+def test_simhash_identical_docs_hamming_zero(spark, docs_dir):
+    out = q_simhash_near_dup(spark, docs_dir).toPandas()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out.itertuples()}
+    assert pairs.get((1, 4)) == 0  # identical text → identical simhash
+
+
+def test_dedup_exact_survivor_policy(spark, docs_dir):
+    out = QUERIES["q_dedup_exact"](spark, docs_dir).toPandas()
+    assert len(out) == 3  # 4 docs, one exact dup pair
+    dup_row = out[out.n_copies == 2]
+    assert len(dup_row) == 1 and dup_row.iloc[0].keep_doc_id == 1  # lowest id survives
+
+
+def test_ngram_jaccard_ranks_dup_first(spark, docs_dir):
+    out = QUERIES["q_ngram_jaccard"](spark, docs_dir).toPandas()
+    # exact dup pair (1,4) must rank first with jaccard 1.0
+    assert out.iloc[0].doc_a == 1 and out.iloc[0].doc_b == 4
+    assert out.iloc[0].jaccard == 1.0
+
+
+def test_rolling_hash_matches_python(spark):
+    """The cross-engine hash semantics, pinned in plain Python."""
+    def py_tok_hash(tok: str) -> int:
+        h = 0
+        for c in tok:
+            h = (h * T.CHAR_P + ord(c)) % T.MOD
+        return h
+
+    df = spark.createDataFrame([("key agg row",)], ["text"])
+    [row] = df.select(T.token_hashes("text").alias("th")).collect()
+    assert row.th == [py_tok_hash(t) for t in "key agg row".split(" ")]
+
+
+def test_shingle_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c",)], ["text"])
+    got = df.select(T.shingle_hashes("text").alias("sh")).collect()
+    assert got[0].sh == []          # 2 tokens < 3 → no shingles
+    assert len(got[1].sh) == 1      # exactly one 3-shingle
+
+
+def test_multimodal_features_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(7, "abc", "en", "s", 3), (8, "", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r for r in multimodal_features(docs).collect()}
+    assert out[7].n_bytes == 3
+    assert out[7].header_byte == ord("a")
+    assert out[7].checksum == (ord("a") + ord("b") + ord("c")) % T.MOD
+    assert out[7].mime == "application/octet-stream"
+    assert out[8].n_bytes == 0 and out[8].header_byte == 0 and out[8].checksum == 0
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """IVF with 2 probed cells over 10 must contain the brute-force
+    top-1 (the query's own cell is always probed); LSH multi-probe
+    top-1 cosine must be ≤ brute-force top-1 (it searches a subset)."""
+    brute = QUERIES["q_similarity_topk"](spark, SF_SMALL).toPandas()
+    ivf = QUERIES["q_ann_ivf_topk"](spark, SF_SMALL).toPandas()
+    lsh = QUERIES["q_ann_lsh_topk"](spark, SF_SMALL).toPandas()
+    assert brute.iloc[0].cosine >= ivf.iloc[0].cosine
+    assert brute.iloc[0].cosine >= lsh.iloc[0].cosine
+    assert set(ivf.vec_id).issubset(set(range(10_000)))
+    assert len(ivf) == 10 and len(brute) == 10
+
+
+def test_lang_id_stopword_scoring(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house", "en", "s", 10),
+         (2, "el perro y la casa es un gato en madrid", "es", "s", 10)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    scores = df.select(
+        "doc_id",
+        F.expr(T._stop_hits_expr("text", T.LANG_STOPWORDS["en"])).alias("en"),
+        F.expr(T._stop_hits_expr("text", T.LANG_STOPWORDS["es"])).alias("es"),
+    ).collect()
+    byid = {r.doc_id: r for r in scores}
+    assert byid[1].en > byid[1].es
+    assert byid[2].es > byid[2].en

@@ -1,16 +1,41 @@
 """Query plans: the engine's registered query surface.
 
-``queries.QUERIES`` maps query name → callable(spark, sf_dir) →
-DataFrame; ``oracles.ORACLES`` maps the same names to ANSI-SQL
-equivalents runnable by DuckDB over the same parquet (the driver's
-correctness gate). Names without an oracle entry get a rows-only
-check (approx / hash-seeded / streaming operators).
+``QUERIES`` maps query name → callable(spark, sf_dir) → DataFrame;
+``ORACLES`` maps the same names to ANSI-SQL equivalents runnable by
+DuckDB over the same parquet (the driver's correctness gate). Names
+without an oracle entry get a rows-only check (approx / hash-seeded /
+streaming operators).
+
+Modules: ``queries`` (reference-fidelity scalar transforms),
+``relational`` (joins/aggs/windows/sets/star schema), ``ext_text``
+(E3 text analysis), ``ext_dedup`` (E1 dedup families),
+``ext_similarity`` (E2 vector search), ``ext_udf`` (pandas_udf +
+multimodal mapInPandas).
 """
 
-from weatherflow_spark.plans.queries import QUERIES, flagship
+from weatherflow_spark.plans.queries import QUERIES as _CORE, flagship
 from weatherflow_spark.plans.relational import RELATIONAL_QUERIES
-from weatherflow_spark.plans.oracles import ORACLES
+from weatherflow_spark.plans.oracles import ORACLES as _CORE_ORACLES
+from weatherflow_spark.plans.ext_text import TEXT_QUERIES, TEXT_ORACLES
+from weatherflow_spark.plans.ext_dedup import DEDUP_QUERIES, DEDUP_ORACLES
+from weatherflow_spark.plans.ext_similarity import SIMILARITY_QUERIES, SIMILARITY_ORACLES
+from weatherflow_spark.plans.ext_udf import UDF_QUERIES, UDF_ORACLES
 
-QUERIES = {**QUERIES, **RELATIONAL_QUERIES}
+QUERIES = {
+    **_CORE,
+    **RELATIONAL_QUERIES,
+    **TEXT_QUERIES,
+    **DEDUP_QUERIES,
+    **SIMILARITY_QUERIES,
+    **UDF_QUERIES,
+}
+
+ORACLES = {
+    **_CORE_ORACLES,
+    **TEXT_ORACLES,
+    **DEDUP_ORACLES,
+    **SIMILARITY_ORACLES,
+    **UDF_ORACLES,
+}
 
 __all__ = ["QUERIES", "ORACLES", "flagship"]

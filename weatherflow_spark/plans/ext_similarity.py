@@ -1,0 +1,372 @@
+"""Extension tier E2 (SURVEY §2.11): vector similarity search over
+`embeddings` (array<float>, 64-dim).
+
+Four queries:
+
+- **q_similarity_topk**     — brute-force cosine top-k (the exact
+                              baseline; TakeOrderedAndProject).
+- **q_embedding_near_dup**  — embedding-cosine near-dup pairs,
+                              blocked by label (E1's fifth family).
+- **q_ann_ivf_topk**        — IVF-style ANN: per-label centroids →
+                              probe 2 nearest cells → brute-force
+                              within cells (the scale path).
+- **q_ann_lsh_topk**        — sign-random-projection LSH ANN with
+                              multi-probe (flip-1-bit) bucket search.
+
+Determinism contract (everything here hash-checks against DuckDB):
+
+- Dot products are *sequential left-fold* sums in double —
+  ``aggregate(zip_with(...))`` in Spark, ``list_reduce`` in DuckDB —
+  so float summation order is pinned and results are bit-identical.
+  (NEVER rely on engine-native dot/cosine built-ins for oracles:
+  their accumulation order/precision is engine-private.)
+- IVF centroids use order-independent *integer-scaled* sums
+  (``sum(floor(x · 2^20))``) because a double sum over rows would
+  depend on Spark's partial-agg order.
+- LSH hyperplane weights are derived arithmetically from (plane,
+  dim) via the cross-engine polynomial hash — no runtime RNG.
+
+Scale posture (100 TB, ~1e9+ vectors): brute-force is the per-query
+exact baseline (one narrow pass + top-k, no shuffle); IVF is the
+scale path — the centroid table is tiny (broadcast), the probe
+reduces scanned fraction to ~n_probe/n_cells; LSH bucket search is a
+keyed equi-join on bucket id. Near-dup pairing is quadratic *only
+within a label block* (LSH contract, as in ext_dedup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weatherflow_spark.functions.text import MOD
+from weatherflow_spark.io import load_table
+
+CENTROID_SCALE = 1 << 20  # 1048576
+N_PROBE = 2
+LSH_PLANES = 6
+TOP_K = 10
+
+# ---------------------------------------------------------------------------
+# sequential-fold vector math (Spark SQL + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Spark SQL: left-fold dot product in double (order pinned)."""
+    return (
+        f"aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>), "
+        f"(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({dot_expr(a, b)}) / (sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)}))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)}) / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
+
+
+QUERY_VEC_ID = 0
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("q_emb"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_similarity_topk — exact brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 by cosine to the vec_id=0 query vector. The
+    1-row query side is broadcast (explicit hint); the scan side
+    stays narrow and the top-k compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort, no full shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(_query_vec(spark, sf_dir))
+    return (
+        emb.crossJoin(q)
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            F.col("vec_id"),
+            F.col("label"),
+            F.expr(cosine_expr("embedding", "q_emb")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+ORACLE_SIMILARITY_TOPK = f"""
+    WITH q AS (
+        SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, {cosine_sql('embedding', 'q_emb')} AS cosine
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_near_dup — cosine near-dup pairs, blocked by label
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most-cosine-similar vector pairs within a label block
+    (embedding-based near-dup — the fifth dedup family). Pairwise
+    work is bounded by block size; ties broken by (vec_a, vec_b)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("label"), F.col("embedding")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, "label")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("label"),
+            F.expr(cosine_expr("a.embedding", "b.embedding")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(25)
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           {cosine_sql('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b USING (label)
+    WHERE a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+    LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ann_ivf_topk — IVF coarse-quantizer ANN
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: (1) centroid per label cell via order-independent
+    integer-scaled sums; (2) rank cells by centroid cosine to the
+    query, probe the best 2; (3) exact cosine over the probed cells
+    only, top-10.
+
+    At 1e9 vectors the centroid table is n_cells rows (broadcast
+    both ways); step 3 scans ~n_probe/n_cells of the data with a
+    partition-prunable `label IN (...)` predicate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(_query_vec(spark, sf_dir))
+
+    flat = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    centroids = (
+        flat.groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * CENTROID_SCALE).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s, n))), "
+                f"p -> cast(p.s as double) / ({float(CENTROID_SCALE)} * p.n))"
+            ).alias("centroid")
+        )
+    )
+    probed = (
+        centroids.crossJoin(q)
+        .select(
+            F.col("label"),
+            F.expr(cosine_expr("centroid", "q_emb")).alias("c_cos"),
+        )
+        .orderBy(F.desc("c_cos"), F.asc("label"))
+        .limit(N_PROBE)
+        .select("label")
+    )
+    return (
+        emb.join(F.broadcast(probed), "label")
+        .crossJoin(q)
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            F.col("vec_id"),
+            F.col("label"),
+            F.expr(cosine_expr("embedding", "q_emb")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+    WITH q AS (
+        SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    flat AS (
+        SELECT label, i AS pos,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT) AS xi
+        FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    sums AS (
+        SELECT label, pos, sum(xi) AS s, count(*) AS n
+        FROM flat GROUP BY label, pos
+    ),
+    cents AS (
+        SELECT label,
+               list(CAST(s AS DOUBLE) / ({float(CENTROID_SCALE)} * n) ORDER BY pos) AS centroid
+        FROM sums GROUP BY label
+    ),
+    probed AS (
+        SELECT label FROM cents CROSS JOIN q
+        ORDER BY {cosine_sql('centroid', 'q_emb')} DESC, label ASC
+        LIMIT {N_PROBE}
+    )
+    SELECT vec_id, label, {cosine_sql('embedding', 'q_emb')} AS cosine
+    FROM embeddings JOIN probed USING (label) CROSS JOIN q
+    WHERE vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ann_lsh_topk — sign-random-projection LSH with multi-probe
+# ---------------------------------------------------------------------------
+#
+# Hyperplane weight for (plane p, dim d): derived from the polynomial
+# hash h = (a·(p·64+d) + b) mod M, mapped to [-1, 1). Pure arithmetic
+# → identical in both engines, no RNG at query time.
+
+_LSH_A = 48271
+_LSH_B = 11213
+
+
+def _plane_weight_spark(p: str, d: str) -> str:
+    return (
+        f"(cast((({_LSH_A} * ({p} * 64 + {d}) + {_LSH_B}) % {MOD}) as double) "
+        f"/ {float(MOD)} * 2.0 - 1.0)"
+    )
+
+
+def lsh_bucket_expr(vec: str) -> str:
+    """Spark SQL: 6-bit sign bucket — bit p set iff dot(plane_p, vec) > 0."""
+    dot_p = (
+        f"aggregate(sequence(1, size({vec})), cast(0.0 as double), "
+        f"(acc, d) -> acc + {_plane_weight_spark('p', 'd')} * cast({vec}[d - 1] as double))"
+    )
+    return (
+        f"aggregate(sequence(0, {LSH_PLANES - 1}), cast(0 as bigint), (acc, p) -> "
+        f"acc + (CASE WHEN ({dot_p}) > 0.0 THEN shiftleft(cast(1 as bigint), p) "
+        f"ELSE cast(0 as bigint) END))"
+    )
+
+
+def lsh_bucket_sql(vec: str) -> str:
+    dot_p = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({vec})), "
+        f"d -> (CAST((({_LSH_A} * (p * 64 + d) + {_LSH_B}) % {MOD}) AS DOUBLE) "
+        f"/ {float(MOD)} * 2.0 - 1.0) * CAST({vec}[d] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(0, {LSH_PLANES - 1}), p -> "
+        f"CASE WHEN ({dot_p}) > 0.0 THEN (CAST(1 AS BIGINT) << p) "
+        f"ELSE CAST(0 AS BIGINT) END)), (acc, v) -> acc + v)"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN: hash every vector to a 6-bit sign bucket; probe the
+    query's bucket plus its 6 one-bit-flip neighbors (multi-probe —
+    recall without extra tables); exact cosine within probed buckets,
+    top-10. Candidate lookup is a keyed (broadcastable) equi-join on
+    bucket id — never a cross join against the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(lsh_bucket_expr("embedding"))
+    )
+    probes = (
+        _query_vec(spark, sf_dir)
+        .select(
+            F.col("q_emb"),
+            F.explode(
+                F.expr(
+                    f"array_union(array({lsh_bucket_expr('q_emb')}), "
+                    f"transform(sequence(0, {LSH_PLANES - 1}), "
+                    f"p -> {lsh_bucket_expr('q_emb')} ^ shiftleft(cast(1 as bigint), p)))"
+                )
+            ).alias("bucket"),
+        )
+    )
+    return (
+        emb.join(F.broadcast(probes), "bucket")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            F.col("vec_id"),
+            F.col("label"),
+            F.col("bucket"),
+            F.expr(cosine_expr("embedding", "q_emb")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+    WITH hashed AS (
+        SELECT vec_id, label, embedding, {lsh_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT embedding AS q_emb, {lsh_bucket_sql('embedding')} AS q_bucket
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    probes AS (
+        SELECT q_emb, unnest(list_distinct(list_prepend(q_bucket,
+            list_transform(generate_series(0, {LSH_PLANES - 1}),
+                           p -> xor(q_bucket, CAST(1 AS BIGINT) << p))))) AS bucket
+        FROM q
+    )
+    SELECT vec_id, label, bucket, {cosine_sql('embedding', 'q_emb')} AS cosine
+    FROM hashed JOIN probes USING (bucket)
+    WHERE vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {TOP_K}
+"""
+
+
+SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_similarity_topk": q_similarity_topk,
+    "q_embedding_near_dup": q_embedding_near_dup,
+    "q_ann_ivf_topk": q_ann_ivf_topk,
+    "q_ann_lsh_topk": q_ann_lsh_topk,
+}
+
+SIMILARITY_ORACLES: dict[str, str] = {
+    "q_similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "q_embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "q_ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+}

@@ -1,0 +1,206 @@
+"""Extension tier E3 (SURVEY §2.11): text analysis over `documents`.
+
+The reference has no string surface at all (SURVEY §2.3 — "String
+functions beyond date formatting: ABSENT"); these are the mandated
+training-data-pipeline operators: quality scoring, token counting
+(whitespace + BPE-ish regex), language-ID (stopword-hit heuristic),
+and document fingerprinting (rolling hash).
+
+Every query here is hash-checked against a DuckDB oracle — including
+the fingerprint/hash ops, because all hashing is the cross-engine
+polynomial hash from :mod:`weatherflow_spark.functions.text` rather
+than an engine-private hash function.
+
+Scale posture: all per-document derivations are narrow (no shuffle;
+they pipeline into the parquet scan inside whole-stage codegen). The
+only shuffles are the token-count aggregate (map-side partial first)
+and the final top-k (TakeOrderedAndProject — no global sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weatherflow_spark.functions import text as T
+from weatherflow_spark.io import load_table
+
+_LANGS = sorted(T.LANG_STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# q_text_stats — quality scoring (length / punct / stopword ratios)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics. Quality score is a deterministic
+    blend: length saturation (0..1), non-punct ratio, stopword-rate
+    band — the standard heuristic pre-filter for LLM training corpora
+    (cf. Gopher/C4-style rules), all as closed-form column exprs."""
+    df = load_table(spark, sf_dir, "documents")
+    ntok = T.n_tokens("text")
+    nchar = F.length("text").cast("int")
+    punct = F.expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").cast("int")
+    swr = T.stopword_ratio("text")
+    len_sat = F.least(F.lit(1.0), ntok.cast("double") / F.lit(100.0))
+    punct_ratio = punct.cast("double") / nchar.cast("double")
+    quality = (
+        len_sat * F.lit(0.5)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.3)
+        + F.least(F.lit(1.0), swr * F.lit(5.0)) * F.lit(0.2)
+    )
+    return df.select(
+        F.col("doc_id"),
+        nchar.alias("n_chars_calc"),
+        ntok.alias("n_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        punct.alias("n_punct"),
+        (F.floor(swr * 1e6 + F.lit(0.5)) / 1e6).alias("stopword_ratio"),
+        (F.floor(quality * 1e6 + F.lit(0.5)) / 1e6).alias("quality_score"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+    WITH m AS (
+        SELECT
+            doc_id,
+            CAST(length(text) AS INTEGER) AS n_chars_calc,
+            {T.n_tokens_sql('text')} AS n_tokens,
+            {T.bpe_token_count_sql('text')} AS n_bpe_tokens,
+            CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INTEGER) AS n_punct,
+            {T.stopword_ratio_sql('text')} AS swr
+        FROM documents
+    )
+    SELECT
+        doc_id, n_chars_calc, n_tokens, n_bpe_tokens, n_punct,
+        floor(swr * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+        floor((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+               + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_calc AS DOUBLE)) * 0.3
+               + least(1.0, swr * 5.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality_score
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_token_topk — corpus token frequencies (explode → agg → top-k)
+# ---------------------------------------------------------------------------
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 tokens by corpus frequency. Explode is a narrow op; the
+    groupBy does a map-side partial count before the 32-partition
+    exchange; the final top-k is TakeOrderedAndProject (no full
+    sort). Ties broken by token text for determinism."""
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.select(F.explode(T.tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(25)
+    )
+
+
+ORACLE_TOKEN_TOPK = f"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest({T.tokens_sql('text')}) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_lang_id — stopword-hit language identification
+# ---------------------------------------------------------------------------
+
+
+def _argmax_case(scores: dict[str, str]) -> str:
+    """CASE chain picking the alphabetically-first language with the
+    maximal score — identical text generated for Spark and DuckDB so
+    tie-breaks cannot diverge."""
+    langs = sorted(scores)
+    clauses = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"{scores[lang]} >= {scores[other]}" for other in langs if other != lang
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language from per-language stopword hit counts (n-gram
+    heuristic); report accuracy flag vs the labeled `lang`."""
+    df = load_table(spark, sf_dir, "documents")
+    spark_scores = {lang: T._stop_hits_expr("text", w) for lang, w in T.LANG_STOPWORDS.items()}
+    sel = [F.col("doc_id"), F.col("lang")]
+    for lang in _LANGS:
+        sel.append(F.expr(spark_scores[lang]).cast("int").alias(f"score_{lang}"))
+    sel.append(F.expr(_argmax_case(spark_scores)).alias("predicted_lang"))
+    out = df.select(*sel)
+    return out.withColumn(
+        "is_match", (F.col("predicted_lang") == F.col("lang")).cast("int")
+    )
+
+
+def _oracle_lang_id() -> str:
+    duck_scores = {lang: T._stop_hits_sql("text", w) for lang, w in T.LANG_STOPWORDS.items()}
+    score_cols = ", ".join(
+        f"CAST({duck_scores[lang]} AS INTEGER) AS score_{lang}" for lang in _LANGS
+    )
+    return f"""
+        WITH p AS (
+            SELECT doc_id, lang, {score_cols},
+                   {_argmax_case(duck_scores)} AS predicted_lang
+            FROM documents
+        )
+        SELECT *, CAST(predicted_lang = lang AS INTEGER) AS is_match FROM p
+    """
+
+
+# ---------------------------------------------------------------------------
+# q_doc_fingerprint — rolling-hash document fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document plus the
+    exact-dedup content hash (sha256 of normalized text). Narrow —
+    pipelines into the scan."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        F.col("doc_id"),
+        F.expr(T.doc_fingerprint_expr("text")).alias("fingerprint"),
+        F.sha2(F.trim(F.lower(F.col("text"))), 256).alias("content_hash"),
+        T.n_tokens("text").alias("n_tokens"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+    SELECT
+        doc_id,
+        {T.doc_fingerprint_sql('text')} AS fingerprint,
+        sha256(trim(lower(text))) AS content_hash,
+        {T.n_tokens_sql('text')} AS n_tokens
+    FROM documents
+"""
+
+
+TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_text_stats": q_text_stats,
+    "q_token_topk": q_token_topk,
+    "q_lang_id": q_lang_id,
+    "q_doc_fingerprint": q_doc_fingerprint,
+}
+
+TEXT_ORACLES: dict[str, str] = {
+    "q_text_stats": ORACLE_TEXT_STATS,
+    "q_token_topk": ORACLE_TOKEN_TOPK,
+    "q_lang_id": _oracle_lang_id(),
+    "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+}

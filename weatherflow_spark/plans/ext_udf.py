@@ -1,0 +1,110 @@
+"""UDF-surface queries (SURVEY §2.10 X1/X2): the engine's sanctioned
+Python escape hatches — Arrow-vectorized `pandas_udf` and
+`mapInPandas` — each hash-checked against a pure-SQL oracle to prove
+the UDF path computes exactly what the declarative path would.
+
+The reference's entire transform layer is row-at-a-time interpreted
+Python (dags/etl.py:20-84); this engine keeps Python off the hot
+path (every fidelity operator is a Catalyst expression) and reserves
+these two entry points for genuinely non-expressible logic, always
+Arrow-batched, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from weatherflow_spark.io import load_table
+from weatherflow_spark.multimodal.binary import multimodal_features
+from weatherflow_spark.functions.text import MOD
+from weatherflow_spark.plans.queries import events_weather
+from weatherflow_spark.plans.oracles import EVENTS_SIM
+
+
+# ---------------------------------------------------------------------------
+# q_pandas_udf_metric — vectorized scalar pandas_udf
+# ---------------------------------------------------------------------------
+
+
+def _make_dew_point_udf():
+    """Construct the UDF from a closure so cloudpickle serializes it
+    by value — a module-level function would be pickled by reference
+    and fail to import on executors of a foreign driver process (the
+    round driver's session has no weatherflow_spark on worker paths)."""
+
+    def dew_point_fn(temp: pd.Series, humidity: pd.Series) -> pd.Series:
+        # Dew point (etl.py:78 semantics), elementwise IEEE double ops
+        # — bit-identical to the column-expression form and the oracle.
+        import numpy as np
+        import pandas as pd
+
+        raw = temp - (100.0 - humidity) / 5.0
+        return pd.Series(np.floor(raw * 100.0 + 0.5) / 100.0)
+
+    return pandas_udf(DoubleType())(dew_point_fn)
+
+
+def q_pandas_udf_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas_udf path for F11 (dew point): same numbers as the
+    expression path in q_derived_metrics, demonstrating that the UDF
+    surface preserves engine semantics. Arrow transfer, one Python
+    worker call per batch — still the slow path; use only when
+    built-ins can't express the logic."""
+    df = events_weather(spark, sf_dir)
+    return df.select(
+        F.col("event_id"),
+        _make_dew_point_udf()(F.col("temp"), F.col("humidity")).alias("dew_point"),
+    )
+
+
+ORACLE_PANDAS_UDF_METRIC = f"""
+    WITH w AS ({EVENTS_SIM})
+    SELECT event_id, floor((temp - (100.0 - humidity) / 5.0) * 100.0 + 0.5) / 100.0 AS dew_point
+    FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_features — mapInPandas over binary payloads
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline over `documents` (payload = UTF-8
+    bytes): metadata struct + mapInPandas feature extraction with a
+    stubbed decoder. Oracle-checkable because the fake features are
+    deterministic byte arithmetic and the corpus is ASCII (byte value
+    == codepoint), so SQL can recompute them from `text`."""
+    return multimodal_features(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+    SELECT
+        doc_id,
+        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        CAST(CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE 0 END
+             AS INTEGER) AS header_byte,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(text)),
+                           i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+            (acc, c) -> acc + c) % {MOD} AS checksum,
+        'application/octet-stream' AS mime
+    FROM documents
+"""
+
+
+UDF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_pandas_udf_metric": q_pandas_udf_metric,
+    "q_multimodal_features": q_multimodal_features,
+}
+
+UDF_ORACLES: dict[str, str] = {
+    "q_pandas_udf_metric": ORACLE_PANDAS_UDF_METRIC,
+    "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+}
