@@ -1,0 +1,48 @@
+"""CLI job entry points (`python -m weatherflow_spark.jobs ...`).
+
+The production runner the Airflow DAG (streaming/airflow_dag.py)
+submits: batch mode executes one micro-batch of the reference
+pipeline (extract → transform core → star load, the whole of
+reference dags/etl.py as one Spark job); ``--streaming`` runs the
+same core continuously under Structured Streaming with the
+reference's 5-minute trigger cadence (etl.py:129).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from weatherflow_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="weatherflow_spark ETL runner")
+    p.add_argument("--source", required=True, help="events source directory")
+    p.add_argument("--warehouse", required=True, help="star-schema output directory")
+    p.add_argument("--checkpoint", default=None, help="stream checkpoint dir")
+    p.add_argument(
+        "--streaming",
+        action="store_true",
+        help="run continuously (5-minute trigger) instead of one batch",
+    )
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="weatherflow-etl")
+
+    from weatherflow_spark.streaming.pipeline import weather_etl_stream
+
+    trigger = (
+        {"processingTime": "5 minutes"} if args.streaming else {"availableNow": True}
+    )
+    q = weather_etl_stream(
+        spark,
+        args.source,
+        args.warehouse,
+        args.checkpoint or f"{args.warehouse}/_checkpoint",
+        trigger=trigger,
+    )
+    q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

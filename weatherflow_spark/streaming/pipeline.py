@@ -1,0 +1,290 @@
+"""Structured Streaming surface (SURVEY §2.9, §7 Phase 4).
+
+The reference *is* a hand-rolled micro-batch stream: an Airflow DAG
+polling every 5 minutes with ``catchup=False`` (reference
+dags/etl.py:129,131), whose per-batch body is
+extract → enrich_datetime ∥ add_calc_attributes → merge → load
+(etl.py:159). This module runs the **same transform core** (the pure
+DataFrame→DataFrame functions in ``functions/``) under Structured
+Streaming, which upgrades the reference's semantics with what it
+lacks (SURVEY §2.9 T2/T3): event-time tumbling windows, watermarked
+late-data handling, and stateful dedup across batches (the
+reference's uuid keys duplicate facts on any replay).
+
+Design rules:
+
+- **One transform core, two runners.** Every transformation here is
+  a stateless narrow projection imported from ``functions/`` /
+  ``operators/`` — identical plans in batch and streaming, so batch
+  parity tests (tests/test_streaming.py) certify the streaming path.
+- **Watermarks bound state.** Each stateful op (window agg, dedup)
+  declares a watermark; at 100 TB/day the state store would otherwise
+  grow without bound. 2-hour watermark over 1-hour windows ⇒ at most
+  ~3 open windows per key in the store.
+- **Sinks via foreachBatch** reuse the batch star-schema writer —
+  the exactly-once contract comes from deterministic surrogate keys
+  (idempotent re-writes) + checkpointed offsets, replacing the
+  reference's per-record MySQL transactions (database.py:25-34).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from weatherflow_spark.functions.calendar import enrich_datetime
+from weatherflow_spark.functions.weather import add_calc_attributes
+from weatherflow_spark.operators.star import build_weather_star
+from weatherflow_spark.session import configure_session
+
+# Raw parquet schema of the events table (ts = TIMESTAMP(NANOS),
+# surfaced as long nanos under the nanosAsLong conf; file streams
+# require an explicit schema).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet*"
+) -> DataFrame:
+    """File-source stream over the events table (the test stand-in
+    for the reference's REST poll, SURVEY §2.1 S2). Applies the same
+    nanos→µs normalization as the batch loader so the two paths see
+    identical frames.
+
+    The file source wants a *directory*; testdata ships events as a
+    single file named ``events.parquet``, so we stream the sf dir
+    with a leaf-filename glob. (In a real deployment this is a
+    landing directory that micro-batches drop files into —
+    ``maxFilesPerTrigger`` throttles per-batch intake.)"""
+    configure_session(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2: watermarked tumbling-window aggregation
+# ---------------------------------------------------------------------------
+
+
+def tumbling_value_agg(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """1-hour tumbling event-time windows: count + exact integer-cents
+    value sum per window. The identical expression runs in batch as
+    ``q_tumbling_window_agg`` (plans/relational.py) — that query's
+    DuckDB hash-check is the correctness certificate for this one.
+
+    ``with_watermark`` bounds streaming state (late rows beyond 2
+    hours are dropped); batch mode ignores watermarks by definition.
+    """
+    from weatherflow_spark.plans.queries import cents_sum
+
+    df = events
+    if with_watermark and events.isStreaming:
+        # Watermarks require TIMESTAMP (not NTZ); the session is
+        # pinned UTC so the cast preserves the wall-clock value.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", "2 hours"
+        )
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            cents_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3: stateful dedup across micro-batches
+# ---------------------------------------------------------------------------
+
+
+def dedup_events_stream(events: DataFrame) -> DataFrame:
+    """Exactly-once event delivery: drop duplicate event_ids arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark``
+    keeps state only until the watermark passes each key — bounded,
+    unlike plain ``dropDuplicates`` on a stream). Fixes the
+    reference's replay-duplicates flaw (uuid keys, etl.py:103)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# The reference pipeline under streaming: enrich → metrics → star load
+# ---------------------------------------------------------------------------
+
+
+def events_as_weather_stream(events: DataFrame) -> DataFrame:
+    """Dress the event stream as weather observations (same mapping
+    as plans/queries.events_weather) so the fidelity transform core
+    can run on it."""
+    return events.select(
+        F.col("event_id").alias("station_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("timestamp"),
+        ((F.col("user_id") % 25 - 12) * 3600).alias("timezone"),
+        (F.col("ts").cast("timestamp").cast("long") - 21600).alias("sunrise_ts"),
+        (F.col("ts").cast("timestamp").cast("long") + 21600).alias("sunset_ts"),
+        (F.col("user_id") % 101).cast("double").alias("humidity"),
+        F.col("value").alias("temp"),
+    )
+
+
+def weather_transform_core(observations: DataFrame) -> DataFrame:
+    """The reference DAG body as one narrow plan: enrich_datetime
+    (etl.py:20-69) + add_calc_attributes (etl.py:71-84) computed on
+    ONE frame — the positional zip-merge (etl.py:86-94) disappears
+    because both column sets live on the same lineage (SURVEY §2.4
+    J1). Stateless ⇒ valid on batch and stream alike."""
+    return add_calc_attributes(enrich_datetime(observations))
+
+
+def weather_etl_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """The full reference topology as a streaming query: source →
+    transform core → foreachBatch star-schema load. ``trigger``
+    defaults to availableNow (test mode); pass
+    ``{"processingTime": "5 minutes"}`` for the reference's cadence
+    (etl.py:129)."""
+    observations = events_as_weather_stream(read_events_stream(spark, sf_dir))
+    enriched = weather_transform_core(observations)
+
+    def load_star(batch_df: DataFrame, batch_id: int) -> None:
+        tables = build_weather_star(batch_df, station_col="station_id")
+        for name, tdf in tables.items():
+            tdf.write.mode("append").parquet(os.path.join(warehouse_dir, name))
+
+    writer = (
+        enriched.writeStream.foreachBatch(load_star)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+# ---------------------------------------------------------------------------
+# X2: custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def _make_user_stats_fn() -> Callable:
+    """Closure-built (pickles by value — see multimodal/binary.py)
+    per-user running aggregate: count / sum / max across batches via
+    GroupState. The cents-scaling keeps the running sum exact."""
+
+    def update_user_stats(key, pdfs, state):
+        import pandas as pd
+
+        n, s, mx = (0, 0.0, float("-inf"))
+        if state.exists:
+            n, s, mx = state.get
+        for pdf in pdfs:
+            vals = pdf["value"]
+            n += int(len(vals))
+            s += float((vals * 100.0 + 0.5).apply(lambda v: int(v)).sum()) / 100.0
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [mx]}
+        )
+
+    return update_user_stats
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator over user_id groups —
+    the engine's `applyInPandasWithState` surface (SURVEY §2.10 X2).
+    Emits the updated running aggregate for each user seen in the
+    micro-batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _make_user_stats_fn(),
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# test harness helper
+# ---------------------------------------------------------------------------
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain a bounded stream into a memory sink (availableNow) and
+    return the materialized result table. Test-only: memory sinks
+    collect to the driver. Pass ``output_mode="complete"`` for
+    windowed aggregations (append would hold back windows the
+    final-batch watermark hasn't closed) and ``"update"`` for
+    applyInPandasWithState operators."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
