@@ -1,0 +1,113 @@
+"""Source-layer tests: JSON/CSV round-trips with explicit schemas and
+the REST point-source flatten (stubbed HTTP)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from weatherflow_spark.io import load_table
+from weatherflow_spark.sources.files import read_csv, read_json, write_csv, write_json
+from weatherflow_spark.sources.weather_api import (
+    fetch_observations,
+    observations_to_df,
+)
+from tests.conftest import SF_SMALL
+
+_SCHEMA = StructType(
+    [
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_acctbal", DoubleType()),
+    ]
+)
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    write_json(df, str(tmp_path / "j"))
+    back = read_json(spark, str(tmp_path / "j"), _SCHEMA)
+    assert back.schema == _SCHEMA
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    write_csv(df, str(tmp_path / "c"))
+    back = read_csv(spark, str(tmp_path / "c"), _SCHEMA)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+_SAMPLE_RESPONSE = {
+    "main": {
+        "temp": 21.5,
+        "temp_min": 19.0,
+        "temp_max": 24.0,
+        "feels_like": 21.0,
+        "pressure": 1012.0,
+        "humidity": 64.0,
+    },
+    "wind": {"speed": 3.6, "deg": 160.0},
+    "clouds": {"all": 75.0},
+    "visibility": 10000.0,
+    "dt": 1_700_000_000,
+    "sys": {"sunrise": 1_699_980_000, "sunset": 1_700_020_000},
+    "timezone": -18000,
+    "unread_field": {"ignored": True},  # extra branches must not break parsing
+}
+
+
+def test_rest_point_source_flatten(spark):
+    stations = [(1, "City", "CC"), (2, "Other", "DD")]
+    records = fetch_observations(stations, http_get=lambda url: json.dumps(_SAMPLE_RESPONSE))
+    df = observations_to_df(spark, records)
+    rows = {r.station_id: r for r in df.collect()}
+    assert set(rows) == {1, 2}
+    r = rows[1]
+    # the 15-field record of reference api.py:30-34
+    assert r.temp == 21.5 and r.temp_min == 19.0 and r.temp_max == 24.0
+    assert r.wind_speed == 3.6 and r.wind_direction == 160.0
+    assert r.pressure == 1012.0 and r.humidity == 64.0
+    assert r.visibility == 10000.0 and r.cloudiness == 75.0
+    assert r.timestamp == 1_700_000_000
+    assert r.sunrise_ts == 1_699_980_000 and r.sunset_ts == 1_700_020_000
+    assert r.timezone == -18000
+    assert len(df.columns) == 15
+
+
+def test_rest_fetch_requires_client():
+    with pytest.raises(NotImplementedError):
+        fetch_observations([(1, "X", "Y")])
+
+
+def test_rest_flatten_feeds_transform_core(spark):
+    """The fetched batch must run straight through the fidelity
+    pipeline (enrich + metrics + star build) — the full reference DAG
+    on a real API-shaped record."""
+    from weatherflow_spark.functions.calendar import enrich_datetime
+    from weatherflow_spark.functions.weather import add_calc_attributes
+    from weatherflow_spark.operators.star import build_weather_star
+
+    records = fetch_observations(
+        [(7, "C", "C")], http_get=lambda url: json.dumps(_SAMPLE_RESPONSE)
+    )
+    enriched = add_calc_attributes(enrich_datetime(observations_to_df(spark, records)))
+    tables = build_weather_star(enriched)
+    assert tables["w_fact"].count() == 1
+    temp_row = tables["w_temp_dim"].collect()[0]
+    assert temp_row.temp == 21.5
+    assert temp_row.dew_point == round(21.5 - (100 - 64) / 5, 2)

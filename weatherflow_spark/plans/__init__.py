@@ -20,10 +20,12 @@ from weatherflow_spark.plans.ext_text import TEXT_QUERIES, TEXT_ORACLES
 from weatherflow_spark.plans.ext_dedup import DEDUP_QUERIES, DEDUP_ORACLES
 from weatherflow_spark.plans.ext_similarity import SIMILARITY_QUERIES, SIMILARITY_ORACLES
 from weatherflow_spark.plans.ext_udf import UDF_QUERIES, UDF_ORACLES
+from weatherflow_spark.plans.temporal import TEMPORAL_QUERIES, TEMPORAL_ORACLES
 
 QUERIES = {
     **_CORE,
     **RELATIONAL_QUERIES,
+    **TEMPORAL_QUERIES,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
@@ -32,6 +34,7 @@ QUERIES = {
 
 ORACLES = {
     **_CORE_ORACLES,
+    **TEMPORAL_ORACLES,
     **TEXT_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,

@@ -1,0 +1,39 @@
+"""File-format sources/sinks beyond parquet (SURVEY §2.1, file-format
+surface row): JSON and CSV read/write with explicit schemas.
+
+The reference's only storage is MySQL; its one JSON artifact is a
+saved API response (reference sample.json). This engine treats
+Parquet as the warehouse format (columnar, statistics, pushdown) and
+offers JSON/CSV for interchange. Explicit schemas everywhere —
+``inferSchema`` costs a full extra pass at 100 TB and can silently
+flip types between runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """NDJSON source. multiLine stays off: line-delimited JSON splits
+    by newline and parallelizes per-block; a multiLine document forces
+    one task per file."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    return spark.read.schema(schema).options(header=str(header).lower(), **options).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
