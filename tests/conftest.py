@@ -19,6 +19,14 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 def spark():
     from weatherflow_spark.session import get_spark
 
-    spark = get_spark(app_name="weatherflow-tests", shuffle_partitions=8)
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="wf-warehouse-")
+    spark = get_spark(
+        app_name="weatherflow-tests",
+        shuffle_partitions=8,
+        # static conf: bucketed saveAsTable targets (tests only)
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield spark
     spark.stop()

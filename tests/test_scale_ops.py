@@ -1,0 +1,76 @@
+"""Scale-infrastructure verification: bucketed joins must be
+shuffle-free, salted aggregation/joins must be result-identical to
+their plain forms."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.bucketing import (
+    cocated_join_is_shuffle_free,
+    write_bucketed,
+)
+from weatherflow_spark.operators.skew import salted_broadcast_join, salted_count_sum
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_no_shuffle(spark):
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "wf_orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "wf_lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+
+    o, l = spark.table("wf_orders_b"), spark.table("wf_lineitem_b")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+    joined.collect()
+    assert cocated_join_is_shuffle_free(joined), (
+        "bucketed fact-fact join must plan without Exchange"
+    )
+
+    # sanity: same row count as the unbucketed join
+    plain = load_table(spark, SF_SMALL, "lineitem").join(
+        load_table(spark, SF_SMALL, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "inner",
+    )
+    assert joined.count() == plain.count()
+
+
+def test_salted_agg_matches_plain(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    salted = salted_count_sum(li, ["l_returnflag"], "l_quantity").toPandas()
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .toPandas()
+    )
+    s = salted.sort_values("l_returnflag").reset_index(drop=True)
+    p = plain.sort_values("l_returnflag").reset_index(drop=True)
+    assert (s.l_returnflag == p.l_returnflag).all()
+    assert (s.n == p.n).all()
+    assert (s.sum_value == p.sum_value).all()  # exact, not approx: integer partials
+
+
+def test_salted_join_matches_plain(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = salted_broadcast_join(li, orders, "l_orderkey")
+    plain = li.join(orders, "l_orderkey", "inner")
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b

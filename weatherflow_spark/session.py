@@ -57,6 +57,7 @@ def get_spark(
     app_name: str = "weatherflow_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a configured local SparkSession.
 
@@ -82,5 +83,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     for key, value in _REQUIRED_RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return configure_session(builder.getOrCreate())
