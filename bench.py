@@ -34,6 +34,7 @@ HEADLINE = [
 ]
 # Extension queries are included when registered (phase 3+).
 OPTIONAL = [
+    "q_session_window",
     "q_dedup_exact",
     "q_text_stats",
     "q_token_topk",

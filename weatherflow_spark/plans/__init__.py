@@ -21,11 +21,13 @@ from weatherflow_spark.plans.ext_dedup import DEDUP_QUERIES, DEDUP_ORACLES
 from weatherflow_spark.plans.ext_similarity import SIMILARITY_QUERIES, SIMILARITY_ORACLES
 from weatherflow_spark.plans.ext_udf import UDF_QUERIES, UDF_ORACLES
 from weatherflow_spark.plans.temporal import TEMPORAL_QUERIES, TEMPORAL_ORACLES
+from weatherflow_spark.plans.advanced import ADVANCED_QUERIES, ADVANCED_ORACLES
 
 QUERIES = {
     **_CORE,
     **RELATIONAL_QUERIES,
     **TEMPORAL_QUERIES,
+    **ADVANCED_QUERIES,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
@@ -35,6 +37,7 @@ QUERIES = {
 ORACLES = {
     **_CORE_ORACLES,
     **TEMPORAL_ORACLES,
+    **ADVANCED_ORACLES,
     **TEXT_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,

@@ -1,0 +1,304 @@
+"""Advanced relational operators: sessionization, pivot, ntile,
+exact percentiles, scalar subqueries, deterministic sampling.
+
+The reference (pratik-choudhari/WeatherFlow) has none of these — its
+only query surface is the star schema the warehouse serves (SURVEY
+§2.5-§2.7, all ABSENT rows). These are the analytical operators that
+schema implies plus the sampling/quality surface a training-data
+pipeline needs, each expressed Spark-first and hash-checked against a
+DuckDB oracle.
+
+Scale posture per query is in its docstring; the common rules:
+
+- aggregations use the exact integer-scaled sum pattern
+  (:func:`weatherflow_spark.plans.queries.scaled_sum`) so partial-agg
+  order can never change a result;
+- window operators always partition (by user / segment) — no global
+  single-partition windows;
+- sessionization uses Spark's native ``session_window`` (the same
+  expression Structured Streaming uses with a watermark), so the
+  batch query here is the streaming query at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from weatherflow_spark.functions import text as T
+from weatherflow_spark.io import load_table
+from weatherflow_spark.plans.queries import cents_sum, scaled_sum, scaled_sum_sql
+
+SESSION_GAP = "8 hours"  # ~median per-user event gap at all SFs
+
+
+# ---------------------------------------------------------------------------
+# q_session_window — event-time sessionization (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with an 8-hour inactivity gap via the native
+    ``session_window`` operator — one shuffle on (user_id), then the
+    session merge happens inside the aggregate; no self-join, no
+    global sort. In streaming this exact expression runs with a
+    watermark (T2/T3); the batch form here is hash-checkable against
+    the classic gaps-and-islands SQL (lag + cumulative sum).
+
+    Spark semantics: windows are half-open ``[ts, ts+gap)`` and merge
+    while they overlap, so a new session starts when the gap to the
+    previous event is >= 8h — mirrored exactly in the oracle's
+    ``ts >= lag(ts) + INTERVAL 8 HOUR`` test.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.col("user_id"),
+            F.session_window("ts", SESSION_GAP).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_event_ts"),
+            cents_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event_ts",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 8 HOUR
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT *, sum(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           count(*) AS n_events,
+           {scaled_sum_sql('value')} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_pivot — orders status counts pivoted wide per nation
+# ---------------------------------------------------------------------------
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation × order-status matrix via ``groupBy().pivot()`` with an
+    explicit value list ('F','O','P') — no extra distinct-values job,
+    stable output schema, and the pivot becomes a single hash
+    aggregate (one shuffle on n_name, 25 groups). Dims broadcast; the
+    orders fact never shuffles for the joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "n_name",
+            F.col("F").alias("n_fulfilled"),
+            F.col("O").alias("n_open"),
+            F.col("P").alias("n_pending"),
+        )
+    )
+
+
+ORACLE_PIVOT = """
+    SELECT n_name,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ntile — within-segment quartiles (partitioned ranking window)
+# ---------------------------------------------------------------------------
+
+
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartile of each customer *within its market
+    segment*: ``ntile(4)`` over a partitioned window (one shuffle on
+    c_mktsegment, each partition sorted locally — never a global
+    single-partition window, which would serialize at scale). Ties
+    broken by c_custkey so the assignment is total-ordered and
+    deterministic in both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+ORACLE_NTILE = """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal ASC, c_custkey ASC)
+               AS balance_quartile
+    FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_percentiles — exact interpolated percentiles per group
+# ---------------------------------------------------------------------------
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of l_quantity per return flag via Spark's
+    ``percentile`` aggregate (exact, interpolated — the distributed
+    form collects per-group value counts, fine for bounded-cardinality
+    measures like quantity 1..50; for unbounded doubles at 100 TB use
+    ``approx_percentile`` with a t-digest accuracy knob instead).
+    Results rounded to 1e-6 to absorb last-ulp interpolation-order
+    differences vs DuckDB's quantile_cont."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sixr = lambda c: (F.floor(c * 1e6 + F.lit(0.5)) / 1e6)  # noqa: E731
+    return lineitem.groupBy("l_returnflag").agg(
+        sixr(F.expr("percentile(l_quantity, 0.25)")).alias("q25"),
+        sixr(F.expr("percentile(l_quantity, 0.50)")).alias("q50"),
+        sixr(F.expr("percentile(l_quantity, 0.75)")).alias("q75"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_PERCENTILES = """
+    SELECT l_returnflag,
+           floor(quantile_cont(l_quantity, 0.25) * 1e6 + 0.5) / 1e6 AS q25,
+           floor(quantile_cont(l_quantity, 0.50) * 1e6 + 0.5) / 1e6 AS q50,
+           floor(quantile_cont(l_quantity, 0.75) * 1e6 + 0.5) / 1e6 AS q75,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_scalar_subquery — filter against a computed global scalar
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above the global average, per priority. The
+    scalar (global avg) is a 1-row aggregate cross-joined back as a
+    broadcast — Spark plans the same shape for a SQL scalar subquery;
+    no shuffle of the fact beyond the final 5-group aggregate. The
+    average is defined over integer-scaled cents so both engines
+    compute the identical double and the > comparison can never flip
+    on a summation-order ulp."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        (scaled_sum(F.col("o_totalprice")) / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            cents_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_SCALAR_SUBQUERY = f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {scaled_sum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT {scaled_sum_sql('o_totalprice')} / count(*) FROM orders
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_hash_sample — deterministic content-hash sampling
+# ---------------------------------------------------------------------------
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample of the corpus: keep documents whose
+    content fingerprint ≡ 0 (mod 10). This is how a training pipeline
+    samples reproducibly at 100 TB — a pure narrow filter on a
+    content hash (pipelines into the scan, no RNG, no seed state,
+    stable under re-partitioning and re-runs — unlike TABLESAMPLE,
+    whose output depends on partition layout). Uses the cross-engine
+    polynomial fingerprint, so the oracle selects the identical
+    rows."""
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.select(
+            "doc_id",
+            F.expr(T.doc_fingerprint_expr("text")).alias("fingerprint"),
+            T.n_tokens("text").alias("n_tokens"),
+        )
+        .where(F.col("fingerprint") % 10 == 0)
+    )
+
+
+ORACLE_HASH_SAMPLE = f"""
+    SELECT doc_id, fingerprint, n_tokens
+    FROM (
+        SELECT doc_id,
+               {T.doc_fingerprint_sql('text')} AS fingerprint,
+               {T.n_tokens_sql('text')} AS n_tokens
+        FROM documents
+    )
+    WHERE fingerprint % 10 = 0
+"""
+
+
+ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_session_window": q_session_window,
+    "q_pivot": q_pivot,
+    "q_ntile": q_ntile,
+    "q_percentiles": q_percentiles,
+    "q_scalar_subquery": q_scalar_subquery,
+    "q_hash_sample": q_hash_sample,
+}
+
+ADVANCED_ORACLES: dict[str, str] = {
+    "q_session_window": ORACLE_SESSION_WINDOW,
+    "q_pivot": ORACLE_PIVOT,
+    "q_ntile": ORACLE_NTILE,
+    "q_percentiles": ORACLE_PERCENTILES,
+    "q_scalar_subquery": ORACLE_SCALAR_SUBQUERY,
+    "q_hash_sample": ORACLE_HASH_SAMPLE,
+}
