@@ -22,12 +22,14 @@ from weatherflow_spark.plans.ext_similarity import SIMILARITY_QUERIES, SIMILARIT
 from weatherflow_spark.plans.ext_udf import UDF_QUERIES, UDF_ORACLES
 from weatherflow_spark.plans.temporal import TEMPORAL_QUERIES, TEMPORAL_ORACLES
 from weatherflow_spark.plans.advanced import ADVANCED_QUERIES, ADVANCED_ORACLES
+from weatherflow_spark.plans.iterative import ITERATIVE_QUERIES, ITERATIVE_ORACLES
 
 QUERIES = {
     **_CORE,
     **RELATIONAL_QUERIES,
     **TEMPORAL_QUERIES,
     **ADVANCED_QUERIES,
+    **ITERATIVE_QUERIES,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
@@ -38,6 +40,7 @@ ORACLES = {
     **_CORE_ORACLES,
     **TEMPORAL_ORACLES,
     **ADVANCED_ORACLES,
+    **ITERATIVE_ORACLES,
     **TEXT_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,

@@ -141,19 +141,11 @@ ORACLE_MINHASH_SIGNATURE = f"""
 # ---------------------------------------------------------------------------
 
 
-def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup detection end-to-end:
-
-    shingle → 8 minhashes → 4 band keys per doc → *equi-join on band
-    key* (this is the scale trick: candidate generation is a keyed
-    shuffle, never an all-pairs product) → dedup candidate pairs →
-    exact Jaccard over distinct shingle sets → flag pairs ≥ 0.5.
-
-    Output is every candidate pair with its exact Jaccard and an
-    `is_dup` flag, so the query is meaningful even on corpora with
-    no true near-dups (unit tests cover crafted dup clusters).
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs with exact-Jaccard verification — the
+    shared edge-builder for `q_minhash_near_dup` and the
+    connected-components clustering in :mod:`plans.iterative`.
+    Returns (doc_a, doc_b, jaccard<raw double>, n_inter)."""
     sigs = _with_minhash(docs)
 
     band_keys = F.array(
@@ -194,6 +186,22 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.expr("size(sh_a) + size(sh_b)") - F.col("n_inter")).cast("double"),
         )
     )
+    return verified
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup detection end-to-end:
+
+    shingle → 8 minhashes → 4 band keys per doc → *equi-join on band
+    key* (this is the scale trick: candidate generation is a keyed
+    shuffle, never an all-pairs product) → dedup candidate pairs →
+    exact Jaccard over distinct shingle sets → flag pairs ≥ 0.5.
+
+    Output is every candidate pair with its exact Jaccard and an
+    `is_dup` flag, so the query is meaningful even on corpora with
+    no true near-dups (unit tests cover crafted dup clusters).
+    """
+    verified = minhash_verified_pairs(load_table(spark, sf_dir, "documents"))
     return verified.select(
         "doc_a",
         "doc_b",
@@ -202,7 +210,10 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_near_dup() -> str:
+def verified_pairs_cte() -> str:
+    """DuckDB WITH-body twin of :func:`minhash_verified_pairs`
+    (sigs → banded → pairs → shingled → verified), shared with the
+    connected-components oracle in :mod:`plans.iterative`."""
     band_exprs = []
     for b in range(N_BANDS):
         parts = ", ".join(
@@ -210,8 +221,7 @@ def _oracle_minhash_near_dup() -> str:
         )
         band_exprs.append(f"concat_ws(':', '{b}', {parts})")
     bands_list = ", ".join(band_exprs)
-    return f"""
-        WITH {_minhash_sig_cte()},
+    return f"""{_minhash_sig_cte()},
         banded AS (
             SELECT doc_id, unnest([{bands_list}]) AS band_key
             FROM sigs WHERE mh_0 IS NOT NULL
@@ -235,7 +245,12 @@ def _oracle_minhash_near_dup() -> str:
             FROM pairs p
             JOIN shingled sa ON sa.doc_id = p.doc_a
             JOIN shingled sb ON sb.doc_id = p.doc_b
-        )
+        )"""
+
+
+def _oracle_minhash_near_dup() -> str:
+    return f"""
+        WITH {verified_pairs_cte()}
         SELECT
             doc_a, doc_b,
             floor(jaccard * 1e6 + 0.5) / 1e6 AS jaccard,

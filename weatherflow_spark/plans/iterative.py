@@ -1,0 +1,269 @@
+"""Iterative distributed algorithms as fixed-round, oracle-checkable
+queries: Lloyd's k-means over `embeddings` and connected-components
+dedup clustering over the MinHash near-dup pair graph.
+
+The reference has no iterative surface at all; these are the two
+iterative algorithms a training-data pipeline actually runs at scale
+(vector-index training / corpus clustering, and duplicate-cluster
+formation from pairwise near-dup edges).
+
+Determinism contract: both algorithms run a FIXED number of rounds
+with arithmetic-only state transitions —
+
+- k-means seeds are vectors ``vec_id < K`` (no RNG), centroid
+  updates use order-independent integer-scaled sums (the IVF pattern
+  from :mod:`plans.ext_similarity`), distances are sequential-fold
+  double sums, and argmin tie-breaks on cluster id — so after any
+  round the assignment is a pure function of the input and the
+  DuckDB oracle can replay the rounds as unrolled CTEs;
+- label propagation initializes label(v)=v and each round takes
+  ``min(label(v), min over neighbors label(u))`` — pure min-algebra,
+  unrolled identically in SQL.
+
+Scale posture (100 TB): each round is one broadcast join (k-means:
+the K-row centroid table; label-prop: the aggregated neighbor-min
+table is keyed) plus one keyed aggregation — the classic Spark
+iteration shape, with nothing collected to the driver and state
+that is itself a DataFrame. Fixed-round label propagation resolves
+components of graph diameter ≤ rounds; production runs iterate to a
+fixpoint with the identical round body (each round halves remaining
+diameter in the large-star/small-star variant).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from weatherflow_spark.io import load_table
+from weatherflow_spark.plans.ext_dedup import (
+    JACCARD_THRESHOLD,
+    minhash_verified_pairs,
+    verified_pairs_cte,
+)
+from weatherflow_spark.plans.ext_similarity import CENTROID_SCALE
+
+K_CLUSTERS = 4
+KMEANS_ROUNDS = 2
+LP_ROUNDS = 3
+
+
+# ---------------------------------------------------------------------------
+# q_kmeans — Lloyd's algorithm, 2 rounds, deterministic seeding
+# ---------------------------------------------------------------------------
+
+
+def _sqdist_expr(a: str, b: str) -> str:
+    """Spark SQL: squared-L2 as a sequential left fold (order pinned,
+    so the double result is bit-identical to the DuckDB twin)."""
+    return (
+        f"aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>), "
+        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: K-row centroid table broadcast
+    against the vector scan (narrow ×K expansion, no shuffle of the
+    vectors); argmin via partitioned row_number with a cluster-id
+    tie-break."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            F.expr(_sqdist_expr("embedding", "c")).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """Per-cluster mean via the order-independent integer-scaled-sum
+    pattern (two keyed aggregations, both with map-side partials)."""
+    flat = assigned.select("cluster", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        flat.groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * CENTROID_SCALE).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s, n))), "
+                f"p -> cast(p.s as double) / ({float(CENTROID_SCALE)} * p.n))"
+            ).alias("c")
+        )
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (K=4, 2 Lloyd rounds) over the embedding corpus —
+    the coarse-quantizer training step an IVF vector index needs.
+    Seeds are vec_id 0..3; every state transition is deterministic,
+    so the oracle replays both rounds as unrolled SQL. Returns the
+    final assignment with per-cluster sizes."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").cast("array<double>").alias("c")
+    )
+    assigned = _assign(emb, centroids)
+    for _ in range(KMEANS_ROUNDS - 1):
+        assigned = _assign(assigned.drop("cluster"), _recenter(assigned))
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _oracle_kmeans() -> str:
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, embedding FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cluster,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+            FROM embeddings WHERE vec_id < {K_CLUSTERS}
+        ),
+        a0 AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, c0.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sqdist_sql('e.embedding', 'c0.c')} ASC, c0.cluster ASC
+                       ) AS rn
+                FROM emb e CROSS JOIN c0
+            ) WHERE rn = 1
+        ),
+        flat1 AS (
+            SELECT cluster, i AS pos,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT) AS xi
+            FROM a0 CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS u(i)
+        ),
+        sums1 AS (
+            SELECT cluster, pos, sum(xi) AS s, count(*) AS n
+            FROM flat1 GROUP BY cluster, pos
+        ),
+        c1 AS (
+            SELECT cluster,
+                   list(CAST(s AS DOUBLE) / ({float(CENTROID_SCALE)} * n) ORDER BY pos) AS c
+            FROM sums1 GROUP BY cluster
+        ),
+        a1 AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c1.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sqdist_sql('e.embedding', 'c1.c')} ASC, c1.cluster ASC
+                       ) AS rn
+                FROM emb e CROSS JOIN c1
+            ) WHERE rn = 1
+        )
+        SELECT cluster, count(*) AS n_members, min(vec_id) AS min_vec_id
+        FROM a1 GROUP BY cluster
+    """
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_clusters — connected components by min-label propagation
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: MinHash near-dup pairs
+    (jaccard ≥ 0.5) become an undirected graph; LP_ROUNDS (=3) rounds
+    of min-label propagation assign each involved document the
+    smallest doc_id reachable within 3 hops as its cluster id.
+    Each round is one keyed join + one keyed min-aggregate (both
+    map-side-combinable); node state never leaves the cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = (
+        minhash_verified_pairs(docs)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = dup.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(LP_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _oracle_dedup_clusters() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, LP_ROUNDS + 1):
+        rounds.append(
+            f"""
+        l{r} AS (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM {prev} l
+            LEFT JOIN edges e ON e.src = l.doc_id
+            LEFT JOIN {prev} n ON n.doc_id = e.dst
+            GROUP BY l.doc_id, l.label
+        )"""
+        )
+        prev = f"l{r}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+        WITH {verified_pairs_cte()},
+        dup AS (
+            SELECT doc_a, doc_b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM dup
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM dup
+        ),
+        l0 AS (
+            SELECT DISTINCT src AS doc_id, src AS label FROM edges
+        ),{rounds_sql}
+        SELECT doc_id, label AS cluster_id FROM {prev}
+    """
+
+
+ITERATIVE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_kmeans": q_kmeans,
+    "q_dedup_clusters": q_dedup_clusters,
+}
+
+ITERATIVE_ORACLES: dict[str, str] = {
+    "q_kmeans": _oracle_kmeans(),
+    "q_dedup_clusters": _oracle_dedup_clusters(),
+}
