@@ -74,3 +74,29 @@ def test_salted_join_matches_plain(spark):
     a = sorted(map(tuple, salted.collect()))
     b = sorted(map(tuple, plain.collect()))
     assert a == b
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Warehouse tables partitioned by a date column must let a
+    date-filtered read prune partition directories at plan time (the
+    100 TB posture for the reference's record_date analog,
+    ARCHITECTURE.md): the scan's PartitionFilters must carry the
+    predicate and the input file count must drop accordingly."""
+    from weatherflow_spark.io import write_table
+
+    events = load_table(spark, SF_SMALL, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_table(events, path, partition_by=["event_date"])
+
+    read = spark.read.parquet(path).where(F.col("event_date") == "2024-01-15")
+    plan = read._sc._jvm.PythonSQLUtils.explainString(
+        read._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    n_days = events.select("event_date").distinct().count()
+    assert n_days > 1
+    assert read.count() == events.where(F.col("event_date") == "2024-01-15").count()

@@ -111,3 +111,33 @@ def test_rest_flatten_feeds_transform_core(spark):
     temp_row = tables["w_temp_dim"].collect()[0]
     assert temp_row.temp == 21.5
     assert temp_row.dew_point == round(21.5 - (100 - 64) / 5, 2)
+
+
+def test_sql_entry_style_matches_dataframe(spark):
+    """SURVEY §3.3: the SQL-over-views entry style must produce the
+    same result (and the same optimized plan shape) as the DataFrame
+    API for the star-join workload."""
+    from weatherflow_spark import sql as wf_sql
+    from weatherflow_spark.plans.relational import q_star_join_agg
+
+    views = wf_sql.register_views(spark, SF_SMALL, prefix="v_")
+    assert "v_lineitem" in views and "v_nation" in views
+
+    got = wf_sql.execute(
+        spark,
+        """
+        SELECT n_name,
+               count(*) AS n_items,
+               sum(floor(l_extendedprice * (1.0D - l_discount) * 10000.0D + 0.5D)) / 10000.0D
+                   AS revenue
+        FROM v_lineitem
+        JOIN v_orders ON l_orderkey = o_orderkey
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+    )
+    want = q_star_join_agg(spark, SF_SMALL)
+    a = {r["n_name"]: (r["n_items"], r["revenue"]) for r in got.collect()}
+    b = {r["n_name"]: (r["n_items"], r["revenue"]) for r in want.collect()}
+    assert a == b

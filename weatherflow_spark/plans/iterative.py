@@ -123,9 +123,13 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cluster"), F.col("embedding").cast("array<double>").alias("c")
     )
-    assigned = _assign(emb, centroids)
+    # Persist each round's assignment: it feeds BOTH the centroid
+    # update and the next assignment — without it every round
+    # re-executes the whole lineage back to the scan (doubling per
+    # round). Small state (one row per vector).
+    assigned = _assign(emb, centroids).persist()
     for _ in range(KMEANS_ROUNDS - 1):
-        assigned = _assign(assigned.drop("cluster"), _recenter(assigned))
+        assigned = _assign(assigned.drop("cluster"), _recenter(assigned)).persist()
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec_id"))
@@ -199,9 +203,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    edges = dup.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # The edge list is re-joined every propagation round — persist it
+    # so the LSH/verify pipeline that produced it runs exactly once.
+    edges = (
+        dup.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
 
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
