@@ -111,3 +111,25 @@ def test_weather_etl_stream_star_load(spark, tmp_path):
     # deterministic surrogate keys: re-running the stream with a fresh
     # checkpoint appends byte-identical keys → join keys still unique
     assert fact.select("record_id").distinct().count() == n_events
+
+
+def test_stream_session_window_matches_batch(spark, tmp_path):
+    """Streaming sessionization (availableNow) must equal the
+    batch/oracle-checked q_session_window on the same data."""
+    from weatherflow_spark.plans.advanced import q_session_window
+    from weatherflow_spark.streaming.pipeline import session_value_agg
+
+    stream = read_events_stream(spark, SF_SMALL)
+    got = run_available_now(
+        session_value_agg(stream),
+        "session_agg_test",
+        str(tmp_path / "ckpt_sess"),
+        output_mode="complete",
+    )
+    got = got.withColumn(
+        "session_start", F.col("session_start").cast("timestamp_ntz")
+    ).withColumn("last_event_ts", F.col("last_event_ts").cast("timestamp_ntz"))
+    want = q_session_window(spark, SF_SMALL)
+    assert _sorted_rows(got, "user_id", "session_start") == _sorted_rows(
+        want, "user_id", "session_start"
+    )

@@ -118,6 +118,39 @@ def tumbling_value_agg(events: DataFrame, with_watermark: bool = True) -> DataFr
     )
 
 
+def session_value_agg(events: DataFrame, with_watermark: bool = True) -> DataFrame:
+    """Per-user event-time sessions (8-hour inactivity gap): the
+    streaming twin of ``q_session_window`` (plans/advanced.py), whose
+    DuckDB gaps-and-islands hash-check certifies these semantics.
+    Under streaming, ``session_window`` keeps per-user open-session
+    state and the watermark closes sessions once event time passes
+    last_event + gap + lateness — state is bounded by (active users ×
+    open sessions), not history."""
+    from weatherflow_spark.plans.advanced import SESSION_GAP
+    from weatherflow_spark.plans.queries import cents_sum
+
+    df = events
+    if with_watermark and events.isStreaming:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", "2 hours"
+        )
+    return (
+        df.groupBy(F.col("user_id"), F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_event_ts"),
+            cents_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event_ts",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # T3: stateful dedup across micro-batches
 # ---------------------------------------------------------------------------
