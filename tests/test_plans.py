@@ -57,3 +57,46 @@ def test_enrichment_is_single_stage_no_shuffle(spark):
     df = add_calc_attributes(events_weather(spark, SF_SMALL))
     plan = _plan(df)
     assert "Exchange" not in plan  # narrow transforms only (SURVEY §3.1)
+
+
+def test_arg_max_is_aggregate_not_window(spark):
+    from weatherflow_spark.plans.analytics import q_arg_max
+
+    plan = _plan(q_arg_max(spark, SF_SMALL))
+    # arg-max must plan as a two-phase aggregate (map-side partial_max
+    # per partition, one row per group crossing the exchange), NOT as
+    # a window over all rows. Struct-typed max buffers aren't
+    # hash-aggregatable, so Spark picks SortAggregate — still partial.
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+
+
+def test_conditional_agg_single_scan(spark):
+    from weatherflow_spark.plans.analytics import q_conditional_agg
+
+    plan = _plan(q_conditional_agg(spark, SF_SMALL))
+    # all conditional branches in one pass: exactly one scan, one exchange.
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_corpus_curation_dedup_uses_group_limit(spark):
+    from weatherflow_spark.plans.analytics import q_corpus_curation
+
+    plan = _plan(q_corpus_curation(spark, SF_SMALL))
+    # the keep-first-per-content-hash dedup must plan as a group-limit
+    # (rank pushdown) so each partition keeps 1 row per hash before the
+    # exchange, not a full materialized sort of the corpus.
+    assert "WindowGroupLimit" in plan
+    # scoring/filtering stay narrow: shuffles only for dedup + final agg.
+    assert plan.count("Exchange") <= 3
+
+
+def test_array_ops_no_explode_no_python(spark):
+    from weatherflow_spark.plans.analytics import q_array_ops
+
+    plan = _plan(q_array_ops(spark, SF_SMALL))
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # fully narrow per-vector math

@@ -22,6 +22,7 @@ from weatherflow_spark.plans.ext_similarity import SIMILARITY_QUERIES, SIMILARIT
 from weatherflow_spark.plans.ext_udf import UDF_QUERIES, UDF_ORACLES
 from weatherflow_spark.plans.temporal import TEMPORAL_QUERIES, TEMPORAL_ORACLES
 from weatherflow_spark.plans.advanced import ADVANCED_QUERIES, ADVANCED_ORACLES
+from weatherflow_spark.plans.analytics import ANALYTICS_QUERIES, ANALYTICS_ORACLES
 from weatherflow_spark.plans.iterative import ITERATIVE_QUERIES, ITERATIVE_ORACLES
 
 QUERIES = {
@@ -29,6 +30,7 @@ QUERIES = {
     **RELATIONAL_QUERIES,
     **TEMPORAL_QUERIES,
     **ADVANCED_QUERIES,
+    **ANALYTICS_QUERIES,
     **ITERATIVE_QUERIES,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
@@ -40,6 +42,7 @@ ORACLES = {
     **_CORE_ORACLES,
     **TEMPORAL_ORACLES,
     **ADVANCED_ORACLES,
+    **ANALYTICS_ORACLES,
     **ITERATIVE_ORACLES,
     **TEXT_ORACLES,
     **DEDUP_ORACLES,

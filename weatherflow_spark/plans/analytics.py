@@ -1,0 +1,308 @@
+"""Columnar-analytics operators: arg-max, filtered aggregation,
+time-range window frames, array functions, and the composed corpus-
+curation pipeline.
+
+The reference (pratik-choudhari/WeatherFlow) has no aggregation or
+array surface at all (SURVEY §2.5/§2.3 ABSENT rows) — these are the
+operators its star-schema warehouse implies plus the training-data
+curation surface the north star mandates, each expressed Spark-first
+and hash-checked against a DuckDB oracle.
+
+Scale notes common to this module:
+
+- arg-max is ``max(struct(ordering, payload))`` — a *partial-
+  aggregatable* expression (map-side combine, one shuffle of one row
+  per group), never the window row_number()=1 idiom, which shuffles
+  and sorts every input row;
+- filtered aggregation stays a single pass (no self-joins, no
+  ``df.filter(...).agg(...)`` per branch — one groupBy computing all
+  conditional branches at once);
+- time-range window frames bound state by time, not row count, so a
+  skewed user cannot blow executor memory with an unbounded frame;
+- array math runs inside Catalyst higher-order functions
+  (``aggregate``/``transform``) — JVM codegen, no Python, no explode
+  (an explode would multiply 100 TB of vectors by dim count before
+  re-aggregating).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from weatherflow_spark.functions import text as T
+from weatherflow_spark.io import load_table
+from weatherflow_spark.plans.queries import cents_sum, scaled_sum_sql
+
+
+# ---------------------------------------------------------------------------
+# q_arg_max — per-group arg-max via partial-aggregatable max(struct)
+# ---------------------------------------------------------------------------
+
+
+def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: the single most expensive order (arg-max).
+
+    ``max(struct(price, orderkey))`` compares lexicographically, so
+    the orderkey rides along with the max price and doubles as the
+    deterministic tie-break — and unlike the window ``row_number()=1``
+    idiom this is an ordinary aggregate: map-side partial max per
+    partition, then a one-row-per-group shuffle. At 100 TB that is
+    the difference between shuffling 5 rows and shuffling the entire
+    orders table into sorted windows. (Struct-typed agg buffers plan
+    as SortAggregate rather than HashAggregate — still two-phase
+    partial/final, asserted in tests/test_plans.py.) The oracle
+    expresses the same semantics with the window idiom (DuckDB's
+    arg_max lacks a tie-break), ordering DESC on both fields to match
+    struct comparison.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    best = F.max(
+        F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    ).alias("best")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(best, F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.col("best.k").alias("top_orderkey"),
+            F.col("best.p").alias("top_price"),
+            "n_orders",
+        )
+    )
+
+
+ORACLE_ARG_MAX = """
+    SELECT o_orderpriority, top_orderkey, top_price, n_orders
+    FROM (
+        SELECT o_orderpriority,
+               o_orderkey AS top_orderkey,
+               o_totalprice AS top_price,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n_orders
+        FROM orders
+    )
+    WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_conditional_agg — all conditional branches in one aggregation pass
+# ---------------------------------------------------------------------------
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: open/fulfilled counts and fulfilled-only
+    revenue, as *conditional aggregates in one pass* —
+    ``count_if``/``sum(CASE WHEN ...)`` — never one scan per
+    predicate. One shuffle of 5 partially-aggregated groups; adding
+    another conditional branch adds zero I/O at any scale. Revenue
+    uses the exact integer-cents sum so partial-agg order cannot
+    change the double."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_done = F.col("o_orderstatus") == "F"
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(is_done).alias("n_done"),
+        cents_sum(F.when(is_done, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+            "done_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+ORACLE_CONDITIONAL_AGG = f"""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+           {scaled_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")}
+               AS done_revenue,
+           count(*) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_window_range_frame — trailing 1-hour per-user window (RANGE frame)
+# ---------------------------------------------------------------------------
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: that user's event count and value sum over the
+    trailing hour — a RANGE frame keyed on epoch seconds
+    (``rangeBetween(-3600, 0)``), not a ROWS frame: the frame is
+    bounded by *time*, so burst-y users don't change semantics and
+    state per window stays (events within 1 h), not (all preceding
+    rows). One shuffle on user_id; the frame scan is a single
+    ordered pass per partition. Sum uses integer cents over the
+    window for order-independence."""
+    events = load_table(spark, sf_dir, "events")
+    df = events.withColumn("ts_sec", F.col("ts").cast("timestamp").cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).over(w) / 100.0).alias(
+            "trailing_1h_sum"
+        ),
+    )
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS trailing_1h_n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w / 100.0 AS trailing_1h_sum
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_array_ops — vector-column math via higher-order functions
+# ---------------------------------------------------------------------------
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per embedding: dimensionality, L2 norm, max component and its
+    (1-based) position — all with Catalyst higher-order functions
+    (``aggregate``, ``array_max``, ``array_position``), whole-stage
+    codegen, no explode and no Python. The norm squares are scaled
+    to 1e8-fixed-point integers before summing so the fold order can
+    never perturb the double, then sqrt of the identical quotient on
+    both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731 — float→double exact widening
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(xd(x) * xd(x) * 1e8 + F.lit(0.5)).cast("long"),
+    )
+    mx = F.array_max(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size(F.col("embedding")).alias("n_dims"),
+        F.sqrt(sq_sum / 1e8).alias("l2_norm"),
+        mx.cast("double").alias("max_val"),
+        F.array_position(F.col("embedding"), mx).alias("max_pos"),
+    )
+
+
+ORACLE_ARRAY_OPS = """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8 + 0.5)
+                          AS BIGINT))) / 1e8) AS l2_norm,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS max_pos
+    FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_curation — the composed training-data pipeline
+# ---------------------------------------------------------------------------
+
+QUALITY_THRESHOLD = 0.5
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in one plan: quality-score filter →
+    language filter → exact dedup (keep lowest doc_id per content
+    hash) → per-source yield stats. This is the composition a 100 TB
+    training-data pipeline actually runs; expressing it as ONE
+    DataFrame lets Catalyst pipeline all narrow stages (scoring,
+    filtering, hashing) into the scan, leaving exactly two shuffles:
+    the dedup window on content_hash and the final tiny groupBy.
+
+    Filters compare the *rounded* (1e-6) quality score so the
+    threshold test is on a value both engines compute bit-identically
+    (same guarantee q_text_stats's hash-match certifies). Dedup keeps
+    min doc_id — deterministic, rerun-stable.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    ntok = T.n_tokens("text")
+    nchar = F.length("text").cast("int")
+    punct = F.expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").cast("int")
+    swr = T.stopword_ratio("text")
+    len_sat = F.least(F.lit(1.0), ntok.cast("double") / F.lit(100.0))
+    quality = (
+        len_sat * F.lit(0.5)
+        + (F.lit(1.0) - punct.cast("double") / nchar.cast("double")) * F.lit(0.3)
+        + F.least(F.lit(1.0), swr * F.lit(5.0)) * F.lit(0.2)
+    )
+    scored = df.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.sha2(F.trim(F.lower(F.col("text"))), 256).alias("content_hash"),
+        ntok.alias("n_tokens"),
+        (F.floor(quality * 1e6 + F.lit(0.5)) / 1e6).alias("quality_score"),
+    ).where((F.col("lang") == "en") & (F.col("quality_score") >= QUALITY_THRESHOLD))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        (F.sum(F.floor(F.col("quality_score") * 1e6 + F.lit(0.5)).cast("long"))
+         / F.count(F.lit(1)) / 1e6).alias("avg_quality"),
+    )
+
+
+ORACLE_CORPUS_CURATION = f"""
+    WITH scored AS (
+        SELECT doc_id, source, lang,
+               sha256(trim(lower(text))) AS content_hash,
+               {T.n_tokens_sql('text')} AS n_tokens,
+               floor((least(1.0, CAST({T.n_tokens_sql('text')} AS DOUBLE) / 100.0) * 0.5
+                      + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INTEGER)
+                               / CAST(length(text) AS DOUBLE)) * 0.3
+                      + least(1.0, {T.stopword_ratio_sql('text')} * 5.0) * 0.2) * 1e6 + 0.5)
+                   / 1e6 AS quality_score
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE lang = 'en' AND quality_score >= {QUALITY_THRESHOLD}
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+           sum(CAST(floor(quality_score * 1e6 + 0.5) AS BIGINT)) / count(*) / 1e6
+               AS avg_quality
+    FROM kept
+    GROUP BY source
+"""
+
+
+ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_arg_max": q_arg_max,
+    "q_conditional_agg": q_conditional_agg,
+    "q_window_range_frame": q_window_range_frame,
+    "q_array_ops": q_array_ops,
+    "q_corpus_curation": q_corpus_curation,
+}
+
+ANALYTICS_ORACLES: dict[str, str] = {
+    "q_arg_max": ORACLE_ARG_MAX,
+    "q_conditional_agg": ORACLE_CONDITIONAL_AGG,
+    "q_window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
+    "q_array_ops": ORACLE_ARRAY_OPS,
+    "q_corpus_curation": ORACLE_CORPUS_CURATION,
+}
