@@ -36,6 +36,7 @@ HEADLINE = [
 OPTIONAL = [
     "q_session_window",
     "q_dedup_exact",
+    "q_corpus_curation",
     "q_text_stats",
     "q_token_topk",
     "q_doc_fingerprint",

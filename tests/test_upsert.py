@@ -1,0 +1,148 @@
+"""Idempotent write disciplines (operators/upsert.py): dynamic
+partition overwrite and keyed upsert — the engine's replacement for
+the reference's blind-append + uuid4 loads (SURVEY §2.1 K2/K3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from weatherflow_spark.operators.upsert import overwrite_partitions, upsert_by_key
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+DAY1 = [
+    {"k": 1, "day": "2026-01-01", "v": 10.0},
+    {"k": 2, "day": "2026-01-01", "v": 20.0},
+]
+DAY2 = [
+    {"k": 3, "day": "2026-01-02", "v": 30.0},
+    {"k": 4, "day": "2026-01-02", "v": 40.0},
+]
+
+
+def _read_sorted(spark, path):
+    # partition-type inference reads `day` back as DATE; normalize to
+    # its string form for comparison.
+    return [
+        (r.k, str(r.day), r.v)
+        for r in spark.read.parquet(path).orderBy("k").collect()
+    ]
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, DAY1 + DAY2).write.partitionBy("day").parquet(path)
+
+    # rewrite day2 with corrected values; day1 files must survive
+    fixed = _mk(spark, [{"k": 3, "day": "2026-01-02", "v": 99.0}])
+    overwrite_partitions(fixed, path, ["day"])
+
+    assert _read_sorted(spark, path) == [
+        (1, "2026-01-01", 10.0),
+        (2, "2026-01-01", 20.0),
+        (3, "2026-01-02", 99.0),
+    ]
+
+
+def test_overwrite_partitions_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    batch = _mk(spark, DAY1)
+    overwrite_partitions(batch, path, ["day"])
+    overwrite_partitions(batch, path, ["day"])  # retry of the same load
+    assert _read_sorted(spark, path) == [
+        (1, "2026-01-01", 10.0),
+        (2, "2026-01-01", 20.0),
+    ]
+
+
+def test_upsert_by_key_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    upsert_by_key(spark, _mk(spark, DAY1 + DAY2), path, ["k"], ["day"])
+    batch = _mk(
+        spark,
+        [
+            {"k": 2, "day": "2026-01-01", "v": 21.0},  # update
+            {"k": 5, "day": "2026-01-01", "v": 50.0},  # insert
+        ],
+    )
+    upsert_by_key(spark, batch, path, ["k"], ["day"])
+    assert _read_sorted(spark, path) == [
+        (1, "2026-01-01", 10.0),
+        (2, "2026-01-01", 21.0),
+        (3, "2026-01-02", 30.0),
+        (4, "2026-01-02", 40.0),
+        (5, "2026-01-01", 50.0),
+    ]
+
+
+def test_upsert_by_key_rerun_is_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    upsert_by_key(spark, _mk(spark, DAY1), path, ["k"], ["day"])
+    before = _read_sorted(spark, path)
+    upsert_by_key(spark, _mk(spark, DAY1), path, ["k"], ["day"])  # retry
+    assert _read_sorted(spark, path) == before
+
+
+def test_upsert_untouched_partition_files_not_rewritten(spark, tmp_path):
+    path = str(tmp_path / "t")
+    upsert_by_key(spark, _mk(spark, DAY1 + DAY2), path, ["k"], ["day"])
+    day1_dir = os.path.join(path, "day=2026-01-01")
+    before = {n: os.path.getmtime(os.path.join(day1_dir, n))
+              for n in os.listdir(day1_dir) if n.endswith(".parquet")}
+
+    # a batch touching only day2 must not rewrite day1's files
+    upsert_by_key(
+        spark, _mk(spark, [{"k": 4, "day": "2026-01-02", "v": 41.0}]),
+        path, ["k"], ["day"],
+    )
+    after = {n: os.path.getmtime(os.path.join(day1_dir, n))
+             for n in os.listdir(day1_dir) if n.endswith(".parquet")}
+    assert after == before
+    assert (4, "2026-01-02", 41.0) in _read_sorted(spark, path)
+
+
+def test_upsert_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    upsert_by_key(spark, _mk(spark, DAY1), path, ["k"])
+    upsert_by_key(
+        spark, _mk(spark, [{"k": 1, "day": "2026-01-01", "v": 11.0}]), path, ["k"]
+    )
+    assert _read_sorted(spark, path) == [
+        (1, "2026-01-01", 11.0),
+        (2, "2026-01-01", 20.0),
+    ]
+
+
+def test_stream_foreach_batch_upsert_replay_no_duplicates(spark, tmp_path):
+    """Replaying a stream into the upsert sink (fresh checkpoint, same
+    data — at-least-once delivery) must not duplicate any row."""
+    from weatherflow_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        read_events_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "events_sink")
+    sink = foreach_batch_upsert(path, ["event_id"])
+
+    def run_once(ckpt):
+        q = (
+            read_events_stream(spark, SF_SMALL)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("ckpt1")
+    n_first = spark.read.parquet(path).count()
+    run_once("ckpt2")  # full replay
+    got = spark.read.parquet(path)
+    assert got.count() == n_first
+    assert got.select("event_id").distinct().count() == n_first

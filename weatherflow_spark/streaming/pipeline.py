@@ -227,6 +227,26 @@ def weather_etl_stream(
     return writer.trigger(**trigger).start()
 
 
+def foreach_batch_upsert(
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """An idempotent ``foreachBatch`` sink: each micro-batch is
+    MERGE-upserted by key (operators/upsert.py) instead of appended.
+    Replayed batches (checkpoint recovery, at-least-once delivery)
+    replace their own rows rather than duplicating them — end-to-end
+    exactly-once on content without a transactional table format.
+    With ``partition_cols`` each batch rewrites only the partitions it
+    touches, so sink cost tracks batch size, not table size."""
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_by_key(batch_df.sparkSession, batch_df, path, key_cols, partition_cols)
+
+    return _sink
+
+
 # ---------------------------------------------------------------------------
 # X2: custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
