@@ -100,3 +100,19 @@ def test_array_ops_no_explode_no_python(spark):
     assert "Generate" not in plan  # no explode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # fully narrow per-vector math
+
+
+def test_stratified_sample_uses_group_limit(spark):
+    from weatherflow_spark.plans.analytics import q_stratified_sample
+
+    plan = _plan(q_stratified_sample(spark, SF_SMALL))
+    # per-stratum top-N must keep a heap before the exchange.
+    assert "WindowGroupLimit" in plan
+
+
+def test_first_last_single_window_node(spark):
+    from weatherflow_spark.plans.analytics import q_window_first_last
+
+    plan = _plan(q_window_first_last(spark, SF_SMALL))
+    # same partitioning+ordering for all four exprs → one shuffle.
+    assert plan.count("Exchange") == 1

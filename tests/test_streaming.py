@@ -133,3 +133,21 @@ def test_stream_session_window_matches_batch(spark, tmp_path):
     assert _sorted_rows(got, "user_id", "session_start") == _sorted_rows(
         want, "user_id", "session_start"
     )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must produce the
+    same purchase-click pairs as the identical plan run in batch."""
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.streaming.pipeline import purchases_clicks_interval_join
+
+    got = run_available_now(
+        purchases_clicks_interval_join(read_events_stream(spark, SF_SMALL)),
+        "ss_join_test",
+        str(tmp_path / "ckpt_ssj"),
+    )
+    want = purchases_clicks_interval_join(load_table(spark, SF_SMALL, "events"))
+    assert _sorted_rows(got, "purchase_id", "click_id") == _sorted_rows(
+        want, "purchase_id", "click_id"
+    )
+    assert got.count() > 0

@@ -291,15 +291,119 @@ ORACLE_CORPUS_CURATION = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_window_first_last — boundary values over full-partition frames
+# ---------------------------------------------------------------------------
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the first and last value of that user's history
+    (full-partition frame) and the fraction of the user's total the
+    event represents. One shuffle on user_id serving all four window
+    exprs (same partitioning + ordering → a single Window node).
+    Ordering is tie-broken by event_id so first/last are exact."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(full).alias("first_val"),
+        F.last("value").over(full).alias("last_val"),
+        F.row_number().over(w).alias("seq"),
+        (cents / (F.sum(cents).over(full))).alias("share_of_user"),
+    )
+
+
+ORACLE_WINDOW_FIRST_LAST = """
+    SELECT event_id, user_id,
+           first_value(value) OVER full_w AS first_val,
+           last_value(value) OVER full_w AS last_val,
+           row_number() OVER w AS seq,
+           CAST(floor(value * 100 + 0.5) AS BIGINT)
+               / sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER full_w
+               AS share_of_user
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           full_w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_stratified_sample — fixed-size deterministic sample per stratum
+# ---------------------------------------------------------------------------
+
+STRATUM_N = 20
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly N documents per source, chosen by content-hash order —
+    the deterministic stratified sample a training pipeline uses for
+    eval splits (same rows on every run and every cluster layout,
+    unlike ``sampleBy``). row_number ≤ N plans as WindowGroupLimit:
+    each task keeps a per-stratum top-N heap before the shuffle, so
+    the exchange carries ~N·strata rows, not the corpus."""
+    df = load_table(spark, sf_dir, "documents")
+    fp = F.expr(T.doc_fingerprint_expr("text"))
+    w = Window.partitionBy("source").orderBy(fp.asc(), F.col("doc_id").asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= STRATUM_N)
+        .select("source", "doc_id", F.col("rn").alias("sample_rank"))
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+    SELECT source, doc_id, rn AS sample_rank
+    FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {T.doc_fingerprint_sql('text')} ASC,
+                                           doc_id ASC) AS rn
+        FROM documents
+    )
+    WHERE rn <= {STRATUM_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_approx_quantiles — sketch-based quantiles (rows-only contract)
+# ---------------------------------------------------------------------------
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles per group
+    (``percentile_approx``) — the mergeable-sketch path for 100 TB
+    where exact percentiles (q_percentiles) would need a full sort:
+    partial sketches per partition, one tiny merge. Sketch internals
+    are engine-private, so this is a rows-only check (the exact twin
+    q_percentiles is the hash-checked one)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10000
+        ).alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_arg_max": q_arg_max,
     "q_conditional_agg": q_conditional_agg,
     "q_window_range_frame": q_window_range_frame,
     "q_array_ops": q_array_ops,
     "q_corpus_curation": q_corpus_curation,
+    "q_window_first_last": q_window_first_last,
+    "q_stratified_sample": q_stratified_sample,
+    "q_approx_quantiles": q_approx_quantiles,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "q_window_first_last": ORACLE_WINDOW_FIRST_LAST,
+    "q_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    # q_approx_quantiles: rows-only (engine-private sketch)
     "q_arg_max": ORACLE_ARG_MAX,
     "q_conditional_agg": ORACLE_CONDITIONAL_AGG,
     "q_window_range_frame": ORACLE_WINDOW_RANGE_FRAME,

@@ -191,14 +191,54 @@ ORACLE_DOC_FINGERPRINT = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_string_funcs — the general string surface (SURVEY §2.3 ABSENT row)
+# ---------------------------------------------------------------------------
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string functions the reference lacks entirely (its only
+    string op is date formatting, SURVEY §2.3): case mapping, split,
+    concat_ws, regexp_extract, substring — all JVM-codegen builtins,
+    narrow over the scan. Note DuckDB list indexing is 1-based vs
+    Spark's 0-based ``getItem``; the oracle compensates."""
+    df = load_table(spark, sf_dir, "documents")
+    parts = F.split(F.col("text"), " ")
+    return df.select(
+        "doc_id",
+        F.upper(parts.getItem(0)).alias("first_token_upper"),
+        F.concat_ws(":", F.col("source"), F.col("lang")).alias("src_lang"),
+        F.coalesce(F.regexp_extract(F.col("text"), "[0-9]+", 0), F.lit("")).alias(
+            "first_number"
+        ),
+        F.size(parts).alias("n_parts"),
+        F.substring(F.col("text"), 1, 12).alias("prefix12"),
+        F.lower(F.reverse(F.substring(F.col("text"), 1, 8))).alias("rev8_lower"),
+    )
+
+
+ORACLE_STRING_FUNCS = """
+    SELECT doc_id,
+           upper(string_split(text, ' ')[1]) AS first_token_upper,
+           concat_ws(':', source, lang) AS src_lang,
+           coalesce(regexp_extract(text, '[0-9]+'), '') AS first_number,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_parts,
+           substring(text, 1, 12) AS prefix12,
+           lower(reverse(substring(text, 1, 8))) AS rev8_lower
+    FROM documents
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_token_topk": q_token_topk,
     "q_lang_id": q_lang_id,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_string_funcs": q_string_funcs,
 }
 
 TEXT_ORACLES: dict[str, str] = {
+    "q_string_funcs": ORACLE_STRING_FUNCS,
     "q_text_stats": ORACLE_TEXT_STATS,
     "q_token_topk": ORACLE_TOKEN_TOPK,
     "q_lang_id": _oracle_lang_id(),

@@ -227,6 +227,50 @@ def weather_etl_stream(
     return writer.trigger(**trigger).start()
 
 
+def purchases_clicks_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join (T2 surface): pair each purchase with
+    the same user's clicks in the preceding 30 minutes — the streaming
+    twin of the batch ``q_range_join`` (plans/temporal.py) join phase.
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    event time on both ends, so Spark can evict join state once the
+    watermark passes ``p_ts`` / ``c_ts + 30 min`` — state holds ~90
+    minutes of events per side regardless of stream age. On a batch
+    DataFrame ``withWatermark`` is a no-op and the same plan is a
+    plain hash join, which is what the parity test exploits."""
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts < p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        "c_ts",
+    )
+
+
 def foreach_batch_upsert(
     path: str,
     key_cols: list[str],
