@@ -1,0 +1,85 @@
+"""Plan-shape and semantics tests for the statistics module
+(plans/stats.py): the exact-moment determinism pattern must compile
+to single-pass partial aggregation, and ranked shapes must plan as
+broadcast joins / top-k heaps — the properties that carry to 100 TB.
+Value parity vs DuckDB is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stats_moments_single_shuffle(spark):
+    from weatherflow_spark.plans.stats import q_stats_moments
+
+    plan = _plan(q_stats_moments(spark, SF_SMALL))
+    # one scan → partial agg → ONE exchange of 3 groups → final agg
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_linear_regression_single_shuffle(spark):
+    from weatherflow_spark.plans.stats import q_linear_regression
+
+    plan = _plan(q_linear_regression(spark, SF_SMALL))
+    assert plan.count("Exchange") == 1
+
+
+def test_mode_no_window_no_sort(spark):
+    from weatherflow_spark.plans.stats import q_mode
+
+    plan = _plan(q_mode(spark, SF_SMALL))
+    # arg-max via max(struct), never a row_number window over the input
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_tpch_q3_broadcasts_and_heaps(spark):
+    from weatherflow_spark.plans.stats import q_tpch_q3
+
+    plan = _plan(q_tpch_q3(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_explode_pos_topk_is_heap(spark):
+    from weatherflow_spark.plans.stats import q_explode_pos
+
+    plan = _plan(q_explode_pos(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" in plan  # posexplode stays a narrow generator
+
+
+def test_mode_tie_breaks_to_smallest_value(spark):
+    # 10 appears twice, 20 appears twice, 30 once → mode must be 10.
+    df = spark.createDataFrame(
+        [Row(g="a", v=10), Row(g="a", v=10), Row(g="a", v=20),
+         Row(g="a", v=20), Row(g="a", v=30)]
+    )
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    best = F.max(F.struct(F.col("n").alias("n"), (-F.col("v")).alias("negv")))
+    out = (
+        counts.groupBy("g").agg(best.alias("b"))
+        .select("g", (-F.col("b.negv")).alias("mode_v"), F.col("b.n").alias("cnt"))
+        .collect()
+    )
+    assert out[0].mode_v == 10 and out[0].cnt == 2
+
+
+def test_entropy_matches_closed_form(spark):
+    # uniform distribution over k types → entropy = ln(k)
+    import math
+
+    from weatherflow_spark.plans.stats import q_entropy
+
+    row = q_entropy(spark, SF_SMALL).collect()[0]
+    assert row.n_types >= 2
+    assert 0.0 < row.entropy_nats <= math.log(row.n_types) + 1e-9

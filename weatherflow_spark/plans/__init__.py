@@ -24,6 +24,7 @@ from weatherflow_spark.plans.temporal import TEMPORAL_QUERIES, TEMPORAL_ORACLES
 from weatherflow_spark.plans.advanced import ADVANCED_QUERIES, ADVANCED_ORACLES
 from weatherflow_spark.plans.analytics import ANALYTICS_QUERIES, ANALYTICS_ORACLES
 from weatherflow_spark.plans.iterative import ITERATIVE_QUERIES, ITERATIVE_ORACLES
+from weatherflow_spark.plans.stats import STATS_QUERIES, STATS_ORACLES
 
 QUERIES = {
     **_CORE,
@@ -32,6 +33,7 @@ QUERIES = {
     **ADVANCED_QUERIES,
     **ANALYTICS_QUERIES,
     **ITERATIVE_QUERIES,
+    **STATS_QUERIES,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
@@ -44,6 +46,7 @@ ORACLES = {
     **ADVANCED_ORACLES,
     **ANALYTICS_ORACLES,
     **ITERATIVE_ORACLES,
+    **STATS_ORACLES,
     **TEXT_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
