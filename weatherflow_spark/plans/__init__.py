@@ -25,6 +25,7 @@ from weatherflow_spark.plans.advanced import ADVANCED_QUERIES, ADVANCED_ORACLES
 from weatherflow_spark.plans.analytics import ANALYTICS_QUERIES, ANALYTICS_ORACLES
 from weatherflow_spark.plans.iterative import ITERATIVE_QUERIES, ITERATIVE_ORACLES
 from weatherflow_spark.plans.stats import STATS_QUERIES, STATS_ORACLES
+from weatherflow_spark.plans.tpch import TPCH_QUERIES, TPCH_ORACLES
 
 QUERIES = {
     **_CORE,
@@ -34,6 +35,7 @@ QUERIES = {
     **ANALYTICS_QUERIES,
     **ITERATIVE_QUERIES,
     **STATS_QUERIES,
+    **TPCH_QUERIES,
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
@@ -47,6 +49,7 @@ ORACLES = {
     **ANALYTICS_ORACLES,
     **ITERATIVE_ORACLES,
     **STATS_ORACLES,
+    **TPCH_ORACLES,
     **TEXT_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,

@@ -1,0 +1,207 @@
+"""TPC-H-shaped star compositions exercising the FULL warehouse
+(region + supplier were otherwise uncovered): Q5 local-supplier
+volume (6-table star join), Q14 promo-revenue ratio (join + two
+conditional exact sums in one pass), and a per-nation supplier
+ranking (broadcast-dim window).
+
+These are the analytical workloads the reference's star schema
+exists to serve (SURVEY §2.4 J2 / §2.5 A1 — ABSENT as code, mandated
+by dbdiagram.txt:59-63): the reference stores facts keyed to
+dimension tables precisely so rollups join back through them.
+
+Scale posture shared by the module: dimension sides broadcast
+(region 5 rows, nation 25, supplier 1e4·SF — all far under the
+lineitem scan at any SF); the single big shuffle is lineitem⋈orders
+on the key the aggregate also uses; revenue sums are exact
+scaled-integer (see plans/stats.py module doc) so cluster re-runs
+are bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from weatherflow_spark.io import load_table
+from weatherflow_spark.plans.queries import scaled_sum, scaled_sum_sql
+
+
+# ---------------------------------------------------------------------------
+# q_tpch_q5 — local supplier volume: the full 6-table star
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation from intra-nation sales (customer and
+    supplier in the same nation) in region ASIA during 1996 — the
+    TPC-H Q5 shape over all six relational tables.
+
+    Join order is written smallest-last so Catalyst broadcasts every
+    dimension: region⋈nation collapses to a 25-row broadcast list of
+    ASIA nations; supplier broadcasts; customer broadcasts at test SF
+    (at sf100+ AQE will flip it to shuffle — the plan stays correct
+    because the join keys are explicit, not positional). lineitem⋈
+    orders is the only large-large join; its shuffle key l_orderkey
+    = o_orderkey is also the pre-aggregation boundary, so no second
+    wide exchange happens before the 5-group final agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(scaled_sum(rev, 10_000).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q5 = f"""
+    SELECT n_name,
+           {scaled_sum_sql("l_extendedprice * (1.0 - l_discount)", 10_000)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_tpch_q14 — promo revenue ratio: join + conditional exact sums, one pass
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of 1996-H1 revenue from PROMO parts (TPC-H Q14 shape):
+    ``100 * Σ(promo revenue) / Σ(revenue)`` — numerator and
+    denominator as *conditional aggregates in the same pass* (one
+    scan, one broadcast join with part, one single-row agg), never
+    two scans. Both sums are exact ×10⁴ scaled longs, so the final
+    ratio is one deterministic double division.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev_scaled = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(10_000.0)
+        + F.lit(0.5)
+    )
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev_scaled).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo_s"),
+            F.sum(rev_scaled).alias("total_s"),
+        )
+    )
+    return agg.select(
+        (F.col("promo_s") / F.lit(10_000.0)).alias("promo_revenue"),
+        (F.col("total_s") / F.lit(10_000.0)).alias("total_revenue"),
+        (
+            (F.lit(100.0) * F.col("promo_s").cast("double"))
+            / F.col("total_s").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+ORACLE_TPCH_Q14 = """
+    WITH s AS (
+        SELECT
+            CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+                                 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS promo_s,
+            CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS total_s
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-07-01'
+    )
+    SELECT promo_s / 10000.0 AS promo_revenue,
+           total_s / 10000.0 AS total_revenue,
+           (100.0 * CAST(promo_s AS DOUBLE)) / CAST(total_s AS DOUBLE) AS promo_pct
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_supplier_rank — broadcast-dim window ranking
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 suppliers by account balance within each nation, with
+    nation and region names resolved through broadcast joins — the
+    dimension-dressed window shape (W1 over a star join).
+
+    The window partitions by s_nationkey (25 partitions of ~400·SF
+    suppliers each — no skew); the dims broadcast so the window input
+    never shuffles for the joins, only for its own partitioning.
+    Total order (acctbal DESC, suppkey ASC) makes rank deterministic.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        supplier.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 2)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name", "s_name", "s_acctbal", "rk")
+    )
+
+
+ORACLE_SUPPLIER_RANK = """
+    SELECT r_name, n_name, s_name, s_acctbal, rk
+    FROM (
+        SELECT s_name, s_acctbal, s_nationkey,
+               CAST(row_number() OVER (PARTITION BY s_nationkey
+                                       ORDER BY s_acctbal DESC,
+                                                s_suppkey ASC) AS BIGINT) AS rk
+        FROM supplier
+    )
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE rk <= 2
+"""
+
+
+TPCH_QUERIES = {
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q14": q_tpch_q14,
+    "q_supplier_rank": q_supplier_rank,
+}
+
+TPCH_ORACLES = {
+    "q_tpch_q5": ORACLE_TPCH_Q5,
+    "q_tpch_q14": ORACLE_TPCH_Q14,
+    "q_supplier_rank": ORACLE_SUPPLIER_RANK,
+}
