@@ -1,0 +1,100 @@
+"""Data-layout operators: range-sorted writes and small-file
+compaction (100 TB posture).
+
+The reference appends MySQL rows with no physical layout control
+(etl.py:96-123); at warehouse scale, layout IS performance. Two
+levers beyond bucketing (operators/bucketing.py) and date
+partitioning (operators/upsert.py):
+
+1. **Range-sorted parquet** — ``repartitionByRange`` on a scan-
+   predicate column, then ``sortWithinPartitions``, then write. Every
+   parquet row group then carries tight min/max stats on that column,
+   so a range predicate skips whole files and row groups at scan time
+   (the parquet-side analog of partition pruning, without the
+   small-partition explosion a high-cardinality partition key would
+   cause). The range exchange samples the column to build equi-depth
+   boundaries — skew-resistant by construction.
+
+2. **Compaction** — streaming sinks and incremental upserts shed
+   thousands of small files; scans then pay per-file open/footer
+   costs and lose row-group skipping. Rewriting to ~target-sized
+   files restores scan efficiency; doing it per-partition-directory
+   keeps the rewrite incremental and idempotent (same input → same
+   output layout).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    num_partitions: int,
+    secondary_sort: list[str] | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered by ``range_col``: one range
+    exchange (sampled equi-depth boundaries → balanced output files
+    even for skewed distributions), an in-partition sort (no extra
+    shuffle), then write. Files end up non-overlapping in
+    ``range_col``, so min/max row-group stats prune range scans.
+    """
+    sort_cols = [range_col, *(secondary_sort or [])]
+    (
+        df.repartitionByRange(num_partitions, F.col(range_col))
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def parquet_files(path: str) -> list[str]:
+    return [
+        os.path.join(root, f)
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite the parquet dataset at ``path`` into ~target-sized
+    files; returns the new file count. Reads the current on-disk byte
+    size (compressed) to pick the file count, so the rewrite is one
+    job with no second pass. ``sort_col`` re-sorts during the rewrite
+    to restore min/max clustering that incremental appends destroyed.
+
+    Idempotent: compacting an already-compacted dataset yields the
+    same file count again. At cluster scale, run per partition
+    directory (partition values don't change, so this composes with
+    dynamic partition overwrite — operators/upsert.py).
+    """
+    total_bytes = sum(os.path.getsize(f) for f in parquet_files(path))
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_files)
+    # Write to a sibling dir, then swap: the source stays readable for
+    # the whole rewrite job and the swap is a metadata-only rename.
+    # (On an object store, swap via a catalog pointer instead — renames
+    # aren't atomic there; this file-system path is the local/HDFS form.)
+    tmp = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(parquet_files(path))

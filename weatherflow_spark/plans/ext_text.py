@@ -229,12 +229,71 @@ ORACLE_STRING_FUNCS = """
 """
 
 
+# ---------------------------------------------------------------------------
+# q_bpe_token_count — BPE-style pre-tokenizer counting (north star E3)
+# ---------------------------------------------------------------------------
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: corpus size in *pre-tokenizer* tokens — the unit a
+    training-data pipeline budgets by — alongside whitespace-token
+    and character counts. The BPE-ish split (functions/text.py
+    ``bpe_token_count``) is ``regexp_extract_all`` over letter/digit/
+    punct run classes — a deliberately engine-portable subset of the
+    GPT-2 pre-tokenizer; a real BPE merge table would sit in a pandas
+    UDF downstream (see ext_udf).
+
+    All three counts are narrow per-row expressions folded into the
+    scan, partially aggregated map-side; one shuffle of ≤#sources
+    groups. Avg tokens/doc derives from two exact longs — one
+    deterministic double division (plans/stats.py pattern).
+    """
+    df = load_table(spark, sf_dir, "documents")
+    bpe_n = T.bpe_token_count("text").cast("long")
+    ws_n = T.n_tokens("text").cast("long")
+    agg = df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_n).alias("bpe_tokens"),
+        F.sum(ws_n).alias("ws_tokens"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "bpe_tokens",
+        "ws_tokens",
+        "n_chars",
+        (F.col("bpe_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avg_bpe_per_doc"
+        ),
+    )
+
+
+ORACLE_BPE_TOKEN_COUNT = f"""
+    WITH t AS (
+        SELECT source,
+               CAST({T.bpe_token_count_sql('text')} AS BIGINT) AS bpe_n,
+               CAST({T.n_tokens_sql('text')} AS BIGINT) AS ws_n,
+               CAST(len(text) AS BIGINT) AS nc
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe_n) AS BIGINT) AS bpe_tokens,
+           CAST(sum(ws_n) AS BIGINT) AS ws_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(bpe_n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bpe_per_doc
+    FROM t
+    GROUP BY source
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_token_topk": q_token_topk,
     "q_lang_id": q_lang_id,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_string_funcs": q_string_funcs,
+    "q_bpe_token_count": q_bpe_token_count,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -243,4 +302,5 @@ TEXT_ORACLES: dict[str, str] = {
     "q_token_topk": ORACLE_TOKEN_TOPK,
     "q_lang_id": _oracle_lang_id(),
     "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "q_bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
 }
