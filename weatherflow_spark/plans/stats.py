@@ -516,6 +516,86 @@ ORACLE_TOP_N_PER_GROUP = """
 """
 
 
+# ---------------------------------------------------------------------------
+# q_window_dist — distribution window functions (percent_rank / cume_dist /
+# lead / nth_value), completing the W1-W3 analytic surface
+# ---------------------------------------------------------------------------
+
+
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order, within its priority class: percentile rank and
+    cumulative distribution of its price, the next price up
+    (``lead``), and the class floor (``nth_value(1)`` under the
+    default running frame) — the distribution-window family (SURVEY
+    §2.6, ABSENT in the reference).
+
+    percent_rank/cume_dist divide two small exact integers, so the
+    doubles hash-match. The order (price, orderkey) is total —
+    no peer rows, so ``cume_dist`` is frame-unambiguous. One shuffle
+    on the 5 priority classes; at 100 TB a single hot partition would
+    bottleneck one task — for such low-cardinality classes pre-
+    aggregate or sub-bucket first (operators/skew.py).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.nth_value("o_totalprice", 1).over(w).alias("class_floor"),
+    )
+
+
+ORACLE_WINDOW_DIST = """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           lead(o_totalprice) OVER w AS next_price,
+           nth_value(o_totalprice, 1) OVER w AS class_floor
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_collect_set_sorted — deterministic set aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct order statuses per priority as a sorted,
+    comma-joined string — ``collect_set`` alone returns arbitrary
+    order (partial-agg arrival order), which a distributed engine
+    must never expose; ``array_sort`` pins it before the join. Safe
+    by domain: the set holds ≤3 status codes, never per-row data.
+    One partial-agg pass (sets union map-side), one 5-group shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_COLLECT_SET_SORTED = """
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
 STATS_QUERIES = {
     "q_stats_moments": q_stats_moments,
     "q_linear_regression": q_linear_regression,
@@ -525,6 +605,8 @@ STATS_QUERIES = {
     "q_explode_pos": q_explode_pos,
     "q_tpch_q3": q_tpch_q3,
     "q_top_n_per_group": q_top_n_per_group,
+    "q_window_dist": q_window_dist,
+    "q_collect_set_sorted": q_collect_set_sorted,
 }
 
 STATS_ORACLES = {
@@ -536,4 +618,6 @@ STATS_ORACLES = {
     "q_explode_pos": ORACLE_EXPLODE_POS,
     "q_tpch_q3": ORACLE_TPCH_Q3,
     "q_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
+    "q_window_dist": ORACLE_WINDOW_DIST,
+    "q_collect_set_sorted": ORACLE_COLLECT_SET_SORTED,
 }
