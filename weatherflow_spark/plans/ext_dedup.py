@@ -141,11 +141,23 @@ ORACLE_MINHASH_SIGNATURE = f"""
 # ---------------------------------------------------------------------------
 
 
-def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+def minhash_verified_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
     """LSH candidate pairs with exact-Jaccard verification — the
     shared edge-builder for `q_minhash_near_dup` and the
     connected-components clustering in :mod:`plans.iterative`.
-    Returns (doc_a, doc_b, jaccard<raw double>, n_inter)."""
+    Returns (doc_a, doc_b, jaccard<raw double>, n_inter).
+
+    ``cache`` trade-off (measured): the banded keys and shingle sets
+    each feed BOTH sides of a self-join, and Spark re-derives the
+    shingle→minhash pipeline per side (6 FileScans, 0
+    ReusedExchange). For a one-shot run the recompute is cheap
+    whole-stage-codegen work and pipelining beats cache
+    materialization (sf0.1: 1.4 s uncached vs 1.8 s cached), so the
+    default is off. Pass ``cache=True`` when the edge list is reused
+    across jobs/rounds (connected components re-joins it every
+    propagation round) — there the one materialization of the small
+    derivatives (4 band keys/doc; distinct shingle hashes, not the
+    text) amortizes immediately."""
     sigs = _with_minhash(docs)
 
     band_keys = F.array(
@@ -161,6 +173,8 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     banded = sigs.where(F.col("mh_0").isNotNull()).select(
         F.col("doc_id"), F.explode(band_keys).alias("band_key")
     )
+    if cache:
+        banded = banded.persist()
 
     pairs = (
         banded.alias("a")
@@ -176,6 +190,8 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
         F.col("doc_id"),
         F.expr(f"array_distinct({T.shingle_hashes_expr('text')})").alias("sh"),
     )
+    if cache:
+        shingled = shingled.persist()
     verified = (
         pairs.join(shingled.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
         .join(shingled.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")

@@ -199,7 +199,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable); node state never leaves the cluster."""
     docs = load_table(spark, sf_dir, "documents")
     dup = (
-        minhash_verified_pairs(docs)
+        minhash_verified_pairs(docs, cache=True)
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
