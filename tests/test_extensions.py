@@ -109,6 +109,47 @@ def test_multimodal_features_plumbing(spark):
     assert out[8].n_bytes == 0 and out[8].header_byte == 0 and out[8].checksum == 0
 
 
+def test_multimodal_frame_sampling(spark):
+    from weatherflow_spark.multimodal.binary import multimodal_frames
+
+    long_text = "x" * 100  # stride 25 → 4 frames at 0/25/50/75
+    docs = spark.createDataFrame(
+        [(1, long_text, "en", "s", 100), (2, "ab", "en", "s", 2), (3, "", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = multimodal_frames(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 1 input row → 4 frame rows (the 1→N multiplication)
+    assert sorted(r.frame_offset for r in by_doc[1]) == [0, 25, 50, 75]
+    assert all(r.frame_len == min(32, 100 - r.frame_offset) for r in by_doc[1])
+    # short payload (stride 0) → exactly one frame
+    assert len(by_doc[2]) == 1 and by_doc[2][0].frame_len == 2
+    # empty payload → one empty frame, hash 0
+    assert len(by_doc[3]) == 1 and by_doc[3][0].frame_hash == 0
+    # frame hash is the engine char fold
+    h = 0
+    for b in b"x" * 32:
+        h = (h * T.CHAR_P + b) % T.MOD
+    assert by_doc[1][0].frame_hash == h
+
+
+def test_multimodal_resize_plumbing(spark):
+    from weatherflow_spark.multimodal.binary import multimodal_resize
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100, "en", "s", 100), (2, "ab", "en", "s", 2)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r.doc_id: r for r in multimodal_resize(docs, target_bytes=16).collect()}
+    # every payload lands on the fixed byte plane, binary-in/binary-out
+    assert out[1].n_bytes == 16 and out[1].was_truncated == 1
+    assert bytes(out[1].payload) == b"a" * 16
+    assert out[2].n_bytes == 16 and out[2].was_truncated == 0
+    assert bytes(out[2].payload) == b"ab" + b"\x00" * 14
+
+
 def test_ann_recall_vs_brute_force(spark):
     """IVF with 2 probed cells over 10 must contain the brute-force
     top-1 (the query's own cell is always probed); LSH multi-probe

@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from weatherflow_spark.functions.text import MOD
+from weatherflow_spark.functions.text import CHAR_P, MOD
 
 FEATURE_SCHEMA = StructType(
     [
@@ -110,3 +110,141 @@ def multimodal_features(docs: DataFrame) -> DataFrame:
     """The full pipeline: attach payload → mapInPandas feature
     extraction with an explicit output schema."""
     return with_binary_payload(docs).mapInPandas(make_extract_features(), FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# frame sampling — the video path: one input row → N frame rows
+# ---------------------------------------------------------------------------
+
+N_FRAMES = 4
+FRAME_LEN = 32
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
+
+def make_sample_frames(
+    decode: Callable[[bytes], bytes] | None = None,
+    n_frames: int = N_FRAMES,
+    frame_len: int = FRAME_LEN,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build the frame-sampling mapInPandas worker (closure — see
+    make_extract_features for why). This is the row-multiplying UDF
+    shape a video pipeline needs: each payload yields up to
+    ``n_frames`` rows at evenly-strided offsets (stride = n_bytes //
+    n_frames; a payload shorter than the stride yields one frame).
+    Real deployments put the ffmpeg keyframe extraction inside
+    ``decode``; the stub treats the payload bytes as the decoded
+    stream. Frame hash is the engine's polynomial char fold, so the
+    output is oracle-checkable for ASCII payloads.
+    """
+    mod, char_p = MOD, CHAR_P
+    if decode is None:
+
+        def decode(payload: bytes) -> bytes:
+            return payload
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # re-import inside the worker process
+
+        for pdf in batches:
+            ids, idxs, offs, lens, hashes = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                stream = decode(payload)
+                nb = len(stream)
+                step = nb // n_frames
+                for i in range(n_frames if step > 0 else 1):
+                    off = i * step
+                    frame = stream[off : off + frame_len]
+                    h = 0
+                    for b in frame:
+                        h = (h * char_p + b) % mod
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(len(frame))
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return sample_frames
+
+
+def multimodal_frames(docs: DataFrame) -> DataFrame:
+    """Attach payload → mapInPandas frame sampling (1 row → ≤4 frame
+    rows). Narrow (no shuffle); the row multiplication happens inside
+    the Arrow batch, so downstream operators see ordinary rows."""
+    return with_binary_payload(docs).mapInPandas(make_sample_frames(), FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize — binary→binary transform with metadata update
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("target_bytes", IntegerType()),
+        StructField("was_truncated", IntegerType()),
+    ]
+)
+
+
+def make_resize(
+    target_bytes: int,
+    resize: Callable[[bytes, int], bytes] | None = None,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build the binary→binary resize worker (closure — see
+    make_extract_features). Real deployments put the PIL
+    ``Image.resize`` / audio resample inside ``resize``; the stub
+    truncates or zero-pads the byte plane to ``target_bytes`` —
+    deterministic, and shape-faithful to a fixed-resolution decode.
+    The payload column flows binary-in/binary-out through Arrow,
+    which is the property this exhibit certifies."""
+    tb = int(target_bytes)
+    if resize is None:
+
+        def resize(payload: bytes, n: int) -> bytes:
+            return payload[:n] + b"\x00" * max(0, n - len(payload))
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # re-import inside the worker process
+
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda p: resize(p, tb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "n_bytes": resized.map(len).astype("int32"),
+                    "target_bytes": pd.Series([tb] * len(pdf), dtype="int32"),
+                    "was_truncated": pdf["payload"]
+                    .map(lambda p: 1 if len(p) > tb else 0)
+                    .astype("int32"),
+                }
+            )
+
+    return do_resize
+
+
+def multimodal_resize(docs: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Attach payload → mapInPandas resize to a fixed byte plane."""
+    return with_binary_payload(docs).mapInPandas(
+        make_resize(target_bytes), RESIZED_SCHEMA
+    )

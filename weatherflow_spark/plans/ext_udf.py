@@ -21,8 +21,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from weatherflow_spark.io import load_table
-from weatherflow_spark.multimodal.binary import multimodal_features
-from weatherflow_spark.functions.text import MOD
+from weatherflow_spark.multimodal.binary import multimodal_features, multimodal_frames
+from weatherflow_spark.functions.text import CHAR_P, MOD
 from weatherflow_spark.plans.queries import events_weather
 from weatherflow_spark.plans.oracles import EVENTS_SIM
 
@@ -99,12 +99,54 @@ ORACLE_MULTIMODAL_FEATURES = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_multimodal_frames — row-multiplying mapInPandas (the video path)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: each document yields ≤4
+    frame rows at evenly-strided offsets (multimodal/binary.py
+    ``make_sample_frames`` — decode stubbed, Arrow batch shape and
+    1→N row multiplication real). Hash-checked: the frame hash is
+    the engine's polynomial char fold, recomputable in SQL from
+    `text` because the corpus is ASCII (byte == codepoint)."""
+    return multimodal_frames(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_MULTIMODAL_FRAMES = f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS nb,
+               CAST(length(text) // 4 AS BIGINT) AS step
+        FROM documents
+    ),
+    f AS (
+        SELECT d.doc_id,
+               CAST(r.i AS INTEGER) AS frame_idx,
+               CAST(r.i * d.step AS INTEGER) AS frame_offset,
+               substring(d.text, CAST(r.i * d.step AS INTEGER) + 1, 32) AS ftxt
+        FROM d, LATERAL (SELECT unnest(range(4)) AS i) r
+        WHERE r.i = 0 OR d.step > 0
+    )
+    SELECT doc_id, frame_idx, frame_offset,
+           CAST(length(ftxt) AS INTEGER) AS frame_len,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(ftxt)),
+                              i -> CAST(ascii(substring(ftxt, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * {CHAR_P} + c) % {MOD}) AS frame_hash
+    FROM f
+"""
+
+
 UDF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pandas_udf_metric": q_pandas_udf_metric,
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frames": q_multimodal_frames,
 }
 
 UDF_ORACLES: dict[str, str] = {
     "q_pandas_udf_metric": ORACLE_PANDAS_UDF_METRIC,
     "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "q_multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
 }
