@@ -596,6 +596,184 @@ ORACLE_COLLECT_SET_SORTED = """
 """
 
 
+# ---------------------------------------------------------------------------
+# q_date_dim — generated calendar dimension (the reference's time dim
+# as a table generator, no source scan at all)
+# ---------------------------------------------------------------------------
+
+
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A two-year calendar dimension generated in-engine
+    (``sequence`` + ``explode`` — DuckDB twin ``generate_series``):
+    date string, year/month/day parts, the reference's quarter and
+    season buckets (etl.py:37-53 via functions/calendar.py), weekday
+    and month names, weekend flag. The reference materializes these
+    attributes per observation row into W_TIME_DIM
+    (create_tables.sql:20-29); a generated dimension computes each
+    calendar day ONCE and joins by date key — at 100 TB that is ~730
+    rows/year instead of recomputing calendar logic on every fact.
+    Broadcast-sized by construction.
+    """
+    from weatherflow_spark.functions import calendar as C
+
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"), F.lit("1996-12-31").cast("date")
+            )
+        ).alias("d")
+    )
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("date_str"),
+        F.year("d").cast("int").alias("year"),
+        F.month("d").cast("int").alias("month"),
+        F.dayofmonth("d").cast("int").alias("day"),
+        C.quarter_bucket(F.col("d")).alias("quarter_label"),
+        C.season_bucket(F.col("d")).alias("season"),
+        F.date_format("d", "EEEE").alias("weekday_name"),
+        F.date_format("d", "MMMM").alias("month_name"),
+        F.date_format("d", "EEEE").isin("Saturday", "Sunday").cast("int").alias(
+            "is_weekend"
+        ),
+    )
+
+
+from weatherflow_spark.plans.oracles import SEASON_SQL as _SEASON_SQL  # noqa: E402
+
+ORACLE_DATE_DIM = f"""
+    SELECT strftime(d, '%Y-%m-%d') AS date_str,
+           CAST(year(d) AS INTEGER) AS year,
+           CAST(month(d) AS INTEGER) AS month,
+           CAST(day(d) AS INTEGER) AS day,
+           'Q' || CAST(quarter(d) AS VARCHAR) AS quarter_label,
+           {_SEASON_SQL.format(ts='d')} AS season,
+           dayname(d) AS weekday_name,
+           monthname(d) AS month_name,
+           CAST(CASE WHEN dayname(d) IN ('Saturday', 'Sunday')
+                THEN 1 ELSE 0 END AS INTEGER) AS is_weekend
+    FROM (
+        SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                                      INTERVAL 1 DAY)) AS d
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_quantize — int8 vector quantization (training-data path)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column
+    — the compression step a 100 TB vector corpus applies before ANN
+    serving (4×+ smaller, cache-resident). scale = max|x|/127; each
+    component rounds half-up to an int8 code. Everything is Catalyst
+    higher-order functions over the array (JVM codegen, no explode,
+    no Python); the returned checksum/min/max of the codes make the
+    quantization itself hash-checkable without emitting arrays.
+
+    Determinism: float→double widening is exact; x/scale and the
+    floor-round are single correctly-rounded IEEE ops written
+    identically in the oracle, and the code sums are exact int64.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    q = F.transform(xd, lambda x: F.floor(x / scale + F.lit(0.5)))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        scale.alias("qscale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.array_min(q).alias("qmin"),
+        F.array_max(q).alias("qmax"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+    WITH s AS (
+        SELECT vec_id, label,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+               CASE WHEN list_aggregate(
+                        list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                        'max') = 0.0
+                    THEN 1.0
+                    ELSE list_aggregate(
+                        list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                        'max') / 127.0 END AS qscale
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id, label, dim, qscale,
+               list_transform(xd, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) AS q
+        FROM s
+    )
+    SELECT vec_id, label, dim, qscale,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS qsum,
+           list_aggregate(q, 'min') AS qmin,
+           list_aggregate(q, 'max') AS qmax
+    FROM qz
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_null_semantics — null propagation / null-safe comparison surface
+# ---------------------------------------------------------------------------
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling exhibit: ``nullif`` manufactures nulls (zero
+    discounts), aggregates skip them (``count(col)`` vs
+    ``count(*)``), ``coalesce`` restores a default, and the null-safe
+    equality (Spark ``<=>`` ↔ SQL ``IS NOT DISTINCT FROM``) counts
+    without three-valued-logic surprises. The engine surface a SQL
+    user relies on implicitly; all counts exact longs, one
+    partial-agg pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_or_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return (
+        li.select(
+            "l_returnflag",
+            disc_or_null.alias("dn"),
+            F.coalesce(disc_or_null, F.lit(-1.0)).alias("dc"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("dn").alias("n_discounted"),
+            F.sum(F.col("dn").isNull().cast("long")).alias("n_zero_disc"),
+            F.sum((F.col("dn").eqNullSafe(F.lit(0.05))).cast("long")).alias(
+                "n_disc_5pct"
+            ),
+            F.sum((F.col("dc") == -1.0).cast("long")).alias("n_defaulted"),
+        )
+    )
+
+
+ORACLE_NULL_SEMANTICS = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(dn) AS BIGINT) AS n_discounted,
+           CAST(sum(CASE WHEN dn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_disc,
+           CAST(sum(CASE WHEN dn IS NOT DISTINCT FROM 0.05 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_disc_5pct,
+           CAST(sum(CASE WHEN dc = -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_defaulted
+    FROM (
+        SELECT l_returnflag,
+               nullif(l_discount, 0.0) AS dn,
+               coalesce(nullif(l_discount, 0.0), -1.0) AS dc
+        FROM lineitem
+    )
+    GROUP BY l_returnflag
+"""
+
+
 STATS_QUERIES = {
     "q_stats_moments": q_stats_moments,
     "q_linear_regression": q_linear_regression,
@@ -607,6 +785,9 @@ STATS_QUERIES = {
     "q_top_n_per_group": q_top_n_per_group,
     "q_window_dist": q_window_dist,
     "q_collect_set_sorted": q_collect_set_sorted,
+    "q_date_dim": q_date_dim,
+    "q_embedding_quantize": q_embedding_quantize,
+    "q_null_semantics": q_null_semantics,
 }
 
 STATS_ORACLES = {
@@ -620,4 +801,7 @@ STATS_ORACLES = {
     "q_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
     "q_window_dist": ORACLE_WINDOW_DIST,
     "q_collect_set_sorted": ORACLE_COLLECT_SET_SORTED,
+    "q_date_dim": ORACLE_DATE_DIM,
+    "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "q_null_semantics": ORACLE_NULL_SEMANTICS,
 }
