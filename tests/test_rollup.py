@@ -1,0 +1,149 @@
+"""Continuous-aggregate tests (operators/rollup.py): partials must
+merge to exactly the direct aggregate at every grain, incremental
+refresh must touch only the affected buckets, and replay must be
+idempotent."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.rollup import (
+    event_partials,
+    read_rollup,
+    refresh_rollup,
+    write_rollup,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="wf-rollup-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _direct_daily(events):
+    p = F.lit(100.0)
+    return (
+        events.withColumn("event_date", F.to_date("ts"))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * p + F.lit(0.5))) / p).alias("sum_value"),
+        )
+    )
+
+
+def _as_dict(df, keys, vals):
+    return {
+        tuple(str(r[k]) for k in keys): tuple(r[v] for v in vals)
+        for r in df.collect()
+    }
+
+
+def test_rollup_matches_direct_aggregate(spark, tmpdir):
+    events = load_table(spark, SF_SMALL, "events")
+    path = f"{tmpdir}/rollup"
+    write_rollup(events, path)
+
+    got = _as_dict(
+        read_rollup(spark, path),
+        ["event_date", "event_type"],
+        ["n", "sum_value"],
+    )
+    want = _as_dict(
+        _direct_daily(events), ["event_date", "event_type"], ["n", "sum_value"]
+    )
+    assert got == want  # bit-exact: counts + integer-scaled sums
+
+
+def test_rollup_merges_to_coarser_grain(spark, tmpdir):
+    events = load_table(spark, SF_SMALL, "events")
+    path = f"{tmpdir}/rollup"
+    write_rollup(events, path)
+
+    monthly = read_rollup(spark, path, grain="month")
+    p = F.lit(100.0)
+    direct = (
+        events.withColumn("month", F.date_trunc("month", F.to_date("ts")).cast("date"))
+        .groupBy("month", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * p + F.lit(0.5))) / p).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    got = _as_dict(monthly, ["month", "event_type"],
+                   ["n", "sum_value", "min_value", "max_value"])
+    want = _as_dict(direct, ["month", "event_type"],
+                    ["n", "sum_value", "min_value", "max_value"])
+    assert got == want  # merging daily partials == direct monthly agg
+
+
+def test_refresh_touches_only_affected_buckets(spark, tmpdir):
+    events = load_table(spark, SF_SMALL, "events")
+    path = f"{tmpdir}/rollup"
+    write_rollup(events, path)
+
+    dates = sorted(
+        r.event_date for r in
+        spark.read.parquet(path).select("event_date").distinct().collect()
+    )
+    target = dates[0]
+    untouched_dirs = [
+        f"{path}/event_date={d}" for d in dates[1:3]
+    ]
+    before = {
+        d: sorted(os.listdir(d)) for d in untouched_dirs
+    }
+    mtimes = {
+        d: [os.path.getmtime(os.path.join(d, f)) for f in before[d]]
+        for d in untouched_dirs
+    }
+
+    batch = events.where(F.to_date("ts") == F.lit(str(target)))
+    refresh_rollup(spark, batch, path)
+
+    # untouched buckets: same files, same mtimes (not rewritten)
+    for d in untouched_dirs:
+        assert sorted(os.listdir(d)) == before[d]
+        assert [os.path.getmtime(os.path.join(d, f)) for f in before[d]] == mtimes[d]
+
+    # and the whole table still matches the direct aggregate (replay
+    # of an identical batch is a content no-op)
+    got = _as_dict(read_rollup(spark, path), ["event_date", "event_type"],
+                   ["n", "sum_value"])
+    want = _as_dict(_direct_daily(events), ["event_date", "event_type"],
+                    ["n", "sum_value"])
+    assert got == want
+
+
+def test_partials_are_split_invariant(spark):
+    """merge(partials(A), partials(B)) == partials(A ∪ B) — the
+    mergeability algebra, independent of how facts are split."""
+    events = load_table(spark, SF_SMALL, "events")
+    a = events.where(F.col("user_id") % 2 == 0)
+    b = events.where(F.col("user_id") % 2 == 1)
+    merged = (
+        event_partials(a).unionByName(event_partials(b))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    whole = event_partials(events)
+    cols = ["event_date", "event_type"]
+    vals = ["n", "sum_scaled", "min_value", "max_value"]
+    assert _as_dict(merged, cols, vals) == _as_dict(whole, cols, vals)

@@ -774,6 +774,44 @@ ORACLE_NULL_SEMANTICS = """
 """
 
 
+# ---------------------------------------------------------------------------
+# q_salted_agg — skew-resistant aggregation, hash-checked against the
+# plain GROUP BY (the salt must be invisible in the result)
+# ---------------------------------------------------------------------------
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + exact revenue sum per return flag computed through the
+    salted two-phase split (operators/skew.py): phase 1 groups by
+    (key, salt) spreading any hot key over 16 reducers, phase 2
+    merges the partials. The oracle is the UNSALTED single-phase SQL
+    — hash-matching it certifies the engine's skew path is
+    result-identical, which only holds because the partials are exact
+    scaled integers (a double sum would differ run-to-run in the
+    merge order). The salt uses Spark's internal ``hash`` — allowed
+    here precisely because the final result is salt-independent.
+    """
+    from weatherflow_spark.operators.skew import salted_count_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count_sum(
+        li, ["l_returnflag"], "l_extendedprice", n_salts=16, scale=100
+    ).select(
+        "l_returnflag",
+        "n",
+        F.col("sum_value").alias("sum_price"),
+    )
+
+
+ORACLE_SALTED_AGG = f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {scaled_sum_sql("l_extendedprice", 100)} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
 STATS_QUERIES = {
     "q_stats_moments": q_stats_moments,
     "q_linear_regression": q_linear_regression,
@@ -788,6 +826,7 @@ STATS_QUERIES = {
     "q_date_dim": q_date_dim,
     "q_embedding_quantize": q_embedding_quantize,
     "q_null_semantics": q_null_semantics,
+    "q_salted_agg": q_salted_agg,
 }
 
 STATS_ORACLES = {
@@ -804,4 +843,6 @@ STATS_ORACLES = {
     "q_date_dim": ORACLE_DATE_DIM,
     "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "q_null_semantics": ORACLE_NULL_SEMANTICS,
+    "q_salted_agg": ORACLE_SALTED_AGG,
 }
+
