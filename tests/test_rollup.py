@@ -127,6 +127,44 @@ def test_refresh_touches_only_affected_buckets(spark, tmpdir):
     assert got == want
 
 
+def test_stream_rollup_matches_batch_and_replays_clean(spark, tmpdir):
+    """The foreachBatch continuous-aggregate sink must produce the
+    same rollup as the batch path, and a full replay (fresh
+    checkpoint, same data) must leave it unchanged."""
+    import os
+
+    from weatherflow_spark.streaming.pipeline import (
+        foreach_batch_rollup,
+        read_events_stream,
+    )
+
+    path = f"{tmpdir}/rollup"
+    sink = foreach_batch_rollup(path)
+
+    def run_once(ckpt):
+        q = (
+            read_events_stream(spark, SF_SMALL)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(tmpdir, ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("ckpt1")
+    events = load_table(spark, SF_SMALL, "events")
+    got = _as_dict(read_rollup(spark, path), ["event_date", "event_type"],
+                   ["n", "sum_value"])
+    want = _as_dict(_direct_daily(events), ["event_date", "event_type"],
+                    ["n", "sum_value"])
+    assert got == want
+
+    run_once("ckpt2")  # replay
+    again = _as_dict(read_rollup(spark, path), ["event_date", "event_type"],
+                     ["n", "sum_value"])
+    assert again == want
+
+
 def test_partials_are_split_invariant(spark):
     """merge(partials(A), partials(B)) == partials(A ∪ B) — the
     mergeability algebra, independent of how facts are split."""

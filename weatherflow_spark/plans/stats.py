@@ -775,6 +775,48 @@ ORACLE_NULL_SEMANTICS = """
 
 
 # ---------------------------------------------------------------------------
+# q_unpivot — wide→long reshaping (melt), the inverse of q_pivot
+# ---------------------------------------------------------------------------
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt three lineitem measures into (measure, value) long form,
+    then aggregate per (returnflag, measure) — the wide→long reshape
+    (inverse of advanced.q_pivot). ``unpivot`` is a narrow operator
+    (each input row emits 3 rows inside the same task — no shuffle,
+    no join against a measure list); the only exchange is the final
+    15-group aggregate. Sums exact via the scaled-integer rule.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        scaled_sum(F.col("val"), 100).alias("sum_val"),
+    )
+
+
+ORACLE_UNPIVOT = f"""
+    SELECT l_returnflag, measure,
+           CAST(count(*) AS BIGINT) AS n,
+           {scaled_sum_sql("val", 100)} AS sum_val
+    FROM (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_salted_agg — skew-resistant aggregation, hash-checked against the
 # plain GROUP BY (the salt must be invisible in the result)
 # ---------------------------------------------------------------------------
@@ -827,6 +869,7 @@ STATS_QUERIES = {
     "q_embedding_quantize": q_embedding_quantize,
     "q_null_semantics": q_null_semantics,
     "q_salted_agg": q_salted_agg,
+    "q_unpivot": q_unpivot,
 }
 
 STATS_ORACLES = {
@@ -844,5 +887,6 @@ STATS_ORACLES = {
     "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "q_null_semantics": ORACLE_NULL_SEMANTICS,
     "q_salted_agg": ORACLE_SALTED_AGG,
+    "q_unpivot": ORACLE_UNPIVOT,
 }
 

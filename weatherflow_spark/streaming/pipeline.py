@@ -291,6 +291,28 @@ def foreach_batch_upsert(
     return _sink
 
 
+def foreach_batch_rollup(path: str, scale: int = 100) -> Callable[[DataFrame, int], None]:
+    """A streaming *continuous aggregate* sink: each micro-batch
+    refreshes the rollup partial table (operators/rollup.py) for the
+    grain buckets it touches — dynamic partition overwrite, so replay
+    is idempotent and downstream rollup queries (read_rollup) never
+    scan raw facts. This is the streaming form of the hypertable-
+    rollup pattern: the 5-minute cadence of the reference DAG
+    (etl.py:129) continuously maintains the warehouse's aggregate
+    tier instead of only its fact tier.
+
+    Assumes micro-batches arrive date-complete per trigger (true for
+    availableNow file replay and for tumbling daily buckets with a
+    watermark upstream); for cross-batch partial days compose with
+    the union-with-existing path documented in refresh_rollup."""
+    from weatherflow_spark.operators.rollup import refresh_rollup
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_rollup(batch_df.sparkSession, batch_df, path, scale)
+
+    return _sink
+
+
 # ---------------------------------------------------------------------------
 # X2: custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
