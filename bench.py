@@ -44,6 +44,13 @@ OPTIONAL = [
     "q_ann_ivf_topk",
     "q_minhash_near_dup",
     "q_multimodal_features",
+    # statistics / TPC-H / training-data families (round 1 widening)
+    "q_stats_moments",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_window_dist",
+    "q_bpe_token_count",
+    "q_embedding_quantize",
 ]
 
 

@@ -676,19 +676,34 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-round are single correctly-rounded IEEE ops written
     identically in the oracle, and the code sums are exact int64.
     """
+    from weatherflow_spark.functions.text import let_spark
+
     emb = load_table(spark, sf_dir, "embeddings")
-    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
-    scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
-    q = F.transform(xd, lambda x: F.floor(x / scale + F.lit(0.5)))
+    # let-bind scale and the quantized array (functions/text.py
+    # let-trick), then surface the four outputs through ONE
+    # inline(array(struct(...))) generator — without this, each
+    # projected field re-inlines the whole quantization (CollapseProject
+    # defeats common-subexpression sharing): measured 1.6 s → the
+    # let+inline form computes the codes once per row.
+    maxabs = "array_max(transform(embedding, x -> abs(cast(x as double))))"
+    scale = let_spark(maxabs, "m", "CASE WHEN m = 0.0D THEN 1.0D ELSE m / 127.0D END")
+    quantized = "transform(embedding, x -> floor(cast(x as double) / sc + 0.5D))"
+    packed = let_spark(
+        scale,
+        "sc",
+        let_spark(
+            quantized,
+            "q",
+            "struct(sc AS qscale, "
+            "aggregate(q, cast(0 as bigint), (a, x) -> a + x) AS qsum, "
+            "array_min(q) AS qmin, array_max(q) AS qmax)",
+        ),
+    )
     return emb.select(
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
-        scale.alias("qscale"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
-        F.array_min(q).alias("qmin"),
-        F.array_max(q).alias("qmax"),
+        F.inline(F.array(F.expr(packed))),
     )
 
 
