@@ -110,7 +110,9 @@ def test_rest_flatten_feeds_transform_core(spark):
     assert tables["w_fact"].count() == 1
     temp_row = tables["w_temp_dim"].collect()[0]
     assert temp_row.temp == 21.5
-    assert temp_row.dew_point == round(21.5 - (100 - 64) / 5, 2)
+    # dew_point lives in W_PARAM_DIM (create_tables.sql:38), not temp dim
+    param_row = tables["w_param_dim"].collect()[0]
+    assert param_row.dew_point == round(21.5 - (100 - 64) / 5, 2)
 
 
 def test_sql_entry_style_matches_dataframe(spark):

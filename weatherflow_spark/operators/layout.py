@@ -95,6 +95,15 @@ def compact(
     # aren't atomic there; this file-system path is the local/HDFS form.)
     tmp = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # Swap via rename-aside, not delete-then-rename: with rmtree(path)
+    # first, a crash between the two calls loses the dataset and
+    # concurrent readers see the table vanish. Renaming the old copy
+    # aside keeps a complete copy on disk at every instant; the stale
+    # __old dir is removed last and is safe to re-remove on retry.
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(parquet_files(path))

@@ -31,8 +31,10 @@ def salted_count_sum(
     (all columns) so hot keys spread evenly. Output columns:
     key_cols + [n, sum_value]."""
     p = F.lit(float(scale))
+    # pmod, not abs(hash)%n: abs(Int.MinValue) overflows negative (ANSI
+    # off) which would land ~1/2^32 rows in a nonexistent salt bucket.
     salted = df.withColumn(
-        "__salt", (F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts)
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     partial = salted.groupBy(*key_cols, "__salt").agg(
         F.count(F.lit(1)).alias("__n"),
@@ -60,6 +62,6 @@ def salted_broadcast_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     fact_salted = fact.withColumn(
-        "__salt", (F.abs(F.hash(*[F.col(c) for c in fact.columns])) % n_salts)
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )
     return fact_salted.join(dim_rep, on=[key, "__salt"], how="inner").drop("__salt")

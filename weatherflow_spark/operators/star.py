@@ -65,8 +65,9 @@ def build_weather_star(
 
     - ``w_fact`` (11-18): keys only, no measures
     - ``w_time_dim`` (20-29): local datetime + calendar attributes
-    - ``w_param_dim`` (31-40): wind/pressure/humidity/visibility/clouds
-    - ``w_temp_dim`` (42-48): temps + dew point
+    - ``w_param_dim`` (31-40): wind/pressure/humidity/visibility/
+      clouds/dew point
+    - ``w_temp_dim`` (42-48): temps + feels_like
     - ``w_heat_index_dim`` (50-55): heat index, category=1,
       description='' (both hardcoded by the reference, etl.py:120)
 
@@ -102,6 +103,7 @@ def build_weather_star(
         col_or_null("humidity", "double"),
         col_or_null("visibility", "double"),
         col_or_null("cloudiness", "double"),
+        col_or_null("dew_point", "double"),
     )
     temp_dim = keyed.select(
         "temp_id",
@@ -109,7 +111,6 @@ def build_weather_star(
         col_or_null("temp_min", "double"),
         col_or_null("temp_max", "double"),
         col_or_null("feels_like", "double"),
-        col_or_null("dew_point", "double"),
     )
     heat_dim = keyed.select(
         "heat_index_id",

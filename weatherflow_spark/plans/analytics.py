@@ -379,12 +379,15 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     where exact percentiles (q_percentiles) would need a full sort:
     partial sketches per partition, one tiny merge. Sketch internals
     are engine-private, so this is a rows-only check (the exact twin
-    q_percentiles is the hash-checked one)."""
+    q_percentiles is the hash-checked one). Quartiles are emitted as
+    three scalar double columns (not one array column) so harnesses
+    that canonicalize rows into hashable tuples can digest the frame."""
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75], 10000
-        ).alias("price_quartiles"),
+        F.element_at(q, 1).alias("p25"),
+        F.element_at(q, 2).alias("p50"),
+        F.element_at(q, 3).alias("p75"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -213,10 +213,30 @@ def weather_etl_stream(
     observations = events_as_weather_stream(read_events_stream(spark, sf_dir))
     enriched = weather_transform_core(observations)
 
+    # foreachBatch is at-least-once: a batch replayed after checkpoint
+    # recovery re-runs the sink. Appending would duplicate every star
+    # row on replay (the reference's flaw, etl.py:103); instead each
+    # table is keyed-upserted on its deterministic surrogate key, so a
+    # replayed batch replaces its own rows — idempotent end to end.
+    _STAR_KEYS = {
+        "w_fact": "record_id",
+        "w_time_dim": "time_id",
+        "w_param_dim": "parameter_id",
+        "w_temp_dim": "temp_id",
+        "w_heat_index_dim": "heat_index_id",
+    }
+
     def load_star(batch_df: DataFrame, batch_id: int) -> None:
+        from weatherflow_spark.operators.upsert import upsert_by_key
+
         tables = build_weather_star(batch_df, station_col="station_id")
         for name, tdf in tables.items():
-            tdf.write.mode("append").parquet(os.path.join(warehouse_dir, name))
+            upsert_by_key(
+                batch_df.sparkSession,
+                tdf,
+                os.path.join(warehouse_dir, name),
+                [_STAR_KEYS[name]],
+            )
 
     writer = (
         enriched.writeStream.foreachBatch(load_star)
@@ -347,9 +367,14 @@ def _make_user_stats_fn() -> Callable:
         if state.exists:
             n, s, mx = state.get
         for pdf in pdfs:
+            import numpy as np
+
             vals = pdf["value"]
             n += int(len(vals))
-            s += float((vals * 100.0 + 0.5).apply(lambda v: int(v)).sum()) / 100.0
+            # floor(x*100+0.5), matching the batch cents_sum exactly —
+            # int() would truncate toward zero and diverge on negatives
+            # (-1.245 -> -124 vs floor's -125).
+            s += float(np.floor(vals * 100.0 + 0.5).sum()) / 100.0
             if len(vals):
                 mx = max(mx, float(vals.max()))
         state.update((n, s, mx))
