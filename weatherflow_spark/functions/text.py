@@ -49,6 +49,19 @@ MINHASH_B = [
 N_HASHES = len(MINHASH_A)
 SIMHASH_BITS = 20
 
+# Wide (banded) simhash: three independent 20-bit simhash streams —
+# stream 0 over the raw token hashes, streams 1..2 over permuted
+# copies ((a·h+b) mod P, a≠0 so the map is a bijection mod the prime)
+# — packed into one 60-bit BIGINT. 60 bits splits into 4 bands of 15
+# for the banded near-dup blocking in plans/ext_dedup.py: ~32k key
+# values per band, so block count scales with the corpus instead of
+# being pinned at 2^prefix, and pigeonhole guarantees any pair with
+# Hamming distance ≤ 3 collides on at least one whole band.
+SIMHASH_PERM_A = [1, 715827883, 268435399]
+SIMHASH_PERM_B = [0, 54018521, 86028121]
+SIMHASH_STREAMS = len(SIMHASH_PERM_A)
+SIMHASH_WIDE_BITS = SIMHASH_STREAMS * SIMHASH_BITS  # 60
+
 # Tiny per-language stopword lists for the language-ID heuristic
 # (n-gram/stopword-hit scoring — the classic fastText-free fallback).
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -242,6 +255,65 @@ def simhash_sql(hashes_expr: str, bits: int = SIMHASH_BITS) -> str:
         f"(acc, v) -> acc + v)"
     )
     return let_duck(f"list_distinct({hashes_expr})", "__hs", body)
+
+
+def _simhash_core_spark(arr: str, bits: int, tag: str) -> str:
+    """Bit-vote fold over a *bound* hash-array variable ``arr`` (the
+    caller must let-bind it — this core references it once per bit, so
+    passing a raw expression would re-evaluate it ``bits`` times).
+    ``tag`` keeps lambda variable names unique across sibling streams."""
+    return (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc{tag}, i{tag}) -> "
+        f"acc{tag} + (CASE WHEN aggregate({arr}, cast(0 as bigint), "
+        f"(s{tag}, h{tag}) -> s{tag} + 2 * ((h{tag} div shiftleft(cast(1 as bigint), i{tag})) % 2) - 1) > 0 "
+        f"THEN shiftleft(cast(1 as bigint), i{tag}) ELSE cast(0 as bigint) END))"
+    )
+
+
+def _simhash_core_duck(arr: str, bits: int, tag: str) -> str:
+    inner = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), "
+        f"(s{tag}, h{tag}) -> s{tag} + 2 * ((h{tag} // (CAST(1 AS BIGINT) << i{tag})) % 2) - 1)"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(0, {bits - 1}), i{tag} -> "
+        f"CASE WHEN {inner} > 0 THEN (CAST(1 AS BIGINT) << i{tag}) ELSE CAST(0 AS BIGINT) END)), "
+        f"(acc{tag}, v{tag}) -> acc{tag} + v{tag})"
+    )
+
+
+def simhash_wide_expr(hashes_expr: str) -> str:
+    """Spark SQL: 60-bit simhash — three 20-bit streams over permuted
+    hash copies, packed ``s0 | s1<<20 | s2<<40``. The distinct hash
+    array is let-bound once; each permuted copy is let-bound once per
+    stream, so the per-row cost is 3×(bits×hashes) votes with no
+    re-evaluation of the token-hash fold."""
+    parts = []
+    for j, (a, b) in enumerate(zip(SIMHASH_PERM_A, SIMHASH_PERM_B)):
+        if j == 0:
+            core = _simhash_core_spark("__dh", SIMHASH_BITS, f"_{j}")
+        else:
+            permed = f"transform(__dh, __h{j} -> (__h{j} * {a} + {b}) % {MOD})"
+            core = let_spark(
+                permed, f"__p{j}", _simhash_core_spark(f"__p{j}", SIMHASH_BITS, f"_{j}")
+            )
+        parts.append(f"({core}) * cast({1 << (SIMHASH_BITS * j)} as bigint)")
+    return let_spark(f"array_distinct({hashes_expr})", "__dh", " + ".join(parts))
+
+
+def simhash_wide_sql(hashes_expr: str) -> str:
+    parts = []
+    for j, (a, b) in enumerate(zip(SIMHASH_PERM_A, SIMHASH_PERM_B)):
+        if j == 0:
+            core = _simhash_core_duck("__dh", SIMHASH_BITS, f"_{j}")
+        else:
+            permed = f"list_transform(__dh, __h{j} -> (__h{j} * {a} + {b}) % {MOD})"
+            core = let_duck(
+                permed, f"__p{j}", _simhash_core_duck(f"__p{j}", SIMHASH_BITS, f"_{j}")
+            )
+        parts.append(f"({core}) * CAST({1 << (SIMHASH_BITS * j)} AS BIGINT)")
+    return let_duck(f"list_distinct({hashes_expr})", "__dh", " + ".join(parts))
 
 
 # ---------------------------------------------------------------------------

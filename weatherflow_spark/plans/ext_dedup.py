@@ -5,8 +5,10 @@ Five dedup families, all first-class queries:
 - **exact**        — hash-groupBy on sha256 of normalized text.
 - **MinHash+LSH**  — 3-token shingles → 8 minhash perms → 4 bands of
                      2 → band-bucket equi-join → exact-Jaccard verify.
-- **SimHash**      — 20-bit simhash per doc + Hamming-blocked pairs.
-- **n-gram Jaccard** — blocked pairwise exact Jaccard (block = source).
+- **SimHash**      — 60-bit wide simhash per doc, banded into 4×15-bit
+                     block keys (band equi-join + Hamming verify).
+- **n-gram Jaccard** — exact 4-gram Jaccard verify over MinHash band
+                     candidates (gated, never block-×-block).
 
 Everything is hash-checked against DuckDB: the minhash/simhash math
 is the cross-engine polynomial hash from
@@ -35,8 +37,16 @@ from weatherflow_spark.io import load_table
 N_BANDS = 4
 ROWS_PER_BAND = 2  # N_BANDS * ROWS_PER_BAND == T.N_HASHES
 JACCARD_THRESHOLD = 0.5
-SIMHASH_PREFIX_BITS = 8  # block key = top bits of the simhash
+# Banded simhash blocking over the 60-bit wide simhash: 4 bands of 15
+# bits (~32k key values per band — block count scales with the corpus,
+# unlike a fixed-width prefix). Pigeonhole: any pair with Hamming ≤ 3
+# agrees on at least one whole band, so recall is total up to 3 and
+# best-effort (band-collision) for 4..HAMMING_MAX; guaranteeing 6
+# would take 7 bands at ~8 bits each (smaller keys, bigger blocks).
+N_SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = T.SIMHASH_WIDE_BITS // N_SIMHASH_BANDS  # 15
 HAMMING_MAX = 6
+NGRAM_VERIFY_N = 4  # n-gram width for the Jaccard verify stage
 
 
 # ---------------------------------------------------------------------------
@@ -141,23 +151,13 @@ ORACLE_MINHASH_SIGNATURE = f"""
 # ---------------------------------------------------------------------------
 
 
-def minhash_verified_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
-    """LSH candidate pairs with exact-Jaccard verification — the
-    shared edge-builder for `q_minhash_near_dup` and the
-    connected-components clustering in :mod:`plans.iterative`.
-    Returns (doc_a, doc_b, jaccard<raw double>, n_inter).
-
-    ``cache`` trade-off (measured): the banded keys and shingle sets
-    each feed BOTH sides of a self-join, and Spark re-derives the
-    shingle→minhash pipeline per side (6 FileScans, 0
-    ReusedExchange). For a one-shot run the recompute is cheap
-    whole-stage-codegen work and pipelining beats cache
-    materialization (sf0.1: 1.4 s uncached vs 1.8 s cached), so the
-    default is off. Pass ``cache=True`` when the edge list is reused
-    across jobs/rounds (connected components re-joins it every
-    propagation round) — there the one materialization of the small
-    derivatives (4 band keys/doc; distinct shingle hashes, not the
-    text) amortizes immediately."""
+def minhash_candidate_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
+    """MinHash-LSH candidate generation alone: banded signatures →
+    band-key equi-join self-pair → distinct (doc_a < doc_b) id pairs.
+    This is the shared gate for every pairwise-verify family (exact
+    Jaccard in :func:`minhash_verified_pairs`, 4-gram Jaccard in
+    :func:`q_ngram_jaccard`) — candidate count is bounded by band
+    buckets, never by corpus²."""
     sigs = _with_minhash(docs)
 
     band_keys = F.array(
@@ -176,7 +176,7 @@ def minhash_verified_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
     if cache:
         banded = banded.persist()
 
-    pairs = (
+    return (
         banded.alias("a")
         .join(banded.alias("b"), "band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -185,6 +185,26 @@ def minhash_verified_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
         )
         .distinct()
     )
+
+
+def minhash_verified_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
+    """LSH candidate pairs with exact-Jaccard verification — the
+    shared edge-builder for `q_minhash_near_dup` and the
+    connected-components clustering in :mod:`plans.iterative`.
+    Returns (doc_a, doc_b, jaccard<raw double>, n_inter).
+
+    ``cache`` trade-off (measured): the banded keys and shingle sets
+    each feed BOTH sides of a self-join, and Spark re-derives the
+    shingle→minhash pipeline per side (6 FileScans, 0
+    ReusedExchange). For a one-shot run the recompute is cheap
+    whole-stage-codegen work and pipelining beats cache
+    materialization (sf0.1: 1.4 s uncached vs 1.8 s cached), so the
+    default is off. Pass ``cache=True`` when the edge list is reused
+    across jobs/rounds (connected components re-joins it every
+    propagation round) — there the one materialization of the small
+    derivatives (4 band keys/doc; distinct shingle hashes, not the
+    text) amortizes immediately."""
+    pairs = minhash_candidate_pairs(docs, cache=cache)
 
     shingled = docs.select(
         F.col("doc_id"),
@@ -226,10 +246,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def verified_pairs_cte() -> str:
-    """DuckDB WITH-body twin of :func:`minhash_verified_pairs`
-    (sigs → banded → pairs → shingled → verified), shared with the
-    connected-components oracle in :mod:`plans.iterative`."""
+def candidate_pairs_cte() -> str:
+    """DuckDB WITH-body twin of :func:`minhash_candidate_pairs`
+    (sigs → banded → pairs)."""
     band_exprs = []
     for b in range(N_BANDS):
         parts = ", ".join(
@@ -246,7 +265,14 @@ def verified_pairs_cte() -> str:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM banded a JOIN banded b USING (band_key)
             WHERE a.doc_id < b.doc_id
-        ),
+        )"""
+
+
+def verified_pairs_cte() -> str:
+    """DuckDB WITH-body twin of :func:`minhash_verified_pairs`
+    (candidate CTEs + shingled + verified), shared with the
+    connected-components oracle in :mod:`plans.iterative`."""
+    return f"""{candidate_pairs_cte()},
         shingled AS (
             SELECT doc_id, list_distinct({T.shingle_hashes_sql('text')}) AS sh
             FROM documents
@@ -280,74 +306,105 @@ def _oracle_minhash_near_dup() -> str:
 # ---------------------------------------------------------------------------
 
 
+_TH_SPARK = f"transform({T.tokens_expr('text')}, tok -> {T._tok_hash_lambda_spark('tok')})"
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """20-bit SimHash per document over token hashes, plus the
-    prefix block key used for Hamming-blocked candidate pairing."""
+    """60-bit wide SimHash per document (three permuted 20-bit
+    streams, functions/text.py:simhash_wide_expr) — the signature the
+    banded near-dup blocking keys off."""
     df = load_table(spark, sf_dir, "documents")
-    th = f"transform({T.tokens_expr('text')}, tok -> {T._tok_hash_lambda_spark('tok')})"
-    sim = F.expr(T.simhash_expr(th))
     return df.select(
         F.col("doc_id"),
-        sim.alias("simhash"),
-        F.expr(
-            f"shiftright({T.simhash_expr(th)}, {T.SIMHASH_BITS - SIMHASH_PREFIX_BITS})"
-        ).alias("block_key"),
+        F.expr(T.simhash_wide_expr(_TH_SPARK)).alias("simhash"),
     )
 
 
 def _simhash_duck(col: str = "text") -> str:
-    return T.simhash_sql(T.token_hashes_sql(col))
+    return T.simhash_wide_sql(T.token_hashes_sql(col))
 
 
 ORACLE_SIMHASH = f"""
     SELECT
         doc_id,
-        {_simhash_duck()} AS simhash,
-        ({_simhash_duck()} >> {T.SIMHASH_BITS - SIMHASH_PREFIX_BITS}) AS block_key
+        {_simhash_duck()} AS simhash
     FROM documents
 """
 
 
+def _simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_key, sim): one row per simhash band. Built as a
+    single let-bound array<struct> explode so the wide simhash is
+    evaluated exactly once per row (CollapseProject would otherwise
+    inline it into every band reference)."""
+    df = load_table(spark, sf_dir, "documents")
+    band_structs = (
+        f"transform(sequence(0, {N_SIMHASH_BANDS - 1}), __b -> named_struct("
+        f"'band_key', concat(cast(__b as string), ':', cast("
+        f"(__s div shiftleft(cast(1 as bigint), __b * {SIMHASH_BAND_BITS})) "
+        f"% {1 << SIMHASH_BAND_BITS} as string)), "
+        f"'sim', __s))"
+    )
+    banded = T.let_spark(T.simhash_wide_expr(_TH_SPARK), "__s", band_structs)
+    return df.select(
+        F.col("doc_id"), F.explode(F.expr(banded)).alias("bs")
+    ).select(
+        "doc_id",
+        F.col("bs.band_key").alias("band_key"),
+        F.col("bs.sim").alias("sim"),
+    )
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: candidate pairs share the 8-bit simhash
-    prefix (keyed shuffle, not all-pairs); verify by Hamming distance
-    (bit_count of xor) ≤ 6, reported as the 50 closest pairs. At
-    scale the standard multi-probe trick (several rotated prefixes)
-    raises recall, and thresholded pairs stream to a sink rather than
-    a top-k — the limit here bounds the checkable artifact on corpora
-    that cluster heavily in simhash space (word-soup test docs do)."""
-    df = q_simhash(spark, sf_dir)
-    a, b = df.alias("a"), df.alias("b")
-    return (
-        a.join(b, "block_key")
+    """SimHash near-dup with banded blocking: each doc emits 4 band
+    keys (15-bit slices of the 60-bit simhash); candidates share any
+    band (keyed equi-join — mirror of the MinHash band join above);
+    verify by Hamming distance ≤ 6, reported as the 50 closest pairs.
+    Pigeonhole gives total recall at Hamming ≤ 3 and band-collision
+    recall above; block count scales with the corpus (≤ 4·2^15 keys),
+    so within-block pairing stays sub-quadratic globally."""
+    banded = _simhash_banded(spark, sf_dir)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, "band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn(
-            "hamming",
-            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int"),
-        )
-        .where(F.col("hamming") <= HAMMING_MAX)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("hamming"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
         )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
         .orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(50)
     )
 
 
 ORACLE_SIMHASH_NEAR_DUP = f"""
-    WITH s AS (
-        SELECT doc_id,
-               {_simhash_duck()} AS simhash,
-               ({_simhash_duck()} >> {T.SIMHASH_BITS - SIMHASH_PREFIX_BITS}) AS block_key
-        FROM documents
+    WITH sigs AS (
+        SELECT doc_id, {_simhash_duck()} AS sim FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, sim,
+               concat(CAST(b AS VARCHAR), ':',
+                      CAST((sim // (CAST(1 AS BIGINT) << (b * {SIMHASH_BAND_BITS})))
+                           % {1 << SIMHASH_BAND_BITS} AS VARCHAR)) AS band_key
+        FROM sigs CROSS JOIN UNNEST(generate_series(0, {N_SIMHASH_BANDS - 1})) AS u(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.sim AS sim_a, b.sim AS sim_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM s a JOIN s b USING (block_key)
-    WHERE a.doc_id < b.doc_id
-      AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
     ORDER BY hamming ASC, doc_a ASC, doc_b ASC
     LIMIT 50
 """
@@ -359,29 +416,37 @@ ORACLE_SIMHASH_NEAR_DUP = f"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over all pairs *within a source block*
-    (the subquadratic contract: pairwise work bounded by block size),
-    top-25 most-similar pairs. Ties broken by (doc_a, doc_b)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    """Exact 4-gram Jaccard, gated on MinHash band candidates (never
+    block-×-block on a low-cardinality key — block size would grow
+    linearly with the corpus). Candidate generation is the 3-shingle
+    MinHash band join; the verify stage re-measures each candidate
+    with a *wider* 4-gram Jaccard (stricter n-gram contiguity than
+    the candidate shingles). Top-25 most-similar pairs, ties broken
+    by (doc_a, doc_b); 0/0 (a side with no 4-gram) is pinned to 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    grams = docs.select(
         F.col("doc_id"),
-        F.col("source"),
-        F.expr(f"array_distinct({T.shingle_hashes_expr('text')})").alias("sh"),
+        F.expr(
+            f"array_distinct({T.shingle_hashes_expr('text', NGRAM_VERIFY_N)})"
+        ).alias("gr"),
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = (
-        a.join(b, "source")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("n_inter", F.expr("size(array_intersect(a.sh, b.sh))"))
+    joined = (
+        pairs.join(grams.withColumnsRenamed({"doc_id": "doc_a", "gr": "gr_a"}), "doc_a")
+        .join(grams.withColumnsRenamed({"doc_id": "doc_b", "gr": "gr_b"}), "doc_b")
+        .withColumn("n_inter", F.expr("size(array_intersect(gr_a, gr_b))"))
+        .withColumn("n_union", F.expr("size(gr_a) + size(gr_b)") - F.col("n_inter"))
         .withColumn(
             "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.expr("size(a.sh) + size(b.sh)") - F.col("n_inter")).cast("double"),
+            F.when(F.col("n_union") == 0, F.lit(0.0)).otherwise(
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double")
+            ),
         )
     )
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        joined.select(
+            "doc_a",
+            "doc_b",
             (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
@@ -390,20 +455,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NGRAM_JACCARD = f"""
-    WITH shingled AS (
-        SELECT doc_id, source, list_distinct({T.shingle_hashes_sql('text')}) AS sh
+    WITH {candidate_pairs_cte()},
+    grams AS (
+        SELECT doc_id, list_distinct({T.shingle_hashes_sql('text', NGRAM_VERIFY_N)}) AS gr
         FROM documents
     ),
-    pairs AS (
+    scored AS (
         SELECT
-            a.doc_id AS doc_a, b.doc_id AS doc_b,
-            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        FROM shingled a JOIN shingled b USING (source)
-        WHERE a.doc_id < b.doc_id
+            p.doc_a, p.doc_b,
+            CASE WHEN len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr)) = 0
+                 THEN 0.0
+                 ELSE CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE)
+                      / (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr)))
+            END AS jaccard
+        FROM pairs p
+        JOIN grams ga ON ga.doc_id = p.doc_a
+        JOIN grams gb ON gb.doc_id = p.doc_b
     )
     SELECT doc_a, doc_b, floor(jaccard * 1e6 + 0.5) / 1e6 AS jaccard
-    FROM pairs
+    FROM scored
     ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
     LIMIT 25
 """

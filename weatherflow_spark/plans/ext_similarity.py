@@ -46,6 +46,11 @@ from weatherflow_spark.io import load_table
 CENTROID_SCALE = 1 << 20  # 1048576
 N_PROBE = 2
 LSH_PLANES = 6
+# Near-dup pair generation uses a wider code than point-lookup ANN:
+# 16 sign bits → 65k buckets, so bucket population scales ~n/2^16 and
+# within-bucket pairing stays sub-quadratic as the corpus grows (6
+# bits would pin the corpus into 64 blocks — the coarse-blocking trap).
+NEARDUP_PLANES = 16
 TOP_K = 10
 
 # ---------------------------------------------------------------------------
@@ -132,32 +137,81 @@ ORACLE_SIMILARITY_TOPK = f"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-25 most-cosine-similar vector pairs within a label block
-    (embedding-based near-dup — the fifth dedup family). Pairwise
-    work is bounded by block size; ties broken by (vec_a, vec_b)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), F.col("label"), F.col("embedding")
+    """Top-25 most-cosine-similar vector pairs, candidate-generated
+    through 16-bit sign-LSH buckets (embedding-based near-dup — the
+    fifth dedup family). One side multi-probes its bucket plus all
+    1-bit flips, the other keeps its raw bucket, so any pair whose
+    codes differ by ≤ 1 bit meets in the keyed equi-join — never a
+    block-×-block join on a low-cardinality key. Exact-cosine verify
+    joins the full vectors back by id (candidate shuffle carries ids
+    only, not 64-dim arrays ×17 probes). Ties broken by (vec_a,
+    vec_b)."""
+    emb_ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.join(b, "label")
+    bucket = lsh_bucket_expr("embedding", NEARDUP_PLANES)
+    hashed = emb_ids.select(
+        F.col("vec_id"), F.expr(bucket).alias("bucket")
+    )
+    # let-bind the bucket so the 16-plane hash is computed once per
+    # row, not once per probe reference.
+    probe_arr = (
+        f"array_union(array(__bk), transform(sequence(0, {NEARDUP_PLANES - 1}), "
+        f"p -> __bk ^ shiftleft(cast(1 as bigint), p)))"
+    )
+    from weatherflow_spark.functions.text import let_spark
+
+    probes = emb_ids.select(
+        F.col("vec_id"),
+        F.explode(F.expr(let_spark(bucket, "__bk", probe_arr))).alias("bucket"),
+    )
+    cand = (
+        probes.alias("a")
+        .join(hashed.alias("b"), "bucket")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("label"),
-            F.expr(cosine_expr("a.embedding", "b.embedding")).alias("cosine"),
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            emb_ids.withColumnsRenamed({"vec_id": "vec_a", "embedding": "emb_a"}),
+            "vec_a",
+        )
+        .join(
+            emb_ids.withColumnsRenamed({"vec_id": "vec_b", "embedding": "emb_b"}),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(cosine_expr("emb_a", "emb_b")).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(25)
     )
 
 
-ORACLE_EMBEDDING_NEAR_DUP = f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-           {cosine_sql('a.embedding', 'b.embedding')} AS cosine
-    FROM embeddings a JOIN embeddings b USING (label)
-    WHERE a.vec_id < b.vec_id
+ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE = """
+    WITH hashed AS (
+        SELECT vec_id, {bucket} AS bucket FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id, unnest(list_distinct(list_prepend(bucket,
+            list_transform(generate_series(0, {planes_minus_1}),
+                           p -> xor(bucket, CAST(1 AS BIGINT) << p))))) AS bucket
+        FROM hashed
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM probes a JOIN hashed b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, {cosine} AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = vec_a
+    JOIN embeddings eb ON eb.vec_id = vec_b
     ORDER BY cosine DESC, vec_a ASC, vec_b ASC
     LIMIT 25
 """
@@ -269,20 +323,23 @@ def _plane_weight_spark(p: str, d: str) -> str:
     )
 
 
-def lsh_bucket_expr(vec: str) -> str:
-    """Spark SQL: 6-bit sign bucket — bit p set iff dot(plane_p, vec) > 0."""
+def lsh_bucket_expr(vec: str, planes: int = LSH_PLANES) -> str:
+    """Spark SQL: ``planes``-bit sign bucket — bit p set iff
+    dot(plane_p, vec) > 0. Plane-p weight for dim d is derived
+    arithmetically from (p, d), so Spark's 1-indexed fold below and
+    DuckDB's 1-indexed lists agree exactly."""
     dot_p = (
         f"aggregate(sequence(1, size({vec})), cast(0.0 as double), "
         f"(acc, d) -> acc + {_plane_weight_spark('p', 'd')} * cast({vec}[d - 1] as double))"
     )
     return (
-        f"aggregate(sequence(0, {LSH_PLANES - 1}), cast(0 as bigint), (acc, p) -> "
+        f"aggregate(sequence(0, {planes - 1}), cast(0 as bigint), (acc, p) -> "
         f"acc + (CASE WHEN ({dot_p}) > 0.0 THEN shiftleft(cast(1 as bigint), p) "
         f"ELSE cast(0 as bigint) END))"
     )
 
 
-def lsh_bucket_sql(vec: str) -> str:
+def lsh_bucket_sql(vec: str, planes: int = LSH_PLANES) -> str:
     dot_p = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(generate_series(1, len({vec})), "
@@ -292,7 +349,7 @@ def lsh_bucket_sql(vec: str) -> str:
     )
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(generate_series(0, {LSH_PLANES - 1}), p -> "
+        f"list_transform(generate_series(0, {planes - 1}), p -> "
         f"CASE WHEN ({dot_p}) > 0.0 THEN (CAST(1 AS BIGINT) << p) "
         f"ELSE CAST(0 AS BIGINT) END)), (acc, v) -> acc + v)"
     )
@@ -355,6 +412,15 @@ ORACLE_ANN_LSH_TOPK = f"""
     ORDER BY cosine DESC, vec_id ASC
     LIMIT {TOP_K}
 """
+
+
+# Filled here (not at its definition site) because it needs
+# lsh_bucket_sql, defined above.
+ORACLE_EMBEDDING_NEAR_DUP = ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE.format(
+    bucket=lsh_bucket_sql("embedding", NEARDUP_PLANES),
+    planes_minus_1=NEARDUP_PLANES - 1,
+    cosine=cosine_sql("ea.embedding", "eb.embedding"),
+)
 
 
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
