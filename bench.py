@@ -51,6 +51,13 @@ OPTIONAL = [
     "q_window_dist",
     "q_bpe_token_count",
     "q_embedding_quantize",
+    # round 2: consolidated fidelity + re-blocked near-dup families
+    "q_fidelity_datetime",
+    "q_simhash_near_dup",
+    "q_ngram_jaccard",
+    "q_embedding_near_dup",
+    "q_ann_lsh_topk",
+    "q_salted_agg",
 ]
 
 

@@ -165,6 +165,28 @@ ORACLES: dict[str, str] = {
             {HEAT_INDEX} AS heat_index
         FROM w
     """,
+    "q_fidelity_datetime": f"""
+        WITH w AS ({EVENTS_SIM})
+        SELECT
+            event_id,
+            CAST(trunc(value) AS BIGINT) AS value_long,
+            CAST(user_id AS DOUBLE) AS user_id_double,
+            {LOCAL_TS} AS local_ts,
+            CAST(month({LOCAL_TS}) AS INTEGER) AS month_num,
+            dayname({LOCAL_TS}) AS weekday_name,
+            monthname({LOCAL_TS}) AS month_name,
+            CAST(year({LOCAL_TS}) AS INTEGER) AS year_num,
+            CAST(day({LOCAL_TS}) AS INTEGER) AS day_num,
+            CAST(hour({LOCAL_TS}) AS INTEGER) AS hour_num,
+            'Q' || CAST(quarter({LOCAL_TS}) AS VARCHAR) AS quarter_label,
+            {SEASON_SQL.format(ts=LOCAL_TS)} AS season_label,
+            CAST(floor(((epoch_s + CAST(trunc(value) AS BIGINT) * 60) - epoch_s) / 60.0)
+                 AS BIGINT) AS daylight_minutes,
+            strftime({LOCAL_TS}, '%Y-%m-%d') AS date_str,
+            strftime({LOCAL_TS}, '%Y-%m-%d %H:%M:%S') AS datetime_str
+        FROM w
+        WHERE value BETWEEN 50.0 AND 950.0
+    """,
     "q_branch_merge": f"""
         WITH w AS ({EVENTS_SIM}),
         datetime_branch AS (
@@ -259,6 +281,15 @@ ORACLES.update(
         """,
         "q_join_anti": """
             SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        """,
+        "q_join_semi_anti": """
+            SELECT o_orderkey, o_totalprice, 'semi' AS side
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, 'anti' AS side
             FROM orders
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         """,
@@ -366,6 +397,23 @@ ORACLES.update(
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
             INTERSECT
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        """,
+        "q_set_ops": """
+            SELECT 'union_all' AS op, p_partkey AS key_id FROM part WHERE p_size <= 10
+            UNION ALL
+            SELECT 'union_all' AS op, p_partkey AS key_id FROM part WHERE p_size >= 40
+            UNION ALL
+            SELECT 'except' AS op, key_id FROM (
+                SELECT p_partkey AS key_id FROM part
+                EXCEPT
+                SELECT p_partkey AS key_id FROM part WHERE p_size > 20
+            )
+            UNION ALL
+            SELECT 'intersect' AS op, key_id FROM (
+                SELECT c_custkey AS key_id FROM customer WHERE c_mktsegment = 'FURNITURE'
+                INTERSECT
+                SELECT c_custkey AS key_id FROM customer WHERE c_acctbal > 5000.0
+            )
         """,
         "q_tumbling_window_agg": f"""
             SELECT

@@ -229,6 +229,38 @@ def q_derived_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fidelity_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated scalar-fidelity query — one pass covering the
+    reference's F1-F10 transform set plus P3/P4 (etl.py:26-66):
+    defensive casts, epoch+offset→local timestamp, all calendar
+    parts, quarter/season buckets, whole-minute diffs, date
+    rendering, a range predicate (pushed to the parquet scan) and
+    column-drop projection. Single narrow projection — Catalyst
+    collapses every expression into the scan stage. The per-function
+    single-op twins (q_cast, q_epoch_to_local_ts, ...) remain
+    registered for pinpoint debugging."""
+    df = events_weather(spark, sf_dir)
+    local = _local_ts(df)
+    sunset = F.col("epoch_s") + F.col("value").cast("long") * F.lit(60)
+    return df.where(F.col("value").between(50.0, 950.0)).select(
+        F.col("event_id"),
+        F.col("value").cast("long").alias("value_long"),
+        F.col("user_id").cast("double").alias("user_id_double"),
+        local.alias("local_ts"),
+        F.month(local).alias("month_num"),
+        F.date_format(local, "EEEE").alias("weekday_name"),
+        F.date_format(local, "MMMM").alias("month_name"),
+        F.year(local).alias("year_num"),
+        F.dayofmonth(local).alias("day_num"),
+        F.hour(local).alias("hour_num"),
+        quarter_bucket(local).alias("quarter_label"),
+        season_bucket(local).alias("season_label"),
+        ts_diff_minutes(F.col("epoch_s"), sunset).alias("daylight_minutes"),
+        F.date_format(local, "yyyy-MM-dd").alias("date_str"),
+        F.date_format(local, "yyyy-MM-dd HH:mm:ss").alias("datetime_str"),
+    )
+
+
 def q_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (etl.py:86-94): the reference recombines two parallel
     transform branches by *list position* — meaningless distributed.
@@ -263,5 +295,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ts_diff_minutes": q_ts_diff_minutes,
     "q_date_format": q_date_format,
     "q_derived_metrics": q_derived_metrics,
+    "q_fidelity_datetime": q_fidelity_datetime,
     "q_branch_merge": q_branch_merge,
 }

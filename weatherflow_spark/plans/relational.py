@@ -159,6 +159,29 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice")
 
 
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join in one certified result: orders WITH at least
+    one lineitem (tag 'semi') unioned with orders WITHOUT (tag
+    'anti'). Both sides build a hash set of lineitem keys — no row
+    multiplication — and together they partition `orders` exactly,
+    which the oracle's EXISTS/NOT EXISTS twin checks row-for-row.
+    The single-mode twins (q_join_semi / q_join_anti) stay
+    registered."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    semi = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("side", F.lit("semi"))
+    )
+    anti = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("side", F.lit("anti"))
+    )
+    return semi.unionByName(anti)
+
+
 # ---------------------------------------------------------------------------
 # §2.5 aggregations
 # ---------------------------------------------------------------------------
@@ -346,6 +369,35 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersect(b)
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 consolidated: the three set-operation semantics in one
+    tagged, same-schema result — UNION ALL (bag: duplicate keys
+    survive and the order-insensitive value hash counts them),
+    EXCEPT DISTINCT, INTERSECT DISTINCT. The per-op twins
+    (q_union/q_except/q_intersect) stay registered."""
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+    union_all = (
+        part.where(F.col("p_size") <= 10)
+        .select("p_partkey")
+        .unionByName(part.where(F.col("p_size") >= 40).select("p_partkey"))
+        .select(F.lit("union_all").alias("op"), F.col("p_partkey").alias("key_id"))
+    )
+    except_d = (
+        part.select("p_partkey")
+        .exceptAll(part.where(F.col("p_size") > 20).select("p_partkey"))
+        .distinct()
+        .select(F.lit("except").alias("op"), F.col("p_partkey").alias("key_id"))
+    )
+    intersect_d = (
+        customer.where(F.col("c_mktsegment") == "FURNITURE")
+        .select("c_custkey")
+        .intersect(customer.where(F.col("c_acctbal") > 5000.0).select("c_custkey"))
+        .select(F.lit("intersect").alias("op"), F.col("c_custkey").alias("key_id"))
+    )
+    return union_all.unionByName(except_d).unionByName(intersect_d)
+
+
 # ---------------------------------------------------------------------------
 # §2.9 streaming surface, batch-checkable part
 # ---------------------------------------------------------------------------
@@ -376,6 +428,7 @@ RELATIONAL_QUERIES = {
     "q_join_left": q_join_left,
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
+    "q_join_semi_anti": q_join_semi_anti,
     "q_groupby_agg": q_groupby_agg,
     "q_count_distinct": q_count_distinct,
     "q_approx_count_distinct": q_approx_count_distinct,
@@ -388,5 +441,6 @@ RELATIONAL_QUERIES = {
     "q_union": q_union,
     "q_except": q_except,
     "q_intersect": q_intersect,
+    "q_set_ops": q_set_ops,
     "q_tumbling_window_agg": q_tumbling_window_agg,
 }
