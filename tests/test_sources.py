@@ -89,9 +89,55 @@ def test_rest_point_source_flatten(spark):
     assert len(df.columns) == 15
 
 
-def test_rest_fetch_requires_client():
+def test_rest_fetch_requires_client(monkeypatch):
+    # With neither an injected client nor an importable requests
+    # module, the fetch must fail loudly, not return nothing.
+    from weatherflow_spark.sources import weather_api
+
+    monkeypatch.setattr(weather_api, "default_http_get", lambda: None)
     with pytest.raises(NotImplementedError):
         fetch_observations([(1, "X", "Y")])
+
+
+def test_rest_fetch_uses_default_client(monkeypatch):
+    # When no client is injected, the requests-backed default (seam:
+    # default_http_get) is picked up automatically.
+    from weatherflow_spark.sources import weather_api
+
+    calls = []
+
+    def fake_default():
+        def _get(url):
+            calls.append(url)
+            return json.dumps(_SAMPLE_RESPONSE)
+
+        return _get
+
+    monkeypatch.setattr(weather_api, "default_http_get", fake_default)
+    records = weather_api.fetch_observations([(7, "Toronto", "CA")])
+    assert len(records) == 1 and records[0][0] == 7
+    assert calls and "Toronto,CA" in calls[0]
+
+
+def test_station_seed_matches_reference(spark):
+    """The W_STATION seed (insert_stations.sql:1-4) and the poll-cycle
+    scan (api.py:20): 4 rows, 2 enabled, exact contents."""
+    from weatherflow_spark.sources.stations import enabled_stations, station_seed
+
+    seed = station_seed(spark)
+    rows = {r.station_id: r for r in seed.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].city == "Windsor" and rows[1].enabled == 1
+    assert rows[2].city == "Toronto" and rows[2].enabled == 1
+    assert rows[3].city == "London" and rows[3].enabled == 0
+    assert rows[4].city == "Sudbury" and rows[4].enabled == 0
+    assert rows[1].lat == 42.317432 and rows[1].long == -83.026772
+
+    scanned = enabled_stations(seed).collect()
+    assert sorted((r.station_id, r.city, r.country_code) for r in scanned) == [
+        (1, "Windsor", "CA"),
+        (2, "Toronto", "CA"),
+    ]
 
 
 def test_rest_flatten_feeds_transform_core(spark):

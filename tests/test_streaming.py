@@ -113,6 +113,48 @@ def test_weather_etl_stream_star_load(spark, tmp_path):
     assert fact.select("record_id").distinct().count() == n_events
 
 
+def test_weather_etl_stream_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """End-to-end batch/stream parity: the streamed warehouse must
+    equal the same transform core run in batch (one core, two
+    runners), and re-running the stream with a fresh checkpoint (an
+    at-least-once replay of every batch) must not change the
+    warehouse (the keyed-upsert sink contract)."""
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.operators.star import build_weather_star
+    from weatherflow_spark.streaming.pipeline import (
+        events_as_weather_stream,
+        weather_transform_core,
+    )
+
+    wh = str(tmp_path / "warehouse")
+    q = weather_etl_stream(spark, SF_SMALL, wh, str(tmp_path / "ckpt_parity_1"))
+    q.awaitTermination()
+
+    # batch twin: identical transform core on the batch-loaded events
+    batch_events = load_table(spark, SF_SMALL, "events")
+    batch_star = build_weather_star(
+        weather_transform_core(events_as_weather_stream(batch_events)),
+        station_col="station_id",
+    )
+    for name in ("w_fact", "w_time_dim", "w_param_dim", "w_temp_dim",
+                 "w_heat_index_dim"):
+        streamed = spark.read.parquet(os.path.join(wh, name))
+        want = batch_star[name]
+        assert streamed.columns == want.columns, name
+        key = streamed.columns[0]
+        got_rows = [tuple(r) for r in streamed.orderBy(key).collect()]
+        want_rows = [tuple(r) for r in want.orderBy(key).collect()]
+        assert got_rows == want_rows, f"{name}: stream != batch"
+
+    # full replay (fresh checkpoint, same warehouse): upsert by
+    # surrogate key keeps every table byte-stable — append would
+    # have doubled it
+    n_before = spark.read.parquet(os.path.join(wh, "w_fact")).count()
+    q2 = weather_etl_stream(spark, SF_SMALL, wh, str(tmp_path / "ckpt_parity_2"))
+    q2.awaitTermination()
+    assert spark.read.parquet(os.path.join(wh, "w_fact")).count() == n_before
+
+
 def test_stream_session_window_matches_batch(spark, tmp_path):
     """Streaming sessionization (availableNow) must equal the
     batch/oracle-checked q_session_window on the same data."""

@@ -92,17 +92,43 @@ def flatten_responses(raw: DataFrame, body_col: str = "body") -> DataFrame:
     )
 
 
+def default_http_get() -> Callable[[str], str] | None:
+    """A thin ``requests``-backed GET if the library is importable,
+    else None. Kept out of the engine's hard dependencies: containers
+    without network (or without requests) still import this module,
+    and tests keep injecting canned clients through the same seam."""
+    try:
+        import requests
+    except ImportError:
+        return None
+
+    def _get(url: str) -> str:
+        resp = requests.get(url, timeout=30)
+        resp.raise_for_status()
+        return resp.text
+
+    return _get
+
+
 def fetch_observations(
     stations: Iterable[tuple[int, str, str]],
     http_get: Callable[[str], str] | None = None,
 ) -> list[tuple[int, str]]:
     """Driver-side fetch loop (api.py:23-28). ``http_get`` is
-    injected; the default STUB raises — tests pass a canned-response
-    callable, deployments pass a real HTTP client (requests is not a
-    dependency of the engine)."""
+    injectable (tests pass a canned-response callable); when omitted,
+    a ``requests``-backed default is used if requests is importable,
+    otherwise this raises rather than silently returning nothing.
+
+    Runnable ingestion example (deployment with network access)::
+
+        records = fetch_observations([(1, "London", "uk")])
+        df = observations_to_df(spark, records)
+    """
+    if http_get is None:
+        http_get = default_http_get()
     if http_get is None:
         raise NotImplementedError(
-            "no HTTP client in this environment — inject http_get"
+            "no HTTP client available — install requests or inject http_get"
         )
     out = []
     for station_id, city, country in stations:
