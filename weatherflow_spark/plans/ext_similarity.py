@@ -47,10 +47,15 @@ CENTROID_SCALE = 1 << 20  # 1048576
 N_PROBE = 2
 LSH_PLANES = 6
 # Near-dup pair generation uses a wider code than point-lookup ANN:
-# 16 sign bits → 65k buckets, so bucket population scales ~n/2^16 and
-# within-bucket pairing stays sub-quadratic as the corpus grows (6
-# bits would pin the corpus into 64 blocks — the coarse-blocking trap).
-NEARDUP_PLANES = 16
+# the low 16 sign bits key the candidate join (65k buckets, so bucket
+# population scales ~n/2^16 — never the 64-block coarse-blocking
+# trap), while the full 48-bit code ranks candidates by Hamming
+# distance so only a bounded shortlist pays the exact-cosine verify.
+# 48 (not 64) planes keep every packed code < 2^48, clear of BIGINT
+# overflow in both engines' bit-set-by-addition folds.
+NEARDUP_PLANES = 48
+NEARDUP_BUCKET_BITS = 16
+NEARDUP_SHORTLIST = 20000
 TOP_K = 10
 
 # ---------------------------------------------------------------------------
@@ -138,44 +143,65 @@ ORACLE_SIMILARITY_TOPK = f"""
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 most-cosine-similar vector pairs, candidate-generated
-    through 16-bit sign-LSH buckets (embedding-based near-dup — the
-    fifth dedup family). One side multi-probes its bucket plus all
-    1-bit flips, the other keeps its raw bucket, so any pair whose
-    codes differ by ≤ 1 bit meets in the keyed equi-join — never a
-    block-×-block join on a low-cardinality key. Exact-cosine verify
-    joins the full vectors back by id (candidate shuffle carries ids
-    only, not 64-dim arrays ×17 probes). Ties broken by (vec_a,
-    vec_b)."""
+    through sign-LSH codes (embedding-based near-dup — the fifth
+    dedup family). Three bounded stages:
+
+    1. **code**: 48-plane sign code per vector, materialized once
+       (persist, repartitioned off the raw splits so the hyperplane
+       fold parallelizes); the low 16 bits form the bucket key.
+    2. **candidates**: keyed equi-join — one side multi-probes its
+       bucket plus all 1-bit flips, the other keeps its raw bucket.
+       Never a block-×-block join on a low-cardinality key.
+    3. **shortlist + verify**: candidates ranked by 48-bit code
+       Hamming distance (a cheap cosine surrogate), top-20k kept
+       (total order: hamming, vec_a, vec_b), and only the shortlist
+       pays the exact-cosine verify against the full vectors —
+       clustered corpora can emit millions of candidates (measured
+       1M pairs on 2k clustered vectors), and reranking a bounded
+       shortlist is what caps the verify stage at scale.
+    Ties broken by (vec_a, vec_b)."""
     emb_ids = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.col("embedding")
     )
-    bucket = lsh_bucket_expr("embedding", NEARDUP_PLANES)
-    hashed = emb_ids.select(
-        F.col("vec_id"), F.expr(bucket).alias("bucket")
+    par = spark.sparkContext.defaultParallelism
+    hashed = (
+        emb_ids.repartition(par, F.col("vec_id"))
+        .select(
+            F.col("vec_id"),
+            F.expr(lsh_bucket_expr("embedding", NEARDUP_PLANES)).alias("code"),
+        )
+        .withColumn("bucket", F.col("code") % F.lit(1 << NEARDUP_BUCKET_BITS))
+        .persist()
     )
-    # let-bind the bucket so the 16-plane hash is computed once per
-    # row, not once per probe reference.
     probe_arr = (
-        f"array_union(array(__bk), transform(sequence(0, {NEARDUP_PLANES - 1}), "
-        f"p -> __bk ^ shiftleft(cast(1 as bigint), p)))"
+        f"array_union(array(bucket), transform(sequence(0, {NEARDUP_BUCKET_BITS - 1}), "
+        f"p -> bucket ^ shiftleft(cast(1 as bigint), p)))"
     )
-    from weatherflow_spark.functions.text import let_spark
-
-    probes = emb_ids.select(
+    probes = hashed.select(
         F.col("vec_id"),
-        F.explode(F.expr(let_spark(bucket, "__bk", probe_arr))).alias("bucket"),
+        F.col("code"),
+        F.explode(F.expr(probe_arr)).alias("bucket"),
     )
     cand = (
         probes.alias("a")
         .join(hashed.alias("b"), "bucket")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.code").alias("code_a"),
+            F.col("b.code").alias("code_b"),
         )
         .distinct()
     )
+    shortlist = (
+        cand.withColumn("ham", F.expr("bit_count(code_a ^ code_b)").cast("int"))
+        .orderBy(F.asc("ham"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(NEARDUP_SHORTLIST)
+        .select("vec_a", "vec_b")
+    )
     return (
-        cand.join(
+        shortlist.join(
             emb_ids.withColumnsRenamed({"vec_id": "vec_a", "embedding": "emb_a"}),
             "vec_a",
         )
@@ -195,21 +221,29 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE = """
     WITH hashed AS (
-        SELECT vec_id, {bucket} AS bucket FROM embeddings
+        SELECT vec_id, {code} AS code,
+               ({code}) % {bucket_mod} AS bucket
+        FROM embeddings
     ),
     probes AS (
-        SELECT vec_id, unnest(list_distinct(list_prepend(bucket,
-            list_transform(generate_series(0, {planes_minus_1}),
+        SELECT vec_id, code, unnest(list_distinct(list_prepend(bucket,
+            list_transform(generate_series(0, {bucket_bits_minus_1}),
                            p -> xor(bucket, CAST(1 AS BIGINT) << p))))) AS bucket
         FROM hashed
     ),
     cand AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                        a.code AS code_a, b.code AS code_b
         FROM probes a JOIN hashed b USING (bucket)
         WHERE a.vec_id < b.vec_id
+    ),
+    shortlist AS (
+        SELECT vec_a, vec_b FROM cand
+        ORDER BY bit_count(xor(code_a, code_b)) ASC, vec_a ASC, vec_b ASC
+        LIMIT {shortlist}
     )
     SELECT vec_a, vec_b, {cosine} AS cosine
-    FROM cand
+    FROM shortlist
     JOIN embeddings ea ON ea.vec_id = vec_a
     JOIN embeddings eb ON eb.vec_id = vec_b
     ORDER BY cosine DESC, vec_a ASC, vec_b ASC
@@ -417,8 +451,10 @@ ORACLE_ANN_LSH_TOPK = f"""
 # Filled here (not at its definition site) because it needs
 # lsh_bucket_sql, defined above.
 ORACLE_EMBEDDING_NEAR_DUP = ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE.format(
-    bucket=lsh_bucket_sql("embedding", NEARDUP_PLANES),
-    planes_minus_1=NEARDUP_PLANES - 1,
+    code=lsh_bucket_sql("embedding", NEARDUP_PLANES),
+    bucket_mod=1 << NEARDUP_BUCKET_BITS,
+    bucket_bits_minus_1=NEARDUP_BUCKET_BITS - 1,
+    shortlist=NEARDUP_SHORTLIST,
     cosine=cosine_sql("ea.embedding", "eb.embedding"),
 )
 
