@@ -93,10 +93,10 @@ _CERTIFICATION_WINDOW = [
     # E3/E8 text analysis
     "q_text_stats",
     "q_lang_id",
-    "q_doc_fingerprint",
     "q_bpe_token_count",
-    # E5 distributed statistics
+    # E5 distributed statistics / E10 distribution windows
     "q_stats_moments",
+    "q_window_dist",
     # E6 TPC-H compositions
     "q_tpch_q3",
     "q_tpch_q5",
