@@ -35,6 +35,7 @@ from weatherflow_spark.plans.analytics import ANALYTICS_QUERIES, ANALYTICS_ORACL
 from weatherflow_spark.plans.iterative import ITERATIVE_QUERIES, ITERATIVE_ORACLES
 from weatherflow_spark.plans.stats import STATS_QUERIES, STATS_ORACLES
 from weatherflow_spark.plans.tpch import TPCH_QUERIES, TPCH_ORACLES
+from weatherflow_spark.plans.sketches import SKETCH_QUERIES, SKETCH_ORACLES
 
 _ALL = {
     **_CORE,
@@ -49,6 +50,7 @@ _ALL = {
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **UDF_QUERIES,
+    **SKETCH_QUERIES,
 }
 
 # One representative per SURVEY §2 component, most-consolidated form
@@ -136,6 +138,7 @@ ORACLES = {
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
     **UDF_ORACLES,
+    **SKETCH_ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES", "flagship"]
