@@ -58,6 +58,11 @@ OPTIONAL = [
     "q_embedding_near_dup",
     "q_ann_lsh_topk",
     "q_salted_agg",
+    # round 2 widening: sketches, layout keys, time-series, graph
+    "q_cms_heavy_hitters",
+    "q_bloom_semi_join",
+    "q_gap_fill_interpolate",
+    "q_pagerank",
 ]
 
 

@@ -36,6 +36,8 @@ from weatherflow_spark.plans.iterative import ITERATIVE_QUERIES, ITERATIVE_ORACL
 from weatherflow_spark.plans.stats import STATS_QUERIES, STATS_ORACLES
 from weatherflow_spark.plans.tpch import TPCH_QUERIES, TPCH_ORACLES
 from weatherflow_spark.plans.sketches import SKETCH_QUERIES, SKETCH_ORACLES
+from weatherflow_spark.plans.timeseries import TIMESERIES_QUERIES, TIMESERIES_ORACLES
+from weatherflow_spark.plans.graph import GRAPH_QUERIES, GRAPH_ORACLES
 
 _ALL = {
     **_CORE,
@@ -51,6 +53,8 @@ _ALL = {
     **SIMILARITY_QUERIES,
     **UDF_QUERIES,
     **SKETCH_QUERIES,
+    **TIMESERIES_QUERIES,
+    **GRAPH_QUERIES,
 }
 
 # One representative per SURVEY §2 component, most-consolidated form
@@ -65,18 +69,14 @@ _CERTIFICATION_WINDOW = [
     "q_json_extract",             # S3/E4
     "q_star_build",               # K1/K2
     "q_star_join_agg",            # J2
-    # joins
-    "q_join_left",
-    "q_join_semi_anti",
-    "q_asof_join",
-    "q_range_join",
+    # joins (consolidated: outer+semi+anti, as-of+range)
+    "q_join_mix",
+    "q_temporal_join_suite",
     # aggregation / windows / sort / sets / streaming-batch twins
     "q_groupby_agg",              # A1
     "q_count_distinct",           # A2
     "q_rollup_time",              # A3
-    "q_window_rank",              # W1
-    "q_window_lag",               # W2
-    "q_window_moving_avg",        # W3
+    "q_window_suite",             # W1+W2+W3
     "q_sort",                     # O1
     "q_topk",                     # O2
     "q_set_ops",                  # U1
@@ -94,7 +94,6 @@ _CERTIFICATION_WINDOW = [
     "q_ann_lsh_topk",
     # E3/E8 text analysis
     "q_text_stats",
-    "q_lang_id",
     "q_bpe_token_count",
     # E5 distributed statistics / E10 distribution windows
     "q_stats_moments",
@@ -114,9 +113,14 @@ _CERTIFICATION_WINDOW = [
     "q_pandas_udf_metric",
     "q_multimodal_features",
     "q_multimodal_frames",
-    # iterative + sketch surfaces
+    # iterative + sketch + layout + time-series + graph surfaces
     "q_dedup_clusters",
     "q_approx_quantiles",
+    "q_zorder_key",               # E19
+    "q_cms_heavy_hitters",        # E20
+    "q_bloom_semi_join",          # E21
+    "q_gap_fill_interpolate",     # E22
+    "q_pagerank",                 # E23
 ]
 
 assert len(_CERTIFICATION_WINDOW) == 50, len(_CERTIFICATION_WINDOW)
@@ -139,6 +143,8 @@ ORACLES = {
     **SIMILARITY_ORACLES,
     **UDF_ORACLES,
     **SKETCH_ORACLES,
+    **TIMESERIES_ORACLES,
+    **GRAPH_ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES", "flagship"]

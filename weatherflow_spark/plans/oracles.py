@@ -363,6 +363,46 @@ ORACLES.update(
                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
             )
         """,
+        "q_window_suite": """
+            SELECT
+                event_id,
+                user_id,
+                value,
+                CAST(row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS INTEGER) AS recency_rank,
+                lag(value) OVER wa AS prev_value,
+                value - lag(value) OVER wa AS delta,
+                sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER wf
+                    / (100.0 * count(*) OVER wf) AS moving_avg
+            FROM events
+            WINDOW
+                wa AS (PARTITION BY user_id ORDER BY ts, event_id),
+                wf AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                )
+        """,
+        "q_join_mix": f"""
+            SELECT
+                'left' AS side,
+                c_custkey AS key_id,
+                count(o_orderkey) AS n,
+                coalesce({_ssum('o_totalprice')}, 0.0) AS amount
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+            UNION ALL
+            SELECT 'semi' AS side, o_orderkey AS key_id,
+                   CAST(1 AS BIGINT) AS n, o_totalprice AS amount
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            UNION ALL
+            SELECT 'anti' AS side, o_orderkey AS key_id,
+                   CAST(0 AS BIGINT) AS n, o_totalprice AS amount
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        """,
         "q_sort": """
             WITH top AS (
                 SELECT o_orderkey, o_totalprice

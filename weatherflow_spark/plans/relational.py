@@ -309,6 +309,77 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2+W3 consolidated: recency rank, lag delta, and a 4-row
+    moving average — all per-user, from ONE shuffle on user_id (the
+    two opposite-ordered window specs share the partitioning; Spark
+    plans a single exchange with two in-partition sorts). This is the
+    window family's certification row; the single-op twins
+    (q_window_rank/lag/moving_avg) stay registered in the tail."""
+    events = load_table(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wf = wa.rowsBetween(-3, Window.currentRow)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+    prev = F.lag("value").over(wa)
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(wd).alias("recency_rank"),
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("delta"),
+        (F.sum(cents).over(wf) / (F.lit(100.0) * F.count(F.lit(1)).over(wf))).alias(
+            "moving_avg"
+        ),
+    )
+
+
+def q_join_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer+semi+anti consolidated into one certified result:
+    per-customer left-outer order totals (side 'left', zero-filled
+    for order-less customers) unioned with the semi/anti partition of
+    orders by lineitem existence. Each branch keeps its optimal
+    physical form — left is a shuffle join + agg, semi/anti build a
+    hash set of lineitem keys with no row multiplication."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    left = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n"),
+            F.coalesce(cents_sum(F.col("o_totalprice")), F.lit(0.0)).alias("amount"),
+        )
+        .select(
+            F.lit("left").alias("side"),
+            F.col("c_custkey").alias("key_id"),
+            F.col("n"),
+            F.col("amount"),
+        )
+    )
+    semi = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select(
+            F.lit("semi").alias("side"),
+            F.col("o_orderkey").alias("key_id"),
+            F.lit(1).cast("long").alias("n"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    anti = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .select(
+            F.lit("anti").alias("side"),
+            F.col("o_orderkey").alias("key_id"),
+            F.lit(0).cast("long").alias("n"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    return left.unionByName(semi).unionByName(anti)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sort / top-k
 # ---------------------------------------------------------------------------
@@ -436,6 +507,8 @@ RELATIONAL_QUERIES = {
     "q_window_rank": q_window_rank,
     "q_window_lag": q_window_lag,
     "q_window_moving_avg": q_window_moving_avg,
+    "q_window_suite": q_window_suite,
+    "q_join_mix": q_join_mix,
     "q_sort": q_sort,
     "q_topk": q_topk,
     "q_union": q_union,

@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weatherflow_spark.functions import text as T
 from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.bloom import bloom_prune
 from weatherflow_spark.operators.zorder import zvalue_expr, zvalue_sql
+from weatherflow_spark.plans.queries import cents_sum, scaled_sum_sql
 
 CMS_W = 1024
 # Row-hash constants: reuse the engine's fixed minhash permutation
@@ -179,12 +181,51 @@ ORACLE_ZORDER_KEY = f"""
 """
 
 
+BLOOM_PRICE_MIN = 475000.0  # ~p95 of o_totalprice — a selective dim
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue summary of lineitems belonging to the top ~5% orders
+    by total price, with the fact scan pre-pruned by an explicit
+    bloom filter on the order-key set (operators/bloom.py) before the
+    exact semi join. The bloom is transparent — false positives are
+    removed by the join — so the oracle is the plain semi-join SQL;
+    the pruning itself is asserted in tests/test_bloom.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = orders.where(F.col("o_totalprice") > BLOOM_PRICE_MIN).select("o_orderkey")
+    pruned = bloom_prune(li, dim, "l_orderkey", "o_orderkey")
+    return (
+        pruned.join(dim, pruned["l_orderkey"] == dim["o_orderkey"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        )
+    )
+
+
+ORACLE_BLOOM_SEMI_JOIN = f"""
+    SELECT
+        l_returnflag,
+        count(*) AS n_items,
+        {scaled_sum_sql('l_extendedprice')} AS sum_base_price
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > {BLOOM_PRICE_MIN}
+    )
+    GROUP BY l_returnflag
+"""
+
+
 SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_zorder_key": q_zorder_key,
+    "q_bloom_semi_join": q_bloom_semi_join,
 }
 
 SKETCH_ORACLES: dict[str, str] = {
     "q_cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "q_zorder_key": ORACLE_ZORDER_KEY,
+    "q_bloom_semi_join": ORACLE_BLOOM_SEMI_JOIN,
 }

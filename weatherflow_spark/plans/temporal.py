@@ -164,6 +164,45 @@ ORACLE_RANGE_JOIN = """
 """
 
 
+def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of + range join consolidated into one certified result,
+    tagged by side: per purchase, ('asof', view attribution with the
+    gap in seconds) and ('range', the 30-minute click count). Each
+    branch keeps its optimal physical form — the as-of is the
+    union-window single-shuffle algorithm, the range a hash join on
+    the user equi-key. Single-op twins stay registered in the tail."""
+    asof = q_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("side"),
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("view_id").alias("ref_id"),
+        F.col("gap_s").alias("metric"),
+    )
+    rng = q_range_join(spark, sf_dir).select(
+        F.lit("range").alias("side"),
+        "purchase_id",
+        "user_id",
+        F.col("p_ts").alias("purchase_ts"),
+        F.lit(None).cast("long").alias("ref_id"),
+        F.col("n_clicks_30m").alias("metric"),
+    )
+    return asof.unionByName(rng)
+
+
+ORACLE_TEMPORAL_JOIN_SUITE = f"""
+    WITH asof_side AS ({ORACLE_ASOF_JOIN}),
+    range_side AS ({ORACLE_RANGE_JOIN})
+    SELECT 'asof' AS side, purchase_id, user_id, purchase_ts,
+           view_id AS ref_id, gap_s AS metric
+    FROM asof_side
+    UNION ALL
+    SELECT 'range' AS side, purchase_id, user_id, p_ts AS purchase_ts,
+           CAST(NULL AS BIGINT) AS ref_id, n_clicks_30m AS metric
+    FROM range_side
+"""
+
+
 # ---------------------------------------------------------------------------
 # q_cube / q_grouping_sets — multi-grain aggregates
 # ---------------------------------------------------------------------------
@@ -230,6 +269,7 @@ ORACLE_GROUPING_SETS = """
 TEMPORAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
+    "q_temporal_join_suite": q_temporal_join_suite,
     "q_cube": q_cube,
     "q_grouping_sets": q_grouping_sets,
 }
@@ -237,6 +277,7 @@ TEMPORAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 TEMPORAL_ORACLES: dict[str, str] = {
     "q_asof_join": ORACLE_ASOF_JOIN,
     "q_range_join": ORACLE_RANGE_JOIN,
+    "q_temporal_join_suite": ORACLE_TEMPORAL_JOIN_SUITE,
     "q_cube": ORACLE_CUBE,
     "q_grouping_sets": ORACLE_GROUPING_SETS,
 }

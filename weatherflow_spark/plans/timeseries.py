@@ -1,0 +1,185 @@
+"""Time-series gap filling with linear interpolation.
+
+The reference's whole domain is periodic weather observations
+(dags/weather_etl.py polls every 5 minutes); real feeds drop
+readings, so the canonical downstream repair is: regularize onto a
+dense time spine, then fill the holes — forward/backward fill at the
+series edges, linear interpolation between the surrounding
+observations inside. This module expresses that as pure DataFrame
+ops, hash-checkable against a DuckDB twin.
+
+Algorithm (per series key, here ``event_type``):
+
+1. **Observe** — hourly buckets with exact integer-cents averages
+   (order-independent: ``sum(floor(v*100+0.5))`` / ``100*count``).
+2. **Spine** — one global ``[min_hour, max_hour]`` bound (single tiny
+   agg) cross-joined with the key set; per-key dense hours come from
+   ``sequence()`` + ``explode`` — generated inside the task, never on
+   the driver.
+3. **Fill** — one window pass per direction on the (key)-partitioned
+   hour order: ``last(value, ignorenulls)`` over the preceding frame
+   gives the previous observation (value and hour), ``first(...,
+   ignorenulls)`` over the following frame the next; the fill is
+   - the observed value where one exists,
+   - prev + (next-prev) * (t-t_prev)/(t_next-t_prev) strictly inside
+     a gap (all-double arithmetic with a pinned operation order, so
+     both engines produce bit-identical IEEE results),
+   - forward/backward fill at the edges.
+
+Scale posture (100 TB): the spine is |keys| x |hours| rows built by a
+narrow per-key generator — no driver loop, no cross join of big
+relations (the bounds relation is one broadcast row). The two window
+passes shuffle once on the series key; a station-keyed deployment
+partitions perfectly (each series sorts independently). Nothing is
+quadratic in series length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from weatherflow_spark.io import load_table
+
+GAP_FILL_KEY = "event_type"
+
+
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly mean `value` per event_type on a dense shared hour
+    spine; missing hours linearly interpolated (edges ffill/bfill).
+    Output: one row per (event_type, hour) with the fill and an
+    is_observed flag."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy(
+            F.col(GAP_FILL_KEY).alias("series_key"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "series_key",
+            "bucket",
+            (F.col("s") / (F.lit(100.0) * F.col("n"))).alias("obs_avg"),
+        )
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    )
+    keys = ev.select(F.col(GAP_FILL_KEY).alias("series_key")).distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        "series_key",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket"),
+    )
+    w_prev = (
+        Window.partitionBy("series_key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("series_key")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    eh = F.col("bucket").cast("timestamp").cast("long")
+    obs_h = F.when(F.col("obs_avg").isNotNull(), eh)
+    filled = (
+        spine.join(obs, ["series_key", "bucket"], "left")
+        .withColumn("prev_v", F.last("obs_avg", ignorenulls=True).over(w_prev))
+        .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("obs_avg", ignorenulls=True).over(w_next))
+        .withColumn("next_h", F.first(obs_h, ignorenulls=True).over(w_next))
+    )
+    frac = (eh.cast("double") - F.col("prev_h").cast("double")) / (
+        F.col("next_h").cast("double") - F.col("prev_h").cast("double")
+    )
+    fill = (
+        F.when(F.col("obs_avg").isNotNull(), F.col("obs_avg"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+        .otherwise(F.coalesce(F.col("prev_v"), F.col("next_v")))
+    )
+    return filled.select(
+        "series_key",
+        "bucket",
+        F.col("obs_avg").isNotNull().alias("is_observed"),
+        fill.alias("filled_value"),
+    )
+
+
+ORACLE_GAP_FILL_INTERPOLATE = """
+    WITH obs AS (
+        SELECT
+            event_type AS series_key,
+            date_trunc('hour', ts) AS bucket,
+            sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                / (100.0 * count(*)) AS obs_avg
+        FROM events
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(date_trunc('hour', ts)) AS lo,
+               max(date_trunc('hour', ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT k.series_key, s.bucket
+        FROM (SELECT DISTINCT event_type AS series_key FROM events) k
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ) s
+    ),
+    marked AS (
+        SELECT
+            spine.series_key,
+            spine.bucket,
+            obs.obs_avg,
+            CAST(floor(epoch(spine.bucket)) AS BIGINT) AS eh,
+            CASE WHEN obs.obs_avg IS NOT NULL
+                 THEN CAST(floor(epoch(spine.bucket)) AS BIGINT) END AS oh
+        FROM spine LEFT JOIN obs USING (series_key, bucket)
+    ),
+    winged AS (
+        SELECT
+            series_key, bucket, obs_avg, eh,
+            last_value(obs_avg IGNORE NULLS) OVER wp AS prev_v,
+            last_value(oh IGNORE NULLS) OVER wp AS prev_h,
+            first_value(obs_avg IGNORE NULLS) OVER wn AS next_v,
+            first_value(oh IGNORE NULLS) OVER wn AS next_h
+        FROM marked
+        WINDOW
+            wp AS (PARTITION BY series_key ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wn AS (PARTITION BY series_key ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT
+        series_key,
+        bucket,
+        obs_avg IS NOT NULL AS is_observed,
+        CASE
+            WHEN obs_avg IS NOT NULL THEN obs_avg
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                prev_v + (next_v - prev_v)
+                    * ((CAST(eh AS DOUBLE) - CAST(prev_h AS DOUBLE))
+                       / (CAST(next_h AS DOUBLE) - CAST(prev_h AS DOUBLE)))
+            ELSE coalesce(prev_v, next_v)
+        END AS filled_value
+    FROM winged
+"""
+
+
+TIMESERIES_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_gap_fill_interpolate": q_gap_fill_interpolate,
+}
+
+TIMESERIES_ORACLES: dict[str, str] = {
+    "q_gap_fill_interpolate": ORACLE_GAP_FILL_INTERPOLATE,
+}
