@@ -182,6 +182,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code"),
         F.explode(F.expr(probe_arr)).alias("bucket"),
     )
+    # Hamming is computed inside the join's codegen stage so the
+    # dedup shuffle carries (vec_a, vec_b, ham) — one int instead of
+    # two 64-bit codes per candidate row (clustered corpora emit
+    # ~1M candidates from 2k vectors; the dedup exchange is the
+    # widest point of the query).
     cand = (
         probes.alias("a")
         .join(hashed.alias("b"), "bucket")
@@ -189,14 +194,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.code").alias("code_a"),
-            F.col("b.code").alias("code_b"),
+            F.expr("bit_count(a.code ^ b.code)").cast("int").alias("ham"),
         )
         .distinct()
     )
     shortlist = (
-        cand.withColumn("ham", F.expr("bit_count(code_a ^ code_b)").cast("int"))
-        .orderBy(F.asc("ham"), F.asc("vec_a"), F.asc("vec_b"))
+        cand.orderBy(F.asc("ham"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(NEARDUP_SHORTLIST)
         .select("vec_a", "vec_b")
     )
@@ -233,13 +236,13 @@ ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE = """
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                        a.code AS code_a, b.code AS code_b
+                        CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS ham
         FROM probes a JOIN hashed b USING (bucket)
         WHERE a.vec_id < b.vec_id
     ),
     shortlist AS (
         SELECT vec_a, vec_b FROM cand
-        ORDER BY bit_count(xor(code_a, code_b)) ASC, vec_a ASC, vec_b ASC
+        ORDER BY ham ASC, vec_a ASC, vec_b ASC
         LIMIT {shortlist}
     )
     SELECT vec_a, vec_b, {cosine} AS cosine

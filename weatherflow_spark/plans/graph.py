@@ -63,7 +63,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ew = edges.join(deg, "src")
+    # The weighted edge list is the loop-invariant operand of every
+    # round's join — pre-shuffle it onto the join key once and
+    # persist, so each round's sort-merge join reuses the cached
+    # src-partitioned relation instead of re-shuffling the edges
+    # (at cluster scale: cache/checkpoint the edge relation, or
+    # write it bucketed by src, before iterating).
+    ew = edges.join(deg, "src").repartition("src").persist()
     ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ROUNDS):
         contribs = ew.join(ranks, ew["src"] == ranks["node"]).select(
