@@ -63,6 +63,9 @@ OPTIONAL = [
     "q_bloom_semi_join",
     "q_gap_fill_interpolate",
     "q_pagerank",
+    # round 2: repetition rule, deterministic HLL
+    "q_repetition_filter",
+    "q_hll_distinct",
 ]
 
 

@@ -177,3 +177,36 @@ def test_lang_id_stopword_scoring(spark):
     byid = {r.doc_id: r for r in scores}
     assert byid[1].en > byid[1].es
     assert byid[2].es > byid[2].en
+
+
+def test_hll_distinct_properties(spark):
+    """The deterministic HLL's raw estimate must land within the
+    standard-error envelope (1.04/sqrt(256) ~ 6.5%; allow 4 sigma)
+    and the register accounting must be internally consistent."""
+    row = QUERIES["q_hll_distinct"](spark, SF_SMALL).collect()[0]
+    assert row.exact_distinct > 0
+    assert row.rel_err <= 4 * 1.04 / (256 ** 0.5)
+    assert 0 <= row.n_zero_registers < 256
+    assert row.hll_estimate > 0
+
+
+def test_repetition_filter_flags_degenerate_docs(spark):
+    """A maximally repetitive doc must be dropped; a fully distinct
+    doc must be kept — and the metrics must hit their closed forms."""
+    from weatherflow_spark.plans.ext_text import q_repetition_filter
+
+    distinct_text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam", "en", "s", 10),
+         (2, distinct_text, "en", "s", 10),
+         (3, "solo", "en", "s", 4)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.mode("overwrite").parquet("/tmp/repfilter_docs/documents.parquet")
+    out = {r.doc_id: r for r in q_repetition_filter(
+        spark, "/tmp/repfilter_docs").collect()}
+    assert out[1].top_2gram_frac == 1.0 and not out[1].keep
+    # 40 distinct tokens -> every 2-gram unique (1/39 < 0.05), ttr = 1
+    assert out[2].top_2gram_frac < 0.05 and out[2].keep
+    # single-token doc: no 2-grams -> fraction pinned to 0, ttr = 1
+    assert out[3].top_2gram_frac == 0.0 and out[3].ttr == 1.0

@@ -87,21 +87,22 @@ _CERTIFICATION_WINDOW = [
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_ngram_jaccard",
-    # E2 similarity
-    "q_similarity_topk",
+    # E2 similarity (consolidated: brute+IVF+LSH in one suite)
+    "q_ann_suite",
     "q_embedding_near_dup",
-    "q_ann_ivf_topk",
-    "q_ann_lsh_topk",
-    # E3/E8 text analysis
+    # E3/E8 text analysis + repetition rule + language ID
     "q_text_stats",
+    "q_repetition_filter",
+    "q_lang_id",
+    "q_token_topk",
     "q_bpe_token_count",
     # E5 distributed statistics / E10 distribution windows
     "q_stats_moments",
     "q_window_dist",
-    # E6 TPC-H compositions
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q14",
+    # E6 TPC-H compositions (consolidated: Q3+Q5+Q14 in one suite)
+    "q_tpch_suite",
+    # E24 deterministic HLL
+    "q_hll_distinct",
     # E7/E12-E15/E17 scale operators
     "q_top_n_per_group",
     "q_date_dim",

@@ -462,11 +462,44 @@ ORACLE_EMBEDDING_NEAR_DUP = ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE.format(
 )
 
 
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 consolidated certification row: brute-force exact top-10,
+    IVF-probed top-10, and LSH-bucketed top-10 for the same query
+    vector, tagged by method and unioned. Each branch keeps its own
+    physical strategy (broadcast 1-row query + TakeOrdered heaps /
+    pruned `label IN` probe scan / keyed bucket equi-join); the union
+    is plan-level only — no cross-branch shuffle. Single-method twins
+    stay registered in the tail."""
+    brute = q_similarity_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "vec_id", "label", "cosine"
+    )
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "vec_id", "label", "cosine"
+    )
+    lsh = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "vec_id", "label", "cosine"
+    )
+    return brute.unionByName(ivf).unionByName(lsh)
+
+
+ORACLE_ANN_SUITE = f"""
+    WITH brute_side AS ({ORACLE_SIMILARITY_TOPK}),
+    ivf_side AS ({ORACLE_ANN_IVF_TOPK}),
+    lsh_side AS ({ORACLE_ANN_LSH_TOPK})
+    SELECT 'brute' AS method, vec_id, label, cosine FROM brute_side
+    UNION ALL
+    SELECT 'ivf' AS method, vec_id, label, cosine FROM ivf_side
+    UNION ALL
+    SELECT 'lsh' AS method, vec_id, label, cosine FROM lsh_side
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_similarity_topk": q_similarity_topk,
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_ann_suite": q_ann_suite,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -474,4 +507,5 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "q_embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "q_ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "q_ann_suite": ORACLE_ANN_SUITE,
 }

@@ -287,8 +287,117 @@ ORACLE_BPE_TOKEN_COUNT = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_repetition_filter — within-document repetition (Gopher-style rule)
+# ---------------------------------------------------------------------------
+
+REP_TOP2GRAM_MAX = 0.05
+REP_TTR_MIN = 0.35
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics + keep/drop verdict — the
+    Gopher-style repetition rule family the quality score
+    (q_text_stats) doesn't cover: type-token ratio (distinct/total
+    tokens, a narrow array expression) and the most-frequent-2-gram
+    fraction (the fraction of all 2-grams taken by the single most
+    repeated one).
+
+    Shape at scale: the 2-gram branch explodes ~n_tokens rows/doc,
+    then two aggregations with map-side partials — (doc_id, gram)
+    count, then per-doc max/sum — both keyed on doc_id so the second
+    agg never re-shuffles (same partitioning). The TTR branch is
+    shuffle-free; the final equi-join is doc-keyed on both sides.
+    Thresholds compare *rounded* (1e-6) values so the verdict is
+    bit-identical cross-engine. Docs with <2 tokens pin the 2-gram
+    fraction to 0 (left join + coalesce)."""
+    df = load_table(spark, sf_dir, "documents")
+    toks = df.select(F.col("doc_id"), F.expr(T.tokens_expr("text")).alias("t"))
+    ttr = toks.select(
+        "doc_id",
+        F.expr("size(t)").cast("int").alias("n_tokens"),
+        (
+            F.floor(
+                F.expr("size(array_distinct(t))").cast("double")
+                / F.expr("size(t)").cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("ttr"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(t) < 2 then array() else "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) end"
+            )
+        ).alias("g"),
+    )
+    top_frac = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    F.max("c").cast("double") / F.sum("c").cast("double") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("top_2gram_frac")
+        )
+    )
+    return ttr.join(top_frac, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "ttr",
+        F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)).alias("top_2gram_frac"),
+        (
+            (F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)) <= REP_TOP2GRAM_MAX)
+            & (F.col("ttr") >= REP_TTR_MIN)
+        ).alias("keep"),
+    )
+
+
+ORACLE_REPETITION_FILTER = f"""
+    WITH toks AS (
+        SELECT doc_id, {T.tokens_sql('text')} AS t
+        FROM documents
+    ),
+    ttr AS (
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               floor(CAST(len(list_distinct(t)) AS DOUBLE)
+                     / CAST(len(t) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ttr
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    top_frac AS (
+        SELECT doc_id,
+               floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 1e6
+                     + 0.5) / 1e6 AS top_2gram_frac
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT ttr.doc_id,
+           n_tokens,
+           ttr,
+           coalesce(top_2gram_frac, 0.0) AS top_2gram_frac,
+           coalesce(top_2gram_frac, 0.0) <= {REP_TOP2GRAM_MAX}
+               AND ttr >= {REP_TTR_MIN} AS keep
+    FROM ttr LEFT JOIN top_frac ON ttr.doc_id = top_frac.doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
+    "q_repetition_filter": q_repetition_filter,
     "q_token_topk": q_token_topk,
     "q_lang_id": q_lang_id,
     "q_doc_fingerprint": q_doc_fingerprint,
@@ -299,6 +408,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 TEXT_ORACLES: dict[str, str] = {
     "q_string_funcs": ORACLE_STRING_FUNCS,
     "q_text_stats": ORACLE_TEXT_STATS,
+    "q_repetition_filter": ORACLE_REPETITION_FILTER,
     "q_token_topk": ORACLE_TOKEN_TOPK,
     "q_lang_id": _oracle_lang_id(),
     "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,

@@ -218,14 +218,187 @@ ORACLE_BLOOM_SEMI_JOIN = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_hll_distinct — deterministic HyperLogLog (hash-checkable registers)
+# ---------------------------------------------------------------------------
+
+HLL_M = 256          # registers (bucket = low 8 bits of the mixed hash)
+HLL_W = 53           # rho frame: (mixed div 256) % 2^53, mixed < 2^62
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2 * 2^(W+1) — the whole numerator as ONE double literal, so
+# the raw estimate is a single deterministic division by the
+# integer-exact register sum (weights are 2^(W+1-rho), rho ∈ [1, W+1]).
+_HLL_C = _HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1))
+
+_LIMB = 1 << 31
+_M62 = 1 << 62
+# Murmur3 finalizer constants folded into the 62-bit domain (both odd).
+_HLL_C1 = 0xFF51AFD7ED558CCD % _M62
+_HLL_C2 = 0xC4CEB9FE1A85EC53 % _M62
+
+
+def _hll_rho_case(var: str) -> str:
+    """CASE ladder: rho = leading zeros of `var` in a fixed
+    ``HLL_W``-bit frame, +1 (var = 0 → W+1). Pure integer
+    comparisons — identical text is valid Spark SQL and DuckDB SQL,
+    and stays inside whole-stage codegen (no log2/doubles, which
+    round differently across engines)."""
+    whens = " ".join(
+        f"WHEN {var} >= {1 << (HLL_W - k)} THEN {k}"
+        for k in range(1, HLL_W + 1)
+    )
+    return f"CASE {whens} ELSE {HLL_W + 1} END"
+
+
+def _mulmod62(var: str, c: int, div: str) -> str:
+    """``(var * c) mod 2^62`` without any intermediate exceeding
+    2^63 — 31-bit-limb decomposition, safe under Spark's ANSI
+    overflow checking and identical integer-for-integer in DuckDB
+    (``div`` is the engine's integer-division spelling)."""
+    ch, cl = c >> 31, c & (_LIMB - 1)
+    return (
+        f"((((({var} % {_LIMB}) * {ch} + ({var} {div} {_LIMB}) * {cl})"
+        f" % {_LIMB}) * {_LIMB} + ({var} % {_LIMB}) * {cl}) % {_M62})"
+    )
+
+
+def _hll_mixed_hash(fold_expr: str, div: str, xor) -> str:
+    """Murmur-style avalanche over the engine's polynomial char-fold:
+    two xor-shift + multiply-mod-2^62 rounds. The raw fold is nearly
+    linear on short numeric strings (it never wraps the modulus), so
+    its low bits would make a catastrophically biased HLL; the
+    finalizer restores the uniform-bit contract HLL needs. Built from
+    let-bound lambdas so each stage is evaluated once per row."""
+    y1 = xor("a", f"({'a'} {div} {_LIMB})")  # a ^ (a >> 31), div == shift
+    z1 = _mulmod62("y1", _HLL_C1, div)
+    y2 = xor("z1", f"(z1 {div} {_LIMB})")
+    z2 = _mulmod62("y2", _HLL_C2, div)
+    h = xor("z2", f"(z2 {div} {_LIMB})")
+    if div == "div":  # Spark spelling
+        lets = T.let_spark
+    else:
+        lets = T.let_duck
+    return lets(
+        fold_expr, "a",
+        lets(y1, "y1",
+             lets(z1, "z1",
+                  lets(y2, "y2", lets(z2, "z2", h)))),
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count of orders.o_custkey with fully
+    deterministic internals — the hash-checkable upgrade over the
+    rows-only q_approx_count_distinct (whose HLL++ internals are
+    engine-private): the value hash is the engine's cross-engine
+    polynomial fold, registers are an exact (bucket, max-rho) table,
+    and the estimate is one double division of integer-exact terms.
+
+    Mergeable by construction: each executor's partial is its own
+    max-per-bucket table and merges by max — the same 100 TB shape as
+    the count-min sketch above. Output: raw HLL estimate next to the
+    exact distinct count and the relative error (×1e-4 rounded).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fold = T._tok_hash_lambda_spark("cast(o_custkey as string)")
+    mixed = _hll_mixed_hash(fold, "div", lambda x, y: f"({x} ^ {y})")
+    rows = orders.select(
+        F.expr(f"{mixed} % {HLL_M}").alias("b"),
+        F.expr(
+            T.let_spark(
+                f"({mixed} div {HLL_M}) % {1 << HLL_W}",
+                "rest",
+                _hll_rho_case("rest"),
+            )
+        ).cast("int").alias("r"),
+    )
+    regs = rows.groupBy("b").agg(F.max("r").alias("m"))
+    summary = regs.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - m)")).alias("s_hit"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    raw = F.lit(_HLL_C) / (
+        F.col("s_hit")
+        + (F.lit(HLL_M) - F.col("present")) * F.lit(1 << (HLL_W + 1))
+    ).cast("double")
+    zeros = F.lit(HLL_M) - F.col("present")
+    # Standard small-range correction: linear counting on the empty
+    # registers when the raw estimate is under 2.5m. The single ln()
+    # is the one non-integer step; its result is rounded (1e2/1e4)
+    # before exposure, far coarser than any cross-libm ulp.
+    est = F.when(
+        (raw < F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return (
+        summary.crossJoin(exact)
+        .select(
+            F.col("exact_distinct"),
+            (F.floor(est * 1e2 + F.lit(0.5)) / 1e2).alias("hll_estimate"),
+            zeros.cast("int").alias("n_zero_registers"),
+            (
+                F.floor(
+                    F.abs(est - F.col("exact_distinct").cast("double"))
+                    / F.col("exact_distinct").cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _oracle_hll_distinct() -> str:
+    fold = T._tok_hash_lambda_duck("CAST(o_custkey AS VARCHAR)")
+    mixed = _hll_mixed_hash(fold, "//", lambda x, y: f"xor({x}, {y})")
+    est = f"""CASE WHEN {_HLL_C!r} / CAST(s_hit + ({HLL_M} - present)
+                       * {1 << (HLL_W + 1)} AS DOUBLE) < {2.5 * HLL_M}
+                   AND present < {HLL_M}
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                                         / CAST({HLL_M} - present AS DOUBLE))
+              ELSE {_HLL_C!r} / CAST(s_hit + ({HLL_M} - present)
+                                     * {1 << (HLL_W + 1)} AS DOUBLE) END"""
+    return f"""
+    WITH rows_h AS (
+        SELECT {mixed} % {HLL_M} AS b,
+               CAST({T.let_duck(f"({mixed} // {HLL_M}) % {1 << HLL_W}",
+                                'rest', _hll_rho_case('rest'))}
+                    AS INTEGER) AS r
+        FROM orders
+    ),
+    regs AS (SELECT b, max(r) AS m FROM rows_h GROUP BY b),
+    summary AS (
+        SELECT CAST(sum(CAST(1 AS BIGINT) << ({HLL_W + 1} - m)) AS BIGINT) AS s_hit,
+               count(*) AS present
+        FROM regs
+    ),
+    exact AS (
+        SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders
+    )
+    SELECT exact_distinct,
+           floor(({est}) * 1e2 + 0.5) / 1e2 AS hll_estimate,
+           CAST({HLL_M} - present AS INTEGER) AS n_zero_registers,
+           floor(abs(({est}) - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
+    FROM summary CROSS JOIN exact
+"""
+
+
 SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_zorder_key": q_zorder_key,
     "q_bloom_semi_join": q_bloom_semi_join,
+    "q_hll_distinct": q_hll_distinct,
 }
 
 SKETCH_ORACLES: dict[str, str] = {
     "q_cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "q_zorder_key": ORACLE_ZORDER_KEY,
     "q_bloom_semi_join": ORACLE_BLOOM_SEMI_JOIN,
+    "q_hll_distinct": _oracle_hll_distinct(),
 }

@@ -194,14 +194,59 @@ ORACLE_SUPPLIER_RANK = """
 """
 
 
+def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 consolidated certification row: the three TPC-H star
+    compositions (Q3 selective top-k, Q5 six-table star, Q14 promo
+    ratio) projected to a common (side, key, metric) shape and
+    unioned. Each branch keeps its own physical plan — broadcast
+    dims, one large lineitem⋈orders shuffle, scaled-int sums; the
+    union adds no shuffle. Full-schema twins stay in the tail."""
+    from weatherflow_spark.plans.stats import q_tpch_q3
+
+    q3 = q_tpch_q3(spark, sf_dir).select(
+        F.lit("q3").alias("side"),
+        F.col("l_orderkey").cast("string").alias("key"),
+        F.col("revenue").alias("metric"),
+    )
+    q5 = q_tpch_q5(spark, sf_dir).select(
+        F.lit("q5").alias("side"),
+        F.col("n_name").alias("key"),
+        F.col("revenue").alias("metric"),
+    )
+    q14 = q_tpch_q14(spark, sf_dir).select(
+        F.lit("q14").alias("side"),
+        F.lit("promo_pct").alias("key"),
+        F.col("promo_pct").alias("metric"),
+    )
+    return q3.unionByName(q5).unionByName(q14)
+
+
+def _oracle_tpch_suite() -> str:
+    from weatherflow_spark.plans.stats import ORACLE_TPCH_Q3
+
+    return f"""
+    WITH q3_side AS ({ORACLE_TPCH_Q3}),
+    q5_side AS ({ORACLE_TPCH_Q5}),
+    q14_side AS ({ORACLE_TPCH_Q14})
+    SELECT 'q3' AS side, CAST(l_orderkey AS VARCHAR) AS key, revenue AS metric
+    FROM q3_side
+    UNION ALL
+    SELECT 'q5' AS side, n_name AS key, revenue AS metric FROM q5_side
+    UNION ALL
+    SELECT 'q14' AS side, 'promo_pct' AS key, promo_pct AS metric FROM q14_side
+"""
+
+
 TPCH_QUERIES = {
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q14": q_tpch_q14,
     "q_supplier_rank": q_supplier_rank,
+    "q_tpch_suite": q_tpch_suite,
 }
 
 TPCH_ORACLES = {
     "q_tpch_q5": ORACLE_TPCH_Q5,
     "q_tpch_q14": ORACLE_TPCH_Q14,
     "q_supplier_rank": ORACLE_SUPPLIER_RANK,
+    "q_tpch_suite": _oracle_tpch_suite(),
 }
