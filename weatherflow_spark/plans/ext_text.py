@@ -305,9 +305,9 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at scale: the 2-gram branch explodes ~n_tokens rows/doc,
     then two aggregations with map-side partials — (doc_id, gram)
-    count, then per-doc max/sum — both keyed on doc_id so the second
-    agg never re-shuffles (same partitioning). The TTR branch is
-    shuffle-free; the final equi-join is doc-keyed on both sides.
+    count, then per-doc max/sum; the second exchange carries only
+    one row per distinct (doc, gram). The TTR branch is shuffle-free
+    and the final join broadcasts the doc-sized aggregate.
     Thresholds compare *rounded* (1e-6) values so the verdict is
     bit-identical cross-engine. Docs with <2 tokens pin the 2-gram
     fraction to 0 (left join + coalesce)."""
