@@ -210,3 +210,32 @@ def test_repetition_filter_flags_degenerate_docs(spark):
     assert out[2].top_2gram_frac < 0.05 and out[2].keep
     # single-token doc: no 2-grams -> fraction pinned to 0, ttr = 1
     assert out[3].top_2gram_frac == 0.0 and out[3].ttr == 1.0
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The 100 TB contract: sketching two disjoint halves and merging
+    register tables by bucket-wise max must equal sketching the whole
+    dataset — the property that lets each executor/partition/day
+    sketch independently."""
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.plans.sketches import hll_registers
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    whole = {r.b: r.m for r in hll_registers(orders, "o_custkey").collect()}
+    h1 = hll_registers(orders.where(F.col("o_orderkey") % 2 == 0), "o_custkey")
+    h2 = hll_registers(orders.where(F.col("o_orderkey") % 2 == 1), "o_custkey")
+    merged = {}
+    for r in h1.collect() + h2.collect():
+        merged[r.b] = max(merged.get(r.b, 0), r.m)
+    assert merged == whole
+
+
+def test_fuzzy_join_finds_same_noun_variants(spark):
+    """Every reported pair shares its final (noun) token and is
+    within the edit-distance budget; the closest pairs come first."""
+    out = QUERIES["q_fuzzy_join"](spark, SF_SMALL).collect()
+    assert out, "expected at least one fuzzy pair"
+    for r in out:
+        assert r.name_a.split()[-1] == r.name_b.split()[-1]
+        assert 1 <= r.lev <= 4
+    assert [r.lev for r in out] == sorted(r.lev for r in out)

@@ -488,8 +488,76 @@ ORACLE_NGRAM_JACCARD = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_fuzzy_join — entity resolution by blocked edit-distance join
+# ---------------------------------------------------------------------------
+
+FUZZY_LEV_MAX = 4
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: near-identical name pairs
+    (edit distance ≤ 4) found by a blocked self-join — the sixth
+    dedup family (approximate *string* matching, vs the set/bit
+    signatures above).
+
+    The scale story is the ENTITY-TABLE reduction: pairing runs on
+    ``distinct p_name`` (vocabulary-sized — 64 names here, ~thousands
+    at any SF) with per-name part counts carried from the corpus-
+    sized aggregation, never on the part table itself. Candidates
+    block on the name's last token (the product noun), so the
+    within-block quadratic is over same-noun name variants only;
+    ``levenshtein`` is built into both engines with identical
+    edit-distance semantics, so the verify is hash-checkable."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            F.col("p_name").alias("name"),
+            F.col("n_parts"),
+            F.expr(f"element_at({T.tokens_expr('p_name')}, -1)").alias("noun"),
+        )
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(b, "noun")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("lev"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .where(F.col("lev") <= FUZZY_LEV_MAX)
+        .orderBy(F.asc("lev"), F.asc("name_a"), F.asc("name_b"))
+        .limit(50)
+    )
+
+
+ORACLE_FUZZY_JOIN = f"""
+    WITH names AS (
+        SELECT p_name AS name,
+               count(*) AS n_parts,
+               list_extract({T.tokens_sql('p_name')}, -1) AS noun
+        FROM part
+        GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS lev,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b USING (noun)
+    WHERE a.name < b.name
+      AND levenshtein(a.name, b.name) <= {FUZZY_LEV_MAX}
+    ORDER BY lev ASC, name_a ASC, name_b ASC
+    LIMIT 50
+"""
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
+    "q_fuzzy_join": q_fuzzy_join,
     "q_minhash_signature": q_minhash_signature,
     "q_minhash_near_dup": q_minhash_near_dup,
     "q_simhash": q_simhash,
@@ -499,6 +567,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 DEDUP_ORACLES: dict[str, str] = {
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_fuzzy_join": ORACLE_FUZZY_JOIN,
     "q_minhash_signature": ORACLE_MINHASH_SIGNATURE,
     "q_minhash_near_dup": _oracle_minhash_near_dup(),
     "q_simhash": ORACLE_SIMHASH,

@@ -286,6 +286,28 @@ def _hll_mixed_hash(fold_expr: str, div: str, xor) -> str:
     )
 
 
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(b, m): the HLL register table of ``df[col]`` — bucket and
+    max-rho from the mixed hash. This is the mergeable partial: the
+    registers of a union of datasets are the bucket-wise ``max`` of
+    their register tables (asserted in tests/test_extensions.py), so
+    at 100 TB each executor/partition/day sketches independently and
+    the 256-row tables merge by one tiny max-aggregation."""
+    fold = T._tok_hash_lambda_spark(f"cast({col} as string)")
+    mixed = _hll_mixed_hash(fold, "div", lambda x, y: f"({x} ^ {y})")
+    rows = df.select(
+        F.expr(f"{mixed} % {HLL_M}").alias("b"),
+        F.expr(
+            T.let_spark(
+                f"({mixed} div {HLL_M}) % {1 << HLL_W}",
+                "rest",
+                _hll_rho_case("rest"),
+            )
+        ).cast("int").alias("r"),
+    )
+    return rows.groupBy("b").agg(F.max("r").alias("m"))
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count of orders.o_custkey with fully
     deterministic internals — the hash-checkable upgrade over the
@@ -300,19 +322,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct count and the relative error (×1e-4 rounded).
     """
     orders = load_table(spark, sf_dir, "orders")
-    fold = T._tok_hash_lambda_spark("cast(o_custkey as string)")
-    mixed = _hll_mixed_hash(fold, "div", lambda x, y: f"({x} ^ {y})")
-    rows = orders.select(
-        F.expr(f"{mixed} % {HLL_M}").alias("b"),
-        F.expr(
-            T.let_spark(
-                f"({mixed} div {HLL_M}) % {1 << HLL_W}",
-                "rest",
-                _hll_rho_case("rest"),
-            )
-        ).cast("int").alias("r"),
-    )
-    regs = rows.groupBy("b").agg(F.max("r").alias("m"))
+    regs = hll_registers(orders, "o_custkey")
     summary = regs.agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - m)")).alias("s_hit"),
         F.count(F.lit(1)).alias("present"),
