@@ -187,15 +187,34 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two 64-bit codes per candidate row (clustered corpora emit
     # ~1M candidates from 2k vectors; the dedup exchange is the
     # widest point of the query).
+    #
+    # Two-stage shortlist: a per-bucket row_number pre-limit runs
+    # BEFORE the global top-k. The join output is already hash-
+    # distributed by bucket, so the window needs no extra exchange
+    # (only a per-bucket sort), and it bounds the rows entering the
+    # global TakeOrderedAndProject to shortlist-per-bucket — the
+    # driver-side merge stays flat at arbitrary partition counts.
+    # Result-invariant: any pair in the global top-k is within the
+    # top-k of every bucket that contains it (fewer pairs precede it
+    # in a bucket than globally under the same total order).
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("bucket").orderBy(
+        F.asc("ham"), F.asc("vec_a"), F.asc("vec_b")
+    )
     cand = (
         probes.alias("a")
         .join(hashed.alias("b"), "bucket")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
+            F.col("bucket"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.expr("bit_count(a.code ^ b.code)").cast("int").alias("ham"),
         )
+        .withColumn("prn", F.row_number().over(wb))
+        .where(F.col("prn") <= NEARDUP_SHORTLIST)
+        .select("vec_a", "vec_b", "ham")
         .distinct()
     )
     shortlist = (
@@ -235,10 +254,17 @@ ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE = """
         FROM hashed
     ),
     cand AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                        CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS ham
-        FROM probes a JOIN hashed b USING (bucket)
-        WHERE a.vec_id < b.vec_id
+        SELECT DISTINCT vec_a, vec_b, ham FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS ham,
+                   row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY bit_count(xor(a.code, b.code)) ASC,
+                                a.vec_id ASC, b.vec_id ASC) AS prn
+            FROM probes a JOIN hashed b USING (bucket)
+            WHERE a.vec_id < b.vec_id
+        )
+        WHERE prn <= {shortlist}
     ),
     shortlist AS (
         SELECT vec_a, vec_b FROM cand

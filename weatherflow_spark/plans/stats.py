@@ -869,7 +869,107 @@ ORACLE_SALTED_AGG = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_stats_suite — E5 consolidated certification row
+# ---------------------------------------------------------------------------
+
+
+def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 consolidated certification row: all five distributed-
+    statistics families (exact moments, OLS regression, mode,
+    histogram, entropy) projected to one tagged (part, key, n, v1..v4)
+    shape and unioned. Each branch keeps its own physical plan — every
+    one is a single partial-agg pass over its scan (see the per-query
+    docstrings); the union is plan-level only, no cross-branch
+    shuffle. Single-family twins stay registered in the tail."""
+    nul = F.lit(None).cast("double")
+    moments = q_stats_moments(spark, sf_dir).select(
+        F.lit("moments").alias("part"),
+        F.col("l_returnflag").alias("key"),
+        F.col("n_rows").alias("n"),
+        F.col("avg_qty").alias("v1"),
+        F.col("std_qty").alias("v2"),
+        F.col("covar_qty_disc100").alias("v3"),
+        F.col("corr_qty_disc100").alias("v4"),
+    )
+    regression = q_linear_regression(spark, sf_dir).select(
+        F.lit("regression").alias("part"),
+        F.col("l_linestatus").alias("key"),
+        F.col("n_rows").alias("n"),
+        F.col("slope_cents_per_qty").alias("v1"),
+        F.col("intercept_cents").alias("v2"),
+        nul.alias("v3"),
+        nul.alias("v4"),
+    )
+    mode = q_mode(spark, sf_dir).select(
+        F.lit("mode").alias("part"),
+        F.col("l_returnflag").alias("key"),
+        F.col("n_rows").alias("n"),
+        F.col("mode_qty").cast("double").alias("v1"),
+        F.col("mode_count").cast("double").alias("v2"),
+        nul.alias("v3"),
+        nul.alias("v4"),
+    )
+    histogram = q_histogram(spark, sf_dir).select(
+        F.lit("histogram").alias("part"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("n_orders").alias("n"),
+        F.col("bucket_lo").alias("v1"),
+        F.col("sum_price").alias("v2"),
+        nul.alias("v3"),
+        nul.alias("v4"),
+    )
+    entropy = q_entropy(spark, sf_dir).select(
+        F.lit("entropy").alias("part"),
+        F.lit("all").alias("key"),
+        F.col("total_events").alias("n"),
+        F.col("n_types").cast("double").alias("v1"),
+        F.col("entropy_nats").alias("v2"),
+        nul.alias("v3"),
+        nul.alias("v4"),
+    )
+    return (
+        moments.unionByName(regression)
+        .unionByName(mode)
+        .unionByName(histogram)
+        .unionByName(entropy)
+    )
+
+
+ORACLE_STATS_SUITE = f"""
+    WITH moments_side AS ({ORACLE_STATS_MOMENTS}),
+    regression_side AS ({ORACLE_LINEAR_REGRESSION}),
+    mode_side AS ({ORACLE_MODE}),
+    histogram_side AS ({ORACLE_HISTOGRAM}),
+    entropy_side AS ({ORACLE_ENTROPY})
+    SELECT 'moments' AS part, l_returnflag AS key, n_rows AS n,
+           avg_qty AS v1, std_qty AS v2,
+           covar_qty_disc100 AS v3, corr_qty_disc100 AS v4
+    FROM moments_side
+    UNION ALL
+    SELECT 'regression', l_linestatus, n_rows,
+           slope_cents_per_qty, intercept_cents,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM regression_side
+    UNION ALL
+    SELECT 'mode', l_returnflag, n_rows,
+           CAST(mode_qty AS DOUBLE), CAST(mode_count AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM mode_side
+    UNION ALL
+    SELECT 'histogram', CAST(bucket AS VARCHAR), n_orders,
+           bucket_lo, sum_price, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM histogram_side
+    UNION ALL
+    SELECT 'entropy', 'all', total_events,
+           CAST(n_types AS DOUBLE), entropy_nats,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM entropy_side
+"""
+
+
 STATS_QUERIES = {
+    "q_stats_suite": q_stats_suite,
     "q_stats_moments": q_stats_moments,
     "q_linear_regression": q_linear_regression,
     "q_mode": q_mode,
@@ -888,6 +988,7 @@ STATS_QUERIES = {
 }
 
 STATS_ORACLES = {
+    "q_stats_suite": ORACLE_STATS_SUITE,
     "q_stats_moments": ORACLE_STATS_MOMENTS,
     "q_linear_regression": ORACLE_LINEAR_REGRESSION,
     "q_mode": ORACLE_MODE,
