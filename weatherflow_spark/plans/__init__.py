@@ -75,18 +75,20 @@ _CERTIFICATION_WINDOW = [
     # aggregation / windows / sort / sets / streaming-batch twins
     "q_groupby_agg",              # A1
     "q_count_distinct",           # A2
-    "q_rollup_time",              # A3
+    "q_olap_suite",               # A3 (rollup+cube+gsets) + pivot + percentiles
     "q_window_suite",             # W1+W2+W3
     "q_sort",                     # O1
     "q_topk",                     # O2
     "q_set_ops",                  # U1
-    "q_tumbling_window_agg",      # T2
+    "q_tumbling_window_agg",      # T2 tumbling form
+    "q_session_window",           # T2 session form (batch twin of streaming)
     "q_string_funcs",
-    # E1 dedup families
+    # E1/E26 dedup families (incl. fuzzy string join / entity resolution)
     "q_dedup_exact",              # A4/E1
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_ngram_jaccard",
+    "q_fuzzy_join",               # E26
     # E2 similarity (consolidated: brute+IVF+LSH in one suite)
     "q_ann_suite",
     "q_embedding_near_dup",
@@ -94,10 +96,9 @@ _CERTIFICATION_WINDOW = [
     "q_text_stats",
     "q_repetition_filter",
     "q_lang_id",
-    "q_token_topk",
     "q_bpe_token_count",
-    # E5 distributed statistics / E10 distribution windows
-    "q_stats_moments",
+    # E5 distributed statistics (all 5 families) / E10 distribution windows
+    "q_stats_suite",
     "q_window_dist",
     # E6 TPC-H compositions (consolidated: Q3+Q5+Q14 in one suite)
     "q_tpch_suite",
@@ -116,7 +117,6 @@ _CERTIFICATION_WINDOW = [
     "q_multimodal_frames",
     # iterative + sketch + layout + time-series + graph surfaces
     "q_dedup_clusters",
-    "q_approx_quantiles",
     "q_zorder_key",               # E19
     "q_cms_heavy_hitters",        # E20
     "q_bloom_semi_join",          # E21

@@ -285,6 +285,115 @@ ORACLE_HASH_SAMPLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_olap_suite — consolidated OLAP certification row
+# ---------------------------------------------------------------------------
+
+
+def q_olap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + pivot + exact-percentile consolidated certification row:
+    the five OLAP grain/reshape families (time rollup, CUBE, GROUPING
+    SETS, pivot, exact per-group percentiles) projected to one tagged
+    (part, k1, k2, n, v1..v3) shape and unioned. Each branch keeps its
+    own physical plan — a single shuffle per branch (see the per-query
+    docstrings); the union is plan-level only, no cross-branch
+    shuffle. Single-grain twins stay registered in the tail."""
+    from weatherflow_spark.plans.relational import q_rollup_time
+    from weatherflow_spark.plans.temporal import q_cube, q_grouping_sets
+
+    nul_s = F.lit(None).cast("string")
+    nul_n = F.lit(None).cast("long")
+    nul_d = F.lit(None).cast("double")
+    rollup = q_rollup_time(spark, sf_dir).select(
+        F.lit("rollup").alias("part"),
+        F.col("order_year").cast("string").alias("k1"),
+        F.col("order_quarter").alias("k2"),
+        F.col("n_orders").alias("n"),
+        F.col("total_price").alias("v1"),
+        nul_d.alias("v2"),
+        nul_d.alias("v3"),
+    )
+    cube = q_cube(spark, sf_dir).select(
+        F.lit("cube").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("n").alias("n"),
+        F.col("sum_qty").alias("v1"),
+        F.col("grain").cast("double").alias("v2"),
+        nul_d.alias("v3"),
+    )
+    gsets = q_grouping_sets(spark, sf_dir).select(
+        F.lit("gsets").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("n").alias("n"),
+        F.col("sum_qty").alias("v1"),
+        F.col("grain").cast("double").alias("v2"),
+        nul_d.alias("v3"),
+    )
+    pivot = q_pivot(spark, sf_dir).select(
+        F.lit("pivot").alias("part"),
+        F.col("n_name").alias("k1"),
+        nul_s.alias("k2"),
+        nul_n.alias("n"),
+        F.col("n_fulfilled").cast("double").alias("v1"),
+        F.col("n_open").cast("double").alias("v2"),
+        F.col("n_pending").cast("double").alias("v3"),
+    )
+    pct = q_percentiles(spark, sf_dir).select(
+        F.lit("pct").alias("part"),
+        F.col("l_returnflag").alias("k1"),
+        nul_s.alias("k2"),
+        F.col("n_items").alias("n"),
+        F.col("q25").alias("v1"),
+        F.col("q50").alias("v2"),
+        F.col("q75").alias("v3"),
+    )
+    return (
+        rollup.unionByName(cube)
+        .unionByName(gsets)
+        .unionByName(pivot)
+        .unionByName(pct)
+    )
+
+
+def _olap_suite_oracle() -> str:
+    from weatherflow_spark.plans.oracles import ORACLES as _CORE_ORACLES
+    from weatherflow_spark.plans.temporal import ORACLE_CUBE, ORACLE_GROUPING_SETS
+
+    return f"""
+    WITH rollup_side AS ({_CORE_ORACLES["q_rollup_time"]}),
+    cube_side AS ({ORACLE_CUBE}),
+    gsets_side AS ({ORACLE_GROUPING_SETS}),
+    pivot_side AS ({ORACLE_PIVOT}),
+    pct_side AS ({ORACLE_PERCENTILES})
+    SELECT 'rollup' AS part, CAST(order_year AS VARCHAR) AS k1,
+           order_quarter AS k2, n_orders AS n, total_price AS v1,
+           CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3
+    FROM rollup_side
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus, n, sum_qty,
+           CAST(grain AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM cube_side
+    UNION ALL
+    SELECT 'gsets', l_returnflag, l_linestatus, n, sum_qty,
+           CAST(grain AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM gsets_side
+    UNION ALL
+    SELECT 'pivot', n_name, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(n_fulfilled AS DOUBLE), CAST(n_open AS DOUBLE),
+           CAST(n_pending AS DOUBLE)
+    FROM pivot_side
+    UNION ALL
+    SELECT 'pct', l_returnflag, CAST(NULL AS VARCHAR), n_items,
+           q25, q50, q75
+    FROM pct_side
+"""
+
+
+ORACLE_OLAP_SUITE = _olap_suite_oracle()
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_session_window": q_session_window,
     "q_pivot": q_pivot,
@@ -292,6 +401,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentiles": q_percentiles,
     "q_scalar_subquery": q_scalar_subquery,
     "q_hash_sample": q_hash_sample,
+    "q_olap_suite": q_olap_suite,
 }
 
 ADVANCED_ORACLES: dict[str, str] = {
@@ -301,4 +411,5 @@ ADVANCED_ORACLES: dict[str, str] = {
     "q_percentiles": ORACLE_PERCENTILES,
     "q_scalar_subquery": ORACLE_SCALAR_SUBQUERY,
     "q_hash_sample": ORACLE_HASH_SAMPLE,
+    "q_olap_suite": ORACLE_OLAP_SUITE,
 }

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from weatherflow_spark.functions.text import MOD
 from weatherflow_spark.io import load_table
@@ -56,6 +56,12 @@ LSH_PLANES = 6
 NEARDUP_PLANES = 48
 NEARDUP_BUCKET_BITS = 16
 NEARDUP_SHORTLIST = 20000
+# Per-bucket pre-limit in q_embedding_near_dup. The pre-limit is only
+# result-invariant because it is >= the global shortlist LIMIT and
+# uses the identical (ham, vec_a, vec_b) total order; if either cap
+# or sort key ever diverges between the two stages (Spark plan AND
+# oracle template alike), results silently change. Keep them tied.
+NEARDUP_PRELIMIT = NEARDUP_SHORTLIST
 TOP_K = 10
 
 # ---------------------------------------------------------------------------
@@ -196,9 +202,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side merge stays flat at arbitrary partition counts.
     # Result-invariant: any pair in the global top-k is within the
     # top-k of every bucket that contains it (fewer pairs precede it
-    # in a bucket than globally under the same total order).
-    from pyspark.sql import Window
-
+    # in a bucket than globally under the same total order) — see the
+    # NEARDUP_PRELIMIT coupling note at the constant definition.
     wb = Window.partitionBy("bucket").orderBy(
         F.asc("ham"), F.asc("vec_a"), F.asc("vec_b")
     )
@@ -213,7 +218,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_count(a.code ^ b.code)").cast("int").alias("ham"),
         )
         .withColumn("prn", F.row_number().over(wb))
-        .where(F.col("prn") <= NEARDUP_SHORTLIST)
+        .where(F.col("prn") <= NEARDUP_PRELIMIT)
         .select("vec_a", "vec_b", "ham")
         .distinct()
     )
@@ -264,7 +269,7 @@ ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE = """
             FROM probes a JOIN hashed b USING (bucket)
             WHERE a.vec_id < b.vec_id
         )
-        WHERE prn <= {shortlist}
+        WHERE prn <= {prelimit}
     ),
     shortlist AS (
         SELECT vec_a, vec_b FROM cand
@@ -483,6 +488,7 @@ ORACLE_EMBEDDING_NEAR_DUP = ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE.format(
     code=lsh_bucket_sql("embedding", NEARDUP_PLANES),
     bucket_mod=1 << NEARDUP_BUCKET_BITS,
     bucket_bits_minus_1=NEARDUP_BUCKET_BITS - 1,
+    prelimit=NEARDUP_PRELIMIT,
     shortlist=NEARDUP_SHORTLIST,
     cosine=cosine_sql("ea.embedding", "eb.embedding"),
 )

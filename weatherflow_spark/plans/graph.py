@@ -54,10 +54,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     # Push the distinct below the join: lineitem has ~7 lines/order,
     # so deduping (l_orderkey, l_suppkey) BEFORE probing orders
-    # shrinks the join input ~7x and the pair-distinct shuffle with
-    # it (measured 3.7 s -> ~2.4 s cold at sf0.1). The result set is
-    # identical — distinct-of-join == distinct-of-join-of-distinct
-    # when the join key is part of the deduped tuple.
+    # shrinks the join probe ~7x and the pair-distinct shuffle with
+    # it. The result set is identical — distinct-of-join ==
+    # distinct-of-join-of-distinct when the join key is part of the
+    # deduped tuple. (Structural win only: local timings are noise-
+    # dominated at sf0.1 and show parity; the payoff is the smaller
+    # shuffle, which is what matters at 100 TB.)
     li_pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
     pairs = (
         orders.select("o_orderkey", "o_custkey")

@@ -26,9 +26,10 @@ _REQUIRED_RUNTIME_CONFS: dict[str, str] = {
     # worker); session TZ must be pinned or calendar extraction
     # drifts with the host.
     "spark.sql.session.timeZone": "UTC",
-    # The driver testdata writes events.ts as parquet TIMESTAMP(NANOS),
-    # which Spark refuses by default; read as raw long nanos and
-    # normalize in io.load_table.
+    # Defensive: a parquet TIMESTAMP(NANOS) column (which Spark
+    # refuses by default) reads as raw long nanos and is normalized
+    # in io.normalize_events. The shipped testdata stores events.ts
+    # as TIMESTAMP(MICROS), which this conf does not affect.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Adaptive execution: runtime shuffle-partition coalescing and
     # skew-join splitting. Essential at 100 TB, harmless at sf0.001.

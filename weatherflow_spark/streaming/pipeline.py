@@ -36,38 +36,28 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
 from weatherflow_spark.functions.calendar import enrich_datetime
 from weatherflow_spark.functions.weather import add_calc_attributes
+from weatherflow_spark.io import normalize_events
 from weatherflow_spark.operators.star import build_weather_star
 from weatherflow_spark.session import configure_session
-
-# Raw parquet schema of the events table (ts = TIMESTAMP(NANOS),
-# surfaced as long nanos under the nanosAsLong conf; file streams
-# require an explicit schema).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet*"
 ) -> DataFrame:
     """File-source stream over the events table (the test stand-in
-    for the reference's REST poll, SURVEY §2.1 S2). Applies the same
-    nanos→µs normalization as the batch loader so the two paths see
-    identical frames.
+    for the reference's REST poll, SURVEY §2.1 S2).
+
+    File streams require an explicit schema; we derive it from the
+    batch footer of the SAME files and run the shared
+    :func:`~weatherflow_spark.io.normalize_events` afterwards, so the
+    batch and stream paths read identical frames by construction — a
+    storage-unit change (µs vs ns) cannot silently split them.
 
     The file source wants a *directory*; testdata ships events as a
     single file named ``events.parquet``, so we stream the sf dir
@@ -75,14 +65,13 @@ def read_events_stream(
     landing directory that micro-batches drop files into —
     ``maxFilesPerTrigger`` throttles per-batch intake.)"""
     configure_session(spark)
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-    )
+    return normalize_events(raw)
 
 
 # ---------------------------------------------------------------------------
