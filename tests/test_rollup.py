@@ -165,6 +165,81 @@ def test_stream_rollup_matches_batch_and_replays_clean(spark, tmpdir):
     assert again == want
 
 
+def test_stream_rollup_survives_mid_stream_crash(spark, tmpdir):
+    """At-least-once crash/replay: kill the stream AFTER a batch's
+    sink has committed but BEFORE Spark records the batch as
+    complete, then restart from the same checkpoint. The restarted
+    stream re-delivers that batch (at-least-once), so the sink runs
+    twice on identical data — the dynamic-partition-overwrite rollup
+    must absorb the replay and the final partials must be byte-equal
+    to a single clean batch computation."""
+    import os
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from weatherflow_spark.operators.rollup import refresh_rollup
+    from weatherflow_spark.streaming.pipeline import read_events_stream
+
+    events = load_table(spark, SF_SMALL, "events")
+
+    # Landing dir: three files, each holding COMPLETE dates (the
+    # rollup sink's date-complete-per-batch contract), streamed one
+    # file per micro-batch.
+    landing = f"{tmpdir}/landing"
+    dates = sorted(
+        r.d for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    for i in range(3):
+        chunk = [str(d) for d in dates[i::3]]
+        events.where(F.to_date("ts").cast("string").isin(chunk)).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    path = f"{tmpdir}/rollup"
+    ckpt = f"{tmpdir}/ckpt_crash"
+    state = {"crashed": False}
+
+    def sink(batch_df, batch_id):
+        refresh_rollup(batch_df.sparkSession, batch_df, path)
+        # Crash exactly once, after the second batch's sink effects
+        # are durable but before the batch commit is checkpointed.
+        if batch_id == 1 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected mid-stream failure")
+
+    def run(max_batches=None):
+        q = (
+            read_events_stream(spark, landing, glob="*.parquet",
+                               max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        run()
+    assert state["crashed"]
+
+    run()  # restart: replays batch 1, then drains the backlog
+
+    # Final partials must equal one clean computation over all facts —
+    # every column of the mergeable state, bit-exact.
+    got = _as_dict(
+        spark.read.parquet(path),
+        ["event_date", "event_type"],
+        ["n", "sum_scaled", "min_value", "max_value"],
+    )
+    want = _as_dict(
+        event_partials(events),
+        ["event_date", "event_type"],
+        ["n", "sum_scaled", "min_value", "max_value"],
+    )
+    assert got == want
+
+
 def test_partials_are_split_invariant(spark):
     """merge(partials(A), partials(B)) == partials(A ∪ B) — the
     mergeability algebra, independent of how facts are split."""

@@ -48,7 +48,10 @@ from weatherflow_spark.session import configure_session
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, glob: str = "events.parquet*"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet*",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events table (the test stand-in
     for the reference's REST poll, SURVEY §2.1 S2).
@@ -66,12 +69,13 @@ def read_events_stream(
     ``maxFilesPerTrigger`` throttles per-batch intake.)"""
     configure_session(spark)
     schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-        .parquet(sf_dir)
-    )
-    return normalize_events(raw)
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        # Honored by availableNow too: the backlog drains as a
+        # sequence of bounded micro-batches, which is how the crash/
+        # replay tests split one directory into several batches.
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return normalize_events(reader.parquet(sf_dir))
 
 
 # ---------------------------------------------------------------------------
