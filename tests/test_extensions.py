@@ -76,6 +76,31 @@ def test_ngram_jaccard_ranks_dup_first(spark, docs_dir):
     assert out.iloc[0].jaccard == 1.0
 
 
+def test_incremental_dedup_verdicts(spark, tmp_path):
+    """Batch-vs-corpus admission: exact copy → exact_dup, one-token
+    edit → near_dup (with its Jaccard), unrelated text → new."""
+    from weatherflow_spark.plans.ext_dedup import q_incremental_dedup
+
+    unique = "an entirely unrelated sentence mentioning neither foxes nor dogs at all today"
+    rows = [
+        (0, BASE, "en", "s0", len(BASE)),    # batch: exact copy of corpus doc 1
+        (1, BASE, "en", "s0", len(BASE)),    # corpus
+        (3, FAR, "en", "s0", len(FAR)),      # corpus
+        (5, NEAR, "en", "s0", len(NEAR)),    # batch: near-dup of corpus doc 1
+        (10, unique, "en", "s0", len(unique)),  # batch: genuinely new
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in q_incremental_dedup(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 5, 10}  # one verdict per batch doc
+    assert out[0].verdict == "exact_dup"
+    assert out[5].verdict == "near_dup"
+    assert out[5].best_jaccard > JACCARD_THRESHOLD
+    assert out[10].verdict == "new"
+    assert out[10].best_jaccard is None  # no corpus candidate at all
+
+
 def test_rolling_hash_matches_python(spark):
     """The cross-engine hash semantics, pinned in plain Python."""
     def py_tok_hash(tok: str) -> int:

@@ -151,15 +151,13 @@ ORACLE_MINHASH_SIGNATURE = f"""
 # ---------------------------------------------------------------------------
 
 
-def minhash_candidate_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
-    """MinHash-LSH candidate generation alone: banded signatures →
-    band-key equi-join self-pair → distinct (doc_a < doc_b) id pairs.
-    This is the shared gate for every pairwise-verify family (exact
-    Jaccard in :func:`minhash_verified_pairs`, 4-gram Jaccard in
-    :func:`q_ngram_jaccard`) — candidate count is bounded by band
-    buckets, never by corpus²."""
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key): N_BANDS rows per signed document — the LSH
+    blocking keys every candidate-generation join keys off (self-join
+    in :func:`minhash_candidate_pairs`, batch-vs-corpus join in
+    :func:`q_incremental_dedup`). Docs too short to sign (<3 tokens,
+    NULL signature) emit no keys."""
     sigs = _with_minhash(docs)
-
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -170,9 +168,19 @@ def minhash_candidate_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sigs.where(F.col("mh_0").isNotNull()).select(
+    return sigs.where(F.col("mh_0").isNotNull()).select(
         F.col("doc_id"), F.explode(band_keys).alias("band_key")
     )
+
+
+def minhash_candidate_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
+    """MinHash-LSH candidate generation alone: banded signatures →
+    band-key equi-join self-pair → distinct (doc_a < doc_b) id pairs.
+    This is the shared gate for every pairwise-verify family (exact
+    Jaccard in :func:`minhash_verified_pairs`, 4-gram Jaccard in
+    :func:`q_ngram_jaccard`) — candidate count is bounded by band
+    buckets, never by corpus²."""
+    banded = minhash_band_keys(docs)
     if cache:
         banded = banded.persist()
 
@@ -555,6 +563,151 @@ ORACLE_FUZZY_JOIN = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_incremental_dedup — new-batch-vs-existing-corpus dedup
+# ---------------------------------------------------------------------------
+
+# Deterministic batch split for the testdata: every 5th doc_id plays
+# the "newly arrived batch", the rest the already-ingested corpus.
+# In production the split is (today's landing batch) vs (the corpus
+# table); the plan shape is identical.
+INCR_BATCH_MOD = 5
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the admission decision a training
+    pipeline runs on every new ingest batch: for each batch document,
+    is it an exact duplicate of the corpus, a near-duplicate
+    (MinHash-LSH candidate with exact Jaccard ≥ 0.5), or genuinely
+    new? One verdict row per batch doc.
+
+    Scale posture (the point of this op vs the self-join families
+    above): the corpus side is NEVER shuffled —
+
+    - exact stage: the corpus hash scan is probed with the
+      *broadcast* batch hash set (batch ≪ corpus); matched hashes,
+      bounded by batch size, broadcast back onto the batch.
+    - near stage: corpus band keys join the *broadcast* batch band
+      keys (broadcast hash join, corpus streams); candidates —
+      bounded by band-bucket collisions with the batch — carry the
+      batch shingle set and are broadcast against the corpus shingle
+      scan for the exact-Jaccard verify.
+
+    Total cost: three corpus scans, zero corpus shuffles, all wide
+    state bounded by the batch. Precedence: exact_dup > near_dup >
+    new (an exact copy is also a trivial LSH candidate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    batch = docs.where(is_batch)
+    corpus = docs.where(~is_batch)
+
+    content_hash = F.sha2(F.trim(F.lower(F.col("text"))), 256)
+    batch_h = batch.select("doc_id", content_hash.alias("content_hash"))
+    matched_h = (
+        corpus.select(content_hash.alias("content_hash"))
+        .join(F.broadcast(batch_h.select("content_hash").distinct()), "content_hash")
+        .distinct()
+        .withColumn("is_exact", F.lit(1))
+    )
+
+    bands = minhash_band_keys(docs)
+    batch_bands = bands.where(F.col("doc_id") % INCR_BATCH_MOD == 0).select(
+        F.col("doc_id").alias("b_doc"), "band_key"
+    )
+    corpus_bands = bands.where(F.col("doc_id") % INCR_BATCH_MOD != 0).select(
+        F.col("doc_id").alias("c_doc"), "band_key"
+    )
+    cand = (
+        corpus_bands.join(F.broadcast(batch_bands), "band_key")
+        .select("b_doc", "c_doc")
+        .distinct()
+    )
+    sh = F.expr(f"array_distinct({T.shingle_hashes_expr('text')})")
+    batch_sh = batch.select(F.col("doc_id").alias("b_doc"), sh.alias("sh_b"))
+    corpus_sh = corpus.select(F.col("doc_id").alias("c_doc"), sh.alias("sh_c"))
+    probe = cand.join(batch_sh, "b_doc")  # batch-bounded, carries sh_b
+    best = (
+        corpus_sh.join(F.broadcast(probe), "c_doc")
+        .withColumn("n_inter", F.expr("size(array_intersect(sh_b, sh_c))"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.expr("size(sh_b) + size(sh_c)") - F.col("n_inter")).cast("double"),
+        )
+        .groupBy("b_doc")
+        .agg(F.max("jaccard").alias("best_jaccard"))
+        .withColumnRenamed("b_doc", "doc_id")
+    )
+
+    return (
+        batch_h.join(F.broadcast(matched_h), "content_hash", "left")
+        .join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("best_jaccard") >= JACCARD_THRESHOLD, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            (F.floor(F.col("best_jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "best_jaccard"
+            ),
+        )
+    )
+
+
+def _oracle_incremental_dedup() -> str:
+    bands = []
+    for b in range(N_BANDS):
+        parts = ", ".join(
+            f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        bands.append(f"concat_ws(':', '{b}', {parts})")
+    bands_list = ", ".join(bands)
+    return f"""
+    WITH {_minhash_sig_cte()},
+    banded AS (
+        SELECT doc_id, unnest([{bands_list}]) AS band_key
+        FROM sigs WHERE mh_0 IS NOT NULL
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
+        FROM banded b JOIN banded c USING (band_key)
+        WHERE b.doc_id % {INCR_BATCH_MOD} = 0
+          AND c.doc_id % {INCR_BATCH_MOD} <> 0
+    ),
+    shingled AS (
+        SELECT doc_id, list_distinct({T.shingle_hashes_sql('text')}) AS sh
+        FROM documents
+    ),
+    best AS (
+        SELECT b_doc AS doc_id,
+               max(CAST(len(list_intersect(sb.sh, sc.sh)) AS DOUBLE)
+                   / (len(sb.sh) + len(sc.sh) - len(list_intersect(sb.sh, sc.sh))))
+                   AS best_jaccard
+        FROM cand
+        JOIN shingled sb ON sb.doc_id = cand.b_doc
+        JOIN shingled sc ON sc.doc_id = cand.c_doc
+        GROUP BY b_doc
+    ),
+    exact_hit AS (
+        SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id % {INCR_BATCH_MOD} = 0
+          AND sha256(trim(lower(text))) IN (
+              SELECT sha256(trim(lower(text))) FROM documents
+              WHERE doc_id % {INCR_BATCH_MOD} <> 0)
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN j.best_jaccard >= {JACCARD_THRESHOLD} THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           floor(j.best_jaccard * 1e6 + 0.5) / 1e6 AS best_jaccard
+    FROM documents d
+    LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+    LEFT JOIN best j ON j.doc_id = d.doc_id
+    WHERE d.doc_id % {INCR_BATCH_MOD} = 0
+"""
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_fuzzy_join": q_fuzzy_join,
@@ -563,6 +716,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_incremental_dedup": q_incremental_dedup,
 }
 
 DEDUP_ORACLES: dict[str, str] = {
@@ -573,4 +727,5 @@ DEDUP_ORACLES: dict[str, str] = {
     "q_simhash": ORACLE_SIMHASH,
     "q_simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_incremental_dedup": _oracle_incremental_dedup(),
 }
