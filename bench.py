@@ -80,6 +80,9 @@ OPTIONAL = [
     "q_olap_suite",
     "q_stats_suite",
     "q_fuzzy_join",
+    # round 4: batch-vs-corpus admission + benchmark decontamination
+    "q_incremental_dedup",
+    "q_decontaminate",
 ]
 
 

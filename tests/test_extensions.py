@@ -101,6 +101,31 @@ def test_incremental_dedup_verdicts(spark, tmp_path):
     assert out[10].best_jaccard is None  # no corpus candidate at all
 
 
+def test_decontaminate_flags_verbatim_overlap(spark, tmp_path):
+    """A corpus doc sharing an 8-token verbatim run with the
+    benchmark source is flagged; paraphrased/unrelated docs are not."""
+    from weatherflow_spark.plans.ext_text import (
+        DECON_BENCH_SOURCE,
+        q_decontaminate,
+    )
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    leaked = "intro words then alpha beta gamma delta epsilon zeta eta theta closing"
+    clean = "entirely different tokens with no shared run of any length here at all"
+    rows = [
+        (1, bench, "en", DECON_BENCH_SOURCE, len(bench)),
+        (2, leaked, "en", "web", len(leaked)),   # contains the 8-token run
+        (3, clean, "en", "web", len(clean)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in q_decontaminate(spark, str(tmp_path)).collect()}
+    assert set(out) == {2, 3}  # benchmark docs get no verdict row
+    assert out[2].contaminated == 1 and out[2].n_shared_grams >= 1
+    assert out[3].contaminated == 0 and out[3].n_shared_grams == 0
+
+
 def test_rolling_hash_matches_python(spark):
     """The cross-engine hash semantics, pinned in plain Python."""
     def py_tok_hash(tok: str) -> int:

@@ -395,6 +395,89 @@ ORACLE_REPETITION_FILTER = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_decontaminate — benchmark n-gram contamination filter
+# ---------------------------------------------------------------------------
+
+# Contamination gram width: a corpus doc sharing any DECON_N-token
+# verbatim run with the benchmark set is flagged. The literature
+# standard is ~13 tokens; the synthetic docs here are 20-80 tokens,
+# so 8 keeps the same "long verbatim run" semantics at this scale.
+DECON_N = 8
+# The held-out set: source 'src0' plays the benchmark/eval corpus.
+DECON_BENCH_SOURCE = "src0"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination — the filter every training pipeline
+    must run before releasing a corpus: flag documents that share any
+    verbatim ``DECON_N``-token run with the held-out benchmark set
+    (source = 'src0'), and report how many distinct runs they share.
+    One verdict row per non-benchmark document.
+
+    Scale posture: benchmark sets are small by construction (they are
+    eval sets), so the distinct benchmark gram-hash table broadcasts
+    and the corpus side never shuffles for the probe — the corpus
+    explodes its distinct gram hashes (narrow, pipelines into the
+    scan), semi-probes the broadcast, and re-aggregates per doc_id
+    with map-side partials (the only shuffle, carrying only
+    contaminated-gram hits). For a benchmark union too large to
+    broadcast, swap the broadcast for the bloom runtime filter
+    (operators/bloom.py) and keep the same plan shape. Gram hashing
+    is the cross-engine rolling polynomial
+    (functions/text.shingle_hashes_expr), so the oracle is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = f"array_distinct({T.shingle_hashes_expr('text', DECON_N)})"
+    bench_grams = (
+        docs.where(F.col("source") == DECON_BENCH_SOURCE)
+        .select(F.explode(F.expr(grams)).alias("g"))
+        .distinct()
+    )
+    corpus = docs.where(F.col("source") != DECON_BENCH_SOURCE)
+    hits = (
+        corpus.select("doc_id", F.explode(F.expr(grams)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias(
+                "n_shared_grams"
+            ),
+            (F.coalesce(F.col("n_shared"), F.lit(0).cast("long")) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest(list_distinct({T.shingle_hashes_sql('text', DECON_N)})) AS g
+        FROM documents WHERE source = '{DECON_BENCH_SOURCE}'
+    ),
+    corpus_grams AS (
+        SELECT doc_id, unnest(list_distinct({T.shingle_hashes_sql('text', DECON_N)})) AS g
+        FROM documents WHERE source <> '{DECON_BENCH_SOURCE}'
+    ),
+    hits AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM corpus_grams JOIN bench USING (g)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_shared, CAST(0 AS BIGINT)) AS n_shared_grams,
+           CAST(coalesce(h.n_shared, 0) > 0 AS INTEGER) AS contaminated
+    FROM documents d
+    LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> '{DECON_BENCH_SOURCE}'
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_repetition_filter": q_repetition_filter,
@@ -403,6 +486,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_string_funcs": q_string_funcs,
     "q_bpe_token_count": q_bpe_token_count,
+    "q_decontaminate": q_decontaminate,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -413,4 +497,5 @@ TEXT_ORACLES: dict[str, str] = {
     "q_lang_id": _oracle_lang_id(),
     "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "q_bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
+    "q_decontaminate": ORACLE_DECONTAMINATE,
 }
