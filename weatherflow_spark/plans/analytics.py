@@ -392,6 +392,170 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_funnel — ordered conversion funnel over the event stream
+# ---------------------------------------------------------------------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup → click → purchase funnel: a user converts a
+    stage only with an event strictly AFTER their entry into the
+    previous stage (first qualifying timestamp each time). Output is
+    the 3-row stage summary with conversion vs stage 1.
+
+    Scale shape: one data-scale exchange. Events are window-
+    aggregated per user_id three times, but every window shares the
+    same partition key, so Catalyst plans a single hash-partitioning
+    exchange and the later windows reuse it (plan shows 2 Exchanges
+    total: the user_id one plus the single-row final-totals
+    SinglePartition — constant-size). The per-user funnel state then
+    collapses via a partial-agg count — no self-joins, no per-stage
+    scans of the fact. Sequencing with strict inequalities makes the
+    result insensitive to same-timestamp ties across stages."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.select("user_id", "event_type", "ts")
+        .withColumn(
+            "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("s_ts").isNotNull().cast("int")).alias("did_signup"),
+        F.max(F.col("c_ts").isNotNull().cast("int")).alias("did_click"),
+        F.max(F.col("p_ts").isNotNull().cast("int")).alias("did_purchase"),
+    )
+    totals = per_user.agg(
+        F.sum("did_signup").alias("n_signup"),
+        F.sum("did_click").alias("n_click"),
+        F.sum("did_purchase").alias("n_purchase"),
+    )
+    six = lambda c: (F.floor(c * 1e6 + F.lit(0.5)) / 1e6)  # noqa: E731
+    stage = lambda tag, num: F.struct(  # noqa: E731
+        F.lit(tag).alias("stage"),
+        F.col(num).alias("n_users"),
+        six(F.col(num).cast("double") / F.col("n_signup").cast("double")).alias(
+            "conv_vs_first"
+        ),
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                stage("1_signup", "n_signup"),
+                stage("2_click_after_signup", "n_click"),
+                stage("3_purchase_after_click", "n_purchase"),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users", "s.conv_vs_first")
+
+
+ORACLE_FUNNEL = """
+    WITH staged AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+        FROM events GROUP BY user_id
+    ),
+    clicked AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN staged s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.s_ts
+        GROUP BY e.user_id
+    ),
+    purchased AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN clicked c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        GROUP BY e.user_id
+    ),
+    totals AS (
+        SELECT
+            (SELECT count(*) FROM staged WHERE s_ts IS NOT NULL) AS n_signup,
+            (SELECT count(*) FROM clicked) AS n_click,
+            (SELECT count(*) FROM purchased) AS n_purchase
+    )
+    SELECT '1_signup' AS stage, n_signup AS n_users,
+           floor(CAST(n_signup AS DOUBLE) / n_signup * 1e6 + 0.5) / 1e6
+               AS conv_vs_first
+    FROM totals
+    UNION ALL
+    SELECT '2_click_after_signup', n_click,
+           floor(CAST(n_click AS DOUBLE) / n_signup * 1e6 + 0.5) / 1e6
+    FROM totals
+    UNION ALL
+    SELECT '3_purchase_after_click', n_purchase,
+           floor(CAST(n_purchase AS DOUBLE) / n_signup * 1e6 + 0.5) / 1e6
+    FROM totals
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_retention — daily cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention over the event stream: users are
+    cohorted by first-activity date; each later active day counts
+    them at its day offset. Output: (cohort_date, day_offset,
+    n_active) — the matrix every growth dashboard draws.
+
+    Scale shape: distinct (user, day) activity first (hash agg with
+    map-side partials — the raw fact collapses to at most
+    users × days rows before anything else), cohort via a min-date
+    agg on the same key, then one keyed join of the two small
+    relations and a final count aggregate. The fact table is scanned
+    once and shuffled only as its (user, day) distinct."""
+    events = load_table(spark, sf_dir, "events")
+    active = (
+        events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_date"))
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            # date keys surface as yyyy-MM-dd strings (house convention
+            # for cross-engine DATE parity, see q_date_dim)
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff(F.col("day"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+ORACLE_RETENTION = """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(day) AS cohort_date FROM active GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_date, '%Y-%m-%d') AS cohort_date,
+           CAST(date_diff('day', c.cohort_date, a.day) AS INTEGER) AS day_offset,
+           count(*) AS n_active
+    FROM active a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_arg_max": q_arg_max,
     "q_conditional_agg": q_conditional_agg,
@@ -401,6 +565,8 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_first_last": q_window_first_last,
     "q_stratified_sample": q_stratified_sample,
     "q_approx_quantiles": q_approx_quantiles,
+    "q_funnel": q_funnel,
+    "q_retention": q_retention,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -412,4 +578,6 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "q_window_range_frame": ORACLE_WINDOW_RANGE_FRAME,
     "q_array_ops": ORACLE_ARRAY_OPS,
     "q_corpus_curation": ORACLE_CORPUS_CURATION,
+    "q_funnel": ORACLE_FUNNEL,
+    "q_retention": ORACLE_RETENTION,
 }
