@@ -478,6 +478,108 @@ ORACLE_DECONTAMINATE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_source_mixture — deterministic down-sampling to a token-balanced mix
+# ---------------------------------------------------------------------------
+
+MIX_SCALE = 1_000_000  # sampling-threshold resolution (ppm)
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: compute each source's BPE-token
+    total, set every source's sampling rate so it contributes at most
+    the smallest source's token budget (uniform mix), then select the
+    sample *deterministically* — a document survives iff its content
+    fingerprint mod 1e6 falls under its source's threshold. One
+    summary row per source: corpus size, threshold, and what the
+    sampled mix actually kept.
+
+    Determinism is the point: the threshold is exact integer
+    arithmetic (``(1e6 · min_tokens) DIV source_tokens`` on scaled
+    longs — no float rates to diverge between engines or runs), and
+    membership hangs on the cross-engine content fingerprint, so the
+    same document set survives under any partitioning, replay, or
+    engine — unlike ``TABLESAMPLE``/``rand()``, whose output depends
+    on partition layout. Scale shape: the narrow per-doc pass
+    (tokens + fingerprint) pipelines into the scan; the per-source
+    totals are a map-side-partial aggregate to ~|sources| rows,
+    broadcast back for the filter; the kept-side re-aggregate is the
+    same shape. The corpus shuffles only as aggregated partials keyed
+    by source (salt per operators/skew.py if one source dominates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        T.bpe_token_count("text").alias("n_tok"),
+        F.expr(T.doc_fingerprint_expr("text")).alias("fp"),
+    )
+    totals = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens_total"),
+    )
+    floor_tokens = totals.agg(F.min("tokens_total").alias("m"))
+    rates = totals.crossJoin(F.broadcast(floor_tokens)).select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.expr(f"({MIX_SCALE} * m) DIV tokens_total").alias("keep_threshold"),
+    )
+    kept = (
+        base.join(F.broadcast(rates.select("source", "keep_threshold")), "source")
+        .where(F.col("fp") % MIX_SCALE < F.col("keep_threshold"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        rates.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "tokens_total",
+            "keep_threshold",
+            F.coalesce(F.col("n_docs_kept"), zero).alias("n_docs_kept"),
+            F.coalesce(F.col("tokens_kept"), zero).alias("tokens_kept"),
+        )
+    )
+
+
+ORACLE_SOURCE_MIXTURE = f"""
+    WITH base AS (
+        SELECT source,
+               {T.bpe_token_count_sql('text')} AS n_tok,
+               {T.doc_fingerprint_sql('text')} AS fp
+        FROM documents
+    ),
+    totals AS (
+        -- sum(bigint) is HUGEINT in DuckDB; pin to BIGINT like Spark
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_total
+        FROM base GROUP BY source
+    ),
+    floor_tokens AS (SELECT min(tokens_total) AS m FROM totals),
+    rates AS (
+        SELECT source, n_docs, tokens_total,
+               CAST(({MIX_SCALE} * m) // tokens_total AS BIGINT)
+                   AS keep_threshold
+        FROM totals CROSS JOIN floor_tokens
+    ),
+    kept AS (
+        SELECT b.source, count(*) AS n_docs_kept,
+               CAST(sum(b.n_tok) AS BIGINT) AS tokens_kept
+        FROM base b JOIN rates r USING (source)
+        WHERE b.fp % {MIX_SCALE} < r.keep_threshold
+        GROUP BY b.source
+    )
+    SELECT r.source, r.n_docs, r.tokens_total, r.keep_threshold,
+           coalesce(k.n_docs_kept, CAST(0 AS BIGINT)) AS n_docs_kept,
+           coalesce(k.tokens_kept, CAST(0 AS BIGINT)) AS tokens_kept
+    FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_repetition_filter": q_repetition_filter,
@@ -487,6 +589,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_string_funcs": q_string_funcs,
     "q_bpe_token_count": q_bpe_token_count,
     "q_decontaminate": q_decontaminate,
+    "q_source_mixture": q_source_mixture,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -498,4 +601,5 @@ TEXT_ORACLES: dict[str, str] = {
     "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "q_bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
     "q_decontaminate": ORACLE_DECONTAMINATE,
+    "q_source_mixture": ORACLE_SOURCE_MIXTURE,
 }
