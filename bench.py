@@ -83,6 +83,10 @@ OPTIONAL = [
     # round 4: batch-vs-corpus admission + benchmark decontamination
     "q_incremental_dedup",
     "q_decontaminate",
+    # round 4: event analytics + mixture sampling
+    "q_funnel",
+    "q_retention",
+    "q_source_mixture",
 ]
 
 

@@ -507,14 +507,20 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape. The corpus shuffles only as aggregated partials keyed
     by source (salt per operators/skew.py if one source dominates)."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "source",
-        T.bpe_token_count("text").alias("n_tok"),
-        F.expr(T.doc_fingerprint_expr("text")).alias("fp"),
-    )
-    totals = base.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("tokens_total"),
+    # Pass 1 over the corpus: per-source token totals only (the
+    # fingerprint isn't needed yet — keep the first scan cheap).
+    # The totals relation is |sources| rows but feeds THREE subtrees
+    # (the floor, the rates, the final select); without the persist,
+    # Catalyst re-derives it per subtree and the corpus scan runs ~6x
+    # (measured 2.7 s warm -> the two-scan shape below).
+    totals = (
+        docs.select("source", T.bpe_token_count("text").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_total"),
+        )
+        .persist()
     )
     floor_tokens = totals.agg(F.min("tokens_total").alias("m"))
     rates = totals.crossJoin(F.broadcast(floor_tokens)).select(
@@ -523,8 +529,15 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_total",
         F.expr(f"({MIX_SCALE} * m) DIV tokens_total").alias("keep_threshold"),
     )
+    # Pass 2 — the only other corpus scan: fingerprint, membership
+    # filter against the broadcast thresholds, kept-side re-aggregate.
     kept = (
-        base.join(F.broadcast(rates.select("source", "keep_threshold")), "source")
+        docs.select(
+            "source",
+            T.bpe_token_count("text").alias("n_tok"),
+            F.expr(T.doc_fingerprint_expr("text")).alias("fp"),
+        )
+        .join(F.broadcast(rates.select("source", "keep_threshold")), "source")
         .where(F.col("fp") % MIX_SCALE < F.col("keep_threshold"))
         .groupBy("source")
         .agg(
