@@ -80,23 +80,23 @@ _CERTIFICATION_WINDOW = [
     "q_sort",                     # O1
     "q_topk",                     # O2
     "q_set_ops",                  # U1
-    "q_tumbling_window_agg",      # T2 tumbling form
-    "q_session_window",           # T2 session form (batch twin of streaming)
+    "q_event_window_suite",       # T2 tumbling + session forms (batch twins
+                                  # of the streaming expressions)
     "q_string_funcs",
     # E1/E26 dedup families (incl. fuzzy string join / entity resolution)
     "q_dedup_exact",              # A4/E1
-    "q_minhash_near_dup",
-    "q_simhash_near_dup",
-    "q_ngram_jaccard",
+    "q_near_dup_suite",           # E1 minhash + simhash + ngram-Jaccard
+    "q_incremental_dedup",        # E1 batch-vs-corpus admission decision
     "q_fuzzy_join",               # E26
     # E2 similarity (consolidated: brute+IVF+LSH in one suite)
     "q_ann_suite",
     "q_embedding_near_dup",
-    # E3/E8 text analysis + repetition rule + language ID
+    # E3/E8 text analysis + repetition rule + language ID + curation
     "q_text_stats",
     "q_repetition_filter",
     "q_lang_id",
     "q_bpe_token_count",
+    "q_curation_suite",           # decontamination + source-mixture sampling
     # E5 distributed statistics (all 5 families) / E10 distribution windows
     "q_stats_suite",
     "q_window_dist",
@@ -115,13 +115,15 @@ _CERTIFICATION_WINDOW = [
     "q_pandas_udf_metric",
     "q_multimodal_features",
     "q_multimodal_frames",
+    # product analytics (funnel + cohort retention)
+    "q_product_analytics_suite",
     # iterative + sketch + layout + time-series + graph surfaces
     "q_dedup_clusters",
     "q_zorder_key",               # E19
     "q_cms_heavy_hitters",        # E20
     "q_bloom_semi_join",          # E21
     "q_gap_fill_interpolate",     # E22
-    "q_pagerank",                 # E23
+    "q_iterative_suite",          # E23 pagerank + k-means
 ]
 
 assert len(_CERTIFICATION_WINDOW) == 50, len(_CERTIFICATION_WINDOW)

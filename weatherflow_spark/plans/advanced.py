@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from weatherflow_spark.functions import text as T
 from weatherflow_spark.io import load_table
+from weatherflow_spark.plans.oracles import ORACLES as _CORE_ORACLES
 from weatherflow_spark.plans.queries import cents_sum, scaled_sum, scaled_sum_sql
+from weatherflow_spark.plans.relational import q_tumbling_window_agg
 
 SESSION_GAP = "8 hours"  # ~median per-user event gap at all SFs
 
@@ -94,6 +96,54 @@ ORACLE_SESSION_WINDOW = f"""
            {scaled_sum_sql('value')} AS sum_value
     FROM numbered
     GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_event_window_suite — consolidated T2 certification row
+# ---------------------------------------------------------------------------
+
+
+def q_event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 consolidated certification row: the 1-hour tumbling
+    event-time aggregate (plans/relational.py) and the 8-hour-gap
+    sessionization (above) over the same event stream, tagged by form
+    and unioned on a normalized schema — the tumbling branch carries
+    typed-NULL user/session columns. Both branches are the exact
+    expressions Structured Streaming runs with a watermark
+    (streaming/pipeline.py); batch mode keeps them hash-checkable.
+    The union is plan-level only (each branch keeps its own single
+    shuffle); single-form twins stay registered in the tail."""
+    tumbling = q_tumbling_window_agg(spark, sf_dir).select(
+        F.lit("tumbling").alias("form"),
+        F.lit(None).cast("long").alias("user_id"),
+        "window_start",
+        F.lit(None).cast("timestamp").alias("last_event_ts"),
+        "n_events",
+        "sum_value",
+    )
+    session = q_session_window(spark, sf_dir).select(
+        F.lit("session").alias("form"),
+        "user_id",
+        F.col("session_start").alias("window_start"),
+        "last_event_ts",
+        "n_events",
+        "sum_value",
+    )
+    return tumbling.unionByName(session)
+
+
+ORACLE_EVENT_WINDOW_SUITE = f"""
+    WITH tumbling_side AS ({_CORE_ORACLES['q_tumbling_window_agg']}),
+    session_side AS ({ORACLE_SESSION_WINDOW})
+    SELECT 'tumbling' AS form, CAST(NULL AS BIGINT) AS user_id,
+           window_start, CAST(NULL AS TIMESTAMP) AS last_event_ts,
+           n_events, sum_value
+    FROM tumbling_side
+    UNION ALL
+    SELECT 'session', user_id, session_start, last_event_ts,
+           n_events, sum_value
+    FROM session_side
 """
 
 
@@ -396,6 +446,7 @@ ORACLE_OLAP_SUITE = _olap_suite_oracle()
 
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_session_window": q_session_window,
+    "q_event_window_suite": q_event_window_suite,
     "q_pivot": q_pivot,
     "q_ntile": q_ntile,
     "q_percentiles": q_percentiles,
@@ -406,6 +457,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ADVANCED_ORACLES: dict[str, str] = {
     "q_session_window": ORACLE_SESSION_WINDOW,
+    "q_event_window_suite": ORACLE_EVENT_WINDOW_SUITE,
     "q_pivot": ORACLE_PIVOT,
     "q_ntile": ORACLE_NTILE,
     "q_percentiles": ORACLE_PERCENTILES,

@@ -449,12 +449,14 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("did_purchase").alias("n_purchase"),
     )
     six = lambda c: (F.floor(c * 1e6 + F.lit(0.5)) / 1e6)  # noqa: E731
+    # NULLIF guard: on a corpus with zero signups, Spark's non-ANSI
+    # x/0 yields NULL while DuckDB's IEEE double divide yields NaN —
+    # NULLIF pins both engines to NULL (mirrored in the oracle).
+    denom = F.nullif(F.col("n_signup"), F.lit(0)).cast("double")
     stage = lambda tag, num: F.struct(  # noqa: E731
         F.lit(tag).alias("stage"),
         F.col(num).alias("n_users"),
-        six(F.col(num).cast("double") / F.col("n_signup").cast("double")).alias(
-            "conv_vs_first"
-        ),
+        six(F.col(num).cast("double") / denom).alias("conv_vs_first"),
     )
     return totals.select(
         F.explode(
@@ -492,16 +494,16 @@ ORACLE_FUNNEL = """
             (SELECT count(*) FROM purchased) AS n_purchase
     )
     SELECT '1_signup' AS stage, n_signup AS n_users,
-           floor(CAST(n_signup AS DOUBLE) / n_signup * 1e6 + 0.5) / 1e6
+           floor(CAST(n_signup AS DOUBLE) / NULLIF(n_signup, 0) * 1e6 + 0.5) / 1e6
                AS conv_vs_first
     FROM totals
     UNION ALL
     SELECT '2_click_after_signup', n_click,
-           floor(CAST(n_click AS DOUBLE) / n_signup * 1e6 + 0.5) / 1e6
+           floor(CAST(n_click AS DOUBLE) / NULLIF(n_signup, 0) * 1e6 + 0.5) / 1e6
     FROM totals
     UNION ALL
     SELECT '3_purchase_after_click', n_purchase,
-           floor(CAST(n_purchase AS DOUBLE) / n_signup * 1e6 + 0.5) / 1e6
+           floor(CAST(n_purchase AS DOUBLE) / NULLIF(n_signup, 0) * 1e6 + 0.5) / 1e6
     FROM totals
 """
 
@@ -556,6 +558,49 @@ ORACLE_RETENTION = """
 """
 
 
+# ---------------------------------------------------------------------------
+# q_product_analytics_suite — consolidated funnel + retention row
+# ---------------------------------------------------------------------------
+
+
+def q_product_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics certification row: the ordered conversion
+    funnel (3 stage rows) + the cohort retention matrix, tagged by op
+    and unioned on a normalized schema — funnel rows key by stage and
+    carry the conversion ratio; retention rows key by cohort date and
+    carry the day offset; each fills the other's columns with typed
+    NULLs. The union is plan-level only (no cross-branch shuffle);
+    single-op twins stay registered in the tail."""
+    funnel = q_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("op"),
+        F.col("stage").alias("key"),
+        F.lit(None).cast("int").alias("day_offset"),
+        F.col("n_users").alias("n"),
+        F.col("conv_vs_first").alias("ratio"),
+    )
+    retention = q_retention(spark, sf_dir).select(
+        F.lit("retention").alias("op"),
+        F.col("cohort_date").alias("key"),
+        "day_offset",
+        F.col("n_active").alias("n"),
+        F.lit(None).cast("double").alias("ratio"),
+    )
+    return funnel.unionByName(retention)
+
+
+ORACLE_PRODUCT_ANALYTICS_SUITE = f"""
+    WITH funnel_side AS ({ORACLE_FUNNEL}),
+    retention_side AS ({ORACLE_RETENTION})
+    SELECT 'funnel' AS op, stage AS key, CAST(NULL AS INTEGER) AS day_offset,
+           n_users AS n, conv_vs_first AS ratio
+    FROM funnel_side
+    UNION ALL
+    SELECT 'retention', cohort_date, day_offset, n_active,
+           CAST(NULL AS DOUBLE)
+    FROM retention_side
+"""
+
+
 ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_arg_max": q_arg_max,
     "q_conditional_agg": q_conditional_agg,
@@ -567,6 +612,7 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_quantiles": q_approx_quantiles,
     "q_funnel": q_funnel,
     "q_retention": q_retention,
+    "q_product_analytics_suite": q_product_analytics_suite,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -580,4 +626,5 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "q_corpus_curation": ORACLE_CORPUS_CURATION,
     "q_funnel": ORACLE_FUNNEL,
     "q_retention": ORACLE_RETENTION,
+    "q_product_analytics_suite": ORACLE_PRODUCT_ANALYTICS_SUITE,
 }

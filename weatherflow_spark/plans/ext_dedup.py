@@ -708,6 +708,64 @@ def _oracle_incremental_dedup() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# q_near_dup_suite — consolidated pairwise near-dup certification row
+# ---------------------------------------------------------------------------
+
+
+def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 consolidated certification row: the three pairwise near-dup
+    families — MinHash-LSH with exact-Jaccard verify, banded SimHash
+    with Hamming verify, and MinHash-gated 4-gram Jaccard — tagged by
+    method and unioned. Each branch keeps its own physical strategy
+    (band-key equi-joins for candidate generation, never all-pairs);
+    the union is plan-level only — no cross-branch shuffle. ``score``
+    is the branch's own measure (Jaccard similarity / Hamming
+    distance); ``is_dup`` is the MinHash threshold flag, NULL for the
+    branches whose output is already threshold-filtered or top-k.
+    Single-method twins stay registered in the tail."""
+    null_flag = F.lit(None).cast("int").alias("is_dup")
+    mh = q_minhash_near_dup(spark, sf_dir).select(
+        F.lit("minhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").alias("score"),
+        "is_dup",
+    )
+    sh = q_simhash_near_dup(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("score"),
+        null_flag,
+    )
+    ng = q_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").alias("score"),
+        null_flag,
+    )
+    return mh.unionByName(sh).unionByName(ng)
+
+
+def _oracle_near_dup_suite() -> str:
+    return f"""
+    WITH mh_side AS ({_oracle_minhash_near_dup()}),
+    sh_side AS ({ORACLE_SIMHASH_NEAR_DUP}),
+    ng_side AS ({ORACLE_NGRAM_JACCARD})
+    SELECT 'minhash' AS method, doc_a, doc_b, jaccard AS score, is_dup
+    FROM mh_side
+    UNION ALL
+    SELECT 'simhash', doc_a, doc_b, CAST(hamming AS DOUBLE),
+           CAST(NULL AS INTEGER)
+    FROM sh_side
+    UNION ALL
+    SELECT 'ngram', doc_a, doc_b, jaccard, CAST(NULL AS INTEGER)
+    FROM ng_side
+"""
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_fuzzy_join": q_fuzzy_join,
@@ -716,6 +774,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_near_dup_suite": q_near_dup_suite,
     "q_incremental_dedup": q_incremental_dedup,
 }
 
@@ -727,5 +786,6 @@ DEDUP_ORACLES: dict[str, str] = {
     "q_simhash": ORACLE_SIMHASH,
     "q_simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_near_dup_suite": _oracle_near_dup_suite(),
     "q_incremental_dedup": _oracle_incremental_dedup(),
 }

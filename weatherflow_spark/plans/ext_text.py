@@ -416,15 +416,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     One verdict row per non-benchmark document.
 
     Scale posture: benchmark sets are small by construction (they are
-    eval sets), so the distinct benchmark gram-hash table broadcasts
-    and the corpus side never shuffles for the probe — the corpus
-    explodes its distinct gram hashes (narrow, pipelines into the
-    scan), semi-probes the broadcast, and re-aggregates per doc_id
-    with map-side partials (the only shuffle, carrying only
-    contaminated-gram hits). For a benchmark union too large to
-    broadcast, swap the broadcast for the bloom runtime filter
-    (operators/bloom.py) and keep the same plan shape. Gram hashing
-    is the cross-engine rolling polynomial
+    eval sets), so the distinct benchmark gram-hash table is the
+    plan's ONLY broadcast, and the corpus side never shuffles for the
+    probe — the corpus explodes its distinct gram hashes with
+    ``explode_outer`` (narrow, pipelines into the scan; gram-less
+    docs keep a NULL row so every document gets a verdict), left-joins
+    the broadcast bench set, and re-aggregates per doc_id with
+    map-side partials (the only data-scale shuffle). The verdict is
+    computed inside that single aggregation — no rejoin of a
+    data-dependent hits relation, whose size is bounded only by the
+    contamination rate and must never be hinted broadcast. For a
+    benchmark union too large to broadcast, swap the broadcast for
+    the bloom runtime filter (operators/bloom.py) and keep the same
+    plan shape. Gram hashing is the cross-engine rolling polynomial
     (functions/text.shingle_hashes_expr), so the oracle is exact."""
     docs = load_table(spark, sf_dir, "documents")
     grams = f"array_distinct({T.shingle_hashes_expr('text', DECON_N)})"
@@ -432,25 +436,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") == DECON_BENCH_SOURCE)
         .select(F.explode(F.expr(grams)).alias("g"))
         .distinct()
+        .withColumn("bench_hit", F.lit(1))
     )
     corpus = docs.where(F.col("source") != DECON_BENCH_SOURCE)
-    hits = (
-        corpus.select("doc_id", F.explode(F.expr(grams)).alias("g"))
-        .join(F.broadcast(bench_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     return (
-        corpus.select("doc_id")
-        .join(F.broadcast(hits), "doc_id", "left")
+        corpus.select("doc_id", F.explode_outer(F.expr(grams)).alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("bench_hit").alias("n_shared_grams"))
         .select(
             "doc_id",
-            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias(
-                "n_shared_grams"
-            ),
-            (F.coalesce(F.col("n_shared"), F.lit(0).cast("long")) > 0)
-            .cast("int")
-            .alias("contaminated"),
+            "n_shared_grams",
+            (F.col("n_shared_grams") > 0).cast("int").alias("contaminated"),
         )
     )
 
@@ -511,8 +508,10 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint isn't needed yet — keep the first scan cheap).
     # The totals relation is |sources| rows but feeds THREE subtrees
     # (the floor, the rates, the final select); without the persist,
-    # Catalyst re-derives it per subtree and the corpus scan runs ~6x
-    # (measured 2.7 s warm -> the two-scan shape below).
+    # Catalyst re-derives it per subtree and the physical plan grows
+    # a corpus FileScan per derivation. With it the whole query scans
+    # the corpus exactly twice — pass 1 here, pass 2 below — which
+    # tests/test_plan_audit.py asserts on the executed plan.
     totals = (
         docs.select("source", T.bpe_token_count("text").alias("n_tok"))
         .groupBy("source")
@@ -593,6 +592,66 @@ ORACLE_SOURCE_MIXTURE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_curation_suite — consolidated corpus-curation certification row
+# ---------------------------------------------------------------------------
+
+
+def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation certification row: test-set decontamination
+    (one verdict row per corpus doc) + deterministic source-mixture
+    rebalancing (one summary row per source), tagged by op and
+    unioned on a normalized wide schema — each branch fills the other
+    branch's columns with typed NULLs, and the union is plan-level
+    only (no cross-branch shuffle). Single-op twins stay registered
+    in the tail."""
+    nl = F.lit(None).cast("long")
+    dec = q_decontaminate(spark, sf_dir).select(
+        F.lit("decontaminate").alias("op"),
+        F.col("doc_id").cast("string").alias("key"),
+        "n_shared_grams",
+        "contaminated",
+        nl.alias("n_docs"),
+        nl.alias("tokens_total"),
+        nl.alias("keep_threshold"),
+        nl.alias("n_docs_kept"),
+        nl.alias("tokens_kept"),
+    )
+    mix = q_source_mixture(spark, sf_dir).select(
+        F.lit("source_mixture").alias("op"),
+        F.col("source").alias("key"),
+        nl.alias("n_shared_grams"),
+        F.lit(None).cast("int").alias("contaminated"),
+        "n_docs",
+        "tokens_total",
+        "keep_threshold",
+        "n_docs_kept",
+        "tokens_kept",
+    )
+    return dec.unionByName(mix)
+
+
+ORACLE_CURATION_SUITE = f"""
+    WITH dec_side AS ({ORACLE_DECONTAMINATE}),
+    mix_side AS ({ORACLE_SOURCE_MIXTURE})
+    SELECT 'decontaminate' AS op, CAST(doc_id AS VARCHAR) AS key,
+           n_shared_grams, contaminated,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS tokens_total,
+           CAST(NULL AS BIGINT) AS keep_threshold,
+           CAST(NULL AS BIGINT) AS n_docs_kept,
+           CAST(NULL AS BIGINT) AS tokens_kept
+    FROM dec_side
+    UNION ALL
+    SELECT 'source_mixture', key, CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER), n_docs, tokens_total, keep_threshold,
+           n_docs_kept, tokens_kept
+    FROM (SELECT source AS key, n_docs, tokens_total, keep_threshold,
+                 n_docs_kept, tokens_kept
+          FROM mix_side)
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_repetition_filter": q_repetition_filter,
@@ -603,6 +662,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_token_count": q_bpe_token_count,
     "q_decontaminate": q_decontaminate,
     "q_source_mixture": q_source_mixture,
+    "q_curation_suite": q_curation_suite,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -615,4 +675,5 @@ TEXT_ORACLES: dict[str, str] = {
     "q_bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
     "q_decontaminate": ORACLE_DECONTAMINATE,
     "q_source_mixture": ORACLE_SOURCE_MIXTURE,
+    "q_curation_suite": ORACLE_CURATION_SUITE,
 }

@@ -266,12 +266,64 @@ def _oracle_dedup_clusters() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q_iterative_suite — consolidated fixed-round-algorithm row
+# ---------------------------------------------------------------------------
+
+
+def q_iterative_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated iterative-algorithm certification row: 3-round
+    scaled-int PageRank (plans/graph.py) + 2-round scaled-int k-means
+    (above), tagged by algo on a normalized schema — PageRank rows
+    carry (node, node_type, rank_scaled) in (entity_id, tag,
+    metric1); k-means rows carry (cluster, n_members, min_vec_id) in
+    (entity_id, metric1, metric2). Both are deterministic fixed-round
+    integer algorithms whose oracles replay every round as unrolled
+    CTEs; each branch keeps its own physical loop shape (persisted
+    loop-invariant relations, keyed joins + map-side-partial aggs).
+    Single-algorithm twins stay registered in the tail."""
+    from weatherflow_spark.plans.graph import q_pagerank
+
+    pr = q_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("algo"),
+        F.col("node").alias("entity_id"),
+        F.col("node_type").alias("tag"),
+        F.col("rank_scaled").alias("metric1"),
+        F.lit(None).cast("long").alias("metric2"),
+    )
+    km = q_kmeans(spark, sf_dir).select(
+        F.lit("kmeans").alias("algo"),
+        F.col("cluster").alias("entity_id"),
+        F.lit(None).cast("string").alias("tag"),
+        F.col("n_members").alias("metric1"),
+        F.col("min_vec_id").alias("metric2"),
+    )
+    return pr.unionByName(km)
+
+
+def _oracle_iterative_suite() -> str:
+    from weatherflow_spark.plans.graph import ORACLE_PAGERANK
+
+    return f"""
+    WITH pr_side AS ({ORACLE_PAGERANK}),
+    km_side AS ({_oracle_kmeans()})
+    SELECT 'pagerank' AS algo, node AS entity_id, node_type AS tag,
+           rank_scaled AS metric1, CAST(NULL AS BIGINT) AS metric2
+    FROM pr_side
+    UNION ALL
+    SELECT 'kmeans', cluster, CAST(NULL AS VARCHAR), n_members, min_vec_id
+    FROM km_side
+"""
+
+
 ITERATIVE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans": q_kmeans,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_iterative_suite": q_iterative_suite,
 }
 
 ITERATIVE_ORACLES: dict[str, str] = {
     "q_kmeans": _oracle_kmeans(),
     "q_dedup_clusters": _oracle_dedup_clusters(),
+    "q_iterative_suite": _oracle_iterative_suite(),
 }
