@@ -32,58 +32,37 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-# Headline set: one per workload family (scan+transform, star join,
-# TPC-H Q1 agg, window, event-time window, dedup/text/vector extensions).
-HEADLINE = [
-    "q_flagship_season_rollup",
-    "q_derived_metrics",
-    "q_groupby_agg",
-    "q_star_join_agg",
+# Every certified-window query gets a timing row (round-5 change: a
+# certified query with no timing history can regress silently — the
+# window IS the headline set). The window is the registry's first 50
+# names, resolved at runtime so slot swaps are benched automatically.
+WINDOW_SIZE = 50
+# Legacy / tail extras kept for round-over-round timing continuity
+# (single-op twins that moved into consolidated suites, plus
+# non-window ops benched since round 1).
+OPTIONAL = [
     "q_window_rank",
     "q_tumbling_window_agg",
-]
-# Extension queries are included when registered (phase 3+).
-OPTIONAL = [
     "q_session_window",
-    "q_dedup_exact",
     "q_corpus_curation",
-    "q_text_stats",
     "q_token_topk",
     "q_doc_fingerprint",
     "q_similarity_topk",
     "q_ann_ivf_topk",
     "q_minhash_near_dup",
-    "q_multimodal_features",
-    # statistics / TPC-H / training-data families (round 1 widening)
+    # statistics / TPC-H singles (round 1 widening)
     "q_stats_moments",
     "q_tpch_q3",
     "q_tpch_q5",
-    "q_window_dist",
-    "q_bpe_token_count",
-    "q_embedding_quantize",
-    # round 2: consolidated fidelity + re-blocked near-dup families
-    "q_fidelity_datetime",
+    # round 2: re-blocked near-dup families (now in q_near_dup_suite)
     "q_simhash_near_dup",
     "q_ngram_jaccard",
-    "q_embedding_near_dup",
     "q_ann_lsh_topk",
-    "q_salted_agg",
-    # round 2 widening: sketches, layout keys, time-series, graph
-    "q_cms_heavy_hitters",
-    "q_bloom_semi_join",
-    "q_gap_fill_interpolate",
+    # graph single (now in q_iterative_suite, with q_kmeans)
     "q_pagerank",
-    # round 2: repetition rule, deterministic HLL
-    "q_repetition_filter",
-    "q_hll_distinct",
-    # round 4: consolidated certification suites + fuzzy entity join
-    "q_olap_suite",
-    "q_stats_suite",
-    "q_fuzzy_join",
-    # round 4: batch-vs-corpus admission + benchmark decontamination
-    "q_incremental_dedup",
+    "q_kmeans",
+    # round 4 singles (now in q_curation_suite / q_product_analytics_suite)
     "q_decontaminate",
-    # round 4: event analytics + mixture sampling
     "q_funnel",
     "q_retention",
     "q_source_mixture",
@@ -110,7 +89,8 @@ def main() -> None:
     # warm-up (JVM + parquet footer caches), not billed
     QUERIES["q_flagship_season_rollup"](spark, SF_DIR).count()
 
-    names = HEADLINE + [n for n in OPTIONAL if n in QUERIES]
+    window = list(QUERIES)[:WINDOW_SIZE]
+    names = window + [n for n in OPTIONAL if n in QUERIES and n not in window]
     runs = {name: [run_once(name) for _ in range(REPS)] for name in names}
     timings = {name: min(reps) for name, reps in runs.items()}
     total = round(sum(timings.values()), 3)

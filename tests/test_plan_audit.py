@@ -8,6 +8,8 @@ correct."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from weatherflow_spark.plans import QUERIES
@@ -21,6 +23,21 @@ def _plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def _detail_headers(plan: str, node: str) -> list[str]:
+    """Unique physical nodes of a type, counted via the formatted
+    explain's detail-section headers (``(N) NodeName``) — one line per
+    node, no double counting from the tree section or from cached-plan
+    serializations inside InMemoryRelation arguments."""
+    return re.findall(rf"^\({{1}}\d+\) {re.escape(node)}\s*$", plan, flags=re.M)
+
+
+def _detail_blocks(plan: str, node: str) -> list[str]:
+    """The full detail block (header + Input/Arguments lines) of every
+    physical node of the given type."""
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    return [b for b in blocks if re.match(rf"\(\d+\) {re.escape(node)}\s*$", b.splitlines()[0])]
 
 
 def test_scan_filter_project_pushes_down(spark):
@@ -73,6 +90,56 @@ def test_groupby_agg_has_map_side_partials(spark):
     p = _plan(QUERIES["q_groupby_agg"](spark, SF_SMALL))
     assert p.count("HashAggregate") >= 2, p
     assert "Exchange" in p
+
+
+def test_funnel_single_data_scale_exchange(spark):
+    """q_funnel's documented shape (plans/analytics.py): the three
+    same-key windows + per-user collapse reuse ONE
+    hashpartitioning(user_id) exchange; the only other exchange is the
+    constant-size SinglePartition for the 3-row totals."""
+    p = _plan(QUERIES["q_funnel"](spark, SF_SMALL))
+    exchanges = _detail_blocks(p, "Exchange")
+    assert len(exchanges) == 2, f"expected 2 Exchanges, plan:\n{p}"
+    by_user = [b for b in exchanges if "hashpartitioning(user_id" in b]
+    single = [b for b in exchanges if "SinglePartition" in b]
+    assert len(by_user) == 1, f"expected one user_id exchange:\n{p}"
+    assert len(single) == 1, f"expected one SinglePartition exchange:\n{p}"
+
+
+def test_source_mixture_scans_corpus_exactly_twice(spark):
+    """q_source_mixture's persist contract (plans/ext_text.py): the
+    documents corpus is scanned exactly twice — the persisted totals
+    pass and the fingerprint/membership pass. A third scan means the
+    persist stopped covering a subtree."""
+    p = _plan(QUERIES["q_source_mixture"](spark, SF_SMALL))
+    scans = _detail_headers(p, "Scan parquet")
+    assert len(scans) == 2, f"expected exactly 2 corpus FileScans:\n{p}"
+
+
+def test_incremental_dedup_never_shuffles_corpus(spark):
+    """q_incremental_dedup's scale contract (plans/ext_dedup.py): the
+    corpus side is never shuffled — every join must be a broadcast
+    hash join with the batch-bounded side built (no SortMergeJoin /
+    ShuffledHashJoin anywhere), and the only Exchanges are the
+    batch-bounded distinct/agg relations (≤ 5)."""
+    p = _plan(QUERIES["q_incremental_dedup"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in p, f"corpus-side shuffle join:\n{p}"
+    assert "ShuffledHashJoin" not in p, f"corpus-side shuffle join:\n{p}"
+    n_exchange = len(_detail_headers(p, "Exchange"))
+    assert n_exchange <= 5, f"unexpected extra exchange ({n_exchange}):\n{p}"
+
+
+def test_decontaminate_broadcasts_only_bench_grams(spark):
+    """q_decontaminate must broadcast exactly ONE relation: the
+    small-by-construction benchmark gram set. A second broadcast means
+    the data-dependent hits/verdict rejoin came back — the one flagged
+    100 TB hazard of round 4 (driver OOM on a heavily-leaked corpus)."""
+    p = _plan(QUERIES["q_decontaminate"](spark, SF_SMALL))
+    assert len(_detail_headers(p, "BroadcastExchange")) == 1, (
+        f"expected exactly one BroadcastExchange (bench grams):\n{p}"
+    )
+    agg = [b for b in _detail_blocks(p, "Exchange") if "hashpartitioning(doc_id" in b]
+    assert len(agg) == 1, f"expected one per-doc re-aggregation exchange:\n{p}"
 
 
 @pytest.mark.parametrize("name", WINDOW)

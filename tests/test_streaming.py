@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from weatherflow_spark.plans.relational import q_tumbling_window_agg
 from weatherflow_spark.streaming.pipeline import (
+    EVENTS_FALLBACK_SCHEMA,
     dedup_events_stream,
     read_events_stream,
     run_available_now,
@@ -193,3 +194,101 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         want, "purchase_id", "click_id"
     )
     assert got.count() > 0
+
+
+def test_stream_starts_on_empty_landing_dir(spark, tmp_path):
+    """Production shape: the stream is constructed before the first
+    file lands. With no parquet footer to infer from, the reader must
+    fall back to the canonical events schema instead of throwing —
+    and pick up files that land afterward."""
+    import datetime as dt
+
+    src = tmp_path / "landing_cold"
+    src.mkdir()
+    stream = read_events_stream(spark, str(src), glob="*.parquet")
+    # fallback schema, post shared normalize (ts → µs TIMESTAMP_NTZ)
+    assert stream.schema.fieldNames() == EVENTS_FALLBACK_SCHEMA.fieldNames()
+    assert stream.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), i % 3, "t", float(i), "{}")
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows, EVENTS_FALLBACK_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    got = run_available_now(
+        stream, "cold_start_test", str(tmp_path / "ckpt_cold")
+    )
+    assert got.count() == 5
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T2 late-data semantics: once the committed watermark passes a
+    window, a later out-of-order row for that window must be DROPPED,
+    not aggregated. Spark applies the late-row filter with the
+    watermark committed at the END of the previous batch, so the
+    straggler must arrive two batches after the event that advanced
+    the watermark — three files forced into separate micro-batches
+    (maxFilesPerTrigger=1): file 1 puts two rows in the 00:00 window
+    plus a 10:30 row (watermark → 08:30 after the batch commits);
+    file 2 is an 11:30 heartbeat (the 08:30 watermark becomes the
+    batch's filter bound); file 3 is a 00:45 straggler — filtered,
+    and visible in the query progress as numRowsDroppedByWatermark.
+    In update mode the sink records every emitted refresh — a
+    surviving straggler would surface as a second 00:00-window row
+    (n_events=3 if state survived, a spurious n_events=1 if it was
+    evicted first)."""
+    import datetime as dt
+    import time
+
+    src = tmp_path / "landing_late"
+    src.mkdir()
+
+    def _write(rows):
+        spark.createDataFrame(rows, EVENTS_FALLBACK_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    _write(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 30), 1, "t", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 40), 2, "t", 1.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 10, 30), 3, "t", 1.0, "{}"),
+        ]
+    )
+    time.sleep(1.1)  # distinct mtimes so the file source orders batches
+    _write([(5, dt.datetime(2024, 1, 1, 11, 30), 3, "t", 1.0, "{}")])
+    time.sleep(1.1)
+    _write([(4, dt.datetime(2024, 1, 1, 0, 45), 1, "t", 1.0, "{}")])
+
+    stream = read_events_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        tumbling_value_agg(stream)
+        .writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
+
+    w0 = dt.datetime(2024, 1, 1, 0, 0)
+    w0_rows = [
+        r
+        for r in spark.table("late_drop_test").collect()
+        if r.window_start.replace(tzinfo=None) == w0
+    ]
+    assert len(w0_rows) == 1, w0_rows
+    assert w0_rows[0].n_events == 2, w0_rows

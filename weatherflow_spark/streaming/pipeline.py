@@ -32,12 +32,15 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from weatherflow_spark.functions.calendar import enrich_datetime
@@ -47,11 +50,27 @@ from weatherflow_spark.operators.star import build_weather_star
 from weatherflow_spark.session import configure_session
 
 
+# Canonical events shape, used only when a stream starts on an empty
+# landing directory (no parquet footer to derive from). µs timestamps
+# — the unit io.normalize_events treats as already normalized.
+EVENTS_FALLBACK_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
     glob: str = "events.parquet*",
     max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """File-source stream over the events table (the test stand-in
     for the reference's REST poll, SURVEY §2.1 S2).
@@ -60,7 +79,12 @@ def read_events_stream(
     batch footer of the SAME files and run the shared
     :func:`~weatherflow_spark.io.normalize_events` afterwards, so the
     batch and stream paths read identical frames by construction — a
-    storage-unit change (µs vs ns) cannot silently split them.
+    storage-unit change (µs vs ns) cannot silently split them. On an
+    *empty* landing directory (production shape: the stream may start
+    before the first file lands) there is no footer to derive from,
+    so the reader falls back to ``EVENTS_FALLBACK_SCHEMA``
+    (µs-timestamp canonical form) — or pass ``schema`` explicitly to
+    pin a different physical shape up front.
 
     The file source wants a *directory*; testdata ships events as a
     single file named ``events.parquet``, so we stream the sf dir
@@ -68,7 +92,13 @@ def read_events_stream(
     landing directory that micro-batches drop files into —
     ``maxFilesPerTrigger`` throttles per-batch intake.)"""
     configure_session(spark)
-    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    if schema is None:
+        try:
+            schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+        except AnalysisException:
+            # No files yet (UNABLE_TO_INFER_SCHEMA) or the landing dir
+            # itself doesn't exist yet (PATH_NOT_FOUND).
+            schema = EVENTS_FALLBACK_SCHEMA
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         # Honored by availableNow too: the backlog drains as a
