@@ -61,11 +61,13 @@ OPTIONAL = [
     # graph single (now in q_iterative_suite, with q_kmeans)
     "q_pagerank",
     "q_kmeans",
-    # round 4 singles (now in q_curation_suite / q_product_analytics_suite)
+    # round 4/5 singles (now in q_curation_suite / q_product_analytics_suite)
     "q_decontaminate",
     "q_funnel",
     "q_retention",
     "q_source_mixture",
+    "q_pii_redact",
+    "q_doc_chunks",
 ]
 
 

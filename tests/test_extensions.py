@@ -289,3 +289,83 @@ def test_fuzzy_join_finds_same_noun_variants(spark):
         assert r.name_a.split()[-1] == r.name_b.split()[-1]
         assert 1 <= r.lev <= 4
     assert [r.lev for r in out] == sorted(r.lev for r in out)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + context-window chunking (curation-suite branches)
+# ---------------------------------------------------------------------------
+
+
+def _fp_of(spark, text: str) -> int:
+    """Cross-checked rolling fingerprint of a literal string, via the
+    same Spark expression the engine uses."""
+    df = spark.createDataFrame([(text,)], ["t"])
+    return df.select(F.expr(T.doc_fingerprint_expr("t")).alias("fp")).collect()[0].fp
+
+
+def test_pii_redact_counts_and_replaces(spark, tmp_path):
+    from weatherflow_spark.plans.ext_text import q_pii_redact
+
+    dirty = "reach me at bob@test.org or 192.168.0.1 or 555-123-4567 thanks"
+    clean = "just regular words with no personal information at all"
+    rows = [
+        # doc_id % 5 == 3 → no deterministic injection; only the
+        # text's own PII counts.
+        (3, dirty, "en", "s0", len(dirty)),
+        (8, clean, "en", "s0", len(clean)),
+        # doc_id % 5 == 0 → the weaving appends an email.
+        (5, clean, "en", "s0", len(clean)),
+    ]
+    d = tmp_path / "pii"
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r.doc_id: r for r in q_pii_redact(spark, str(d)).collect()}
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones, out[3].clean) == (
+        1, 1, 1, 0,
+    )
+    assert (out[8].n_emails, out[8].n_ips, out[8].n_phones, out[8].clean) == (
+        0, 0, 0, 1,
+    )
+    assert out[5].n_emails == 1 and out[5].clean == 0  # woven email found
+
+    # the fingerprint certifies the exact replacement bytes
+    want_redacted = "reach me at [EMAIL] or [IP] or [PHONE] thanks"
+    assert out[3].redacted_fp == _fp_of(spark, want_redacted)
+    assert out[8].redacted_fp == _fp_of(spark, clean)  # untouched text
+
+
+def test_doc_chunks_boundaries_and_content(spark, tmp_path):
+    from weatherflow_spark.plans.ext_text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_doc_chunks,
+    )
+
+    toks70 = [f"w{i}" for i in range(70)]
+    toks10 = [f"t{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(toks70), "en", "s0", 70),
+        (2, " ".join(toks10), "en", "s0", 10),
+    ]
+    d = tmp_path / "chunks"
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = q_doc_chunks(spark, str(d)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c70 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # 70 tokens, C=32, stride 24 → starts 0/24/48, lens 32/32/22
+    assert [(r.chunk_start, r.chunk_len) for r in c70] == [(0, 32), (24, 32), (48, 22)]
+    # a short doc yields exactly one whole-doc chunk
+    assert [(r.chunk_start, r.chunk_len) for r in by_doc[2]] == [(0, 10)]
+    # chunk fingerprint == document fingerprint of the chunk's tokens
+    assert c70[2].chunk_fp == _fp_of(spark, " ".join(toks70[48:70]))
+    assert by_doc[2][0].chunk_fp == _fp_of(spark, " ".join(toks10))
+    # consecutive chunks overlap by C - stride tokens
+    assert CHUNK_TOKENS - CHUNK_STRIDE == 8
+    assert c70[1].chunk_start == c70[0].chunk_start + CHUNK_STRIDE

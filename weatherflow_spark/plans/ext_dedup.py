@@ -195,7 +195,9 @@ def minhash_candidate_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
     )
 
 
-def minhash_verified_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
+def minhash_verified_pairs(
+    docs: DataFrame, cache: bool = False, pairs: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs with exact-Jaccard verification — the
     shared edge-builder for `q_minhash_near_dup` and the
     connected-components clustering in :mod:`plans.iterative`.
@@ -211,8 +213,12 @@ def minhash_verified_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
     across jobs/rounds (connected components re-joins it every
     propagation round) — there the one materialization of the small
     derivatives (4 band keys/doc; distinct shingle hashes, not the
-    text) amortizes immediately."""
-    pairs = minhash_candidate_pairs(docs, cache=cache)
+    text) amortizes immediately. ``pairs`` lets a caller supply
+    pre-computed (and typically persisted) candidate pairs so several
+    verify stages can share one candidate-generation pass
+    (q_near_dup_suite)."""
+    if pairs is None:
+        pairs = minhash_candidate_pairs(docs, cache=cache)
 
     shingled = docs.select(
         F.col("doc_id"),
@@ -246,6 +252,12 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no true near-dups (unit tests cover crafted dup clusters).
     """
     verified = minhash_verified_pairs(load_table(spark, sf_dir, "documents"))
+    return _minhash_flagged(verified)
+
+
+def _minhash_flagged(verified: DataFrame) -> DataFrame:
+    """Round + threshold-flag the verified-pair relation (shared by
+    q_minhash_near_dup and the suite's minhash branch)."""
     return verified.select(
         "doc_a",
         "doc_b",
@@ -442,6 +454,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (doc_a, doc_b); 0/0 (a side with no 4-gram) is pinned to 0."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs)
+    return _ngram_scored(pairs, docs)
+
+
+def _ngram_scored(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """4-gram Jaccard verify over candidate id pairs (shared by
+    q_ngram_jaccard and the suite's ngram branch)."""
     grams = docs.select(
         F.col("doc_id"),
         F.expr(
@@ -723,7 +741,19 @@ def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the branch's own measure (Jaccard similarity / Hamming
     distance); ``is_dup`` is the MinHash threshold flag, NULL for the
     branches whose output is already threshold-filtered or top-k.
-    Single-method twins stay registered in the tail."""
+    Single-method twins stay registered in the tail.
+
+    The minhash and ngram branches gate on the SAME MinHash band-key
+    candidate pairs, so a persisted shared candidate list looks
+    attractive — measured slower at sf0.1 (2.72 s vs 1.74 s min-of-3,
+    noop sink): the banded candidates are cheap whole-stage-codegen
+    work re-derived inline, and per-branch pipelining beats the cache
+    materialization barrier — the same trade-off documented on
+    minhash_verified_pairs' ``cache`` flag. Both verifies therefore
+    keep self-contained pipelined plans (``minhash_verified_pairs``
+    accepts pre-computed ``pairs`` for callers that reuse the edge
+    list across *jobs*, where the cache does amortize — see
+    plans/iterative.py)."""
     null_flag = F.lit(None).cast("int").alias("is_dup")
     mh = q_minhash_near_dup(spark, sf_dir).select(
         F.lit("minhash").alias("method"),

@@ -593,62 +593,280 @@ ORACLE_SOURCE_MIXTURE = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_pii_redact — pattern-based PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# Detection patterns, valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, ASCII word boundaries only.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def _pii_injected_spark() -> str:
+    """Deterministic PII weaving: the synthetic corpus is word salad
+    with no real PII, so a fifth of the docs get an email, a fifth an
+    IPv4, a fifth a phone number — derived from doc_id, so the same
+    strings appear under any partitioning or engine. This makes the
+    redaction measurably non-trivial while keeping the query a pure
+    function of the input."""
+    return (
+        "CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN concat(text, ' contact user', cast(doc_id as string), "
+        "'@example.com for details') "
+        "WHEN 1 THEN concat(text, ' from host 10.', "
+        "cast(doc_id % 200 as string), '.0.7 port 80') "
+        "WHEN 2 THEN concat(text, ' call 555-', "
+        "lpad(cast(doc_id % 1000 as string), 3, '0'), '-0142 today') "
+        "ELSE text END"
+    )
+
+
+def _pii_injected_duck() -> str:
+    return (
+        "CASE CAST(doc_id % 5 AS INTEGER) "
+        "WHEN 0 THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+        "'@example.com for details') "
+        "WHEN 1 THEN concat(text, ' from host 10.', "
+        "CAST(doc_id % 200 AS VARCHAR), '.0.7 port 80') "
+        "WHEN 2 THEN concat(text, ' call 555-', "
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-0142 today') "
+        "ELSE text END"
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every corpus release runs:
+    count and replace emails / IPv4 addresses / phone numbers with
+    typed placeholder tokens. One row per document with the per-type
+    hit counts, a clean flag, and the fingerprint of the *redacted*
+    text (so the hash check certifies the replacement bytes, not just
+    the counts).
+
+    Scale posture: pure per-row column expressions — regexp_count +
+    chained regexp_replace + the rolling-hash fingerprint all run in
+    whole-stage codegen over the scan, zero shuffles, zero Python.
+    The deterministic PII weaving (see _pii_injected_spark) stands in
+    for real dirty data; on a real corpus the CASE disappears and the
+    plan is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Patterns go through the Python functions API, NOT SQL string
+    # literals — the Spark SQL parser would eat \b/\d escapes inside
+    # '...' (a backspace character, not a word boundary).
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii"), PII_EMAIL_RE, "[EMAIL]"),
+            PII_IPV4_RE,
+            "[IP]",
+        ),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return (
+        docs.select("doc_id", F.expr(_pii_injected_spark()).alias("pii"))
+        .select(
+            "doc_id",
+            F.regexp_count("pii", F.lit(PII_EMAIL_RE)).alias("n_emails"),
+            F.regexp_count("pii", F.lit(PII_IPV4_RE)).alias("n_ips"),
+            F.regexp_count("pii", F.lit(PII_PHONE_RE)).alias("n_phones"),
+            redacted.alias("redacted"),
+        )
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_ips",
+            "n_phones",
+            F.expr(T.doc_fingerprint_expr("redacted")).alias("redacted_fp"),
+            ((F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) == 0)
+            .cast("int")
+            .alias("clean"),
+        )
+    )
+
+
+ORACLE_PII_REDACT = f"""
+    WITH injected AS (
+        SELECT doc_id, {_pii_injected_duck()} AS pii FROM documents
+    ),
+    counted AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii, '{PII_EMAIL_RE}')) AS INTEGER)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(pii, '{PII_IPV4_RE}')) AS INTEGER)
+                   AS n_ips,
+               CAST(len(regexp_extract_all(pii, '{PII_PHONE_RE}')) AS INTEGER)
+                   AS n_phones,
+               {T.doc_fingerprint_sql(
+                   "regexp_replace(regexp_replace(regexp_replace(pii, "
+                   f"'{PII_EMAIL_RE}', '[EMAIL]', 'g'), "
+                   f"'{PII_IPV4_RE}', '[IP]', 'g'), "
+                   f"'{PII_PHONE_RE}', '[PHONE]', 'g')"
+               )} AS redacted_fp
+        FROM injected
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones, redacted_fp,
+           CAST((n_emails + n_ips + n_phones) = 0 AS INTEGER) AS clean
+    FROM counted
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_doc_chunks — context-window chunking (1 doc → N overlapping chunks)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32  # context-window size in whitespace tokens
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the 1→N split a training pipeline
+    runs to fit documents into fixed model context windows: 32-token
+    chunks with an 8-token overlap (stride 24). One row per chunk
+    with its index, token offsets, and the rolling-hash fingerprint
+    of the chunk's tokens (certifying the exact chunk contents
+    cross-engine, not just the boundaries).
+
+    Scale posture: the token-hash array is bound once per row (the
+    let-binding trick, functions/text.py:147-160) and sliced per
+    chunk — the explode is a narrow 1→N generator that pipelines into
+    the scan; no shuffle anywhere. Chunk fingerprints fold the
+    *token-hash slice* directly instead of re-tokenizing substrings,
+    so cost is O(tokens) per document regardless of chunk count."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_last = (
+        f"CASE WHEN size(th) <= {CHUNK_TOKENS} THEN 0 "
+        f"ELSE (size(th) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE} END"
+    )
+    chunk_struct = (
+        f"transform(sequence(0, {n_last}), i -> struct("
+        f"cast(i as int) as chunk_idx, "
+        f"cast(i * {CHUNK_STRIDE} as int) as chunk_start, "
+        f"cast(least({CHUNK_TOKENS}, size(th) - i * {CHUNK_STRIDE}) as int) as chunk_len, "
+        f"aggregate(slice(th, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}), "
+        f"cast(0 as bigint), (acc, h) -> (acc * {T.TOK_P} + h) % {T.MOD}) as chunk_fp))"
+    )
+    th_expr = f"transform({T.tokens_expr('text')}, tok -> {T._tok_hash_lambda_spark('tok')})"
+    chunks = T.let_spark(th_expr, "th", chunk_struct)
+    return (
+        docs.select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_start", "c.chunk_len", "c.chunk_fp")
+    )
+
+
+ORACLE_DOC_CHUNKS = f"""
+    WITH th_t AS (
+        SELECT doc_id, {T.token_hashes_sql('text')} AS th FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE} AS INTEGER) AS chunk_start,
+           CAST(least({CHUNK_TOKENS}, len(th) - i * {CHUNK_STRIDE}) AS INTEGER)
+               AS chunk_len,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_slice(th, i * {CHUNK_STRIDE} + 1,
+                          least(i * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(th)))),
+               (acc, h) -> (acc * {T.TOK_P} + h) % {T.MOD}) AS chunk_fp
+    FROM th_t CROSS JOIN UNNEST(generate_series(0,
+        CASE WHEN len(th) <= {CHUNK_TOKENS} THEN 0
+             ELSE (len(th) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+        END)) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_curation_suite — consolidated corpus-curation certification row
 # ---------------------------------------------------------------------------
 
 
 def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-curation certification row: test-set decontamination
-    (one verdict row per corpus doc) + deterministic source-mixture
-    rebalancing (one summary row per source), tagged by op and
-    unioned on a normalized wide schema — each branch fills the other
-    branch's columns with typed NULLs, and the union is plan-level
-    only (no cross-branch shuffle). Single-op twins stay registered
-    in the tail."""
-    nl = F.lit(None).cast("long")
-    dec = q_decontaminate(spark, sf_dir).select(
-        F.lit("decontaminate").alias("op"),
-        F.col("doc_id").cast("string").alias("key"),
-        "n_shared_grams",
-        "contaminated",
-        nl.alias("n_docs"),
-        nl.alias("tokens_total"),
-        nl.alias("keep_threshold"),
-        nl.alias("n_docs_kept"),
-        nl.alias("tokens_kept"),
+    """Corpus-curation certification row: test-set decontamination,
+    deterministic source-mixture rebalancing, PII redaction, and
+    context-window chunking, tagged by op and unioned in LONG format
+    — (op, key, metric, value:bigint) — so heterogeneous curation
+    branches share one schema and a new branch is one more stack().
+    Chunking contributes per-doc aggregates (chunk count + fold of
+    chunk fingerprints); chunk-level rows stay in the q_doc_chunks
+    tail twin. The union is plan-level only (no cross-branch
+    shuffle); single-op twins stay registered in the tail."""
+    dec = q_decontaminate(spark, sf_dir).selectExpr(
+        "'decontaminate' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(2, 'n_shared_grams', n_shared_grams, "
+        "'contaminated', cast(contaminated as bigint)) AS (metric, value)",
     )
-    mix = q_source_mixture(spark, sf_dir).select(
-        F.lit("source_mixture").alias("op"),
-        F.col("source").alias("key"),
-        nl.alias("n_shared_grams"),
-        F.lit(None).cast("int").alias("contaminated"),
-        "n_docs",
-        "tokens_total",
-        "keep_threshold",
-        "n_docs_kept",
-        "tokens_kept",
+    mix = q_source_mixture(spark, sf_dir).selectExpr(
+        "'source_mixture' AS op",
+        "source AS key",
+        "stack(5, 'n_docs', n_docs, 'tokens_total', tokens_total, "
+        "'keep_threshold', keep_threshold, 'n_docs_kept', n_docs_kept, "
+        "'tokens_kept', tokens_kept) AS (metric, value)",
     )
-    return dec.unionByName(mix)
+    pii = q_pii_redact(spark, sf_dir).selectExpr(
+        "'pii_redact' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(4, 'n_emails', cast(n_emails as bigint), "
+        "'n_ips', cast(n_ips as bigint), "
+        "'n_phones', cast(n_phones as bigint), "
+        "'redacted_fp', redacted_fp) AS (metric, value)",
+    )
+    chunk = (
+        q_doc_chunks(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("chunk_fp").alias("chunk_fp_min"),
+        )
+        .selectExpr(
+            "'chunking' AS op",
+            "cast(doc_id as string) AS key",
+            "stack(2, 'n_chunks', n_chunks, 'chunk_fp_min', chunk_fp_min) "
+            "AS (metric, value)",
+        )
+    )
+    return dec.unionByName(mix).unionByName(pii).unionByName(chunk)
 
 
 ORACLE_CURATION_SUITE = f"""
     WITH dec_side AS ({ORACLE_DECONTAMINATE}),
-    mix_side AS ({ORACLE_SOURCE_MIXTURE})
+    mix_side AS ({ORACLE_SOURCE_MIXTURE}),
+    pii_side AS ({ORACLE_PII_REDACT}),
+    chunk_side AS (
+        SELECT doc_id, count(*) AS n_chunks, min(chunk_fp) AS chunk_fp_min
+        FROM ({ORACLE_DOC_CHUNKS}) GROUP BY doc_id
+    )
     SELECT 'decontaminate' AS op, CAST(doc_id AS VARCHAR) AS key,
-           n_shared_grams, contaminated,
-           CAST(NULL AS BIGINT) AS n_docs,
-           CAST(NULL AS BIGINT) AS tokens_total,
-           CAST(NULL AS BIGINT) AS keep_threshold,
-           CAST(NULL AS BIGINT) AS n_docs_kept,
-           CAST(NULL AS BIGINT) AS tokens_kept
-    FROM dec_side
+           'n_shared_grams' AS metric, n_shared_grams AS value FROM dec_side
     UNION ALL
-    SELECT 'source_mixture', key, CAST(NULL AS BIGINT),
-           CAST(NULL AS INTEGER), n_docs, tokens_total, keep_threshold,
-           n_docs_kept, tokens_kept
-    FROM (SELECT source AS key, n_docs, tokens_total, keep_threshold,
-                 n_docs_kept, tokens_kept
-          FROM mix_side)
+    SELECT 'decontaminate', CAST(doc_id AS VARCHAR),
+           'contaminated', CAST(contaminated AS BIGINT) FROM dec_side
+    UNION ALL
+    SELECT 'source_mixture', source, 'n_docs', n_docs FROM mix_side
+    UNION ALL
+    SELECT 'source_mixture', source, 'tokens_total', tokens_total FROM mix_side
+    UNION ALL
+    SELECT 'source_mixture', source, 'keep_threshold', keep_threshold FROM mix_side
+    UNION ALL
+    SELECT 'source_mixture', source, 'n_docs_kept', n_docs_kept FROM mix_side
+    UNION ALL
+    SELECT 'source_mixture', source, 'tokens_kept', tokens_kept FROM mix_side
+    UNION ALL
+    SELECT 'pii_redact', CAST(doc_id AS VARCHAR),
+           'n_emails', CAST(n_emails AS BIGINT) FROM pii_side
+    UNION ALL
+    SELECT 'pii_redact', CAST(doc_id AS VARCHAR),
+           'n_ips', CAST(n_ips AS BIGINT) FROM pii_side
+    UNION ALL
+    SELECT 'pii_redact', CAST(doc_id AS VARCHAR),
+           'n_phones', CAST(n_phones AS BIGINT) FROM pii_side
+    UNION ALL
+    SELECT 'pii_redact', CAST(doc_id AS VARCHAR),
+           'redacted_fp', redacted_fp FROM pii_side
+    UNION ALL
+    SELECT 'chunking', CAST(doc_id AS VARCHAR), 'n_chunks', n_chunks
+    FROM chunk_side
+    UNION ALL
+    SELECT 'chunking', CAST(doc_id AS VARCHAR), 'chunk_fp_min', chunk_fp_min
+    FROM chunk_side
 """
 
 
@@ -662,6 +880,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_token_count": q_bpe_token_count,
     "q_decontaminate": q_decontaminate,
     "q_source_mixture": q_source_mixture,
+    "q_pii_redact": q_pii_redact,
+    "q_doc_chunks": q_doc_chunks,
     "q_curation_suite": q_curation_suite,
 }
 
@@ -675,5 +895,7 @@ TEXT_ORACLES: dict[str, str] = {
     "q_bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
     "q_decontaminate": ORACLE_DECONTAMINATE,
     "q_source_mixture": ORACLE_SOURCE_MIXTURE,
+    "q_pii_redact": ORACLE_PII_REDACT,
+    "q_doc_chunks": ORACLE_DOC_CHUNKS,
     "q_curation_suite": ORACLE_CURATION_SUITE,
 }
