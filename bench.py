@@ -68,6 +68,7 @@ OPTIONAL = [
     "q_source_mixture",
     "q_pii_redact",
     "q_doc_chunks",
+    "q_sequence_pack",
 ]
 
 

@@ -369,3 +369,34 @@ def test_doc_chunks_boundaries_and_content(spark, tmp_path):
     # consecutive chunks overlap by C - stride tokens
     assert CHUNK_TOKENS - CHUNK_STRIDE == 8
     assert c70[1].chunk_start == c70[0].chunk_start + CHUNK_STRIDE
+
+
+def test_sequence_pack_offsets_and_boundaries(spark, tmp_path):
+    from weatherflow_spark.plans.ext_text import PACK_TOKENS, q_sequence_pack
+
+    assert PACK_TOKENS == 512
+    # three docs in one stream with known BPE-token counts: the word
+    # "aa" is one token under the BPE-ish regex, so token count ==
+    # word count for these texts.
+    def words(n):
+        return " ".join(["aa"] * n)
+
+    rows = [
+        (1, words(300), "en", "s0", 300),
+        (2, words(300), "en", "s0", 300),
+        (3, words(100), "en", "s0", 100),
+        (9, words(50), "en", "s1", 50),  # separate stream packs from 0
+    ]
+    d = tmp_path / "pack"
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r.doc_id: r for r in q_sequence_pack(spark, str(d)).collect()}
+    assert (out[1].pack_id, out[1].pack_offset, out[1].crosses_boundary) == (0, 0, 0)
+    # doc 2 spans tokens 300..599 → starts in pack 0, crosses into 1
+    assert (out[2].pack_id, out[2].pack_offset, out[2].crosses_boundary) == (0, 300, 1)
+    # doc 3 spans 600..699 → wholly inside pack 1
+    assert (out[3].pack_id, out[3].pack_offset, out[3].crosses_boundary) == (1, 88, 0)
+    # a different source is an independent packing stream
+    assert (out[9].pack_id, out[9].pack_offset) == (0, 0)

@@ -774,16 +774,91 @@ ORACLE_DOC_CHUNKS = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_sequence_pack — concat-and-split packing into fixed context windows
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 512  # training context-window size in BPE-ish tokens
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-assembly step of a pretraining
+    pipeline: documents are concatenated per source stream in
+    deterministic (doc_id) order and split into fixed 512-token
+    context windows ("concat then split" packing). Each document
+    lands at a byte-exact position: its pack number, its token offset
+    inside that pack, and whether it straddles a pack boundary (the
+    fraction of straddlers is the packing-efficiency metric every
+    data team tracks).
+
+    Scale posture: one shuffle on the packing stream key (source),
+    then a per-partition ordered prefix sum inside the window — no
+    self-joins, no iteration. A skewed stream (one giant source)
+    serializes its prefix sum; production splits it with the two-pass
+    range-partitioned global-index pattern (operators/indexing.py),
+    which computes the same cumulative offsets without a
+    single-partition window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select("source", "doc_id", T.bpe_token_count("text").alias("n_tok"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long")))
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.expr(f"cum_before DIV {PACK_TOKENS}").alias("pack_id"),
+            (F.col("cum_before") % PACK_TOKENS).alias("pack_offset"),
+            (
+                F.expr(f"cum_before DIV {PACK_TOKENS}")
+                != F.expr(f"(cum_before + n_tok - 1) DIV {PACK_TOKENS}")
+            )
+            .cast("int")
+            .alias("crosses_boundary"),
+        )
+    )
+
+
+ORACLE_SEQUENCE_PACK = f"""
+    WITH toks AS (
+        SELECT source, doc_id, {T.bpe_token_count_sql('text')} AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM toks
+    )
+    SELECT source, doc_id, n_tok,
+           cum_before // {PACK_TOKENS} AS pack_id,
+           cum_before % {PACK_TOKENS} AS pack_offset,
+           CAST(cum_before // {PACK_TOKENS}
+                <> (cum_before + n_tok - 1) // {PACK_TOKENS} AS INTEGER)
+               AS crosses_boundary
+    FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_curation_suite — consolidated corpus-curation certification row
 # ---------------------------------------------------------------------------
 
 
 def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-curation certification row: test-set decontamination,
-    deterministic source-mixture rebalancing, PII redaction, and
-    context-window chunking, tagged by op and unioned in LONG format
-    — (op, key, metric, value:bigint) — so heterogeneous curation
-    branches share one schema and a new branch is one more stack().
+    deterministic source-mixture rebalancing, PII redaction,
+    context-window chunking, and concat-and-split sequence packing,
+    tagged by op and unioned in LONG format — (op, key, metric,
+    value:bigint) — so heterogeneous curation branches share one
+    schema and a new branch is one more stack().
     Chunking contributes per-doc aggregates (chunk count + fold of
     chunk fingerprints); chunk-level rows stay in the q_doc_chunks
     tail twin. The union is plan-level only (no cross-branch
@@ -823,7 +898,15 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (metric, value)",
         )
     )
-    return dec.unionByName(mix).unionByName(pii).unionByName(chunk)
+    pack = q_sequence_pack(spark, sf_dir).selectExpr(
+        "'sequence_pack' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(3, 'pack_id', pack_id, 'pack_offset', pack_offset, "
+        "'crosses_boundary', cast(crosses_boundary as bigint)) AS (metric, value)",
+    )
+    return (
+        dec.unionByName(mix).unionByName(pii).unionByName(chunk).unionByName(pack)
+    )
 
 
 ORACLE_CURATION_SUITE = f"""
@@ -833,7 +916,8 @@ ORACLE_CURATION_SUITE = f"""
     chunk_side AS (
         SELECT doc_id, count(*) AS n_chunks, min(chunk_fp) AS chunk_fp_min
         FROM ({ORACLE_DOC_CHUNKS}) GROUP BY doc_id
-    )
+    ),
+    pack_side AS ({ORACLE_SEQUENCE_PACK})
     SELECT 'decontaminate' AS op, CAST(doc_id AS VARCHAR) AS key,
            'n_shared_grams' AS metric, n_shared_grams AS value FROM dec_side
     UNION ALL
@@ -867,6 +951,16 @@ ORACLE_CURATION_SUITE = f"""
     UNION ALL
     SELECT 'chunking', CAST(doc_id AS VARCHAR), 'chunk_fp_min', chunk_fp_min
     FROM chunk_side
+    UNION ALL
+    SELECT 'sequence_pack', CAST(doc_id AS VARCHAR), 'pack_id', pack_id
+    FROM pack_side
+    UNION ALL
+    SELECT 'sequence_pack', CAST(doc_id AS VARCHAR), 'pack_offset', pack_offset
+    FROM pack_side
+    UNION ALL
+    SELECT 'sequence_pack', CAST(doc_id AS VARCHAR),
+           'crosses_boundary', CAST(crosses_boundary AS BIGINT)
+    FROM pack_side
 """
 
 
@@ -882,6 +976,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_source_mixture": q_source_mixture,
     "q_pii_redact": q_pii_redact,
     "q_doc_chunks": q_doc_chunks,
+    "q_sequence_pack": q_sequence_pack,
     "q_curation_suite": q_curation_suite,
 }
 
@@ -897,5 +992,6 @@ TEXT_ORACLES: dict[str, str] = {
     "q_source_mixture": ORACLE_SOURCE_MIXTURE,
     "q_pii_redact": ORACLE_PII_REDACT,
     "q_doc_chunks": ORACLE_DOC_CHUNKS,
+    "q_sequence_pack": ORACLE_SEQUENCE_PACK,
     "q_curation_suite": ORACLE_CURATION_SUITE,
 }
