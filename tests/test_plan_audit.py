@@ -142,6 +142,33 @@ def test_decontaminate_broadcasts_only_bench_grams(spark):
     assert len(agg) == 1, f"expected one per-doc re-aggregation exchange:\n{p}"
 
 
+def test_pii_redact_is_narrow_single_stage(spark):
+    """E27: PII counting + redaction + fingerprint are pure per-row
+    column expressions — the plan must be a shuffle-free codegen
+    pipeline over the scan."""
+    p = _plan(QUERIES["q_pii_redact"](spark, SF_SMALL))
+    assert "Exchange" not in p, f"narrow redaction plan contains a shuffle:\n{p}"
+    assert "[codegen id :" in p
+
+
+def test_doc_chunks_is_narrow_generator(spark):
+    """E28: chunking is a 1→N generator pipelined into the scan —
+    no shuffle anywhere."""
+    p = _plan(QUERIES["q_doc_chunks"](spark, SF_SMALL))
+    assert "Exchange" not in p, f"narrow chunking plan contains a shuffle:\n{p}"
+    assert len(_detail_headers(p, "Generate")) == 1, p
+
+
+def test_sequence_pack_single_stream_exchange(spark):
+    """E29: packing shuffles once on the stream key (source) for the
+    per-partition prefix sum — exactly one Exchange, one Window."""
+    p = _plan(QUERIES["q_sequence_pack"](spark, SF_SMALL))
+    exchanges = _detail_blocks(p, "Exchange")
+    assert len(exchanges) == 1, f"expected exactly one Exchange:\n{p}"
+    assert "hashpartitioning(source" in exchanges[0], exchanges[0]
+    assert len(_detail_headers(p, "Window")) == 1, p
+
+
 @pytest.mark.parametrize("name", WINDOW)
 def test_no_cartesian_product_in_certified_window(spark, name):
     """No certified plan may contain a CartesianProduct. (Broadcast
