@@ -292,3 +292,28 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     ]
     assert len(w0_rows) == 1, w0_rows
     assert w0_rows[0].n_events == 2, w0_rows
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static dimension join: enriching the event stream with
+    the broadcast user dimension must equal the identical plan run in
+    batch, keep every event (left join), and stay stateless (no
+    watermark needed)."""
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.streaming.pipeline import (
+        enrich_with_static_dim,
+        user_dim,
+    )
+
+    dim = user_dim(spark, SF_SMALL)
+    got = run_available_now(
+        enrich_with_static_dim(read_events_stream(spark, SF_SMALL), dim),
+        "enrich_test",
+        str(tmp_path / "ckpt_enrich"),
+    )
+    want = enrich_with_static_dim(load_table(spark, SF_SMALL, "events"), dim)
+    assert got.count() == load_table(spark, SF_SMALL, "events").count()
+    key = ["event_id"]
+    assert _sorted_rows(got.select("event_id", "segment", "acctbal"), *key) == (
+        _sorted_rows(want.select("event_id", "segment", "acctbal"), *key)
+    )

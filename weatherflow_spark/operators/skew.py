@@ -11,7 +11,7 @@ a web corpus) still funnels one reducer. The classic fix is salting:
 
 Sums/counts recombine exactly; the integer-scaled sum pattern keeps
 phase-2 addition order-independent, so salting does not perturb
-hash-checked results (tested in tests/test_skew.py against the
+hash-checked results (tested in tests/test_scale_ops.py against the
 unsalted plan)."""
 
 from __future__ import annotations

@@ -270,6 +270,35 @@ def weather_etl_stream(
     return writer.trigger(**trigger).start()
 
 
+def user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static user dimension for stream enrichment, derived from
+    the customer table (c_custkey keys the event stream's user_id
+    space at every SF)."""
+    from weatherflow_spark.io import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+def enrich_with_static_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment — the lookup join every
+    event pipeline runs before aggregating by a dimension attribute.
+    The static side is broadcast, so the (unbounded) stream side
+    never shuffles and needs no watermark — a stream-static join is
+    stateless per micro-batch; Spark re-plans the static side each
+    batch, which is also what picks up slowly-changing-dimension
+    refreshes when the dim is a table path rather than a cached frame.
+    Left join keeps events whose user has no dim row (NULL segment),
+    so enrichment never drops facts. The identical expression on a
+    batch frame is the parity certificate
+    (tests/test_streaming.py)."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
 def purchases_clicks_interval_join(events: DataFrame) -> DataFrame:
     """Stream-stream self-join (T2 surface): pair each purchase with
     the same user's clicks in the preceding 30 minutes — the streaming
