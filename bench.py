@@ -58,6 +58,7 @@ OPTIONAL = [
     "q_simhash_near_dup",
     "q_ngram_jaccard",
     "q_ann_lsh_topk",
+    "q_ann_batch_topk",
     # graph single (now in q_iterative_suite, with q_kmeans)
     "q_pagerank",
     "q_kmeans",

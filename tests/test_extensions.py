@@ -400,3 +400,26 @@ def test_sequence_pack_offsets_and_boundaries(spark, tmp_path):
     assert (out[3].pack_id, out[3].pack_offset, out[3].crosses_boundary) == (1, 88, 0)
     # a different source is an independent packing stream
     assert (out[9].pack_id, out[9].pack_offset) == (0, 0)
+
+
+def test_ann_batch_per_query_ranking(spark):
+    """Batched ANN: every query gets exactly BATCH_TOP_K ranked
+    candidates, ranks are dense 1..k per query, cosines descend with
+    rank, and a query never matches itself."""
+    from weatherflow_spark.plans.ext_similarity import (
+        BATCH_QUERY_IDS,
+        BATCH_TOP_K,
+        q_ann_batch_topk,
+    )
+
+    rows = q_ann_batch_topk(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.q_id
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(BATCH_QUERY_IDS)
+    for q_id, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, BATCH_TOP_K + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)

@@ -482,6 +482,93 @@ ORACLE_ANN_LSH_TOPK = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_ann_batch_topk — batched multi-query ANN (one corpus pass, Q queries)
+# ---------------------------------------------------------------------------
+
+BATCH_QUERY_IDS = (1, 2, 3)
+BATCH_TOP_K = 5
+
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN — the production shape: a *set* of query vectors
+    answered in ONE corpus pass instead of one scan per query. Every
+    query explodes to its LSH bucket plus the 6 one-bit-flip probes
+    (broadcast — queries are small by definition); the corpus streams
+    through a single keyed equi-join on bucket id, and per-query
+    top-5 ranks only the bucket-matched candidates (each corpus
+    vector lives in exactly one bucket, so a query never sees a
+    candidate twice). The ranking window shuffles candidates keyed by
+    q_id — bucket-bounded rows, never the Q×N cross product a naive
+    batch join would make. More planes shrink the probed fraction at
+    corpus scale; 6 here matches the single-query twin so the two are
+    comparable."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(lsh_bucket_expr("embedding"))
+    )
+    ids = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.expr(f"vec_id IN ({ids})"))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    probes = queries.select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            F.expr(
+                f"array_union(array({lsh_bucket_expr('q_emb')}), "
+                f"transform(sequence(0, {LSH_PLANES - 1}), "
+                f"p -> {lsh_bucket_expr('q_emb')} ^ shiftleft(cast(1 as bigint), p)))"
+            )
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        emb.join(F.broadcast(probes), "bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.expr(cosine_expr("embedding", "q_emb")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BATCH_TOP_K)
+    )
+
+
+ORACLE_ANN_BATCH_TOPK = f"""
+    WITH hashed AS (
+        SELECT vec_id, label, embedding, {lsh_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb,
+               {lsh_bucket_sql('embedding')} AS q_bucket
+        FROM embeddings WHERE vec_id IN ({', '.join(str(i) for i in BATCH_QUERY_IDS)})
+    ),
+    probes AS (
+        SELECT q_id, q_emb, unnest(list_distinct(list_prepend(q_bucket,
+            list_transform(generate_series(0, {LSH_PLANES - 1}),
+                           p -> xor(q_bucket, CAST(1 AS BIGINT) << p))))) AS bucket
+        FROM q
+    ),
+    scored AS (
+        SELECT p.q_id, h.vec_id, h.label,
+               {cosine_sql('h.embedding', 'p.q_emb')} AS cosine
+        FROM hashed h JOIN probes p USING (bucket)
+        WHERE h.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, label, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {BATCH_TOP_K}
+"""
+
+
 # Filled here (not at its definition site) because it needs
 # lsh_bucket_sql, defined above.
 ORACLE_EMBEDDING_NEAR_DUP = ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE.format(
@@ -497,32 +584,45 @@ ORACLE_EMBEDDING_NEAR_DUP = ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE.format(
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 consolidated certification row: brute-force exact top-10,
     IVF-probed top-10, and LSH-bucketed top-10 for the same query
-    vector, tagged by method and unioned. Each branch keeps its own
-    physical strategy (broadcast 1-row query + TakeOrdered heaps /
-    pruned `label IN` probe scan / keyed bucket equi-join); the union
-    is plan-level only — no cross-branch shuffle. Single-method twins
-    stay registered in the tail."""
+    vector, plus the batched multi-query form (3 queries, one corpus
+    pass, per-query top-5) — tagged by method and unioned. ``q_id``
+    identifies the query vector (the single-query branches all use
+    vec_id 0). Each branch keeps its own physical strategy (broadcast
+    1-row query + TakeOrdered heaps / pruned `label IN` probe scan /
+    keyed bucket equi-join / broadcast probe set + bounded ranking
+    window); the union is plan-level only — no cross-branch shuffle.
+    Single-method twins stay registered in the tail."""
+    qid = F.lit(QUERY_VEC_ID).cast("long").alias("q_id")
     brute = q_similarity_topk(spark, sf_dir).select(
-        F.lit("brute").alias("method"), "vec_id", "label", "cosine"
+        F.lit("brute").alias("method"), qid, "vec_id", "label", "cosine"
     )
     ivf = q_ann_ivf_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "vec_id", "label", "cosine"
+        F.lit("ivf").alias("method"), qid, "vec_id", "label", "cosine"
     )
     lsh = q_ann_lsh_topk(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "vec_id", "label", "cosine"
+        F.lit("lsh").alias("method"), qid, "vec_id", "label", "cosine"
     )
-    return brute.unionByName(ivf).unionByName(lsh)
+    batch = q_ann_batch_topk(spark, sf_dir).select(
+        F.lit("batch").alias("method"), "q_id", "vec_id", "label", "cosine"
+    )
+    return brute.unionByName(ivf).unionByName(lsh).unionByName(batch)
 
 
 ORACLE_ANN_SUITE = f"""
     WITH brute_side AS ({ORACLE_SIMILARITY_TOPK}),
     ivf_side AS ({ORACLE_ANN_IVF_TOPK}),
-    lsh_side AS ({ORACLE_ANN_LSH_TOPK})
-    SELECT 'brute' AS method, vec_id, label, cosine FROM brute_side
+    lsh_side AS ({ORACLE_ANN_LSH_TOPK}),
+    batch_side AS ({ORACLE_ANN_BATCH_TOPK})
+    SELECT 'brute' AS method, CAST({QUERY_VEC_ID} AS BIGINT) AS q_id,
+           vec_id, label, cosine FROM brute_side
     UNION ALL
-    SELECT 'ivf' AS method, vec_id, label, cosine FROM ivf_side
+    SELECT 'ivf', CAST({QUERY_VEC_ID} AS BIGINT), vec_id, label, cosine
+    FROM ivf_side
     UNION ALL
-    SELECT 'lsh' AS method, vec_id, label, cosine FROM lsh_side
+    SELECT 'lsh', CAST({QUERY_VEC_ID} AS BIGINT), vec_id, label, cosine
+    FROM lsh_side
+    UNION ALL
+    SELECT 'batch', q_id, vec_id, label, cosine FROM batch_side
 """
 
 
@@ -531,6 +631,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_ann_ivf_topk": q_ann_ivf_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_ann_batch_topk": q_ann_batch_topk,
     "q_ann_suite": q_ann_suite,
 }
 
@@ -539,5 +640,6 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "q_embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "q_ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "q_ann_batch_topk": ORACLE_ANN_BATCH_TOPK,
     "q_ann_suite": ORACLE_ANN_SUITE,
 }
