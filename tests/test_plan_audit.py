@@ -169,6 +169,18 @@ def test_sequence_pack_single_stream_exchange(spark):
     assert len(_detail_headers(p, "Window")) == 1, p
 
 
+def test_ann_batch_broadcasts_probes_and_bounds_ranking(spark):
+    """E2 batch form: the probe set must broadcast (corpus streams
+    through one keyed bucket join — no shuffle join), and the only
+    data-scale exchange is the per-query ranking window's
+    hashpartitioning(q_id) over bucket-bounded candidates."""
+    p = _plan(QUERIES["q_ann_batch_topk"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p, f"probe join is not broadcast:\n{p}"
+    assert "SortMergeJoin" not in p
+    exchanges = [b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b]
+    assert len(exchanges) == 1 and "q_id" in exchanges[0], f"{exchanges}\n{p}"
+
+
 @pytest.mark.parametrize("name", WINDOW)
 def test_no_cartesian_product_in_certified_window(spark, name):
     """No certified plan may contain a CartesianProduct. (Broadcast
