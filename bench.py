@@ -70,6 +70,7 @@ OPTIONAL = [
     "q_pii_redact",
     "q_doc_chunks",
     "q_sequence_pack",
+    "q_grouped_topk",
 ]
 
 

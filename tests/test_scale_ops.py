@@ -100,3 +100,33 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     n_days = events.select("event_date").distinct().count()
     assert n_days > 1
     assert read.count() == events.where(F.col("event_date") == "2024-01-15").count()
+
+
+def test_grouped_topk_matches_window_idiom(spark):
+    """The two-phase per-group top-k (partition-local Arrow trim →
+    window over survivors) must be row-identical to the plain window
+    idiom under a total ordering, on a multi-partition input."""
+    from pyspark.sql import Window, functions as F
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.operators.topk import grouped_topk
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).repartition(8)  # force many input partitions for phase 1
+
+    got = grouped_topk(
+        li,
+        key_cols=["l_returnflag"],
+        order_cols=["l_extendedprice", "l_orderkey", "l_linenumber"],
+        k=5,
+        ascending=[False, True, True],
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    want = li.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    key = ["l_returnflag", "rank"]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 3 * 5  # 3 flags × k

@@ -516,6 +516,39 @@ ORACLE_TOP_N_PER_GROUP = """
 """
 
 
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-3-per-priority ranking computed with the
+    TWO-PHASE operator (operators/topk.grouped_topk): an Arrow
+    mapInPandas trims each input partition to its local top-3 per key
+    (bounded state, no shuffle), then the exact window runs over the
+    ≤ partitions·k survivors — the ranking shuffle carries a bounded
+    trickle instead of the whole orders table. Hash-checked against
+    the PLAIN window SQL, proving the physical rewrite is
+    result-invariant (total tie-break required, as everywhere)."""
+    from weatherflow_spark.operators.topk import grouped_topk
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return grouped_topk(
+        orders,
+        key_cols=["o_orderpriority"],
+        order_cols=["o_totalprice", "o_orderkey"],
+        k=3,
+        ascending=[False, True],
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rank").cast("long").alias("rk"),
+    )
+
+
+# Same SQL as the window idiom: the two-phase plan must be invisible
+# in the result.
+ORACLE_GROUPED_TOPK = ORACLE_TOP_N_PER_GROUP
+
+
 # ---------------------------------------------------------------------------
 # q_window_dist — distribution window functions (percent_rank / cume_dist /
 # lead / nth_value), completing the W1-W3 analytic surface
@@ -978,6 +1011,7 @@ STATS_QUERIES = {
     "q_explode_pos": q_explode_pos,
     "q_tpch_q3": q_tpch_q3,
     "q_top_n_per_group": q_top_n_per_group,
+    "q_grouped_topk": q_grouped_topk,
     "q_window_dist": q_window_dist,
     "q_collect_set_sorted": q_collect_set_sorted,
     "q_date_dim": q_date_dim,
@@ -997,6 +1031,7 @@ STATS_ORACLES = {
     "q_explode_pos": ORACLE_EXPLODE_POS,
     "q_tpch_q3": ORACLE_TPCH_Q3,
     "q_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
+    "q_grouped_topk": ORACLE_GROUPED_TOPK,
     "q_window_dist": ORACLE_WINDOW_DIST,
     "q_collect_set_sorted": ORACLE_COLLECT_SET_SORTED,
     "q_date_dim": ORACLE_DATE_DIM,
