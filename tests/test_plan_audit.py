@@ -169,6 +169,38 @@ def test_sequence_pack_single_stream_exchange(spark):
     assert len(_detail_headers(p, "Window")) == 1, p
 
 
+def test_sequence_pack_indexed_has_no_stream_wide_window(spark):
+    """E29 scale-safe form: every data-scale window partition must be
+    bucket-bounded — the window that orders by doc_id has to carry the
+    _bucket column in its partition spec (so no single source can
+    funnel the corpus through one task), the base-offset table joins
+    back by broadcast (no shuffle join), and exactly one exchange is
+    data-scale: hashpartitioning(source, _bucket) for that window."""
+    p = _plan(QUERIES["q_sequence_pack_indexed"](spark, SF_SMALL))
+    doc_windows = [
+        m
+        for m in re.findall(r"windowspecdefinition\([^)]*\)", p)
+        if "doc_id" in m
+    ]
+    assert doc_windows, f"no doc-ordered window found:\n{p}"
+    for w in doc_windows:
+        assert "_bucket" in w.split("doc_id")[0], (
+            f"doc-ordered window is not bucket-bounded:\n{w}\n{p}"
+        )
+    assert "BroadcastHashJoin" in p, f"base-offset join is not broadcast:\n{p}"
+    assert "SortMergeJoin" not in p
+    # Three exchanges total: the tiny (source,_bucket) partial-agg and
+    # per-source prefix exchanges over the totals table, and ONE
+    # data-scale (source,_bucket) exchange — the only one whose rows
+    # still carry doc_id.
+    data_scale = [
+        b
+        for b in _detail_blocks(p, "Exchange")
+        if "hashpartitioning(source" in b and "_bucket" in b and "doc_id" in b
+    ]
+    assert len(data_scale) == 1, f"expected one data-scale (source,_bucket) exchange:\n{p}"
+
+
 def test_ann_batch_broadcasts_probes_and_bounds_ranking(spark):
     """E2 batch form: the probe set must broadcast (corpus streams
     through one keyed bucket join — no shuffle join), and the only

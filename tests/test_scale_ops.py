@@ -130,3 +130,105 @@ def test_grouped_topk_matches_window_idiom(spark):
     key = ["l_returnflag", "rank"]
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() == 3 * 5  # 3 flags × k
+
+
+def test_sequence_pack_indexed_matches_window_form(spark):
+    """The bucket-decomposed prefix sum (operators/packing.py) must be
+    row-identical to the per-stream window prefix sum — including on a
+    skewed input where one stream dominates (the exact shape the
+    window form serializes on)."""
+    from pyspark.sql import Window
+
+    from weatherflow_spark.operators.packing import pack_sequences_indexed
+
+    rows = [("big", i, (i * 7) % 13 + 1) for i in range(0, 900, 2)] + [
+        ("small", i, (i * 3) % 5 + 1) for i in range(1, 60, 3)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok int").repartition(8)
+
+    got = pack_sequences_indexed(
+        df, stream_col="source", order_col="doc_id", tok_col="n_tok",
+        pack_tokens=32, bucket_size=16,
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = (
+        df.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+        )
+        .select(
+            "source", "doc_id", "n_tok",
+            F.expr("cum_before DIV 32").alias("pack_id"),
+            (F.col("cum_before") % 32).alias("pack_offset"),
+            (
+                F.expr("cum_before DIV 32")
+                != F.expr("(cum_before + n_tok - 1) DIV 32")
+            ).cast("int").alias("crosses_boundary"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_exclusive_prefix_sum_bucket_boundaries(spark):
+    """Offsets must be exact across bucket boundaries: a stream whose
+    rows straddle many buckets (sparse and dense order keys, including
+    an empty bucket in the middle) gets the same running totals as the
+    window spec."""
+    from pyspark.sql import Window
+
+    from weatherflow_spark.operators.packing import exclusive_prefix_sum
+
+    rows = [("s", k, v) for k, v in [
+        (0, 5), (1, 5), (15, 7), (16, 1), (17, 2),  # bucket 0 full edge, 1
+        (64, 9), (65, 1),                            # bucket 4 (2,3 empty)
+        (1000, 3),                                   # far bucket
+    ]]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+    got = exclusive_prefix_sum(
+        df, "source", "doc_id", "n_tok", bucket_size=16, out_col="cum"
+    )
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn(
+        "cum", F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_grouped_topk_null_keys_and_null_order_values(spark):
+    """Nullable inputs must follow Spark window semantics: a NULL key
+    forms its own group, and NULL order values rank NULLS FIRST under
+    asc / NULLS LAST under desc — the phase-1 trimmer must not evict a
+    row the window would keep (pandas defaults would: groupby drops
+    NULL keys, sort_values pins NaN last regardless of direction)."""
+    from pyspark.sql import Window
+
+    from weatherflow_spark.operators.topk import grouped_topk
+
+    rows = []
+    for i in range(200):
+        key = [None, "a", "b"][i % 3]
+        val = None if i % 7 == 0 else float(i % 50)
+        rows.append((key, val, i))
+    df = spark.createDataFrame(
+        rows, "grp string, val double, uid long"
+    ).repartition(8)
+
+    for asc in (True, False):
+        got = grouped_topk(
+            df, key_cols=["grp"], order_cols=["val", "uid"],
+            k=4, ascending=[asc, True],
+        )
+        w = Window.partitionBy("grp").orderBy(
+            F.col("val").asc() if asc else F.col("val").desc(), F.col("uid").asc()
+        )
+        want = df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 4)
+        none_safe = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        assert sorted(map(tuple, got.collect()), key=none_safe) == sorted(
+            map(tuple, want.collect()), key=none_safe
+        ), f"ascending={asc}"

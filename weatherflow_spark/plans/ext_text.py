@@ -793,10 +793,11 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: one shuffle on the packing stream key (source),
     then a per-partition ordered prefix sum inside the window — no
     self-joins, no iteration. A skewed stream (one giant source)
-    serializes its prefix sum; production splits it with the two-pass
-    range-partitioned global-index pattern (operators/indexing.py),
-    which computes the same cumulative offsets without a
-    single-partition window."""
+    serializes its prefix sum; the scale-safe form is
+    ``q_sequence_pack_indexed`` below (operators/packing.py), which
+    computes the same cumulative offsets with a bucket-decomposed
+    segmented prefix sum — no single-partition window — and is
+    hash-checked against this query's oracle."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -845,6 +846,47 @@ ORACLE_SEQUENCE_PACK = f"""
                AS crosses_boundary
     FROM cum
 """
+
+
+# ---------------------------------------------------------------------------
+# q_sequence_pack_indexed — the same packing, skew-proof
+# ---------------------------------------------------------------------------
+
+# Small bucket so even sf0.001 (500 docs) exercises multiple buckets
+# per source; production would use 8192+ (the plan is identical — only
+# the tiny bucket-totals row count changes).
+PACK_BUCKET = 64
+
+
+def q_sequence_pack_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing computed with the BUCKET-DECOMPOSED prefix sum
+    (operators/packing.pack_sequences_indexed) instead of the
+    per-source window: per-(source, bucket) totals → exclusive prefix
+    over the tiny totals table → broadcast-join the base offsets back
+    → window *within* each (source, bucket). No window partition ever
+    holds more than PACK_BUCKET rows, so one dominant source no longer
+    serializes the corpus — the skew hazard q_sequence_pack documents.
+    Hash-checked against the SAME window SQL as q_sequence_pack: the
+    physical rewrite must be invisible in the result."""
+    from weatherflow_spark.operators.packing import pack_sequences_indexed
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "doc_id", T.bpe_token_count("text").alias("n_tok")
+    )
+    return pack_sequences_indexed(
+        base,
+        stream_col="source",
+        order_col="doc_id",
+        tok_col="n_tok",
+        pack_tokens=PACK_TOKENS,
+        bucket_size=PACK_BUCKET,
+    )
+
+
+# Same SQL as the window idiom: the segmented plan must be
+# result-invisible.
+ORACLE_SEQUENCE_PACK_INDEXED = ORACLE_SEQUENCE_PACK
 
 
 # ---------------------------------------------------------------------------
@@ -904,8 +946,18 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'pack_id', pack_id, 'pack_offset', pack_offset, "
         "'crosses_boundary', cast(crosses_boundary as bigint)) AS (metric, value)",
     )
+    packi = q_sequence_pack_indexed(spark, sf_dir).selectExpr(
+        "'sequence_pack_indexed' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(3, 'pack_id', pack_id, 'pack_offset', pack_offset, "
+        "'crosses_boundary', cast(crosses_boundary as bigint)) AS (metric, value)",
+    )
     return (
-        dec.unionByName(mix).unionByName(pii).unionByName(chunk).unionByName(pack)
+        dec.unionByName(mix)
+        .unionByName(pii)
+        .unionByName(chunk)
+        .unionByName(pack)
+        .unionByName(packi)
     )
 
 
@@ -961,6 +1013,17 @@ ORACLE_CURATION_SUITE = f"""
     SELECT 'sequence_pack', CAST(doc_id AS VARCHAR),
            'crosses_boundary', CAST(crosses_boundary AS BIGINT)
     FROM pack_side
+    UNION ALL
+    SELECT 'sequence_pack_indexed', CAST(doc_id AS VARCHAR), 'pack_id', pack_id
+    FROM pack_side
+    UNION ALL
+    SELECT 'sequence_pack_indexed', CAST(doc_id AS VARCHAR),
+           'pack_offset', pack_offset
+    FROM pack_side
+    UNION ALL
+    SELECT 'sequence_pack_indexed', CAST(doc_id AS VARCHAR),
+           'crosses_boundary', CAST(crosses_boundary AS BIGINT)
+    FROM pack_side
 """
 
 
@@ -977,6 +1040,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_redact": q_pii_redact,
     "q_doc_chunks": q_doc_chunks,
     "q_sequence_pack": q_sequence_pack,
+    "q_sequence_pack_indexed": q_sequence_pack_indexed,
     "q_curation_suite": q_curation_suite,
 }
 
@@ -993,5 +1057,6 @@ TEXT_ORACLES: dict[str, str] = {
     "q_pii_redact": ORACLE_PII_REDACT,
     "q_doc_chunks": ORACLE_DOC_CHUNKS,
     "q_sequence_pack": ORACLE_SEQUENCE_PACK,
+    "q_sequence_pack_indexed": ORACLE_SEQUENCE_PACK_INDEXED,
     "q_curation_suite": ORACLE_CURATION_SUITE,
 }
