@@ -77,6 +77,7 @@ OPTIONAL = [
 def main() -> None:
     from weatherflow_spark.session import get_spark
     from weatherflow_spark.plans import QUERIES
+    from weatherflow_spark.operators.caching import release_caches
 
     spark = get_spark(app_name="weatherflow-bench", master=f"local[{CPUS}]")
 
@@ -88,6 +89,7 @@ def main() -> None:
         # signatures, pagerank edges) would otherwise accumulate
         # cache across reps — drop it so every timing is the query's
         # own cost and memory pressure stays flat.
+        release_caches()
         spark.catalog.clearCache()
         return elapsed
 

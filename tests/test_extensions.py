@@ -423,3 +423,75 @@ def test_ann_batch_per_query_ranking(spark):
         assert [r.rank for r in rs] == list(range(1, BATCH_TOP_K + 1))
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_multimodal_decoder_branch_dispatch(spark):
+    """E11 decode seam: whichever decode branch is importable here
+    (Pillow-backed real decode, or the stub in this codec-less
+    sandbox) must run through the SAME mapInPandas plumbing with the
+    same Arrow batch shape. With Pillow present, a real 2x2 PNG
+    decodes to a 12-byte RGB plane; without it, the stub passes the
+    payload through — either way the schema, row count, and feature
+    arithmetic hold."""
+    from weatherflow_spark.multimodal.binary import (
+        FEATURE_SCHEMA,
+        decode_image_pillow,
+        decode_image_stub,
+        default_decoder,
+        make_extract_features,
+        with_binary_payload,
+    )
+
+    decode = default_decoder()
+    try:
+        import PIL  # noqa: F401
+
+        assert decode is decode_image_pillow
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (2, 2), (1, 2, 3)).save(buf, format="PNG")
+        payload_text = None  # real branch: craft the PNG below
+        png = buf.getvalue()
+        expected_n_bytes = 12  # 2*2 pixels * 3 channels
+    except ImportError:
+        assert decode is decode_image_stub
+        payload_text = "abc"
+        png = None
+        expected_n_bytes = 3
+
+    if png is not None:
+        import pandas as pd
+
+        # Drive the worker directly with the PNG payload (the Spark
+        # path below exercises the stub's text payload).
+        worker = make_extract_features(decode)
+        out = list(
+            worker(
+                iter(
+                    [
+                        pd.DataFrame(
+                            {
+                                "doc_id": [1],
+                                "payload": [png],
+                                "meta": [{"n_bytes": len(png), "mime": "image/png"}],
+                            }
+                        )
+                    ]
+                )
+            )
+        )
+        assert len(out) == 1 and out[0]["n_bytes"].iloc[0] == expected_n_bytes
+    else:
+        docs = spark.createDataFrame(
+            [(1, payload_text, "en", "s", len(payload_text))],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        rows = (
+            with_binary_payload(docs)
+            .mapInPandas(make_extract_features(decode), FEATURE_SCHEMA)
+            .collect()
+        )
+        assert len(rows) == 1 and rows[0].n_bytes == expected_n_bytes

@@ -169,6 +169,15 @@ def test_sequence_pack_single_stream_exchange(spark):
     assert len(_detail_headers(p, "Window")) == 1, p
 
 
+def test_quality_filter_is_narrow_single_stage(spark):
+    """Gopher rule set is pure per-row column math over two let-bound
+    arrays — the whole query must pipeline into the scan with zero
+    shuffles."""
+    p = _plan(QUERIES["q_quality_filter"](spark, SF_SMALL))
+    assert "Exchange" not in p, f"narrow quality filter contains a shuffle:\n{p}"
+    assert len(_detail_headers(p, "Scan parquet")) == 1, p
+
+
 def test_sequence_pack_indexed_has_no_stream_wide_window(spark):
     """E29 scale-safe form: every data-scale window partition must be
     bucket-bounded — the window that orders by doc_id has to carry the

@@ -228,28 +228,53 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     """T2 late-data semantics: once the committed watermark passes a
     window, a later out-of-order row for that window must be DROPPED,
     not aggregated. Spark applies the late-row filter with the
-    watermark committed at the END of the previous batch, so the
-    straggler must arrive two batches after the event that advanced
-    the watermark — three files forced into separate micro-batches
-    (maxFilesPerTrigger=1): file 1 puts two rows in the 00:00 window
-    plus a 10:30 row (watermark → 08:30 after the batch commits);
-    file 2 is an 11:30 heartbeat (the 08:30 watermark becomes the
-    batch's filter bound); file 3 is a 00:45 straggler — filtered,
-    and visible in the query progress as numRowsDroppedByWatermark.
-    In update mode the sink records every emitted refresh — a
-    surviving straggler would surface as a second 00:00-window row
-    (n_events=3 if state survived, a spurious n_events=1 if it was
-    evicted first)."""
+    watermark committed at the END of the previous batch (restored
+    from the checkpoint across restarts), so the straggler must
+    arrive two batches after the event that advanced the watermark.
+    One availableNow pass per file against a SHARED checkpoint forces
+    the batch order deterministically — no mtime ordering, no sleeps
+    (the old single-run + maxFilesPerTrigger shape flaked on
+    coarse-mtime filesystems where the three files collapsed into
+    fewer ordered batches): pass 1 puts two rows in the 00:00 window
+    plus a 10:30 row (watermark → 08:30 at commit); pass 2 is an
+    11:30 heartbeat (filtered against 08:30; watermark → 09:30);
+    pass 3 is a 00:45 straggler — filtered, and visible in pass 3's
+    progress as numRowsDroppedByWatermark. In update mode each pass
+    emits that pass's refreshed aggregates (captured via foreachBatch
+    — the memory sink cannot recover from a checkpoint) — a surviving
+    straggler would surface as a 00:00-window refresh in pass 3."""
     import datetime as dt
-    import time
 
     src = tmp_path / "landing_late"
     src.mkdir()
+    ckpt = str(tmp_path / "ckpt_late")
 
     def _write(rows):
         spark.createDataFrame(rows, EVENTS_FALLBACK_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(str(src))
+
+    emitted: dict[int, list] = {}
+
+    def _run_pass(idx: int):
+        rows_out: list = []
+        emitted[idx] = rows_out
+        q = (
+            tumbling_value_agg(read_events_stream(spark, str(src), glob="*.parquet"))
+            .writeStream.foreachBatch(
+                lambda df, _bid: rows_out.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
 
     _write(
         [
@@ -258,40 +283,27 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             (3, dt.datetime(2024, 1, 1, 10, 30), 3, "t", 1.0, "{}"),
         ]
     )
-    time.sleep(1.1)  # distinct mtimes so the file source orders batches
+    dropped1 = _run_pass(1)
     _write([(5, dt.datetime(2024, 1, 1, 11, 30), 3, "t", 1.0, "{}")])
-    time.sleep(1.1)
+    dropped2 = _run_pass(2)
     _write([(4, dt.datetime(2024, 1, 1, 0, 45), 1, "t", 1.0, "{}")])
+    dropped3 = _run_pass(3)
 
-    stream = read_events_stream(
-        spark, str(src), glob="*.parquet", max_files_per_trigger=1
-    )
-    q = (
-        tumbling_value_agg(stream)
-        .writeStream.format("memory")
-        .queryName("late_drop_test")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    dropped = sum(
-        op.get("numRowsDroppedByWatermark", 0)
-        for p in q.recentProgress
-        for op in p["stateOperators"]
-    )
-    assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
+    assert (dropped1, dropped2, dropped3) == (0, 0, 1)
 
     w0 = dt.datetime(2024, 1, 1, 0, 0)
-    w0_rows = [
-        r
-        for r in spark.table("late_drop_test").collect()
-        if r.window_start.replace(tzinfo=None) == w0
-    ]
-    assert len(w0_rows) == 1, w0_rows
-    assert w0_rows[0].n_events == 2, w0_rows
+
+    def _w0_rows(idx: int):
+        return [
+            r
+            for r in emitted[idx]
+            if r.window_start.replace(tzinfo=None) == w0
+        ]
+
+    # Pass 1 emitted the 00:00 window with both on-time rows; the
+    # straggler pass emitted NO refresh for it (dropped, not merged).
+    assert [r.n_events for r in _w0_rows(1)] == [2]
+    assert _w0_rows(3) == []
 
 
 def test_stream_static_enrichment_matches_batch(spark, tmp_path):

@@ -66,6 +66,35 @@ def decode_image_stub(payload: bytes) -> bytes:
     return payload
 
 
+def decode_image_pillow(payload: bytes) -> bytes:
+    """REAL decode branch: image payload (PNG/JPEG/...) → raw RGB byte
+    plane via Pillow. Same bytes→bytes interface as the stub, so every
+    mapInPandas worker takes either interchangeably. The PIL import
+    happens inside the call, on the executor — but note this function
+    is module-level, so cloudpickle ships it BY REFERENCE: use it from
+    sessions whose workers can import weatherflow_spark (the package's
+    own tests/jobs), not from a foreign driver (the round driver's
+    plain session uses the closure-local stub default instead — see
+    make_extract_features)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.convert("RGB").tobytes()
+
+
+def default_decoder() -> Callable[[bytes], bytes]:
+    """The Pillow decoder where Pillow is importable, else the stub —
+    the import-guard seam that makes the operator production-credible
+    without codecs in this sandbox."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return decode_image_stub
+    return decode_image_pillow
+
+
 def make_extract_features(
     decode: Callable[[bytes], bytes] | None = None,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:

@@ -26,6 +26,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+
+from weatherflow_spark.operators.caching import tracked_persist
 from pyspark.sql.types import LongType, StructField, StructType
 
 
@@ -44,10 +46,9 @@ def assign_global_index(
     # count job and the index job could see different partitionings
     # (and the offsets would index the wrong partitions). In a
     # production pipeline, checkpoint/write instead of cache.
-    ranged = (
+    ranged = tracked_persist(
         df.repartitionByRange(num_partitions, F.col(order_col))
         .sortWithinPartitions(order_col)
-        .persist()
     )
 
     counts_schema = StructType(

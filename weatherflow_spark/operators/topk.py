@@ -39,14 +39,34 @@ def _make_local_topk(key_cols: list[str], order_cols: list[str],
     def local_topk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        # NULL order values must sort exactly where Spark's window
+        # puts them (asc() = NULLS FIRST, desc() = NULLS LAST) or the
+        # local trim could evict a row the window would keep. pandas
+        # sort_values has only a single na_position for all columns,
+        # so sort on an explicit isna flag ahead of each order column:
+        # NULLS FIRST = flag descending (True first) = ascending False.
+        sort_cols: list[str] = []
+        sort_asc: list[bool] = []
+        flags: list[str] = []
+        for c, a in zip(order_cols, ascending):
+            flag = f"__isna_{c}"
+            flags.append(flag)
+            sort_cols += [flag, c]
+            sort_asc += [not a, a]
+
         state: "pd.DataFrame | None" = None
         for pdf in batches:
             state = pdf if state is None else pd.concat([state, pdf])
-            # trim after every batch so state stays ≤ |keys|·k rows
+            for c, flag in zip(order_cols, flags):
+                state[flag] = state[c].isna()
+            # trim after every batch so state stays ≤ |keys|·k rows;
+            # dropna=False keeps NULL-keyed groups (the window ranks
+            # a NULL group like any other).
             state = (
-                state.sort_values(order_cols, ascending=ascending, kind="mergesort")
-                .groupby(key_cols, sort=False)
+                state.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+                .groupby(key_cols, sort=False, dropna=False)
                 .head(k)
+                .drop(columns=flags)
             )
         if state is not None and len(state):
             yield state
@@ -65,7 +85,11 @@ def grouped_topk(
     total order (end with a unique tiebreak column) — the same rule
     every hash-checked ranked query in this engine follows; with ties
     left unbroken the two phases could keep different (equally valid)
-    rows. Output columns = input columns + ``rank`` (1-based)."""
+    rows. NULLs follow Spark window semantics exactly: a NULL key is a
+    group of its own, and NULL order values rank NULLS FIRST under
+    ``asc`` / NULLS LAST under ``desc`` (the phase-1 trimmer mirrors
+    this, so nullable inputs are safe). Output columns = input columns
+    + ``rank`` (1-based)."""
     asc = [ascending] * len(order_cols) if isinstance(ascending, bool) else list(ascending)
     trimmed = df.mapInPandas(
         _make_local_topk(key_cols, order_cols, asc, k), schema=df.schema

@@ -105,7 +105,7 @@ _CERTIFICATION_WINDOW = [
     # E24 deterministic HLL
     "q_hll_distinct",
     # E7/E12-E15/E17 scale operators
-    "q_top_n_per_group",
+    "q_ranked_topk_suite",        # E7 window idiom + two-phase trim, one hash
     "q_date_dim",
     "q_embedding_quantize",
     "q_null_semantics",

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weatherflow_spark.functions import text as T
 from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.caching import tracked_persist
 
 N_BANDS = 4
 ROWS_PER_BAND = 2  # N_BANDS * ROWS_PER_BAND == T.N_HASHES
@@ -182,7 +183,7 @@ def minhash_candidate_pairs(docs: DataFrame, cache: bool = False) -> DataFrame:
     buckets, never by corpus²."""
     banded = minhash_band_keys(docs)
     if cache:
-        banded = banded.persist()
+        banded = tracked_persist(banded)
 
     return (
         banded.alias("a")
@@ -225,7 +226,7 @@ def minhash_verified_pairs(
         F.expr(f"array_distinct({T.shingle_hashes_expr('text')})").alias("sh"),
     )
     if cache:
-        shingled = shingled.persist()
+        shingled = tracked_persist(shingled)
     verified = (
         pairs.join(shingled.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
         .join(shingled.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
@@ -372,8 +373,8 @@ def _simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         df.repartition(par, F.col("doc_id"))
         .select(F.col("doc_id"), F.expr(T.simhash_wide_expr(_TH_SPARK)).alias("sim"))
-        .persist()
     )
+    sigs = tracked_persist(sigs)
     band_structs = (
         f"transform(sequence(0, {N_SIMHASH_BANDS - 1}), __b -> "
         f"concat(cast(__b as string), ':', cast("

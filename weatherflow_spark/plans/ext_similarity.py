@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from weatherflow_spark.functions.text import MOD
 from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.caching import tracked_persist
 
 CENTROID_SCALE = 1 << 20  # 1048576
 N_PROBE = 2
@@ -177,8 +178,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(lsh_bucket_expr("embedding", NEARDUP_PLANES)).alias("code"),
         )
         .withColumn("bucket", F.col("code") % F.lit(1 << NEARDUP_BUCKET_BITS))
-        .persist()
     )
+    hashed = tracked_persist(hashed)
     probe_arr = (
         f"array_union(array(bucket), transform(sequence(0, {NEARDUP_BUCKET_BITS - 1}), "
         f"p -> bucket ^ shiftleft(cast(1 as bigint), p)))"

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weatherflow_spark.functions import text as T
 from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.caching import tracked_persist
 
 _LANGS = sorted(T.LANG_STOPWORDS)
 
@@ -396,6 +397,132 @@ ORACLE_REPETITION_FILTER = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_quality_filter — Gopher-style quality rule set
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 (Gopher, appendix A) rule family, with thresholds
+# adapted to the synthetic corpus scale (docs are 10-100 tokens of
+# lowercase vocabulary): word-count bounds, mean-word-length band,
+# symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic
+# word fraction, and a required-stopword floor. Gopher requires >= 2
+# of its 8 stopwords; this vocabulary only ever contains 'the', so
+# the floor is 1 — same rule, recalibrated.
+GQ_MIN_WORDS = 20
+GQ_MAX_WORDS = 100_000
+GQ_MEAN_WLEN_MIN = 3.0
+GQ_MEAN_WLEN_MAX = 10.0
+GQ_SYMBOL_RATIO_MAX = 0.1
+GQ_BULLET_FRAC_MAX = 0.9
+GQ_ELLIPSIS_FRAC_MAX = 0.3
+GQ_ALPHA_FRAC_MIN = 0.8
+GQ_REQUIRED_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GQ_MIN_STOP_HITS = 1
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality filter — the standard pre-train
+    curation gate beyond the repetition rules (q_repetition_filter):
+    per document, every rule's metric plus the keep verdict.
+
+    All metrics are narrow array/string expressions over two
+    let-bound arrays (tokens, lines — bound once per row so the
+    higher-order references don't re-evaluate the split, the
+    CollapseProject trap functions/text.py documents). Zero shuffles;
+    the whole query pipelines into the parquet scan. Thresholds
+    compare *rounded* (1e-6) values so the verdict is bit-identical
+    cross-engine (the engine-wide rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stops = ", ".join(f"'{w}'" for w in GQ_REQUIRED_STOPS)
+    metrics = T.let_spark(
+        T.tokens_expr("text"),
+        "t",
+        T.let_spark(
+            "split(text, '\\n')",
+            "L",
+            "struct("
+            "cast(size(t) as int) as n_words, "
+            "floor(cast(aggregate(t, cast(0 as bigint), (acc, x) -> acc + length(x)) "
+            "as double) / size(t) * 1e6 + 0.5) / 1e6 as mean_word_len, "
+            f"cast(size(array_intersect(t, array({stops}))) as int) as stop_hits, "
+            "floor(cast(size(filter(t, x -> regexp_like(x, '[a-z]'))) as double) "
+            "/ size(t) * 1e6 + 0.5) / 1e6 as alpha_frac, "
+            "floor(cast(size(regexp_extract_all(text, '#', 0)) "
+            "+ (length(text) - length(replace(text, '...', ''))) DIV 3 as double) "
+            "/ size(t) * 1e6 + 0.5) / 1e6 as symbol_ratio, "
+            "floor(cast(size(filter(L, l -> regexp_like(l, '^[-*•] '))) as double) "
+            "/ size(L) * 1e6 + 0.5) / 1e6 as bullet_frac, "
+            "floor(cast(size(filter(L, l -> endswith(l, '...'))) as double) "
+            "/ size(L) * 1e6 + 0.5) / 1e6 as ellipsis_frac)",
+        ),
+    )
+    return docs.select("doc_id", F.expr(metrics).alias("m")).select(
+        "doc_id",
+        "m.n_words",
+        "m.mean_word_len",
+        "m.stop_hits",
+        "m.alpha_frac",
+        "m.symbol_ratio",
+        "m.bullet_frac",
+        "m.ellipsis_frac",
+        (
+            F.col("m.n_words").between(GQ_MIN_WORDS, GQ_MAX_WORDS)
+            & F.col("m.mean_word_len").between(GQ_MEAN_WLEN_MIN, GQ_MEAN_WLEN_MAX)
+            & (F.col("m.stop_hits") >= GQ_MIN_STOP_HITS)
+            & (F.col("m.alpha_frac") >= GQ_ALPHA_FRAC_MIN)
+            & (F.col("m.symbol_ratio") <= GQ_SYMBOL_RATIO_MAX)
+            & (F.col("m.bullet_frac") <= GQ_BULLET_FRAC_MAX)
+            & (F.col("m.ellipsis_frac") <= GQ_ELLIPSIS_FRAC_MAX)
+        ).alias("keep"),
+    )
+
+
+_GQ_STOPS_SQL = ", ".join(f"'{w}'" for w in GQ_REQUIRED_STOPS)
+
+_GQ_METRICS_DUCK = T.let_duck(
+    T.tokens_sql("text"),
+    "t",
+    T.let_duck(
+        "regexp_split_to_array(text, '\\n')",
+        "L",
+        "struct_pack("
+        "n_words := CAST(len(t) AS INTEGER), "
+        "mean_word_len := floor(CAST(list_reduce(list_prepend("
+        "CAST(0 AS BIGINT), list_transform(t, x -> "
+        "CAST(length(x) AS BIGINT))), (acc, x) -> acc + x) "
+        "AS DOUBLE) / len(t) * 1e6 + 0.5) / 1e6, "
+        f"stop_hits := CAST(len(list_intersect(t, [{_GQ_STOPS_SQL}])) AS INTEGER), "
+        "alpha_frac := floor(CAST(len(list_filter(t, x -> "
+        "regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t) * 1e6 + 0.5) / 1e6, "
+        "symbol_ratio := floor(CAST(len(regexp_extract_all(text, '#')) "
+        "+ (length(text) - length(replace(text, '...', ''))) // 3 "
+        "AS DOUBLE) / len(t) * 1e6 + 0.5) / 1e6, "
+        "bullet_frac := floor(CAST(len(list_filter(L, l -> "
+        "regexp_matches(l, '^[-*•] '))) AS DOUBLE) / len(L) * 1e6 + 0.5) / 1e6, "
+        "ellipsis_frac := floor(CAST(len(list_filter(L, l -> "
+        "ends_with(l, '...'))) AS DOUBLE) / len(L) * 1e6 + 0.5) / 1e6)",
+    ),
+)
+
+ORACLE_QUALITY_FILTER = f"""
+    WITH m AS (
+        SELECT doc_id, {_GQ_METRICS_DUCK} AS m
+        FROM documents
+    )
+    SELECT doc_id,
+           m.n_words, m.mean_word_len, m.stop_hits, m.alpha_frac,
+           m.symbol_ratio, m.bullet_frac, m.ellipsis_frac,
+           m.n_words BETWEEN {GQ_MIN_WORDS} AND {GQ_MAX_WORDS}
+               AND m.mean_word_len BETWEEN {GQ_MEAN_WLEN_MIN} AND {GQ_MEAN_WLEN_MAX}
+               AND m.stop_hits >= {GQ_MIN_STOP_HITS}
+               AND m.alpha_frac >= {GQ_ALPHA_FRAC_MIN}
+               AND m.symbol_ratio <= {GQ_SYMBOL_RATIO_MAX}
+               AND m.bullet_frac <= {GQ_BULLET_FRAC_MAX}
+               AND m.ellipsis_frac <= {GQ_ELLIPSIS_FRAC_MAX} AS keep
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_decontaminate — benchmark n-gram contamination filter
 # ---------------------------------------------------------------------------
 
@@ -519,8 +646,8 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("tokens_total"),
         )
-        .persist()
     )
+    totals = tracked_persist(totals)
     floor_tokens = totals.agg(F.min("tokens_total").alias("m"))
     rates = totals.crossJoin(F.broadcast(floor_tokens)).select(
         "source",
@@ -952,12 +1079,23 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'pack_id', pack_id, 'pack_offset', pack_offset, "
         "'crosses_boundary', cast(crosses_boundary as bigint)) AS (metric, value)",
     )
+    # Doubles re-round to e6 integers (floor(x*1e6+0.5)) rather than
+    # cast — Spark truncates double→bigint where DuckDB rounds.
+    qual = q_quality_filter(spark, sf_dir).selectExpr(
+        "'quality_filter' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(4, 'n_words', cast(n_words as bigint), "
+        "'mean_word_len_e6', cast(floor(mean_word_len * 1e6 + 0.5) as bigint), "
+        "'stop_hits', cast(stop_hits as bigint), "
+        "'keep', cast(keep as bigint)) AS (metric, value)",
+    )
     return (
         dec.unionByName(mix)
         .unionByName(pii)
         .unionByName(chunk)
         .unionByName(pack)
         .unionByName(packi)
+        .unionByName(qual)
     )
 
 
@@ -969,7 +1107,8 @@ ORACLE_CURATION_SUITE = f"""
         SELECT doc_id, count(*) AS n_chunks, min(chunk_fp) AS chunk_fp_min
         FROM ({ORACLE_DOC_CHUNKS}) GROUP BY doc_id
     ),
-    pack_side AS ({ORACLE_SEQUENCE_PACK})
+    pack_side AS ({ORACLE_SEQUENCE_PACK}),
+    qual_side AS ({ORACLE_QUALITY_FILTER})
     SELECT 'decontaminate' AS op, CAST(doc_id AS VARCHAR) AS key,
            'n_shared_grams' AS metric, n_shared_grams AS value FROM dec_side
     UNION ALL
@@ -1024,6 +1163,19 @@ ORACLE_CURATION_SUITE = f"""
     SELECT 'sequence_pack_indexed', CAST(doc_id AS VARCHAR),
            'crosses_boundary', CAST(crosses_boundary AS BIGINT)
     FROM pack_side
+    UNION ALL
+    SELECT 'quality_filter', CAST(doc_id AS VARCHAR),
+           'n_words', CAST(n_words AS BIGINT) FROM qual_side
+    UNION ALL
+    SELECT 'quality_filter', CAST(doc_id AS VARCHAR),
+           'mean_word_len_e6', CAST(floor(mean_word_len * 1e6 + 0.5) AS BIGINT)
+    FROM qual_side
+    UNION ALL
+    SELECT 'quality_filter', CAST(doc_id AS VARCHAR),
+           'stop_hits', CAST(stop_hits AS BIGINT) FROM qual_side
+    UNION ALL
+    SELECT 'quality_filter', CAST(doc_id AS VARCHAR),
+           'keep', CAST(keep AS BIGINT) FROM qual_side
 """
 
 
@@ -1041,6 +1193,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_doc_chunks": q_doc_chunks,
     "q_sequence_pack": q_sequence_pack,
     "q_sequence_pack_indexed": q_sequence_pack_indexed,
+    "q_quality_filter": q_quality_filter,
     "q_curation_suite": q_curation_suite,
 }
 
@@ -1058,5 +1211,6 @@ TEXT_ORACLES: dict[str, str] = {
     "q_doc_chunks": ORACLE_DOC_CHUNKS,
     "q_sequence_pack": ORACLE_SEQUENCE_PACK,
     "q_sequence_pack_indexed": ORACLE_SEQUENCE_PACK_INDEXED,
+    "q_quality_filter": ORACLE_QUALITY_FILTER,
     "q_curation_suite": ORACLE_CURATION_SUITE,
 }

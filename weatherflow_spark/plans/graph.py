@@ -39,6 +39,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.caching import tracked_persist
 
 PR_SCALE = 1_000_000_000
 PR_ROUNDS = 3
@@ -79,7 +80,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # src-partitioned relation instead of re-shuffling the edges
     # (at cluster scale: cache/checkpoint the edge relation, or
     # write it bucketed by src, before iterating).
-    ew = edges.join(deg, "src").repartition("src").persist()
+    ew = tracked_persist(edges.join(deg, "src").repartition("src"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ROUNDS):
         contribs = ew.join(ranks, ew["src"] == ranks["node"]).select(

@@ -37,6 +37,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.caching import tracked_persist
 from weatherflow_spark.plans.ext_dedup import (
     JACCARD_THRESHOLD,
     minhash_verified_pairs,
@@ -127,9 +128,9 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update and the next assignment — without it every round
     # re-executes the whole lineage back to the scan (doubling per
     # round). Small state (one row per vector).
-    assigned = _assign(emb, centroids).persist()
+    assigned = tracked_persist(_assign(emb, centroids))
     for _ in range(KMEANS_ROUNDS - 1):
-        assigned = _assign(assigned.drop("cluster"), _recenter(assigned)).persist()
+        assigned = tracked_persist(_assign(assigned.drop("cluster"), _recenter(assigned)))
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec_id"))
@@ -205,10 +206,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The edge list is re-joined every propagation round — persist it
     # so the LSH/verify pipeline that produced it runs exactly once.
-    edges = (
+    edges = tracked_persist(
         dup.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
     )
 
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(

@@ -549,6 +549,31 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GROUPED_TOPK = ORACLE_TOP_N_PER_GROUP
 
 
+def q_ranked_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-slice certification row: the SAME top-3-per-priority
+    ranking computed two ways and tagged by op — 'window' (the plain
+    W1 row_number idiom, q_top_n_per_group) and 'two_phase' (the
+    trim-before-shuffle operator, operators/topk.grouped_topk). One
+    driver hash certifies both physical plans produce identical rows;
+    the union is plan-level only (no cross-branch shuffle). Single-op
+    twins stay registered in the tail."""
+    win = q_top_n_per_group(spark, sf_dir).selectExpr(
+        "'window' AS op", "o_orderpriority", "o_orderkey", "o_totalprice", "rk"
+    )
+    twop = q_grouped_topk(spark, sf_dir).selectExpr(
+        "'two_phase' AS op", "o_orderpriority", "o_orderkey", "o_totalprice", "rk"
+    )
+    return win.unionByName(twop)
+
+
+ORACLE_RANKED_TOPK_SUITE = f"""
+    WITH ranked AS ({ORACLE_TOP_N_PER_GROUP})
+    SELECT 'window' AS op, * FROM ranked
+    UNION ALL
+    SELECT 'two_phase' AS op, * FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # q_window_dist — distribution window functions (percent_rank / cume_dist /
 # lead / nth_value), completing the W1-W3 analytic surface
@@ -1012,6 +1037,7 @@ STATS_QUERIES = {
     "q_tpch_q3": q_tpch_q3,
     "q_top_n_per_group": q_top_n_per_group,
     "q_grouped_topk": q_grouped_topk,
+    "q_ranked_topk_suite": q_ranked_topk_suite,
     "q_window_dist": q_window_dist,
     "q_collect_set_sorted": q_collect_set_sorted,
     "q_date_dim": q_date_dim,
@@ -1032,6 +1058,7 @@ STATS_ORACLES = {
     "q_tpch_q3": ORACLE_TPCH_Q3,
     "q_top_n_per_group": ORACLE_TOP_N_PER_GROUP,
     "q_grouped_topk": ORACLE_GROUPED_TOPK,
+    "q_ranked_topk_suite": ORACLE_RANKED_TOPK_SUITE,
     "q_window_dist": ORACLE_WINDOW_DIST,
     "q_collect_set_sorted": ORACLE_COLLECT_SET_SORTED,
     "q_date_dim": ORACLE_DATE_DIM,

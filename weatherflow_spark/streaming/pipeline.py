@@ -29,6 +29,7 @@ Design rules:
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Callable
 
@@ -97,7 +98,18 @@ def read_events_stream(
             schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
         except AnalysisException:
             # No files yet (UNABLE_TO_INFER_SCHEMA) or the landing dir
-            # itself doesn't exist yet (PATH_NOT_FOUND).
+            # itself doesn't exist yet (PATH_NOT_FOUND). Be loud: a
+            # cold start pins the µs-timestamp canonical shape, and if
+            # the first files to land carry the bigint-nanos variant
+            # the pinned reader misparses where a warm start would
+            # have adapted via the footer — pass ``schema=`` to pin a
+            # different physical shape deliberately.
+            logging.getLogger(__name__).warning(
+                "events stream cold-start on empty landing dir %s: pinning "
+                "EVENTS_FALLBACK_SCHEMA (µs timestamps); pass schema= if the "
+                "first files will use a different physical shape",
+                sf_dir,
+            )
             schema = EVENTS_FALLBACK_SCHEMA
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
