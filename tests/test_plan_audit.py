@@ -222,6 +222,52 @@ def test_ann_batch_broadcasts_probes_and_bounds_ranking(spark):
     assert len(exchanges) == 1 and "q_id" in exchanges[0], f"{exchanges}\n{p}"
 
 
+def test_tfidf_broadcasts_stats_and_bounds_topk(spark):
+    """E30 BM25: the plan is join-free except the 1-row corpus-stats
+    broadcast (df is a count window over the single tf derivation, so
+    the term-filter subtree is computed once, not once per use), and
+    the final top-k must be a bounded heap, not a global sort. Three
+    data-scale exchanges — (doc_id, token) tf agg, token df window,
+    per-doc score agg — all pre-shrunk by the narrow query-term
+    filter; exactly two corpus scans (stats pass + term pass)."""
+    p = _plan(QUERIES["q_tfidf_topk"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in p, f"BM25 plans a shuffle join:\n{p}"
+    assert "ShuffledHashJoin" not in p
+    assert "TakeOrderedAndProject" in p, f"top-k fell back to a global sort:\n{p}"
+    data_scale = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
+    ]
+    assert len(data_scale) == 3, f"expected 3 data-scale exchanges:\n{p}"
+    assert len(_detail_headers(p, "Scan parquet")) == 2, (
+        f"expected exactly 2 corpus scans:\n{p}"
+    )
+
+
+def test_pmi_pair_generation_is_narrow(spark):
+    """E31 PMI: pair expansion must be a higher-order-function
+    Generate over each document's token array — never a self-join.
+    Marginals and the vocab cap ride back as broadcasts; the bounded
+    top-k is a heap."""
+    p = _plan(QUERIES["q_pmi_cooc"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in p, f"PMI pair-gen degraded to a shuffle join:\n{p}"
+    assert "ShuffledHashJoin" not in p
+    assert len(_detail_headers(p, "Generate")) >= 2, (
+        f"expected explode-based token and pair generators:\n{p}"
+    )
+    assert "BroadcastHashJoin" in p, f"marginal join is not broadcast:\n{p}"
+    assert "TakeOrderedAndProject" in p, f"top-k fell back to a global sort:\n{p}"
+
+
+def test_domain_quota_single_exchange(spark):
+    """Per-source quota is one hash-partitioned ranking window: exactly
+    one Exchange (on source), one Window, no joins."""
+    p = _plan(QUERIES["q_domain_quota"](spark, SF_SMALL))
+    exchanges = _detail_blocks(p, "Exchange")
+    assert len(exchanges) == 1, f"expected exactly one Exchange:\n{p}"
+    assert "hashpartitioning(source" in exchanges[0], exchanges[0]
+    assert len(_detail_headers(p, "Window")) == 1, p
+
+
 @pytest.mark.parametrize("name", WINDOW)
 def test_no_cartesian_product_in_certified_window(spark, name):
     """No certified plan may contain a CartesianProduct. (Broadcast

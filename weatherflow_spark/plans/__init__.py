@@ -26,6 +26,7 @@ from weatherflow_spark.plans.queries import QUERIES as _CORE, flagship
 from weatherflow_spark.plans.relational import RELATIONAL_QUERIES
 from weatherflow_spark.plans.oracles import ORACLES as _CORE_ORACLES
 from weatherflow_spark.plans.ext_text import TEXT_QUERIES, TEXT_ORACLES
+from weatherflow_spark.plans.ext_mining import MINING_QUERIES, MINING_ORACLES
 from weatherflow_spark.plans.ext_dedup import DEDUP_QUERIES, DEDUP_ORACLES
 from weatherflow_spark.plans.ext_similarity import SIMILARITY_QUERIES, SIMILARITY_ORACLES
 from weatherflow_spark.plans.ext_udf import UDF_QUERIES, UDF_ORACLES
@@ -49,6 +50,7 @@ _ALL = {
     **STATS_QUERIES,
     **TPCH_QUERIES,
     **TEXT_QUERIES,
+    **MINING_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **UDF_QUERIES,
@@ -92,9 +94,9 @@ _CERTIFICATION_WINDOW = [
     "q_ann_suite",
     "q_embedding_near_dup",
     # E3/E8 text analysis + repetition rule + language ID + curation
-    "q_text_stats",
+    "q_text_profile_suite",       # E3 quality metrics + lang-ID, one hash
     "q_repetition_filter",
-    "q_lang_id",
+    "q_text_mining_suite",        # E30/E31 BM25 relevance + PMI pairs
     "q_bpe_token_count",
     "q_curation_suite",           # decontamination + source-mixture sampling
     # E5 distributed statistics (all 5 families) / E10 distribution windows
@@ -142,6 +144,7 @@ ORACLES = {
     **STATS_ORACLES,
     **TPCH_ORACLES,
     **TEXT_ORACLES,
+    **MINING_ORACLES,
     **DEDUP_ORACLES,
     **SIMILARITY_ORACLES,
     **UDF_ORACLES,

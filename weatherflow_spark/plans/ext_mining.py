@@ -1,0 +1,433 @@
+"""Extension tier: corpus mining — BM25 relevance scoring, PMI token
+co-occurrence, and the consolidated text certification suites.
+
+The reference has no text surface at all (SURVEY §2.3 — its only
+string op is date formatting, etl.py:96); these are the
+training-data-pipeline operators a 100 TB corpus needs beyond the
+per-document metrics in :mod:`ext_text`: scoring documents against a
+query (BM25 — the lexical-retrieval baseline every curation pipeline
+runs for quality/topicality), and corpus-level token association
+mining (PMI over co-occurring pairs — collocation detection,
+phrase-vocabulary induction).
+
+Scale posture:
+- **BM25**: the query-term list is a constant predicate applied to the
+  token array BEFORE explode (narrow), so only matching (doc, term)
+  rows reach the first exchange. Document frequency is a count window
+  over the single tf derivation (no self-recompute, no join); the
+  single-row corpus stats broadcast; the final top-k is a
+  rounded-score TakeOrdered, never a global sort. Three data-scale
+  shuffles (tf agg, df window, per-doc score agg), all pre-shrunk by
+  the term filter.
+- **PMI**: pair generation is a NARROW higher-order-function expansion
+  over each document's sorted-distinct token array (`transform` x
+  `slice` → `flatten` → `explode`) — there is no self-join and no
+  cartesian anywhere; tests/test_plan_audit.py asserts it. The
+  vocabulary cap (top-V by frequency, tie-broken by token) bounds the
+  pair space to V²/2 regardless of corpus size and rides into the plan
+  as a broadcast single-row array. Marginal counts join back broadcast
+  (vocab-sized by construction).
+
+Cross-engine determinism: scores involve `ln`, so every comparison
+surface is pre-rounded to fixed precision (e6 for BM25, e9 for PMI —
+the :func:`q_entropy` precedent) and ordering keys use the ROUNDED
+value with full tie-breaks; double expression trees are built from ONE
+shared SQL string so Spark and DuckDB evaluate identical shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weatherflow_spark.functions import text as T
+from weatherflow_spark.io import load_table
+
+# Fixed BM25 query — sorted so the per-doc score sum has one textual
+# (and therefore one floating-point) addition order in both engines.
+QUERY_TERMS = ["hash", "spark", "table"]
+BM25_TOPK = 25
+PMI_MIN_SUPPORT = 5
+PMI_TOP = 50
+PMI_VOCAB_CAP = 500
+
+_LANGS = sorted(T.LANG_STOPWORDS)
+
+
+def _bm25_term_sql(tf: str, df: str, dl: str, n_docs: str, tok_total: str) -> str:
+    """One BM25 term contribution (k1=1.2, b=0.75) as SQL text shared
+    verbatim by both engines so the double expression trees match."""
+    return (
+        f"ln(1.0 + ({n_docs} - {df} + 0.5) / ({df} + 0.5)) * "
+        f"({tf} * 2.2) / "
+        f"({tf} + 1.2 * (0.25 + 0.75 * {dl} / ({tok_total} / {n_docs})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_tfidf_topk — BM25 document relevance, top-k
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 documents by BM25 relevance to a fixed 3-term query.
+
+    Narrow prelude: token array, doc length, and the term-filtered
+    array all pipeline into the scan. Only (doc, query-term) matches
+    are exploded; df/idf come from a count window over the tf rows and
+    the 1-row corpus stats broadcast back. The score is summed in
+    fixed term order (one conditional sum per term, then a literal
+    3-term addition) so float addition order cannot diverge between
+    engines.
+    """
+    in_list = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        T.n_tokens("text").cast("double").alias("dl"),
+        F.expr(
+            f"filter({T.tokens_expr('text')}, x -> x IN ({in_list}))"
+        ).alias("qtoks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("tok_total"),
+    )
+    qt = (
+        base.select("doc_id", "dl", F.explode("qtoks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.min("dl").alias("dl"))
+    )
+    # df as a count window over the tf rows: reuses the single qt
+    # derivation (a separate agg+join would recompute the whole
+    # term-filter subtree — a second corpus scan) and keeps the plan
+    # join-free apart from the 1-row stats broadcast.
+    from pyspark.sql import Window
+
+    qt = qt.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token")).cast("double")
+    )
+    s = F.expr(_bm25_term_sql("tf", "df", "dl", "n_docs", "tok_total"))
+    terms = qt.crossJoin(F.broadcast(stats)).select("doc_id", "token", s.alias("s"))
+    per_term = [
+        F.sum(F.when(F.col("token") == t, F.col("s"))).alias(f"s_{t}")
+        for t in QUERY_TERMS
+    ]
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"), *per_term
+    )
+    score = None
+    for t in QUERY_TERMS:
+        piece = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        score = piece if score is None else score + piece
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_terms_matched",
+            F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def _oracle_tfidf_topk() -> str:
+    in_list = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    s = _bm25_term_sql("tf", "df", "dl", "n_docs", "tok_total")
+    cond_sums = ", ".join(
+        f"coalesce(sum(CASE WHEN token = '{t}' THEN s END), 0.0) AS s_{t}"
+        for t in QUERY_TERMS
+    )
+    add = " + ".join(f"s_{t}" for t in QUERY_TERMS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST({T.n_tokens_sql('text')} AS DOUBLE) AS dl,
+                   list_filter({T.tokens_sql('text')},
+                               x -> x IN ({in_list})) AS qtoks
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   sum(dl) AS tok_total
+            FROM base
+        ),
+        qt AS (
+            SELECT doc_id, token,
+                   CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+            FROM (SELECT doc_id, dl, unnest(qtoks) AS token FROM base)
+            GROUP BY doc_id, token
+        ),
+        df_t AS (
+            SELECT token, CAST(count(*) AS DOUBLE) AS df FROM qt GROUP BY token
+        ),
+        terms AS (
+            SELECT qt.doc_id, qt.token, {s} AS s
+            FROM qt JOIN df_t USING (token) CROSS JOIN stats
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_matched,
+                   {cond_sums}
+            FROM terms GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms_matched,
+               CAST(floor(({add}) * 1e6 + 0.5) AS BIGINT) AS score_e6
+        FROM per_doc
+        ORDER BY score_e6 DESC, doc_id ASC
+        LIMIT {BM25_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# q_pmi_cooc — PMI token co-occurrence (collocation mining)
+# ---------------------------------------------------------------------------
+
+
+def q_pmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token pairs by document-level PMI.
+
+    Per-document sorted-distinct token arrays expand to ordered pairs
+    with a narrow higher-order expression (no self-join); pair counts
+    take the only data-scale exchange; marginals and the single-row
+    doc count broadcast back. A top-V vocabulary cap (deterministic
+    tie-break) bounds the pair space at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_sort(array_distinct(filter({T.tokens_expr('text')}, x -> x <> '')))"
+        ).alias("ts"),
+    )
+    tokc = (
+        base.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = tokc.orderBy(F.desc("c"), F.asc("token")).limit(PMI_VOCAB_CAP)
+    vocab_arr = vocab.agg(F.array_sort(F.collect_list("token")).alias("vocab"))
+    filt = base.crossJoin(F.broadcast(vocab_arr)).select(
+        "doc_id", F.expr("filter(ts, x -> array_contains(vocab, x))").alias("ts")
+    )
+    pairs = filt.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) -> "
+                "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS x, y AS y))))"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    pc = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_SUPPORT)
+    )
+    nd = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    vx = vocab.select(F.col("token").alias("x"), F.col("c").alias("c_x"))
+    vy = vocab.select(F.col("token").alias("y"), F.col("c").alias("c_y"))
+    pmi = F.expr(
+        "ln(CAST(c_xy AS DOUBLE) * CAST(n_docs AS DOUBLE) / "
+        "(CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))"
+    )
+    return (
+        pc.join(F.broadcast(vx), "x")
+        .join(F.broadcast(vy), "y")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.floor(pmi * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("pmi_e9"),
+        )
+        .orderBy(F.desc("pmi_e9"), F.asc("x"), F.asc("y"))
+        .limit(PMI_TOP)
+    )
+
+
+def _oracle_pmi_cooc() -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                       list_filter({T.tokens_sql('text')}, x -> x <> ''))) AS ts
+            FROM documents
+        ),
+        t AS (SELECT doc_id, unnest(ts) AS token FROM base),
+        tokc AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+        vocab AS (
+            SELECT token, c FROM tokc
+            ORDER BY c DESC, token ASC LIMIT {PMI_VOCAB_CAP}
+        ),
+        tv AS (SELECT t.doc_id, t.token FROM t JOIN vocab USING (token)),
+        pairs AS (
+            SELECT a.token AS x, b.token AS y
+            FROM tv a JOIN tv b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+        ),
+        pc AS (
+            SELECT x, y, count(*) AS c_xy FROM pairs
+            GROUP BY x, y HAVING count(*) >= {PMI_MIN_SUPPORT}
+        ),
+        nd AS (SELECT count(*) AS n_docs FROM base)
+        SELECT pc.x, pc.y, pc.c_xy, vx.c AS c_x, vy.c AS c_y,
+               CAST(floor(
+                   ln(CAST(c_xy AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+                      (CAST(vx.c AS DOUBLE) * CAST(vy.c AS DOUBLE)))
+                   * 1e9 + 0.5) AS BIGINT) AS pmi_e9
+        FROM pc
+        JOIN vocab vx ON pc.x = vx.token
+        JOIN vocab vy ON pc.y = vy.token
+        CROSS JOIN nd
+        ORDER BY pmi_e9 DESC, x ASC, y ASC
+        LIMIT {PMI_TOP}
+    """
+
+
+# ---------------------------------------------------------------------------
+# q_text_mining_suite — certification row: BM25 + PMI, one hash
+# ---------------------------------------------------------------------------
+
+
+def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mining certification row: BM25 top-k and PMI pairs
+    tagged by op and unioned in LONG format — (op, key, metric,
+    value:bigint) — the same consolidation shape as
+    :func:`ext_text.q_curation_suite`. Union is plan-level only; the
+    single-op twins stay registered in the tail."""
+    bm = q_tfidf_topk(spark, sf_dir).selectExpr(
+        "'bm25' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(2, 'score_e6', score_e6, "
+        "'n_terms', cast(n_terms_matched as bigint)) AS (metric, value)",
+    )
+    pm = q_pmi_cooc(spark, sf_dir).selectExpr(
+        "'pmi' AS op",
+        "concat(x, '|', y) AS key",
+        "stack(4, 'pmi_e9', pmi_e9, 'c_xy', c_xy, "
+        "'c_x', c_x, 'c_y', c_y) AS (metric, value)",
+    )
+    return bm.unionByName(pm)
+
+
+def _oracle_text_mining_suite() -> str:
+    return f"""
+        WITH bm_side AS ({_oracle_tfidf_topk()}),
+        pm_side AS ({_oracle_pmi_cooc()})
+        SELECT 'bm25' AS op, CAST(doc_id AS VARCHAR) AS key,
+               'score_e6' AS metric, score_e6 AS value FROM bm_side
+        UNION ALL
+        SELECT 'bm25', CAST(doc_id AS VARCHAR),
+               'n_terms', CAST(n_terms_matched AS BIGINT) FROM bm_side
+        UNION ALL
+        SELECT 'pmi', x || '|' || y, 'pmi_e9', pmi_e9 FROM pm_side
+        UNION ALL
+        SELECT 'pmi', x || '|' || y, 'c_xy', c_xy FROM pm_side
+        UNION ALL
+        SELECT 'pmi', x || '|' || y, 'c_x', c_x FROM pm_side
+        UNION ALL
+        SELECT 'pmi', x || '|' || y, 'c_y', c_y FROM pm_side
+    """
+
+
+# ---------------------------------------------------------------------------
+# q_text_profile_suite — certification row: quality metrics + lang-ID
+# ---------------------------------------------------------------------------
+
+# predicted_lang → stable integer code, written once as SQL so both
+# engines encode identically ('und' → -1).
+def _pred_code_sql(col: str) -> str:
+    clauses = " ".join(
+        f"WHEN {col} = '{lang}' THEN {i}" for i, lang in enumerate(_LANGS)
+    )
+    return f"CASE {clauses} ELSE -1 END"
+
+
+def q_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-profile certification row: the quality
+    metrics of :func:`ext_text.q_text_stats` and the stopword-hit
+    language-ID of :func:`ext_text.q_lang_id`, tagged and unioned in
+    LONG format (doubles re-round to e6 integers; the predicted
+    language encodes as its index in the sorted language list)."""
+    from weatherflow_spark.plans.ext_text import q_lang_id, q_text_stats
+
+    stats = q_text_stats(spark, sf_dir).selectExpr(
+        "'text_stats' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(6, 'n_chars', cast(n_chars_calc as bigint), "
+        "'n_tokens', cast(n_tokens as bigint), "
+        "'n_bpe_tokens', cast(n_bpe_tokens as bigint), "
+        "'n_punct', cast(n_punct as bigint), "
+        "'stopword_ratio_e6', cast(floor(stopword_ratio * 1e6 + 0.5) as bigint), "
+        "'quality_e6', cast(floor(quality_score * 1e6 + 0.5) as bigint)) "
+        "AS (metric, value)",
+    )
+    score_stack = ", ".join(
+        f"'score_{lang}', cast(score_{lang} as bigint)" for lang in _LANGS
+    )
+    lang = q_lang_id(spark, sf_dir).selectExpr(
+        "'lang_id' AS op",
+        "cast(doc_id as string) AS key",
+        f"stack({len(_LANGS) + 2}, {score_stack}, "
+        f"'pred_code', cast(({_pred_code_sql('predicted_lang')}) as bigint), "
+        "'is_match', cast(is_match as bigint)) AS (metric, value)",
+    )
+    return stats.unionByName(lang)
+
+
+def _oracle_text_profile_suite() -> str:
+    from weatherflow_spark.plans.ext_text import ORACLE_TEXT_STATS, _oracle_lang_id
+
+    score_rows = "\n        UNION ALL\n".join(
+        f"        SELECT 'lang_id', CAST(doc_id AS VARCHAR), "
+        f"'score_{lang}', CAST(score_{lang} AS BIGINT) FROM lang_side"
+        for lang in _LANGS
+    )
+    return f"""
+        WITH stats_side AS ({ORACLE_TEXT_STATS}),
+        lang_side AS ({_oracle_lang_id()})
+        SELECT 'text_stats' AS op, CAST(doc_id AS VARCHAR) AS key,
+               'n_chars' AS metric, CAST(n_chars_calc AS BIGINT) AS value
+        FROM stats_side
+        UNION ALL
+        SELECT 'text_stats', CAST(doc_id AS VARCHAR),
+               'n_tokens', CAST(n_tokens AS BIGINT) FROM stats_side
+        UNION ALL
+        SELECT 'text_stats', CAST(doc_id AS VARCHAR),
+               'n_bpe_tokens', CAST(n_bpe_tokens AS BIGINT) FROM stats_side
+        UNION ALL
+        SELECT 'text_stats', CAST(doc_id AS VARCHAR),
+               'n_punct', CAST(n_punct AS BIGINT) FROM stats_side
+        UNION ALL
+        SELECT 'text_stats', CAST(doc_id AS VARCHAR),
+               'stopword_ratio_e6',
+               CAST(floor(stopword_ratio * 1e6 + 0.5) AS BIGINT) FROM stats_side
+        UNION ALL
+        SELECT 'text_stats', CAST(doc_id AS VARCHAR),
+               'quality_e6',
+               CAST(floor(quality_score * 1e6 + 0.5) AS BIGINT) FROM stats_side
+        UNION ALL
+{score_rows}
+        UNION ALL
+        SELECT 'lang_id', CAST(doc_id AS VARCHAR),
+               'pred_code',
+               CAST(({_pred_code_sql('predicted_lang')}) AS BIGINT) FROM lang_side
+        UNION ALL
+        SELECT 'lang_id', CAST(doc_id AS VARCHAR),
+               'is_match', CAST(is_match AS BIGINT) FROM lang_side
+    """
+
+
+MINING_QUERIES = {
+    "q_text_profile_suite": q_text_profile_suite,
+    "q_text_mining_suite": q_text_mining_suite,
+    "q_tfidf_topk": q_tfidf_topk,
+    "q_pmi_cooc": q_pmi_cooc,
+}
+
+MINING_ORACLES = {
+    "q_text_profile_suite": _oracle_text_profile_suite(),
+    "q_text_mining_suite": _oracle_text_mining_suite(),
+    "q_tfidf_topk": _oracle_tfidf_topk(),
+    "q_pmi_cooc": _oracle_pmi_cooc(),
+}

@@ -1017,6 +1017,53 @@ ORACLE_SEQUENCE_PACK_INDEXED = ORACLE_SEQUENCE_PACK
 
 
 # ---------------------------------------------------------------------------
+# q_domain_quota — per-source cap via deterministic hash rank
+# ---------------------------------------------------------------------------
+
+QUOTA_PER_SOURCE = 40
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (the CommonCrawl-style per-domain cap
+    every web-scale curation pipeline applies so one dominant domain
+    cannot swamp the mixture): rank each source's documents by a
+    deterministic content-free hash (md5 of the doc id — a uniform,
+    engine-portable shuffle order) and keep the first
+    ``QUOTA_PER_SOURCE``. Emitting the rank and the keep verdict for
+    every document makes the certification hash pin the entire
+    selection, not just the survivors.
+
+    Scale posture: one hash-partitioned window keyed by source — the
+    same shape (and skew hazard, and the same documented mitigation:
+    if one source dominates, pre-trim with the two-phase grouped
+    top-k of operators/topk.py, which bounds shuffle input to
+    partitions x quota) as every per-group selection in this tier.
+    No joins, no broadcast, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        F.expr("row_number() OVER (PARTITION BY source "
+               "ORDER BY md5(cast(doc_id AS string)) ASC, doc_id ASC)")
+        .cast("int")
+        .alias("quota_rank")
+    )
+    return docs.select("doc_id", "source", w).withColumn(
+        "kept", (F.col("quota_rank") <= QUOTA_PER_SOURCE).cast("int")
+    )
+
+
+ORACLE_DOMAIN_QUOTA = f"""
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                AS INTEGER) AS quota_rank,
+           CAST(row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                <= {QUOTA_PER_SOURCE} AS INTEGER) AS kept
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_curation_suite — consolidated corpus-curation certification row
 # ---------------------------------------------------------------------------
 
@@ -1024,10 +1071,12 @@ ORACLE_SEQUENCE_PACK_INDEXED = ORACLE_SEQUENCE_PACK
 def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-curation certification row: test-set decontamination,
     deterministic source-mixture rebalancing, PII redaction,
-    context-window chunking, and concat-and-split sequence packing,
-    tagged by op and unioned in LONG format — (op, key, metric,
-    value:bigint) — so heterogeneous curation branches share one
-    schema and a new branch is one more stack().
+    context-window chunking, concat-and-split sequence packing (both
+    the window form and the skew-safe indexed rewrite), the Gopher
+    quality-rule filter, and the per-source quota cap, tagged by op
+    and unioned in LONG format — (op, key, metric, value:bigint) — so
+    heterogeneous curation branches share one schema and a new branch
+    is one more stack().
     Chunking contributes per-doc aggregates (chunk count + fold of
     chunk fingerprints); chunk-level rows stay in the q_doc_chunks
     tail twin. The union is plan-level only (no cross-branch
@@ -1089,6 +1138,12 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'stop_hits', cast(stop_hits as bigint), "
         "'keep', cast(keep as bigint)) AS (metric, value)",
     )
+    quota = q_domain_quota(spark, sf_dir).selectExpr(
+        "'domain_quota' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(2, 'quota_rank', cast(quota_rank as bigint), "
+        "'kept', cast(kept as bigint)) AS (metric, value)",
+    )
     return (
         dec.unionByName(mix)
         .unionByName(pii)
@@ -1096,6 +1151,7 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pack)
         .unionByName(packi)
         .unionByName(qual)
+        .unionByName(quota)
     )
 
 
@@ -1108,7 +1164,8 @@ ORACLE_CURATION_SUITE = f"""
         FROM ({ORACLE_DOC_CHUNKS}) GROUP BY doc_id
     ),
     pack_side AS ({ORACLE_SEQUENCE_PACK}),
-    qual_side AS ({ORACLE_QUALITY_FILTER})
+    qual_side AS ({ORACLE_QUALITY_FILTER}),
+    quota_side AS ({ORACLE_DOMAIN_QUOTA})
     SELECT 'decontaminate' AS op, CAST(doc_id AS VARCHAR) AS key,
            'n_shared_grams' AS metric, n_shared_grams AS value FROM dec_side
     UNION ALL
@@ -1176,6 +1233,12 @@ ORACLE_CURATION_SUITE = f"""
     UNION ALL
     SELECT 'quality_filter', CAST(doc_id AS VARCHAR),
            'keep', CAST(keep AS BIGINT) FROM qual_side
+    UNION ALL
+    SELECT 'domain_quota', CAST(doc_id AS VARCHAR),
+           'quota_rank', CAST(quota_rank AS BIGINT) FROM quota_side
+    UNION ALL
+    SELECT 'domain_quota', CAST(doc_id AS VARCHAR),
+           'kept', CAST(kept AS BIGINT) FROM quota_side
 """
 
 
@@ -1194,6 +1257,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sequence_pack": q_sequence_pack,
     "q_sequence_pack_indexed": q_sequence_pack_indexed,
     "q_quality_filter": q_quality_filter,
+    "q_domain_quota": q_domain_quota,
     "q_curation_suite": q_curation_suite,
 }
 
@@ -1212,5 +1276,6 @@ TEXT_ORACLES: dict[str, str] = {
     "q_sequence_pack": ORACLE_SEQUENCE_PACK,
     "q_sequence_pack_indexed": ORACLE_SEQUENCE_PACK_INDEXED,
     "q_quality_filter": ORACLE_QUALITY_FILTER,
+    "q_domain_quota": ORACLE_DOMAIN_QUOTA,
     "q_curation_suite": ORACLE_CURATION_SUITE,
 }
