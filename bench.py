@@ -31,6 +31,11 @@ if REPO_DIR not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+# Slow queries carry the most absolute noise and keep descending as the
+# JVM warms (round-5's +36% pagerank flag was exactly this); queries
+# whose min is still >= SLOW_SEC after REPS reps get EXTRA_REPS more.
+SLOW_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "2.0"))
+EXTRA_REPS = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2")))
 
 # Every certified-window query gets a timing row (round-5 change: a
 # certified query with no timing history can regress silently — the
@@ -71,6 +76,15 @@ OPTIONAL = [
     "q_doc_chunks",
     "q_sequence_pack",
     "q_grouped_topk",
+    # round 6: displaced window singles + new mining/dim singles
+    "q_text_stats",
+    "q_lang_id",
+    "q_date_dim",
+    "q_tfidf_topk",
+    "q_pmi_cooc",
+    "q_scd2_dim",
+    "q_domain_quota",
+    "q_quality_filter",
 ]
 
 
@@ -98,7 +112,16 @@ def main() -> None:
 
     window = list(QUERIES)[:WINDOW_SIZE]
     names = window + [n for n in OPTIONAL if n in QUERIES and n not in window]
-    runs = {name: [run_once(name) for _ in range(REPS)] for name in names}
+
+    def run_reps(name: str) -> list[float]:
+        reps = [run_once(name) for _ in range(REPS)]
+        extra = 0
+        while min(reps) >= SLOW_SEC and extra < EXTRA_REPS:
+            reps.append(run_once(name))
+            extra += 1
+        return reps
+
+    runs = {name: run_reps(name) for name in names}
     timings = {name: min(reps) for name, reps in runs.items()}
     total = round(sum(timings.values()), 3)
 

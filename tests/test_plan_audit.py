@@ -268,6 +268,18 @@ def test_domain_quota_single_exchange(spark):
     assert len(_detail_headers(p, "Window")) == 1, p
 
 
+def test_scd2_single_user_exchange(spark):
+    """E33 SCD2: the change window, the run aggregation (user_id is a
+    prefix of the grouping key, so no re-exchange), and the valid_to
+    lead window must all ride ONE hash exchange on user_id — and the
+    plan is join-free."""
+    p = _plan(QUERIES["q_scd2_dim"](spark, SF_SMALL))
+    exchanges = _detail_blocks(p, "Exchange")
+    assert len(exchanges) == 1, f"expected exactly one Exchange:\n{p}"
+    assert "hashpartitioning(user_id" in exchanges[0], exchanges[0]
+    assert "Join" not in p, f"SCD2 plan contains a join:\n{p}"
+
+
 @pytest.mark.parametrize("name", WINDOW)
 def test_no_cartesian_product_in_certified_window(spark, name):
     """No certified plan may contain a CartesianProduct. (Broadcast

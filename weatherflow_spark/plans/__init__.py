@@ -108,7 +108,7 @@ _CERTIFICATION_WINDOW = [
     "q_hll_distinct",
     # E7/E12-E15/E17 scale operators
     "q_ranked_topk_suite",        # E7 window idiom + two-phase trim, one hash
-    "q_date_dim",
+    "q_dim_build_suite",          # E12 date dim + E33 SCD2 dim, one hash
     "q_embedding_quantize",
     "q_null_semantics",
     "q_salted_agg",

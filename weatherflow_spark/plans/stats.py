@@ -717,6 +717,180 @@ ORACLE_DATE_DIM = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_scd2_dim — slowly-changing-dimension (type 2) build from an event log
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event log: per
+    user, consecutive runs of the tracked attribute (event_type)
+    collapse into versioned rows with [valid_from, valid_to) intervals
+    and an is_current flag — the standard warehouse pattern the
+    reference's star schema (W_*_D tables, create_tables.sql) would
+    need the moment a dimension attribute changed over time.
+
+    Change detection is one lag + running-sum window over (user_id;
+    ts, event_id) — the event_id tiebreak makes the version numbering
+    a total order. Scale posture: a single hash exchange on user_id
+    serves the change window, the run aggregation (user_id ⊆ grouping
+    key, so no re-exchange), and the valid_to lead window; no joins,
+    no Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    win = "PARTITION BY user_id ORDER BY ts ASC, event_id ASC"
+    chg = F.expr(
+        f"CASE WHEN lag(event_type) OVER ({win}) IS DISTINCT FROM event_type "
+        "THEN 1 ELSE 0 END"
+    )
+    versioned = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("chg", chg)
+        .withColumn(
+            "version",
+            F.expr(
+                f"sum(chg) OVER ({win} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ).cast("int"),
+        )
+    )
+    runs = versioned.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("attr_value"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        runs.withColumn(
+            "valid_to",
+            F.expr(
+                "lead(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC)"
+            ),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+        .select(
+            "user_id",
+            "version",
+            "attr_value",
+            "valid_from",
+            "valid_to",
+            "n_events",
+            "is_current",
+        )
+    )
+
+
+ORACLE_SCD2_DIM = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        FROM events
+    ),
+    versioned AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(sum(chg) OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS INTEGER) AS version
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, version,
+               min(event_type) AS attr_value,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM versioned GROUP BY user_id, version
+    )
+    SELECT user_id, version, attr_value, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC)
+               AS valid_to,
+           n_events,
+           CAST(lead(valid_from) OVER
+                (PARTITION BY user_id ORDER BY version ASC) IS NULL
+                AS INTEGER) AS is_current
+    FROM runs
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_dim_build_suite — certification row: generated date dim + SCD2 dim
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def q_dim_build_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-build certification row: the generated calendar
+    dimension and the SCD2 dimension, tagged by op and unioned in LONG
+    format — (op, key, metric, value:string); string values so
+    calendar labels and formatted interval bounds certify without
+    lossy encoding. Union is plan-level only; singles stay in the
+    tail."""
+    dd = q_date_dim(spark, sf_dir).selectExpr(
+        "'date_dim' AS op",
+        "date_str AS key",
+        "stack(8, 'year', cast(year as string), "
+        "'month', cast(month as string), "
+        "'day', cast(day as string), "
+        "'quarter_label', quarter_label, "
+        "'season', season, "
+        "'weekday_name', weekday_name, "
+        "'month_name', month_name, "
+        "'is_weekend', cast(is_weekend as string)) AS (metric, value)",
+    )
+    scd = q_scd2_dim(spark, sf_dir).selectExpr(
+        "'scd2' AS op",
+        "concat(cast(user_id as string), '#', cast(version as string)) AS key",
+        f"stack(5, 'attr_value', attr_value, "
+        f"'valid_from', date_format(valid_from, '{_TS_FMT_SPARK}'), "
+        f"'valid_to', coalesce(date_format(valid_to, '{_TS_FMT_SPARK}'), ''), "
+        "'n_events', cast(n_events as string), "
+        "'is_current', cast(is_current as string)) AS (metric, value)",
+    )
+    return dd.unionByName(scd)
+
+
+ORACLE_DIM_BUILD_SUITE = f"""
+    WITH dd_side AS ({ORACLE_DATE_DIM}),
+    scd_side AS ({ORACLE_SCD2_DIM})
+    SELECT 'date_dim' AS op, date_str AS key,
+           'year' AS metric, CAST(year AS VARCHAR) AS value FROM dd_side
+    UNION ALL
+    SELECT 'date_dim', date_str, 'month', CAST(month AS VARCHAR) FROM dd_side
+    UNION ALL
+    SELECT 'date_dim', date_str, 'day', CAST(day AS VARCHAR) FROM dd_side
+    UNION ALL
+    SELECT 'date_dim', date_str, 'quarter_label', quarter_label FROM dd_side
+    UNION ALL
+    SELECT 'date_dim', date_str, 'season', season FROM dd_side
+    UNION ALL
+    SELECT 'date_dim', date_str, 'weekday_name', weekday_name FROM dd_side
+    UNION ALL
+    SELECT 'date_dim', date_str, 'month_name', month_name FROM dd_side
+    UNION ALL
+    SELECT 'date_dim', date_str, 'is_weekend', CAST(is_weekend AS VARCHAR)
+    FROM dd_side
+    UNION ALL
+    SELECT 'scd2', CAST(user_id AS VARCHAR) || '#' || CAST(version AS VARCHAR),
+           'attr_value', attr_value FROM scd_side
+    UNION ALL
+    SELECT 'scd2', CAST(user_id AS VARCHAR) || '#' || CAST(version AS VARCHAR),
+           'valid_from', strftime(valid_from, '{_TS_FMT_DUCK}') FROM scd_side
+    UNION ALL
+    SELECT 'scd2', CAST(user_id AS VARCHAR) || '#' || CAST(version AS VARCHAR),
+           'valid_to', coalesce(strftime(valid_to, '{_TS_FMT_DUCK}'), '')
+    FROM scd_side
+    UNION ALL
+    SELECT 'scd2', CAST(user_id AS VARCHAR) || '#' || CAST(version AS VARCHAR),
+           'n_events', CAST(n_events AS VARCHAR) FROM scd_side
+    UNION ALL
+    SELECT 'scd2', CAST(user_id AS VARCHAR) || '#' || CAST(version AS VARCHAR),
+           'is_current', CAST(is_current AS VARCHAR) FROM scd_side
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_embedding_quantize — int8 vector quantization (training-data path)
 # ---------------------------------------------------------------------------
 
@@ -1041,6 +1215,8 @@ STATS_QUERIES = {
     "q_window_dist": q_window_dist,
     "q_collect_set_sorted": q_collect_set_sorted,
     "q_date_dim": q_date_dim,
+    "q_scd2_dim": q_scd2_dim,
+    "q_dim_build_suite": q_dim_build_suite,
     "q_embedding_quantize": q_embedding_quantize,
     "q_null_semantics": q_null_semantics,
     "q_salted_agg": q_salted_agg,
@@ -1062,6 +1238,8 @@ STATS_ORACLES = {
     "q_window_dist": ORACLE_WINDOW_DIST,
     "q_collect_set_sorted": ORACLE_COLLECT_SET_SORTED,
     "q_date_dim": ORACLE_DATE_DIM,
+    "q_scd2_dim": ORACLE_SCD2_DIM,
+    "q_dim_build_suite": ORACLE_DIM_BUILD_SUITE,
     "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "q_null_semantics": ORACLE_NULL_SEMANTICS,
     "q_salted_agg": ORACLE_SALTED_AGG,
