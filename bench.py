@@ -85,6 +85,9 @@ OPTIONAL = [
     "q_scd2_dim",
     "q_domain_quota",
     "q_quality_filter",
+    "q_dedup_clusters",
+    "q_triangle_count",
+    "q_event_transitions",
 ]
 
 

@@ -268,6 +268,34 @@ def test_domain_quota_single_exchange(spark):
     assert len(_detail_headers(p, "Window")) == 1, p
 
 
+def test_event_transitions_two_exchanges_no_join(spark):
+    """E35 transition matrix: one user_id exchange for the lead
+    window, one (from, to) exchange for the pair count; the per-state
+    totals are a window over the counts (no join, no third data-scale
+    exchange)."""
+    p = _plan(QUERIES["q_event_transitions"](spark, SF_SMALL))
+    assert "Join" not in p, f"transition plan contains a join:\n{p}"
+    data_scale = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
+    ]
+    # user_id window + (from,to) agg + from_type totals window — the
+    # third exchange carries only state-cardinality rows.
+    assert len(data_scale) == 3, f"expected 3 exchanges:\n{p}"
+    assert any("user_id" in b for b in data_scale), p
+    assert any("from_type" in b and "to_type" in b for b in data_scale), p
+
+
+def test_triangle_count_narrow_pairs_no_cartesian(spark):
+    """E34 triangles: edge pairs come from the narrow higher-order
+    expansion (Generate), wedge/closure are keyed equi-joins — no
+    cartesian product anywhere."""
+    p = _plan(QUERIES["q_triangle_count"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, f"triangle plan went cartesian:\n{p}"
+    assert len(_detail_headers(p, "Generate")) >= 1, (
+        f"expected explode-based pair generator:\n{p}"
+    )
+
+
 def test_scd2_single_user_exchange(spark):
     """E33 SCD2: the change window, the run aggregation (user_id is a
     prefix of the grouping key, so no re-exchange), and the valid_to

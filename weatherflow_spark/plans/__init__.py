@@ -120,7 +120,7 @@ _CERTIFICATION_WINDOW = [
     # product analytics (funnel + cohort retention)
     "q_product_analytics_suite",
     # iterative + sketch + layout + time-series + graph surfaces
-    "q_dedup_clusters",
+    "q_graph_suite",              # connected components + triangle count
     "q_zorder_key",               # E19
     "q_cms_heavy_hitters",        # E20
     "q_bloom_semi_join",          # E21

@@ -563,9 +563,72 @@ ORACLE_RETENTION = """
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# q_event_transitions — Markov transition matrix over per-user event paths
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each user's time-ordered path, count (event_type → next event_type)
+    hops and the per-source-state transition probability — the "what
+    do users do next" path analysis that sits beside funnel and
+    retention in every product-analytics stack.
+
+    Probability is integer-exact: p_e6 = (n·10^6) div out-degree — no
+    doubles anywhere, so the matrix hash-checks with no rounding
+    epsilon. Scale posture: one hash exchange on user_id for the lead
+    window, one on the (from, to) pair for the count; the per-state
+    totals come from a window over the pair counts (state-cardinality
+    rows — no second data-scale shuffle, no join)."""
+    ev = load_table(spark, sf_dir, "events")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.expr(
+            "lead(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"
+        ).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = nxt.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # `div`, not `/`: Spark's / on longs goes through DOUBLE and the
+    # truncating cast could land one off from DuckDB's exact integer //.
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            "CAST((n * 1000000L) div "
+            "sum(n) OVER (PARTITION BY from_type) AS BIGINT)"
+        ).alias("p_e6"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+    WITH hops AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM hops WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_e6
+    FROM counts
+"""
+
+
 def q_product_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-analytics certification row: the ordered conversion
-    funnel (3 stage rows) + the cohort retention matrix, tagged by op
+    funnel (3 stage rows) + the cohort retention matrix + the Markov
+    event-transition matrix, tagged by op
     and unioned on a normalized schema — funnel rows key by stage and
     carry the conversion ratio; retention rows key by cohort date and
     carry the day offset; each fills the other's columns with typed
@@ -585,12 +648,22 @@ def q_product_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_active").alias("n"),
         F.lit(None).cast("double").alias("ratio"),
     )
-    return funnel.unionByName(retention)
+    # ratio from the integer-exact p_e6 (one exact double division) —
+    # never a re-derived float share.
+    transitions = q_event_transitions(spark, sf_dir).select(
+        F.lit("transitions").alias("op"),
+        F.concat_ws(">", "from_type", "to_type").alias("key"),
+        F.lit(None).cast("int").alias("day_offset"),
+        F.col("n"),
+        (F.col("p_e6").cast("double") / F.lit(1e6)).alias("ratio"),
+    )
+    return funnel.unionByName(retention).unionByName(transitions)
 
 
 ORACLE_PRODUCT_ANALYTICS_SUITE = f"""
     WITH funnel_side AS ({ORACLE_FUNNEL}),
-    retention_side AS ({ORACLE_RETENTION})
+    retention_side AS ({ORACLE_RETENTION}),
+    transitions_side AS ({ORACLE_EVENT_TRANSITIONS})
     SELECT 'funnel' AS op, stage AS key, CAST(NULL AS INTEGER) AS day_offset,
            n_users AS n, conv_vs_first AS ratio
     FROM funnel_side
@@ -598,6 +671,10 @@ ORACLE_PRODUCT_ANALYTICS_SUITE = f"""
     SELECT 'retention', cohort_date, day_offset, n_active,
            CAST(NULL AS DOUBLE)
     FROM retention_side
+    UNION ALL
+    SELECT 'transitions', from_type || '>' || to_type,
+           CAST(NULL AS INTEGER), n, CAST(p_e6 AS DOUBLE) / 1e6
+    FROM transitions_side
 """
 
 
@@ -612,6 +689,7 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_quantiles": q_approx_quantiles,
     "q_funnel": q_funnel,
     "q_retention": q_retention,
+    "q_event_transitions": q_event_transitions,
     "q_product_analytics_suite": q_product_analytics_suite,
 }
 
@@ -626,5 +704,6 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "q_corpus_curation": ORACLE_CORPUS_CURATION,
     "q_funnel": ORACLE_FUNNEL,
     "q_retention": ORACLE_RETENTION,
+    "q_event_transitions": ORACLE_EVENT_TRANSITIONS,
     "q_product_analytics_suite": ORACLE_PRODUCT_ANALYTICS_SUITE,
 }

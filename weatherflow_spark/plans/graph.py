@@ -141,10 +141,161 @@ ORACLE_PAGERANK = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_triangle_count — ordered-wedge triangle counting (co-supply graph)
+# ---------------------------------------------------------------------------
+
+TRI_TOP = 10
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-occurrence graph (suppliers
+    sharing an order are connected) — the standard distributed graph
+    benchmark, via the ordered-wedge algorithm: edges are canonical
+    (a < b), wedges come from the edges⋈edges join on the middle node
+    (a < b < c by construction, so each triangle materializes exactly
+    once), and a semi-join against the closing edge (a, c) keeps the
+    real triangles. Output: per-node participation top-10 plus the
+    global count as a node=-1 row.
+
+    Edge construction reuses the narrow higher-order pair expansion
+    (see ext_mining.q_pmi_cooc): per-order sorted supplier sets expand
+    to pairs with no self-join, bounded by lines-per-order².
+
+    Scale posture: two keyed equi-join shuffles over the edge list —
+    the canonical shape. Wedge fan-out is quadratic in the hottest
+    node's degree; the production refinement (same results, same
+    joins) is degree-ordered orientation — point each edge from the
+    lower-degree endpoint so wedge counts are bounded by arboricity
+    rather than max degree; id-ordering stands in for it here and the
+    swap is a two-line change to the orientation key.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = pairs.distinct()
+    wedge = (
+        edges.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+        .join(
+            edges.select(F.col("a").alias("wb2"), F.col("b").alias("wc")),
+            F.col("wb") == F.col("wb2"),
+        )
+        .select("wa", "wb", "wc")
+    )
+    tri = wedge.join(
+        edges,
+        (F.col("wa") == F.col("a")) & (F.col("wc") == F.col("b")),
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("wa", "wb", "wc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(TRI_TOP)
+    )
+    total = tri.agg(
+        F.lit(-1).cast("bigint").alias("node"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
+    return per_node.unionByName(total)
+
+
+ORACLE_TRIANGLE_COUNT = f"""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               list_sort(list_distinct(list(l_suppkey))) AS ss
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    t AS (SELECT l_orderkey, unnest(ss) AS s FROM per_order),
+    edges AS (
+        SELECT DISTINCT x.s AS a, y.s AS b
+        FROM t x JOIN t y ON x.l_orderkey = y.l_orderkey AND x.s < y.s
+    ),
+    tri AS (
+        SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        WHERE EXISTS (SELECT 1 FROM edges e3
+                      WHERE e3.a = e1.a AND e3.b = e2.b)
+    ),
+    per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT unnest([wa, wb, wc]) AS node FROM tri
+        ) GROUP BY node
+        ORDER BY n_triangles DESC, node ASC
+        LIMIT {TRI_TOP}
+    )
+    SELECT node, n_triangles FROM per_node
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT) FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_graph_suite — certification row: connected components + triangles
+# ---------------------------------------------------------------------------
+
+
+def q_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-algorithm certification row: duplicate-cluster connected
+    components (label propagation over MinHash near-dup pairs) and
+    triangle counting, tagged by op and unioned in LONG format — (op,
+    key, metric, value:bigint). Union is plan-level only; singles stay
+    in the tail."""
+    from weatherflow_spark.plans.iterative import q_dedup_clusters
+
+    cc = q_dedup_clusters(spark, sf_dir).selectExpr(
+        "'components' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(1, 'cluster_id', cast(cluster_id as bigint)) AS (metric, value)",
+    )
+    tri = q_triangle_count(spark, sf_dir).selectExpr(
+        "'triangles' AS op",
+        "cast(node as string) AS key",
+        "stack(1, 'n_triangles', n_triangles) AS (metric, value)",
+    )
+    return cc.unionByName(tri)
+
+
+def _oracle_graph_suite() -> str:
+    # Function import, not the ORACLES dict: plans.iterative imports
+    # this module while building its own suite oracle, so the dict
+    # does not exist yet at that point in the import cycle.
+    from weatherflow_spark.plans.iterative import _oracle_dedup_clusters
+
+    return f"""
+        WITH cc_side AS ({_oracle_dedup_clusters()}),
+        tri_side AS ({ORACLE_TRIANGLE_COUNT})
+        SELECT 'components' AS op, CAST(doc_id AS VARCHAR) AS key,
+               'cluster_id' AS metric, CAST(cluster_id AS BIGINT) AS value
+        FROM cc_side
+        UNION ALL
+        SELECT 'triangles', CAST(node AS VARCHAR), 'n_triangles', n_triangles
+        FROM tri_side
+    """
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
+    "q_triangle_count": q_triangle_count,
+    "q_graph_suite": q_graph_suite,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
     "q_pagerank": ORACLE_PAGERANK,
+    "q_triangle_count": ORACLE_TRIANGLE_COUNT,
+    "q_graph_suite": _oracle_graph_suite(),
 }
