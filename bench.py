@@ -88,6 +88,11 @@ OPTIONAL = [
     "q_dedup_clusters",
     "q_triangle_count",
     "q_event_transitions",
+    "q_cms_heavy_hitters",
+    "q_hll_distinct",
+    "q_bloom_semi_join",
+    "q_weighted_sample",
+    "q_inverted_index",
 ]
 
 

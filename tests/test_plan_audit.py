@@ -296,6 +296,34 @@ def test_triangle_count_narrow_pairs_no_cartesian(spark):
     )
 
 
+def test_weighted_sample_is_narrow_heap(spark):
+    """E36 ES weighted sampling: fingerprint, weight, and the −ln(u)/w
+    key are pure column math pipelining into the scan; the top-k is a
+    bounded heap. Zero data-scale exchanges."""
+    p = _plan(QUERIES["q_weighted_sample"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in p, f"sample fell back to a global sort:\n{p}"
+    data_scale = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
+    ]
+    assert not data_scale, f"narrow sample plan shuffles:\n{p}"
+
+
+def test_inverted_index_single_token_exchange(spark):
+    """E37 inverted index: the df window, the posting-rank window
+    (WindowGroupLimit — per-task heaps trim before the shuffle), and
+    the per-token fold all ride ONE token exchange; the final top-20
+    is a heap."""
+    p = _plan(QUERIES["q_inverted_index"](spark, SF_SMALL))
+    data_scale = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
+    ]
+    assert len(data_scale) == 1 and "token" in data_scale[0], (
+        f"expected one token exchange:\n{p}"
+    )
+    assert "WindowGroupLimit" in p, f"posting cap does not pre-trim:\n{p}"
+    assert "TakeOrderedAndProject" in p, f"top-k fell back to a global sort:\n{p}"
+
+
 def test_scd2_single_user_exchange(spark):
     """E33 SCD2: the change window, the run aggregation (user_id is a
     prefix of the grouping key, so no re-exchange), and the valid_to

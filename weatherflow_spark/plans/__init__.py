@@ -104,8 +104,8 @@ _CERTIFICATION_WINDOW = [
     "q_window_dist",
     # E6 TPC-H compositions (consolidated: Q3+Q5+Q14 in one suite)
     "q_tpch_suite",
-    # E24 deterministic HLL
-    "q_hll_distinct",
+    # E20/E21/E24 sketches: CMS + HLL + bloom semi-join, one hash
+    "q_sketch_suite",
     # E7/E12-E15/E17 scale operators
     "q_ranked_topk_suite",        # E7 window idiom + two-phase trim, one hash
     "q_dim_build_suite",          # E12 date dim + E33 SCD2 dim, one hash
@@ -122,8 +122,8 @@ _CERTIFICATION_WINDOW = [
     # iterative + sketch + layout + time-series + graph surfaces
     "q_graph_suite",              # connected components + triangle count
     "q_zorder_key",               # E19
-    "q_cms_heavy_hitters",        # E20
-    "q_bloom_semi_join",          # E21
+    "q_sampling_suite",           # hash + stratified + E36 weighted ES
+    "q_inverted_index",           # E37 capped posting lists
     "q_gap_fill_interpolate",     # E22
     "q_iterative_suite",          # E23 pagerank + k-means
 ]

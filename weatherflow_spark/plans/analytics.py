@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from weatherflow_spark.functions import text as T
 from weatherflow_spark.io import load_table
 from weatherflow_spark.plans.queries import cents_sum, scaled_sum_sql
+from weatherflow_spark.plans.advanced import ORACLE_HASH_SAMPLE, q_hash_sample
 
 
 # ---------------------------------------------------------------------------
@@ -369,6 +370,116 @@ ORACLE_STRATIFIED_SAMPLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_weighted_sample — Efraimidis–Spirakis weighted sampling w/o replacement
+# ---------------------------------------------------------------------------
+
+WEIGHTED_K = 50
+
+
+def _es_key_sql(fp: str, w: str) -> str:
+    """The Efraimidis–Spirakis sort key −ln(u)/w (top-k smallest keys
+    = a weight-proportional sample without replacement), with u a
+    deterministic uniform in (0, 1] derived from the cross-engine
+    content fingerprint — one SQL string shared by both engines so
+    the double expression trees match."""
+    u = f"(CAST(({fp}) % 1000000 + 1 AS DOUBLE) / 1000000.0)"
+    return f"-ln({u}) / CAST({w} AS DOUBLE)"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count-weighted sample of 50 documents without replacement
+    (Efraimidis–Spirakis): long documents are proportionally more
+    likely, no document twice, and — because the uniform comes from
+    the content fingerprint, not an RNG — the sample is identical on
+    every run, every cluster layout, and in the DuckDB oracle. This is
+    how a mixture pipeline takes "sample X tokens from this source"
+    reproducibly at 100 TB.
+
+    Narrow prelude (fingerprint + key pipeline into the scan), heap
+    top-k on the e9-rounded key (TakeOrdered, no global sort)."""
+    df = load_table(spark, sf_dir, "documents")
+    ntok = T.n_tokens("text")
+    # Empty documents weight 1 so the division is total (mirrored in
+    # the oracle text).
+    w_sql = f"greatest(1, size({T.tokens_expr('text')}))"
+    key = F.expr(_es_key_sql(T.doc_fingerprint_expr("text"), w_sql))
+    return (
+        df.select(
+            "doc_id",
+            ntok.alias("n_tokens"),
+            F.floor(key * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("es_key_e9"),
+        )
+        .orderBy(F.asc("es_key_e9"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+    SELECT doc_id,
+           {T.n_tokens_sql('text')} AS n_tokens,
+           CAST(floor(({_es_key_sql(T.doc_fingerprint_sql('text'),
+                                    f"greatest(1, len({T.tokens_sql('text')}))")})
+                      * 1e9 + 0.5) AS BIGINT) AS es_key_e9
+    FROM documents
+    ORDER BY es_key_e9 ASC, doc_id ASC
+    LIMIT {WEIGHTED_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_sampling_suite — certification row: hash + stratified + weighted
+# ---------------------------------------------------------------------------
+
+
+def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sampling certification row: the mod-fingerprint
+    hash sample, the per-source stratified sample, and the
+    Efraimidis–Spirakis weighted sample, tagged by op and unioned in
+    LONG format — (op, key, metric, value:bigint). Union is plan-level
+    only; singles stay in the tail."""
+    hs = q_hash_sample(spark, sf_dir).selectExpr(
+        "'hash' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(2, 'fingerprint', fingerprint, "
+        "'n_tokens', cast(n_tokens as bigint)) AS (metric, value)",
+    )
+    st = q_stratified_sample(spark, sf_dir).selectExpr(
+        "'stratified' AS op",
+        "concat(source, '#', cast(doc_id as string)) AS key",
+        "stack(1, 'sample_rank', cast(sample_rank as bigint)) AS (metric, value)",
+    )
+    ws = q_weighted_sample(spark, sf_dir).selectExpr(
+        "'weighted' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(2, 'n_tokens', cast(n_tokens as bigint), "
+        "'es_key_e9', es_key_e9) AS (metric, value)",
+    )
+    return hs.unionByName(st).unionByName(ws)
+
+
+def _oracle_sampling_suite() -> str:
+    return f"""
+        WITH hash_side AS ({ORACLE_HASH_SAMPLE}),
+        strat_side AS ({ORACLE_STRATIFIED_SAMPLE}),
+        weighted_side AS ({ORACLE_WEIGHTED_SAMPLE})
+        SELECT 'hash' AS op, CAST(doc_id AS VARCHAR) AS key,
+               'fingerprint' AS metric, fingerprint AS value FROM hash_side
+        UNION ALL
+        SELECT 'hash', CAST(doc_id AS VARCHAR),
+               'n_tokens', CAST(n_tokens AS BIGINT) FROM hash_side
+        UNION ALL
+        SELECT 'stratified', source || '#' || CAST(doc_id AS VARCHAR),
+               'sample_rank', CAST(sample_rank AS BIGINT) FROM strat_side
+        UNION ALL
+        SELECT 'weighted', CAST(doc_id AS VARCHAR),
+               'n_tokens', CAST(n_tokens AS BIGINT) FROM weighted_side
+        UNION ALL
+        SELECT 'weighted', CAST(doc_id AS VARCHAR),
+               'es_key_e9', es_key_e9 FROM weighted_side
+    """
+
+
+# ---------------------------------------------------------------------------
 # q_approx_quantiles — sketch-based quantiles (rows-only contract)
 # ---------------------------------------------------------------------------
 
@@ -691,6 +802,8 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_retention": q_retention,
     "q_event_transitions": q_event_transitions,
     "q_product_analytics_suite": q_product_analytics_suite,
+    "q_weighted_sample": q_weighted_sample,
+    "q_sampling_suite": q_sampling_suite,
 }
 
 ANALYTICS_ORACLES: dict[str, str] = {
@@ -706,4 +819,6 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "q_retention": ORACLE_RETENTION,
     "q_event_transitions": ORACLE_EVENT_TRANSITIONS,
     "q_product_analytics_suite": ORACLE_PRODUCT_ANALYTICS_SUITE,
+    "q_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "q_sampling_suite": _oracle_sampling_suite(),
 }

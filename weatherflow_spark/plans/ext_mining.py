@@ -418,11 +418,85 @@ def _oracle_text_profile_suite() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q_inverted_index — capped posting-list construction
+# ---------------------------------------------------------------------------
+
+POSTINGS_K = 20
+INDEX_TOP = 20
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: for the 20 highest-df tokens, the exact
+    document frequency plus a capped posting sample (first 20 doc ids
+    in id order, comma-joined) — the index-construction pass under
+    every lexical-retrieval system, with the posting cap that keeps
+    output rows bounded no matter how hot the token.
+
+    One token exchange serves the df count window, the posting-rank
+    window (row_number ≤ K plans as WindowGroupLimit — per-task heaps
+    trim before the shuffle), and the per-token fold; the final
+    top-20 is a heap."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(filter({T.tokens_expr('text')}, x -> x <> ''))"
+            )
+        ).alias("token"),
+    )
+    win = Window.partitionBy("token")
+    ranked = dt.withColumn(
+        "df", F.count(F.lit(1)).over(win).cast("bigint")
+    ).withColumn(
+        "rn", F.row_number().over(win.orderBy(F.asc("doc_id")))
+    )
+    return (
+        ranked.where(F.col("rn") <= POSTINGS_K)
+        .groupBy("token")
+        .agg(
+            F.min("df").alias("df"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ","
+            ).alias("postings_sample"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(INDEX_TOP)
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""
+    WITH dt AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_filter({T.tokens_sql('text')}, x -> x <> ''))) AS token
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, token,
+               CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+               row_number() OVER (PARTITION BY token ORDER BY doc_id ASC) AS rn
+        FROM dt
+    )
+    SELECT token, min(df) AS df,
+           array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',')
+               AS postings_sample
+    FROM ranked WHERE rn <= {POSTINGS_K}
+    GROUP BY token
+    ORDER BY df DESC, token ASC
+    LIMIT {INDEX_TOP}
+"""
+
+
 MINING_QUERIES = {
     "q_text_profile_suite": q_text_profile_suite,
     "q_text_mining_suite": q_text_mining_suite,
     "q_tfidf_topk": q_tfidf_topk,
     "q_pmi_cooc": q_pmi_cooc,
+    "q_inverted_index": q_inverted_index,
 }
 
 MINING_ORACLES = {
@@ -430,4 +504,5 @@ MINING_ORACLES = {
     "q_text_mining_suite": _oracle_text_mining_suite(),
     "q_tfidf_topk": _oracle_tfidf_topk(),
     "q_pmi_cooc": _oracle_pmi_cooc(),
+    "q_inverted_index": ORACLE_INVERTED_INDEX,
 }

@@ -399,11 +399,81 @@ def _oracle_hll_distinct() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# q_sketch_suite — certification row: CMS + HLL + bloom, one hash
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier certification row: count-min heavy hitters, the
+    deterministic HLL summary, and the bloom-pruned semi-join revenue
+    rows, tagged by op and unioned in LONG format — (op, key, metric,
+    value:bigint); rounded doubles re-scale to their integer grids
+    (HLL estimate e2, rel-err e4, revenue cents). Union is plan-level
+    only; singles stay in the tail."""
+    cms = q_cms_heavy_hitters(spark, sf_dir).selectExpr(
+        "'cms' AS op",
+        "cast(token_hash as string) AS key",
+        "stack(2, 'exact_n', cast(exact_n as bigint), "
+        "'cms_est', cast(cms_est as bigint)) AS (metric, value)",
+    )
+    hll = q_hll_distinct(spark, sf_dir).selectExpr(
+        "'hll' AS op",
+        "'all' AS key",
+        "stack(4, 'exact_distinct', cast(exact_distinct as bigint), "
+        "'estimate_e2', cast(floor(hll_estimate * 1e2 + 0.5) as bigint), "
+        "'n_zero_registers', cast(n_zero_registers as bigint), "
+        "'rel_err_e4', cast(floor(rel_err * 1e4 + 0.5) as bigint)) "
+        "AS (metric, value)",
+    )
+    bloom = q_bloom_semi_join(spark, sf_dir).selectExpr(
+        "'bloom' AS op",
+        "l_returnflag AS key",
+        "stack(2, 'n_items', cast(n_items as bigint), "
+        "'cents', cast(floor(sum_base_price * 1e2 + 0.5) as bigint)) "
+        "AS (metric, value)",
+    )
+    return cms.unionByName(hll).unionByName(bloom)
+
+
+def _oracle_sketch_suite() -> str:
+    return f"""
+        WITH cms_side AS ({ORACLE_CMS_HEAVY_HITTERS}),
+        hll_side AS ({_oracle_hll_distinct()}),
+        bloom_side AS ({ORACLE_BLOOM_SEMI_JOIN})
+        SELECT 'cms' AS op, CAST(token_hash AS VARCHAR) AS key,
+               'exact_n' AS metric, CAST(exact_n AS BIGINT) AS value
+        FROM cms_side
+        UNION ALL
+        SELECT 'cms', CAST(token_hash AS VARCHAR),
+               'cms_est', CAST(cms_est AS BIGINT) FROM cms_side
+        UNION ALL
+        SELECT 'hll', 'all', 'exact_distinct',
+               CAST(exact_distinct AS BIGINT) FROM hll_side
+        UNION ALL
+        SELECT 'hll', 'all', 'estimate_e2',
+               CAST(floor(hll_estimate * 1e2 + 0.5) AS BIGINT) FROM hll_side
+        UNION ALL
+        SELECT 'hll', 'all', 'n_zero_registers',
+               CAST(n_zero_registers AS BIGINT) FROM hll_side
+        UNION ALL
+        SELECT 'hll', 'all', 'rel_err_e4',
+               CAST(floor(rel_err * 1e4 + 0.5) AS BIGINT) FROM hll_side
+        UNION ALL
+        SELECT 'bloom', l_returnflag, 'n_items',
+               CAST(n_items AS BIGINT) FROM bloom_side
+        UNION ALL
+        SELECT 'bloom', l_returnflag, 'cents',
+               CAST(floor(sum_base_price * 1e2 + 0.5) AS BIGINT) FROM bloom_side
+    """
+
+
 SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_zorder_key": q_zorder_key,
     "q_bloom_semi_join": q_bloom_semi_join,
     "q_hll_distinct": q_hll_distinct,
+    "q_sketch_suite": q_sketch_suite,
 }
 
 SKETCH_ORACLES: dict[str, str] = {
@@ -411,4 +481,5 @@ SKETCH_ORACLES: dict[str, str] = {
     "q_zorder_key": ORACLE_ZORDER_KEY,
     "q_bloom_semi_join": ORACLE_BLOOM_SEMI_JOIN,
     "q_hll_distinct": _oracle_hll_distinct(),
+    "q_sketch_suite": _oracle_sketch_suite(),
 }
