@@ -93,6 +93,7 @@ OPTIONAL = [
     "q_bloom_semi_join",
     "q_weighted_sample",
     "q_inverted_index",
+    "q_bpe_train",
 ]
 
 

@@ -495,3 +495,56 @@ def test_multimodal_decoder_branch_dispatch(spark):
             .collect()
         )
         assert len(rows) == 1 and rows[0].n_bytes == expected_n_bytes
+
+
+def test_bpe_merge_fold_is_leftmost_nonoverlapping(spark):
+    """The BPE merge fold must implement scan-resumes-after-the-merge:
+    a run of three identical symbols merges only its first pair, and
+    for a != b every disjoint occurrence merges in one round."""
+    from weatherflow_spark.plans.ext_mining import _merge_fold_spark
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "a", "a"]),
+            (2, ["a", "b", "a", "b", "b"]),
+            (3, ["x"]),
+            (4, ["b", "a"]),
+        ],
+        "id: int, syms: array<string>",
+    )
+    # pair (a, a): run of three -> [aa, a]
+    got = {
+        r.id: r.m
+        for r in df.select(
+            "id",
+            F.expr(_merge_fold_spark("'a'", "'a'")).alias("m"),
+        ).collect()
+    }
+    assert got[1] == ["aa", "a"]
+    assert got[2] == ["a", "b", "a", "b", "b"]
+    # pair (a, b): both disjoint occurrences merge, order preserved
+    got = {
+        r.id: r.m
+        for r in df.select(
+            "id",
+            F.expr(_merge_fold_spark("'a'", "'b'")).alias("m"),
+        ).collect()
+    }
+    assert got[2] == ["ab", "ab", "b"]
+    assert got[3] == ["x"]
+    assert got[4] == ["b", "a"]
+
+
+def test_bpe_train_learns_frequency_ordered_merges(spark):
+    """Merge rounds must be learned greedily: each round's pair count
+    is the max over the current symbol state, so counts are
+    non-increasing only within what the previous merges allow — at
+    minimum, every learned rule must have a positive count and rules
+    must be distinct."""
+    out = QUERIES["q_bpe_train"](spark, SF_SMALL).collect()
+    assert len(out) == 4
+    rules = {(r.left_sym, r.right_sym) for r in out}
+    assert len(rules) == 4
+    assert all(r.pair_count > 0 for r in out)
+    rounds = sorted(r.merge_round for r in out)
+    assert rounds == [1, 2, 3, 4]

@@ -290,9 +290,9 @@ def _oracle_pmi_cooc() -> str:
 
 
 def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-mining certification row: BM25 top-k and PMI pairs
-    tagged by op and unioned in LONG format — (op, key, metric,
-    value:bigint) — the same consolidation shape as
+    """Corpus-mining certification row: BM25 top-k, PMI pairs, and the
+    learned BPE merge table, tagged by op and unioned in LONG format —
+    (op, key, metric, value:bigint) — the same consolidation shape as
     :func:`ext_text.q_curation_suite`. Union is plan-level only; the
     single-op twins stay registered in the tail."""
     bm = q_tfidf_topk(spark, sf_dir).selectExpr(
@@ -307,13 +307,19 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'pmi_e9', pmi_e9, 'c_xy', c_xy, "
         "'c_x', c_x, 'c_y', c_y) AS (metric, value)",
     )
-    return bm.unionByName(pm)
+    bpe = q_bpe_train(spark, sf_dir).selectExpr(
+        "'bpe' AS op",
+        "concat(cast(merge_round as string), ':', left_sym, '>', right_sym) AS key",
+        "stack(1, 'pair_count', pair_count) AS (metric, value)",
+    )
+    return bm.unionByName(pm).unionByName(bpe)
 
 
 def _oracle_text_mining_suite() -> str:
     return f"""
         WITH bm_side AS ({_oracle_tfidf_topk()}),
-        pm_side AS ({_oracle_pmi_cooc()})
+        pm_side AS ({_oracle_pmi_cooc()}),
+        bpe_side AS ({_oracle_bpe_train()})
         SELECT 'bm25' AS op, CAST(doc_id AS VARCHAR) AS key,
                'score_e6' AS metric, score_e6 AS value FROM bm_side
         UNION ALL
@@ -327,6 +333,10 @@ def _oracle_text_mining_suite() -> str:
         SELECT 'pmi', x || '|' || y, 'c_x', c_x FROM pm_side
         UNION ALL
         SELECT 'pmi', x || '|' || y, 'c_y', c_y FROM pm_side
+        UNION ALL
+        SELECT 'bpe', CAST(merge_round AS VARCHAR) || ':' || left_sym
+                   || '>' || right_sym,
+               'pair_count', pair_count FROM bpe_side
     """
 
 
@@ -419,6 +429,157 @@ def _oracle_text_profile_suite() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q_bpe_train — BPE merge-rule induction (tokenizer training)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 4
+
+
+def _merge_fold_spark(a: str, b: str) -> str:
+    """Leftmost-non-overlapping merge of adjacent pair ({a}, {b}) in a
+    symbol array, as a Spark SQL fold. The freshly merged symbol can
+    never re-match as the left side within the round: equality against
+    {a} is exact and the merged string is strictly longer — which is
+    precisely BPE's scan-resumes-after-the-merge rule (verified for
+    the a=b run case by tests/test_extensions.py)."""
+    return (
+        "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {a} AND s = {b} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array(concat({a}, {b}))) "
+        "ELSE concat(acc, array(s)) END)"
+    )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training — learn the first ``BPE_MERGES`` merge
+    rules from the corpus, the way GPT-2-style vocabularies are
+    actually built: collapse the corpus ONCE to the word-type
+    frequency table, then iterate on that table alone (pair counts are
+    frequency-weighted, so word types stand in for every occurrence).
+    Each round: adjacent symbol pairs → weighted counts → argmax pair
+    (ties: count desc, then pair lexicographically) → leftmost
+    non-overlapping merge via an array fold. Output: (merge_round,
+    left_sym, right_sym, pair_count) — the learned merge table.
+
+    Scale posture: ONE corpus-scale shuffle (the word-frequency agg,
+    map-side partials), persisted; every round after that runs on the
+    vocabulary-sized type table (pair-count exchanges are vocab-scale,
+    the argmax row broadcasts). That is the distributed-BPE shape: at
+    100 TB the corpus pass dominates and happens exactly once.
+
+    Fully hash-checked: counts are exact integers, ties lexicographic,
+    merges replayed by the DuckDB oracle as unrolled CTEs (the
+    PageRank precedent)."""
+    from weatherflow_spark.operators.caching import tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = tracked_persist(
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.sum(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "word", "freq", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
+    )
+    merge_rows = []
+    for r in range(1, BPE_MERGES + 1):
+        pairs = (
+            cur.where(F.expr("size(syms) >= 2"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS x, "
+                        "element_at(syms, i + 1) AS y))"
+                    )
+                ).alias("p"),
+            )
+            .select("p.x", "p.y", "freq")
+        )
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .select(
+                F.col("x").alias("m_left"),
+                F.col("y").alias("m_right"),
+                F.col("cnt").alias("m_cnt"),
+            )
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.col("m_left").alias("left_sym"),
+                F.col("m_right").alias("right_sym"),
+                F.col("m_cnt").alias("pair_count"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "freq",
+                F.expr(_merge_fold_spark("m_left", "m_right")).alias("syms"),
+            )
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _oracle_bpe_train() -> str:
+    def fold(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_transform(syms, s -> [s]), (acc, xx) -> "
+            f"CASE WHEN len(acc) > 0 AND acc[len(acc)] = {a} AND xx[1] = {b} "
+            f"THEN list_concat(acc[1:len(acc)-1], [{a} || {b}]) "
+            "ELSE list_concat(acc, xx) END)"
+        )
+
+    ctes = [
+        f"""words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({T.tokens_sql('text')}) AS word FROM documents)
+            WHERE word <> '' GROUP BY word
+        )""",
+        "w0 AS (SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM words)",
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+                SELECT syms[i] AS x, syms[i + 1] AS y,
+                       CAST(sum(freq) AS BIGINT) AS cnt
+                FROM {prev}, unnest(range(1, len(syms))) AS t(i)
+                WHERE len(syms) >= 2
+                GROUP BY x, y
+            )"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+                SELECT x AS a, y AS b, cnt FROM p{r}
+                ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+            )"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+                SELECT word, freq, {fold('a', 'b')} AS syms
+                FROM {prev}, m{r}
+            )"""
+        )
+    union = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({r} AS INTEGER) AS merge_round, a AS left_sym, "
+        f"b AS right_sym, cnt AS pair_count FROM m{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + union
+
+
+# ---------------------------------------------------------------------------
 # q_inverted_index — capped posting-list construction
 # ---------------------------------------------------------------------------
 
@@ -497,6 +658,7 @@ MINING_QUERIES = {
     "q_tfidf_topk": q_tfidf_topk,
     "q_pmi_cooc": q_pmi_cooc,
     "q_inverted_index": q_inverted_index,
+    "q_bpe_train": q_bpe_train,
 }
 
 MINING_ORACLES = {
@@ -505,4 +667,5 @@ MINING_ORACLES = {
     "q_tfidf_topk": _oracle_tfidf_topk(),
     "q_pmi_cooc": _oracle_pmi_cooc(),
     "q_inverted_index": ORACLE_INVERTED_INDEX,
+    "q_bpe_train": _oracle_bpe_train(),
 }
