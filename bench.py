@@ -94,6 +94,8 @@ OPTIONAL = [
     "q_weighted_sample",
     "q_inverted_index",
     "q_bpe_train",
+    "q_boilerplate_detect",
+    "q_mixture_weights",
 ]
 
 

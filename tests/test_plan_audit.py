@@ -296,6 +296,24 @@ def test_triangle_count_narrow_pairs_no_cartesian(spark):
     )
 
 
+def test_boilerplate_flag_join_stays_keyed(spark):
+    """E39 boilerplate: the flag join is UNHINTED — Catalyst's size
+    estimate picks broadcast at test scale (fp counts are tiny here)
+    and degrades gracefully to the chunk_fp-co-partitioned shuffle
+    join at corpus scale; what must hold at every scale is the keyed
+    shape: a chunk_fp count exchange, a doc_id fold-back exchange, and
+    no cartesian anywhere."""
+    p = _plan(QUERIES["q_boilerplate_detect"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    fp_ex = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning(chunk_fp" in b
+    ]
+    doc_ex = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning(doc_id" in b
+    ]
+    assert fp_ex and doc_ex, f"expected chunk_fp and doc_id exchanges:\n{p}"
+
+
 def test_weighted_sample_is_narrow_heap(spark):
     """E36 ES weighted sampling: fingerprint, weight, and the −ln(u)/w
     key are pure column math pipelining into the scan; the top-k is a

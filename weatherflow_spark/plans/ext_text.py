@@ -1017,6 +1017,152 @@ ORACLE_SEQUENCE_PACK_INDEXED = ORACLE_SEQUENCE_PACK
 
 
 # ---------------------------------------------------------------------------
+# q_mixture_weights — temperature-scaled source sampling weights
+# ---------------------------------------------------------------------------
+
+MIXTURE_ALPHA = 0.7
+
+
+def _temp_weight_sql(tok: str, alpha: float) -> str:
+    """pow(tokens, α) as SQL text shared verbatim by both engines."""
+    return f"power(CAST({tok} AS DOUBLE), {alpha})"
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the T5/XLM α-sampling rule,
+    α=0.7): p_s ∝ tokens_s^α, which up-weights small sources relative
+    to proportional sampling without letting any source dominate —
+    the standard multilingual/multi-source rebalancing knob, reported
+    next to the hard uniform cap of q_source_mixture. One row per
+    source: token total, raw share, temperature share (both e9
+    integers), and the expected per-epoch token draw under the
+    temperature distribution.
+
+    Scale posture: one map-side-partial aggregate to |sources| rows;
+    the normalizers are a single-row reduction over those rows,
+    broadcast back (no second corpus pass). The token sum is
+    integer-exact; the pow-weight sum folds a SORTED double array so
+    addition order cannot diverge between engines (q_entropy
+    precedent); shares are e9-rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(
+        F.sum(T.bpe_token_count("text").cast("bigint")).alias("tokens_total")
+    )
+    w = _temp_weight_sql("tokens_total", MIXTURE_ALPHA)
+    norm = totals.agg(
+        F.sum("tokens_total").alias("tok_sum"),
+        F.expr(
+            f"aggregate(array_sort(collect_list({w})), cast(0.0 as double), "
+            "(acc, x) -> acc + x)"
+        ).alias("w_sum"),
+    )
+    return totals.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "tokens_total",
+        F.expr(
+            "CAST(floor(CAST(tokens_total AS DOUBLE) "
+            "/ CAST(tok_sum AS DOUBLE) * 1e9 + 0.5) AS BIGINT)"
+        ).alias("raw_share_e9"),
+        F.expr(
+            f"CAST(floor(({w}) / w_sum * 1e9 + 0.5) AS BIGINT)"
+        ).alias("temp_share_e9"),
+        F.expr(
+            f"CAST(floor(({w}) / w_sum * CAST(tok_sum AS DOUBLE)) AS BIGINT)"
+        ).alias("expected_tokens"),
+    )
+
+
+ORACLE_MIXTURE_WEIGHTS = f"""
+    WITH totals AS (
+        SELECT source,
+               CAST(sum(CAST({T.bpe_token_count_sql('text')} AS BIGINT))
+                    AS BIGINT) AS tokens_total
+        FROM documents GROUP BY source
+    ),
+    norm AS (
+        SELECT CAST(sum(tokens_total) AS BIGINT) AS tok_sum,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(
+                   list({_temp_weight_sql('tokens_total', MIXTURE_ALPHA)}))),
+                   (acc, x) -> acc + x) AS w_sum
+        FROM totals
+    )
+    SELECT source, tokens_total,
+           CAST(floor(CAST(tokens_total AS DOUBLE)
+                / CAST(tok_sum AS DOUBLE) * 1e9 + 0.5)
+                AS BIGINT) AS raw_share_e9,
+           CAST(floor(({_temp_weight_sql('tokens_total', MIXTURE_ALPHA)})
+                / w_sum * 1e9 + 0.5) AS BIGINT) AS temp_share_e9,
+           CAST(floor(({_temp_weight_sql('tokens_total', MIXTURE_ALPHA)})
+                / w_sum * CAST(tok_sum AS DOUBLE)) AS BIGINT)
+               AS expected_tokens
+    FROM totals CROSS JOIN norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_boilerplate_detect — cross-document repeated-span flagging
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_MIN_DOCS = 3
+
+
+def q_boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the C4-style "drop spans
+    repeated across pages" rule): a chunk whose fingerprint appears in
+    ≥ BOILERPLATE_MIN_DOCS distinct documents is boilerplate; each
+    document reports its chunk count, boilerplate-chunk count, and the
+    integer-exact boilerplate fraction. Reuses q_doc_chunks'
+    fingerprints, so the flagged spans are the exact chunk contents,
+    not a heuristic.
+
+    Scale posture: the chunk stream is narrow (1→N generator into the
+    scan); one exchange aggregates distinct-doc counts per
+    fingerprint, the flag join is UNHINTED (Catalyst broadcasts while
+    the count table is estimated small and degrades to the
+    fp-co-partitioned shuffle join at corpus scale — nothing
+    data-dependent is forced into driver memory), and one exchange
+    folds back to documents."""
+    chunks = q_doc_chunks(spark, sf_dir).select("doc_id", "chunk_fp")
+    fpc = chunks.groupBy("chunk_fp").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    flagged = chunks.join(fpc, "chunk_fp")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(
+            F.when(F.col("n_docs_with") >= BOILERPLATE_MIN_DOCS, 1).otherwise(0)
+        ).alias("n_boilerplate"),
+    ).select(
+        "doc_id",
+        "n_chunks",
+        "n_boilerplate",
+        F.expr("CAST((n_boilerplate * 1000000L) div n_chunks AS BIGINT)").alias(
+            "boiler_frac_e6"
+        ),
+    )
+
+
+ORACLE_BOILERPLATE_DETECT = f"""
+    WITH chunks AS (
+        SELECT doc_id, chunk_fp FROM ({ORACLE_DOC_CHUNKS})
+    ),
+    fpc AS (
+        SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs_with
+        FROM chunks GROUP BY chunk_fp
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_docs_with >= {BOILERPLATE_MIN_DOCS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           CAST((CAST(sum(CASE WHEN f.n_docs_with >= {BOILERPLATE_MIN_DOCS}
+                    THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                // CAST(count(*) AS BIGINT) AS BIGINT) AS boiler_frac_e6
+    FROM chunks c JOIN fpc f USING (chunk_fp)
+    GROUP BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_domain_quota — per-source cap via deterministic hash rank
 # ---------------------------------------------------------------------------
 
@@ -1144,6 +1290,21 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'quota_rank', cast(quota_rank as bigint), "
         "'kept', cast(kept as bigint)) AS (metric, value)",
     )
+    boiler = q_boilerplate_detect(spark, sf_dir).selectExpr(
+        "'boilerplate' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(3, 'n_chunks', n_chunks, "
+        "'n_boilerplate', n_boilerplate, "
+        "'boiler_frac_e6', boiler_frac_e6) AS (metric, value)",
+    )
+    temp = q_mixture_weights(spark, sf_dir).selectExpr(
+        "'mixture_weights' AS op",
+        "source AS key",
+        "stack(4, 'tokens_total', tokens_total, "
+        "'raw_share_e9', raw_share_e9, "
+        "'temp_share_e9', temp_share_e9, "
+        "'expected_tokens', expected_tokens) AS (metric, value)",
+    )
     return (
         dec.unionByName(mix)
         .unionByName(pii)
@@ -1152,6 +1313,8 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(packi)
         .unionByName(qual)
         .unionByName(quota)
+        .unionByName(boiler)
+        .unionByName(temp)
     )
 
 
@@ -1165,7 +1328,9 @@ ORACLE_CURATION_SUITE = f"""
     ),
     pack_side AS ({ORACLE_SEQUENCE_PACK}),
     qual_side AS ({ORACLE_QUALITY_FILTER}),
-    quota_side AS ({ORACLE_DOMAIN_QUOTA})
+    quota_side AS ({ORACLE_DOMAIN_QUOTA}),
+    boiler_side AS ({ORACLE_BOILERPLATE_DETECT}),
+    temp_side AS ({ORACLE_MIXTURE_WEIGHTS})
     SELECT 'decontaminate' AS op, CAST(doc_id AS VARCHAR) AS key,
            'n_shared_grams' AS metric, n_shared_grams AS value FROM dec_side
     UNION ALL
@@ -1239,6 +1404,27 @@ ORACLE_CURATION_SUITE = f"""
     UNION ALL
     SELECT 'domain_quota', CAST(doc_id AS VARCHAR),
            'kept', CAST(kept AS BIGINT) FROM quota_side
+    UNION ALL
+    SELECT 'boilerplate', CAST(doc_id AS VARCHAR),
+           'n_chunks', n_chunks FROM boiler_side
+    UNION ALL
+    SELECT 'boilerplate', CAST(doc_id AS VARCHAR),
+           'n_boilerplate', n_boilerplate FROM boiler_side
+    UNION ALL
+    SELECT 'boilerplate', CAST(doc_id AS VARCHAR),
+           'boiler_frac_e6', boiler_frac_e6 FROM boiler_side
+    UNION ALL
+    SELECT 'mixture_weights', source, 'tokens_total', tokens_total
+    FROM temp_side
+    UNION ALL
+    SELECT 'mixture_weights', source, 'raw_share_e9', raw_share_e9
+    FROM temp_side
+    UNION ALL
+    SELECT 'mixture_weights', source, 'temp_share_e9', temp_share_e9
+    FROM temp_side
+    UNION ALL
+    SELECT 'mixture_weights', source, 'expected_tokens', expected_tokens
+    FROM temp_side
 """
 
 
@@ -1258,6 +1444,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sequence_pack_indexed": q_sequence_pack_indexed,
     "q_quality_filter": q_quality_filter,
     "q_domain_quota": q_domain_quota,
+    "q_boilerplate_detect": q_boilerplate_detect,
+    "q_mixture_weights": q_mixture_weights,
     "q_curation_suite": q_curation_suite,
 }
 
@@ -1277,5 +1465,7 @@ TEXT_ORACLES: dict[str, str] = {
     "q_sequence_pack_indexed": ORACLE_SEQUENCE_PACK_INDEXED,
     "q_quality_filter": ORACLE_QUALITY_FILTER,
     "q_domain_quota": ORACLE_DOMAIN_QUOTA,
+    "q_boilerplate_detect": ORACLE_BOILERPLATE_DETECT,
+    "q_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "q_curation_suite": ORACLE_CURATION_SUITE,
 }
