@@ -354,6 +354,48 @@ def test_scd2_single_user_exchange(spark):
     assert "Join" not in p, f"SCD2 plan contains a join:\n{p}"
 
 
+def test_semantic_dedup_single_corpus_scan_keyed_pair_join(spark):
+    """E41 SemDeDup: the assignment (quantize + broadcast-argmin) is
+    computed ONCE into a cached relation feeding all four consumers —
+    no repeated corpus scan in the executed plan; the within-cluster
+    pair generation is a keyed equi-join on the cluster id (never a
+    data-scale cartesian — the only BroadcastNestedLoopJoin allowed
+    is the 1-row centroid-array attach inside the materialization);
+    the kept set is a LeftAnti join."""
+    p = _plan(QUERIES["q_semantic_dedup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    bnlj = _detail_blocks(p, "BroadcastNestedLoopJoin")
+    assert len(bnlj) <= 1, f"unexpected nested-loop joins:\n{p}"
+    for b in bnlj:
+        assert "Join type: Cross" in b and "Join condition: None" in b, b
+    pair_joins = [
+        b
+        for b in _detail_blocks(p, "BroadcastHashJoin")
+        + _detail_blocks(p, "SortMergeJoin")
+        + _detail_blocks(p, "ShuffledHashJoin")
+        if "cluster#" in b and "Join type: Inner" in b and "aggregate(zip_with" in b
+    ]
+    assert pair_joins, f"pair generation is not a cluster-keyed equi-join:\n{p}"
+    assert "Join type: LeftAnti" in p, f"kept set is not an anti-join:\n{p}"
+
+
+def test_unigram_lm_one_token_exchange_narrow_scoring(spark):
+    """E42 unigram-LM scoring: the model phase owns the single
+    corpus-scale exchange (token counts, map-side partials); the
+    top-V + total fold to broadcast rows; scoring is narrow — no
+    per-token join back to the corpus (the broadcast map lookup
+    replaces it), so the plan has no keyed join at all."""
+    p = _plan(QUERIES["q_unigram_lm_score"](spark, SF_SMALL))
+    hash_ex = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
+    ]
+    assert len(hash_ex) == 1, f"expected one hash exchange:\n{p}"
+    assert "hashpartitioning(token" in hash_ex[0], hash_ex[0]
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in p, f"unexpected keyed join ({node}):\n{p}"
+    assert "CartesianProduct" not in p, p
+
+
 @pytest.mark.parametrize("name", WINDOW)
 def test_no_cartesian_product_in_certified_window(spark, name):
     """No certified plan may contain a CartesianProduct. (Broadcast

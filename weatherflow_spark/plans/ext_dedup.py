@@ -777,14 +777,29 @@ def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").alias("score"),
         null_flag,
     )
-    return mh.unionByName(sh).unionByName(ng)
+    # Sixth family (E41 SemDeDup): embedding-cluster-blocked semantic
+    # dup pairs over the embeddings table — score is NULL (the
+    # threshold test is exact-integer, not a float measure).
+    from weatherflow_spark.plans.ext_similarity import semantic_dup_pairs
+
+    sem = semantic_dup_pairs(spark, sf_dir).select(
+        F.lit("semantic").alias("method"),
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(1).cast("int").alias("is_dup"),
+    )
+    return mh.unionByName(sh).unionByName(ng).unionByName(sem)
 
 
 def _oracle_near_dup_suite() -> str:
+    from weatherflow_spark.plans.ext_similarity import ORACLE_SEMANTIC_PAIRS
+
     return f"""
     WITH mh_side AS ({_oracle_minhash_near_dup()}),
     sh_side AS ({ORACLE_SIMHASH_NEAR_DUP}),
-    ng_side AS ({ORACLE_NGRAM_JACCARD})
+    ng_side AS ({ORACLE_NGRAM_JACCARD}),
+    sem_side AS ({ORACLE_SEMANTIC_PAIRS})
     SELECT 'minhash' AS method, doc_a, doc_b, jaccard AS score, is_dup
     FROM mh_side
     UNION ALL
@@ -794,6 +809,9 @@ def _oracle_near_dup_suite() -> str:
     UNION ALL
     SELECT 'ngram', doc_a, doc_b, jaccard, CAST(NULL AS INTEGER)
     FROM ng_side
+    UNION ALL
+    SELECT 'semantic', vec_a, vec_b, CAST(NULL AS DOUBLE), 1
+    FROM sem_side
 """
 
 

@@ -358,8 +358,14 @@ def q_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics of :func:`ext_text.q_text_stats` and the stopword-hit
     language-ID of :func:`ext_text.q_lang_id`, tagged and unioned in
     LONG format (doubles re-round to e6 integers; the predicted
-    language encodes as its index in the sorted language list)."""
-    from weatherflow_spark.plans.ext_text import q_lang_id, q_text_stats
+    language encodes as its index in the sorted language list). Third
+    branch (E42): the unigram-LM mean-NLL quality score per document
+    — already an e6 integer, stacked alongside its token count."""
+    from weatherflow_spark.plans.ext_text import (
+        q_lang_id,
+        q_text_stats,
+        q_unigram_lm_score,
+    )
 
     stats = q_text_stats(spark, sf_dir).selectExpr(
         "'text_stats' AS op",
@@ -382,11 +388,21 @@ def q_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'pred_code', cast(({_pred_code_sql('predicted_lang')}) as bigint), "
         "'is_match', cast(is_match as bigint)) AS (metric, value)",
     )
-    return stats.unionByName(lang)
+    lm = q_unigram_lm_score(spark, sf_dir).selectExpr(
+        "'lm_score' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(2, 'n_tokens', cast(n_tokens as bigint), "
+        "'nll_e6', nll_e6) AS (metric, value)",
+    )
+    return stats.unionByName(lang).unionByName(lm)
 
 
 def _oracle_text_profile_suite() -> str:
-    from weatherflow_spark.plans.ext_text import ORACLE_TEXT_STATS, _oracle_lang_id
+    from weatherflow_spark.plans.ext_text import (
+        ORACLE_TEXT_STATS,
+        ORACLE_UNIGRAM_LM_SCORE,
+        _oracle_lang_id,
+    )
 
     score_rows = "\n        UNION ALL\n".join(
         f"        SELECT 'lang_id', CAST(doc_id AS VARCHAR), "
@@ -395,7 +411,8 @@ def _oracle_text_profile_suite() -> str:
     )
     return f"""
         WITH stats_side AS ({ORACLE_TEXT_STATS}),
-        lang_side AS ({_oracle_lang_id()})
+        lang_side AS ({_oracle_lang_id()}),
+        lm_side AS ({ORACLE_UNIGRAM_LM_SCORE})
         SELECT 'text_stats' AS op, CAST(doc_id AS VARCHAR) AS key,
                'n_chars' AS metric, CAST(n_chars_calc AS BIGINT) AS value
         FROM stats_side
@@ -425,6 +442,12 @@ def _oracle_text_profile_suite() -> str:
         UNION ALL
         SELECT 'lang_id', CAST(doc_id AS VARCHAR),
                'is_match', CAST(is_match AS BIGINT) FROM lang_side
+        UNION ALL
+        SELECT 'lm_score', CAST(doc_id AS VARCHAR),
+               'n_tokens', CAST(n_tokens AS BIGINT) FROM lm_side
+        UNION ALL
+        SELECT 'lm_score', CAST(doc_id AS VARCHAR),
+               'nll_e6', nll_e6 FROM lm_side
     """
 
 

@@ -582,6 +582,220 @@ ORACLE_EMBEDDING_NEAR_DUP = ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE.format(
 )
 
 
+# ---------------------------------------------------------------------------
+# q_semantic_dedup — SemDeDup: cluster-blocked embedding dedup (E41)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8          # seed centroids (vec_id 0..K-1)
+SEMDEDUP_SCALE = 1000   # component quantization for exact integer math
+# cosine >= 0.35  ⇔  dot > 0 AND 400·dot² >= 49·|a|²·|b|²  — all-integer
+# (t² = 49/400), so the threshold decision is bit-identical cross-engine
+# with zero float ops. Magnitude check: |x| ≤ 0.53 ⇒ scaled |aᵢ| ≤ 530,
+# dot ≤ 64·530² ≈ 1.8e7, 400·dot² ≈ 1.3e17 — inside BIGINT. (0.35 is
+# tuned to this synthetic corpus's cosine spread — max pairwise ≈ 0.51
+# — so the dup arm actually fires and the hash certifies it; a real
+# SemDeDup run uses ~0.8+ on contentful embeddings.)
+SEMDEDUP_T2_NUM = 49
+SEMDEDUP_T2_DEN = 400
+
+_INT_VEC = (
+    f"transform(embedding, x -> cast(floor(cast(x as double) * {SEMDEDUP_SCALE}) as bigint))"
+)
+_INT_N2 = "aggregate(transform(v, x -> x * x), cast(0 as bigint), (acc, e) -> acc + e)"
+
+
+def _semdedup_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized vectors + nearest-seed-centroid assignment.
+
+    The K-row centroid table is collapsed to a single array row and
+    broadcast, so assignment is a NARROW ×1 pass (argmin folded into
+    one `array_min(transform(...))` expression) — no K·N window
+    shuffle like the Lloyd-round `_assign` in plans/iterative.py
+    needs. At 100 TB this is the point: cluster assignment touches
+    every vector and must not shuffle them."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select("vec_id", F.expr(_INT_VEC).alias("v")).select(
+        "vec_id", "v", F.expr(_INT_N2).alias("n2")
+    )
+    cents = (
+        scaled.where(F.col("vec_id") < SEMDEDUP_K)
+        .select(F.struct(F.col("vec_id").alias("cluster"), F.col("v").alias("cv")).alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("cents"))
+    )
+    sq = (
+        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, e) -> acc + e)"
+    )
+    return scaled.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "n2",
+        F.expr(
+            f"array_min(transform(cents, c -> struct({sq} as d, c.cluster as cluster))).cluster"
+        ).alias("cluster"),
+    )
+
+
+def semantic_dup_pairs(
+    spark: SparkSession, sf_dir: str, assigned: DataFrame | None = None
+) -> DataFrame:
+    """SemDeDup candidate pairs above the cosine threshold:
+    (cluster, vec_a, vec_b) with vec_a < vec_b, pairwise ONLY within
+    a cluster (the cluster is the blocking key — the quadratic is
+    bounded by cluster population, never corpus-wide). One shuffle on
+    the cluster key for the self-join; the threshold test is exact
+    integer arithmetic (see SEMDEDUP_T2_*). Callers that also need
+    the assignment itself pass a persisted ``assigned`` so the corpus
+    is scanned once (q_semantic_dedup); standalone the two join sides
+    re-derive the narrow assignment inline — pipelined codegen work,
+    the same trade-off documented on q_near_dup_suite's branches."""
+    if assigned is None:
+        assigned = _semdedup_assigned(spark, sf_dir)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = (
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, e) -> acc + e)"
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.cluster") == F.col("b.cluster"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(dot).alias("dot"),
+            F.col("a.n2").alias("n2a"),
+            F.col("b.n2").alias("n2b"),
+        )
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(SEMDEDUP_T2_DEN) * F.col("dot") * F.col("dot")
+                >= F.lit(SEMDEDUP_T2_NUM) * F.col("n2a") * F.col("n2b")
+            )
+        )
+        .select("cluster", "vec_a", "vec_b")
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic dedup): cluster the embedding corpus, then
+    prune within-cluster near-duplicates by cosine — the curation
+    step that removes *semantically* redundant documents exact/LSH
+    dedup can't see. A vector is pruned iff some smaller-id vector in
+    its cluster has cosine ≥ 0.35 (keep-first rule, deterministic).
+
+    Physical shape: narrow broadcast-argmin assignment (no K·N
+    shuffle), cluster-keyed self-join (quadratic bounded by cluster
+    size — the SemDeDup blocking contract), distinct + anti-join for
+    the kept set. K here is a small certifiable constant; at 100 TB
+    the codebook comes from q_kmeans (K ∝ √N) so cluster populations
+    stay bounded as the corpus grows — the plan shape is unchanged.
+
+    Returns per-cluster totals: members, pruned, kept, min kept id.
+    The assignment feeds four consumers (both self-join sides, the
+    member counts, the kept set), so it is persisted — one corpus
+    scan, not four."""
+    assigned = tracked_persist(_semdedup_assigned(spark, sf_dir))
+    pruned = (
+        semantic_dup_pairs(spark, sf_dir, assigned=assigned)
+        .select("cluster", F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    kept = assigned.join(pruned, ["cluster", "vec_id"], "left_anti")
+    members = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    kept_agg = kept.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("vec_id").alias("min_kept_vec_id")
+    )
+    return members.join(kept_agg, "cluster").select(
+        "cluster",
+        "n_members",
+        (F.col("n_members") - F.col("n_kept")).alias("n_pruned"),
+        "n_kept",
+        "min_kept_vec_id",
+    )
+
+
+# Shared CTE prefix: quantized vectors, seed centroids, assignment,
+# and threshold-filtered within-cluster pairs (DuckDB twin of
+# semantic_dup_pairs; the argmin is a row_number — the oracle mirrors
+# semantics, not the physical plan).
+_SEMANTIC_CTES = f"""
+    scaled AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {SEMDEDUP_SCALE}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    wn AS (
+        SELECT vec_id, v,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(v, x -> x * x)), (acc, e) -> acc + e) AS n2
+        FROM scaled
+    ),
+    cents AS (
+        SELECT vec_id AS cluster, v AS cv FROM scaled WHERE vec_id < {SEMDEDUP_K}
+    ),
+    assigned AS (
+        SELECT vec_id, v, n2, cluster FROM (
+            SELECT w.vec_id, w.v, w.n2, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY w.vec_id
+                       ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, len(w.v)),
+                               i -> (w.v[i] - c.cv[i]) * (w.v[i] - c.cv[i]))),
+                           (acc, e) -> acc + e) ASC, c.cluster ASC) AS rn
+            FROM wn w CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    sem_pairs AS (
+        SELECT cluster, vec_a, vec_b FROM (
+            SELECT a.cluster AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(a.v)),
+                           i -> a.v[i] * b.v[i])), (acc, e) -> acc + e) AS dot,
+                   a.n2 AS n2a, b.n2 AS n2b
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        )
+        WHERE dot > 0
+          AND {SEMDEDUP_T2_DEN} * dot * dot >= {SEMDEDUP_T2_NUM} * n2a * n2b
+    )
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+    WITH {_SEMANTIC_CTES},
+    pruned AS (SELECT DISTINCT cluster, vec_b AS vec_id FROM sem_pairs),
+    kept AS (
+        SELECT s.cluster, s.vec_id FROM assigned s
+        LEFT JOIN pruned p ON p.cluster = s.cluster AND p.vec_id = s.vec_id
+        WHERE p.vec_id IS NULL
+    )
+    SELECT m.cluster,
+           m.n_members,
+           m.n_members - k.n_kept AS n_pruned,
+           k.n_kept,
+           k.min_kept_vec_id
+    FROM (SELECT cluster, count(*) AS n_members FROM assigned GROUP BY cluster) m
+    JOIN (SELECT cluster, count(*) AS n_kept, min(vec_id) AS min_kept_vec_id
+          FROM kept GROUP BY cluster) k USING (cluster)
+"""
+
+
+# The suite branch certifies the pair list itself (ext_dedup's
+# q_near_dup_suite 'semantic' branch selects from this).
+ORACLE_SEMANTIC_PAIRS = f"""
+    WITH {_SEMANTIC_CTES}
+    SELECT cluster, vec_a, vec_b FROM sem_pairs
+"""
+
+
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 consolidated certification row: brute-force exact top-10,
     IVF-probed top-10, and LSH-bucketed top-10 for the same query
@@ -634,9 +848,11 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_lsh_topk": q_ann_lsh_topk,
     "q_ann_batch_topk": q_ann_batch_topk,
     "q_ann_suite": q_ann_suite,
+    "q_semantic_dedup": q_semantic_dedup,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
+    "q_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "q_similarity_topk": ORACLE_SIMILARITY_TOPK,
     "q_embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "q_ann_ivf_topk": ORACLE_ANN_IVF_TOPK,

@@ -1428,6 +1428,97 @@ ORACLE_CURATION_SUITE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_unigram_lm_score — E42: CCNet-style LM quality scoring
+# ---------------------------------------------------------------------------
+
+LM_TOP_V = 16  # vocabulary cap: only the top-V tokens carry their true
+# count; everything else scores as an OOV singleton (count 1). The cap
+# is what makes the model broadcastable at any corpus size — the same
+# bounded-vocabulary contract as E31's PMI top-V.
+
+
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram language-model score (CCNet-style corpus
+    filtering): train a unigram LM on the corpus itself, then score
+    every document by its mean negative log-likelihood — documents
+    whose token distribution diverges from the corpus (gibberish,
+    boilerplate, wrong-language) surface with high NLL and get culled
+    by a percentile cut downstream.
+
+    Two phases, one corpus-scale exchange total:
+
+    1. **model**: token counts via groupBy (map-side partials — the
+       exchange carries per-partition distinct tokens, not token
+       instances), top-V head by (count desc, token asc), folded with
+       the full-vocabulary token total into ONE broadcast row
+       (`map_from_entries` + total).
+    2. **score**: NARROW — each doc re-tokenizes, looks its tokens up
+       in the broadcast map (OOV → count 1), sorts the count array so
+       the double ln-fold is order-pinned cross-engine (q_entropy
+       precedent), and emits mean NLL in nats as an e6 integer.
+
+    At 100 TB the model phase is a bounded-output aggregation and the
+    scoring phase touches each doc exactly once with zero shuffles —
+    there is no per-token join back to the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Persisted: the vocab-sized count table feeds BOTH the top-V head
+    # and the token total — without the persist each consumer replays
+    # the corpus-scale token exchange (the one expensive stage here).
+    counts = tracked_persist(
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(LM_TOP_V)
+    model = top.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("token", "n")))
+        ).alias("vmap")
+    ).crossJoin(
+        F.broadcast(counts.agg(F.sum("n").alias("total")))
+    )
+    arr = "array_sort(transform(split(text, ' '), t -> coalesce(vmap[t], cast(1 as bigint))))"
+    nll = (
+        f"-aggregate({arr}, cast(0.0 as double), "
+        "(acc, c) -> acc + ln(cast(c as double) / cast(total as double))) "
+        "/ size(split(text, ' '))"
+    )
+    return docs.crossJoin(F.broadcast(model)).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.expr(f"cast(floor(({nll}) * 1e6 + 0.5) as bigint)").alias("nll_e6"),
+    )
+
+
+ORACLE_UNIGRAM_LM_SCORE = f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    topv AS (SELECT token, n FROM vocab ORDER BY n DESC, token ASC LIMIT {LM_TOP_V}),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM vocab),
+    inst AS (
+        SELECT d.doc_id, u.token
+        FROM documents d, unnest(string_split(d.text, ' ')) AS u(token)
+    ),
+    looked AS (
+        SELECT i.doc_id, COALESCE(t.n, CAST(1 AS BIGINT)) AS c
+        FROM inst i LEFT JOIN topv t ON i.token = t.token
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+               list(c ORDER BY c ASC) AS arr
+        FROM looked GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(arr, c -> ln(CAST(c AS DOUBLE) / CAST(tot.total AS DOUBLE)))),
+                (acc, v) -> acc + v)) / n_tokens) * 1e6 + 0.5) AS BIGINT) AS nll_e6
+    FROM per_doc, tot
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_repetition_filter": q_repetition_filter,
@@ -1446,10 +1537,12 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_domain_quota": q_domain_quota,
     "q_boilerplate_detect": q_boilerplate_detect,
     "q_mixture_weights": q_mixture_weights,
+    "q_unigram_lm_score": q_unigram_lm_score,
     "q_curation_suite": q_curation_suite,
 }
 
 TEXT_ORACLES: dict[str, str] = {
+    "q_unigram_lm_score": ORACLE_UNIGRAM_LM_SCORE,
     "q_string_funcs": ORACLE_STRING_FUNCS,
     "q_text_stats": ORACLE_TEXT_STATS,
     "q_repetition_filter": ORACLE_REPETITION_FILTER,
