@@ -396,6 +396,31 @@ def test_unigram_lm_one_token_exchange_narrow_scoring(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_bpe_encode_one_corpus_exchange_per_round_pair_aggs(spark):
+    """E43 BPE encode: training owns ONE corpus-scale exchange (the
+    word-frequency agg) and exactly BPE_MERGES vocab-scale pair-count
+    exchanges — per-round argmax rows are persisted, so no round's
+    aggregation re-executes per downstream reference; the encode pass
+    itself is narrow (broadcast rule list, nested fold, no keyed
+    join)."""
+    from weatherflow_spark.plans.ext_mining import BPE_MERGES
+
+    p = _plan(QUERIES["q_bpe_encode"](spark, SF_SMALL))
+    hash_ex = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
+    ]
+    word_ex = [b for b in hash_ex if "hashpartitioning(word" in b]
+    pair_ex = [b for b in hash_ex if "hashpartitioning(x#" in b]
+    assert len(word_ex) == 1, f"expected one word exchange:\n{p}"
+    assert len(pair_ex) == BPE_MERGES, (
+        f"expected {BPE_MERGES} pair exchanges, got {len(pair_ex)}:\n{p}"
+    )
+    assert len(hash_ex) == len(word_ex) + len(pair_ex), p
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in p, f"unexpected keyed join ({node}):\n{p}"
+    assert "CartesianProduct" not in p, p
+
+
 @pytest.mark.parametrize("name", WINDOW)
 def test_no_cartesian_product_in_certified_window(spark, name):
     """No certified plan may contain a CartesianProduct. (Broadcast

@@ -312,14 +312,24 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(cast(merge_round as string), ':', left_sym, '>', right_sym) AS key",
         "stack(1, 'pair_count', pair_count) AS (metric, value)",
     )
-    return bm.unionByName(pm).unionByName(bpe)
+    # E43 encode branch: the full segmented text collapses to the
+    # cross-engine rolling char-fold hash so the LONG value stays a
+    # bigint while still pinning every piece boundary.
+    enc = q_bpe_encode(spark, sf_dir).selectExpr(
+        "'bpe_encode' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(2, 'n_pieces', n_pieces, "
+        f"'enc_fp', {T._tok_hash_lambda_spark('encoded')}) AS (metric, value)",
+    )
+    return bm.unionByName(pm).unionByName(bpe).unionByName(enc)
 
 
 def _oracle_text_mining_suite() -> str:
     return f"""
         WITH bm_side AS ({_oracle_tfidf_topk()}),
         pm_side AS ({_oracle_pmi_cooc()}),
-        bpe_side AS ({_oracle_bpe_train()})
+        bpe_side AS ({_oracle_bpe_train()}),
+        enc_side AS ({_oracle_bpe_encode()})
         SELECT 'bm25' AS op, CAST(doc_id AS VARCHAR) AS key,
                'score_e6' AS metric, score_e6 AS value FROM bm_side
         UNION ALL
@@ -337,6 +347,12 @@ def _oracle_text_mining_suite() -> str:
         SELECT 'bpe', CAST(merge_round AS VARCHAR) || ':' || left_sym
                    || '>' || right_sym,
                'pair_count', pair_count FROM bpe_side
+        UNION ALL
+        SELECT 'bpe_encode', CAST(doc_id AS VARCHAR),
+               'n_pieces', n_pieces FROM enc_side
+        UNION ALL
+        SELECT 'bpe_encode', CAST(doc_id AS VARCHAR),
+               'enc_fp', {T._tok_hash_lambda_duck('encoded')} FROM enc_side
     """
 
 
@@ -521,7 +537,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("p.x", "p.y", "freq")
         )
-        best = (
+        # Persisted: round r's argmax row is referenced by the output
+        # union AND (as a broadcast) by every later round's symbol
+        # table — without the persist the round-r pair aggregation
+        # re-executes once per downstream reference (measured 14
+        # vocab-scale exchanges instead of 4 in the encode plan).
+        best = tracked_persist(
             pairs.groupBy("x", "y")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
@@ -554,15 +575,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _oracle_bpe_train() -> str:
-    def fold(a: str, b: str) -> str:
-        return (
-            "list_reduce(list_transform(syms, s -> [s]), (acc, xx) -> "
-            f"CASE WHEN len(acc) > 0 AND acc[len(acc)] = {a} AND xx[1] = {b} "
-            f"THEN list_concat(acc[1:len(acc)-1], [{a} || {b}]) "
-            "ELSE list_concat(acc, xx) END)"
-        )
+def _duck_merge_fold(a: str, b: str) -> str:
+    """DuckDB twin of _merge_fold_spark (list_reduce needs the
+    wrap-every-symbol-in-a-list trick because it has no init value)."""
+    return (
+        "list_reduce(list_transform(syms, s -> [s]), (acc, xx) -> "
+        f"CASE WHEN len(acc) > 0 AND acc[len(acc)] = {a} AND xx[1] = {b} "
+        f"THEN list_concat(acc[1:len(acc)-1], [{a} || {b}]) "
+        "ELSE list_concat(acc, xx) END)"
+    )
 
+
+def _bpe_train_ctes() -> list[str]:
+    """The unrolled training CTE chain (words → w0 → p/m/w per round);
+    shared by the train oracle and the encode oracle (which replays
+    the same merges over document words)."""
+    fold = _duck_merge_fold
     ctes = [
         f"""words AS (
             SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -594,12 +622,112 @@ def _oracle_bpe_train() -> str:
                 FROM {prev}, m{r}
             )"""
         )
+    return ctes
+
+
+def _oracle_bpe_train() -> str:
     union = "\n    UNION ALL\n".join(
         f"    SELECT CAST({r} AS INTEGER) AS merge_round, a AS left_sym, "
         f"b AS right_sym, cnt AS pair_count FROM m{r}"
         for r in range(1, BPE_MERGES + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n" + union
+    return "WITH " + ",\n    ".join(_bpe_train_ctes()) + "\n" + union
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_encode — E43: apply the trained merge rules (tokenization)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE **encoding**: segment every document with the merge table
+    q_bpe_train just learned — the apply half of the tokenizer pair
+    (train once, encode the whole corpus). Merge rules apply in
+    learned priority order; within a rule the scan is leftmost
+    non-overlapping (the same fold as training, so train and encode
+    can never disagree on segmentation).
+
+    The trained table collapses to ONE broadcast row (an array of
+    (l, r) rules sorted by round), so encoding is a NARROW pass: per
+    word, a nested fold — outer over the rule list, inner the merge
+    scan. No join, no shuffle beyond what training itself needs; at
+    100 TB the corpus is touched once for training's word-frequency
+    agg and once, narrowly, for encoding.
+
+    Output per doc: word/piece counts and the segmented text
+    (pieces '|'-joined within a word, words ' '-joined) — the full
+    segmentation is what the hash certifies."""
+    merges = q_bpe_train(spark, sf_dir)
+    model = merges.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(merge_round, "
+            "left_sym, right_sym))), m -> "
+            "struct(m.left_sym AS l, m.right_sym AS r))"
+        ).alias("mlist")
+    )
+    enc_word = (
+        "aggregate(mlist, regexp_extract_all(w, '.', 0), (cursyms, m) -> "
+        "aggregate(cursyms, cast(array() as array<string>), (acc, s) -> "
+        "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = m.l AND s = m.r "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m.l, m.r))) "
+        "ELSE concat(acc, array(s)) END))"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.crossJoin(F.broadcast(model))
+        .select(
+            "doc_id",
+            F.expr(f"filter({T.tokens_expr('text')}, w -> w <> '')").alias("words"),
+            F.col("mlist"),
+        )
+        .where(F.expr("size(words) >= 1"))
+        .select(
+            "doc_id",
+            F.expr("size(words)").alias("n_words"),
+            F.expr(f"transform(words, w -> {enc_word})").alias("ppw"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr("cast(size(flatten(ppw)) as bigint)").alias("n_pieces"),
+            F.expr("concat_ws(' ', transform(ppw, a -> array_join(a, '|')))").alias(
+                "encoded"
+            ),
+        )
+    )
+
+
+def _oracle_bpe_encode() -> str:
+    steps = []
+    steps.append(
+        f"""e0 AS (
+            SELECT doc_id, i AS word_idx,
+                   regexp_extract_all(toks[i], '.') AS syms
+            FROM (SELECT doc_id,
+                         list_filter({T.tokens_sql('text')}, w -> w <> '') AS toks
+                  FROM documents),
+                 unnest(range(1, len(toks) + 1)) AS t(i)
+        )"""
+    )
+    for r in range(1, BPE_MERGES + 1):
+        steps.append(
+            f"""e{r} AS (
+                SELECT doc_id, word_idx, {_duck_merge_fold('a', 'b')} AS syms
+                FROM e{r - 1}, m{r}
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_train_ctes() + steps)
+        + f"""
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_words,
+           CAST(sum(len(syms)) AS BIGINT) AS n_pieces,
+           string_agg(array_to_string(syms, '|'), ' ' ORDER BY word_idx)
+               AS encoded
+    FROM e{BPE_MERGES} GROUP BY doc_id
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -682,9 +810,11 @@ MINING_QUERIES = {
     "q_pmi_cooc": q_pmi_cooc,
     "q_inverted_index": q_inverted_index,
     "q_bpe_train": q_bpe_train,
+    "q_bpe_encode": q_bpe_encode,
 }
 
 MINING_ORACLES = {
+    "q_bpe_encode": _oracle_bpe_encode(),
     "q_text_profile_suite": _oracle_text_profile_suite(),
     "q_text_mining_suite": _oracle_text_mining_suite(),
     "q_tfidf_topk": _oracle_tfidf_topk(),
