@@ -421,6 +421,35 @@ def test_bpe_encode_one_corpus_exchange_per_round_pair_aggs(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_knn_graph_bucket_join_heap_trimmed_ranking(spark):
+    """E44 k-NN graph: candidate generation must be a keyed equi-join
+    on the LSH bucket (never a cartesian over vectors), and the
+    per-vector top-k must plan as WindowGroupLimit on BOTH sides of
+    the ranking exchange — per-task heaps trim candidates before the
+    shuffle, so the src_id exchange carries at most k rows per
+    (task, vector)."""
+    p = _plan(QUERIES["q_knn_graph"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    joins = (
+        _detail_blocks(p, "BroadcastHashJoin")
+        + _detail_blocks(p, "SortMergeJoin")
+        + _detail_blocks(p, "ShuffledHashJoin")
+    )
+    assert joins and all("bucket#" in b for b in joins), (
+        f"candidate join is not bucket-keyed:\n{p}"
+    )
+    assert len(_detail_headers(p, "WindowGroupLimit")) == 2, (
+        f"expected partial+final WindowGroupLimit heap trim:\n{p}"
+    )
+    hash_ex = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
+    ]
+    assert len(hash_ex) == 1 and "src_id" in hash_ex[0], (
+        f"expected one src_id ranking exchange:\n{p}"
+    )
+
+
 @pytest.mark.parametrize("name", WINDOW)
 def test_no_cartesian_product_in_certified_window(spark, name):
     """No certified plan may contain a CartesianProduct. (Broadcast

@@ -583,6 +583,98 @@ ORACLE_EMBEDDING_NEAR_DUP = ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE.format(
 
 
 # ---------------------------------------------------------------------------
+# q_knn_graph — E44: k-NN graph construction (all-vectors neighbor lists)
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph build: top-K cosine neighbors for EVERY vector —
+    the all-nodes generalization of batched ANN, and the substrate
+    graph-based curation runs on (SemDeDup clustering diagnostics,
+    connected-component dedup over semantic edges, kNN-classifier
+    label propagation).
+
+    Candidate generation is the LSH bucket equi-join: every vector
+    lives in exactly ONE raw bucket; the probe side explodes each
+    vector to its own bucket plus the {LSH_PLANES} one-bit-flip
+    probes (`array_union` dedups, so a candidate pair appears at most
+    once). Candidates per vector are bounded by probes × bucket
+    population — never the N² cross product — and the per-vector
+    ranking window shuffles only those bounded candidates, keyed by
+    source vector. At 1e9+ vectors both shuffles (bucket join,
+    ranking) stay keyed and bounded; more planes shrink bucket
+    population to hold the per-vector candidate budget flat.
+
+    Exact cosine (sequential-fold double, hash-stable) ranks the
+    candidates; ties break by neighbor id. Vectors whose probed
+    buckets hold fewer than K others emit fewer rows — the honest
+    LSH-recall contract, deterministic either way."""
+    hashed = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(lsh_bucket_expr("embedding"))
+    )
+    probes = hashed.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_emb"),
+        F.explode(
+            F.expr(
+                f"array_union(array(bucket), transform(sequence(0, {LSH_PLANES - 1}), "
+                f"p -> bucket ^ shiftleft(cast(1 as bigint), p)))"
+            )
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        probes.join(
+            hashed.select(
+                F.col("vec_id").alias("nb_id"),
+                F.col("label").alias("nb_label"),
+                F.col("embedding").alias("nb_emb"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        .where(F.col("src_id") != F.col("nb_id"))
+        .select(
+            "src_id",
+            "nb_id",
+            "nb_label",
+            F.expr(cosine_expr("src_emb", "nb_emb")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+    )
+
+
+ORACLE_KNN_GRAPH = f"""
+    WITH hashed AS (
+        SELECT vec_id, label, embedding, {lsh_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS src_id, embedding AS src_emb,
+               unnest(list_distinct(list_prepend(bucket,
+                   list_transform(generate_series(0, {LSH_PLANES - 1}),
+                       p -> xor(bucket, (CAST(1 AS BIGINT) << p)))))) AS bucket
+        FROM hashed
+    ),
+    scored AS (
+        SELECT p.src_id, h.vec_id AS nb_id, h.label AS nb_label,
+               {cosine_sql('p.src_emb', 'h.embedding')} AS cosine
+        FROM probes p JOIN hashed h USING (bucket)
+        WHERE p.src_id <> h.vec_id
+    )
+    SELECT src_id, nb_id, nb_label, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY src_id ORDER BY cosine DESC, nb_id ASC
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_semantic_dedup — SemDeDup: cluster-blocked embedding dedup (E41)
 # ---------------------------------------------------------------------------
 
@@ -820,14 +912,28 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = q_ann_batch_topk(spark, sf_dir).select(
         F.lit("batch").alias("method"), "q_id", "vec_id", "label", "cosine"
     )
-    return brute.unionByName(ivf).unionByName(lsh).unionByName(batch)
+    # E44: the all-vectors k-NN graph — every vector is a query.
+    knn = q_knn_graph(spark, sf_dir).select(
+        F.lit("knn").alias("method"),
+        F.col("src_id").alias("q_id"),
+        F.col("nb_id").alias("vec_id"),
+        F.col("nb_label").alias("label"),
+        "cosine",
+    )
+    return (
+        brute.unionByName(ivf)
+        .unionByName(lsh)
+        .unionByName(batch)
+        .unionByName(knn)
+    )
 
 
 ORACLE_ANN_SUITE = f"""
     WITH brute_side AS ({ORACLE_SIMILARITY_TOPK}),
     ivf_side AS ({ORACLE_ANN_IVF_TOPK}),
     lsh_side AS ({ORACLE_ANN_LSH_TOPK}),
-    batch_side AS ({ORACLE_ANN_BATCH_TOPK})
+    batch_side AS ({ORACLE_ANN_BATCH_TOPK}),
+    knn_side AS ({ORACLE_KNN_GRAPH})
     SELECT 'brute' AS method, CAST({QUERY_VEC_ID} AS BIGINT) AS q_id,
            vec_id, label, cosine FROM brute_side
     UNION ALL
@@ -838,6 +944,8 @@ ORACLE_ANN_SUITE = f"""
     FROM lsh_side
     UNION ALL
     SELECT 'batch', q_id, vec_id, label, cosine FROM batch_side
+    UNION ALL
+    SELECT 'knn', src_id, nb_id, nb_label, cosine FROM knn_side
 """
 
 
@@ -849,10 +957,12 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_batch_topk": q_ann_batch_topk,
     "q_ann_suite": q_ann_suite,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_knn_graph": q_knn_graph,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
     "q_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "q_knn_graph": ORACLE_KNN_GRAPH,
     "q_similarity_topk": ORACLE_SIMILARITY_TOPK,
     "q_embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "q_ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
