@@ -96,6 +96,14 @@ OPTIONAL = [
     "q_bpe_train",
     "q_boilerplate_detect",
     "q_mixture_weights",
+    # round 6: semantic dedup / LM scoring / tokenizer-apply / kNN graph
+    "q_semantic_dedup",
+    "q_unigram_lm_score",
+    "q_bpe_encode",
+    "q_knn_graph",
+    # round 6: timeseries singles (window slot now q_timeseries_suite)
+    "q_gap_fill_interpolate",
+    "q_ewma",
 ]
 
 

@@ -124,7 +124,7 @@ _CERTIFICATION_WINDOW = [
     "q_zorder_key",               # E19
     "q_sampling_suite",           # hash + stratified + E36 weighted ES
     "q_inverted_index",           # E37 capped posting lists
-    "q_gap_fill_interpolate",     # E22
+    "q_timeseries_suite",         # E22 gap fill + E45 EWMA, one hash
     "q_iterative_suite",          # E23 pagerank + k-means
 ]
 

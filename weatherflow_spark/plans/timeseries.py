@@ -176,10 +176,117 @@ ORACLE_GAP_FILL_INTERPOLATE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# q_ewma — E45: per-key exponential smoothing (EWMA)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25  # exactly representable in binary, so α·(x−s) is a
+# pinned-order IEEE op sequence both engines replay bit-identically
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event
+    value — the classic streaming smoother (s ← s + α·(x − s), seeded
+    with the first observation). EWMA is inherently sequential, which
+    a naive window can't express; here each user's series is folded
+    in event order inside ONE user-keyed aggregation:
+    ``array_sort(collect_list(struct(ts, event_id, value)))`` pins the
+    order (event_id breaks ts ties), then an ``aggregate`` fold runs
+    the recurrence. Per-key state is one array bounded by the user's
+    own event count — never corpus-scale — and the single shuffle is
+    the user_id exchange; at 100 TB per-key series stay bounded by
+    retention, the same contract as session windows. DuckDB twin:
+    ``list_reduce`` (first element is the seed, matching the Spark
+    slice-and-seed fold exactly)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))), "
+            "e -> e.value)"
+        ).alias("vals"),
+    )
+    fold = (
+        "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1), "
+        f"(acc, x) -> acc + cast({EWMA_ALPHA} as double) * (x - acc))"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.expr(f"cast(floor(({fold}) * 1e6 + 0.5) as bigint)").alias("ewma_e6"),
+    )
+
+
+ORACLE_EWMA = f"""
+    WITH g AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               list(value ORDER BY ts ASC, event_id ASC) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(floor(list_reduce(vals,
+               (acc, x) -> acc + CAST({EWMA_ALPHA} AS DOUBLE) * (x - acc))
+               * 1e6 + 0.5) AS BIGINT) AS ewma_e6
+    FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_timeseries_suite — certification row: gap fill + EWMA, one hash
+# ---------------------------------------------------------------------------
+
+
+def q_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series certification row: the dense-spine gap fill (E22)
+    and the per-user EWMA recurrence (E45), tagged and unioned in
+    LONG format — (op, key, metric, value:bigint), doubles re-rounded
+    to e6 integers. Union is plan-level only; single-op twins stay
+    registered in the tail."""
+    gf = q_gap_fill_interpolate(spark, sf_dir).selectExpr(
+        "'gap_fill' AS op",
+        "concat(series_key, '|', date_format(bucket, 'yyyy-MM-dd HH')) AS key",
+        "stack(2, 'is_observed', cast(is_observed as bigint), "
+        "'filled_e6', cast(floor(filled_value * 1e6 + 0.5) as bigint)) "
+        "AS (metric, value)",
+    )
+    ew = q_ewma(spark, sf_dir).selectExpr(
+        "'ewma' AS op",
+        "cast(user_id as string) AS key",
+        "stack(2, 'n_events', n_events, 'ewma_e6', ewma_e6) AS (metric, value)",
+    )
+    return gf.unionByName(ew)
+
+
+ORACLE_TIMESERIES_SUITE = f"""
+    WITH gf_side AS ({ORACLE_GAP_FILL_INTERPOLATE}),
+    ew_side AS ({ORACLE_EWMA})
+    SELECT 'gap_fill' AS op,
+           series_key || '|' || strftime(bucket, '%Y-%m-%d %H') AS key,
+           'is_observed' AS metric,
+           CAST(is_observed AS BIGINT) AS value
+    FROM gf_side
+    UNION ALL
+    SELECT 'gap_fill', series_key || '|' || strftime(bucket, '%Y-%m-%d %H'),
+           'filled_e6', CAST(floor(filled_value * 1e6 + 0.5) AS BIGINT)
+    FROM gf_side
+    UNION ALL
+    SELECT 'ewma', CAST(user_id AS VARCHAR), 'n_events', n_events FROM ew_side
+    UNION ALL
+    SELECT 'ewma', CAST(user_id AS VARCHAR), 'ewma_e6', ewma_e6 FROM ew_side
+"""
+
+
 TIMESERIES_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gap_fill_interpolate": q_gap_fill_interpolate,
+    "q_ewma": q_ewma,
+    "q_timeseries_suite": q_timeseries_suite,
 }
 
 TIMESERIES_ORACLES: dict[str, str] = {
     "q_gap_fill_interpolate": ORACLE_GAP_FILL_INTERPOLATE,
+    "q_ewma": ORACLE_EWMA,
+    "q_timeseries_suite": ORACLE_TIMESERIES_SUITE,
 }
