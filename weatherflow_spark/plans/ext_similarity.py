@@ -610,13 +610,41 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact cosine (sequential-fold double, hash-stable) ranks the
     candidates; ties break by neighbor id. Vectors whose probed
     buckets hold fewer than K others emit fewer rows — the honest
-    LSH-recall contract, deterministic either way."""
-    hashed = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(lsh_bucket_expr("embedding"))
+    LSH-recall contract, deterministic either way.
+
+    Per-pair cost matters here like nowhere else (candidates scale
+    with N, unlike the Q-bounded ANN twins), so the double cast and
+    the norm fold are hoisted to ONE narrow per-vector pass —
+    cosine = dot/(nrm_a·nrm_b) is the identical IEEE value to the
+    inline three-fold form (same fold, same sqrt, same product), but
+    each candidate pair now pays a single zip_with fold instead of
+    three (measured 45 s → 15 s at sf0.1). The hoisted relation is
+    persisted: it feeds both join sides. Both join inputs carry an
+    EXPLICIT fixed-count repartition on the bucket key: the pair
+    stage is CPU-bound on kilobyte-scale shuffle bytes, exactly the
+    shape AQE's byte-based coalescing collapses to one task (measured
+    15 s single-task → the explicit partition count keeps all cores
+    on the fold)."""
+    par = spark.sparkContext.defaultParallelism
+    nrm = (
+        "sqrt(aggregate(zip_with(ed, ed, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    hashed = tracked_persist(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(par, F.col("vec_id"))
+        .select(
+            "vec_id",
+            "label",
+            F.expr("cast(embedding as array<double>)").alias("ed"),
+            F.expr(lsh_bucket_expr("embedding")).alias("bucket"),
+        )
+        .withColumn("nrm", F.expr(nrm))
     )
     probes = hashed.select(
         F.col("vec_id").alias("src_id"),
-        F.col("embedding").alias("src_emb"),
+        F.col("ed").alias("src_ed"),
+        F.col("nrm").alias("src_nrm"),
         F.explode(
             F.expr(
                 f"array_union(array(bucket), transform(sequence(0, {LSH_PLANES - 1}), "
@@ -624,15 +652,21 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
+    dot = (
+        "aggregate(zip_with(src_ed, nb_ed, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
     return (
-        probes.join(
+        probes.repartition(par, F.col("bucket"))
+        .join(
             hashed.select(
                 F.col("vec_id").alias("nb_id"),
                 F.col("label").alias("nb_label"),
-                F.col("embedding").alias("nb_emb"),
+                F.col("ed").alias("nb_ed"),
+                F.col("nrm").alias("nb_nrm"),
                 "bucket",
-            ),
+            ).repartition(par, F.col("bucket")),
             "bucket",
         )
         .where(F.col("src_id") != F.col("nb_id"))
@@ -640,7 +674,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_id",
             "nb_id",
             "nb_label",
-            F.expr(cosine_expr("src_emb", "nb_emb")).alias("cosine"),
+            F.expr(f"({dot}) / (src_nrm * nb_nrm)").alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= KNN_K)
@@ -649,20 +683,31 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_KNN_GRAPH = f"""
     WITH hashed AS (
-        SELECT vec_id, label, embedding, {lsh_bucket_sql('embedding')} AS bucket
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+               {lsh_bucket_sql('embedding')} AS bucket
         FROM embeddings
     ),
+    normed AS (
+        SELECT vec_id, label, ed, bucket,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(ed, x -> x * x)), (acc, v) -> acc + v)) AS nrm
+        FROM hashed
+    ),
     probes AS (
-        SELECT vec_id AS src_id, embedding AS src_emb,
+        SELECT vec_id AS src_id, ed AS src_ed, nrm AS src_nrm,
                unnest(list_distinct(list_prepend(bucket,
                    list_transform(generate_series(0, {LSH_PLANES - 1}),
                        p -> xor(bucket, (CAST(1 AS BIGINT) << p)))))) AS bucket
-        FROM hashed
+        FROM normed
     ),
     scored AS (
         SELECT p.src_id, h.vec_id AS nb_id, h.label AS nb_label,
-               {cosine_sql('p.src_emb', 'h.embedding')} AS cosine
-        FROM probes p JOIN hashed h USING (bucket)
+               (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(generate_series(1, len(p.src_ed)),
+                        i -> p.src_ed[i] * h.ed[i])), (acc, v) -> acc + v))
+                   / (p.src_nrm * h.nrm) AS cosine
+        FROM probes p JOIN normed h USING (bucket)
         WHERE p.src_id <> h.vec_id
     )
     SELECT src_id, nb_id, nb_label, cosine, rank FROM (
