@@ -734,6 +734,8 @@ SEMDEDUP_SCALE = 1000   # component quantization for exact integer math
 # SemDeDup run uses ~0.8+ on contentful embeddings.)
 SEMDEDUP_T2_NUM = 49
 SEMDEDUP_T2_DEN = 400
+# Pair-join key space = K clusters × S slices (see semantic_dup_pairs)
+SEMDEDUP_SLICES = 8
 
 _INT_VEC = (
     f"transform(embedding, x -> cast(floor(cast(x as double) * {SEMDEDUP_SCALE}) as bigint))"
@@ -750,7 +752,15 @@ def _semdedup_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle like the Lloyd-round `_assign` in plans/iterative.py
     needs. At 100 TB this is the point: cluster assignment touches
     every vector and must not shuffle them."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        # Explicit spread off the raw file splits: the quantize +
+        # argmin pass is CPU-bound on kB-scale input, the shape AQE
+        # byte-coalescing would otherwise single-task (same fix as
+        # q_knn_graph).
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+    )
     scaled = emb.select("vec_id", F.expr(_INT_VEC).alias("v")).select(
         "vec_id", "v", F.expr(_INT_N2).alias("n2")
     )
@@ -788,7 +798,32 @@ def semantic_dup_pairs(
     the same trade-off documented on q_near_dup_suite's branches."""
     if assigned is None:
         assigned = _semdedup_assigned(spark, sf_dir)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # The cluster key alone has only K distinct values — K tasks max,
+    # however many cores exist. Slicing side A by vec_id (side B
+    # replicated across the S slices) multiplies the join key space
+    # to K·S so the pairwise fold spreads across the cluster; each
+    # (a, b) pair still meets exactly once (a lives in one slice).
+    # The cost is an S× replication of one side's shuffle — the
+    # standard blocked-quadratic trade, bounded and explicit.
+    par = spark.sparkContext.defaultParallelism
+    a = (
+        assigned.withColumn(
+            "slice", F.pmod(F.col("vec_id"), F.lit(SEMDEDUP_SLICES))
+        )
+        .repartition(par, F.col("cluster"), F.col("slice"))
+        .alias("a")
+    )
+    b = (
+        assigned.select(
+            "cluster",
+            "vec_id",
+            "v",
+            "n2",
+            F.explode(F.expr(f"sequence(0, {SEMDEDUP_SLICES - 1})")).alias("slice"),
+        )
+        .repartition(par, F.col("cluster"), F.col("slice"))
+        .alias("b")
+    )
     dot = (
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
         "cast(0 as bigint), (acc, e) -> acc + e)"
@@ -798,6 +833,7 @@ def semantic_dup_pairs(
             b,
             on=[
                 F.col("a.cluster") == F.col("b.cluster"),
+                F.col("a.slice") == F.col("b.slice"),
                 F.col("a.vec_id") < F.col("b.vec_id"),
             ],
         )
