@@ -104,6 +104,7 @@ OPTIONAL = [
     # round 6: timeseries singles (window slot now q_timeseries_suite)
     "q_gap_fill_interpolate",
     "q_ewma",
+    "q_feature_hash",
 ]
 
 

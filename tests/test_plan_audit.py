@@ -464,6 +464,16 @@ def test_knn_graph_bucket_join_heap_trimmed_ranking(spark):
     )
 
 
+def test_feature_hash_is_narrow_zero_shuffle(spark):
+    """E46 hashing-trick vectorization is stateless and
+    vocabulary-free — the whole featurizer must pipeline into the
+    scan with zero shuffles and zero joins."""
+    p = _plan(QUERIES["q_feature_hash"](spark, SF_SMALL))
+    assert "Exchange" not in p, f"narrow featurizer contains a shuffle:\n{p}"
+    assert "Join" not in p, f"narrow featurizer contains a join:\n{p}"
+    assert len(_detail_headers(p, "Scan parquet")) == 1, p
+
+
 @pytest.mark.parametrize("name", WINDOW)
 def test_no_cartesian_product_in_certified_window(spark, name):
     """No certified plan may contain a CartesianProduct. (Broadcast

@@ -321,7 +321,21 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'n_pieces', n_pieces, "
         f"'enc_fp', {T._tok_hash_lambda_spark('encoded')}) AS (metric, value)",
     )
-    return bm.unionByName(pm).unionByName(bpe).unionByName(enc)
+    # E46 vectorization branch: every component of the hashed feature
+    # vector pinned through the char-fold fingerprint of its string
+    # form, alongside the sparsity/L1 summaries.
+    fh = q_feature_hash(spark, sf_dir).selectExpr(
+        "'feature_hash' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(3, 'nnz', nnz, 'l1', l1, "
+        f"'fvec_fp', {T._tok_hash_lambda_spark('fvec')}) AS (metric, value)",
+    )
+    return (
+        bm.unionByName(pm)
+        .unionByName(bpe)
+        .unionByName(enc)
+        .unionByName(fh)
+    )
 
 
 def _oracle_text_mining_suite() -> str:
@@ -329,7 +343,8 @@ def _oracle_text_mining_suite() -> str:
         WITH bm_side AS ({_oracle_tfidf_topk()}),
         pm_side AS ({_oracle_pmi_cooc()}),
         bpe_side AS ({_oracle_bpe_train()}),
-        enc_side AS ({_oracle_bpe_encode()})
+        enc_side AS ({_oracle_bpe_encode()}),
+        fh_side AS ({ORACLE_FEATURE_HASH})
         SELECT 'bm25' AS op, CAST(doc_id AS VARCHAR) AS key,
                'score_e6' AS metric, score_e6 AS value FROM bm_side
         UNION ALL
@@ -353,6 +368,13 @@ def _oracle_text_mining_suite() -> str:
         UNION ALL
         SELECT 'bpe_encode', CAST(doc_id AS VARCHAR),
                'enc_fp', {T._tok_hash_lambda_duck('encoded')} FROM enc_side
+        UNION ALL
+        SELECT 'feature_hash', CAST(doc_id AS VARCHAR), 'nnz', nnz FROM fh_side
+        UNION ALL
+        SELECT 'feature_hash', CAST(doc_id AS VARCHAR), 'l1', l1 FROM fh_side
+        UNION ALL
+        SELECT 'feature_hash', CAST(doc_id AS VARCHAR),
+               'fvec_fp', {T._tok_hash_lambda_duck('fvec')} FROM fh_side
     """
 
 
@@ -744,6 +766,85 @@ def _oracle_bpe_encode() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q_feature_hash — E46: hashing-trick feature vectors (vectorization)
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 16
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (HashingTF with sign correction):
+    every document becomes a fixed-D signed token-count vector —
+    bucket = hash(token) mod D, sign = parity of the next hash bit —
+    the stateless, vocabulary-free featurizer that feeds linear
+    models and MinHash-free clustering at any corpus size (no fitted
+    vocabulary to broadcast, no OOV problem, D fixed up front).
+
+    Entirely NARROW: the token hash is the engine's cross-engine
+    char fold, the D bucket sums are per-document array folds, and no
+    shuffle of any kind appears — the featurizer streams through the
+    corpus once, embarrassingly parallel. The vector serializes to a
+    '|'-joined string so the certification hash pins every component.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    th = (
+        f"transform(filter({T.tokens_expr('text')}, w -> w <> ''), "
+        f"tok -> {T._tok_hash_lambda_spark('tok')})"
+    )
+    fvec = (
+        f"transform(sequence(0, {FEATURE_DIM - 1}), i -> "
+        f"aggregate(hs, cast(0 as bigint), (acc, h) -> acc + "
+        f"CASE WHEN h % {FEATURE_DIM} = i THEN "
+        f"(CASE WHEN (h div {FEATURE_DIM}) % 2 = 0 THEN 1 ELSE -1 END) "
+        f"ELSE 0 END))"
+    )
+    return (
+        docs.select("doc_id", F.expr(th).alias("hs"))
+        .select("doc_id", F.expr(fvec).alias("fv"))
+        .select(
+            "doc_id",
+            F.expr("cast(size(filter(fv, x -> x <> 0)) as bigint)").alias("nnz"),
+            F.expr(
+                "aggregate(fv, cast(0 as bigint), (acc, x) -> acc + abs(x))"
+            ).alias("l1"),
+            F.expr("array_join(transform(fv, x -> cast(x as string)), '|')").alias(
+                "fvec"
+            ),
+        )
+    )
+
+
+ORACLE_FEATURE_HASH = f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform(list_filter({T.tokens_sql('text')}, w -> w <> ''),
+                   tok -> {T._tok_hash_lambda_duck('tok')}) AS hs
+        FROM documents
+    ),
+    fv AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, {FEATURE_DIM - 1}), i ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(hs, h ->
+                           CASE WHEN h % {FEATURE_DIM} = i THEN
+                               (CASE WHEN (h // {FEATURE_DIM}) % 2 = 0
+                                     THEN CAST(1 AS BIGINT)
+                                     ELSE CAST(-1 AS BIGINT) END)
+                           ELSE CAST(0 AS BIGINT) END)),
+                       (acc, x) -> acc + x)) AS fv
+        FROM hs
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(fv, x -> x <> 0)) AS BIGINT) AS nnz,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(fv, x -> abs(x))), (acc, x) -> acc + x) AS l1,
+           array_to_string(list_transform(fv, x -> CAST(x AS VARCHAR)), '|')
+               AS fvec
+    FROM fv
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_inverted_index — capped posting-list construction
 # ---------------------------------------------------------------------------
 
@@ -824,10 +925,12 @@ MINING_QUERIES = {
     "q_inverted_index": q_inverted_index,
     "q_bpe_train": q_bpe_train,
     "q_bpe_encode": q_bpe_encode,
+    "q_feature_hash": q_feature_hash,
 }
 
 MINING_ORACLES = {
     "q_bpe_encode": _oracle_bpe_encode(),
+    "q_feature_hash": ORACLE_FEATURE_HASH,
     "q_text_profile_suite": _oracle_text_profile_suite(),
     "q_text_mining_suite": _oracle_text_mining_suite(),
     "q_tfidf_topk": _oracle_tfidf_topk(),
