@@ -329,3 +329,59 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert _sorted_rows(got.select("event_id", "segment", "acctbal"), *key) == (
         _sorted_rows(want.select("event_id", "segment", "acctbal"), *key)
     )
+
+
+def test_running_user_ewma_matches_batch(spark, tmp_path):
+    """Custom stateful EWMA: after draining three TIME-ORDERED
+    micro-batches, each user's GroupState must equal the batch
+    q_ewma sorted fold bit-for-bit — the streaming recurrence
+    replays the identical IEEE op sequence, so even the e6-rounded
+    integers match exactly. One availableNow pass per slice against
+    a shared checkpoint pins the batch order (the watermark-test
+    pattern)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.plans.timeseries import q_ewma
+    from weatherflow_spark.streaming.pipeline import running_user_ewma
+
+    ev = load_table(spark, SF_SMALL, "events")
+    sliced = ev.withColumn(
+        "slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    src = tmp_path / "landing_ewma"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_ewma")
+
+    got: dict[int, tuple[int, float]] = {}
+
+    def _run_pass():
+        q = (
+            running_user_ewma(read_events_stream(spark, str(src), glob="*.parquet"))
+            .writeStream.foreachBatch(
+                lambda df, _bid: got.update(
+                    {r.user_id: (r.n_events, r.ewma) for r in df.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for s in (1, 2, 3):
+        sliced.where(F.col("slice") == s).drop("slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _run_pass()
+
+    want = {
+        r.user_id: (r.n_events, r.ewma_e6)
+        for r in q_ewma(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, s) in got.items():
+        assert (n, math.floor(s * 1e6 + 0.5)) == want[uid], uid

@@ -468,6 +468,68 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+    ]
+)
+
+
+def _make_user_ewma_fn(alpha: float = 0.25) -> Callable:
+    """Closure-built streaming EWMA: the recurrence s ← s + α·(x − s)
+    carried across micro-batches in GroupState. Rows are folded in
+    (ts, event_id) order inside each batch; with time-sliced batches
+    the overall op sequence is IDENTICAL to the batch q_ewma sorted
+    fold, so the streaming state converges to the bit-same double
+    (asserted by tests/test_streaming.py against the batch plan).
+    α must be exactly binary-representable — same contract as
+    plans/timeseries.EWMA_ALPHA."""
+
+    def update_user_ewma(key, pdfs, state):
+        import pandas as pd
+
+        n, s = (0, 0.0)
+        if state.exists:
+            n, s = state.get
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts", "event_id"])
+            for x in ordered["value"].tolist():
+                x = float(x)
+                s = x if n == 0 else s + alpha * (x - s)
+                n += 1
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [s]}
+        )
+
+    return update_user_ewma
+
+
+def running_user_ewma(events: DataFrame) -> DataFrame:
+    """Streaming twin of plans/timeseries.q_ewma: per-user
+    exponential smoothing as a custom stateful operator — the
+    sequential recurrence Structured Streaming's built-in windows
+    cannot express, carried in ``applyInPandasWithState`` state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_user_ewma_fn(),
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # test harness helper
 # ---------------------------------------------------------------------------
