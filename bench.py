@@ -105,6 +105,7 @@ OPTIONAL = [
     "q_gap_fill_interpolate",
     "q_ewma",
     "q_feature_hash",
+    "q_covariance_matrix",
 ]
 
 

@@ -19,6 +19,18 @@ from tests.conftest import SF_SMALL
 WINDOW = list(QUERIES)[:50]
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Plan audits assert exchange/scan counts, which the CacheManager
+    perturbs by substituting any still-persisted relation from earlier
+    tests into the audited plan — audit against a cold cache."""
+    from weatherflow_spark.operators.caching import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"

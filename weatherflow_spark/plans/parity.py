@@ -110,10 +110,21 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
 
 
 def check_query(spark: SparkSession, name: str, sf_dir: str) -> ParityReport:
-    if name not in ORACLES:
-        # rows-only contract: just verify the query runs.
-        n = QUERIES[name](spark, sf_dir).count()
-        return ParityReport(name=name, ok=n >= 0, errors=[f"rows-only ({n} rows)"])
-    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
-    oracle_pdf = duckdb_oracle(ORACLES[name], sf_dir)
-    return compare_frames(name, spark_pdf, oracle_pdf)
+    from weatherflow_spark.operators.caching import release_caches
+
+    try:
+        if name not in ORACLES:
+            # rows-only contract: just verify the query runs.
+            n = QUERIES[name](spark, sf_dir).count()
+            return ParityReport(
+                name=name, ok=n >= 0, errors=[f"rows-only ({n} rows)"]
+            )
+        spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+        oracle_pdf = duckdb_oracle(ORACLES[name], sf_dir)
+        return compare_frames(name, spark_pdf, oracle_pdf)
+    finally:
+        # Long-lived sessions (the parity pytest run) would otherwise
+        # accumulate every query's loop-invariant persists; worse, the
+        # CacheManager then substitutes those relations into LATER
+        # plans, perturbing the plan-audit suite's exchange counts.
+        release_caches()

@@ -1114,6 +1114,15 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     one is a single partial-agg pass over its scan (see the per-query
     docstrings); the union is plan-level only, no cross-branch
     shuffle. Single-family twins stay registered in the tail."""
+    cov = q_covariance_matrix(spark, sf_dir).select(
+        F.lit("cov_matrix").alias("part"),
+        F.concat_ws("|", F.col("dim_i"), F.col("dim_j")).alias("key"),
+        F.col("n"),
+        F.col("sum_prod").cast("double").alias("v1"),
+        F.col("cov_num").cast("double").alias("v2"),
+        F.col("cov_e9").cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
+    )
     nul = F.lit(None).cast("double")
     moments = q_stats_moments(spark, sf_dir).select(
         F.lit("moments").alias("part"),
@@ -1165,6 +1174,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mode)
         .unionByName(histogram)
         .unionByName(entropy)
+        .unionByName(cov)
     )
 
 
@@ -1200,6 +1210,143 @@ ORACLE_STATS_SUITE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_covariance_matrix — E47: distributed covariance matrix (exact moments)
+# ---------------------------------------------------------------------------
+
+COV_DIM = 64
+COV_SCALE = 1000
+
+
+def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full D×D sample covariance matrix of the embedding corpus —
+    the one-pass distributed linear-algebra primitive under PCA /
+    whitening / Mahalanobis scoring. Same exact-moments discipline as
+    q_stats_moments, lifted to a matrix: components quantize to
+    integers (×COV_SCALE), the upper triangle of Σ aᵢaⱼ accumulates as
+    exact int64 (map-side partials — the exchange carries D(D+1)/2
+    keys per partition, not the ×D² row blowup), per-dimension sums
+    ride a second tiny aggregation, and cov = (n·Σaᵢaⱼ − Σaᵢ·Σaⱼ) /
+    (n·(n−1)) stays integer until one pinned final division.
+
+    Headroom: |aᵢaⱼ| ≤ 530² ≈ 2.8e5 per row ⇒ Σ fits int64 past 1e13
+    rows; n·Σ ≈ 7e12 at sf0.1 — certified exact. At 100 TB the map
+    stage's ×D(D+1)/2 pair explode is the cost; the standard
+    refinement is dimension-blocking the triangle (same keyed-agg
+    shape per block), not a different algorithm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {COV_SCALE}) as bigint))"
+        ).alias("v")
+    )
+    pairs_expr = (
+        f"flatten(transform(sequence(1, {COV_DIM}), i -> "
+        f"transform(sequence(i, {COV_DIM}), j -> "
+        "struct(i AS i, j AS j, element_at(v, i) * element_at(v, j) AS p))))"
+    )
+    triangle = (
+        scaled.select(F.explode(F.expr(pairs_expr)).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sum_prod"))
+    )
+    dims = (
+        scaled.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {COV_DIM}), i -> "
+                    "struct(i AS i, element_at(v, i) AS x))"
+                )
+            ).alias("e")
+        )
+        .select("e.i", "e.x")
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+    )
+    nrow = scaled.agg(F.count(F.lit(1)).alias("n"))
+    di = dims.select(F.col("i").alias("i"), F.col("s").alias("si"))
+    dj = dims.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    cov = (
+        "floor(((cast(cov_num as double) / (cast(n as double) * cast(n - 1 as double))) "
+        f"/ {float(COV_SCALE * COV_SCALE)}) * 1e9 + 0.5)"
+    )
+    return (
+        triangle.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            "sum_prod",
+            (F.col("n") * F.col("sum_prod") - F.col("si") * F.col("sj")).alias(
+                "cov_num"
+            ),
+            "n",
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            "sum_prod",
+            "cov_num",
+            "n",
+            F.expr(f"cast({cov} as bigint)").alias("cov_e9"),
+        )
+    )
+
+
+ORACLE_COVARIANCE_MATRIX = f"""
+    WITH scaled AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scaled),
+    triangle AS (
+        SELECT i, j, CAST(sum(p) AS BIGINT) AS sum_prod FROM (
+            SELECT t.i AS i, u.j AS j, s.v[t.i] * s.v[u.j] AS p
+            FROM scaled s,
+                 unnest(generate_series(1, {COV_DIM})) AS t(i),
+                 unnest(generate_series(1, {COV_DIM})) AS u(j)
+            WHERE u.j >= t.i
+        ) GROUP BY i, j
+    ),
+    dims AS (
+        SELECT i, CAST(sum(x) AS BIGINT) AS s FROM (
+            SELECT t.i AS i, sc.v[t.i] AS x
+            FROM scaled sc, unnest(generate_series(1, {COV_DIM})) AS t(i)
+        ) GROUP BY i
+    )
+    SELECT tr.i AS dim_i, tr.j AS dim_j, tr.sum_prod,
+           nrow.n * tr.sum_prod - di.s * dj.s AS cov_num,
+           nrow.n,
+           CAST(floor(((CAST(nrow.n * tr.sum_prod - di.s * dj.s AS DOUBLE)
+                        / (CAST(nrow.n AS DOUBLE) * CAST(nrow.n - 1 AS DOUBLE)))
+                       / {float(COV_SCALE * COV_SCALE)}) * 1e9 + 0.5) AS BIGINT)
+               AS cov_e9
+    FROM triangle tr
+    JOIN dims di ON di.i = tr.i
+    JOIN dims dj ON dj.i = tr.j
+    CROSS JOIN nrow
+"""
+
+
+# The cov_matrix branch joins the suite here (rebound after
+# ORACLE_COVARIANCE_MATRIX exists — the suite SQL above this point is
+# the five original families).
+ORACLE_STATS_SUITE = f"""
+    WITH cov_side AS ({ORACLE_COVARIANCE_MATRIX}),
+    base AS ({ORACLE_STATS_SUITE})
+    SELECT * FROM base
+    UNION ALL
+    SELECT 'cov_matrix',
+           CAST(dim_i AS VARCHAR) || '|' || CAST(dim_j AS VARCHAR),
+           n, CAST(sum_prod AS DOUBLE), CAST(cov_num AS DOUBLE),
+           CAST(cov_e9 AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM cov_side
+"""
+
+
 STATS_QUERIES = {
     "q_stats_suite": q_stats_suite,
     "q_stats_moments": q_stats_moments,
@@ -1221,6 +1368,7 @@ STATS_QUERIES = {
     "q_null_semantics": q_null_semantics,
     "q_salted_agg": q_salted_agg,
     "q_unpivot": q_unpivot,
+    "q_covariance_matrix": q_covariance_matrix,
 }
 
 STATS_ORACLES = {
@@ -1244,5 +1392,6 @@ STATS_ORACLES = {
     "q_null_semantics": ORACLE_NULL_SEMANTICS,
     "q_salted_agg": ORACLE_SALTED_AGG,
     "q_unpivot": ORACLE_UNPIVOT,
+    "q_covariance_matrix": ORACLE_COVARIANCE_MATRIX,
 }
 
