@@ -43,6 +43,52 @@ def test_json_roundtrip(spark, tmp_path):
     assert sorted(back.collect()) == sorted(df.collect())
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink/source: schema-preserving round trip, and the filter
+    still reaches the ORC scan (PushedFilters) like parquet."""
+    from weatherflow_spark.sources.files import read_orc, write_orc
+
+    df = load_table(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    write_orc(df, str(tmp_path / "o"))
+    back = read_orc(spark, str(tmp_path / "o"))
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
+    plan = (
+        back.where("c_custkey = 7")
+        ._sc._jvm.PythonSQLUtils.explainString(
+            back.where("c_custkey = 7")._jdf.queryExecution(), "formatted"
+        )
+    )
+    assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]" in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned parquet (write_table partition_by): a
+    predicate on the partition column must become a PartitionFilter —
+    non-matching partitions never reach the scan. This is the #1
+    data-skipping lever at 100 TB (time-partitioned facts)."""
+    from weatherflow_spark.io import write_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    write_table(ev, str(tmp_path / "part_ev"), partition_by=["event_type"])
+    back = spark.read.parquet(str(tmp_path / "part_ev"))
+    one = back.where(F.col("event_type") == "purchase")
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert re.search(
+        r"PartitionFilters: \[isnotnull\(event_type#\d+\), "
+        r"\(event_type#\d+ = purchase\)\]",
+        plan,
+    ), plan
+    want = ev.where(F.col("event_type") == 'purchase').count()
+    assert one.count() == want
+
+
 def test_csv_roundtrip(spark, tmp_path):
     df = load_table(spark, SF_SMALL, "customer").select(
         "c_custkey", "c_name", "c_acctbal"

@@ -37,3 +37,14 @@ def read_csv(
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar warehouse format (native Spark
+    reader; predicate pushdown and column pruning work the same as
+    parquet, including into the ORC stripe statistics)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
