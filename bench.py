@@ -106,6 +106,7 @@ OPTIONAL = [
     "q_ewma",
     "q_feature_hash",
     "q_covariance_matrix",
+    "q_pca_power",
 ]
 
 

@@ -1123,6 +1123,15 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cov_e9").cast("double").alias("v3"),
         F.lit(None).cast("double").alias("v4"),
     )
+    pca = q_pca_power(spark, sf_dir).select(
+        F.lit("pca").alias("part"),
+        F.col("dim").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("loading_e6").cast("double").alias("v1"),
+        F.col("lambda_e6").cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
+    )
     nul = F.lit(None).cast("double")
     moments = q_stats_moments(spark, sf_dir).select(
         F.lit("moments").alias("part"),
@@ -1175,6 +1184,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(histogram)
         .unionByName(entropy)
         .unionByName(cov)
+        .unionByName(pca)
     )
 
 
@@ -1331,11 +1341,168 @@ ORACLE_COVARIANCE_MATRIX = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_pca_power — E48: top principal component via power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+
+
+def _matvec_expr(vcol: str) -> str:
+    """w_i = Σ_j M_ij · v_j with j folded 1..D (pinned order): the
+    matrix lives in ONE broadcast row as a (i, j)-sorted struct array,
+    so M_ij is element_at(m, (i−1)·D + j)."""
+    d = COV_DIM
+    return (
+        f"transform(sequence(1, {d}), i -> "
+        f"aggregate(sequence(1, {d}), cast(0.0 as double), (acc, j) -> "
+        f"acc + cast(element_at(m, (i - 1) * {d} + j).cov_num as double) "
+        f"* element_at({vcol}, j)))"
+    )
+
+
+_NORMALIZE_W = (
+    "transform(w, x -> x / sqrt(aggregate(w, cast(0.0 as double), "
+    "(acc, e) -> acc + e * e)))"
+)
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus: power
+    iteration on the exact-integer covariance numerator matrix from
+    q_covariance_matrix (same eigenvectors — the n·(n−1)·scale²
+    denominator is a positive scalar). The distributed work is the
+    one-pass moment matrix; the iteration itself is a 64×64
+    single-row computation expressed as pinned-order folds over the
+    broadcast matrix row — {PCA_ITERS} unrolled rounds of w = M·v,
+    v = w/‖w‖ from the all-ones seed, every double op a fixed IEEE
+    sequence both engines replay (the k-means/PageRank unrolled-
+    oracle precedent, applied to numerical linear algebra). Output:
+    per-dimension loading and the Rayleigh eigenvalue estimate
+    (vᵀMv, ‖v‖=1) rescaled back to covariance units by the
+    n·(n−1)·scale² denominator, e6-rounded.
+
+    At 100 TB nothing changes: D is fixed, the moment matrix is the
+    only corpus-scale stage, and the iteration cost is O(D²) on one
+    row regardless of corpus size."""
+    cov = q_covariance_matrix(spark, sf_dir).select(
+        "dim_i", "dim_j", "cov_num", "n"
+    )
+    nrow = cov.agg(F.max("n").alias("n"))
+    cov = cov.drop("n")
+    full = cov.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov_num"
+    ).unionByName(
+        cov.where(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov_num"
+        )
+    )
+    df = full.agg(
+        F.expr("array_sort(collect_list(struct(i, j, cov_num)))").alias("m")
+    ).select(
+        "m",
+        F.expr(f"transform(sequence(1, {COV_DIM}), i -> cast(1.0 as double))").alias(
+            "v"
+        ),
+    )
+    for _ in range(PCA_ITERS):
+        df = df.select("m", F.expr(_matvec_expr("v")).alias("w"))
+        df = df.select("m", F.expr(_NORMALIZE_W).alias("v"))
+    final = df.select("m", "v").select("v", F.expr(_matvec_expr("v")).alias("w"))
+    lam = (
+        f"aggregate(sequence(1, {COV_DIM}), cast(0.0 as double), (acc, i) -> "
+        "acc + element_at(v, i) * element_at(w, i))"
+    )
+    return (
+        final.crossJoin(F.broadcast(nrow))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {COV_DIM}), i -> "
+                    "struct(i AS dim, element_at(v, i) AS ld))"
+                )
+            ).alias("e"),
+            F.expr(
+                f"({lam}) / (cast(n as double) * cast(n - 1 as double)) "
+                f"/ {float(COV_SCALE * COV_SCALE)}"
+            ).alias("lam"),
+        )
+        .select(
+            F.col("e.dim").alias("dim"),
+            F.expr("cast(floor(e.ld * 1e6 + 0.5) as bigint)").alias("loading_e6"),
+            F.expr("cast(floor(lam * 1e6 + 0.5) as bigint)").alias("lambda_e6"),
+        )
+    )
+
+
+def _oracle_pca_power() -> str:
+    d = COV_DIM
+
+    def matvec(vcte: str) -> str:
+        return (
+            f"list_transform(generate_series(1, {d}), i -> "
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {d}), j -> "
+            f"CAST(m[(i - 1) * {d} + j].num AS DOUBLE) * {vcte}[j])), "
+            "(acc, x) -> acc + x))"
+        )
+
+    norm = (
+        "list_transform(w, x -> x / sqrt(list_reduce(list_prepend("
+        "CAST(0.0 AS DOUBLE), list_transform(w, e -> e * e)), "
+        "(acc, e) -> acc + e)))"
+    )
+    ctes = [
+        f"cov_side AS ({ORACLE_COVARIANCE_MATRIX})",
+        """full_m AS (
+            SELECT dim_i AS i, dim_j AS j, cov_num FROM cov_side
+            UNION ALL
+            SELECT dim_j, dim_i, cov_num FROM cov_side WHERE dim_i <> dim_j
+        )""",
+        "nrow AS (SELECT max(n) AS n FROM cov_side)",
+        """mrow AS (
+            SELECT list(struct_pack(i := i, j := j, num := cov_num)
+                        ORDER BY i, j) AS m
+            FROM full_m
+        )""",
+        f"""v0 AS (
+            SELECT m, list_transform(generate_series(1, {d}),
+                                     i -> CAST(1.0 AS DOUBLE)) AS v
+            FROM mrow
+        )""",
+    ]
+    for r in range(1, PCA_ITERS + 1):
+        ctes.append(f"w{r} AS (SELECT m, {matvec('v')} AS w FROM v{r - 1})")
+        ctes.append(f"v{r} AS (SELECT m, {norm} AS v FROM w{r})")
+    ctes.append(
+        f"fin AS (SELECT v, {matvec('v')} AS w FROM v{PCA_ITERS})"
+    )
+    lam = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {d}), i -> v[i] * w[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT t.i AS dim,
+           CAST(floor(v[t.i] * 1e6 + 0.5) AS BIGINT) AS loading_e6,
+           CAST(floor((({lam}) / (CAST(nrow.n AS DOUBLE)
+                                  * CAST(nrow.n - 1 AS DOUBLE))
+                       / {float(COV_SCALE * COV_SCALE)}) * 1e6 + 0.5) AS BIGINT)
+               AS lambda_e6
+    FROM fin, nrow, unnest(generate_series(1, {d})) AS t(i)
+"""
+    )
+
+
 # The cov_matrix branch joins the suite here (rebound after
 # ORACLE_COVARIANCE_MATRIX exists — the suite SQL above this point is
 # the five original families).
 ORACLE_STATS_SUITE = f"""
     WITH cov_side AS ({ORACLE_COVARIANCE_MATRIX}),
+    pca_side AS ({_oracle_pca_power()}),
     base AS ({ORACLE_STATS_SUITE})
     SELECT * FROM base
     UNION ALL
@@ -1344,6 +1511,11 @@ ORACLE_STATS_SUITE = f"""
            n, CAST(sum_prod AS DOUBLE), CAST(cov_num AS DOUBLE),
            CAST(cov_e9 AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM cov_side
+    UNION ALL
+    SELECT 'pca', CAST(dim AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(loading_e6 AS DOUBLE), CAST(lambda_e6 AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM pca_side
 """
 
 
@@ -1369,6 +1541,7 @@ STATS_QUERIES = {
     "q_salted_agg": q_salted_agg,
     "q_unpivot": q_unpivot,
     "q_covariance_matrix": q_covariance_matrix,
+    "q_pca_power": q_pca_power,
 }
 
 STATS_ORACLES = {
@@ -1393,5 +1566,6 @@ STATS_ORACLES = {
     "q_salted_agg": ORACLE_SALTED_AGG,
     "q_unpivot": ORACLE_UNPIVOT,
     "q_covariance_matrix": ORACLE_COVARIANCE_MATRIX,
+    "q_pca_power": _oracle_pca_power(),
 }
 
