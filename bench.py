@@ -107,6 +107,7 @@ OPTIONAL = [
     "q_feature_hash",
     "q_covariance_matrix",
     "q_pca_power",
+    "q_hll_grouped",
 ]
 
 

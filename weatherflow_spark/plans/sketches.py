@@ -400,6 +400,106 @@ def _oracle_hll_distinct() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q_hll_grouped — E49: per-group HLL distinct (GROUP BY + sketch)
+# ---------------------------------------------------------------------------
+
+
+def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via PER-GROUP HyperLogLog — the
+    shape approx-distinct actually takes in production dashboards
+    (`GROUP BY key, approx_count_distinct(col)`), with the same
+    deterministic internals as q_hll_distinct so it hash-checks.
+
+    The register table gains the group key: (key, bucket) → max-rho,
+    still mergeable by bucket-wise max WITHIN each group — at 100 TB
+    each partition sketches every group independently and the
+    exchange carries ≤ groups × 256 rows per partition (map-side max
+    partials), never the raw rows. The small-range linear-counting
+    correction applies per group (these cardinalities sit well under
+    2.5·m, exactly where production group-bys live)."""
+    ev = load_table(spark, sf_dir, "events")
+    fold = T._tok_hash_lambda_spark("cast(user_id as string)")
+    mixed = _hll_mixed_hash(fold, "div", lambda x, y: f"({x} ^ {y})")
+    rows = ev.select(
+        "event_type",
+        F.expr(f"{mixed} % {HLL_M}").alias("b"),
+        F.expr(
+            T.let_spark(
+                f"({mixed} div {HLL_M}) % {1 << HLL_W}",
+                "rest",
+                _hll_rho_case("rest"),
+            )
+        ).cast("int").alias("r"),
+    )
+    regs = rows.groupBy("event_type", "b").agg(F.max("r").alias("m"))
+    summary = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - m)")).alias(
+            "s_hit"
+        ),
+        F.count(F.lit(1)).alias("present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    raw = F.lit(_HLL_C) / (
+        F.col("s_hit")
+        + (F.lit(HLL_M) - F.col("present")) * F.lit(1 << (HLL_W + 1))
+    ).cast("double")
+    zeros = F.lit(HLL_M) - F.col("present")
+    est = F.when(
+        (raw < F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return summary.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_distinct"),
+        (F.floor(est * 1e2 + F.lit(0.5)) / 1e2).alias("hll_estimate"),
+        zeros.cast("int").alias("n_zero_registers"),
+    )
+
+
+def _oracle_hll_grouped() -> str:
+    fold = T._tok_hash_lambda_duck("CAST(user_id AS VARCHAR)")
+    mixed = _hll_mixed_hash(fold, "//", lambda x, y: f"xor({x}, {y})")
+    est = f"""CASE WHEN {_HLL_C!r} / CAST(s_hit + ({HLL_M} - present)
+                       * {1 << (HLL_W + 1)} AS DOUBLE) < {2.5 * HLL_M}
+                   AND present < {HLL_M}
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                                         / CAST({HLL_M} - present AS DOUBLE))
+              ELSE {_HLL_C!r} / CAST(s_hit + ({HLL_M} - present)
+                                     * {1 << (HLL_W + 1)} AS DOUBLE) END"""
+    return f"""
+    WITH rows_h AS (
+        SELECT event_type,
+               {mixed} % {HLL_M} AS b,
+               CAST({T.let_duck(f"({mixed} // {HLL_M}) % {1 << HLL_W}",
+                                'rest', _hll_rho_case('rest'))}
+                    AS INTEGER) AS r
+        FROM events
+    ),
+    regs AS (
+        SELECT event_type, b, max(r) AS m FROM rows_h GROUP BY event_type, b
+    ),
+    summary AS (
+        SELECT event_type,
+               CAST(sum(CAST(1 AS BIGINT) << ({HLL_W + 1} - m)) AS BIGINT)
+                   AS s_hit,
+               count(*) AS present
+        FROM regs GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, exact_distinct,
+           floor(({est}) * 1e2 + 0.5) / 1e2 AS hll_estimate,
+           CAST({HLL_M} - present AS INTEGER) AS n_zero_registers
+    FROM summary s JOIN exact USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_sketch_suite — certification row: CMS + HLL + bloom, one hash
 # ---------------------------------------------------------------------------
 
@@ -433,13 +533,23 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'cents', cast(floor(sum_base_price * 1e2 + 0.5) as bigint)) "
         "AS (metric, value)",
     )
-    return cms.unionByName(hll).unionByName(bloom)
+    # E49: the GROUP BY form of the deterministic HLL.
+    hllg = q_hll_grouped(spark, sf_dir).selectExpr(
+        "'hll_grouped' AS op",
+        "event_type AS key",
+        "stack(3, 'exact_distinct', cast(exact_distinct as bigint), "
+        "'estimate_e2', cast(floor(hll_estimate * 1e2 + 0.5) as bigint), "
+        "'n_zero_registers', cast(n_zero_registers as bigint)) "
+        "AS (metric, value)",
+    )
+    return cms.unionByName(hll).unionByName(bloom).unionByName(hllg)
 
 
 def _oracle_sketch_suite() -> str:
     return f"""
         WITH cms_side AS ({ORACLE_CMS_HEAVY_HITTERS}),
         hll_side AS ({_oracle_hll_distinct()}),
+        hllg_side AS ({_oracle_hll_grouped()}),
         bloom_side AS ({ORACLE_BLOOM_SEMI_JOIN})
         SELECT 'cms' AS op, CAST(token_hash AS VARCHAR) AS key,
                'exact_n' AS metric, CAST(exact_n AS BIGINT) AS value
@@ -465,10 +575,20 @@ def _oracle_sketch_suite() -> str:
         UNION ALL
         SELECT 'bloom', l_returnflag, 'cents',
                CAST(floor(sum_base_price * 1e2 + 0.5) AS BIGINT) FROM bloom_side
+        UNION ALL
+        SELECT 'hll_grouped', event_type, 'exact_distinct',
+               CAST(exact_distinct AS BIGINT) FROM hllg_side
+        UNION ALL
+        SELECT 'hll_grouped', event_type, 'estimate_e2',
+               CAST(floor(hll_estimate * 1e2 + 0.5) AS BIGINT) FROM hllg_side
+        UNION ALL
+        SELECT 'hll_grouped', event_type, 'n_zero_registers',
+               CAST(n_zero_registers AS BIGINT) FROM hllg_side
     """
 
 
 SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_hll_grouped": q_hll_grouped,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_zorder_key": q_zorder_key,
     "q_bloom_semi_join": q_bloom_semi_join,
@@ -477,6 +597,7 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SKETCH_ORACLES: dict[str, str] = {
+    "q_hll_grouped": _oracle_hll_grouped(),
     "q_cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "q_zorder_key": ORACLE_ZORDER_KEY,
     "q_bloom_semi_join": ORACLE_BLOOM_SEMI_JOIN,
