@@ -108,6 +108,7 @@ OPTIONAL = [
     "q_covariance_matrix",
     "q_pca_power",
     "q_hll_grouped",
+    "q_knn_classify",
 ]
 
 

@@ -720,6 +720,65 @@ ORACLE_KNN_GRAPH = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_knn_classify — E50: kNN majority-vote label prediction
+# ---------------------------------------------------------------------------
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification riding the E44 graph: each vector's label
+    is predicted by majority vote over its top-K neighbors' labels
+    (ties: smaller label wins — deterministic), scored against the
+    true label — the label-propagation / weak-supervision primitive
+    (predict a quality tag for unlabeled docs from their labeled
+    neighbors). Adds only group-by work on the graph's edge list: one
+    (src, label) count, one per-src argmax window, one broadcast join
+    back to the true labels. Emits per-vector rows so the hash pins
+    every single prediction, not just the aggregate accuracy."""
+    edges = q_knn_graph(spark, sf_dir).select("src_id", "nb_label")
+    votes = edges.groupBy("src_id", "nb_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("n_votes"), F.asc("nb_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("src_id", F.col("nb_label").alias("pred_label"), "n_votes")
+    )
+    truth = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("src_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "src_id").select(
+        "src_id",
+        "pred_label",
+        "true_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
+ORACLE_KNN_CLASSIFY = f"""
+    WITH knn AS ({ORACLE_KNN_GRAPH}),
+    votes AS (
+        SELECT src_id, nb_label, CAST(count(*) AS BIGINT) AS n_votes
+        FROM knn GROUP BY src_id, nb_label
+    ),
+    pred AS (
+        SELECT src_id, nb_label AS pred_label, n_votes FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src_id ORDER BY n_votes DESC, nb_label ASC
+            ) AS rn FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT p.src_id, p.pred_label, e.label AS true_label, p.n_votes,
+           CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END AS INTEGER)
+               AS correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.src_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_semantic_dedup — SemDeDup: cluster-blocked embedding dedup (E41)
 # ---------------------------------------------------------------------------
 
@@ -1001,11 +1060,23 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb_label").alias("label"),
         "cosine",
     )
+    # E50: the vote layer on that graph, projected onto the suite
+    # shape — vec_id carries the PREDICTED label, label the true one,
+    # cosine the 0/1 correctness flag (documented column reuse; the
+    # hash pins every per-vector prediction).
+    vote = q_knn_classify(spark, sf_dir).select(
+        F.lit("knn_vote").alias("method"),
+        F.col("src_id").alias("q_id"),
+        F.col("pred_label").cast("long").alias("vec_id"),
+        F.col("true_label").alias("label"),
+        F.col("correct").cast("double").alias("cosine"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
         .unionByName(batch)
         .unionByName(knn)
+        .unionByName(vote)
     )
 
 
@@ -1014,7 +1085,8 @@ ORACLE_ANN_SUITE = f"""
     ivf_side AS ({ORACLE_ANN_IVF_TOPK}),
     lsh_side AS ({ORACLE_ANN_LSH_TOPK}),
     batch_side AS ({ORACLE_ANN_BATCH_TOPK}),
-    knn_side AS ({ORACLE_KNN_GRAPH})
+    knn_side AS ({ORACLE_KNN_GRAPH}),
+    vote_side AS ({ORACLE_KNN_CLASSIFY})
     SELECT 'brute' AS method, CAST({QUERY_VEC_ID} AS BIGINT) AS q_id,
            vec_id, label, cosine FROM brute_side
     UNION ALL
@@ -1027,6 +1099,10 @@ ORACLE_ANN_SUITE = f"""
     SELECT 'batch', q_id, vec_id, label, cosine FROM batch_side
     UNION ALL
     SELECT 'knn', src_id, nb_id, nb_label, cosine FROM knn_side
+    UNION ALL
+    SELECT 'knn_vote', src_id, CAST(pred_label AS BIGINT), true_label,
+           CAST(correct AS DOUBLE)
+    FROM vote_side
 """
 
 
@@ -1039,11 +1115,13 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_suite": q_ann_suite,
     "q_semantic_dedup": q_semantic_dedup,
     "q_knn_graph": q_knn_graph,
+    "q_knn_classify": q_knn_classify,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
     "q_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "q_knn_graph": ORACLE_KNN_GRAPH,
+    "q_knn_classify": ORACLE_KNN_CLASSIFY,
     "q_similarity_topk": ORACLE_SIMILARITY_TOPK,
     "q_embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "q_ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
