@@ -109,6 +109,7 @@ OPTIONAL = [
     "q_pca_power",
     "q_hll_grouped",
     "q_knn_classify",
+    "q_perplexity_filter",
 ]
 
 

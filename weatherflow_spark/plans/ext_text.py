@@ -1305,6 +1305,13 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'temp_share_e9', temp_share_e9, "
         "'expected_tokens', expected_tokens) AS (metric, value)",
     )
+    # E51: the LM-percentile cut (perplexity filtering).
+    ppl = q_perplexity_filter(spark, sf_dir).selectExpr(
+        "'ppl_filter' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(3, 'nll_e6', nll_e6, 'pr_e6', pr_e6, "
+        "'keep', cast(keep as bigint)) AS (metric, value)",
+    )
     return (
         dec.unionByName(mix)
         .unionByName(pii)
@@ -1315,6 +1322,7 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(quota)
         .unionByName(boiler)
         .unionByName(temp)
+        .unionByName(ppl)
     )
 
 
@@ -1461,7 +1469,15 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the model phase is a bounded-output aggregation and the
     scoring phase touches each doc exactly once with zero shuffles —
     there is no per-token join back to the corpus."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _lm_scored(spark, sf_dir).select("doc_id", "n_tokens", "nll_e6")
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, source, n_tokens, nll_e6 — the scored corpus, shared
+    by q_unigram_lm_score and the E51 perplexity filter."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
     # Persisted: the vocab-sized count table feeds BOTH the top-V head
     # and the token total — without the persist each consumer replays
     # the corpus-scale token exchange (the one expensive stage here).
@@ -1486,6 +1502,7 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.crossJoin(F.broadcast(model)).select(
         "doc_id",
+        "source",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         F.expr(f"cast(floor(({nll}) * 1e6 + 0.5) as bigint)").alias("nll_e6"),
     )
@@ -1519,6 +1536,82 @@ ORACLE_UNIGRAM_LM_SCORE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_perplexity_filter — E51: per-source percentile cut on the LM score
+# ---------------------------------------------------------------------------
+
+PPL_KEEP_FRAC = 0.90
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering — THE standard LM-based curation cut
+    (CCNet/LLaMA-style): score every document with the corpus unigram
+    LM, then keep the lowest-NLL 90% WITHIN each source (per-source
+    cut, so a clean source doesn't crowd out a noisy one's budget).
+    The percentile is exact: percent_rank over (source, nll asc,
+    doc_id asc) — integer rank arithmetic, no approximate quantiles,
+    so the verdict hash-checks. Emits rank + verdict for EVERY doc
+    (the q_domain_quota discipline: the hash pins the whole
+    selection, not just survivors).
+
+    Shape: the LM model phase owns the token exchange (see
+    q_unigram_lm_score); scoring is narrow; the cut adds ONE window
+    exchange on source. A dominant source at 100 TB serializes that
+    window partition — the remedy is the two-phase trim of
+    operators/topk.py (per-partition heap to ~keep_frac, then exact
+    rank on survivors), same semantics."""
+    scored = _lm_scored(spark, sf_dir)
+    return scored.select(
+        "doc_id",
+        "source",
+        "nll_e6",
+        F.expr(
+            f"cast(floor(percent_rank() over (partition by source "
+            f"order by nll_e6 asc, doc_id asc) * 1e6 + 0.5) as bigint)"
+        ).alias("pr_e6"),
+    ).withColumn(
+        "keep",
+        (F.col("pr_e6") <= F.lit(int(PPL_KEEP_FRAC * 1e6))).cast("int"),
+    )
+
+
+ORACLE_PERPLEXITY_FILTER = f"""
+    WITH lm AS ({ORACLE_UNIGRAM_LM_SCORE}),
+    src AS (SELECT doc_id, source FROM documents),
+    scored AS (
+        SELECT lm.doc_id, src.source, lm.nll_e6
+        FROM lm JOIN src USING (doc_id)
+    )
+    SELECT doc_id, source, nll_e6,
+           CAST(floor(percent_rank() OVER (
+               PARTITION BY source ORDER BY nll_e6 ASC, doc_id ASC
+           ) * 1e6 + 0.5) AS BIGINT) AS pr_e6,
+           CAST(CASE WHEN floor(percent_rank() OVER (
+               PARTITION BY source ORDER BY nll_e6 ASC, doc_id ASC
+           ) * 1e6 + 0.5) <= {int(PPL_KEEP_FRAC * 1e6)}
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM scored
+"""
+
+
+# The ppl_filter branch joins the curation-suite oracle here (rebound
+# after ORACLE_PERPLEXITY_FILTER exists).
+ORACLE_CURATION_SUITE = f"""
+    WITH ppl_side AS ({ORACLE_PERPLEXITY_FILTER}),
+    base AS ({ORACLE_CURATION_SUITE})
+    SELECT * FROM base
+    UNION ALL
+    SELECT 'ppl_filter' AS op, CAST(doc_id AS VARCHAR) AS key,
+           'nll_e6' AS metric, nll_e6 AS value
+    FROM ppl_side
+    UNION ALL
+    SELECT 'ppl_filter', CAST(doc_id AS VARCHAR), 'pr_e6', pr_e6 FROM ppl_side
+    UNION ALL
+    SELECT 'ppl_filter', CAST(doc_id AS VARCHAR), 'keep',
+           CAST(keep AS BIGINT) FROM ppl_side
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
     "q_repetition_filter": q_repetition_filter,
@@ -1538,11 +1631,13 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_boilerplate_detect": q_boilerplate_detect,
     "q_mixture_weights": q_mixture_weights,
     "q_unigram_lm_score": q_unigram_lm_score,
+    "q_perplexity_filter": q_perplexity_filter,
     "q_curation_suite": q_curation_suite,
 }
 
 TEXT_ORACLES: dict[str, str] = {
     "q_unigram_lm_score": ORACLE_UNIGRAM_LM_SCORE,
+    "q_perplexity_filter": ORACLE_PERPLEXITY_FILTER,
     "q_string_funcs": ORACLE_STRING_FUNCS,
     "q_text_stats": ORACLE_TEXT_STATS,
     "q_repetition_filter": ORACLE_REPETITION_FILTER,
