@@ -110,6 +110,7 @@ OPTIONAL = [
     "q_hll_grouped",
     "q_knn_classify",
     "q_perplexity_filter",
+    "q_hybrid_retrieval",
 ]
 
 

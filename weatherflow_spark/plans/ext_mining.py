@@ -37,7 +37,7 @@ shared SQL string so Spark and DuckDB evaluate identical shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from weatherflow_spark.functions import text as T
 from weatherflow_spark.io import load_table
@@ -330,11 +330,21 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'nnz', nnz, 'l1', l1, "
         f"'fvec_fp', {T._tok_hash_lambda_spark('fvec')}) AS (metric, value)",
     )
+    # E52: the fused retrieval ranks — NULL ranks (one-list docs)
+    # surface as -1 so the LONG value stays non-null bigint.
+    hyb = q_hybrid_retrieval(spark, sf_dir).selectExpr(
+        "'hybrid' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(4, 'lex_rank', coalesce(lex_rank, -1), "
+        "'vec_rank', coalesce(vec_rank, -1), "
+        "'rrf_e9', rrf_e9, 'fused_rank', fused_rank) AS (metric, value)",
+    )
     return (
         bm.unionByName(pm)
         .unionByName(bpe)
         .unionByName(enc)
         .unionByName(fh)
+        .unionByName(hyb)
     )
 
 
@@ -344,7 +354,8 @@ def _oracle_text_mining_suite() -> str:
         pm_side AS ({_oracle_pmi_cooc()}),
         bpe_side AS ({_oracle_bpe_train()}),
         enc_side AS ({_oracle_bpe_encode()}),
-        fh_side AS ({ORACLE_FEATURE_HASH})
+        fh_side AS ({ORACLE_FEATURE_HASH}),
+        hyb_side AS ({_oracle_hybrid_retrieval()})
         SELECT 'bm25' AS op, CAST(doc_id AS VARCHAR) AS key,
                'score_e6' AS metric, score_e6 AS value FROM bm_side
         UNION ALL
@@ -375,6 +386,17 @@ def _oracle_text_mining_suite() -> str:
         UNION ALL
         SELECT 'feature_hash', CAST(doc_id AS VARCHAR),
                'fvec_fp', {T._tok_hash_lambda_duck('fvec')} FROM fh_side
+        UNION ALL
+        SELECT 'hybrid', CAST(doc_id AS VARCHAR), 'lex_rank',
+               COALESCE(lex_rank, -1) FROM hyb_side
+        UNION ALL
+        SELECT 'hybrid', CAST(doc_id AS VARCHAR), 'vec_rank',
+               COALESCE(vec_rank, -1) FROM hyb_side
+        UNION ALL
+        SELECT 'hybrid', CAST(doc_id AS VARCHAR), 'rrf_e9', rrf_e9 FROM hyb_side
+        UNION ALL
+        SELECT 'hybrid', CAST(doc_id AS VARCHAR), 'fused_rank',
+               fused_rank FROM hyb_side
     """
 
 
@@ -766,6 +788,86 @@ def _oracle_bpe_encode() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q_hybrid_retrieval — E52: BM25 + vector fusion (reciprocal-rank)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the lexical BM25 top-k and the vector cosine
+    top-k fused by reciprocal-rank fusion (RRF: Σ 1/(K + rank)) — the
+    standard two-tower retrieval shape under RAG pipelines, where
+    neither signal alone ranks well. Both candidate lists arrive
+    already bounded (their own heap top-ks), so every window here
+    runs over ≤ k rows — single-partition but k-bounded by
+    construction, never data-scale. The fused rank orders by the
+    e9-ROUNDED RRF score (bigint) with a doc_id tie-break, so rank
+    boundaries cannot sit on a cross-engine double ulp."""
+    from weatherflow_spark.plans.ext_similarity import q_similarity_topk
+
+    lex = q_tfidf_topk(spark, sf_dir)
+    wl = Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    vec = q_similarity_topk(spark, sf_dir)
+    wv = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).cast("long").alias("vec_rank"),
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+    rrf = (
+        f"coalesce(1.0 / ({RRF_K} + lex_rank), cast(0.0 as double)) "
+        f"+ coalesce(1.0 / ({RRF_K} + vec_rank), cast(0.0 as double))"
+    )
+    wf = Window.orderBy(F.desc("rrf_e9"), F.asc("doc_id"))
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.expr(f"cast(floor(({rrf}) * 1e9 + 0.5) as bigint)").alias("rrf_e9"),
+        )
+        .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+    )
+
+
+def _oracle_hybrid_retrieval() -> str:
+    from weatherflow_spark.plans.ext_similarity import ORACLE_SIMILARITY_TOPK
+
+    return f"""
+    WITH lex AS ({_oracle_tfidf_topk()}),
+    vec AS ({ORACLE_SIMILARITY_TOPK}),
+    lexr AS (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+        FROM lex
+    ),
+    vecr AS (
+        SELECT vec_id AS doc_id, CAST(row_number() OVER (
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS vec_rank
+        FROM vec
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank, v.vec_rank,
+               CAST(floor((COALESCE(1.0 / ({RRF_K} + l.lex_rank),
+                                    CAST(0.0 AS DOUBLE))
+                           + COALESCE(1.0 / ({RRF_K} + v.vec_rank),
+                                      CAST(0.0 AS DOUBLE))) * 1e9 + 0.5)
+                    AS BIGINT) AS rrf_e9
+        FROM lexr l FULL OUTER JOIN vecr v USING (doc_id)
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_e9,
+           CAST(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id ASC) AS BIGINT)
+               AS fused_rank
+    FROM fused
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_feature_hash — E46: hashing-trick feature vectors (vectorization)
 # ---------------------------------------------------------------------------
 
@@ -926,11 +1028,13 @@ MINING_QUERIES = {
     "q_bpe_train": q_bpe_train,
     "q_bpe_encode": q_bpe_encode,
     "q_feature_hash": q_feature_hash,
+    "q_hybrid_retrieval": q_hybrid_retrieval,
 }
 
 MINING_ORACLES = {
     "q_bpe_encode": _oracle_bpe_encode(),
     "q_feature_hash": ORACLE_FEATURE_HASH,
+    "q_hybrid_retrieval": _oracle_hybrid_retrieval(),
     "q_text_profile_suite": _oracle_text_profile_suite(),
     "q_text_mining_suite": _oracle_text_mining_suite(),
     "q_tfidf_topk": _oracle_tfidf_topk(),
