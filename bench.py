@@ -111,6 +111,7 @@ OPTIONAL = [
     "q_knn_classify",
     "q_perplexity_filter",
     "q_hybrid_retrieval",
+    "q_grouped_quantiles_udf",
 ]
 
 

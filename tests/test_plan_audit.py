@@ -478,10 +478,14 @@ def test_knn_graph_bucket_join_heap_trimmed_ranking(spark):
 
 def test_feature_hash_is_narrow_zero_shuffle(spark):
     """E46 hashing-trick vectorization is stateless and
-    vocabulary-free — the whole featurizer must pipeline into the
-    scan with zero shuffles and zero joins."""
+    vocabulary-free — the featurizer must pipeline after ONE explicit
+    spread repartition (no ENSURE_REQUIREMENTS exchange of its own)
+    with zero joins."""
     p = _plan(QUERIES["q_feature_hash"](spark, SF_SMALL))
-    assert "Exchange" not in p, f"narrow featurizer contains a shuffle:\n{p}"
+    exchanges = _detail_blocks(p, "Exchange")
+    assert len(exchanges) == 1 and "REPARTITION_BY_NUM" in exchanges[0], (
+        f"expected only the explicit spread repartition:\n{p}"
+    )
     assert "Join" not in p, f"narrow featurizer contains a join:\n{p}"
     assert len(_detail_headers(p, "Scan parquet")) == 1, p
 

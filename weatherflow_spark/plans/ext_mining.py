@@ -887,8 +887,17 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of any kind appears — the featurizer streams through the
     corpus once, embarrassingly parallel. The vector serializes to a
     '|'-joined string so the certification hash pins every component.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    The one exchange in the plan is an EXPLICIT spread off the raw
+    file splits (single-file testdata would otherwise run the whole
+    CPU-bound fold in one task — the q_knn_graph lesson); at
+    production split counts the scan parallelizes naturally and the
+    spread is a cheap rebalance."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
     th = (
         f"transform(filter({T.tokens_expr('text')}, w -> w <> ''), "
         f"tok -> {T._tok_hash_lambda_spark('tok')})"

@@ -139,14 +139,81 @@ ORACLE_MULTIMODAL_FRAMES = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_grouped_quantiles_udf — X3/E53: grouped-map applyInPandas
+# ---------------------------------------------------------------------------
+
+_QUANTILE_PCTS = (25, 50, 75, 95)
+_GROUPED_Q_SCHEMA = (
+    "source string, n long, " + ", ".join(f"p{p} long" for p in _QUANTILE_PCTS)
+)
+
+
+def _make_grouped_quantiles_fn() -> Callable:
+    """Closure-built (pickles by VALUE — executors don't have the
+    repo on sys.path; see _make_user_stats_fn / multimodal/binary.py
+    for the precedent). Per-group EXACT order statistics: sort, then
+    pick the value at integer index ((n−1)·pct)//100 — pure integer
+    index arithmetic, no interpolation and no float percent math, so
+    the DuckDB twin (1-based list index, same formula) is
+    value-identical."""
+    pcts = _QUANTILE_PCTS
+
+    def grouped_quantiles(pdf):
+        import pandas as pd
+
+        v = sorted(int(x) for x in pdf["n_chars"])
+        n = len(v)
+        row = {"source": pdf["source"].iloc[0], "n": n}
+        for p in pcts:
+            row[f"p{p}"] = v[((n - 1) * p) // 100]
+        return pd.DataFrame([row])
+
+    return grouped_quantiles
+
+
+def q_grouped_quantiles_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third sanctioned Python entry point — grouped-map
+    ``applyInPandas`` (whole group in, whole result out; Arrow both
+    ways): per-source exact length quantiles, the "custom per-group
+    algorithm" shape (think per-group sklearn fit) that neither a
+    scalar pandas_udf nor mapInPandas expresses.
+
+    Scale contract: one shuffle on the group key and the ENTIRE group
+    materializes in one worker's memory — correct only under the
+    bounded-group assumption (sources here; a hot key needs the
+    salted/two-phase path instead). Exact order statistics keep it
+    hash-checkable where approx quantiles are rows-only."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return docs.groupBy("source").applyInPandas(
+        _make_grouped_quantiles_fn(), _GROUPED_Q_SCHEMA
+    )
+
+
+ORACLE_GROUPED_QUANTILES = f"""
+    WITH g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               list(CAST(n_chars AS BIGINT) ORDER BY n_chars ASC) AS v
+        FROM documents GROUP BY source
+    )
+    SELECT source, n,
+           {", ".join(f"v[((n - 1) * {p}) // 100 + 1] AS p{p}"
+                      for p in _QUANTILE_PCTS)}
+    FROM g
+"""
+
+
 UDF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pandas_udf_metric": q_pandas_udf_metric,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_grouped_quantiles_udf": q_grouped_quantiles_udf,
 }
 
 UDF_ORACLES: dict[str, str] = {
     "q_pandas_udf_metric": ORACLE_PANDAS_UDF_METRIC,
     "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "q_multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "q_grouped_quantiles_udf": ORACLE_GROUPED_QUANTILES,
 }

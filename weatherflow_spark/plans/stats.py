@@ -1244,7 +1244,13 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's ×D(D+1)/2 pair explode is the cost; the standard
     refinement is dimension-blocking the triangle (same keyed-agg
     shape per block), not a different algorithm."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        # Explicit spread off the raw splits: the ×D(D+1)/2 pair
+        # explode is CPU-bound on kB-scale input (the q_knn_graph
+        # lesson — AQE/single-split would single-task it).
+        spark.sparkContext.defaultParallelism,
+        F.col("vec_id"),
+    )
     scaled = emb.select(
         F.expr(
             f"transform(embedding, x -> cast(floor(cast(x as double) * {COV_SCALE}) as bigint))"
@@ -1281,7 +1287,13 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(((cast(cov_num as double) / (cast(n as double) * cast(n - 1 as double))) "
         f"/ {float(COV_SCALE * COV_SCALE)}) * 1e9 + 0.5)"
     )
-    return (
+    from weatherflow_spark.operators.caching import tracked_persist
+
+    # Persisted: the D(D+1)/2-row matrix is tiny, and TWO consumers
+    # build this identical plan (the stats suite's cov branch and the
+    # PCA branch's iteration input) — the cache serves both, so the
+    # corpus-scale triangle explode runs once per job, not per branch.
+    return tracked_persist(
         triangle.join(F.broadcast(di), "i")
         .join(F.broadcast(dj), "j")
         .crossJoin(F.broadcast(nrow))
