@@ -112,6 +112,10 @@ OPTIONAL = [
     "q_perplexity_filter",
     "q_hybrid_retrieval",
     "q_grouped_quantiles_udf",
+    # displaced window singles (now in q_udf_suite)
+    "q_pandas_udf_metric",
+    "q_multimodal_features",
+    "q_multimodal_frames",
 ]
 
 

@@ -113,10 +113,12 @@ _CERTIFICATION_WINDOW = [
     "q_null_semantics",
     "q_salted_agg",
     "q_unpivot",
-    # X1/X2/E11 UDF + multimodal
-    "q_pandas_udf_metric",
-    "q_multimodal_features",
-    "q_multimodal_frames",
+    # X1/X2/X3/E11 UDF + multimodal, one hash (singles in the tail)
+    "q_udf_suite",
+    # round-6 flagship similarity singles (also suite branches — the
+    # direct rows pin their own plans)
+    "q_semantic_dedup",           # E41
+    "q_knn_graph",                # E44
     # product analytics (funnel + cohort retention)
     "q_product_analytics_suite",
     # iterative + sketch + layout + time-series + graph surfaces

@@ -204,7 +204,93 @@ ORACLE_GROUPED_QUANTILES = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_udf_suite — certification row: all four Python entry points
+# ---------------------------------------------------------------------------
+
+
+def q_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-surface certification row: the vectorized scalar
+    pandas_udf (X1), the 1→1 and 1→N mapInPandas multimodal paths
+    (X2), and the grouped-map applyInPandas (X3), tagged and unioned
+    in LONG format — (op, key, metric, value:bigint), doubles
+    re-rounded to e6. One hash certifies that every sanctioned Python
+    escape hatch computes exactly what the declarative path would.
+    Union is plan-level only; singles stay registered in the tail."""
+    pu = q_pandas_udf_metric(spark, sf_dir).selectExpr(
+        "'pandas_udf' AS op",
+        "cast(event_id as string) AS key",
+        "stack(1, 'dew_point_e6', cast(floor(dew_point * 1e6 + 0.5) as bigint)) "
+        "AS (metric, value)",
+    )
+    mf = q_multimodal_features(spark, sf_dir).selectExpr(
+        "'mm_features' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(3, 'n_bytes', cast(n_bytes as bigint), "
+        "'header_byte', cast(header_byte as bigint), "
+        "'checksum', checksum) AS (metric, value)",
+    )
+    fr = q_multimodal_frames(spark, sf_dir).selectExpr(
+        "'mm_frames' AS op",
+        "concat(cast(doc_id as string), '|', cast(frame_idx as string)) AS key",
+        "stack(3, 'frame_offset', cast(frame_offset as bigint), "
+        "'frame_len', cast(frame_len as bigint), "
+        "'frame_hash', frame_hash) AS (metric, value)",
+    )
+    gq_stack = ", ".join(f"'p{p}', p{p}" for p in _QUANTILE_PCTS)
+    gq = q_grouped_quantiles_udf(spark, sf_dir).selectExpr(
+        "'grouped_quantiles' AS op",
+        "source AS key",
+        f"stack({1 + len(_QUANTILE_PCTS)}, 'n', n, {gq_stack}) "
+        "AS (metric, value)",
+    )
+    return pu.unionByName(mf).unionByName(fr).unionByName(gq)
+
+
+def _oracle_udf_suite() -> str:
+    gq_rows = "\n        UNION ALL\n".join(
+        f"        SELECT 'grouped_quantiles', source, 'p{p}', p{p} FROM gq_side"
+        for p in _QUANTILE_PCTS
+    )
+    return f"""
+        WITH pu_side AS ({ORACLE_PANDAS_UDF_METRIC}),
+        mf_side AS ({ORACLE_MULTIMODAL_FEATURES}),
+        fr_side AS ({ORACLE_MULTIMODAL_FRAMES}),
+        gq_side AS ({ORACLE_GROUPED_QUANTILES})
+        SELECT 'pandas_udf' AS op, CAST(event_id AS VARCHAR) AS key,
+               'dew_point_e6' AS metric,
+               CAST(floor(dew_point * 1e6 + 0.5) AS BIGINT) AS value
+        FROM pu_side
+        UNION ALL
+        SELECT 'mm_features', CAST(doc_id AS VARCHAR), 'n_bytes',
+               CAST(n_bytes AS BIGINT) FROM mf_side
+        UNION ALL
+        SELECT 'mm_features', CAST(doc_id AS VARCHAR), 'header_byte',
+               CAST(header_byte AS BIGINT) FROM mf_side
+        UNION ALL
+        SELECT 'mm_features', CAST(doc_id AS VARCHAR), 'checksum',
+               checksum FROM mf_side
+        UNION ALL
+        SELECT 'mm_frames',
+               CAST(doc_id AS VARCHAR) || '|' || CAST(frame_idx AS VARCHAR),
+               'frame_offset', CAST(frame_offset AS BIGINT) FROM fr_side
+        UNION ALL
+        SELECT 'mm_frames',
+               CAST(doc_id AS VARCHAR) || '|' || CAST(frame_idx AS VARCHAR),
+               'frame_len', CAST(frame_len AS BIGINT) FROM fr_side
+        UNION ALL
+        SELECT 'mm_frames',
+               CAST(doc_id AS VARCHAR) || '|' || CAST(frame_idx AS VARCHAR),
+               'frame_hash', frame_hash FROM fr_side
+        UNION ALL
+        SELECT 'grouped_quantiles', source, 'n', n FROM gq_side
+        UNION ALL
+{gq_rows}
+    """
+
+
 UDF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_udf_suite": q_udf_suite,
     "q_pandas_udf_metric": q_pandas_udf_metric,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
@@ -212,6 +298,7 @@ UDF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 UDF_ORACLES: dict[str, str] = {
+    "q_udf_suite": _oracle_udf_suite(),
     "q_pandas_udf_metric": ORACLE_PANDAS_UDF_METRIC,
     "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "q_multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
