@@ -116,6 +116,8 @@ OPTIONAL = [
     "q_pandas_udf_metric",
     "q_multimodal_features",
     "q_multimodal_frames",
+    "q_embedding_outliers",
+    "q_data_quality_report",
 ]
 
 

@@ -39,6 +39,7 @@ from weatherflow_spark.plans.tpch import TPCH_QUERIES, TPCH_ORACLES
 from weatherflow_spark.plans.sketches import SKETCH_QUERIES, SKETCH_ORACLES
 from weatherflow_spark.plans.timeseries import TIMESERIES_QUERIES, TIMESERIES_ORACLES
 from weatherflow_spark.plans.graph import GRAPH_QUERIES, GRAPH_ORACLES
+from weatherflow_spark.plans.quality import QUALITY_QUERIES, QUALITY_ORACLES
 
 _ALL = {
     **_CORE,
@@ -57,6 +58,7 @@ _ALL = {
     **SKETCH_QUERIES,
     **TIMESERIES_QUERIES,
     **GRAPH_QUERIES,
+    **QUALITY_QUERIES,
 }
 
 # One representative per SURVEY §2 component, most-consolidated form
@@ -153,6 +155,7 @@ ORACLES = {
     **SKETCH_ORACLES,
     **TIMESERIES_ORACLES,
     **GRAPH_ORACLES,
+    **QUALITY_ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES", "flagship"]

@@ -1,0 +1,179 @@
+"""Warehouse data-quality checks (E55) — the dbt-test tier expressed
+as ONE query: primary-key uniqueness, foreign-key integrity,
+null-fraction and value-bound screens across the star schema, all in
+a single long-format report so a scheduler can gate a load on one
+row set (the reference's Airflow DAG would run exactly this after
+its `load` task; the engine makes it a query instead of a script).
+
+Every check is an exact integer aggregate (counts, anti-join counts)
+— no doubles anywhere, so the report hash-checks trivially. `pass`
+is 1/0 for hard invariants (pk/fk/bounds) and NULL for report-only
+metrics (null tallies that carry no contract).
+
+Scale posture: each check is one map-side-partial aggregation or one
+broadcast/keyed anti-join count; the report is a plan-level union of
+tiny results (no cross-check shuffle). At 100 TB the fk checks are
+the expensive ones — they are plain anti-joins, so AQE picks
+broadcast vs shuffle per dimension size exactly as the star joins do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weatherflow_spark.io import load_table
+
+DISCOUNT_LO, DISCOUNT_HI = 0.0, 0.10
+
+
+def _row(tbl: str, check: str, value, passed) -> list:
+    return [F.lit(tbl).alias("tbl"), F.lit(check).alias("check"), value, passed]
+
+
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per check: (tbl, check, value, pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def _count_row(tbl: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("value")).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit("row_count").alias("check"),
+            "value",
+            F.lit(None).cast("int").alias("pass"),
+        )
+
+    def _pk_row(tbl: str, df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            (F.count(F.lit(1)) - F.countDistinct(key)).alias("value")
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(f"pk_dupes_{key}").alias("check"),
+            "value",
+            (F.col("value") == 0).cast("int").alias("pass"),
+        )
+
+    def _fk_row(
+        tbl: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str
+    ) -> DataFrame:
+        orphans = fact.select(F.col(fk).alias("k")).join(
+            dim.select(F.col(pk).alias("k")), "k", "left_anti"
+        )
+        return orphans.agg(F.count(F.lit(1)).alias("value")).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(f"fk_orphans_{fk}").alias("check"),
+            "value",
+            (F.col("value") == 0).cast("int").alias("pass"),
+        )
+
+    bounds = lineitem.agg(
+        F.sum(
+            (
+                (F.col("l_discount") < DISCOUNT_LO)
+                | (F.col("l_discount") > DISCOUNT_HI)
+            ).cast("long")
+        ).alias("value")
+    ).select(
+        F.lit("lineitem").alias("tbl"),
+        F.lit("discount_out_of_bounds").alias("check"),
+        "value",
+        (F.col("value") == 0).cast("int").alias("pass"),
+    )
+    nulls = events.agg(
+        (F.count(F.lit(1)) - F.count("props")).alias("value")
+    ).select(
+        F.lit("events").alias("tbl"),
+        F.lit("null_props").alias("check"),
+        "value",
+        F.lit(None).cast("int").alias("pass"),
+    )
+    parts = [
+        _count_row("orders", orders),
+        _count_row("customer", customer),
+        _count_row("lineitem", lineitem),
+        _count_row("events", events),
+        _pk_row("orders", orders, "o_orderkey"),
+        _pk_row("customer", customer, "c_custkey"),
+        _pk_row("events", events, "event_id"),
+        _fk_row("orders", orders, "o_custkey", customer, "c_custkey"),
+        _fk_row("lineitem", lineitem, "l_orderkey", orders, "o_orderkey"),
+        bounds,
+        nulls,
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_DATA_QUALITY = f"""
+    SELECT 'orders' AS tbl, 'row_count' AS check,
+           CAST(count(*) AS BIGINT) AS value, CAST(NULL AS INTEGER) AS pass
+    FROM orders
+    UNION ALL
+    SELECT 'customer', 'row_count', CAST(count(*) AS BIGINT),
+           CAST(NULL AS INTEGER) FROM customer
+    UNION ALL
+    SELECT 'lineitem', 'row_count', CAST(count(*) AS BIGINT),
+           CAST(NULL AS INTEGER) FROM lineitem
+    UNION ALL
+    SELECT 'events', 'row_count', CAST(count(*) AS BIGINT),
+           CAST(NULL AS INTEGER) FROM events
+    UNION ALL
+    SELECT 'orders', 'pk_dupes_o_orderkey',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(CASE WHEN count(*) = count(DISTINCT o_orderkey)
+                THEN 1 ELSE 0 END AS INTEGER)
+    FROM orders
+    UNION ALL
+    SELECT 'customer', 'pk_dupes_c_custkey',
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+           CAST(CASE WHEN count(*) = count(DISTINCT c_custkey)
+                THEN 1 ELSE 0 END AS INTEGER)
+    FROM customer
+    UNION ALL
+    SELECT 'events', 'pk_dupes_event_id',
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+           CAST(CASE WHEN count(*) = count(DISTINCT event_id)
+                THEN 1 ELSE 0 END AS INTEGER)
+    FROM events
+    UNION ALL
+    SELECT 'orders', 'fk_orphans_o_custkey',
+           CAST(count(*) AS BIGINT),
+           CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS INTEGER)
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem', 'fk_orphans_l_orderkey',
+           CAST(count(*) AS BIGINT),
+           CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS INTEGER)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem', 'discount_out_of_bounds',
+           CAST(coalesce(sum(CASE WHEN l_discount < {DISCOUNT_LO}
+                                    OR l_discount > {DISCOUNT_HI}
+                             THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(CASE WHEN coalesce(sum(CASE WHEN l_discount < {DISCOUNT_LO}
+                                              OR l_discount > {DISCOUNT_HI}
+                                       THEN 1 ELSE 0 END), 0) = 0
+                THEN 1 ELSE 0 END AS INTEGER)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', 'null_props',
+           CAST(count(*) - count(props) AS BIGINT), CAST(NULL AS INTEGER)
+    FROM events
+"""
+
+
+QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_data_quality_report": q_data_quality_report,
+}
+
+QUALITY_ORACLES: dict[str, str] = {
+    "q_data_quality_report": ORACLE_DATA_QUALITY,
+}

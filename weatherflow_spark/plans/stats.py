@@ -1132,6 +1132,15 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v3"),
         F.lit(None).cast("double").alias("v4"),
     )
+    outl = q_embedding_outliers(spark, sf_dir).select(
+        F.lit("outliers").alias("part"),
+        F.col("vec_id").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("max_z_e6").cast("double").alias("v1"),
+        F.col("n_flagged_dims").cast("double").alias("v2"),
+        F.col("is_outlier").cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
+    )
     nul = F.lit(None).cast("double")
     moments = q_stats_moments(spark, sf_dir).select(
         F.lit("moments").alias("part"),
@@ -1185,6 +1194,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(entropy)
         .unionByName(cov)
         .unionByName(pca)
+        .unionByName(outl)
     )
 
 
@@ -1509,12 +1519,137 @@ def _oracle_pca_power() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_embedding_outliers — E54: per-dimension z-score anomaly flags
+# ---------------------------------------------------------------------------
+
+OUTLIER_Z_E6 = 2_500_000  # |z| > 2.5 flags a dimension
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anomaly screen: per-dimension z-scores against the
+    corpus mean/variance, flagging vectors whose worst dimension
+    strays past |z| > 2.5 — the cheap data-quality pass that catches
+    corrupted/degenerate vectors before they poison ANN indexes or
+    k-means codebooks.
+
+    Moments come from the same exact-integer discipline as E47: per
+    dimension Σa and Σa² as int64 (one map-side-partial aggregation,
+    64 keys), folded into ONE broadcast row of (mean, inv_std) pairs;
+    scoring is then NARROW — each vector computes its 64 z-scores
+    against the broadcast stats in a single pass, keeps the max |z|
+    and the count of flagged dims. z is compared e6-rounded so the
+    flag boundary can't sit on a cross-engine ulp. Population
+    variance (÷n) — a screen, not an estimator."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    scaled = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {COV_SCALE}) as bigint))"
+        ).alias("v"),
+    )
+    dims = (
+        scaled.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {COV_DIM}), i -> "
+                    "struct(i AS i, element_at(v, i) AS x))"
+                )
+            ).alias("e")
+        )
+        .select("e.i", "e.x")
+        .groupBy("i")
+        .agg(
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # mean and 1/std in double, pinned op order (shared SQL text)
+    stat = (
+        "struct(cast(s as double) / cast(n as double) AS mu, "
+        "1.0 / sqrt(cast(s2 as double) / cast(n as double) "
+        "- (cast(s as double) / cast(n as double)) "
+        "* (cast(s as double) / cast(n as double))) AS inv_sd)"
+    )
+    stats_row = dims.select("i", F.expr(stat).alias("st")).agg(
+        F.expr("transform(array_sort(collect_list(struct(i, st))), p -> p.st)").alias(
+            "stats"
+        )
+    )
+    z = (
+        f"transform(sequence(1, {COV_DIM}), i -> "
+        "cast(floor(abs((cast(element_at(v, i) as double) "
+        "- element_at(stats, i).mu) * element_at(stats, i).inv_sd) "
+        "* 1e6 + 0.5) as bigint))"
+    )
+    return (
+        scaled.crossJoin(F.broadcast(stats_row))
+        .select("vec_id", F.expr(z).alias("zs"))
+        .select(
+            "vec_id",
+            F.expr("array_max(zs)").alias("max_z_e6"),
+            F.expr(
+                f"cast(size(filter(zs, z -> z > {OUTLIER_Z_E6})) as int)"
+            ).alias("n_flagged_dims"),
+        )
+        .withColumn(
+            "is_outlier", (F.col("max_z_e6") > OUTLIER_Z_E6).cast("int")
+        )
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = f"""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT i, CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS s2,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT t.i AS i, sc.v[t.i] AS x
+              FROM scaled sc, unnest(generate_series(1, {COV_DIM})) AS t(i))
+        GROUP BY i
+    ),
+    stats_row AS (
+        SELECT list(struct_pack(
+                   mu := CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+                   inv_sd := 1.0 / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+               ORDER BY i) AS stats
+        FROM dims
+    ),
+    zed AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {COV_DIM}), i ->
+                   CAST(floor(abs((CAST(v[i] AS DOUBLE) - stats[i].mu)
+                                  * stats[i].inv_sd) * 1e6 + 0.5) AS BIGINT))
+                   AS zs
+        FROM scaled, stats_row
+    )
+    SELECT vec_id,
+           list_max(zs) AS max_z_e6,
+           CAST(len(list_filter(zs, z -> z > {OUTLIER_Z_E6})) AS INTEGER)
+               AS n_flagged_dims,
+           CAST(CASE WHEN list_max(zs) > {OUTLIER_Z_E6} THEN 1 ELSE 0 END
+                AS INTEGER) AS is_outlier
+    FROM zed
+"""
+
+
 # The cov_matrix branch joins the suite here (rebound after
 # ORACLE_COVARIANCE_MATRIX exists — the suite SQL above this point is
 # the five original families).
 ORACLE_STATS_SUITE = f"""
     WITH cov_side AS ({ORACLE_COVARIANCE_MATRIX}),
     pca_side AS ({_oracle_pca_power()}),
+    outl_side AS ({ORACLE_EMBEDDING_OUTLIERS}),
     base AS ({ORACLE_STATS_SUITE})
     SELECT * FROM base
     UNION ALL
@@ -1528,6 +1663,11 @@ ORACLE_STATS_SUITE = f"""
            CAST(loading_e6 AS DOUBLE), CAST(lambda_e6 AS DOUBLE),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM pca_side
+    UNION ALL
+    SELECT 'outliers', CAST(vec_id AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(max_z_e6 AS DOUBLE), CAST(n_flagged_dims AS DOUBLE),
+           CAST(is_outlier AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM outl_side
 """
 
 
@@ -1554,6 +1694,7 @@ STATS_QUERIES = {
     "q_unpivot": q_unpivot,
     "q_covariance_matrix": q_covariance_matrix,
     "q_pca_power": q_pca_power,
+    "q_embedding_outliers": q_embedding_outliers,
 }
 
 STATS_ORACLES = {
@@ -1579,5 +1720,6 @@ STATS_ORACLES = {
     "q_unpivot": ORACLE_UNPIVOT,
     "q_covariance_matrix": ORACLE_COVARIANCE_MATRIX,
     "q_pca_power": _oracle_pca_power(),
+    "q_embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
 }
 
