@@ -1,0 +1,66 @@
+"""End-to-end corpus curation pipeline: the composed release job must
+apply exactly the certified per-stage verdicts, write a readable
+curated corpus, and report a monotone stage funnel."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weatherflow_spark.curate import curate_corpus, main
+from weatherflow_spark.io import load_table
+from weatherflow_spark.plans.ext_dedup import q_dedup_exact
+from weatherflow_spark.plans.ext_text import q_perplexity_filter, q_quality_filter
+from tests.conftest import SF_SMALL
+
+
+def test_curate_funnel_matches_certified_verdicts(spark, tmp_path):
+    out = str(tmp_path / "release")
+    funnel = curate_corpus(spark, SF_SMALL, out)
+
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert funnel["n_input"] == n_docs
+    # monotone funnel, nothing invented
+    assert (
+        funnel["n_input"]
+        >= funnel["n_after_dedup"]
+        >= funnel["n_after_quality"]
+        >= funnel["n_after_perplexity"]
+        > 0
+    )
+    # survivors must be exactly the intersection of the certified
+    # verdict tables, recomputed independently here
+    keep = {
+        r.doc_id
+        for r in q_dedup_exact(spark, SF_SMALL)
+        .select(F.col("keep_doc_id").alias("doc_id"))
+        .collect()
+    }
+    keep &= {
+        r.doc_id
+        for r in q_quality_filter(spark, SF_SMALL).where("keep").collect()
+    }
+    keep &= {
+        r.doc_id
+        for r in q_perplexity_filter(spark, SF_SMALL).where("keep = 1").collect()
+    }
+    curated = spark.read.parquet(f"{out}/curated")
+    got_ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert got_ids == keep
+    assert funnel["n_after_perplexity"] == len(keep)
+    # report written and consistent
+    rep = {
+        r.stage: r.n_docs
+        for r in spark.read.parquet(f"{out}/report").collect()
+    }
+    assert rep == funnel
+    # schema contract: text present, recomputed length column
+    row = curated.orderBy("doc_id").first()
+    assert row.n_chars == len(row.text)
+
+
+def test_curate_cli_entry(spark, tmp_path):
+    out = str(tmp_path / "cli_release")
+    main(["--source", SF_SMALL, "--out", out])
+    assert spark.read.parquet(f"{out}/curated").count() > 0
