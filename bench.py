@@ -118,6 +118,7 @@ OPTIONAL = [
     "q_multimodal_frames",
     "q_embedding_outliers",
     "q_data_quality_report",
+    "q_ann_recall",
 ]
 
 

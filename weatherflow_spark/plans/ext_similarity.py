@@ -720,6 +720,72 @@ ORACLE_KNN_GRAPH = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_ann_recall — E57: index-quality self-evaluation (recall@k)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the approximate indexes against the exact
+    brute-force baseline — the measure-don't-guess loop every vector
+    index needs before anyone trusts it at scale: how many of the
+    true top-k does each approximate method return for the same
+    query? Pure composition of the certified retrievals: semi-join
+    each method's id list against the exact list and count. All
+    integer except the final e6-scaled ratio (exact division of two
+    small ints, floor-rounded)."""
+    exact = q_similarity_topk(spark, sf_dir).select("vec_id")
+    rows = []
+    for method, q in (
+        ("ivf", q_ann_ivf_topk),
+        ("lsh", q_ann_lsh_topk),
+    ):
+        hits = (
+            q(spark, sf_dir)
+            .select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        rows.append(
+            hits.select(
+                F.lit(method).alias("method"),
+                F.lit(TOP_K).alias("k"),
+                "n_hits",
+                F.expr(
+                    f"cast(floor(cast(n_hits as double) / {TOP_K} * 1e6 + 0.5) "
+                    "as bigint)"
+                ).alias("recall_e6"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+ORACLE_ANN_RECALL = f"""
+    WITH exact_side AS ({ORACLE_SIMILARITY_TOPK}),
+    ivf_side AS ({ORACLE_ANN_IVF_TOPK}),
+    lsh_side AS ({ORACLE_ANN_LSH_TOPK}),
+    ivf_hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hits FROM ivf_side i
+        WHERE EXISTS (SELECT 1 FROM exact_side e WHERE e.vec_id = i.vec_id)
+    ),
+    lsh_hits AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hits FROM lsh_side l
+        WHERE EXISTS (SELECT 1 FROM exact_side e WHERE e.vec_id = l.vec_id)
+    )
+    SELECT 'ivf' AS method, {TOP_K} AS k, n_hits,
+           CAST(floor(CAST(n_hits AS DOUBLE) / {TOP_K} * 1e6 + 0.5) AS BIGINT)
+               AS recall_e6
+    FROM ivf_hits
+    UNION ALL
+    SELECT 'lsh', {TOP_K}, n_hits,
+           CAST(floor(CAST(n_hits AS DOUBLE) / {TOP_K} * 1e6 + 0.5) AS BIGINT)
+    FROM lsh_hits
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_knn_classify — E50: kNN majority-vote label prediction
 # ---------------------------------------------------------------------------
 
@@ -1116,12 +1182,14 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_knn_graph": q_knn_graph,
     "q_knn_classify": q_knn_classify,
+    "q_ann_recall": q_ann_recall,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
     "q_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "q_knn_graph": ORACLE_KNN_GRAPH,
     "q_knn_classify": ORACLE_KNN_CLASSIFY,
+    "q_ann_recall": ORACLE_ANN_RECALL,
     "q_similarity_topk": ORACLE_SIMILARITY_TOPK,
     "q_embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "q_ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
