@@ -490,6 +490,54 @@ def test_feature_hash_is_narrow_zero_shuffle(spark):
     assert len(_detail_headers(p, "Scan parquet")) == 1, p
 
 
+def test_ewma_single_user_exchange_no_join(spark):
+    """E45 EWMA: the sequential fold rides ONE user_id exchange (the
+    groupBy collect) — no window, no join, nothing corpus-wide."""
+    p = _plan(QUERIES["q_ewma"](spark, SF_SMALL))
+    hash_ex = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
+    ]
+    assert len(hash_ex) == 1 and "user_id" in hash_ex[0], (
+        f"expected one user_id exchange:\n{p}"
+    )
+    assert "Join" not in p, f"EWMA plan contains a join:\n{p}"
+
+
+def test_perplexity_filter_two_exchanges_no_keyed_join(spark):
+    """E51: the LM model phase owns the token exchange, the
+    percentile cut adds ONE source-keyed window exchange — nothing
+    else shuffles and there is no keyed join (the model is a
+    broadcast map)."""
+    p = _plan(QUERIES["q_perplexity_filter"](spark, SF_SMALL))
+    hash_ex = [
+        b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
+    ]
+    token_ex = [b for b in hash_ex if "hashpartitioning(token" in b]
+    source_ex = [b for b in hash_ex if "hashpartitioning(source" in b]
+    assert len(token_ex) == 1, f"expected one token exchange:\n{p}"
+    assert len(source_ex) == 1, f"expected one source window exchange:\n{p}"
+    assert len(hash_ex) == 2, f"unexpected extra exchanges:\n{p}"
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in p, f"unexpected keyed join ({node}):\n{p}"
+
+
+def test_data_quality_report_joins_are_anti_and_keyed(spark):
+    """E55: the fk checks must be keyed ANTI joins (broadcast or
+    shuffled — AQE's call), never cartesian, and every other check is
+    a plain aggregation."""
+    p = _plan(QUERIES["q_data_quality_report"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    joins = (
+        _detail_blocks(p, "BroadcastHashJoin")
+        + _detail_blocks(p, "SortMergeJoin")
+        + _detail_blocks(p, "ShuffledHashJoin")
+    )
+    assert joins and all("LeftAnti" in b for b in joins), (
+        f"fk checks must plan as anti joins:\n{p}"
+    )
+
+
 @pytest.mark.parametrize("name", WINDOW)
 def test_no_cartesian_product_in_certified_window(spark, name):
     """No certified plan may contain a CartesianProduct. (Broadcast
