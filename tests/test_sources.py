@@ -235,3 +235,32 @@ def test_sql_entry_style_matches_dataframe(spark):
     a = {r["n_name"]: (r["n_items"], r["revenue"]) for r in got.collect()}
     b = {r["n_name"]: (r["n_items"], r["revenue"]) for r in want.collect()}
     assert a == b
+
+
+def test_json_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    """Dirty-feed contract: a malformed NDJSON line must land in
+    _corrupt_record (dead-letter filterable), good rows parse with it
+    NULL, and the job never fails."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from weatherflow_spark.sources.files import read_json_permissive
+
+    p = tmp_path / "dirty.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "NaN-ish", "name": 3}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_json_permissive(spark, str(p), schema).cache()
+    good = df.where("_corrupt_record IS NULL")
+    bad = df.where("_corrupt_record IS NOT NULL")
+    assert df.count() == 4
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert bad.count() == 2
+    raw = [r._corrupt_record for r in bad.collect()]
+    assert any("not json" in s for s in raw)
+    df.unpersist()

@@ -21,6 +21,29 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_json_permissive(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """NDJSON with dirty-data quarantine: PERMISSIVE mode routes any
+    unparseable line's raw bytes into ``_corrupt_record`` instead of
+    failing the job or silently dropping rows — the ingestion
+    contract a 100 TB feed needs (one bad producer must not kill the
+    load; the quarantine column is filterable into a dead-letter
+    sink). The passed schema is extended with the quarantine column;
+    good rows have it NULL."""
+    from pyspark.sql.types import StringType, StructField
+
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
