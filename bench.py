@@ -119,6 +119,7 @@ OPTIONAL = [
     "q_embedding_outliers",
     "q_data_quality_report",
     "q_ann_recall",
+    "q_rerank_topk",
 ]
 
 

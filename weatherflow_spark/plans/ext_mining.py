@@ -339,12 +339,20 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'vec_rank', coalesce(vec_rank, -1), "
         "'rrf_e9', rrf_e9, 'fused_rank', fused_rank) AS (metric, value)",
     )
+    # E58: the second-stage rerank over the fused shortlist.
+    rr = q_rerank_topk(spark, sf_dir).selectExpr(
+        "'rerank' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(4, 'fused_rank', fused_rank, 'ce_score', ce_score, "
+        "'rerank', rerank, 'rank_delta', rank_delta) AS (metric, value)",
+    )
     return (
         bm.unionByName(pm)
         .unionByName(bpe)
         .unionByName(enc)
         .unionByName(fh)
         .unionByName(hyb)
+        .unionByName(rr)
     )
 
 
@@ -355,7 +363,8 @@ def _oracle_text_mining_suite() -> str:
         bpe_side AS ({_oracle_bpe_train()}),
         enc_side AS ({_oracle_bpe_encode()}),
         fh_side AS ({ORACLE_FEATURE_HASH}),
-        hyb_side AS ({_oracle_hybrid_retrieval()})
+        hyb_side AS ({_oracle_hybrid_retrieval()}),
+        rr_side AS ({_oracle_rerank_topk()})
         SELECT 'bm25' AS op, CAST(doc_id AS VARCHAR) AS key,
                'score_e6' AS metric, score_e6 AS value FROM bm_side
         UNION ALL
@@ -397,6 +406,17 @@ def _oracle_text_mining_suite() -> str:
         UNION ALL
         SELECT 'hybrid', CAST(doc_id AS VARCHAR), 'fused_rank',
                fused_rank FROM hyb_side
+        UNION ALL
+        SELECT 'rerank', CAST(doc_id AS VARCHAR), 'fused_rank',
+               fused_rank FROM rr_side
+        UNION ALL
+        SELECT 'rerank', CAST(doc_id AS VARCHAR), 'ce_score',
+               ce_score FROM rr_side
+        UNION ALL
+        SELECT 'rerank', CAST(doc_id AS VARCHAR), 'rerank', rerank FROM rr_side
+        UNION ALL
+        SELECT 'rerank', CAST(doc_id AS VARCHAR), 'rank_delta',
+               rank_delta FROM rr_side
     """
 
 
@@ -868,6 +888,91 @@ def _oracle_hybrid_retrieval() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q_rerank_topk — E58: model rerank over the bounded shortlist
+# ---------------------------------------------------------------------------
+
+
+def _make_cross_encoder_fn(query: str) -> "Callable":
+    """Closure-built (pickles by value — the applyInPandas lesson)
+    Arrow-batched stand-in for a cross-encoder scorer: the engine's
+    rolling char fold over ``query || '|' || text`` — deterministic,
+    SQL-replicable, and exercising the exact seam a real model uses
+    (pandas in, scores out, one bounded batch). Swap the fold for an
+    ONNX/torch call and nothing else changes."""
+    from weatherflow_spark.functions.text import CHAR_P, MOD
+
+    def score(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            s = f"{query}|{t}"
+            acc = 0
+            for ch in s:
+                acc = (acc * CHAR_P + ord(ch)) % MOD
+            out.append(acc)
+        return pd.Series(out)
+
+    return score
+
+
+RERANK_QUERY = " ".join(QUERY_TERMS)
+
+
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage rerank — the retrieve-then-rerank shape every RAG
+    stack runs: the fused first-stage shortlist (E52, already
+    k-bounded) joins back to its documents and a "cross-encoder"
+    scores each (query, doc) pair through the sanctioned pandas_udf
+    seam. The defining scale property is WHERE the model runs: over
+    the ≤ k-row shortlist only, never the corpus — inference cost is
+    O(k) per query regardless of corpus size, and the plan shows it
+    (the corpus scan feeds a semi-join-shaped broadcast join against
+    34 ids, then the UDF).
+
+    The scorer is the deterministic char-fold stand-in (real
+    deployments swap in the model behind the same seam — the
+    multimodal-decode precedent), so the rerank is DuckDB-oracled
+    end-to-end: score, new rank, and the rank delta vs the fused
+    first stage all hash-check."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    cands = q_hybrid_retrieval(spark, sf_dir).select("doc_id", "fused_rank")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ce = pandas_udf(LongType())(_make_cross_encoder_fn(RERANK_QUERY))
+    w = Window.orderBy(F.desc("ce_score"), F.asc("doc_id"))
+    return (
+        docs.join(F.broadcast(cands), "doc_id")
+        .select("doc_id", "fused_rank", ce(F.col("text")).alias("ce_score"))
+        .withColumn("rerank", F.row_number().over(w).cast("long"))
+        .withColumn("rank_delta", F.col("fused_rank") - F.col("rerank"))
+    )
+
+
+def _oracle_rerank_topk() -> str:
+    fold = T._tok_hash_lambda_duck("s")
+    return f"""
+    WITH cands AS (
+        SELECT doc_id, fused_rank FROM ({_oracle_hybrid_retrieval()})
+    ),
+    scored AS (
+        SELECT c.doc_id, c.fused_rank,
+               {fold.replace("length(s)", "length('{q}|' || d.text)")
+                    .replace("substring(s,", "substring('{q}|' || d.text,")}
+                   AS ce_score
+        FROM cands c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, fused_rank, ce_score,
+           CAST(row_number() OVER (ORDER BY ce_score DESC, doc_id ASC)
+                AS BIGINT) AS rerank,
+           fused_rank - CAST(row_number() OVER (
+               ORDER BY ce_score DESC, doc_id ASC) AS BIGINT) AS rank_delta
+    FROM scored
+""".replace("{q}", RERANK_QUERY)
+
+
+# ---------------------------------------------------------------------------
 # q_feature_hash — E46: hashing-trick feature vectors (vectorization)
 # ---------------------------------------------------------------------------
 
@@ -1038,12 +1143,14 @@ MINING_QUERIES = {
     "q_bpe_encode": q_bpe_encode,
     "q_feature_hash": q_feature_hash,
     "q_hybrid_retrieval": q_hybrid_retrieval,
+    "q_rerank_topk": q_rerank_topk,
 }
 
 MINING_ORACLES = {
     "q_bpe_encode": _oracle_bpe_encode(),
     "q_feature_hash": ORACLE_FEATURE_HASH,
     "q_hybrid_retrieval": _oracle_hybrid_retrieval(),
+    "q_rerank_topk": _oracle_rerank_topk(),
     "q_text_profile_suite": _oracle_text_profile_suite(),
     "q_text_mining_suite": _oracle_text_mining_suite(),
     "q_tfidf_topk": _oracle_tfidf_topk(),
