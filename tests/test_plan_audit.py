@@ -436,12 +436,14 @@ def test_bpe_encode_one_corpus_exchange_per_round_pair_aggs(spark):
 
 
 def test_knn_graph_bucket_join_heap_trimmed_ranking(spark):
-    """E44 k-NN graph: candidate generation must be a keyed equi-join
-    on the LSH bucket (never a cartesian over vectors), and the
-    per-vector top-k must plan as WindowGroupLimit on BOTH sides of
-    the ranking exchange — per-task heaps trim candidates before the
-    shuffle, so the src_id exchange carries at most k rows per
-    (task, vector)."""
+    """E44 two-stage k-NN graph: candidate generation is a keyed
+    equi-join on the LSH bucket (never a cartesian over vectors)
+    whose shuffle carries only (ids, hamming) — the vector join-backs
+    for the exact-cosine stage are keyed on the shortlist ids; the
+    Hamming shortlist plans as partial+final WindowGroupLimit (heaps
+    trim candidates before the single src_id exchange) and the cosine
+    stage reuses that partitioning — exactly ONE src_id exchange in
+    the whole plan."""
     p = _plan(QUERIES["q_knn_graph"](spark, SF_SMALL))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
@@ -450,20 +452,21 @@ def test_knn_graph_bucket_join_heap_trimmed_ranking(spark):
         + _detail_blocks(p, "SortMergeJoin")
         + _detail_blocks(p, "ShuffledHashJoin")
     )
-    assert joins and all("bucket#" in b for b in joins), (
-        f"candidate join is not bucket-keyed:\n{p}"
-    )
-    assert len(_detail_headers(p, "WindowGroupLimit")) == 2, (
-        f"expected partial+final WindowGroupLimit heap trim:\n{p}"
+    bucket_joins = [b for b in joins if "Left keys [1]: [bucket#" in b]
+    id_joins = [
+        b
+        for b in joins
+        if "Left keys [1]: [src_id#" in b or "Left keys [1]: [nb_id#" in b
+    ]
+    assert len(bucket_joins) == 1, f"expected one bucket-keyed join:\n{p}"
+    assert len(id_joins) == 2, f"expected two shortlist join-backs:\n{p}"
+    assert len(joins) == 3, p
+    assert len(_detail_headers(p, "WindowGroupLimit")) == 3, (
+        f"expected partial+final hamming trim and final cosine trim:\n{p}"
     )
     hash_ex = [
         b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b
     ]
-    # One src_id ranking exchange + the two EXPLICIT fixed-count
-    # bucket repartitions (REPARTITION_BY_NUM — immune to AQE's
-    # byte-based coalescing, which single-tasked this CPU-bound
-    # stage) + possibly the vec_id spread inside the persisted
-    # materialization.
     src_ex = [b for b in hash_ex if "hashpartitioning(src_id" in b]
     bucket_ex = [
         b

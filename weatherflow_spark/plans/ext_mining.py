@@ -119,7 +119,12 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in QUERY_TERMS:
         piece = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
         score = piece if score is None else score + piece
-    return (
+    from weatherflow_spark.operators.caching import tracked_persist
+
+    # Persisted: the 25-row result is replayed by the hybrid fusion
+    # AND the rerank's internal hybrid AND the suite's own bm branch —
+    # caching the tiny output saves two full corpus-scoring replays.
+    return tracked_persist(
         per_doc.select(
             "doc_id",
             "n_terms_matched",
@@ -842,8 +847,12 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"coalesce(1.0 / ({RRF_K} + lex_rank), cast(0.0 as double)) "
         f"+ coalesce(1.0 / ({RRF_K} + vec_rank), cast(0.0 as double))"
     )
+    from weatherflow_spark.operators.caching import tracked_persist
+
     wf = Window.orderBy(F.desc("rrf_e9"), F.asc("doc_id"))
-    return (
+    # Persisted: ≤ k rows, replayed by the rerank stage and the
+    # suite's hybrid branch.
+    return tracked_persist(
         fused.select(
             "doc_id",
             "lex_rank",

@@ -118,7 +118,9 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition heaps, no global sort, no full shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = F.broadcast(_query_vec(spark, sf_dir))
-    return (
+    # Persisted: k rows, replayed by the hybrid fusion, the recall
+    # evaluation, and the ANN suite's brute branch.
+    return tracked_persist(
         emb.crossJoin(q)
         .where(F.col("vec_id") != QUERY_VEC_ID)
         .select(
@@ -587,6 +589,9 @@ ORACLE_EMBEDDING_NEAR_DUP = ORACLE_EMBEDDING_NEAR_DUP_TEMPLATE.format(
 # ---------------------------------------------------------------------------
 
 KNN_K = 3
+# Stage-1 Hamming shortlist size per vector: only these pay the exact
+# cosine fold (two-stage ANN; see q_knn_graph).
+HAM_SHORTLIST = 16
 
 
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,24 +612,22 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking) stay keyed and bounded; more planes shrink bucket
     population to hold the per-vector candidate budget flat.
 
-    Exact cosine (sequential-fold double, hash-stable) ranks the
-    candidates; ties break by neighbor id. Vectors whose probed
-    buckets hold fewer than K others emit fewer rows — the honest
-    LSH-recall contract, deterministic either way.
-
-    Per-pair cost matters here like nowhere else (candidates scale
-    with N, unlike the Q-bounded ANN twins), so the double cast and
-    the norm fold are hoisted to ONE narrow per-vector pass —
-    cosine = dot/(nrm_a·nrm_b) is the identical IEEE value to the
-    inline three-fold form (same fold, same sqrt, same product), but
-    each candidate pair now pays a single zip_with fold instead of
-    three (measured 45 s → 15 s at sf0.1). The hoisted relation is
-    persisted: it feeds both join sides. Both join inputs carry an
-    EXPLICIT fixed-count repartition on the bucket key: the pair
-    stage is CPU-bound on kilobyte-scale shuffle bytes, exactly the
-    shape AQE's byte-based coalescing collapses to one task (measured
-    15 s single-task → the explicit partition count keeps all cores
-    on the fold)."""
+    Two-stage ranking — the production ANN shape: the bucket join
+    scores candidates by the CHEAP 48-bit code Hamming distance only
+    (one xor + popcount per pair; the candidate shuffle carries ids
+    and one int, never vectors — the q_embedding_near_dup lesson),
+    per-source WindowGroupLimit heaps trim to the HAM_SHORTLIST
+    best, and only that bounded shortlist joins back to the vector
+    table to pay the exact-cosine fold (measured 7 s → the fix at
+    sf0.1: exact folds drop from every candidate pair to ≤ shortlist
+    per vector). Neighbors are the top-K by exact cosine AMONG the
+    Hamming shortlist — the standard two-stage recall contract,
+    deterministic both stages (ties: hamming then nb_id; cosine then
+    nb_id). Vectors whose probed buckets hold fewer candidates emit
+    fewer rows. Both join inputs carry an EXPLICIT fixed-count
+    repartition on the bucket key: the pair stage is CPU-bound on
+    kilobyte-scale shuffle bytes, exactly the shape AQE's byte-based
+    coalescing collapses to one task."""
     par = spark.sparkContext.defaultParallelism
     nrm = (
         "sqrt(aggregate(zip_with(ed, ed, (x, y) -> x * y), "
@@ -637,14 +640,14 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.expr("cast(embedding as array<double>)").alias("ed"),
-            F.expr(lsh_bucket_expr("embedding")).alias("bucket"),
+            F.expr(lsh_bucket_expr("embedding", NEARDUP_PLANES)).alias("code"),
         )
+        .withColumn("bucket", F.col("code") % F.lit(1 << LSH_PLANES))
         .withColumn("nrm", F.expr(nrm))
     )
     probes = hashed.select(
         F.col("vec_id").alias("src_id"),
-        F.col("ed").alias("src_ed"),
-        F.col("nrm").alias("src_nrm"),
+        F.col("code").alias("src_code"),
         F.explode(
             F.expr(
                 f"array_union(array(bucket), transform(sequence(0, {LSH_PLANES - 1}), "
@@ -652,24 +655,52 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
+    wham = Window.partitionBy("src_id").orderBy(F.asc("ham"), F.asc("nb_id"))
+    shortlist = (
+        probes.repartition(par, F.col("bucket"))
+        .join(
+            hashed.select(
+                F.col("vec_id").alias("nb_id"),
+                F.col("code").alias("nb_code"),
+                "bucket",
+            ).repartition(par, F.col("bucket")),
+            "bucket",
+        )
+        .where(F.col("src_id") != F.col("nb_id"))
+        .select(
+            "src_id",
+            "nb_id",
+            F.expr("bit_count(src_code ^ nb_code)").alias("ham"),
+        )
+        .withColumn("hrank", F.row_number().over(wham))
+        .where(F.col("hrank") <= HAM_SHORTLIST)
+        .select("src_id", "nb_id")
+    )
     dot = (
         "aggregate(zip_with(src_ed, nb_ed, (x, y) -> x * y), "
         "cast(0.0 as double), (acc, v) -> acc + v)"
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
-    return (
-        probes.repartition(par, F.col("bucket"))
+    # Persisted: N·k edge rows, replayed by the classifier vote layer
+    # and the ANN suite's knn + knn_vote branches.
+    return tracked_persist(
+        shortlist.join(
+            hashed.select(
+                F.col("vec_id").alias("src_id"),
+                F.col("ed").alias("src_ed"),
+                F.col("nrm").alias("src_nrm"),
+            ),
+            "src_id",
+        )
         .join(
             hashed.select(
                 F.col("vec_id").alias("nb_id"),
                 F.col("label").alias("nb_label"),
                 F.col("ed").alias("nb_ed"),
                 F.col("nrm").alias("nb_nrm"),
-                "bucket",
-            ).repartition(par, F.col("bucket")),
-            "bucket",
+            ),
+            "nb_id",
         )
-        .where(F.col("src_id") != F.col("nb_id"))
         .select(
             "src_id",
             "nb_id",
@@ -685,30 +716,44 @@ ORACLE_KNN_GRAPH = f"""
     WITH hashed AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
-               {lsh_bucket_sql('embedding')} AS bucket
+               {lsh_bucket_sql('embedding', NEARDUP_PLANES)} AS code
         FROM embeddings
     ),
     normed AS (
-        SELECT vec_id, label, ed, bucket,
+        SELECT vec_id, label, ed, code,
+               code % {1 << LSH_PLANES} AS bucket,
                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(ed, x -> x * x)), (acc, v) -> acc + v)) AS nrm
         FROM hashed
     ),
     probes AS (
-        SELECT vec_id AS src_id, ed AS src_ed, nrm AS src_nrm,
+        SELECT vec_id AS src_id, code AS src_code,
                unnest(list_distinct(list_prepend(bucket,
                    list_transform(generate_series(0, {LSH_PLANES - 1}),
                        p -> xor(bucket, (CAST(1 AS BIGINT) << p)))))) AS bucket
         FROM normed
     ),
+    shortlist AS (
+        SELECT src_id, nb_id FROM (
+            SELECT p.src_id, h.vec_id AS nb_id,
+                   row_number() OVER (
+                       PARTITION BY p.src_id
+                       ORDER BY bit_count(xor(p.src_code, h.code)) ASC,
+                                h.vec_id ASC
+                   ) AS hrank
+            FROM probes p JOIN normed h USING (bucket)
+            WHERE p.src_id <> h.vec_id
+        ) WHERE hrank <= {HAM_SHORTLIST}
+    ),
     scored AS (
-        SELECT p.src_id, h.vec_id AS nb_id, h.label AS nb_label,
+        SELECT s.src_id, s.nb_id, hb.label AS nb_label,
                (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    list_transform(generate_series(1, len(p.src_ed)),
-                        i -> p.src_ed[i] * h.ed[i])), (acc, v) -> acc + v))
-                   / (p.src_nrm * h.nrm) AS cosine
-        FROM probes p JOIN normed h USING (bucket)
-        WHERE p.src_id <> h.vec_id
+                    list_transform(generate_series(1, len(ha.ed)),
+                        i -> ha.ed[i] * hb.ed[i])), (acc, v) -> acc + v))
+                   / (ha.nrm * hb.nrm) AS cosine
+        FROM shortlist s
+        JOIN normed ha ON ha.vec_id = s.src_id
+        JOIN normed hb ON hb.vec_id = s.nb_id
     )
     SELECT src_id, nb_id, nb_label, cosine, rank FROM (
         SELECT *, CAST(row_number() OVER (
