@@ -1,7 +1,5 @@
-"""Extension tier E2 (SURVEY §2.11): vector similarity search over
-`embeddings` (array<float>, 64-dim).
-
-Four queries:
+"""Extension tier E2/E41/E44/E50/E57 (SURVEY §2.11): vector
+similarity over `embeddings` (array<float>, 64-dim).
 
 - **q_similarity_topk**     — brute-force cosine top-k (the exact
                               baseline; TakeOrderedAndProject).
@@ -12,6 +10,16 @@ Four queries:
                               within cells (the scale path).
 - **q_ann_lsh_topk**        — sign-random-projection LSH ANN with
                               multi-probe (flip-1-bit) bucket search.
+- **q_ann_batch_topk**      — Q queries answered in one corpus pass.
+- **q_knn_graph**           — all-vectors top-k neighbor lists,
+                              two-stage (Hamming shortlist → exact
+                              cosine on the shortlist only).
+- **q_knn_classify**        — majority-vote label propagation on the
+                              graph's edge list.
+- **q_semantic_dedup**      — SemDeDup cluster-blocked pruning with
+                              an exact-integer cosine threshold.
+- **q_ann_recall**          — measured recall@k of the approximate
+                              indexes against the exact baseline.
 
 Determinism contract (everything here hash-checks against DuckDB):
 
