@@ -120,6 +120,7 @@ OPTIONAL = [
     "q_data_quality_report",
     "q_ann_recall",
     "q_rerank_topk",
+    "q_cluster_representatives",
 ]
 
 

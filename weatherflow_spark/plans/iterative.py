@@ -316,14 +316,101 @@ def _oracle_iterative_suite() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# q_cluster_representatives — E59: keep the BEST copy, not the first
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over the near-dup clusters: instead
+    of dedup's keep-first rule, each connected component keeps its
+    highest-QUALITY member — the release policy a real corpus wants
+    (the longest clean copy survives, not the lowest id). The quality
+    key is deterministic and integer: Gopher keep-flag first, then
+    word count, then doc_id — one window over the cluster-keyed join
+    of the component labels (E1 clusters) with the quality verdicts
+    (E25 rules). Emits per-cluster size and kept-rule tallies next to
+    the representative so the hash pins the whole selection.
+
+    Scale: adds ONE keyed join (doc_id) and ONE cluster-keyed window
+    on top of the label-propagation output — components are small by
+    construction (near-dup groups), so the window partitions are
+    bounded."""
+    from weatherflow_spark.plans.ext_text import q_quality_filter
+
+    cl = q_dedup_clusters(spark, sf_dir)
+    qv = q_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("keep"), "n_words"
+    )
+    j = cl.join(qv, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("keep"), F.desc("n_words"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    reps = ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("keep").alias("rep_keep"),
+        F.col("n_words").alias("rep_n_words"),
+    )
+    sizes = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("keep").alias("n_rule_kept"),
+    )
+    return reps.join(sizes, "cluster_id").select(
+        "cluster_id",
+        "rep_doc_id",
+        "rep_keep",
+        "rep_n_words",
+        "n_members",
+        "n_rule_kept",
+    )
+
+
+def _oracle_cluster_representatives() -> str:
+    from weatherflow_spark.plans.ext_text import ORACLE_QUALITY_FILTER
+
+    return f"""
+    WITH clusters AS ({_oracle_dedup_clusters()}),
+    qv AS (
+        SELECT doc_id, CAST(keep AS INTEGER) AS keep, n_words
+        FROM ({ORACLE_QUALITY_FILTER})
+    ),
+    j AS (
+        SELECT c.cluster_id, c.doc_id, qv.keep, qv.n_words
+        FROM clusters c JOIN qv USING (doc_id)
+    ),
+    reps AS (
+        SELECT cluster_id, doc_id AS rep_doc_id, keep AS rep_keep,
+               n_words AS rep_n_words
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY keep DESC, n_words DESC, doc_id ASC
+            ) AS rn FROM j
+        ) WHERE rn = 1
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(keep) AS BIGINT) AS n_rule_kept
+        FROM j GROUP BY cluster_id
+    )
+    SELECT r.cluster_id, r.rep_doc_id, r.rep_keep, r.rep_n_words,
+           s.n_members, s.n_rule_kept
+    FROM reps r JOIN sizes s USING (cluster_id)
+"""
+
+
 ITERATIVE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans": q_kmeans,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_cluster_representatives": q_cluster_representatives,
     "q_iterative_suite": q_iterative_suite,
 }
 
 ITERATIVE_ORACLES: dict[str, str] = {
     "q_kmeans": _oracle_kmeans(),
     "q_dedup_clusters": _oracle_dedup_clusters(),
+    "q_cluster_representatives": _oracle_cluster_representatives(),
     "q_iterative_suite": _oracle_iterative_suite(),
 }
