@@ -121,6 +121,7 @@ OPTIONAL = [
     "q_ann_recall",
     "q_rerank_topk",
     "q_cluster_representatives",
+    "q_containment",
 ]
 
 

@@ -516,6 +516,89 @@ ORACLE_NGRAM_JACCARD = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_containment — E60: asymmetric n-gram containment (quotation dup)
+# ---------------------------------------------------------------------------
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C = |A∩B| / min(|A|, |B|) over the same
+    MinHash-gated candidate pairs as the Jaccard verify — the measure
+    that catches QUOTATION duplication (a short doc embedded in a
+    long one), which symmetric Jaccard under-scores exactly when the
+    sizes diverge. Same bounded physical shape as q_ngram_jaccard
+    (band-key candidate join, never all-pairs); top-25 by the
+    e6-rounded containment with full tie-breaks.
+
+    Honest gate note: MinHash band collision probability tracks
+    JACCARD, so extreme size-ratio containments can slip the gate —
+    production containment sweeps post the smaller side's shingles
+    into an inverted index instead (the q_inverted_index shape); this
+    operator certifies the verify measure on the shared gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    grams = docs.select(
+        F.col("doc_id"),
+        F.expr(
+            f"array_distinct({T.shingle_hashes_expr('text', NGRAM_VERIFY_N)})"
+        ).alias("gr"),
+    )
+    joined = (
+        pairs.join(grams.withColumnsRenamed({"doc_id": "doc_a", "gr": "gr_a"}), "doc_a")
+        .join(grams.withColumnsRenamed({"doc_id": "doc_b", "gr": "gr_b"}), "doc_b")
+        .withColumn("n_inter", F.expr("size(array_intersect(gr_a, gr_b))"))
+        .withColumn("n_min", F.expr("least(size(gr_a), size(gr_b))"))
+        .withColumn(
+            "containment_e6",
+            F.when(F.col("n_min") == 0, F.lit(0)).otherwise(
+                F.floor(
+                    F.col("n_inter").cast("double")
+                    / F.col("n_min").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+            ).cast("bigint"),
+        )
+    )
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("int").alias("n_inter"),
+            F.col("n_min").cast("int").alias("n_min"),
+            "containment_e6",
+        )
+        .orderBy(F.desc("containment_e6"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(25)
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+    WITH {candidate_pairs_cte()},
+    grams AS (
+        SELECT doc_id, list_distinct({T.shingle_hashes_sql('text', NGRAM_VERIFY_N)}) AS gr
+        FROM documents
+    ),
+    scored AS (
+        SELECT
+            p.doc_a, p.doc_b,
+            CAST(len(list_intersect(ga.gr, gb.gr)) AS INTEGER) AS n_inter,
+            CAST(least(len(ga.gr), len(gb.gr)) AS INTEGER) AS n_min
+        FROM pairs p
+        JOIN grams ga ON ga.doc_id = p.doc_a
+        JOIN grams gb ON gb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, n_min,
+           CASE WHEN n_min = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(n_inter AS DOUBLE)
+                                / CAST(n_min AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           END AS containment_e6
+    FROM scored
+    ORDER BY containment_e6 DESC, doc_a ASC, doc_b ASC
+    LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_fuzzy_join — entity resolution by blocked edit-distance join
 # ---------------------------------------------------------------------------
 
@@ -789,7 +872,21 @@ def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.lit(1).cast("int").alias("is_dup"),
     )
-    return mh.unionByName(sh).unionByName(ng).unionByName(sem)
+    # Seventh family (E60): asymmetric containment over the shared
+    # MinHash gate — quotation/subset duplication.
+    cont = q_containment(spark, sf_dir).select(
+        F.lit("containment").alias("method"),
+        "doc_a",
+        "doc_b",
+        (F.col("containment_e6").cast("double") / 1e6).alias("score"),
+        null_flag,
+    )
+    return (
+        mh.unionByName(sh)
+        .unionByName(ng)
+        .unionByName(sem)
+        .unionByName(cont)
+    )
 
 
 def _oracle_near_dup_suite() -> str:
@@ -799,7 +896,8 @@ def _oracle_near_dup_suite() -> str:
     WITH mh_side AS ({_oracle_minhash_near_dup()}),
     sh_side AS ({ORACLE_SIMHASH_NEAR_DUP}),
     ng_side AS ({ORACLE_NGRAM_JACCARD}),
-    sem_side AS ({ORACLE_SEMANTIC_PAIRS})
+    sem_side AS ({ORACLE_SEMANTIC_PAIRS}),
+    cont_side AS ({ORACLE_CONTAINMENT})
     SELECT 'minhash' AS method, doc_a, doc_b, jaccard AS score, is_dup
     FROM mh_side
     UNION ALL
@@ -812,11 +910,16 @@ def _oracle_near_dup_suite() -> str:
     UNION ALL
     SELECT 'semantic', vec_a, vec_b, CAST(NULL AS DOUBLE), 1
     FROM sem_side
+    UNION ALL
+    SELECT 'containment', doc_a, doc_b,
+           CAST(containment_e6 AS DOUBLE) / 1e6, CAST(NULL AS INTEGER)
+    FROM cont_side
 """
 
 
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
+    "q_containment": q_containment,
     "q_fuzzy_join": q_fuzzy_join,
     "q_minhash_signature": q_minhash_signature,
     "q_minhash_near_dup": q_minhash_near_dup,
@@ -828,6 +931,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 DEDUP_ORACLES: dict[str, str] = {
+    "q_containment": ORACLE_CONTAINMENT,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_fuzzy_join": ORACLE_FUZZY_JOIN,
     "q_minhash_signature": ORACLE_MINHASH_SIGNATURE,
