@@ -548,3 +548,66 @@ def test_no_cartesian_product_in_certified_window(spark, name):
     allowed — that is the planned shape for scalar subqueries.)"""
     p = _plan(QUERIES[name](spark, SF_SMALL))
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product:\n{p}"
+
+
+def test_lp_round_plan_constant(spark):
+    """E1 clusters (What's wrong r6 #1): each label-propagation round
+    consumes the previous labels twice, so an unpersisted loop doubles
+    the physical plan per round (measured r6: 180 parquet scans / 262
+    Exchanges at LP_ROUNDS=3). With the per-round tracked_persist each
+    round plans against the previous round's InMemoryRelation, so the
+    printed plan grows LINEARLY (one nested cached block per round),
+    never geometrically — asserted as constant node-count increments
+    across rounds."""
+    from weatherflow_spark.operators.caching import tracked_persist
+    from weatherflow_spark.plans.iterative import _lp_round
+
+    edges = tracked_persist(
+        spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2), (5, 6), (6, 5)], "src long, dst long"
+        )
+    )
+    edges.count()
+    labels = tracked_persist(
+        edges.selectExpr("src AS doc_id", "src AS label").distinct()
+    )
+    labels.count()
+    nodes = []
+    for _ in range(3):
+        labels = tracked_persist(_lp_round(edges, labels))
+        p = _plan(labels)
+        nodes.append(len(re.findall(r"^\(\d+\) ", p, flags=re.M)))
+        labels.count()  # materialize this round before building the next
+    deltas = [b - a for a, b in zip(nodes, nodes[1:])]
+    assert len(set(deltas)) == 1, (
+        f"plan growth per round is not constant (geometric lineage?): {nodes}"
+    )
+
+
+def test_dedup_clusters_plan_is_linear_in_rounds(spark):
+    """The full q_dedup_clusters physical plan: r6 measured 180
+    parquet scans / 262 Exchanges from the unpersisted loop doubling
+    per round. With per-round persists the MinHash pipeline plans its
+    scans once and each round adds one cached block — single-digit
+    scan/exchange counts at LP_ROUNDS=3."""
+    p = _plan(QUERIES["q_dedup_clusters"](spark, SF_SMALL))
+    scans = _detail_headers(p, "Scan parquet")
+    exchanges = _detail_headers(p, "Exchange")
+    assert len(scans) <= 6, f"{len(scans)} parquet scans — lineage blowup is back:\n{p}"
+    assert len(exchanges) <= 20, f"{len(exchanges)} Exchanges — lineage blowup:\n{p}"
+    assert _detail_headers(p, "InMemoryTableScan"), p
+
+
+def test_cluster_representatives_single_pass(spark):
+    """E59 (What's wrong r6 #2): the size/kept tallies must ride the
+    SAME cluster_id window pass as the representative rank — ONE
+    WindowExec over one clusters+quality subtree, no reps x sizes
+    rejoin (previously 362 parquet scans / 528 Exchanges / 0
+    ReusedExchange; now the plan adds exactly one scan over the
+    clusters baseline)."""
+    p = _plan(QUERIES["q_cluster_representatives"](spark, SF_SMALL))
+    assert len(_detail_headers(p, "Window")) == 1, f"expected one WindowExec:\n{p}"
+    scans = _detail_headers(p, "Scan parquet")
+    assert len(scans) <= 7, f"duplicated upstream subtree ({len(scans)} scans):\n{p}"
+    exchanges = _detail_headers(p, "Exchange")
+    assert len(exchanges) <= 21, f"{len(exchanges)} Exchanges — double subtree:\n{p}"

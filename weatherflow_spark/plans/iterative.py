@@ -191,6 +191,23 @@ def _oracle_kmeans() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _lp_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation round: keyed join of the edge list
+    against the current labels, per-src neighbor min (map-side
+    combinable), left-joined back onto the labels. Consumes `labels`
+    TWICE — callers must persist each round's output or the physical
+    plan doubles per round."""
+    nbr_min = (
+        edges.join(labels, edges["dst"] == labels["doc_id"])
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    return labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left").select(
+        "doc_id",
+        F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: MinHash near-dup pairs
     (jaccard ≥ 0.5) become an undirected graph; LP_ROUNDS (=3) rounds
@@ -211,24 +228,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     )
 
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("label")
+    # Persist EVERY round's label state (the k-means pattern at
+    # :func:`q_kmeans`): each round consumes `labels` TWICE — as the
+    # left side of the update join and feeding `nbr_min` — so an
+    # unpersisted loop doubles the physical plan per round (2^rounds
+    # parquet scans; measured 180 scans / 262 Exchanges at 3 rounds).
+    # With the persist each round plans two InMemoryTableScans of the
+    # previous round instead, keeping plan size constant per added
+    # round (asserted by tests/test_plan_audit.py::test_lp_plan_constant).
+    labels = tracked_persist(
+        edges.select(F.col("src").alias("doc_id")).distinct().select(
+            "doc_id", F.col("doc_id").alias("label")
+        )
     )
     for _ in range(LP_ROUNDS):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
-        )
+        labels = tracked_persist(_lp_round(edges, labels))
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -333,9 +347,15 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the representative so the hash pins the whole selection.
 
     Scale: adds ONE keyed join (doc_id) and ONE cluster-keyed window
-    on top of the label-propagation output — components are small by
-    construction (near-dup groups), so the window partitions are
-    bounded."""
+    pass on top of the label-propagation output — components are
+    small by construction (near-dup groups), so the window partitions
+    are bounded. The per-cluster size/kept tallies are whole-partition
+    frame aggregates over the SAME (partition, order) spec as the
+    rank, so Spark plans a single WindowExec over one exchange — no
+    second clusters+quality subtree, no rejoin (previously a
+    reps⋈sizes self-join doubled the upstream: 362 parquet scans,
+    528 Exchanges; asserted single-subtree by
+    tests/test_plan_audit.py::test_cluster_representatives_single_pass)."""
     from weatherflow_spark.plans.ext_text import q_quality_filter
 
     cl = q_dedup_clusters(spark, sf_dir)
@@ -346,24 +366,19 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("keep"), F.desc("n_words"), F.asc("doc_id")
     )
-    ranked = j.withColumn("rn", F.row_number().over(w))
-    reps = ranked.where(F.col("rn") == 1).select(
-        "cluster_id",
-        F.col("doc_id").alias("rep_doc_id"),
-        F.col("keep").alias("rep_keep"),
-        F.col("n_words").alias("rep_n_words"),
-    )
-    sizes = j.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum("keep").alias("n_rule_kept"),
-    )
-    return reps.join(sizes, "cluster_id").select(
-        "cluster_id",
-        "rep_doc_id",
-        "rep_keep",
-        "rep_n_words",
-        "n_members",
-        "n_rule_kept",
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        j.select(
+            "cluster_id",
+            F.row_number().over(w).alias("rn"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("keep").alias("rep_keep"),
+            F.col("n_words").alias("rep_n_words"),
+            F.count(F.lit(1)).over(w_all).alias("n_members"),
+            F.sum("keep").over(w_all).alias("n_rule_kept"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )
 
 
