@@ -163,19 +163,26 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "reps": REPS,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "reps": REPS,
+        "sf": float(sf) if sf else None,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # The driver only keeps a bounded stdout tail, which this line has
+    # outgrown (BENCH_r04..r06 all recorded `parsed: null`) — ALSO
+    # write the full payload to a repo file so every round's complete
+    # per-query history survives for regression adjudication.
+    try:
+        with open(os.path.join(REPO_DIR, "bench_last.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError as exc:  # read-only checkout: stdout line still stands
+        print(f"bench_last.json not written: {exc}", file=sys.stderr)
     spark.stop()
 
 

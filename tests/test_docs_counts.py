@@ -21,3 +21,26 @@ def test_doc_counts_match_registry():
     assert f"{nq} registered queries; {no} hash-checked" in arch, (
         f"ARCHITECTURE query counts stale (registry is {nq}/{no})"
     )
+
+
+def test_python_boundary_claim_matches_registry():
+    """ARCHITECTURE's determinism-contract section lists exactly
+    which certified queries cross the Python boundary — the list
+    drifted in round 6, so it is now parsed from the doc and checked:
+    the count word must agree with the number of listed names and
+    every listed name must be a registered query. (Plan-level
+    Python-node detection for the full registry is the per-query
+    audit suite's job.)"""
+    import re
+
+    arch = open(os.path.join(REPO, "ARCHITECTURE.md")).read()
+    m = re.search(r"\*\*Python boundary\*\*: only (\w+) queries cross it \(([^)]+)\)", arch)
+    assert m, "Python-boundary claim sentence missing/reworded"
+    word, names_blob = m.groups()
+    names = sorted(re.findall(r"`(q_\w+)`", names_blob))
+    words = {2: "two", 3: "three", 4: "four", 5: "five", 6: "six", 7: "seven"}
+    assert word == words.get(len(names)), (
+        f"count word '{word}' disagrees with {len(names)} listed names"
+    )
+    for n in names:
+        assert n in QUERIES, f"claimed boundary query {n} not registered"

@@ -264,3 +264,35 @@ def test_json_permissive_quarantines_corrupt_rows(spark, tmp_path):
     raw = [r._corrupt_record for r in bad.collect()]
     assert any("not json" in s for s in raw)
     df.unpersist()
+
+
+def test_dead_letter_splits_good_and_bad(spark, tmp_path):
+    """The sanctioned split path: dead_letter() must cache internally
+    (Spark's corrupt-record restriction forbids filtering the raw
+    frame on _corrupt_record alone) and return clean good rows plus
+    raw quarantined lines."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.sources.files import dead_letter, read_json_permissive
+
+    p = tmp_path / "dirty.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{broken\n"
+        '{"id": 2, "name": "fine"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_json_permissive(spark, str(p), schema)
+    try:
+        good, bad = dead_letter(df)
+        # bad-only action: exactly the query shape that raises
+        # AnalysisException on the uncached frame
+        assert bad.count() == 1
+        assert "_corrupt_record" not in good.columns
+        assert sorted(r.id for r in good.collect()) == [1, 2]
+        assert "{broken" in bad.collect()[0].raw
+    finally:
+        release_caches()

@@ -53,15 +53,23 @@ def curate_corpus(
 ) -> dict[str, int]:
     """Run the release pipeline; returns the stage funnel counts and
     writes ``curated`` (parquet) plus ``report`` under ``out_dir``."""
+    from weatherflow_spark.operators.caching import release_caches, tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
 
-    dedup_keep = q_dedup_exact(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id")
+    # Persist each verdict id-set: they are doc_id-only (tiny), but
+    # their LINEAGE is the expensive part — the exact-dedup group-by,
+    # the Gopher rules, and the perplexity LM's token exchange. The
+    # job runs five actions (four funnel counts + the write); without
+    # these persists every action re-derived all three pipelines
+    # (~5x the work, VERDICT r6 What's wrong #4 / ADVICE).
+    dedup_keep = tracked_persist(
+        q_dedup_exact(spark, sf_dir).select(F.col("keep_doc_id").alias("doc_id"))
     )
-    qual_keep = (
+    qual_keep = tracked_persist(
         q_quality_filter(spark, sf_dir).where(F.col("keep")).select("doc_id")
     )
-    ppl_keep = (
+    ppl_keep = tracked_persist(
         q_perplexity_filter(spark, sf_dir)
         .where(F.col("keep") == 1)
         .select("doc_id")
@@ -78,13 +86,16 @@ def curate_corpus(
         redact_text(F.col("text")).alias("text"),
     ).withColumn("n_chars", F.length("text").cast("long"))
 
-    funnel = {
-        "n_input": docs.count(),
-        "n_after_dedup": stage1.count(),
-        "n_after_quality": stage2.count(),
-        "n_after_perplexity": stage3.count(),
-    }
-    write_table(curated, f"{out_dir}/curated")
+    try:
+        funnel = {
+            "n_input": docs.count(),
+            "n_after_dedup": stage1.count(),
+            "n_after_quality": stage2.count(),
+            "n_after_perplexity": stage3.count(),
+        }
+        write_table(curated, f"{out_dir}/curated")
+    finally:
+        release_caches()
     report = spark.createDataFrame(
         [(k, v) for k, v in funnel.items()], "stage string, n_docs long"
     )

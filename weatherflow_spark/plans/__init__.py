@@ -117,9 +117,13 @@ _CERTIFICATION_WINDOW = [
     "q_unpivot",
     # X1/X2/X3/E11 UDF + multimodal, one hash (singles in the tail)
     "q_udf_suite",
-    # round-6 flagship similarity singles (also suite branches — the
-    # direct rows pin their own plans)
-    "q_semantic_dedup",           # E41
+    # round-6/7 flagship singles. q_knn_graph (E44) pins its own plan
+    # next to its q_ann_suite branch; q_semantic_dedup's (E41) pair
+    # core is certified as q_near_dup_suite's 'semantic' branch and
+    # its keep/drop verdict stays hash-checked in the tail — its slot
+    # goes to the E55 warehouse data-quality report (round-7 fold-in,
+    # VERDICT r6 'What's missing' #1).
+    "q_data_quality_report",      # E55
     "q_knn_graph",                # E44
     # product analytics (funnel + cohort retention)
     "q_product_analytics_suite",

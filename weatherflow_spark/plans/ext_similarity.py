@@ -1190,12 +1190,23 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").alias("label"),
         F.col("correct").cast("double").alias("cosine"),
     )
+    # E57: index-quality self-eval projected onto the suite shape —
+    # q_id carries k, vec_id the hit count, cosine the e6-scaled
+    # recall (documented column reuse; 2 rows, hash pins both).
+    recall = q_ann_recall(spark, sf_dir).select(
+        F.concat(F.lit("recall_"), F.col("method")).alias("method"),
+        F.col("k").cast("long").alias("q_id"),
+        F.col("n_hits").cast("long").alias("vec_id"),
+        F.lit(None).cast("int").alias("label"),
+        F.col("recall_e6").cast("double").alias("cosine"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
         .unionByName(batch)
         .unionByName(knn)
         .unionByName(vote)
+        .unionByName(recall)
     )
 
 
@@ -1205,7 +1216,8 @@ ORACLE_ANN_SUITE = f"""
     lsh_side AS ({ORACLE_ANN_LSH_TOPK}),
     batch_side AS ({ORACLE_ANN_BATCH_TOPK}),
     knn_side AS ({ORACLE_KNN_GRAPH}),
-    vote_side AS ({ORACLE_KNN_CLASSIFY})
+    vote_side AS ({ORACLE_KNN_CLASSIFY}),
+    recall_side AS ({ORACLE_ANN_RECALL})
     SELECT 'brute' AS method, CAST({QUERY_VEC_ID} AS BIGINT) AS q_id,
            vec_id, label, cosine FROM brute_side
     UNION ALL
@@ -1222,6 +1234,10 @@ ORACLE_ANN_SUITE = f"""
     SELECT 'knn_vote', src_id, CAST(pred_label AS BIGINT), true_label,
            CAST(correct AS DOUBLE)
     FROM vote_side
+    UNION ALL
+    SELECT 'recall_' || method, CAST(k AS BIGINT), n_hits,
+           CAST(NULL AS INTEGER), CAST(recall_e6 AS DOUBLE)
+    FROM recall_side
 """
 
 

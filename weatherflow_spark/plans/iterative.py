@@ -295,7 +295,12 @@ def q_iterative_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer algorithms whose oracles replay every round as unrolled
     CTEs; each branch keeps its own physical loop shape (persisted
     loop-invariant relations, keyed joins + map-side-partial aggs).
-    Single-algorithm twins stay registered in the tail."""
+    Round 7 adds the E59 representative-selection branch (algo
+    'representatives'): entity_id carries cluster_id, tag packs
+    '<rep_doc_id>:<rep_keep>', metric1/metric2/metric3 carry
+    n_members / n_rule_kept / rep_n_words — documented column reuse,
+    so the hash pins the full per-cluster selection. Single-algorithm
+    twins stay registered in the tail."""
     from weatherflow_spark.plans.graph import q_pagerank
 
     pr = q_pagerank(spark, sf_dir).select(
@@ -304,6 +309,7 @@ def q_iterative_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_type").alias("tag"),
         F.col("rank_scaled").alias("metric1"),
         F.lit(None).cast("long").alias("metric2"),
+        F.lit(None).cast("long").alias("metric3"),
     )
     km = q_kmeans(spark, sf_dir).select(
         F.lit("kmeans").alias("algo"),
@@ -311,8 +317,17 @@ def q_iterative_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("tag"),
         F.col("n_members").alias("metric1"),
         F.col("min_vec_id").alias("metric2"),
+        F.lit(None).cast("long").alias("metric3"),
     )
-    return pr.unionByName(km)
+    reps = q_cluster_representatives(spark, sf_dir).select(
+        F.lit("representatives").alias("algo"),
+        F.col("cluster_id").alias("entity_id"),
+        F.concat_ws(":", F.col("rep_doc_id"), F.col("rep_keep")).alias("tag"),
+        F.col("n_members").cast("long").alias("metric1"),
+        F.col("n_rule_kept").cast("long").alias("metric2"),
+        F.col("rep_n_words").cast("long").alias("metric3"),
+    )
+    return pr.unionByName(km).unionByName(reps)
 
 
 def _oracle_iterative_suite() -> str:
@@ -320,13 +335,22 @@ def _oracle_iterative_suite() -> str:
 
     return f"""
     WITH pr_side AS ({ORACLE_PAGERANK}),
-    km_side AS ({_oracle_kmeans()})
+    km_side AS ({_oracle_kmeans()}),
+    reps_side AS ({_oracle_cluster_representatives()})
     SELECT 'pagerank' AS algo, node AS entity_id, node_type AS tag,
-           rank_scaled AS metric1, CAST(NULL AS BIGINT) AS metric2
+           rank_scaled AS metric1, CAST(NULL AS BIGINT) AS metric2,
+           CAST(NULL AS BIGINT) AS metric3
     FROM pr_side
     UNION ALL
-    SELECT 'kmeans', cluster, CAST(NULL AS VARCHAR), n_members, min_vec_id
+    SELECT 'kmeans', cluster, CAST(NULL AS VARCHAR), n_members, min_vec_id,
+           CAST(NULL AS BIGINT)
     FROM km_side
+    UNION ALL
+    SELECT 'representatives', cluster_id,
+           CAST(rep_doc_id AS VARCHAR) || ':' || CAST(rep_keep AS VARCHAR),
+           CAST(n_members AS BIGINT), CAST(n_rule_kept AS BIGINT),
+           CAST(rep_n_words AS BIGINT)
+    FROM reps_side
 """
 
 

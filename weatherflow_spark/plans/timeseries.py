@@ -189,10 +189,16 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     value — the classic streaming smoother (s ← s + α·(x − s), seeded
     with the first observation). EWMA is inherently sequential, which
     a naive window can't express; here each user's series is folded
-    in event order inside ONE user-keyed aggregation:
-    ``array_sort(collect_list(struct(ts, event_id, value)))`` pins the
-    order (event_id breaks ts ties), then an ``aggregate`` fold runs
-    the recurrence. Per-key state is one array bounded by the user's
+    in event order inside ONE user-keyed aggregation: a custom
+    ``array_sort`` comparator over (ts, event_id) pins the order —
+    event_id breaks ts ties, and ``value`` is deliberately NOT part
+    of the comparator so both engines order by exactly (ts, event_id)
+    (the DuckDB twin's ``list(... ORDER BY ts, event_id)``) — then an
+    ``aggregate`` fold runs the recurrence. Precondition (checked by
+    q_data_quality_report): event_id is unique per (user_id, ts) and
+    value is non-null — a duplicate (ts, event_id) makes any engine's
+    order arbitrary, and a NULL value poisons the whole fold.
+    Per-key state is one array bounded by the user's
     own event count — never corpus-scale — and the single shuffle is
     the user_id exchange; at 100 TB per-key series stay bounded by
     retention, the same contract as session windows. DuckDB twin:
@@ -204,7 +210,10 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.expr(
-            "transform(array_sort(collect_list(struct(ts, event_id, value))), "
+            "transform(array_sort(collect_list(struct(ts, event_id, value)), "
+            "(a, b) -> CASE WHEN a.ts < b.ts THEN -1 WHEN a.ts > b.ts THEN 1 "
+            "WHEN a.event_id < b.event_id THEN -1 "
+            "WHEN a.event_id > b.event_id THEN 1 ELSE 0 END), "
             "e -> e.value)"
         ).alias("vals"),
     )

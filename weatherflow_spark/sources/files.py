@@ -10,7 +10,7 @@ flip types between runs."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 
@@ -28,9 +28,16 @@ def read_json_permissive(
     unparseable line's raw bytes into ``_corrupt_record`` instead of
     failing the job or silently dropping rows — the ingestion
     contract a 100 TB feed needs (one bad producer must not kill the
-    load; the quarantine column is filterable into a dead-letter
-    sink). The passed schema is extended with the quarantine column;
-    good rows have it NULL."""
+    load). The passed schema is extended with the quarantine column;
+    good rows have it NULL.
+
+    CAVEAT (Spark restriction): a query that references ONLY the
+    internal corrupt-record column (e.g.
+    ``df.where("_corrupt_record IS NOT NULL").count()``) raises
+    AnalysisException on the raw frame — Spark forbids it because the
+    JSON parser would have nothing else to parse. Split good/bad rows
+    through :func:`dead_letter`, which caches first (the sanctioned
+    workaround), instead of filtering this frame directly."""
     from pyspark.sql.types import StringType, StructField
 
     full = StructType(
@@ -42,6 +49,25 @@ def read_json_permissive(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def dead_letter(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a :func:`read_json_permissive` frame into
+    ``(good, bad)``: good rows with the quarantine column dropped,
+    bad rows as (raw line) for a dead-letter sink. Caches the frame
+    first — Spark's corrupt-record restriction (see the caveat above)
+    requires the split to run over materialized rows, and the cache
+    also means the input is parsed once for both halves. Caller
+    releases via ``operators.caching.release_caches()`` (or the
+    write-path JVM exit)."""
+    from weatherflow_spark.operators.caching import tracked_persist
+
+    cached = tracked_persist(df)
+    good = cached.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = cached.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
