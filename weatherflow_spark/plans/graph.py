@@ -151,17 +151,78 @@ TRI_TOP = 10
 TRI_KNN = 8
 
 
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of a canonical (a < b, distinct)
+    undirected edge list: each edge points from its lower-(degree, id)
+    endpoint to its higher one. Out-degree under this orientation is
+    bounded by the graph's degeneracy (≈ arboricity), not its max
+    degree — the standard wedge-explosion remedy at real graph scale,
+    where a single celebrity node would otherwise generate
+    O(max_deg²) wedges. Two keyed joins against the (v, deg) table;
+    the emitted ``dst_rank_deg`` carries dst's degree so wedge
+    generation can order endpoints without a third join."""
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b")), "b")
+    )
+    # canonical a < b, so the (deg, id) tie-break keeps a→b on equal degree
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    )
+
+
+def ordered_triangles(oriented: DataFrame) -> DataFrame:
+    """Triangles from a degree-ordered orientation: each triangle has
+    exactly one vertex whose two out-edges reach the other two, so
+    wedges are per-source out-neighbor pairs (ordered by (deg, id) so
+    each pair forms once) and a semi-join against the oriented closing
+    edge v→w keeps the real triangles. Emits (wa, wb, wc) in rank
+    order — the node SET per triangle is what downstream counts use,
+    so the output is orientation-invariant."""
+    o1 = oriented.select(
+        F.col("src").alias("wa"), F.col("dst").alias("wb"), F.col("dst_deg").alias("db")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u2"), F.col("dst").alias("wc"), F.col("dst_deg").alias("dc")
+    )
+    wedge = o1.join(
+        o2,
+        (F.col("wa") == F.col("u2"))
+        & (
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("wb") < F.col("wc")))
+        ),
+    ).select("wa", "wb", "wc")
+    return wedge.join(
+        oriented,
+        (F.col("wb") == F.col("src")) & (F.col("wc") == F.col("dst")),
+        "left_semi",
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the k-nearest-neighbor co-supply graph —
     the standard distributed graph benchmark, run on the graph shape a
     production co-occurrence pipeline actually builds: per supplier,
     keep the TRI_KNN strongest co-occurrence partners (by shared-order
     count, ties by partner id), then count triangles on the union of
-    those selections via the ordered-wedge algorithm. Edges are
-    canonical (a < b), wedges come from the edges⋈edges join on the
-    middle node (a < b < c by construction, so each triangle
-    materializes exactly once), and a semi-join against the closing
-    edge (a, c) keeps the real triangles. Output: per-node
+    those selections via the DEGREE-ORDERED wedge algorithm
+    (:func:`orient_by_degree` + :func:`ordered_triangles`): each edge
+    is oriented toward its higher-(degree, id) endpoint, wedges are
+    per-source out-neighbor pairs — bounded by degeneracy, not max
+    degree — and a semi-join against the oriented closing edge keeps
+    the real triangles, each exactly once. Output: per-node
     participation top-10 plus the global count as a node=-1 row.
 
     The kNN sparsification is the load-bearing scale property: the raw
@@ -200,19 +261,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = knn.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
-    wedge = (
-        edges.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
-        .join(
-            edges.select(F.col("a").alias("wb2"), F.col("b").alias("wc")),
-            F.col("wb") == F.col("wb2"),
-        )
-        .select("wa", "wb", "wc")
-    )
-    tri = wedge.join(
-        edges,
-        (F.col("wa") == F.col("a")) & (F.col("wc") == F.col("b")),
-        "left_semi",
-    )
+    tri = ordered_triangles(orient_by_degree(edges))
     per_node = (
         tri.select(F.explode(F.array("wa", "wb", "wc")).alias("node"))
         .groupBy("node")
@@ -255,12 +304,30 @@ ORACLE_TRIANGLE_COUNT = f"""
     edges AS (
         SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM knn
     ),
+    deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+        ) GROUP BY v
+    ),
+    orient AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS src,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS dst,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                    THEN db.deg ELSE da.deg END AS dst_deg
+        FROM edges e
+        JOIN deg da ON da.v = e.a
+        JOIN deg db ON db.v = e.b
+    ),
     tri AS (
-        SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc
-        FROM edges e1
-        JOIN edges e2 ON e1.b = e2.a
-        WHERE EXISTS (SELECT 1 FROM edges e3
-                      WHERE e3.a = e1.a AND e3.b = e2.b)
+        SELECT o1.src AS wa, o1.dst AS wb, o2.dst AS wc
+        FROM orient o1
+        JOIN orient o2 ON o1.src = o2.src
+            AND (o1.dst_deg < o2.dst_deg
+                 OR (o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))
+        WHERE EXISTS (SELECT 1 FROM orient o3
+                      WHERE o3.src = o1.dst AND o3.dst = o2.dst)
     ),
     per_node AS (
         SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
