@@ -677,6 +677,122 @@ ORACLE_RETENTION = """
 # ---------------------------------------------------------------------------
 # q_event_transitions — Markov transition matrix over per-user event paths
 # ---------------------------------------------------------------------------
+# q_assoc_rules — E63: frequent itemsets + association rules
+# ---------------------------------------------------------------------------
+
+ITEM_CLASS_MOD = 50   # l_partkey % 50 — class-densified market baskets
+RULE_MIN_PAIR = 5     # minimum pair support
+RULE_TOP = 50         # emitted rule budget
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining with association rules — the basket
+    analysis every retail warehouse runs (and, in a training-data
+    pipeline, the tag/topic co-occurrence miner): per order the set
+    of distinct part CLASSES forms a basket; pair supports come from
+    the same narrow in-array pair expansion the PMI and triangle
+    operators use (collect_set per basket, explode ordered pairs —
+    never a basket x basket self-join); item supports from one
+    explode+count. Rules (x→y and y→x per surviving pair) carry
+    confidence = pair/item and lift = pair·N/(x·y), both pinned as
+    e6 integers via exact BIGINT floor division — no doubles anywhere.
+
+    Scale posture: baskets bound the expansion (|basket| ≤ class
+    count, pairs ≤ C(50,2) distinct keys), supports are two keyed
+    map-side-partial aggregations, the N_orders scalar rides a
+    1-row broadcast cross join, and the final rule list is heap
+    top-RULE_TOP (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % ITEM_CLASS_MOD).alias("item")
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("item")).alias("items")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item_n = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pair_n = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= RULE_MIN_PAIR)
+    )
+    scored = (
+        pair_n.join(
+            F.broadcast(item_n.select(F.col("item").alias("a"), F.col("n_item").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("item").alias("b"), F.col("n_item").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.expr("n_pair * 1000000 div n_a").alias("conf_ab_e6"),
+            F.expr("n_pair * 1000000 div n_b").alias("conf_ba_e6"),
+            # staged division keeps intermediates <= N*1e6 (overflow-safe to
+            # ~3e9 baskets; the single-expression form caps at ~3e6)
+            F.expr("(n_pair * n_orders div n_a) * 1000000 div n_b").alias("lift_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_pair"), F.asc("a"), F.asc("b")
+    ).limit(RULE_TOP)
+
+
+ORACLE_ASSOC_RULES = f"""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey % {ITEM_CLASS_MOD} AS item FROM lineitem
+    ),
+    baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(item))) AS items
+        FROM li GROUP BY l_orderkey
+    ),
+    n_orders_t AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM baskets),
+    item_n AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM (
+            SELECT l_orderkey, unnest(items) AS item FROM baskets
+        ) GROUP BY item
+    ),
+    pair_n AS (
+        SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS n_pair
+        FROM (SELECT l_orderkey, unnest(items) AS item FROM baskets) x
+        JOIN (SELECT l_orderkey, unnest(items) AS item FROM baskets) y
+          ON x.l_orderkey = y.l_orderkey AND x.item < y.item
+        GROUP BY x.item, y.item
+        HAVING count(*) >= {RULE_MIN_PAIR}
+    )
+    SELECT p.a, p.b, p.n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+           p.n_pair * 1000000 // ia.n_item AS conf_ab_e6,
+           p.n_pair * 1000000 // ib.n_item AS conf_ba_e6,
+           (p.n_pair * n.n_orders // ia.n_item) * 1000000 // ib.n_item
+               AS lift_e6
+    FROM pair_n p
+    JOIN item_n ia ON ia.item = p.a
+    JOIN item_n ib ON ib.item = p.b
+    CROSS JOIN n_orders_t n
+    ORDER BY p.n_pair DESC, p.a ASC, p.b ASC
+    LIMIT {RULE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,13 +884,27 @@ def q_product_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         (F.col("p_e6").cast("double") / F.lit(1e6)).alias("ratio"),
     )
-    return funnel.unionByName(retention).unionByName(transitions)
+    # E63: association rules — key is the item pair, n the pair
+    # support, ratio the exact e6-integer lift re-widened to double.
+    rules = q_assoc_rules(spark, sf_dir).select(
+        F.lit("assoc_rules").alias("op"),
+        F.concat_ws("|", "a", "b").alias("key"),
+        F.lit(None).cast("int").alias("day_offset"),
+        F.col("n_pair").alias("n"),
+        (F.col("lift_e6").cast("double") / F.lit(1e6)).alias("ratio"),
+    )
+    return (
+        funnel.unionByName(retention)
+        .unionByName(transitions)
+        .unionByName(rules)
+    )
 
 
 ORACLE_PRODUCT_ANALYTICS_SUITE = f"""
     WITH funnel_side AS ({ORACLE_FUNNEL}),
     retention_side AS ({ORACLE_RETENTION}),
-    transitions_side AS ({ORACLE_EVENT_TRANSITIONS})
+    transitions_side AS ({ORACLE_EVENT_TRANSITIONS}),
+    rules_side AS ({ORACLE_ASSOC_RULES})
     SELECT 'funnel' AS op, stage AS key, CAST(NULL AS INTEGER) AS day_offset,
            n_users AS n, conv_vs_first AS ratio
     FROM funnel_side
@@ -786,6 +916,10 @@ ORACLE_PRODUCT_ANALYTICS_SUITE = f"""
     SELECT 'transitions', from_type || '>' || to_type,
            CAST(NULL AS INTEGER), n, CAST(p_e6 AS DOUBLE) / 1e6
     FROM transitions_side
+    UNION ALL
+    SELECT 'assoc_rules', CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR),
+           CAST(NULL AS INTEGER), n_pair, CAST(lift_e6 AS DOUBLE) / 1e6
+    FROM rules_side
 """
 
 
@@ -801,6 +935,7 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
     "q_event_transitions": q_event_transitions,
+    "q_assoc_rules": q_assoc_rules,
     "q_product_analytics_suite": q_product_analytics_suite,
     "q_weighted_sample": q_weighted_sample,
     "q_sampling_suite": q_sampling_suite,
@@ -818,6 +953,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "q_funnel": ORACLE_FUNNEL,
     "q_retention": ORACLE_RETENTION,
     "q_event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "q_assoc_rules": ORACLE_ASSOC_RULES,
     "q_product_analytics_suite": ORACLE_PRODUCT_ANALYTICS_SUITE,
     "q_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "q_sampling_suite": _oracle_sampling_suite(),

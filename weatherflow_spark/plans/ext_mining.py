@@ -355,6 +355,16 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'fused_rank', fused_rank, 'ce_score', ce_score, "
         "'rerank', rerank, 'rank_delta', rank_delta) AS (metric, value)",
     )
+    # E64: hard-negative mining over the SAME fused shortlist (label
+    # encoded: both=0 / lex_only=1 / vec_only=2 to stay bigint).
+    hn = q_hard_negatives(spark, sf_dir, hybrid=hyb_df).selectExpr(
+        "'hard_negatives' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(4, 'label_code', cast(CASE label WHEN 'both' THEN 0 "
+        "WHEN 'lex_only' THEN 1 ELSE 2 END as bigint), "
+        "'lex_rank', lex_rank, 'vec_rank', vec_rank, "
+        "'neg_rank', neg_rank) AS (metric, value)",
+    )
     return (
         bm.unionByName(pm)
         .unionByName(bpe)
@@ -362,6 +372,7 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fh)
         .unionByName(hyb)
         .unionByName(rr)
+        .unionByName(hn)
     )
 
 
@@ -373,7 +384,8 @@ def _oracle_text_mining_suite() -> str:
         enc_side AS ({_oracle_bpe_encode()}),
         fh_side AS ({ORACLE_FEATURE_HASH}),
         hyb_side AS ({_oracle_hybrid_retrieval()}),
-        rr_side AS ({_oracle_rerank_topk()})
+        rr_side AS ({_oracle_rerank_topk()}),
+        hn_side AS ({_oracle_hard_negatives()})
         SELECT 'bm25' AS op, CAST(doc_id AS VARCHAR) AS key,
                'score_e6' AS metric, score_e6 AS value FROM bm_side
         UNION ALL
@@ -426,6 +438,19 @@ def _oracle_text_mining_suite() -> str:
         UNION ALL
         SELECT 'rerank', CAST(doc_id AS VARCHAR), 'rank_delta',
                rank_delta FROM rr_side
+        UNION ALL
+        SELECT 'hard_negatives', CAST(doc_id AS VARCHAR), 'label_code',
+               CAST(CASE label WHEN 'both' THEN 0 WHEN 'lex_only' THEN 1
+                    ELSE 2 END AS BIGINT) FROM hn_side
+        UNION ALL
+        SELECT 'hard_negatives', CAST(doc_id AS VARCHAR), 'lex_rank',
+               lex_rank FROM hn_side
+        UNION ALL
+        SELECT 'hard_negatives', CAST(doc_id AS VARCHAR), 'vec_rank',
+               vec_rank FROM hn_side
+        UNION ALL
+        SELECT 'hard_negatives', CAST(doc_id AS VARCHAR), 'neg_rank',
+               neg_rank FROM hn_side
     """
 
 
@@ -997,6 +1022,75 @@ def _oracle_rerank_topk() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q_hard_negatives — E64: hard-negative mining for retrieval training
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negatives(
+    spark: SparkSession, sf_dir: str, hybrid: DataFrame | None = None
+) -> DataFrame:
+    """Hard-negative mining — the training-pair generator behind every
+    dense-retriever fine-tune (DPR/ANCE style): documents one signal
+    ranks highly but the other misses entirely are the informative
+    negatives. Rides the SAME fused frame as hybrid retrieval (pass it
+    in via ``hybrid`` to plan the shortlist once): docs with a lexical
+    rank but no vector rank are 'lex_only' hard negatives for the
+    dense tower, the converse 'vec_only' for the sparse tower, and
+    agreement rows 'both' (positives). ``neg_rank`` orders each class
+    by how hard the negative is (best surviving rank first, doc_id
+    tie-break).
+
+    Scale posture: pure classification + one k-bounded window over
+    the already-k-bounded fused shortlist — no new corpus pass, no
+    new shuffle beyond a <=2k-row sort."""
+    if hybrid is None:
+        hybrid = q_hybrid_retrieval(spark, sf_dir)
+    labeled = hybrid.select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(-1)).alias("lex_rank"),
+        F.coalesce(F.col("vec_rank"), F.lit(-1)).alias("vec_rank"),
+        F.when(F.col("lex_rank").isNull(), "vec_only")
+        .when(F.col("vec_rank").isNull(), "lex_only")
+        .otherwise("both")
+        .alias("label"),
+        F.least(
+            F.coalesce(F.col("lex_rank"), F.lit(1_000_000)),
+            F.coalesce(F.col("vec_rank"), F.lit(1_000_000)),
+        ).alias("best_rank"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("best_rank"), F.asc("doc_id"))
+    return labeled.select(
+        "doc_id",
+        "label",
+        "lex_rank",
+        "vec_rank",
+        F.row_number().over(w).cast("long").alias("neg_rank"),
+    )
+
+
+def _oracle_hard_negatives() -> str:
+    return f"""
+    WITH fused AS ({_oracle_hybrid_retrieval()}),
+    labeled AS (
+        SELECT doc_id,
+               COALESCE(lex_rank, -1) AS lex_rank,
+               COALESCE(vec_rank, -1) AS vec_rank,
+               CASE WHEN lex_rank IS NULL THEN 'vec_only'
+                    WHEN vec_rank IS NULL THEN 'lex_only'
+                    ELSE 'both' END AS label,
+               least(COALESCE(lex_rank, 1000000),
+                     COALESCE(vec_rank, 1000000)) AS best_rank
+        FROM fused
+    )
+    SELECT doc_id, label, lex_rank, vec_rank,
+           CAST(row_number() OVER (
+               PARTITION BY label ORDER BY best_rank ASC, doc_id ASC
+           ) AS BIGINT) AS neg_rank
+    FROM labeled
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_feature_hash — E46: hashing-trick feature vectors (vectorization)
 # ---------------------------------------------------------------------------
 
@@ -1167,6 +1261,7 @@ MINING_QUERIES = {
     "q_bpe_encode": q_bpe_encode,
     "q_feature_hash": q_feature_hash,
     "q_hybrid_retrieval": q_hybrid_retrieval,
+    "q_hard_negatives": q_hard_negatives,
     "q_rerank_topk": q_rerank_topk,
 }
 
@@ -1174,6 +1269,7 @@ MINING_ORACLES = {
     "q_bpe_encode": _oracle_bpe_encode(),
     "q_feature_hash": ORACLE_FEATURE_HASH,
     "q_hybrid_retrieval": _oracle_hybrid_retrieval(),
+    "q_hard_negatives": _oracle_hard_negatives(),
     "q_rerank_topk": _oracle_rerank_topk(),
     "q_text_profile_suite": _oracle_text_profile_suite(),
     "q_text_mining_suite": _oracle_text_mining_suite(),

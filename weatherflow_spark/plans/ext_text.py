@@ -1212,6 +1212,88 @@ ORACLE_DOMAIN_QUOTA = f"""
 # ---------------------------------------------------------------------------
 # q_curation_suite — consolidated corpus-curation certification row
 # ---------------------------------------------------------------------------
+# q_train_split — E62: deterministic stratified train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_HASH_P = 2_654_435_761  # Knuth multiplicative constant
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment — the last
+    step of every training-data release: each document lands in
+    exactly one split, proportions hold EXACTLY within every source
+    stratum (so no source is over-represented in eval), and the
+    assignment is a pure function of (doc_id, source) — re-running
+    the release or adding a replica can never reshuffle the splits.
+
+    Mechanics: a multiplicative integer hash scrambles doc_id, a
+    per-source window orders by (hash, doc_id) and row_number()/count
+    give each doc an exact quantile position; the first 80% of each
+    stratum is train, the next 10% val, the rest test (integer floor
+    boundaries — no double percent_rank, no cross-engine tie issues).
+    Scale posture: ONE source-keyed exchange serving both window
+    functions (same partition spec), everything else narrow; at skew
+    (one giant source) the window is a per-partition sort of ids +
+    one long — the perplexity filter's documented remedy applies
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = ((F.col("doc_id") * SPLIT_HASH_P) % T.MOD).alias("h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select("doc_id", "source", h).select(
+        "doc_id",
+        "source",
+        "h",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_source"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "rn",
+        "n_source",
+        F.when(
+            F.col("rn") <= F.expr(f"cast(floor(n_source * {SPLIT_TRAIN_PCT} / 100) as bigint)"),
+            "train",
+        )
+        .when(
+            F.col("rn")
+            <= F.expr(
+                f"cast(floor(n_source * {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} / 100) as bigint)"
+            ),
+            "val",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+ORACLE_TRAIN_SPLIT = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               (doc_id * {SPLIT_HASH_P}) % {T.MOD} AS h,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * {SPLIT_HASH_P}) % {T.MOD} ASC, doc_id ASC
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+        FROM documents
+    )
+    SELECT doc_id, source, rn, n_source,
+           CASE WHEN rn <= CAST(floor(n_source * {SPLIT_TRAIN_PCT} / 100.0) AS BIGINT)
+                THEN 'train'
+                WHEN rn <= CAST(floor(n_source * {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} / 100.0) AS BIGINT)
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,6 +1394,15 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'nll_e6', nll_e6, 'pr_e6', pr_e6, "
         "'keep', cast(keep as bigint)) AS (metric, value)",
     )
+    # E62: the stratified split assignment (split encoded as an int:
+    # train=0 / val=1 / test=2 so the LONG value stays bigint).
+    split = q_train_split(spark, sf_dir).selectExpr(
+        "'train_split' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(3, 'rn', rn, 'n_source', n_source, "
+        "'split_code', cast(CASE split WHEN 'train' THEN 0 "
+        "WHEN 'val' THEN 1 ELSE 2 END as bigint)) AS (metric, value)",
+    )
     return (
         dec.unionByName(mix)
         .unionByName(pii)
@@ -1323,6 +1414,7 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(boiler)
         .unionByName(temp)
         .unionByName(ppl)
+        .unionByName(split)
     )
 
 
@@ -1611,6 +1703,25 @@ ORACLE_CURATION_SUITE = f"""
            CAST(keep AS BIGINT) FROM ppl_side
 """
 
+# The train_split branch joins the same way (second rebind).
+ORACLE_CURATION_SUITE = f"""
+    WITH split_side AS ({ORACLE_TRAIN_SPLIT}),
+    base AS ({ORACLE_CURATION_SUITE})
+    SELECT * FROM base
+    UNION ALL
+    SELECT 'train_split' AS op, CAST(doc_id AS VARCHAR) AS key,
+           'rn' AS metric, rn AS value
+    FROM split_side
+    UNION ALL
+    SELECT 'train_split', CAST(doc_id AS VARCHAR), 'n_source', n_source
+    FROM split_side
+    UNION ALL
+    SELECT 'train_split', CAST(doc_id AS VARCHAR), 'split_code',
+           CAST(CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END
+                AS BIGINT)
+    FROM split_side
+"""
+
 
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": q_text_stats,
@@ -1628,6 +1739,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sequence_pack_indexed": q_sequence_pack_indexed,
     "q_quality_filter": q_quality_filter,
     "q_domain_quota": q_domain_quota,
+    "q_train_split": q_train_split,
     "q_boilerplate_detect": q_boilerplate_detect,
     "q_mixture_weights": q_mixture_weights,
     "q_unigram_lm_score": q_unigram_lm_score,
@@ -1653,6 +1765,7 @@ TEXT_ORACLES: dict[str, str] = {
     "q_sequence_pack_indexed": ORACLE_SEQUENCE_PACK_INDEXED,
     "q_quality_filter": ORACLE_QUALITY_FILTER,
     "q_domain_quota": ORACLE_DOMAIN_QUOTA,
+    "q_train_split": ORACLE_TRAIN_SPLIT,
     "q_boilerplate_detect": ORACLE_BOILERPLATE_DETECT,
     "q_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "q_curation_suite": ORACLE_CURATION_SUITE,

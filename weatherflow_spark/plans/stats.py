@@ -813,6 +813,155 @@ ORACLE_SCD2_DIM = """
 
 
 # ---------------------------------------------------------------------------
+# q_snapshot_diff — E61: CDC-style snapshot diff (added/removed/changed)
+# ---------------------------------------------------------------------------
+
+# Deterministic "new snapshot" derivation knobs: which order keys are
+# deleted / attribute-changed / newly inserted between the two
+# snapshots the diff compares. Pure key arithmetic — both engines
+# derive bit-identical snapshots from the same parquet.
+DIFF_DEL_MOD = 89
+DIFF_CHG_MOD = 97
+DIFF_ADD_MOD = 101
+DIFF_ADD_OFFSET = 10_000_000
+DIFF_PRICE_BUMP = 1.5  # binary-exact, so double equality is engine-safe
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the change-data-capture primitive a warehouse
+    runs between two loads of the same table: full-outer join OLD and
+    NEW on the business key, classify every key as added / removed /
+    changed / unchanged, and tally which columns drove each change.
+    (The reference reloads its MySQL tables wholesale; any incremental
+    load needs exactly this diff first.) NEW is derived from OLD by
+    deterministic key arithmetic (delete keys %89=0, flip status and
+    bump price on %97=0, insert offset copies of %101=0) so the diff
+    is replayable and hash-certifiable with no second input table.
+
+    Scale posture: ONE co-partitioned full-outer join on the key (the
+    canonical CDC shape — both sides hash-exchange once), then a
+    single global aggregation of conditional sums; per-column change
+    flags are IS DISTINCT FROM expressions inside the same pass, and
+    the output is 7 fixed rows regardless of table size."""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    old = load_table(spark, sf_dir, "orders").select(*cols)
+    kept = old.where(F.col("o_orderkey") % DIFF_DEL_MOD != 0)
+    chg = F.col("o_orderkey") % DIFF_CHG_MOD == 0
+    modified = kept.select(
+        "o_orderkey",
+        F.when(chg, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(chg, F.col("o_totalprice") + DIFF_PRICE_BUMP)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    inserted = old.where(F.col("o_orderkey") % DIFF_ADD_MOD == 0).select(
+        (F.col("o_orderkey") + DIFF_ADD_OFFSET).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    new = modified.unionByName(inserted)
+
+    o = old.select([F.col(c).alias(f"old_{c}") for c in cols])
+    n = new.select([F.col(c).alias(f"new_{c}") for c in cols])
+    d = o.join(n, o["old_o_orderkey"] == n["new_o_orderkey"], "full_outer")
+
+    def distinct_from(c: str) -> F.Column:
+        return F.expr(f"old_{c} IS DISTINCT FROM new_{c}").cast("long")
+
+    classified = d.select(
+        F.when(F.col("old_o_orderkey").isNull(), "added")
+        .when(F.col("new_o_orderkey").isNull(), "removed")
+        .when(
+            F.expr(
+                "old_o_orderstatus IS DISTINCT FROM new_o_orderstatus OR "
+                "old_o_totalprice IS DISTINCT FROM new_o_totalprice OR "
+                "old_o_orderpriority IS DISTINCT FROM new_o_orderpriority"
+            ),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("status"),
+        distinct_from("o_orderstatus").alias("c_status"),
+        distinct_from("o_totalprice").alias("c_price"),
+        distinct_from("o_orderpriority").alias("c_prio"),
+    )
+    g = classified.agg(
+        F.sum((F.col("status") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("status") == "removed").cast("long")).alias("n_removed"),
+        F.sum((F.col("status") == "changed").cast("long")).alias("n_changed"),
+        F.sum((F.col("status") == "unchanged").cast("long")).alias("n_unchanged"),
+        F.sum(F.when(F.col("status") == "changed", F.col("c_status")).otherwise(0)).alias("cc_status"),
+        F.sum(F.when(F.col("status") == "changed", F.col("c_price")).otherwise(0)).alias("cc_price"),
+        F.sum(F.when(F.col("status") == "changed", F.col("c_prio")).otherwise(0)).alias("cc_prio"),
+    )
+    return g.selectExpr(
+        "stack(7, 'added', n_added, 'removed', n_removed, "
+        "'changed', n_changed, 'unchanged', n_unchanged, "
+        "'changed:o_orderstatus', cc_status, "
+        "'changed:o_totalprice', cc_price, "
+        "'changed:o_orderpriority', cc_prio) AS (status, n_rows)"
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+    WITH old_side AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+    ),
+    new_side AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % {DIFF_CHG_MOD} = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % {DIFF_CHG_MOD} = 0
+                    THEN o_totalprice + {DIFF_PRICE_BUMP}
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM old_side WHERE o_orderkey % {DIFF_DEL_MOD} <> 0
+        UNION ALL
+        SELECT o_orderkey + {DIFF_ADD_OFFSET}, 'N', o_totalprice,
+               o_orderpriority
+        FROM old_side WHERE o_orderkey % {DIFF_ADD_MOD} = 0
+    ),
+    d AS (
+        SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                      OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    THEN 'changed' ELSE 'unchanged' END AS status,
+               CAST(o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS BIGINT)
+                   AS c_status,
+               CAST(o.o_totalprice IS DISTINCT FROM n.o_totalprice AS BIGINT)
+                   AS c_price,
+               CAST(o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    AS BIGINT) AS c_prio
+        FROM old_side o FULL OUTER JOIN new_side n
+             ON o.o_orderkey = n.o_orderkey
+    ),
+    g AS (
+        SELECT CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+               CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+               CAST(sum(CASE WHEN status = 'changed' THEN c_status ELSE 0 END) AS BIGINT) AS cc_status,
+               CAST(sum(CASE WHEN status = 'changed' THEN c_price ELSE 0 END) AS BIGINT) AS cc_price,
+               CAST(sum(CASE WHEN status = 'changed' THEN c_prio ELSE 0 END) AS BIGINT) AS cc_prio
+        FROM d
+    )
+    SELECT 'added' AS status, n_added AS n_rows FROM g
+    UNION ALL SELECT 'removed', n_removed FROM g
+    UNION ALL SELECT 'changed', n_changed FROM g
+    UNION ALL SELECT 'unchanged', n_unchanged FROM g
+    UNION ALL SELECT 'changed:o_orderstatus', cc_status FROM g
+    UNION ALL SELECT 'changed:o_totalprice', cc_price FROM g
+    UNION ALL SELECT 'changed:o_orderpriority', cc_prio FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_dim_build_suite — certification row: generated date dim + SCD2 dim
 # ---------------------------------------------------------------------------
 
@@ -848,7 +997,13 @@ def q_dim_build_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'n_events', cast(n_events as string), "
         "'is_current', cast(is_current as string)) AS (metric, value)",
     )
-    return dd.unionByName(scd)
+    # E61: the CDC snapshot diff — 7 fixed tally rows.
+    sd = q_snapshot_diff(spark, sf_dir).selectExpr(
+        "'snapshot_diff' AS op",
+        "status AS key",
+        "stack(1, 'n_rows', cast(n_rows as string)) AS (metric, value)",
+    )
+    return dd.unionByName(scd).unionByName(sd)
 
 
 ORACLE_DIM_BUILD_SUITE = f"""
@@ -887,6 +1042,9 @@ ORACLE_DIM_BUILD_SUITE = f"""
     UNION ALL
     SELECT 'scd2', CAST(user_id AS VARCHAR) || '#' || CAST(version AS VARCHAR),
            'is_current', CAST(is_current AS VARCHAR) FROM scd_side
+    UNION ALL
+    SELECT 'snapshot_diff', status, 'n_rows', CAST(n_rows AS VARCHAR)
+    FROM ({ORACLE_SNAPSHOT_DIFF}) sd_side
 """
 
 
@@ -1687,6 +1845,7 @@ STATS_QUERIES = {
     "q_collect_set_sorted": q_collect_set_sorted,
     "q_date_dim": q_date_dim,
     "q_scd2_dim": q_scd2_dim,
+    "q_snapshot_diff": q_snapshot_diff,
     "q_dim_build_suite": q_dim_build_suite,
     "q_embedding_quantize": q_embedding_quantize,
     "q_null_semantics": q_null_semantics,
@@ -1713,6 +1872,7 @@ STATS_ORACLES = {
     "q_collect_set_sorted": ORACLE_COLLECT_SET_SORTED,
     "q_date_dim": ORACLE_DATE_DIM,
     "q_scd2_dim": ORACLE_SCD2_DIM,
+    "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "q_dim_build_suite": ORACLE_DIM_BUILD_SUITE,
     "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "q_null_semantics": ORACLE_NULL_SEMANTICS,
