@@ -813,6 +813,155 @@ def _oracle_incremental_dedup() -> str:
 # ---------------------------------------------------------------------------
 # q_near_dup_suite — consolidated pairwise near-dup certification row
 # ---------------------------------------------------------------------------
+# q_winnow_fingerprint — E67: winnowing fingerprints (MOSS local sketch)
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4        # winnowing window over consecutive shingle hashes
+WINNOW_POST_CAP = 50  # posting-list cap (drop boilerplate fingerprints)
+WINNOW_TOP = 25
+
+
+def _winnow_fp_spark(h: str) -> str:
+    """Spark SQL: winnowing fingerprint set of a POSITIONAL shingle-
+    hash array — the distinct minima of every WINNOW_W-wide sliding
+    window (Schleimer/Wilkerson/Aiken's guarantee: two docs sharing a
+    token run of length >= WINNOW_W + shingle_n - 1 share at least one
+    fingerprint). Value-level dedup of the selected minima is the
+    standard implementation form. The shingle array is LET-BOUND so it
+    evaluates once per row — inlining it would re-run the char folds
+    inside every window reference (the functions/text.py let trick;
+    measured 14 s → sub-second at sf0.01)."""
+    body = (
+        f"CASE WHEN size(__wh) = 0 THEN array() "
+        f"WHEN size(__wh) < {WINNOW_W} THEN array(array_min(__wh)) "
+        f"ELSE array_distinct(transform(sequence(1, size(__wh) - {WINNOW_W} + 1), "
+        f"i -> array_min(slice(__wh, i, {WINNOW_W})))) END"
+    )
+    return T.let_spark(h, "__wh", body)
+
+
+def _winnow_fp_duck(h: str) -> str:
+    body = (
+        f"CASE WHEN len(__wh) = 0 THEN [] "
+        f"WHEN len(__wh) < {WINNOW_W} THEN [list_min(__wh)] "
+        f"ELSE list_distinct(list_transform("
+        f"generate_series(1, len(__wh) - {WINNOW_W} + 1), "
+        f"i -> list_min(list_slice(__wh, i, i + {WINNOW_W} - 1)))) END"
+    )
+    return T.let_duck(h, "__wh", body)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup detection — the MOSS plagiarism-detector
+    sketch, the eighth dedup family: positional shingle hashes →
+    sliding-window minima → distinct fingerprint set per document;
+    documents sharing fingerprints pair through an inverted
+    fingerprint index. Unlike MinHash (global random sample of the
+    shingle set), winnowing GUARANTEES a shared fingerprint for any
+    shared run of ≥ WINNOW_W + shingle_n − 1 tokens — the local-match
+    detector that catches verbatim passages MinHash can miss at low
+    overall Jaccard (the complement of q_containment's gate caveat).
+
+    Scale posture: fingerprinting is NARROW (per-row higher-order
+    exprs); the only corpus-scale exchange is the fingerprint
+    explode+group; posting lists are capped at WINNOW_POST_CAP (a
+    fingerprint shared by more docs than that is boilerplate — the
+    q_boilerplate_detect rationale) so pair fan-out per fingerprint is
+    bounded; pair counts and the two size joins are keyed on doc ids.
+    Score = shared fingerprints / min(|fpA|, |fpB|), e6-pinned,
+    heap top-{WINNOW_TOP}."""
+    # Explicit spread off the raw file splits: the fingerprint
+    # expression is CPU-heavy (char folds × sliding windows) and
+    # single-file testdata starts every scan at one partition — the
+    # q_feature_hash/q_knn_graph AQE-coalescing lesson.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+    fps = docs.select(
+        "doc_id",
+        F.expr(
+            _winnow_fp_spark(T.shingle_hashes_expr("text", NGRAM_VERIFY_N))
+        ).alias("fp"),
+    ).select("doc_id", "fp", F.expr("size(fp)").cast("long").alias("nf"))
+    posting = fps.select("doc_id", F.explode("fp").alias("f"))
+    buckets = (
+        posting.groupBy("f")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_POST_CAP))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+    sizes = fps.select("doc_id", "nf")
+    scored = (
+        pc.join(sizes.select(F.col("doc_id").alias("a"), F.col("nf").alias("nf_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("nf").alias("nf_b")), "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_shared",
+            "nf_a",
+            "nf_b",
+            F.expr(
+                "cast(floor(cast(n_shared as double) / least(nf_a, nf_b) * 1e6 + 0.5) "
+                "as bigint)"
+            ).alias("winnow_sim_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("winnow_sim_e6"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(WINNOW_TOP)
+
+
+ORACLE_WINNOW_FINGERPRINT = f"""
+    WITH fps AS (
+        SELECT doc_id, fp, CAST(len(fp) AS BIGINT) AS nf FROM (
+            SELECT doc_id,
+                   {_winnow_fp_duck(T.shingle_hashes_sql('text', NGRAM_VERIFY_N))}
+                       AS fp
+            FROM documents
+        )
+    ),
+    posting AS (
+        SELECT doc_id, unnest(fp) AS f FROM fps
+    ),
+    buckets AS (
+        SELECT f, list_sort(list_distinct(list(doc_id))) AS ds
+        FROM posting GROUP BY f
+        HAVING len(list_distinct(list(doc_id))) BETWEEN 2 AND {WINNOW_POST_CAP}
+    ),
+    pairs AS (
+        SELECT x.d AS a, y.d AS b FROM
+            (SELECT f, unnest(ds) AS d FROM buckets) x
+        JOIN
+            (SELECT f, unnest(ds) AS d FROM buckets) y
+          ON x.f = y.f AND x.d < y.d
+    ),
+    pc AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM pairs GROUP BY a, b
+    )
+    SELECT pc.a AS doc_a, pc.b AS doc_b, pc.n_shared,
+           fa.nf AS nf_a, fb.nf AS nf_b,
+           CAST(floor(CAST(pc.n_shared AS DOUBLE) / least(fa.nf, fb.nf) * 1e6
+                + 0.5) AS BIGINT) AS winnow_sim_e6
+    FROM pc
+    JOIN fps fa ON fa.doc_id = pc.a
+    JOIN fps fb ON fb.doc_id = pc.b
+    ORDER BY winnow_sim_e6 DESC, doc_a ASC, doc_b ASC
+    LIMIT {WINNOW_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,11 +1030,21 @@ def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("containment_e6").cast("double") / 1e6).alias("score"),
         null_flag,
     )
+    # Eighth family (E67): winnowing fingerprints — guaranteed local
+    # match detection (shared run ≥ w + n − 1 tokens ⇒ shared fp).
+    win = q_winnow_fingerprint(spark, sf_dir).select(
+        F.lit("winnow").alias("method"),
+        "doc_a",
+        "doc_b",
+        (F.col("winnow_sim_e6").cast("double") / 1e6).alias("score"),
+        null_flag,
+    )
     return (
         mh.unionByName(sh)
         .unionByName(ng)
         .unionByName(sem)
         .unionByName(cont)
+        .unionByName(win)
     )
 
 
@@ -897,7 +1056,8 @@ def _oracle_near_dup_suite() -> str:
     sh_side AS ({ORACLE_SIMHASH_NEAR_DUP}),
     ng_side AS ({ORACLE_NGRAM_JACCARD}),
     sem_side AS ({ORACLE_SEMANTIC_PAIRS}),
-    cont_side AS ({ORACLE_CONTAINMENT})
+    cont_side AS ({ORACLE_CONTAINMENT}),
+    win_side AS ({ORACLE_WINNOW_FINGERPRINT})
     SELECT 'minhash' AS method, doc_a, doc_b, jaccard AS score, is_dup
     FROM mh_side
     UNION ALL
@@ -914,12 +1074,17 @@ def _oracle_near_dup_suite() -> str:
     SELECT 'containment', doc_a, doc_b,
            CAST(containment_e6 AS DOUBLE) / 1e6, CAST(NULL AS INTEGER)
     FROM cont_side
+    UNION ALL
+    SELECT 'winnow', doc_a, doc_b,
+           CAST(winnow_sim_e6 AS DOUBLE) / 1e6, CAST(NULL AS INTEGER)
+    FROM win_side
 """
 
 
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_containment": q_containment,
+    "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_fuzzy_join": q_fuzzy_join,
     "q_minhash_signature": q_minhash_signature,
     "q_minhash_near_dup": q_minhash_near_dup,
@@ -932,6 +1097,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 DEDUP_ORACLES: dict[str, str] = {
     "q_containment": ORACLE_CONTAINMENT,
+    "q_winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_fuzzy_join": ORACLE_FUZZY_JOIN,
     "q_minhash_signature": ORACLE_MINHASH_SIGNATURE,

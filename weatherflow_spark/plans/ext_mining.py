@@ -508,11 +508,38 @@ def q_text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'n_tokens', cast(n_tokens as bigint), "
         "'nll_e6', nll_e6) AS (metric, value)",
     )
-    return stats.unionByName(lang).unionByName(lm)
+    # E66: the corpus-level drift monitor (keys are tokens / total
+    # markers rather than doc ids — same LONG shape).
+    from weatherflow_spark.plans.ext_text import (
+        q_bigram_lm_score,
+        q_corpus_drift,
+    )
+
+    drift = q_corpus_drift(spark, sf_dir).selectExpr(
+        "'drift' AS op",
+        "key",
+        "stack(3, 'c_a', c_a, 'c_b', c_b, 'metric_e9', metric_e9) "
+        "AS (metric, value)",
+    )
+    # E69: the interpolated bigram LM score.
+    bilm = q_bigram_lm_score(spark, sf_dir).selectExpr(
+        "'bigram_lm' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(2, 'n_tokens', cast(n_tokens as bigint), "
+        "'bi_nll_e6', bi_nll_e6) AS (metric, value)",
+    )
+    return (
+        stats.unionByName(lang)
+        .unionByName(lm)
+        .unionByName(drift)
+        .unionByName(bilm)
+    )
 
 
 def _oracle_text_profile_suite() -> str:
     from weatherflow_spark.plans.ext_text import (
+        ORACLE_BIGRAM_LM_SCORE,
+        ORACLE_CORPUS_DRIFT,
         ORACLE_TEXT_STATS,
         ORACLE_UNIGRAM_LM_SCORE,
         _oracle_lang_id,
@@ -526,7 +553,9 @@ def _oracle_text_profile_suite() -> str:
     return f"""
         WITH stats_side AS ({ORACLE_TEXT_STATS}),
         lang_side AS ({_oracle_lang_id()}),
-        lm_side AS ({ORACLE_UNIGRAM_LM_SCORE})
+        lm_side AS ({ORACLE_UNIGRAM_LM_SCORE}),
+        drift_side AS ({ORACLE_CORPUS_DRIFT}),
+        bilm_side AS ({ORACLE_BIGRAM_LM_SCORE})
         SELECT 'text_stats' AS op, CAST(doc_id AS VARCHAR) AS key,
                'n_chars' AS metric, CAST(n_chars_calc AS BIGINT) AS value
         FROM stats_side
@@ -562,6 +591,18 @@ def _oracle_text_profile_suite() -> str:
         UNION ALL
         SELECT 'lm_score', CAST(doc_id AS VARCHAR),
                'nll_e6', nll_e6 FROM lm_side
+        UNION ALL
+        SELECT 'drift', key, 'c_a', c_a FROM drift_side
+        UNION ALL
+        SELECT 'drift', key, 'c_b', c_b FROM drift_side
+        UNION ALL
+        SELECT 'drift', key, 'metric_e9', metric_e9 FROM drift_side
+        UNION ALL
+        SELECT 'bigram_lm', CAST(doc_id AS VARCHAR),
+               'n_tokens', CAST(n_tokens AS BIGINT) FROM bilm_side
+        UNION ALL
+        SELECT 'bigram_lm', CAST(doc_id AS VARCHAR),
+               'bi_nll_e6', bi_nll_e6 FROM bilm_side
     """
 
 

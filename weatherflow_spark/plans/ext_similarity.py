@@ -900,6 +900,100 @@ ORACLE_KNN_CLASSIFY = f"""
 # ---------------------------------------------------------------------------
 # q_semantic_dedup — SemDeDup: cluster-blocked embedding dedup (E41)
 # ---------------------------------------------------------------------------
+# q_random_projection — E68: signed random projection (integer-exact SRP)
+# ---------------------------------------------------------------------------
+
+SRP_DIM = 16          # output dimensionality
+SRP_SCALE = 1000      # component quantization (exact int64 arithmetic)
+
+
+def _srp_sign(i: str, j: str) -> str:
+    """±1 projection-matrix entry from a deterministic integer hash of
+    (input dim i, output dim j) — identical text in both engines; the
+    mod-97 scramble decorrelates the parity from i+j."""
+    return (
+        f"CASE WHEN ((({i}) * CAST(1315423911 AS BIGINT) "
+        f"+ ({j}) * CAST(2654435761 AS BIGINT)) % 97) % 2 = 0 "
+        f"THEN 1 ELSE -1 END"
+    )
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Achlioptas/SRP): compress every
+    64-d embedding to SRP_DIM signed-integer components via a
+    deterministic ±1 matrix — the database-friendly dimensionality
+    reduction under LSH families and ANN pre-filters (projected
+    distances approximate originals within Johnson-Lindenstrauss
+    bounds; signs of the projections ARE the simhash-style code).
+
+    Everything is INTEGER-EXACT: components quantize to int64
+    (×SRP_SCALE) before the matrix multiply, the ±1 entries come from
+    an integer hash of (i, j), and each output component is an exact
+    int64 fold — no float addition order, no rounding surface at all;
+    the serialized projection string pins every component. Narrow
+    per-row higher-order expressions only (64×16 multiply-adds inside
+    whole-stage codegen): zero shuffles — the featurizer streams the
+    corpus once, embarrassingly parallel, at any scale. The explicit
+    repartition spreads single-file testdata off one split (the
+    q_feature_hash lesson)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+    )
+    qx = (
+        f"transform(embedding, x -> "
+        f"cast(floor(cast(x as double) * {SRP_SCALE} + 0.5) as bigint))"
+    )
+    proj = (
+        f"transform(sequence(0, {SRP_DIM - 1}), j -> "
+        f"aggregate(sequence(1, size(q)), cast(0 as bigint), "
+        f"(acc, i) -> acc + element_at(q, i) * ({_srp_sign('i - 1', 'j')})))"
+    )
+    return (
+        emb.select("vec_id", F.expr(qx).alias("q"))
+        .select("vec_id", F.expr(proj).alias("y"))
+        .select(
+            "vec_id",
+            F.expr("array_join(transform(y, v -> cast(v as string)), '|')").alias(
+                "proj"
+            ),
+            F.expr(
+                "aggregate(y, cast(0 as bigint), (acc, v) -> acc + abs(v))"
+            ).alias("l1"),
+            F.expr("cast(size(filter(y, v -> v > 0)) as bigint)").alias("n_pos"),
+        )
+    )
+
+
+ORACLE_RANDOM_PROJECTION = f"""
+    WITH qx AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * {SRP_SCALE} + 0.5) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT vec_id,
+               list_transform(generate_series(0, {SRP_DIM - 1}), j ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, len(q)),
+                           i -> q[i] * ({_srp_sign('i - 1', 'j')}))),
+                       (acc, v) -> acc + v)) AS y
+        FROM qx
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(y, v -> CAST(v AS VARCHAR)), '|')
+               AS proj,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(y, v -> abs(v))), (acc, v) -> acc + v) AS l1,
+           CAST(len(list_filter(y, v -> v > 0)) AS BIGINT) AS n_pos
+    FROM proj
+"""
+
+
+# ---------------------------------------------------------------------------
 
 SEMDEDUP_K = 8          # seed centroids (vec_id 0..K-1)
 SEMDEDUP_SCALE = 1000   # component quantization for exact integer math
@@ -1200,6 +1294,18 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("label"),
         F.col("recall_e6").cast("double").alias("cosine"),
     )
+    # E68: the signed-random-projection sketch — vec_id carries the
+    # char-fold fingerprint of the serialized projection (pins every
+    # component), cosine its L1 mass (documented column reuse).
+    from weatherflow_spark.functions.text import _tok_hash_lambda_spark
+
+    srp = q_random_projection(spark, sf_dir).select(
+        F.lit("srp").alias("method"),
+        F.col("vec_id").alias("q_id"),
+        F.expr(_tok_hash_lambda_spark("proj")).alias("vec_id"),
+        F.lit(None).cast("int").alias("label"),
+        F.col("l1").cast("double").alias("cosine"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
@@ -1207,8 +1313,13 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(knn)
         .unionByName(vote)
         .unionByName(recall)
+        .unionByName(srp)
     )
 
+
+from weatherflow_spark.functions.text import _tok_hash_lambda_duck as _fp_duck
+
+_fp_of_proj = _fp_duck("proj")
 
 ORACLE_ANN_SUITE = f"""
     WITH brute_side AS ({ORACLE_SIMILARITY_TOPK}),
@@ -1217,7 +1328,8 @@ ORACLE_ANN_SUITE = f"""
     batch_side AS ({ORACLE_ANN_BATCH_TOPK}),
     knn_side AS ({ORACLE_KNN_GRAPH}),
     vote_side AS ({ORACLE_KNN_CLASSIFY}),
-    recall_side AS ({ORACLE_ANN_RECALL})
+    recall_side AS ({ORACLE_ANN_RECALL}),
+    srp_side AS ({ORACLE_RANDOM_PROJECTION})
     SELECT 'brute' AS method, CAST({QUERY_VEC_ID} AS BIGINT) AS q_id,
            vec_id, label, cosine FROM brute_side
     UNION ALL
@@ -1238,6 +1350,10 @@ ORACLE_ANN_SUITE = f"""
     SELECT 'recall_' || method, CAST(k AS BIGINT), n_hits,
            CAST(NULL AS INTEGER), CAST(recall_e6 AS DOUBLE)
     FROM recall_side
+    UNION ALL
+    SELECT 'srp', vec_id, {_fp_of_proj},
+           CAST(NULL AS INTEGER), CAST(l1 AS DOUBLE)
+    FROM srp_side
 """
 
 
@@ -1252,6 +1368,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_graph": q_knn_graph,
     "q_knn_classify": q_knn_classify,
     "q_ann_recall": q_ann_recall,
+    "q_random_projection": q_random_projection,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -1259,6 +1376,7 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "q_knn_graph": ORACLE_KNN_GRAPH,
     "q_knn_classify": ORACLE_KNN_CLASSIFY,
     "q_ann_recall": ORACLE_ANN_RECALL,
+    "q_random_projection": ORACLE_RANDOM_PROJECTION,
     "q_similarity_topk": ORACLE_SIMILARITY_TOPK,
     "q_embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "q_ann_ivf_topk": ORACLE_ANN_IVF_TOPK,

@@ -1212,6 +1212,148 @@ ORACLE_DOMAIN_QUOTA = f"""
 # ---------------------------------------------------------------------------
 # q_curation_suite — consolidated corpus-curation certification row
 # ---------------------------------------------------------------------------
+# q_corpus_drift — E66: token-distribution drift (KL / Jensen-Shannon)
+# ---------------------------------------------------------------------------
+
+DRIFT_VOCAB = 300
+DRIFT_TOP = 20
+# Shared double-expression fragments (identical text both engines, the
+# BM25 precedent) — add-one smoothing over the capped vocabulary.
+_DRIFT_P = f"((CAST(c_a AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + {DRIFT_VOCAB}.0))"
+_DRIFT_Q = f"((CAST(c_b AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + {DRIFT_VOCAB}.0))"
+_DRIFT_M = f"(({_DRIFT_P} + {_DRIFT_Q}) / 2.0)"
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two ingestion batches — the
+    monitor a training-data pipeline runs before admitting a new crawl
+    snapshot: has the language actually shifted? Batch A is the even
+    doc_ids, batch B the odd (a deterministic stand-in for
+    consecutive loads); both distributions live on the SAME top-V
+    shared vocabulary (V={DRIFT_VOCAB}, by combined frequency, token
+    tie-break) with add-one smoothing, so KL is finite by
+    construction. Emits the top-{DRIFT_TOP} drifted tokens (by |log
+    probability ratio|) plus three total rows: KL(A‖B), KL(B‖A), and
+    the symmetric Jensen-Shannon divergence.
+
+    Determinism at scale: ONE token exchange computes both halves'
+    counts (conditional sums in one keyed agg); the vocab cap is a
+    heap top-V; totals broadcast as one row; and — the load-bearing
+    trick — every per-token KL/JS term is floored to an e12 INTEGER
+    before summation, so the cross-token sum is exact int64 arithmetic
+    with no float addition-order dependence (the integer-cents
+    pattern; e12 precision leaves the e9-reported divergences exact
+    to the last digit for any vocab ≤ 1e6)."""
+    from weatherflow_spark.operators.caching import tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).cast("long").alias("in_a"),
+        F.explode(T.tokens("text")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.sum("in_a").alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("c_b"),
+    )
+    vocab = (
+        counts.select("token", "c_a", "c_b", (F.col("c_a") + F.col("c_b")).alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("token"))
+        .limit(DRIFT_VOCAB)
+    )
+    totals = vocab.agg(F.sum("c_a").alias("na"), F.sum("c_b").alias("nb"))
+    per = tracked_persist(
+        vocab.crossJoin(F.broadcast(totals)).select(
+            "token",
+            "c_a",
+            "c_b",
+            "na",
+            "nb",
+            F.expr(
+                f"cast(floor(ln({_DRIFT_P} / {_DRIFT_Q}) * 1e9 + 0.5) as bigint)"
+            ).alias("lr_e9"),
+            F.expr(
+                f"cast(floor({_DRIFT_P} * ln({_DRIFT_P} / {_DRIFT_Q}) * 1e12 + 0.5) as bigint)"
+            ).alias("t_ab_e12"),
+            F.expr(
+                f"cast(floor({_DRIFT_Q} * ln({_DRIFT_Q} / {_DRIFT_P}) * 1e12 + 0.5) as bigint)"
+            ).alias("t_ba_e12"),
+            F.expr(
+                f"cast(floor((0.5 * {_DRIFT_P} * ln({_DRIFT_P} / {_DRIFT_M}) "
+                f"+ 0.5 * {_DRIFT_Q} * ln({_DRIFT_Q} / {_DRIFT_M})) * 1e12 + 0.5) as bigint)"
+            ).alias("t_js_e12"),
+        )
+    )
+    top = (
+        per.orderBy(F.desc(F.abs(F.col("lr_e9"))), F.asc("token"))
+        .limit(DRIFT_TOP)
+        .select(F.col("token").alias("key"), "c_a", "c_b", F.col("lr_e9").alias("metric_e9"))
+    )
+    tot = per.agg(
+        F.min("na").alias("na"),
+        F.min("nb").alias("nb"),
+        F.sum("t_ab_e12").alias("s_ab"),
+        F.sum("t_ba_e12").alias("s_ba"),
+        F.sum("t_js_e12").alias("s_js"),
+    ).selectExpr(
+        "stack(3, '__kl_ab__', na, nb, s_ab div 1000, "
+        "'__kl_ba__', na, nb, s_ba div 1000, "
+        "'__js__', na, nb, s_js div 1000) AS (key, c_a, c_b, metric_e9)"
+    )
+    return top.unionByName(tot)
+
+
+ORACLE_CORPUS_DRIFT = f"""
+    WITH toks AS (
+        SELECT CAST(doc_id % 2 = 0 AS BIGINT) AS in_a, token
+        FROM (
+            SELECT doc_id, unnest({T.tokens_sql('text')}) AS token
+            FROM documents
+        ) WHERE token <> ''
+    ),
+    counts AS (
+        SELECT token, CAST(sum(in_a) AS BIGINT) AS c_a,
+               CAST(sum(1 - in_a) AS BIGINT) AS c_b
+        FROM toks GROUP BY token
+    ),
+    vocab AS (
+        SELECT token, c_a, c_b FROM counts
+        ORDER BY (c_a + c_b) DESC, token ASC LIMIT {DRIFT_VOCAB}
+    ),
+    totals AS (
+        SELECT CAST(sum(c_a) AS BIGINT) AS na, CAST(sum(c_b) AS BIGINT) AS nb
+        FROM vocab
+    ),
+    per AS (
+        SELECT token, c_a, c_b, na, nb,
+               CAST(floor(ln({_DRIFT_P} / {_DRIFT_Q}) * 1e9 + 0.5) AS BIGINT)
+                   AS lr_e9,
+               CAST(floor({_DRIFT_P} * ln({_DRIFT_P} / {_DRIFT_Q}) * 1e12 + 0.5)
+                   AS BIGINT) AS t_ab_e12,
+               CAST(floor({_DRIFT_Q} * ln({_DRIFT_Q} / {_DRIFT_P}) * 1e12 + 0.5)
+                   AS BIGINT) AS t_ba_e12,
+               CAST(floor((0.5 * {_DRIFT_P} * ln({_DRIFT_P} / {_DRIFT_M})
+                    + 0.5 * {_DRIFT_Q} * ln({_DRIFT_Q} / {_DRIFT_M})) * 1e12 + 0.5)
+                   AS BIGINT) AS t_js_e12
+        FROM vocab CROSS JOIN totals
+    )
+    SELECT key, c_a, c_b, metric_e9 FROM (
+        SELECT token AS key, c_a, c_b, lr_e9 AS metric_e9,
+               row_number() OVER (ORDER BY abs(lr_e9) DESC, token ASC) AS rn
+        FROM per
+    ) WHERE rn <= {DRIFT_TOP}
+    UNION ALL
+    SELECT '__kl_ab__', min(na), min(nb),
+           CAST(sum(t_ab_e12) AS BIGINT) // 1000 FROM per
+    UNION ALL
+    SELECT '__kl_ba__', min(na), min(nb),
+           CAST(sum(t_ba_e12) AS BIGINT) // 1000 FROM per
+    UNION ALL
+    SELECT '__js__', min(na), min(nb),
+           CAST(sum(t_js_e12) AS BIGINT) // 1000 FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_train_split — E62: deterministic stratified train/val/test split
 # ---------------------------------------------------------------------------
 
@@ -1629,6 +1771,139 @@ ORACLE_UNIGRAM_LM_SCORE = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_bigram_lm_score — E69: interpolated bigram LM scoring
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOP_B = 64   # bigram model head (count desc, pair asc)
+# unigram back-off reuses LM_TOP_V and the same OOV->1 convention
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document INTERPOLATED bigram LM score — the next rung above
+    E42's unigram filter (CCNet trains 5-grams; the bigram order
+    exercises every mechanism: context counts, conditional
+    probabilities, back-off interpolation): train bigram counts on the
+    corpus, score each document by the mean negative log of
+    p(tᵢ|tᵢ₋₁) = λ·c(tᵢ₋₁tᵢ)/c(tᵢ₋₁) + (1−λ)·c(tᵢ)/total with λ=0.5
+    (binary-exact), unigram back-off guaranteeing p > 0 for unseen
+    bigrams.
+
+    Same two-phase shape as the unigram LM: the model phase is two
+    bounded-output keyed aggregations (token counts and adjacent-pair
+    counts — pair generation is a NARROW positional zip, no
+    self-join), folded into broadcast maps (top-V unigrams, top-B
+    bigrams); the scoring phase is zero-shuffle — each doc folds its
+    own positions sequentially (position order IS the summation
+    order, pinned identically in both engines; no sort needed).
+    Documents shorter than 2 tokens score 0 by convention."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.split(F.col("text"), " ").alias("ts"))
+    uni = tracked_persist(
+        toks.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top_u = uni.orderBy(F.desc("n"), F.asc("token")).limit(LM_TOP_V)
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ts)), "
+                    "i -> concat(element_at(ts, i - 1), ' ', element_at(ts, i)))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top_b = bi.orderBy(F.desc("n"), F.asc("pair")).limit(BIGRAM_TOP_B)
+    model = (
+        top_u.agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("token", "n")))
+            ).alias("vmap")
+        )
+        .crossJoin(
+            F.broadcast(
+                top_b.agg(
+                    F.map_from_entries(
+                        F.array_sort(F.collect_list(F.struct("pair", "n")))
+                    ).alias("bmap")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(uni.agg(F.sum("n").alias("total"))))
+    )
+    p = (
+        "(0.5 * cast(coalesce(bmap[concat(element_at(ts, i - 1), ' ', "
+        "element_at(ts, i))], cast(0 as bigint)) as double) "
+        "/ cast(coalesce(vmap[element_at(ts, i - 1)], cast(1 as bigint)) as double) "
+        "+ 0.5 * cast(coalesce(vmap[element_at(ts, i)], cast(1 as bigint)) as double) "
+        "/ cast(total as double))"
+    )
+    nll = (
+        f"CASE WHEN size(ts) < 2 THEN cast(0.0 as double) "
+        f"ELSE -aggregate(sequence(2, size(ts)), cast(0.0 as double), "
+        f"(acc, i) -> acc + ln({p})) / (size(ts) - 1) END"
+    )
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "doc_id",
+            F.size("ts").alias("n_tokens"),
+            F.expr(f"cast(floor(({nll}) * 1e6 + 0.5) as bigint)").alias("bi_nll_e6"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LM_SCORE = f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    uni AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    top_u AS (SELECT token, n FROM uni ORDER BY n DESC, token ASC LIMIT {LM_TOP_V}),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM uni),
+    pos AS (
+        SELECT d.doc_id, d.ts[u.pos] AS token, CAST(u.pos AS BIGINT) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) d,
+             unnest(generate_series(1, len(d.ts))) AS u(pos)
+    ),
+    bi AS (
+        SELECT a.token || ' ' || b.token AS pair, CAST(count(*) AS BIGINT) AS n
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1
+    ),
+    top_b AS (SELECT pair, n FROM bi ORDER BY n DESC, pair ASC LIMIT {BIGRAM_TOP_B}),
+    terms AS (
+        SELECT b.doc_id, b.pos,
+               ln(0.5 * CAST(COALESCE(tb.n, 0) AS DOUBLE)
+                      / CAST(COALESCE(ua.n, 1) AS DOUBLE)
+                  + 0.5 * CAST(COALESCE(ub.n, 1) AS DOUBLE)
+                      / CAST(tot.total AS DOUBLE)) AS term
+        FROM pos b
+        JOIN pos a ON a.doc_id = b.doc_id AND a.pos = b.pos - 1
+        LEFT JOIN top_b tb ON tb.pair = a.token || ' ' || b.token
+        LEFT JOIN top_u ua ON ua.token = a.token
+        LEFT JOIN top_u ub ON ub.token = b.token
+        CROSS JOIN tot
+    ),
+    lens AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens FROM pos GROUP BY doc_id
+    ),
+    folded AS (
+        SELECT doc_id, list(term ORDER BY pos ASC) AS arr FROM terms GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_tokens,
+           CAST(floor((CASE WHEN l.n_tokens < 2 THEN 0.0
+                ELSE -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f.arr),
+                       (acc, v) -> acc + v)) / (l.n_tokens - 1) END)
+                * 1e6 + 0.5) AS BIGINT) AS bi_nll_e6
+    FROM lens l LEFT JOIN folded f ON f.doc_id = l.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_perplexity_filter — E51: per-source percentile cut on the LM score
 # ---------------------------------------------------------------------------
 
@@ -1740,6 +2015,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_filter": q_quality_filter,
     "q_domain_quota": q_domain_quota,
     "q_train_split": q_train_split,
+    "q_corpus_drift": q_corpus_drift,
+    "q_bigram_lm_score": q_bigram_lm_score,
     "q_boilerplate_detect": q_boilerplate_detect,
     "q_mixture_weights": q_mixture_weights,
     "q_unigram_lm_score": q_unigram_lm_score,
@@ -1766,6 +2043,8 @@ TEXT_ORACLES: dict[str, str] = {
     "q_quality_filter": ORACLE_QUALITY_FILTER,
     "q_domain_quota": ORACLE_DOMAIN_QUOTA,
     "q_train_split": ORACLE_TRAIN_SPLIT,
+    "q_corpus_drift": ORACLE_CORPUS_DRIFT,
+    "q_bigram_lm_score": ORACLE_BIGRAM_LM_SCORE,
     "q_boilerplate_detect": ORACLE_BOILERPLATE_DETECT,
     "q_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "q_curation_suite": ORACLE_CURATION_SUITE,

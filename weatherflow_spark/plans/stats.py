@@ -311,6 +311,85 @@ ORACLE_HISTOGRAM = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_equidepth_histogram — E65: exact equi-depth histogram (compressed domain)
+# ---------------------------------------------------------------------------
+
+EDH_BUCKETS = 8
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equal-height) histogram of order total price,
+    8 buckets — the statistics a cost-based optimizer or drift monitor
+    wants when fixed-width buckets leave most bins empty. Naive form is
+    ``ntile(B) OVER (ORDER BY price)`` — a single-partition global
+    window over every row, a non-starter at 100 TB. This plan uses the
+    COMPRESSED-DOMAIN decomposition instead: aggregate to one row per
+    distinct cent value (map-side-partial keyed agg — the only
+    data-scale pass), then run the cumulative sum and bucket
+    assignment over the distinct-value table, whose size is bounded by
+    the VALUE DOMAIN (≤ ~6e7 cents here) rather than the row count.
+    Ties never split across buckets (value-level assignment:
+    bucket = floor(rows_before · B / N)) — the deterministic
+    no-split-ties variant, identical in both engines. For genuinely
+    unbounded/continuous domains the two-pass global-index path
+    (operators/indexing.py) is the documented alternative.
+
+    Output per bucket: row count, inclusive cent bounds, distinct
+    values — 8 rows total."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_val = (
+        orders.select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    bucketed = per_val.select(
+        "cents",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before"),
+        F.sum("n").over(wall).alias("n_total"),
+    ).select(
+        "cents",
+        "n",
+        F.expr(f"before * {EDH_BUCKETS} div n_total").alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .select("bucket", "n_rows", "lo_cents", "hi_cents", "n_values")
+    )
+
+
+ORACLE_EQUIDEPTH_HISTOGRAM = f"""
+    WITH per_val AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    bucketed AS (
+        SELECT cents, n,
+               CAST(COALESCE(sum(n) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   * {EDH_BUCKETS}
+                   // CAST(sum(n) OVER () AS BIGINT) AS BIGINT) AS bucket
+        FROM per_val
+    )
+    SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+           min(cents) AS lo_cents, max(cents) AS hi_cents,
+           CAST(count(*) AS BIGINT) AS n_values
+    FROM bucketed GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_entropy — Shannon entropy via deterministic sorted fold
 # ---------------------------------------------------------------------------
 
@@ -1345,6 +1424,16 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("v3"),
         nul.alias("v4"),
     )
+    # E65: the exact equi-depth histogram (compressed-domain plan).
+    edh = q_equidepth_histogram(spark, sf_dir).select(
+        F.lit("edh").alias("part"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("n_rows").alias("n"),
+        F.col("lo_cents").cast("double").alias("v1"),
+        F.col("hi_cents").cast("double").alias("v2"),
+        F.col("n_values").cast("double").alias("v3"),
+        nul.alias("v4"),
+    )
     return (
         moments.unionByName(regression)
         .unionByName(mode)
@@ -1353,6 +1442,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cov)
         .unionByName(pca)
         .unionByName(outl)
+        .unionByName(edh)
     )
 
 
@@ -1361,7 +1451,8 @@ ORACLE_STATS_SUITE = f"""
     regression_side AS ({ORACLE_LINEAR_REGRESSION}),
     mode_side AS ({ORACLE_MODE}),
     histogram_side AS ({ORACLE_HISTOGRAM}),
-    entropy_side AS ({ORACLE_ENTROPY})
+    entropy_side AS ({ORACLE_ENTROPY}),
+    edh_side AS ({ORACLE_EQUIDEPTH_HISTOGRAM})
     SELECT 'moments' AS part, l_returnflag AS key, n_rows AS n,
            avg_qty AS v1, std_qty AS v2,
            covar_qty_disc100 AS v3, corr_qty_disc100 AS v4
@@ -1385,6 +1476,11 @@ ORACLE_STATS_SUITE = f"""
            CAST(n_types AS DOUBLE), entropy_nats,
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM entropy_side
+    UNION ALL
+    SELECT 'edh', CAST(bucket AS VARCHAR), n_rows,
+           CAST(lo_cents AS DOUBLE), CAST(hi_cents AS DOUBLE),
+           CAST(n_values AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM edh_side
 """
 
 
@@ -1846,6 +1942,7 @@ STATS_QUERIES = {
     "q_date_dim": q_date_dim,
     "q_scd2_dim": q_scd2_dim,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_equidepth_histogram": q_equidepth_histogram,
     "q_dim_build_suite": q_dim_build_suite,
     "q_embedding_quantize": q_embedding_quantize,
     "q_null_semantics": q_null_semantics,
@@ -1873,6 +1970,7 @@ STATS_ORACLES = {
     "q_date_dim": ORACLE_DATE_DIM,
     "q_scd2_dim": ORACLE_SCD2_DIM,
     "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "q_equidepth_histogram": ORACLE_EQUIDEPTH_HISTOGRAM,
     "q_dim_build_suite": ORACLE_DIM_BUILD_SUITE,
     "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "q_null_semantics": ORACLE_NULL_SEMANTICS,
