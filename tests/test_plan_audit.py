@@ -611,3 +611,79 @@ def test_cluster_representatives_single_pass(spark):
     assert len(scans) <= 7, f"duplicated upstream subtree ({len(scans)} scans):\n{p}"
     exchanges = _detail_headers(p, "Exchange")
     assert len(exchanges) <= 21, f"{len(exchanges)} Exchanges — double subtree:\n{p}"
+
+
+def test_assoc_rules_no_basket_self_join(spark):
+    """E63: pair generation must be the narrow in-array expansion —
+    the only joins are the broadcast marginals/total; no sort-merge or
+    shuffled join of basket against basket."""
+    p = _plan(QUERIES["q_assoc_rules"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in p, f"basket self-join planned:\n{p}"
+    assert "ShuffledHashJoin" not in p, f"basket self-join planned:\n{p}"
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, f"rule list is not a bounded heap:\n{p}"
+
+
+def test_train_split_single_source_exchange(spark):
+    """E62: both windows (row_number + count) share ONE source-keyed
+    exchange; nothing else shuffles and there are no joins."""
+    p = _plan(QUERIES["q_train_split"](spark, SF_SMALL))
+    hash_ex = [b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b]
+    assert len(hash_ex) == 1 and "source" in hash_ex[0], (
+        f"expected one source exchange:\n{p}"
+    )
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in p, f"unexpected join ({node}):\n{p}"
+
+
+def test_corpus_drift_one_token_exchange_heap_vocab(spark):
+    """E66: the token count agg is the only corpus-scale exchange;
+    the vocab cap plans as a bounded heap; totals ride a broadcast."""
+    p = _plan(QUERIES["q_corpus_drift"](spark, SF_SMALL))
+    hash_ex = [b for b in _detail_blocks(p, "Exchange") if "hashpartitioning(token" in b]
+    assert len(hash_ex) >= 1, f"expected a token exchange:\n{p}"
+    assert "TakeOrderedAndProject" in p, f"vocab cap is not a heap:\n{p}"
+    assert "BroadcastExchange" in p, p
+
+
+def test_random_projection_zero_shuffle_codegen(spark):
+    """E68: the projection is embarrassingly parallel — no exchange
+    beyond the explicit input spread, no join, and the matrix fold
+    stays inside whole-stage codegen."""
+    p = _plan(QUERIES["q_random_projection"](spark, SF_SMALL))
+    hash_ex = [b for b in _detail_blocks(p, "Exchange") if "hashpartitioning" in b]
+    assert len(hash_ex) == 1, f"expected only the explicit input spread:\n{p}"
+    assert "REPARTITION_BY_NUM" in p, f"input spread is not the explicit form:\n{p}"
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "Window"):
+        assert node not in p, f"unexpected {node}:\n{p}"
+    # (codegen annotation is hidden inside the un-finalized AQE plan;
+    # the zero-join/one-exchange shape is the load-bearing claim)
+
+
+def test_winnow_posting_cap_and_keyed_joins(spark):
+    """E67: pair generation rides the capped posting explode (no
+    all-pairs join); the only wide joins are the two doc-id size
+    joins; no cartesian anywhere."""
+    p = _plan(QUERIES["q_winnow_fingerprint"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, f"top-k is not a bounded heap:\n{p}"
+
+
+def test_equidepth_histogram_one_corpus_pass(spark):
+    """E65: the per-value aggregation is the only pass over raw rows;
+    the bucket window runs over the compressed distinct-value table
+    (single scan in the plan), with map-side partials."""
+    p = _plan(QUERIES["q_equidepth_histogram"](spark, SF_SMALL))
+    scans = _detail_headers(p, "Scan parquet")
+    assert len(scans) == 1, f"expected one corpus scan:\n{p}"
+    assert p.count("HashAggregate") >= 2, f"no map-side partials:\n{p}"
+
+
+def test_bigram_lm_scoring_is_broadcast_zero_join_on_docs(spark):
+    """E69: the scoring pass must consume the model via broadcast —
+    no keyed join between the corpus and the model tables."""
+    p = _plan(QUERIES["q_bigram_lm_score"](spark, SF_SMALL))
+    for node in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in p, f"model joined instead of broadcast ({node}):\n{p}"
+    assert "BroadcastExchange" in p, p
