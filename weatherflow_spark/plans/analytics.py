@@ -677,6 +677,85 @@ ORACLE_RETENTION = """
 # ---------------------------------------------------------------------------
 # q_event_transitions — Markov transition matrix over per-user event paths
 # ---------------------------------------------------------------------------
+# q_event_sequences — E72: frequent behavioral sequence mining
+# ---------------------------------------------------------------------------
+
+SEQ_N = 3      # sequence length (trigrams of consecutive event types)
+SEQ_TOP = 25
+
+
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-SEQUENCE mining — the n-gram generalization of
+    the Markov transition matrix (E35): which length-3 behavioral
+    paths actually occur, how often, and across how many users. The
+    product-analytics primitive behind journey analysis and funnel
+    discovery (the E35 matrix only sees pairs; real funnels are
+    longer).
+
+    Physical shape: ONE user-keyed aggregation collects each user's
+    type sequence in (ts, event_id) order (per-user state bounded by
+    retention — the EWMA contract), trigram generation is a NARROW
+    positional zip over that array (no self-join), and the
+    (user, trigram)→trigram two-level aggregation gives exact
+    occurrence and distinct-user counts with map-side partials at
+    both levels. Final list is a heap top-{SEQ_TOP} (count desc,
+    path asc)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))), "
+            "e -> e.event_type)"
+        ).alias("types")
+    )
+    tris = seqs.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence({SEQ_N}, size(types)), i -> "
+                "concat_ws('>', element_at(types, i - 2), "
+                "element_at(types, i - 1), element_at(types, i)))"
+            )
+        ).alias("path"),
+    )
+    per_user = tris.groupBy("path", "user_id").agg(
+        F.count(F.lit(1)).alias("n_u")
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(
+            F.sum("n_u").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(SEQ_TOP)
+    )
+
+
+ORACLE_EVENT_SEQUENCES = f"""
+    WITH seqs AS (
+        SELECT user_id, list(event_type ORDER BY ts ASC, event_id ASC) AS types
+        FROM events GROUP BY user_id
+    ),
+    tris AS (
+        SELECT user_id,
+               types[i - 2] || '>' || types[i - 1] || '>' || types[i] AS path
+        FROM seqs, unnest(generate_series({SEQ_N}, len(types))) AS u(i)
+    ),
+    per_user AS (
+        SELECT path, user_id, CAST(count(*) AS BIGINT) AS n_u
+        FROM tris GROUP BY path, user_id
+    )
+    SELECT path, CAST(sum(n_u) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT {SEQ_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_assoc_rules — E63: frequent itemsets + association rules
 # ---------------------------------------------------------------------------
 
@@ -893,10 +972,20 @@ def q_product_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pair").alias("n"),
         (F.col("lift_e6").cast("double") / F.lit(1e6)).alias("ratio"),
     )
+    # E72: frequent behavioral sequences — ratio carries the exact
+    # distinct-user count re-widened to double.
+    seqs = q_event_sequences(spark, sf_dir).select(
+        F.lit("sequences").alias("op"),
+        F.col("path").alias("key"),
+        F.lit(None).cast("int").alias("day_offset"),
+        F.col("n_occurrences").alias("n"),
+        F.col("n_users").cast("double").alias("ratio"),
+    )
     return (
         funnel.unionByName(retention)
         .unionByName(transitions)
         .unionByName(rules)
+        .unionByName(seqs)
     )
 
 
@@ -904,7 +993,8 @@ ORACLE_PRODUCT_ANALYTICS_SUITE = f"""
     WITH funnel_side AS ({ORACLE_FUNNEL}),
     retention_side AS ({ORACLE_RETENTION}),
     transitions_side AS ({ORACLE_EVENT_TRANSITIONS}),
-    rules_side AS ({ORACLE_ASSOC_RULES})
+    rules_side AS ({ORACLE_ASSOC_RULES}),
+    seqs_side AS ({ORACLE_EVENT_SEQUENCES})
     SELECT 'funnel' AS op, stage AS key, CAST(NULL AS INTEGER) AS day_offset,
            n_users AS n, conv_vs_first AS ratio
     FROM funnel_side
@@ -920,6 +1010,10 @@ ORACLE_PRODUCT_ANALYTICS_SUITE = f"""
     SELECT 'assoc_rules', CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR),
            CAST(NULL AS INTEGER), n_pair, CAST(lift_e6 AS DOUBLE) / 1e6
     FROM rules_side
+    UNION ALL
+    SELECT 'sequences', path, CAST(NULL AS INTEGER), n_occurrences,
+           CAST(n_users AS DOUBLE)
+    FROM seqs_side
 """
 
 
@@ -936,6 +1030,7 @@ ANALYTICS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_retention": q_retention,
     "q_event_transitions": q_event_transitions,
     "q_assoc_rules": q_assoc_rules,
+    "q_event_sequences": q_event_sequences,
     "q_product_analytics_suite": q_product_analytics_suite,
     "q_weighted_sample": q_weighted_sample,
     "q_sampling_suite": q_sampling_suite,
@@ -954,6 +1049,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "q_retention": ORACLE_RETENTION,
     "q_event_transitions": ORACLE_EVENT_TRANSITIONS,
     "q_assoc_rules": ORACLE_ASSOC_RULES,
+    "q_event_sequences": ORACLE_EVENT_SEQUENCES,
     "q_product_analytics_suite": ORACLE_PRODUCT_ANALYTICS_SUITE,
     "q_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "q_sampling_suite": _oracle_sampling_suite(),

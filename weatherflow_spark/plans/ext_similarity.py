@@ -1306,6 +1306,15 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("label"),
         F.col("l1").cast("double").alias("cosine"),
     )
+    # E70: PQ codes fingerprinted the same way; cosine carries the
+    # e6 reconstruction error.
+    pq = q_pq_encode(spark, sf_dir).select(
+        F.lit("pq").alias("method"),
+        F.col("vec_id").alias("q_id"),
+        F.expr(_tok_hash_lambda_spark("codes")).alias("vec_id"),
+        F.lit(None).cast("int").alias("label"),
+        F.col("err_e6").cast("double").alias("cosine"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
@@ -1314,7 +1323,142 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vote)
         .unionByName(recall)
         .unionByName(srp)
+        .unionByName(pq)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pq_encode — E70: product quantization (seeded codebook, exact argmin)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8   # subspaces (64 dims -> 8 sub-vectors of 8)
+PQ_K = 4   # centroids per subspace (seeded: vec_id 0..PQ_K-1)
+PQ_SUB = 8  # dims per subspace
+
+
+def _pq_subdist(a: str, b: str, m: str) -> str:
+    """Spark SQL: squared L2 between subspace ``m`` of two double
+    arrays — sequential left fold over the PQ_SUB dims (order pinned,
+    the q_kmeans _sqdist discipline)."""
+    return (
+        f"aggregate(zip_with(slice({a}, ({m}) * {PQ_SUB} + 1, {PQ_SUB}), "
+        f"slice({b}, ({m}) * {PQ_SUB} + 1, {PQ_SUB}), "
+        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_subdist_duck(a: str, b: str, m: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {PQ_SUB}), "
+        f"i -> (CAST({a}[({m}) * {PQ_SUB} + i] AS DOUBLE) "
+        f"- CAST({b}[({m}) * {PQ_SUB} + i] AS DOUBLE)) "
+        f"* (CAST({a}[({m}) * {PQ_SUB} + i] AS DOUBLE) "
+        f"- CAST({b}[({m}) * {PQ_SUB} + i] AS DOUBLE)))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — THE vector-compression standard behind
+    billion-scale ANN serving (FAISS IVFPQ): each 64-d embedding
+    splits into PQ_M={PQ_M} sub-vectors, each encoded as the id of its
+    nearest subspace centroid, compressing the vector to {PQ_M} small
+    codes; the summed subspace distances are the reconstruction error
+    the index designer monitors. The codebook here is SEEDED (subspace
+    centroids = the sub-vectors of vec_id 0..{PQ_K}-1 — the q_kmeans
+    seeding rule) so the whole encode is a pure function of the input
+    and DuckDB replays it; production trains each subspace codebook
+    with the identical Lloyd machinery of q_kmeans, and serving-side
+    asymmetric-distance scans are lookup-table sums over these codes.
+
+    Scale posture: the codebook is ONE broadcast row ({PQ_K} packed
+    vectors); encoding is a narrow per-row expression (PQ_M×PQ_K
+    pinned-order folds inside codegen) — zero data-scale shuffles.
+    Argmin per subspace via array_min + first-position (smaller
+    centroid id wins ties, both engines)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+    )
+    seeds = emb.where(F.col("vec_id") < PQ_K).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(vec_id, embedding))), "
+            "s -> cast(s.embedding as array<double>))"
+        ).alias("cbs")
+    )
+    d_m = (
+        f"transform(sequence(0, {PQ_K - 1}), c -> "
+        + _pq_subdist("cast(embedding as array<double>)", "element_at(cbs, c + 1)", "m")
+        + ")"
+    )
+    from weatherflow_spark.functions.text import let_spark
+
+    per_sub = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        + let_spark(
+            d_m,
+            "d",
+            "struct(cast(array_position(d, array_min(d)) - 1 as int) AS code, "
+            "array_min(d) AS err)",
+        )
+        + ")"
+    )
+    return (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", F.expr(per_sub).alias("ps"))
+        .select(
+            "vec_id",
+            F.expr(
+                "array_join(transform(ps, r -> cast(r.code as string)), '|')"
+            ).alias("codes"),
+            F.expr(
+                "cast(floor(aggregate(transform(ps, r -> r.err), "
+                "cast(0.0 as double), (acc, v) -> acc + v) * 1e6 + 0.5) as bigint)"
+            ).alias("err_e6"),
+        )
+    )
+
+
+def _oracle_pq_encode() -> str:
+    from weatherflow_spark.functions.text import let_duck
+
+    d_m = (
+        f"list_transform(generate_series(0, {PQ_K - 1}), c -> "
+        + _pq_subdist_duck("e.embedding", "cbs[c + 1]", "m")
+        + ")"
+    )
+    per_sub = (
+        f"list_transform(generate_series(0, {PQ_M - 1}), m -> "
+        + let_duck(
+            d_m,
+            "d",
+            "{'code': CAST(list_position(d, list_min(d)) - 1 AS INTEGER), "
+            "'err': list_min(d)}",
+        )
+        + ")"
+    )
+    return f"""
+    WITH seeds AS (
+        SELECT list_transform(
+                   list_sort(list({{'v': vec_id, 'e': embedding}})),
+                   s -> list_transform(s.e, x -> CAST(x AS DOUBLE)))
+               AS cbs
+        FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    enc AS (
+        SELECT e.vec_id, {per_sub} AS ps
+        FROM embeddings e CROSS JOIN seeds
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(ps, r -> CAST(r.code AS VARCHAR)), '|')
+               AS codes,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(ps, r -> r.err)), (acc, v) -> acc + v)
+               * 1e6 + 0.5) AS BIGINT) AS err_e6
+    FROM enc
+"""
 
 
 from weatherflow_spark.functions.text import _tok_hash_lambda_duck as _fp_duck
@@ -1329,7 +1473,8 @@ ORACLE_ANN_SUITE = f"""
     knn_side AS ({ORACLE_KNN_GRAPH}),
     vote_side AS ({ORACLE_KNN_CLASSIFY}),
     recall_side AS ({ORACLE_ANN_RECALL}),
-    srp_side AS ({ORACLE_RANDOM_PROJECTION})
+    srp_side AS ({ORACLE_RANDOM_PROJECTION}),
+    pq_side AS ({_oracle_pq_encode()})
     SELECT 'brute' AS method, CAST({QUERY_VEC_ID} AS BIGINT) AS q_id,
            vec_id, label, cosine FROM brute_side
     UNION ALL
@@ -1354,6 +1499,10 @@ ORACLE_ANN_SUITE = f"""
     SELECT 'srp', vec_id, {_fp_of_proj},
            CAST(NULL AS INTEGER), CAST(l1 AS DOUBLE)
     FROM srp_side
+    UNION ALL
+    SELECT 'pq', vec_id, {_fp_duck("codes")},
+           CAST(NULL AS INTEGER), CAST(err_e6 AS DOUBLE)
+    FROM pq_side
 """
 
 
@@ -1369,6 +1518,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_classify": q_knn_classify,
     "q_ann_recall": q_ann_recall,
     "q_random_projection": q_random_projection,
+    "q_pq_encode": q_pq_encode,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -1377,6 +1527,7 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "q_knn_classify": ORACLE_KNN_CLASSIFY,
     "q_ann_recall": ORACLE_ANN_RECALL,
     "q_random_projection": ORACLE_RANDOM_PROJECTION,
+    "q_pq_encode": _oracle_pq_encode(),
     "q_similarity_topk": ORACLE_SIMILARITY_TOPK,
     "q_embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "q_ann_ivf_topk": ORACLE_ANN_IVF_TOPK,

@@ -91,7 +91,16 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lit(None).cast("int").alias("pass"),
     )
+    # E71: the anti-entropy table fingerprints as report rows (XOR +
+    # modular-sum channels; pass is NULL — a digest, not an invariant).
+    fps = q_table_fingerprint(spark, sf_dir).selectExpr(
+        "tbl",
+        "stack(2, 'fingerprint_xor', fp_xor, 'fingerprint_sum', fp_sum) "
+        "AS (check, value)",
+        "cast(NULL as int) AS pass",
+    )
     parts = [
+        fps,
         _count_row("orders", orders),
         _count_row("customer", customer),
         _count_row("lineitem", lineitem),
@@ -170,10 +179,116 @@ ORACLE_DATA_QUALITY = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_table_fingerprint — E71: order-independent table checksums
+# ---------------------------------------------------------------------------
+
+FP_SUM_MOD = 1_000_003  # keeps sum(h % M) < 9e18 for ~9e12 rows
+
+
+def _row_fp_spark(cols_concat: str) -> str:
+    from weatherflow_spark.functions.text import _tok_hash_lambda_spark
+
+    return _tok_hash_lambda_spark(cols_concat)
+
+
+def _row_fp_duck(cols_concat: str) -> str:
+    from weatherflow_spark.functions.text import _tok_hash_lambda_duck
+
+    return _tok_hash_lambda_duck(cols_concat)
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the anti-entropy
+    primitive behind replica comparison, migration sign-off, and
+    idempotent-load verification (same bytes ⇒ same fingerprint, ANY
+    row order, ANY partitioning): each row serializes canonically
+    ('|'-joined typed columns, doubles as exact cents) and folds to
+    the engine's polynomial hash; the table digest is the XOR of row
+    hashes (commutative/associative — map-side-combinable, merge-able
+    across partitions and incremental loads) plus a modular-sum
+    second channel (XOR alone cannot see a row repeated twice; the
+    sum channel can — and stays overflow-safe to ~9e12 rows via the
+    per-row mod). Comparing two replicas = comparing 3 integers per
+    table.
+
+    One narrow scan + one global aggregate per table; no shuffles
+    beyond the single-row final combine."""
+    def fp(tbl: str, df: DataFrame, concat_cols: str) -> DataFrame:
+        h = _row_fp_spark(f"concat_ws('|', {concat_cols})")
+        return df.select(F.expr(h).alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fp_xor"),
+            F.expr(f"sum(h % {FP_SUM_MOD})").alias("fp_sum"),
+        ).select(
+            F.lit(tbl).alias("tbl"), "n_rows", "fp_xor", "fp_sum"
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    o = fp(
+        "orders",
+        orders,
+        "o_orderkey, o_custkey, cast(floor(o_totalprice * 100 + 0.5) as bigint), "
+        "o_orderstatus, o_orderpriority",
+    )
+    c = fp("customer", customer, "c_custkey, c_nationkey, c_name")
+    e = fp(
+        "events",
+        events,
+        "event_id, user_id, event_type, "
+        "cast(floor(value * 100 + 0.5) as bigint)",
+    )
+    return o.unionByName(c).unionByName(e)
+
+
+def _oracle_table_fingerprint() -> str:
+    def fp(tbl: str, concat_cols: str) -> str:
+        h = _row_fp_duck(f"concat_ws('|', {concat_cols})")
+        return f"""
+        SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+               bit_xor(h) AS fp_xor,
+               CAST(sum(h % {FP_SUM_MOD}) AS BIGINT) AS fp_sum
+        FROM (SELECT {h} AS h FROM {tbl})"""
+
+    return (
+        fp(
+            "orders",
+            "o_orderkey, o_custkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), "
+            "o_orderstatus, o_orderpriority",
+        )
+        + "\n    UNION ALL\n"
+        + fp("customer", "c_custkey, c_nationkey, c_name")
+        + "\n    UNION ALL\n"
+        + fp(
+            "events",
+            "event_id, user_id, event_type, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT)",
+        )
+    )
+
+
+# Rebind: the report oracle gains the fingerprint rows (defined after
+# the base literal, so extended here — the curation-suite precedent).
+ORACLE_DATA_QUALITY = f"""
+    SELECT * FROM ({ORACLE_DATA_QUALITY})
+    UNION ALL
+    SELECT tbl, 'fingerprint_xor' AS check, fp_xor AS value,
+           CAST(NULL AS INTEGER) AS pass
+    FROM ({_oracle_table_fingerprint()})
+    UNION ALL
+    SELECT tbl, 'fingerprint_sum', fp_sum, CAST(NULL AS INTEGER)
+    FROM ({_oracle_table_fingerprint()})
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_data_quality_report": q_data_quality_report,
+    "q_table_fingerprint": q_table_fingerprint,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
     "q_data_quality_report": ORACLE_DATA_QUALITY,
+    "q_table_fingerprint": _oracle_table_fingerprint(),
 }
