@@ -225,6 +225,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real triangles, each exactly once. Output: per-node
     participation top-10 plus the global count as a node=-1 row.
 
+    Measured trade-off (sf0.1, warm, min-of-reps): the orientation
+    adds the degree aggregation + two keyed joins — ~0.9 s of fixed
+    exchange overhead here (old id-ordered wedge 2.0 s, degree-ordered
+    3.0 s) — bought deliberately: on a skewed graph the id-ordered
+    form pays in(hub)·out(hub) wedges at the hub (2,500 on the 100-
+    leaf star fixture vs 0 oriented; tests/test_graph.py), and at real
+    graph scale the degeneracy bound is the difference between a
+    bounded wedge stage and a quadratic one. The kNN sparsification
+    already caps max degree at 2k, so THIS fixture never explodes —
+    general co-occurrence graphs do.
+
     The kNN sparsification is the load-bearing scale property: the raw
     co-occurrence graph densifies as orders accumulate (at sf0.1 it is
     already near-complete over 1 000 suppliers, and the wedge join on
@@ -258,10 +269,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_number() OVER (PARTITION BY a ORDER BY w DESC, b ASC)"
         ),
     ).where(F.col("rn") <= TRI_KNN)
-    edges = knn.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
-    tri = ordered_triangles(orient_by_degree(edges))
+    # Persist both the canonical edge list (consumed by the degree agg
+    # AND the orientation join) and the orientation (consumed three
+    # times in wedge generation + the closing semi-join) — without
+    # these the whole co-occurrence/kNN pipeline re-executes up to six
+    # times (measured 4.6 s -> the persisted form beats even the old
+    # un-oriented shape at sf0.1).
+    edges = tracked_persist(
+        knn.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).distinct()
+    )
+    # tri itself feeds the per-node tally AND the global count row.
+    tri = tracked_persist(ordered_triangles(tracked_persist(orient_by_degree(edges))))
     per_node = (
         tri.select(F.explode(F.array("wa", "wb", "wc")).alias("node"))
         .groupBy("node")

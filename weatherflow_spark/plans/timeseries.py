@@ -246,6 +246,89 @@ ORACLE_EWMA = f"""
 # ---------------------------------------------------------------------------
 # q_timeseries_suite — certification row: gap fill + EWMA, one hash
 # ---------------------------------------------------------------------------
+# q_seasonal_anomaly — E73: seasonal-baseline residual anomaly detection
+# ---------------------------------------------------------------------------
+
+ANOM_TOP = 25
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the ops-monitoring
+    primitive over the event stream: fit a (event_type × hour-of-day)
+    baseline (the dominant seasonality of product metrics), score
+    every event by its residual z-score against that cell, surface
+    the top anomalies. The poor-man's STL that catches what a global
+    z-score can't (a value normal at noon is an anomaly at 4am).
+
+    Exactness discipline: values quantize to integer cents; each
+    cell's (n, Σc, Σc²) are EXACT int64 partials (map-side combine,
+    one bounded-group exchange — the q_stats_moments pattern), and
+    mean/std materialize as single correctly-rounded double ops
+    identical in both engines. The baseline table (≤ types×24 rows)
+    broadcasts back; scoring is narrow; the anomaly list is a heap
+    top-{ANOM_TOP} on the e6-pinned |z| with event_id tie-break.
+    Cells with fewer than 2 events or zero variance score NULL and
+    are excluded (documented: no z against a degenerate baseline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    base = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.expr("c * c")).alias("s2"),
+    )
+    scored = ev.join(F.broadcast(base), ["event_type", "hod"]).select(
+        "event_id",
+        "event_type",
+        "hod",
+        "c",
+        F.expr(
+            "CASE WHEN n < 2 OR (n * s2 - s1 * s1) <= 0 THEN NULL "
+            "ELSE cast(floor((cast(c as double) - cast(s1 as double) / n) "
+            "/ sqrt((cast(n as double) * s2 - cast(s1 as double) * s1) "
+            "/ (cast(n as double) * (n - 1))) * 1e6 + 0.5) as bigint) END"
+        ).alias("z_e6"),
+    )
+    return (
+        scored.where(F.col("z_e6").isNotNull())
+        .orderBy(F.desc(F.abs(F.col("z_e6"))), F.asc("event_id"))
+        .limit(ANOM_TOP)
+    )
+
+
+ORACLE_SEASONAL_ANOMALY = f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    base AS (
+        SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM ev GROUP BY event_type, hod
+    ),
+    scored AS (
+        SELECT e.event_id, e.event_type, e.hod, e.c,
+               CASE WHEN b.n < 2 OR (b.n * b.s2 - b.s1 * b.s1) <= 0 THEN NULL
+                    ELSE CAST(floor((CAST(e.c AS DOUBLE) - CAST(b.s1 AS DOUBLE) / b.n)
+                        / sqrt((CAST(b.n AS DOUBLE) * b.s2 - CAST(b.s1 AS DOUBLE) * b.s1)
+                        / (CAST(b.n AS DOUBLE) * (b.n - 1))) * 1e6 + 0.5) AS BIGINT)
+               END AS z_e6
+        FROM ev e JOIN base b ON b.event_type = e.event_type AND b.hod = e.hod
+    )
+    SELECT event_id, event_type, hod, c, z_e6
+    FROM scored WHERE z_e6 IS NOT NULL
+    ORDER BY abs(z_e6) DESC, event_id ASC
+    LIMIT {ANOM_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def q_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,12 +349,20 @@ def q_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(user_id as string) AS key",
         "stack(2, 'n_events', n_events, 'ewma_e6', ewma_e6) AS (metric, value)",
     )
-    return gf.unionByName(ew)
+    # E73: the seasonal-baseline anomaly list.
+    an = q_seasonal_anomaly(spark, sf_dir).selectExpr(
+        "'anomaly' AS op",
+        "concat(cast(event_id as string), '@', event_type, ':', "
+        "cast(hod as string)) AS key",
+        "stack(2, 'c', c, 'z_e6', z_e6) AS (metric, value)",
+    )
+    return gf.unionByName(ew).unionByName(an)
 
 
 ORACLE_TIMESERIES_SUITE = f"""
     WITH gf_side AS ({ORACLE_GAP_FILL_INTERPOLATE}),
-    ew_side AS ({ORACLE_EWMA})
+    ew_side AS ({ORACLE_EWMA}),
+    an_side AS ({ORACLE_SEASONAL_ANOMALY})
     SELECT 'gap_fill' AS op,
            series_key || '|' || strftime(bucket, '%Y-%m-%d %H') AS key,
            'is_observed' AS metric,
@@ -285,17 +376,31 @@ ORACLE_TIMESERIES_SUITE = f"""
     SELECT 'ewma', CAST(user_id AS VARCHAR), 'n_events', n_events FROM ew_side
     UNION ALL
     SELECT 'ewma', CAST(user_id AS VARCHAR), 'ewma_e6', ewma_e6 FROM ew_side
+    UNION ALL
+    SELECT 'anomaly',
+           CAST(event_id AS VARCHAR) || '@' || event_type || ':'
+               || CAST(hod AS VARCHAR),
+           'c', c
+    FROM an_side
+    UNION ALL
+    SELECT 'anomaly',
+           CAST(event_id AS VARCHAR) || '@' || event_type || ':'
+               || CAST(hod AS VARCHAR),
+           'z_e6', z_e6
+    FROM an_side
 """
 
 
 TIMESERIES_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gap_fill_interpolate": q_gap_fill_interpolate,
     "q_ewma": q_ewma,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_timeseries_suite": q_timeseries_suite,
 }
 
 TIMESERIES_ORACLES: dict[str, str] = {
     "q_gap_fill_interpolate": ORACLE_GAP_FILL_INTERPOLATE,
     "q_ewma": ORACLE_EWMA,
+    "q_seasonal_anomaly": ORACLE_SEASONAL_ANOMALY,
     "q_timeseries_suite": ORACLE_TIMESERIES_SUITE,
 }
