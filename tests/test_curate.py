@@ -58,6 +58,17 @@ def test_curate_funnel_matches_certified_verdicts(spark, tmp_path):
     # schema contract: text present, recomputed length column
     row = curated.orderBy("doc_id").first()
     assert row.n_chars == len(row.text)
+    # release splits: every survivor carries the certified E62
+    # assignment, which is computed over the FULL corpus — identical
+    # doc_id -> split mapping as the standalone query
+    from weatherflow_spark.plans.ext_text import q_train_split
+
+    want_split = {
+        r.doc_id: r.split for r in q_train_split(spark, SF_SMALL).collect()
+    }
+    got_split = {r.doc_id: r.split for r in curated.select("doc_id", "split").collect()}
+    assert got_split == {d: want_split[d] for d in got_ids}
+    assert set(got_split.values()) <= {"train", "val", "test"}
 
 
 def test_curate_cli_entry(spark, tmp_path):

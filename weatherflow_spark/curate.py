@@ -7,7 +7,9 @@ the certified operators in the order a real release runs them:
     2. Gopher quality rules (q_quality_filter verdicts)
     3. perplexity cut       (q_perplexity_filter per-source p90)
     4. PII redaction        (the redact expression over the kept text)
-    5. write curated parquet + a stage-funnel report
+    5. stable train/val/test split (q_train_split over the FULL
+       corpus, so split membership survives re-curation)
+    6. write curated parquet + a stage-funnel report
 
 Each stage's verdict table comes from the same plan builders the
 driver hash-certifies, so the pipeline's selections are exactly the
@@ -31,6 +33,7 @@ from weatherflow_spark.plans.ext_text import (
     PII_PHONE_RE,
     q_perplexity_filter,
     q_quality_filter,
+    q_train_split,
 )
 
 
@@ -79,12 +82,22 @@ def curate_corpus(
     stage2 = stage1.join(qual_keep, "doc_id", "left_semi")
     stage3 = stage2.join(ppl_keep, "doc_id", "left_semi")
 
-    curated = stage3.select(
-        "doc_id",
-        "source",
-        "lang",
-        redact_text(F.col("text")).alias("text"),
-    ).withColumn("n_chars", F.length("text").cast("long"))
+    # Release splits come from the certified E62 assignment, computed
+    # over the FULL corpus (pre-filter) so a document's split is a
+    # stable function of (doc_id, source) — re-running curation with
+    # different filters can never migrate a doc between train and
+    # eval (the leakage rule every release pipeline must hold).
+    splits = q_train_split(spark, sf_dir).select("doc_id", "split")
+    curated = (
+        stage3.select(
+            "doc_id",
+            "source",
+            "lang",
+            redact_text(F.col("text")).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .join(splits, "doc_id")
+    )
 
     try:
         funnel = {
