@@ -83,3 +83,32 @@ def test_entropy_matches_closed_form(spark):
     row = q_entropy(spark, SF_SMALL).collect()[0]
     assert row.n_types >= 2
     assert 0.0 < row.entropy_nats <= math.log(row.n_types) + 1e-9
+
+
+def test_table_fingerprint_merges_across_loads(spark):
+    """E71 mergeability: the XOR and modular-sum digests of a table
+    must equal the combination of per-batch digests (XOR / modular
+    add) — the property that lets an incremental load maintain the
+    fingerprint without rescanning history."""
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.plans.quality import FP_SUM_MOD, _row_fp_spark
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("v")
+    )
+    h = _row_fp_spark("concat_ws('|', id, v)")
+    def digest(frame):
+        r = frame.select(F.expr(h).alias("h")).agg(
+            F.expr("bit_xor(h)").alias("x"),
+            F.expr(f"sum(h % {FP_SUM_MOD})").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return r.x, r.s, r.n
+
+    full = digest(df)
+    a = digest(df.where("id < 400"))
+    b = digest(df.where("id >= 400"))
+    assert full[0] == a[0] ^ b[0]
+    assert full[1] == a[1] + b[1]
+    assert full[2] == a[2] + b[2]

@@ -813,6 +813,73 @@ def _oracle_incremental_dedup() -> str:
 # ---------------------------------------------------------------------------
 # q_near_dup_suite — consolidated pairwise near-dup certification row
 # ---------------------------------------------------------------------------
+# q_entity_clusters — E74: entity-resolution clusters (fuzzy ⊕ LP)
+# ---------------------------------------------------------------------------
+
+ER_ROUNDS = 3
+
+
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution CLUSTERS — the step after pairwise fuzzy
+    matching that every master-data pipeline needs: near-identical
+    name pairs (E26's blocked levenshtein join) become an undirected
+    graph and min-label propagation assigns every variant its
+    lexicographically-smallest reachable name as the canonical id.
+    Pure composition of two certified operators (q_fuzzy_join edges ×
+    the iterative module's _lp_round), inheriting both scale
+    postures: vocabulary-sized pairing, per-round persisted labels
+    (constant plan growth — the round-7 LP discipline), min-algebra
+    over STRINGS (least() is lexicographic in both engines)."""
+    from weatherflow_spark.plans.iterative import _lp_round
+
+    pairs = q_fuzzy_join(spark, sf_dir).select("name_a", "name_b")
+    edges = tracked_persist(
+        pairs.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+        .unionAll(pairs.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst")))
+    )
+    labels = tracked_persist(
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    for _ in range(ER_ROUNDS):
+        labels = tracked_persist(_lp_round(edges, labels))
+    return labels.select(
+        F.col("doc_id").alias("name"), F.col("label").alias("canonical_name")
+    )
+
+
+def _oracle_entity_clusters() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, ER_ROUNDS + 1):
+        rounds.append(
+            f"""
+        l{r} AS (
+            SELECT l.doc_id,
+                   least(l.label, coalesce(min(n.label), l.label)) AS label
+            FROM {prev} l
+            LEFT JOIN edges e ON e.src = l.doc_id
+            LEFT JOIN {prev} n ON n.doc_id = e.dst
+            GROUP BY l.doc_id, l.label
+        )"""
+        )
+        prev = f"l{r}"
+    return f"""
+    WITH fz AS ({ORACLE_FUZZY_JOIN}),
+    edges AS (
+        SELECT name_a AS src, name_b AS dst FROM fz
+        UNION ALL
+        SELECT name_b AS src, name_a AS dst FROM fz
+    ),
+    l0 AS (
+        SELECT DISTINCT src AS doc_id, src AS label FROM edges
+    ),{",".join(rounds)}
+    SELECT doc_id AS name, label AS canonical_name FROM {prev}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_winnow_fingerprint — E67: winnowing fingerprints (MOSS local sketch)
 # ---------------------------------------------------------------------------
 
@@ -1085,6 +1152,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_containment": q_containment,
     "q_winnow_fingerprint": q_winnow_fingerprint,
+    "q_entity_clusters": q_entity_clusters,
     "q_fuzzy_join": q_fuzzy_join,
     "q_minhash_signature": q_minhash_signature,
     "q_minhash_near_dup": q_minhash_near_dup,
@@ -1098,6 +1166,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DEDUP_ORACLES: dict[str, str] = {
     "q_containment": ORACLE_CONTAINMENT,
     "q_winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
+    "q_entity_clusters": _oracle_entity_clusters(),
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_fuzzy_join": ORACLE_FUZZY_JOIN,
     "q_minhash_signature": ORACLE_MINHASH_SIGNATURE,

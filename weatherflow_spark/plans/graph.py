@@ -386,7 +386,19 @@ def q_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(node as string) AS key",
         "stack(1, 'n_triangles', n_triangles) AS (metric, value)",
     )
-    return cc.unionByName(tri)
+    # E74: entity-resolution components over the fuzzy-match graph —
+    # the canonical name pins through the char-fold fingerprint so
+    # the LONG value stays bigint.
+    from weatherflow_spark.functions.text import _tok_hash_lambda_spark
+    from weatherflow_spark.plans.ext_dedup import q_entity_clusters
+
+    er = q_entity_clusters(spark, sf_dir).selectExpr(
+        "'er_components' AS op",
+        "name AS key",
+        f"stack(1, 'canonical_fp', {_tok_hash_lambda_spark('canonical_name')}) "
+        "AS (metric, value)",
+    )
+    return cc.unionByName(tri).unionByName(er)
 
 
 def _oracle_graph_suite() -> str:
@@ -394,16 +406,25 @@ def _oracle_graph_suite() -> str:
     # this module while building its own suite oracle, so the dict
     # does not exist yet at that point in the import cycle.
     from weatherflow_spark.plans.iterative import _oracle_dedup_clusters
+    from weatherflow_spark.plans.ext_dedup import _oracle_entity_clusters
+    from weatherflow_spark.functions.text import _tok_hash_lambda_duck
+
+    _fp_canonical = _tok_hash_lambda_duck("canonical_name")
 
     return f"""
         WITH cc_side AS ({_oracle_dedup_clusters()}),
-        tri_side AS ({ORACLE_TRIANGLE_COUNT})
+        tri_side AS ({ORACLE_TRIANGLE_COUNT}),
+        er_side AS ({_oracle_entity_clusters()})
         SELECT 'components' AS op, CAST(doc_id AS VARCHAR) AS key,
                'cluster_id' AS metric, CAST(cluster_id AS BIGINT) AS value
         FROM cc_side
         UNION ALL
         SELECT 'triangles', CAST(node AS VARCHAR), 'n_triangles', n_triangles
         FROM tri_side
+        UNION ALL
+        SELECT 'er_components', name, 'canonical_fp',
+               {_fp_canonical}
+        FROM er_side
     """
 
 
