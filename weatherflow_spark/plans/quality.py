@@ -99,8 +99,18 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS (check, value)",
         "cast(NULL as int) AS pass",
     )
+    # E75: join-key skew diagnostics as report rows (pass is NULL —
+    # measurements feeding the salting decision, not invariants).
+    skew = q_skew_report(spark, sf_dir).selectExpr(
+        "rel_key AS tbl",
+        "stack(5, 'skew_n_keys', n_keys, 'skew_max_count', max_count, "
+        "'skew_top_share_e6', top_share_e6, 'skew_p50_count', p50_count, "
+        "'skew_p99_count', p99_count) AS (check, value)",
+        "cast(NULL as int) AS pass",
+    )
     parts = [
         fps,
+        skew,
         _count_row("orders", orders),
         _count_row("customer", customer),
         _count_row("lineitem", lineitem),
@@ -269,6 +279,116 @@ def _oracle_table_fingerprint() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_skew_report — E75: join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+SKEW_KEYS = [
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "user_id"),
+    ("documents", "source"),
+]
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that decides
+    whether a key needs salting (operators/skew.py) or AQE skew-join
+    before a 100 TB shuffle is launched: for each candidate join key,
+    the exact key-count distribution summarized as max share, p50 and
+    p99 per-key counts, and distinct-key cardinality.
+
+    The exact-percentile trick is the COUNT-OF-COUNTS decomposition
+    (the E65 compressed-domain discipline applied twice): per-key
+    counts are one keyed aggregation (key-cardinality-sized output),
+    then counts-of-counts collapses that to one row per DISTINCT
+    count value — a table bounded by the count DOMAIN, over which the
+    cumulative windows computing exact p50/p99 are trivially small.
+    No sort of raw rows, no percentile over the key table itself.
+
+    Output: one row per (relation, key) with n_rows, n_keys,
+    max_count, top_share_e6 (= max_count·1e6 div n_rows), p50_count,
+    p99_count — all exact integers."""
+    parts = []
+    for tbl, key in SKEW_KEYS:
+        df = load_table(spark, sf_dir, tbl)
+        per_key = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        coc = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("nk"))
+        from pyspark.sql import Window
+
+        w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.partitionBy()
+        ranked = coc.select(
+            "c",
+            "nk",
+            F.sum("nk").over(w).alias("cum"),
+            F.sum("nk").over(wall).alias("n_keys"),
+            F.sum(F.col("c") * F.col("nk")).over(wall).alias("n_rows"),
+            F.max("c").over(wall).alias("max_count"),
+        )
+        pct = ranked.agg(
+            F.min("n_rows").alias("n_rows"),
+            F.min("n_keys").alias("n_keys"),
+            F.min("max_count").alias("max_count"),
+            F.min(F.when(F.col("cum") * 100 >= F.col("n_keys") * 50, F.col("c"))).alias(
+                "p50_count"
+            ),
+            F.min(F.when(F.col("cum") * 100 >= F.col("n_keys") * 99, F.col("c"))).alias(
+                "p99_count"
+            ),
+        )
+        parts.append(
+            pct.select(
+                F.lit(f"{tbl}.{key}").alias("rel_key"),
+                "n_rows",
+                "n_keys",
+                "max_count",
+                F.expr("max_count * 1000000 div n_rows").alias("top_share_e6"),
+                "p50_count",
+                "p99_count",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_skew_report() -> str:
+    blocks = []
+    for tbl, key in SKEW_KEYS:
+        blocks.append(f"""
+    SELECT '{tbl}.{key}' AS rel_key, n_rows, n_keys, max_count,
+           max_count * 1000000 // n_rows AS top_share_e6,
+           p50_count, p99_count
+    FROM (
+        SELECT CAST(min(n_rows) AS BIGINT) AS n_rows,
+               CAST(min(n_keys) AS BIGINT) AS n_keys,
+               CAST(min(max_count) AS BIGINT) AS max_count,
+               CAST(min(CASE WHEN cum * 100 >= n_keys * 50 THEN c END) AS BIGINT)
+                   AS p50_count,
+               CAST(min(CASE WHEN cum * 100 >= n_keys * 99 THEN c END) AS BIGINT)
+                   AS p99_count
+        FROM (
+            SELECT c, nk,
+                   sum(nk) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(nk) OVER () AS n_keys,
+                   sum(c * nk) OVER () AS n_rows,
+                   max(c) OVER () AS max_count
+            FROM (
+                SELECT c, CAST(count(*) AS BIGINT) AS nk FROM (
+                    SELECT {key}, CAST(count(*) AS BIGINT) AS c
+                    FROM {tbl} GROUP BY {key}
+                ) GROUP BY c
+            )
+        )
+    )""")
+    return "\n    UNION ALL\n".join(blocks)
+
+
 # Rebind: the report oracle gains the fingerprint rows (defined after
 # the base literal, so extended here — the curation-suite precedent).
 ORACLE_DATA_QUALITY = f"""
@@ -280,15 +400,32 @@ ORACLE_DATA_QUALITY = f"""
     UNION ALL
     SELECT tbl, 'fingerprint_sum', fp_sum, CAST(NULL AS INTEGER)
     FROM ({_oracle_table_fingerprint()})
+    UNION ALL
+    SELECT rel_key, 'skew_n_keys', n_keys, CAST(NULL AS INTEGER)
+    FROM ({_oracle_skew_report()})
+    UNION ALL
+    SELECT rel_key, 'skew_max_count', max_count, CAST(NULL AS INTEGER)
+    FROM ({_oracle_skew_report()})
+    UNION ALL
+    SELECT rel_key, 'skew_top_share_e6', top_share_e6, CAST(NULL AS INTEGER)
+    FROM ({_oracle_skew_report()})
+    UNION ALL
+    SELECT rel_key, 'skew_p50_count', p50_count, CAST(NULL AS INTEGER)
+    FROM ({_oracle_skew_report()})
+    UNION ALL
+    SELECT rel_key, 'skew_p99_count', p99_count, CAST(NULL AS INTEGER)
+    FROM ({_oracle_skew_report()})
 """
 
 
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_data_quality_report": q_data_quality_report,
     "q_table_fingerprint": q_table_fingerprint,
+    "q_skew_report": q_skew_report,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
     "q_data_quality_report": ORACLE_DATA_QUALITY,
     "q_table_fingerprint": _oracle_table_fingerprint(),
+    "q_skew_report": _oracle_skew_report(),
 }
