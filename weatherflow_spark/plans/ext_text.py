@@ -1354,6 +1354,89 @@ ORACLE_CORPUS_DRIFT = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_release_datasheet — E76: dataset-card rollup (source × split)
+# ---------------------------------------------------------------------------
+
+
+def q_release_datasheet(
+    spark: SparkSession,
+    sf_dir: str,
+    split: DataFrame | None = None,
+    decon: DataFrame | None = None,
+) -> DataFrame:
+    """The release DATASHEET — the dataset-card table every corpus
+    release publishes: per (source × split) and every rollup margin,
+    the document count, total whitespace tokens, and how many
+    documents the decontamination screen flagged (the leakage rate a
+    reviewer checks per split before trusting an eval number).
+    Composes three certified operators — token accounting (E3), the
+    stratified split (E62), and decontamination (E27's screen) — into
+    one ROLLUP aggregation; NULL margins surface as '<all>' so keys
+    are stable strings.
+
+    Scale posture: the two doc_id-keyed joins align verdict tables
+    that are each one-pass derivations; the rollup itself is a
+    grouping-sets aggregation with map-side partials (3 grouping sets
+    × |sources×splits| groups — tiny output at any corpus size).
+    ``split``/``decon`` let a caller that already built those verdicts
+    pass them in (the shared-subtree pattern of q_text_mining_suite)
+    so the suite plans each verdict pipeline once."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source") != DECON_BENCH_SOURCE
+    ).select("doc_id", "source", T.n_tokens("text").cast("long").alias("n_tokens"))
+    if split is None:
+        split = q_train_split(spark, sf_dir)
+    if decon is None:
+        decon = q_decontaminate(spark, sf_dir)
+    split = split.select("doc_id", "split")
+    dec = decon.select(
+        "doc_id", F.col("contaminated").cast("long").alias("contaminated")
+    )
+    j = docs.join(split, "doc_id").join(dec, "doc_id")
+    return (
+        j.rollup("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum("contaminated").alias("n_contaminated"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("split"), F.lit("<all>")).alias("split"),
+            "n_docs",
+            "tokens_total",
+            "n_contaminated",
+        )
+    )
+
+
+def _oracle_release_datasheet() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, source,
+               CAST({T.n_tokens_sql('text')} AS BIGINT) AS n_tokens
+        FROM documents WHERE source <> '{DECON_BENCH_SOURCE}'
+    ),
+    split_side AS ({ORACLE_TRAIN_SPLIT}),
+    dec_side AS ({ORACLE_DECONTAMINATE}),
+    j AS (
+        SELECT d.doc_id, d.source, d.n_tokens, s.split,
+               CAST(x.contaminated AS BIGINT) AS contaminated
+        FROM docs d
+        JOIN split_side s ON s.doc_id = d.doc_id
+        JOIN dec_side x ON x.doc_id = d.doc_id
+    )
+    SELECT coalesce(source, '<all>') AS source,
+           coalesce(split, '<all>') AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(contaminated) AS BIGINT) AS n_contaminated
+    FROM j
+    GROUP BY ROLLUP (source, split)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_train_split — E62: deterministic stratified train/val/test split
 # ---------------------------------------------------------------------------
 
@@ -1451,7 +1534,17 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk fingerprints); chunk-level rows stay in the q_doc_chunks
     tail twin. The union is plan-level only (no cross-branch
     shuffle); single-op twins stay registered in the tail."""
-    dec = q_decontaminate(spark, sf_dir).selectExpr(
+    # Shared verdict frames: the decontaminate and split pipelines
+    # feed BOTH their own branches and the E76 datasheet. Shared as
+    # plain DataFrames (identical subtrees → Spark's ReuseExchange
+    # dedupes the shuffles), NOT persisted: A/B at sf0.1 measured the
+    # cache barriers SLOWER (min 6.9 s vs 5.3 s) because each verdict
+    # pipeline is one cheap pass here — at real scale, where a verdict
+    # pipeline is expensive, tracked_persist these two frames (the
+    # q_text_mining_suite rule).
+    dec_df = q_decontaminate(spark, sf_dir)
+    split_df = q_train_split(spark, sf_dir)
+    dec = dec_df.selectExpr(
         "'decontaminate' AS op",
         "cast(doc_id as string) AS key",
         "stack(2, 'n_shared_grams', n_shared_grams, "
@@ -1538,12 +1631,22 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # E62: the stratified split assignment (split encoded as an int:
     # train=0 / val=1 / test=2 so the LONG value stays bigint).
-    split = q_train_split(spark, sf_dir).selectExpr(
+    split = split_df.selectExpr(
         "'train_split' AS op",
         "cast(doc_id as string) AS key",
         "stack(3, 'rn', rn, 'n_source', n_source, "
         "'split_code', cast(CASE split WHEN 'train' THEN 0 "
         "WHEN 'val' THEN 1 ELSE 2 END as bigint)) AS (metric, value)",
+    )
+    # E76: the release datasheet (source × split rollup margins),
+    # over the SAME persisted verdict frames.
+    sheet = q_release_datasheet(
+        spark, sf_dir, split=split_df, decon=dec_df
+    ).selectExpr(
+        "'datasheet' AS op",
+        "concat(source, '|', split) AS key",
+        "stack(3, 'n_docs', n_docs, 'tokens_total', tokens_total, "
+        "'n_contaminated', n_contaminated) AS (metric, value)",
     )
     return (
         dec.unionByName(mix)
@@ -1557,6 +1660,7 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(temp)
         .unionByName(ppl)
         .unionByName(split)
+        .unionByName(sheet)
     )
 
 
@@ -1978,9 +2082,10 @@ ORACLE_CURATION_SUITE = f"""
            CAST(keep AS BIGINT) FROM ppl_side
 """
 
-# The train_split branch joins the same way (second rebind).
+# The train_split + datasheet branches join the same way (second rebind).
 ORACLE_CURATION_SUITE = f"""
     WITH split_side AS ({ORACLE_TRAIN_SPLIT}),
+    sheet_side AS ({_oracle_release_datasheet()}),
     base AS ({ORACLE_CURATION_SUITE})
     SELECT * FROM base
     UNION ALL
@@ -1995,6 +2100,16 @@ ORACLE_CURATION_SUITE = f"""
            CAST(CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END
                 AS BIGINT)
     FROM split_side
+    UNION ALL
+    SELECT 'datasheet', source || '|' || split, 'n_docs', n_docs
+    FROM sheet_side
+    UNION ALL
+    SELECT 'datasheet', source || '|' || split, 'tokens_total', tokens_total
+    FROM sheet_side
+    UNION ALL
+    SELECT 'datasheet', source || '|' || split, 'n_contaminated',
+           n_contaminated
+    FROM sheet_side
 """
 
 
@@ -2016,6 +2131,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_domain_quota": q_domain_quota,
     "q_train_split": q_train_split,
     "q_corpus_drift": q_corpus_drift,
+    "q_release_datasheet": q_release_datasheet,
     "q_bigram_lm_score": q_bigram_lm_score,
     "q_boilerplate_detect": q_boilerplate_detect,
     "q_mixture_weights": q_mixture_weights,
@@ -2044,6 +2160,7 @@ TEXT_ORACLES: dict[str, str] = {
     "q_domain_quota": ORACLE_DOMAIN_QUOTA,
     "q_train_split": ORACLE_TRAIN_SPLIT,
     "q_corpus_drift": ORACLE_CORPUS_DRIFT,
+    "q_release_datasheet": _oracle_release_datasheet(),
     "q_bigram_lm_score": ORACLE_BIGRAM_LM_SCORE,
     "q_boilerplate_detect": ORACLE_BOILERPLATE_DETECT,
     "q_mixture_weights": ORACLE_MIXTURE_WEIGHTS,
