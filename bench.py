@@ -122,6 +122,23 @@ OPTIONAL = [
     "q_rerank_topk",
     "q_cluster_representatives",
     "q_containment",
+    # round 7: new tail singles (suite branches get window rows)
+    "q_snapshot_diff",
+    "q_train_split",
+    "q_assoc_rules",
+    "q_hard_negatives",
+    "q_equidepth_histogram",
+    "q_corpus_drift",
+    "q_winnow_fingerprint",
+    "q_random_projection",
+    "q_bigram_lm_score",
+    "q_pq_encode",
+    "q_table_fingerprint",
+    "q_event_sequences",
+    "q_seasonal_anomaly",
+    "q_entity_clusters",
+    "q_skew_report",
+    "q_release_datasheet",
 ]
 
 
