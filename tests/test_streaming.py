@@ -385,3 +385,68 @@ def test_running_user_ewma_matches_batch(spark, tmp_path):
     assert set(got) == set(want)
     for uid, (n, s) in got.items():
         assert (n, math.floor(s * 1e6 + 0.5)) == want[uid], uid
+
+
+def test_stream_fingerprint_matches_batch_digest(spark, tmp_path):
+    """E71 streaming twin: the per-micro-batch digests folded by
+    foreach_batch_fingerprint must combine (XOR / sum) to exactly the
+    batch digest of everything ingested, and replaying a micro-batch
+    must not double-fold (per-batch dynamic partition overwrite)."""
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.plans.quality import FP_SUM_MOD, _row_fp_spark
+    from weatherflow_spark.streaming.pipeline import (
+        foreach_batch_fingerprint,
+        read_events_stream,
+    )
+
+    import glob as globmod
+    import shutil
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ev = load_table(spark, SF_SMALL, "events")
+    # three flat files -> three micro-batches with maxFilesPerTrigger=1
+    # (the file source's pathGlobFilter matches leaf names only)
+    for i in range(3):
+        staged = tmp_path / f"stage_{i}"
+        ev.where(f"user_id % 3 = {i}").coalesce(1).write.parquet(str(staged))
+        part = globmod.glob(str(staged / "part-*.parquet"))[0]
+        shutil.copy(part, land / f"events_{i}.parquet")
+
+    digests = str(tmp_path / "digests")
+    stream = read_events_stream(
+        spark, str(land), glob="events_*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_fingerprint(digests))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    per_batch = spark.read.parquet(digests)
+    assert per_batch.count() >= 2, "expected multiple micro-batches"
+
+    from weatherflow_spark.streaming.pipeline import read_stream_fingerprint
+
+    got = read_stream_fingerprint(spark, digests).collect()[0]
+
+    h = _row_fp_spark(
+        "concat_ws('|', event_id, user_id, event_type, "
+        "cast(floor(value * 100 + 0.5) as bigint))"
+    )
+    want = (
+        ev.select(F.expr(h).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fp_xor"),
+            F.expr(f"sum(h % {FP_SUM_MOD})").alias("fp_sum"),
+        )
+        .collect()[0]
+    )
+    assert (got.n_rows, got.fp_xor, got.fp_sum) == (
+        want.n_rows,
+        want.fp_xor,
+        want.fp_sum,
+    )

@@ -397,6 +397,54 @@ def foreach_batch_rollup(path: str, scale: int = 100) -> Callable[[DataFrame, in
     return _sink
 
 
+def foreach_batch_fingerprint(path: str) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of the E71 anti-entropy digest: each micro-batch
+    folds its own (xor, modular-sum, count) digest into a running
+    1-row table — XOR and modular addition are commutative and
+    associative, so the maintained digest equals a full recompute over
+    everything ingested (the mergeability law tests/test_stats.py pins
+    for the batch form, applied incrementally). Written per batch_id
+    so replays are idempotent: a re-delivered micro-batch overwrites
+    its own partition instead of double-folding. Comparing a stream's
+    digest against the batch table's is then 3 integers — continuous
+    replica verification at any volume."""
+    from weatherflow_spark.plans.quality import FP_SUM_MOD, _row_fp_spark
+
+    h = _row_fp_spark(
+        "concat_ws('|', event_id, user_id, event_type, "
+        "cast(floor(value * 100 + 0.5) as bigint))"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        digest = batch_df.select(F.expr(h).alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fp_xor"),
+            F.expr(f"sum(h % {FP_SUM_MOD})").alias("fp_sum"),
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        (
+            digest.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return _sink
+
+
+def read_stream_fingerprint(spark: SparkSession, path: str):
+    """Combine the per-batch digests into the running table digest:
+    XOR of XORs, plain sum of the (already per-row-modded) sum
+    channels, sum of counts — exactly the batch q_table_fingerprint
+    algebra, so stream-vs-batch comparison is 3 integers."""
+    per_batch = spark.read.parquet(path)
+    return per_batch.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.expr("bit_xor(fp_xor)").alias("fp_xor"),
+        F.sum("fp_sum").alias("fp_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2: custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
