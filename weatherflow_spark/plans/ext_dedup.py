@@ -1,6 +1,6 @@
 """Extension tier E1 (SURVEY §2.11): deduplication over `documents`.
 
-Five dedup families, all first-class queries:
+Eight dedup families plus entity resolution, all first-class queries:
 
 - **exact**        — hash-groupBy on sha256 of normalized text.
 - **MinHash+LSH**  — 3-token shingles → 8 minhash perms → 4 bands of
@@ -9,6 +9,13 @@ Five dedup families, all first-class queries:
                      block keys (band equi-join + Hamming verify).
 - **n-gram Jaccard** — exact 4-gram Jaccard verify over MinHash band
                      candidates (gated, never block-×-block).
+- **containment**  — asymmetric |A∩B|/min over the same gate (E60).
+- **winnowing**    — MOSS local fingerprints, capped inverted index
+                     (E67; guaranteed shared-run detection).
+- **fuzzy strings** — blocked levenshtein over the name vocabulary
+                     (E26), extended to canonical ENTITY CLUSTERS by
+                     min-label propagation (E74).
+(The embedding-cosine and SemDeDup families live in ext_similarity.)
 
 Everything is hash-checked against DuckDB: the minhash/simhash math
 is the cross-engine polynomial hash from
