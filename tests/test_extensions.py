@@ -548,3 +548,52 @@ def test_bpe_train_learns_frequency_ordered_merges(spark):
     assert all(r.pair_count > 0 for r in out)
     rounds = sorted(r.merge_round for r in out)
     assert rounds == [1, 2, 3, 4]
+
+
+def test_event_sequences_guards_short_histories(spark, tmp_path):
+    """ADVICE r7: a user with < SEQ_N events must yield no trigrams,
+    not an element_at crash (Spark's sequence(3, 2) DESCENDS instead
+    of returning empty like DuckDB's generate_series)."""
+    import datetime as dt
+
+    from weatherflow_spark.plans.analytics import q_event_sequences
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: only 2 events — previously crashed trigram expansion
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0, 1, "click", 1.0, "{}"),
+        # user 2: 3 events — exactly one trigram
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0, 2, "click", 1.0, "{}"),
+        (5, t0, 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = q_event_sequences(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].path == "view>click>purchase"
+    assert out[0].n_occurrences == 1 and out[0].n_users == 1
+
+
+def test_bigram_lm_guards_one_token_docs(spark, tmp_path):
+    """ADVICE r7: a 1-token document (including empty text, since
+    split('', ' ') = ['']) must contribute no bigrams and score 0 —
+    not crash the model phase's pair expansion."""
+    from weatherflow_spark.plans.ext_text import q_bigram_lm_score
+
+    rows = [
+        (1, "", "en", "s0", 0),                  # -> [''] after split
+        (2, "solo", "en", "s0", 4),              # 1 token
+        (3, "the cat sat", "en", "s0", 11),      # normal doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in q_bigram_lm_score(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].bi_nll_e6 == 0 and out[2].bi_nll_e6 == 0  # < 2 tokens => 0
+    assert out[3].bi_nll_e6 > 0

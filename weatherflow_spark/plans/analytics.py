@@ -709,13 +709,18 @@ def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e -> e.event_type)"
         ).alias("types")
     )
+    # Guard the short-array case: Spark's sequence(3, 2) is DESCENDING
+    # (yields [3, 2], not empty like DuckDB's generate_series), so a
+    # user with < SEQ_N events would hit element_at out-of-bounds.
+    # Same footgun shingle_hashes_expr guards (functions/text.py).
     tris = seqs.select(
         "user_id",
         F.explode(
             F.expr(
+                f"CASE WHEN size(types) < {SEQ_N} THEN array() ELSE "
                 f"transform(sequence({SEQ_N}, size(types)), i -> "
                 "concat_ws('>', element_at(types, i - 2), "
-                "element_at(types, i - 1), element_at(types, i)))"
+                "element_at(types, i - 1), element_at(types, i))) END"
             )
         ).alias("path"),
     )

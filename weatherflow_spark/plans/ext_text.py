@@ -1910,10 +1910,15 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_u = uni.orderBy(F.desc("n"), F.asc("token")).limit(LM_TOP_V)
     bi = (
         toks.select(
+            # Guard 1-token docs (split('', ' ') = ['']): Spark's
+            # sequence(2, 1) DESCENDS to [2, 1] and element_at(ts, 2)
+            # throws, while DuckDB's generate_series(2, 1) is empty.
+            # The scoring phase already guards with size(ts) < 2.
             F.explode(
                 F.expr(
+                    "CASE WHEN size(ts) < 2 THEN array() ELSE "
                     "transform(sequence(2, size(ts)), "
-                    "i -> concat(element_at(ts, i - 1), ' ', element_at(ts, i)))"
+                    "i -> concat(element_at(ts, i - 1), ' ', element_at(ts, i))) END"
                 )
             ).alias("pair")
         )

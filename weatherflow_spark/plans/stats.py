@@ -902,7 +902,6 @@ ORACLE_SCD2_DIM = """
 DIFF_DEL_MOD = 89
 DIFF_CHG_MOD = 97
 DIFF_ADD_MOD = 101
-DIFF_ADD_OFFSET = 10_000_000
 DIFF_PRICE_BUMP = 1.5  # binary-exact, so double equality is engine-safe
 
 
@@ -914,8 +913,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The reference reloads its MySQL tables wholesale; any incremental
     load needs exactly this diff first.) NEW is derived from OLD by
     deterministic key arithmetic (delete keys %89=0, flip status and
-    bump price on %97=0, insert offset copies of %101=0) so the diff
+    bump price on %97=0, insert NEGATED copies of %101=0) so the diff
     is replayable and hash-certifiable with no second input table.
+    Inserted keys are negated rather than offset: o_orderkey is
+    positive at every TPC-H scale, so -o_orderkey can never collide
+    with a surviving real key (a fixed +10M offset collides at
+    sf ≳ 1.7, corrupting the added/changed split via join fan-out).
 
     Scale posture: ONE co-partitioned full-outer join on the key (the
     canonical CDC shape — both sides hash-exchange once), then a
@@ -935,7 +938,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     inserted = old.where(F.col("o_orderkey") % DIFF_ADD_MOD == 0).select(
-        (F.col("o_orderkey") + DIFF_ADD_OFFSET).alias("o_orderkey"),
+        (-F.col("o_orderkey")).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         "o_totalprice",
         "o_orderpriority",
@@ -999,7 +1002,7 @@ ORACLE_SNAPSHOT_DIFF = f"""
                o_orderpriority
         FROM old_side WHERE o_orderkey % {DIFF_DEL_MOD} <> 0
         UNION ALL
-        SELECT o_orderkey + {DIFF_ADD_OFFSET}, 'N', o_totalprice,
+        SELECT -o_orderkey, 'N', o_totalprice,
                o_orderpriority
         FROM old_side WHERE o_orderkey % {DIFF_ADD_MOD} = 0
     ),

@@ -268,7 +268,11 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back; scoring is narrow; the anomaly list is a heap
     top-{ANOM_TOP} on the e6-pinned |z| with event_id tie-break.
     Cells with fewer than 2 events or zero variance score NULL and
-    are excluded (documented: no z against a degenerate baseline)."""
+    are excluded (documented: no z against a degenerate baseline).
+    The degeneracy guard and the z itself both evaluate in DOUBLE;
+    the int64 cell partials (s1, s2) remain exact up to ~1e18, i.e.
+    ~1e10 rows per (type, hour) cell at cent precision — beyond that,
+    re-bucket by (type, hour, day-shard) before the final combine."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -285,8 +289,13 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hod",
         "c",
+        # The degenerate-variance guard evaluates in DOUBLE, matching
+        # the z expression: n*s2 - s1*s1 in int64 overflows at large
+        # event volumes (s2 = Σc² ~ n·c²), where Spark wraps silently
+        # and DuckDB raises — either way a cross-engine divergence.
         F.expr(
-            "CASE WHEN n < 2 OR (n * s2 - s1 * s1) <= 0 THEN NULL "
+            "CASE WHEN n < 2 OR "
+            "(cast(n as double) * s2 - cast(s1 as double) * s1) <= 0 THEN NULL "
             "ELSE cast(floor((cast(c as double) - cast(s1 as double) / n) "
             "/ sqrt((cast(n as double) * s2 - cast(s1 as double) * s1) "
             "/ (cast(n as double) * (n - 1))) * 1e6 + 0.5) as bigint) END"
@@ -314,7 +323,8 @@ ORACLE_SEASONAL_ANOMALY = f"""
     ),
     scored AS (
         SELECT e.event_id, e.event_type, e.hod, e.c,
-               CASE WHEN b.n < 2 OR (b.n * b.s2 - b.s1 * b.s1) <= 0 THEN NULL
+               CASE WHEN b.n < 2 OR (CAST(b.n AS DOUBLE) * b.s2
+                         - CAST(b.s1 AS DOUBLE) * b.s1) <= 0 THEN NULL
                     ELSE CAST(floor((CAST(e.c AS DOUBLE) - CAST(b.s1 AS DOUBLE) / b.n)
                         / sqrt((CAST(b.n AS DOUBLE) * b.s2 - CAST(b.s1 AS DOUBLE) * b.s1)
                         / (CAST(b.n AS DOUBLE) * (b.n - 1))) * 1e6 + 0.5) AS BIGINT)
