@@ -687,3 +687,52 @@ def test_bigram_lm_scoring_is_broadcast_zero_join_on_docs(spark):
     for node in ("SortMergeJoin", "ShuffledHashJoin"):
         assert node not in p, f"model joined instead of broadcast ({node}):\n{p}"
     assert "BroadcastExchange" in p, p
+
+
+def test_digest_subtree_shared_between_fingerprint_and_report(spark):
+    """E71 (verdict r7 #1): a cycle that runs both the standalone
+    digest and the full quality report must materialize the char-fold
+    digest ONCE — after q_table_fingerprint acts, the report's plan
+    substitutes the cached 3-row result (InMemoryTableScan) and drops
+    the digest's own parquet scans."""
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.plans.quality import (
+        q_data_quality_report,
+        q_table_fingerprint,
+    )
+
+    try:
+        q_table_fingerprint(spark, SF_SMALL).count()  # materialize cache
+        warm = _plan(q_data_quality_report(spark, SF_SMALL))
+        # Exactly one cached digest subtree: the report reads the
+        # 3-row InMemoryRelation the standalone digest materialized
+        # (the second persist call logs "already cached" — same plan,
+        # same cache entry), and the char fold exists ONLY inside that
+        # cached subtree's serialization, never as a live node.
+        assert len(_detail_headers(warm, "InMemoryTableScan")) == 1, warm
+        assert len(_detail_headers(warm, "InMemoryRelation")) == 1, warm
+        live = warm.split("InMemoryRelation")[0]
+        assert "bit_xor" not in live, (
+            f"digest re-planned outside the cached subtree:\n{warm}"
+        )
+    finally:
+        release_caches()
+        spark.catalog.clearCache()
+
+
+def test_quality_gate_section_skips_digest_and_skew(spark):
+    """The scheduler gate path (sections=GATE_SECTIONS) must plan
+    neither the char-fold digest nor the skew windows — only the
+    pk/fk/bounds aggregations."""
+    from weatherflow_spark.plans.quality import (
+        GATE_SECTIONS,
+        q_data_quality_report,
+    )
+
+    df = q_data_quality_report(spark, SF_SMALL, sections=GATE_SECTIONS)
+    p = _plan(df)
+    assert "bit_xor" not in p, f"gate path plans the digest:\n{p}"
+    assert not _detail_headers(p, "Window"), f"gate path plans skew windows:\n{p}"
+    checks = {(r.tbl, r.check) for r in df.collect()}
+    assert len(checks) == 11  # 4 counts + 3 pk + 2 fk + bounds + nulls
+    assert ("lineitem", "fk_orphans_l_orderkey") in checks

@@ -32,29 +32,66 @@ def _row(tbl: str, check: str, value, passed) -> list:
     return [F.lit(tbl).alias("tbl"), F.lit(check).alias("check"), value, passed]
 
 
-def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per check: (tbl, check, value, pass)."""
+GATE_SECTIONS = ("gate",)
+ALL_SECTIONS = ("gate", "digest", "skew")
+
+
+def q_data_quality_report(
+    spark: SparkSession,
+    sf_dir: str,
+    sections: tuple[str, ...] = ALL_SECTIONS,
+) -> DataFrame:
+    """One row per check: (tbl, check, value, pass).
+
+    ``sections`` selects which report tiers run (r8, after the r7
+    fold-in of digests/skew made the full report ~4x the cost of the
+    pk/fk gate): ``gate`` = the hard invariants a scheduler blocks a
+    load on (row counts, pk dupes, fk orphans, bounds, null tallies —
+    cheap, one pass per table); ``digest`` = the E71 anti-entropy
+    fingerprints; ``skew`` = the E75 join-key diagnostics. The
+    registered window query runs the FULL report (same rows, same
+    hash); a scheduler gate calls ``sections=GATE_SECTIONS`` and
+    pays only the invariant tier. The digest subtree is persisted by
+    ``q_table_fingerprint`` itself, so a cycle that runs both the
+    report and the standalone digest materializes it once (the
+    CacheManager substitutes the cached 3-row result into whichever
+    plan runs second — audited in tests/test_plan_audit.py)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
     events = load_table(spark, sf_dir, "events")
 
-    def _count_row(tbl: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("value")).select(
-            F.lit(tbl).alias("tbl"),
-            F.lit("row_count").alias("check"),
+    def _table_rows(
+        tbl: str, df: DataFrame, pk: str | None, extras: dict[str, tuple] | None = None
+    ) -> DataFrame:
+        """ONE aggregation pass per table (r8: the gate tier used to
+        plan count/pk/nulls/bounds as separate subtrees, scanning each
+        table up to 3x — at 100 TB the scans ARE the cost): fuse every
+        per-table check into a single agg, then stack to the report's
+        long format. ``extras`` maps check name -> (agg_column,
+        pass_is_null)."""
+        aggs = [F.count(F.lit(1)).alias("row_count")]
+        checks: list[tuple[str, str, bool]] = [("row_count", "row_count", True)]
+        if pk is not None:
+            aggs.append(
+                (F.count(F.lit(1)) - F.countDistinct(pk)).alias("pk_dupes")
+            )
+            checks.append((f"pk_dupes_{pk}", "pk_dupes", False))
+        for check, (col, pass_null) in (extras or {}).items():
+            slug = check.replace(":", "_")
+            aggs.append(col.alias(slug))
+            checks.append((check, slug, pass_null))
+        stacked = ", ".join(f"'{name}', {slug}" for name, slug, _ in checks)
+        null_checks = "', '".join(n for n, _, p in checks if p)
+        return df.agg(*aggs).selectExpr(
+            f"'{tbl}' AS tbl",
+            f"stack({len(checks)}, {stacked}) AS (check, value)",
+        ).selectExpr(
+            "tbl",
+            "check",
             "value",
-            F.lit(None).cast("int").alias("pass"),
-        )
-
-    def _pk_row(tbl: str, df: DataFrame, key: str) -> DataFrame:
-        return df.agg(
-            (F.count(F.lit(1)) - F.countDistinct(key)).alias("value")
-        ).select(
-            F.lit(tbl).alias("tbl"),
-            F.lit(f"pk_dupes_{key}").alias("check"),
-            "value",
-            (F.col("value") == 0).cast("int").alias("pass"),
+            f"CASE WHEN check IN ('{null_checks}') THEN cast(NULL as int) "
+            "WHEN value = 0 THEN 1 ELSE 0 END AS pass",
         )
 
     def _fk_row(
@@ -70,59 +107,59 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") == 0).cast("int").alias("pass"),
         )
 
-    bounds = lineitem.agg(
-        F.sum(
-            (
-                (F.col("l_discount") < DISCOUNT_LO)
-                | (F.col("l_discount") > DISCOUNT_HI)
-            ).cast("long")
-        ).alias("value")
-    ).select(
-        F.lit("lineitem").alias("tbl"),
-        F.lit("discount_out_of_bounds").alias("check"),
-        "value",
-        (F.col("value") == 0).cast("int").alias("pass"),
-    )
-    nulls = events.agg(
-        (F.count(F.lit(1)) - F.count("props")).alias("value")
-    ).select(
-        F.lit("events").alias("tbl"),
-        F.lit("null_props").alias("check"),
-        "value",
-        F.lit(None).cast("int").alias("pass"),
-    )
-    # E71: the anti-entropy table fingerprints as report rows (XOR +
-    # modular-sum channels; pass is NULL — a digest, not an invariant).
-    fps = q_table_fingerprint(spark, sf_dir).selectExpr(
-        "tbl",
-        "stack(2, 'fingerprint_xor', fp_xor, 'fingerprint_sum', fp_sum) "
-        "AS (check, value)",
-        "cast(NULL as int) AS pass",
-    )
-    # E75: join-key skew diagnostics as report rows (pass is NULL —
-    # measurements feeding the salting decision, not invariants).
-    skew = q_skew_report(spark, sf_dir).selectExpr(
-        "rel_key AS tbl",
-        "stack(5, 'skew_n_keys', n_keys, 'skew_max_count', max_count, "
-        "'skew_top_share_e6', top_share_e6, 'skew_p50_count', p50_count, "
-        "'skew_p99_count', p99_count) AS (check, value)",
-        "cast(NULL as int) AS pass",
-    )
-    parts = [
-        fps,
-        skew,
-        _count_row("orders", orders),
-        _count_row("customer", customer),
-        _count_row("lineitem", lineitem),
-        _count_row("events", events),
-        _pk_row("orders", orders, "o_orderkey"),
-        _pk_row("customer", customer, "c_custkey"),
-        _pk_row("events", events, "event_id"),
-        _fk_row("orders", orders, "o_custkey", customer, "c_custkey"),
-        _fk_row("lineitem", lineitem, "l_orderkey", orders, "o_orderkey"),
-        bounds,
-        nulls,
-    ]
+    parts = []
+    if "digest" in sections:
+        # E71: the anti-entropy table fingerprints as report rows (XOR +
+        # modular-sum channels; pass is NULL — a digest, not an invariant).
+        parts.append(
+            q_table_fingerprint(spark, sf_dir).selectExpr(
+                "tbl",
+                "stack(2, 'fingerprint_xor', fp_xor, 'fingerprint_sum', fp_sum) "
+                "AS (check, value)",
+                "cast(NULL as int) AS pass",
+            )
+        )
+    if "skew" in sections:
+        # E75: join-key skew diagnostics as report rows (pass is NULL —
+        # measurements feeding the salting decision, not invariants).
+        parts.append(
+            q_skew_report(spark, sf_dir).selectExpr(
+                "rel_key AS tbl",
+                "stack(5, 'skew_n_keys', n_keys, 'skew_max_count', max_count, "
+                "'skew_top_share_e6', top_share_e6, 'skew_p50_count', p50_count, "
+                "'skew_p99_count', p99_count) AS (check, value)",
+                "cast(NULL as int) AS pass",
+            )
+        )
+    if "gate" in sections:
+        parts += [
+            _table_rows("orders", orders, "o_orderkey"),
+            _table_rows("customer", customer, "c_custkey"),
+            _table_rows(
+                "lineitem",
+                lineitem,
+                None,
+                {
+                    "discount_out_of_bounds": (
+                        F.sum(
+                            (
+                                (F.col("l_discount") < DISCOUNT_LO)
+                                | (F.col("l_discount") > DISCOUNT_HI)
+                            ).cast("long")
+                        ),
+                        False,
+                    )
+                },
+            ),
+            _table_rows(
+                "events",
+                events,
+                "event_id",
+                {"null_props": (F.count(F.lit(1)) - F.count("props"), True)},
+            ),
+            _fk_row("orders", orders, "o_custkey", customer, "c_custkey"),
+            _fk_row("lineitem", lineitem, "l_orderkey", orders, "o_orderkey"),
+        ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -197,15 +234,26 @@ FP_SUM_MOD = 1_000_003  # keeps sum(h % M) < 9e18 for ~9e12 rows
 
 
 def _row_fp_spark(cols_concat: str) -> str:
-    from weatherflow_spark.functions.text import _tok_hash_lambda_spark
+    # let-bind the serialized row ONCE: the char fold's substr()
+    # references its argument per character, so an unbound concat_ws
+    # re-evaluates the whole row serialization ~2x/char (measured
+    # 4.9 s -> ~0.8 s for the 3-table digest at sf0.1; same footgun
+    # as winnowing, functions/text.py:152).
+    from weatherflow_spark.functions.text import (
+        _tok_hash_lambda_spark,
+        let_spark,
+    )
 
-    return _tok_hash_lambda_spark(cols_concat)
+    return let_spark(cols_concat, "srow", _tok_hash_lambda_spark("srow"))
 
 
 def _row_fp_duck(cols_concat: str) -> str:
-    from weatherflow_spark.functions.text import _tok_hash_lambda_duck
+    from weatherflow_spark.functions.text import (
+        _tok_hash_lambda_duck,
+        let_duck,
+    )
 
-    return _tok_hash_lambda_duck(cols_concat)
+    return let_duck(cols_concat, "srow", _tok_hash_lambda_duck("srow"))
 
 
 def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,10 +271,25 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.
 
     One narrow scan + one global aggregate per table; no shuffles
-    beyond the single-row final combine."""
+    beyond the single-row final combine. The scan is spread with an
+    explicit round-robin repartition before the fold: the char fold
+    is CPU-bound, and single-file inputs (and AQE byte-coalescing of
+    kB-scale stages) would otherwise run it on one task (measured
+    1.8 s -> 0.8 s for the 3-table digest at sf0.1 on local[32]; on
+    a real cluster the scan is already spread and the repartition is
+    a cheap rebalance of narrow rows)."""
     def fp(tbl: str, df: DataFrame, concat_cols: str) -> DataFrame:
-        h = _row_fp_spark(f"concat_ws('|', {concat_cols})")
-        return df.select(F.expr(h).alias("h")).agg(
+        from weatherflow_spark.functions.text import _tok_hash_lambda_spark
+
+        # Serialize BEFORE the exchange so only the ~40-byte row
+        # string shuffles (not the full row), and the fold sees a
+        # materialized column (evaluated once — not re-evaluated per
+        # character through substr).
+        srow = df.selectExpr(f"concat_ws('|', {concat_cols}) AS srow")
+        spread = srow.repartition(spark.sparkContext.defaultParallelism)
+        return spread.select(
+            F.expr(_tok_hash_lambda_spark("srow")).alias("h")
+        ).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.expr("bit_xor(h)").alias("fp_xor"),
             F.expr(f"sum(h % {FP_SUM_MOD})").alias("fp_sum"),
@@ -250,7 +313,15 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id, user_id, event_type, "
         "cast(floor(value * 100 + 0.5) as bigint)",
     )
-    return o.unionByName(c).unionByName(e)
+    # Persist the 3-row digest: a verify/gate cycle runs BOTH the
+    # standalone digest and the full quality report, and the char
+    # fold is the expensive subtree in each — caching it means the
+    # CacheManager substitutes the materialized rows into whichever
+    # plan acts second instead of re-folding every table (bench
+    # releases caches between reps, so timings stay honest).
+    from weatherflow_spark.operators.caching import tracked_persist
+
+    return tracked_persist(o.unionByName(c).unionByName(e))
 
 
 def _oracle_table_fingerprint() -> str:
