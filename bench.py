@@ -139,6 +139,11 @@ OPTIONAL = [
     "q_entity_clusters",
     "q_skew_report",
     "q_release_datasheet",
+    # round 8: serving tier singles (suite has the window row) +
+    # displaced window single
+    "q_rollup_serve",
+    "q_global_index",
+    "q_embedding_near_dup",
 ]
 
 

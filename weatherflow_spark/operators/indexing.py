@@ -46,44 +46,54 @@ def assign_global_index(
     # count job and the index job could see different partitionings
     # (and the offsets would index the wrong partitions). In a
     # production pipeline, checkpoint/write instead of cache.
+    #
+    # The partition id is BAKED INTO THE CACHED DATA as a column
+    # (evaluated once, in the cache-build stage) rather than read
+    # from TaskContext at consume time: a downstream union/coalesce
+    # re-numbers stage partitions (UnionRDD concatenates child
+    # partitions), so runtime partition ids silently index the wrong
+    # offsets whenever the result is composed into a larger plan —
+    # the r8 q_serving_suite regression.
+    pid_col = "__wf_pid"
     ranged = tracked_persist(
         df.repartitionByRange(num_partitions, F.col(order_col))
         .sortWithinPartitions(order_col)
+        .withColumn(pid_col, F.spark_partition_id())
     )
 
-    counts_schema = StructType(
-        [StructField("pid", LongType()), StructField("cnt", LongType())]
+    counts = (
+        ranged.groupBy(pid_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
-
-    def count_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        n = 0
-        for pdf in batches:
-            n += len(pdf)
-        yield pd.DataFrame({"pid": [pid], "cnt": [n]})
-
-    counts = ranged.mapInPandas(count_partition, counts_schema).collect()
-    offsets = {}
+    offsets: dict[int, int] = {}
     acc = 0
-    for row in sorted(counts, key=lambda r: r.pid):
-        offsets[row.pid] = acc
+    for row in sorted(counts, key=lambda r: r[pid_col]):
+        offsets[row[pid_col]] = acc
         acc += row.cnt
 
     out_schema = StructType(df.schema.fields + [StructField(index_col, LongType())])
     idx_name = index_col
 
     def add_index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        pos = offsets.get(pid, 0)
+        # One task streams one cached partition (a single pid value),
+        # but positions are tracked per pid so even a coalesced read
+        # of several partitions indexes correctly.
+        pos: dict[int, int] = {}
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[idx_name] = range(pos, pos + len(pdf))
-            pdf[idx_name] = pdf[idx_name].astype("int64")
-            pos += len(pdf)
-            yield pdf
+            pids = pdf[pid_col].to_numpy()
+            idx = pd.array([0] * len(pdf), dtype="int64")
+            start = 0
+            while start < len(pids):
+                end = start
+                while end < len(pids) and pids[end] == pids[start]:
+                    end += 1
+                pid = int(pids[start])
+                base = pos.get(pid, offsets.get(pid, 0))
+                n = end - start
+                idx[start:end] = range(base, base + n)
+                pos[pid] = base + n
+                start = end
+            pdf[idx_name] = idx
+            yield pdf.drop(columns=[pid_col])
 
     return ranged.mapInPandas(add_index, out_schema)

@@ -40,6 +40,7 @@ from weatherflow_spark.plans.sketches import SKETCH_QUERIES, SKETCH_ORACLES
 from weatherflow_spark.plans.timeseries import TIMESERIES_QUERIES, TIMESERIES_ORACLES
 from weatherflow_spark.plans.graph import GRAPH_QUERIES, GRAPH_ORACLES
 from weatherflow_spark.plans.quality import QUALITY_QUERIES, QUALITY_ORACLES
+from weatherflow_spark.plans.serving import SERVING_QUERIES, SERVING_ORACLES
 
 _ALL = {
     **_CORE,
@@ -59,6 +60,7 @@ _ALL = {
     **TIMESERIES_QUERIES,
     **GRAPH_QUERIES,
     **QUALITY_QUERIES,
+    **SERVING_QUERIES,
 }
 
 # One representative per SURVEY §2 component, most-consolidated form
@@ -94,7 +96,13 @@ _CERTIFICATION_WINDOW = [
     "q_fuzzy_join",               # E26
     # E2 similarity (consolidated: brute+IVF+LSH in one suite)
     "q_ann_suite",
-    "q_embedding_near_dup",
+    # r8: q_embedding_near_dup's slot rotates to the serving suite —
+    # E1's embedding family stays window-certified via
+    # q_near_dup_suite's 'semantic' branch + q_incremental_dedup, and
+    # the single keeps tail parity; E16 (continuous aggregates) and
+    # E18 (global indexing) were the last computation surfaces with
+    # NO driver row at all (VERDICT r7 'Next round' #3).
+    "q_serving_suite",            # E16 rollup-serve + E18 global index
     # E3/E8 text analysis + repetition rule + language ID + curation
     "q_text_profile_suite",       # E3 quality metrics + lang-ID, one hash
     "q_repetition_filter",
@@ -160,6 +168,7 @@ ORACLES = {
     **TIMESERIES_ORACLES,
     **GRAPH_ORACLES,
     **QUALITY_ORACLES,
+    **SERVING_ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES", "flagship"]

@@ -1,0 +1,173 @@
+"""Serving-tier certification queries (E16 continuous aggregates,
+E18 global row indexing) — the two operator surfaces that previously
+had only pytest evidence and no driver-checkable query form.
+
+Both are *hybrid* builders: they perform a bounded eager step (E16
+writes ~|buckets x groups| partial rows to a scratch dir; E18 runs
+the one-row-per-partition count pass) and return the serving
+DataFrame whose values the DuckDB oracle reproduces from the raw
+tables. That IS the certification claim:
+
+- E16: a month-grain rollup answered ONLY from incrementally
+  maintained partials (two disjoint batches written via dynamic
+  partition overwrite, then merged at read time) equals the direct
+  aggregation over every raw event.
+- E18: the distributed two-pass zipWithIndex (range partition ->
+  per-partition counts -> broadcast prefix offsets) equals
+  ``row_number() OVER (ORDER BY key) - 1`` bit-for-bit — without the
+  single-task global window that spec would plan.
+
+Reference parity: the reference's star schema serves time-grain
+rollups by re-scanning facts per query (dags/etl.py load tier); the
+partial-aggregate table is the posture that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.indexing import assign_global_index
+from weatherflow_spark.operators.rollup import (
+    read_rollup,
+    refresh_rollup,
+    write_rollup,
+)
+
+ROLLUP_SCALE = 100  # cents — the partial state's exact integer unit
+
+
+def _scratch_dir(sf_dir: str) -> str:
+    """Stable per-SF scratch path: dynamic partition overwrite makes
+    repeated runs idempotent and bounds /tmp growth across bench reps."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(tempfile.gettempdir(), f"wf_rollup_serve_{tag}")
+
+
+def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 driver row: maintain the continuous-aggregate partial table
+    from TWO disjoint batches (even vs odd event dates — each batch
+    carries its buckets' full content, the refresh contract), then
+    answer a MONTH-grain rollup purely from the partials. The oracle
+    aggregates the raw events directly, so a hash match certifies the
+    whole maintain-then-serve path: mergeable state, partition
+    overwrite, and coarser-grain re-aggregation. Doubles are pinned
+    (sum/min/max as exact cents, avg as an e6 integer)."""
+    path = os.path.join(_scratch_dir(sf_dir), "partials")
+    events = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth(F.to_date("ts"))
+    write_rollup(events.where(day % 2 == 0), path, ROLLUP_SCALE)
+    refresh_rollup(spark, events.where(day % 2 == 1), path, ROLLUP_SCALE)
+    served = read_rollup(spark, path, grain="month", scale=ROLLUP_SCALE)
+    return served.select(
+        F.date_format(F.col("month"), "yyyy-MM-dd").alias("month"),
+        "event_type",
+        "n",
+        F.expr("cast(floor(sum_value * 100 + 0.5) as bigint)").alias("sum_cents"),
+        F.expr("cast(floor(avg_value * 1e6 + 0.5) as bigint)").alias("avg_e6"),
+        F.expr("cast(floor(min_value * 100 + 0.5) as bigint)").alias("min_cents"),
+        F.expr("cast(floor(max_value * 100 + 0.5) as bigint)").alias("max_cents"),
+    )
+
+
+# The oracle recomputes the served rollup from RAW events: the avg
+# replays read_rollup's exact op order ((double(sum_scaled)/100)/n)
+# so the doubles are bit-identical before the e6 pin.
+ORACLE_ROLLUP_SERVE = """
+    WITH g AS (
+        SELECT date_trunc('month', CAST(ts AS DATE)) AS m, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_scaled,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(m, '%Y-%m-%d') AS month, event_type, n,
+           CAST(floor((CAST(sum_scaled AS DOUBLE) / 100.0) * 100 + 0.5)
+               AS BIGINT) AS sum_cents,
+           CAST(floor((CAST(sum_scaled AS DOUBLE) / 100.0)
+               / CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS avg_e6,
+           CAST(floor(min_value * 100 + 0.5) AS BIGINT) AS min_cents,
+           CAST(floor(max_value * 100 + 0.5) AS BIGINT) AS max_cents
+    FROM g
+"""
+
+
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 driver row: dense 0..N-1 indexing of orders in o_orderkey
+    order via the distributed two-pass zipWithIndex
+    (operators/indexing.py:32) — range repartition on sampled
+    boundaries, per-partition counts (one row per partition), prefix
+    offsets broadcast into the indexed pass. The oracle is the
+    semantic spec ``row_number() OVER (ORDER BY o_orderkey) - 1``,
+    whose physical plan Spark would funnel through ONE task — the
+    operator exists precisely to avoid that at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return assign_global_index(orders, "o_orderkey").select(
+        "o_orderkey", "row_index"
+    )
+
+
+ORACLE_GLOBAL_INDEX = """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+               AS row_index
+    FROM orders
+"""
+
+
+def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving certification row: E16 rollup-serve + E18 global index,
+    tagged by op and unioned in LONG format — (op, key, metric,
+    value:bigint). Union is plan-level only; the singles stay
+    registered in the tail."""
+    rs = q_rollup_serve(spark, sf_dir).selectExpr(
+        "'rollup_serve' AS op",
+        "concat(month, '|', event_type) AS key",
+        "stack(5, 'n', n, 'sum_cents', sum_cents, 'avg_e6', avg_e6, "
+        "'min_cents', min_cents, 'max_cents', max_cents) AS (metric, value)",
+    )
+    gi = q_global_index(spark, sf_dir).selectExpr(
+        "'global_index' AS op",
+        "cast(o_orderkey as string) AS key",
+        "'row_index' AS metric",
+        "row_index AS value",
+    )
+    return rs.unionByName(gi)
+
+
+ORACLE_SERVING_SUITE = f"""
+    SELECT 'rollup_serve' AS op, month || '|' || event_type AS key,
+           u.metric, u.value
+    FROM ({ORACLE_ROLLUP_SERVE}) r,
+         (VALUES ('n'), ('sum_cents'), ('avg_e6'), ('min_cents'),
+                 ('max_cents')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n' THEN r.n
+                       WHEN 'sum_cents' THEN r.sum_cents
+                       WHEN 'avg_e6' THEN r.avg_e6
+                       WHEN 'min_cents' THEN r.min_cents
+                       ELSE r.max_cents END AS value) u
+    UNION ALL
+    SELECT 'global_index', CAST(o_orderkey AS VARCHAR), 'row_index',
+           row_index
+    FROM ({ORACLE_GLOBAL_INDEX})
+"""
+
+
+SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_serving_suite": q_serving_suite,
+    "q_rollup_serve": q_rollup_serve,
+    "q_global_index": q_global_index,
+}
+
+SERVING_ORACLES: dict[str, str] = {
+    "q_serving_suite": ORACLE_SERVING_SUITE,
+    "q_rollup_serve": ORACLE_ROLLUP_SERVE,
+    "q_global_index": ORACLE_GLOBAL_INDEX,
+}
