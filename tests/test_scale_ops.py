@@ -232,3 +232,75 @@ def test_grouped_topk_null_keys_and_null_order_values(spark):
         assert sorted(map(tuple, got.collect()), key=none_safe) == sorted(
             map(tuple, want.collect()), key=none_safe
         ), f"ascending={asc}"
+
+
+def _skewed_docs_dir(spark, tmp_path) -> str:
+    """documents.parquet with one dominant source (80% of rows)."""
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    for i in range(200):
+        src = "hub" if i % 5 != 0 else f"tail{i % 3}"
+        text = " ".join(words[(i + j) % len(words)] for j in range(6 + i % 5))
+        rows.append((i, text, "en", src, len(text)))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_grouped_rank_matches_window_spec(spark, tmp_path):
+    """assign_grouped_rank == row_number() OVER (PARTITION BY group
+    ORDER BY ...) bit-for-bit, including when a group dominates and
+    spans many range partitions."""
+    from pyspark.sql import Window
+
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.operators.indexing import assign_grouped_rank
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    try:
+        got = assign_grouped_rank(
+            li, ["l_returnflag"], ["l_quantity", "l_orderkey", "l_linenumber"],
+            num_partitions=16,
+        )
+        w = Window.partitionBy("l_returnflag").orderBy(
+            "l_quantity", "l_orderkey", "l_linenumber"
+        )
+        want = li.withColumn("rank", F.row_number().over(w))
+        key = ["l_returnflag", "l_orderkey", "l_linenumber"]
+        g = {tuple(r[k] for k in key): r.rank for r in got.collect()}
+        e = {tuple(r[k] for k in key): r.rank for r in want.collect()}
+        assert g == e
+    finally:
+        release_caches()
+        spark.catalog.clearCache()
+
+
+def test_perplexity_skew_path_matches_window_path(spark, tmp_path):
+    """E51 (verdict r7 #4): the distributed-rank skew path must be
+    result-identical to the window path on a skewed corpus, and its
+    plan must range-partition + stream (MapInPandas) instead of
+    windowing percent_rank over one partition per source."""
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.plans.ext_text import q_perplexity_filter
+
+    d = _skewed_docs_dir(spark, tmp_path)
+    try:
+        window_rows = sorted(
+            q_perplexity_filter(spark, d, skew_threshold=10**9).collect()
+        )
+        skew_df = q_perplexity_filter(spark, d, skew_threshold=1)
+        skew_rows = sorted(skew_df.collect())
+        assert skew_rows == window_rows
+        p = skew_df._sc._jvm.PythonSQLUtils.explainString(
+            skew_df._jdf.queryExecution(), "formatted"
+        )
+        assert "percent_rank" not in p, f"skew path still windows:\n{p}"
+        assert "MapInPandas" in p, f"no streamed rank pass:\n{p}"
+        assert "rangepartitioning" in p.lower(), (
+            f"dominant source not range-spread:\n{p}"
+        )
+    finally:
+        release_caches()
+        spark.catalog.clearCache()

@@ -97,3 +97,90 @@ def assign_global_index(
             yield pdf.drop(columns=[pid_col])
 
     return ranged.mapInPandas(add_index, out_schema)
+
+
+def assign_grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    num_partitions: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact 1-based rank within each group in ``order_cols`` order —
+    ``row_number() OVER (PARTITION BY group ORDER BY ...)`` — without
+    funneling a dominant group through ONE window task.
+
+    The skew-proof generalization of :func:`assign_global_index`:
+    range-partition on (group, order) so a huge group SPANS many
+    partitions (a hash-partitioned window pins it to one), sort
+    within partitions, compute per-(partition, group) counts, turn
+    them into per-(partition, group) base offsets with a window over
+    the TINY counts table (|partitions x groups| rows — no driver
+    collect), broadcast-join the offsets back, and stream each sorted
+    partition assigning ``base + local position per group``.
+
+    Requires a total order (end ``order_cols`` with a unique
+    tiebreak) — the engine-wide determinism rule; with ties across a
+    partition boundary the split would be boundary-dependent.
+    """
+    pid_col = "__wf_pid"
+    keys = [F.col(c) for c in group_cols + order_cols]
+    ranged = tracked_persist(
+        df.repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*(group_cols + order_cols))
+        .withColumn(pid_col, F.spark_partition_id())
+    )
+    counts = ranged.groupBy(pid_col, *group_cols).agg(
+        F.count(F.lit(1)).alias("__wf_cnt")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(pid_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        pid_col,
+        *group_cols,
+        F.coalesce(F.sum("__wf_cnt").over(w), F.lit(0)).alias("__wf_base"),
+    )
+    with_base = ranged.join(F.broadcast(offsets), [pid_col, *group_cols])
+
+    out_schema = StructType(df.schema.fields + [StructField(rank_col, LongType())])
+    n_group = len(group_cols)
+    rank_name = rank_col
+
+    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Partition-local streaming: rows arrive sorted by (group,
+        # order), so each batch is a sequence of contiguous group
+        # runs — detect run boundaries vectorized and assign
+        # ``base + arange`` per run (Python touches runs, not rows).
+        import numpy as np
+
+        pos: dict[tuple, int] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            pdf = pdf.copy()
+            chg = np.zeros(n, dtype=bool)
+            chg[0] = True
+            for c in group_cols:
+                v = pdf[c].to_numpy()
+                chg[1:] |= v[1:] != v[:-1]
+            starts = np.flatnonzero(chg)
+            ends = np.append(starts[1:], n)
+            bases = pdf["__wf_base"].to_numpy()
+            gkeys = pdf[group_cols].to_numpy()
+            ranks = np.empty(n, dtype="int64")
+            for s, e in zip(starts, ends):
+                g = tuple(gkeys[s])
+                base = pos.get(g, int(bases[s]))
+                ranks[s:e] = np.arange(base + 1, base + 1 + (e - s))
+                pos[g] = base + (e - s)
+            pdf[rank_name] = ranks
+            yield pdf.drop(columns=[pid_col, "__wf_base"])
+
+    assert n_group >= 1
+    return with_base.mapInPandas(add_rank, out_schema)

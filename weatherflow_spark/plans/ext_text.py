@@ -2017,9 +2017,37 @@ ORACLE_BIGRAM_LM_SCORE = f"""
 # ---------------------------------------------------------------------------
 
 PPL_KEEP_FRAC = 0.90
+# Rows per source above which the percentile cut switches from the
+# hash-partitioned window (one task per source) to the distributed
+# exact rank of operators/indexing.assign_grouped_rank. Sized so a
+# source's window partition stays well under one executor's memory;
+# never reached at test SFs (both paths are result-identical and
+# equality-tested on a skewed fixture, tests/test_scale_ops.py).
+PPL_SKEW_THRESHOLD = 5_000_000
+# Per-input source census memo: the skew decision needs max rows per
+# source, which is constant for a given input dir — pay the (cheap,
+# one-column) counting scan once per session, not once per build.
+_PPL_SRC_CENSUS: dict[str, int] = {}
 
 
-def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _max_source_rows(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _PPL_SRC_CENSUS:
+        top = (
+            load_table(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()
+        )
+        _PPL_SRC_CENSUS[sf_dir] = int(top[0].m) if top and top[0].m is not None else 0
+    return _PPL_SRC_CENSUS[sf_dir]
+
+
+def q_perplexity_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    skew_threshold: int = PPL_SKEW_THRESHOLD,
+) -> DataFrame:
     """Perplexity filtering — THE standard LM-based curation cut
     (CCNet/LLaMA-style): score every document with the corpus unigram
     LM, then keep the lowest-NLL 90% WITHIN each source (per-source
@@ -2032,11 +2060,46 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the LM model phase owns the token exchange (see
     q_unigram_lm_score); scoring is narrow; the cut adds ONE window
-    exchange on source. A dominant source at 100 TB serializes that
-    window partition — the remedy is the two-phase trim of
-    operators/topk.py (per-partition heap to ~keep_frac, then exact
-    rank on survivors), same semantics."""
+    exchange on source. A dominant source at 100 TB would serialize
+    that window partition, so when the measured source census (memoized
+    per input dir; a production scheduler feeds this from
+    q_skew_report) exceeds ``skew_threshold``, the cut switches to the
+    distributed exact rank (operators/indexing.assign_grouped_rank:
+    range-partition on (source, nll, doc_id) so the dominant source
+    SPANS partitions, per-(partition, source) counts -> broadcast
+    prefix offsets -> streamed rank assignment). Both paths replay
+    percent_rank's exact arithmetic — (rank-1)/(n-1) in double —
+    and are equality-tested on a skewed fixture."""
     scored = _lm_scored(spark, sf_dir)
+    if _max_source_rows(spark, sf_dir) >= skew_threshold:
+        from weatherflow_spark.operators.indexing import assign_grouped_rank
+
+        ranked = assign_grouped_rank(
+            scored.select("doc_id", "source", "nll_e6"),
+            ["source"],
+            ["nll_e6", "doc_id"],
+            rank_col="__wf_rank",
+        )
+        totals = (
+            scored.groupBy("source").agg(F.count(F.lit(1)).alias("__wf_n"))
+        )
+        return (
+            ranked.join(F.broadcast(totals), "source")
+            .select(
+                "doc_id",
+                "source",
+                "nll_e6",
+                F.expr(
+                    "cast(floor((CASE WHEN __wf_n = 1 THEN cast(0.0 as double) "
+                    "ELSE cast(__wf_rank - 1 as double) / cast(__wf_n - 1 as double) END) "
+                    "* 1e6 + 0.5) as bigint)"
+                ).alias("pr_e6"),
+            )
+            .withColumn(
+                "keep",
+                (F.col("pr_e6") <= F.lit(int(PPL_KEEP_FRAC * 1e6))).cast("int"),
+            )
+        )
     return scored.select(
         "doc_id",
         "source",
