@@ -68,6 +68,7 @@ def compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_col: str | None = None,
+    _before_swap=None,
 ) -> int:
     """Rewrite the parquet dataset at ``path`` into ~target-sized
     files; returns the new file count. Reads the current on-disk byte
@@ -79,7 +80,24 @@ def compact(
     same file count again. At cluster scale, run per partition
     directory (partition values don't change, so this composes with
     dynamic partition overwrite — operators/upsert.py).
+
+    Concurrent-writer safe (r8): optimistic validate-and-swap under
+    the dataset's advisory commit lock (operators/commit.py). The
+    file set is snapshotted before the read; the rewrite runs
+    UNLOCKED (loads proceed freely); the swap happens only if — still
+    holding the lock — the file set is unchanged. A load committing
+    mid-rewrite aborts the swap with :class:`CompactionConflict`
+    instead of silently discarding its rows; re-run compaction.
+    ``_before_swap`` is a test seam for injecting that race
+    deterministically.
     """
+    from weatherflow_spark.operators.commit import (
+        CompactionConflict,
+        dataset_lock,
+        dataset_snapshot,
+    )
+
+    snap0 = dataset_snapshot(path)
     total_bytes = sum(os.path.getsize(f) for f in parquet_files(path))
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
@@ -95,15 +113,27 @@ def compact(
     # aren't atomic there; this file-system path is the local/HDFS form.)
     tmp = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(tmp)
-    # Swap via rename-aside, not delete-then-rename: with rmtree(path)
-    # first, a crash between the two calls loses the dataset and
-    # concurrent readers see the table vanish. Renaming the old copy
-    # aside keeps a complete copy on disk at every instant; the stale
-    # __old dir is removed last and is safe to re-remove on retry.
-    old = path.rstrip("/") + "__old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
+    if _before_swap is not None:
+        _before_swap()
+    with dataset_lock(path):
+        # Optimistic validation: any load that committed since the
+        # snapshot changed the data-file set (part-file names carry
+        # task UUIDs) — swapping now would discard its rows.
+        if dataset_snapshot(path) != snap0:
+            shutil.rmtree(tmp)
+            raise CompactionConflict(
+                f"{path}: dataset changed during compaction; re-run"
+            )
+        # Swap via rename-aside, not delete-then-rename: with
+        # rmtree(path) first, a crash between the two calls loses the
+        # dataset and concurrent readers see the table vanish.
+        # Renaming the old copy aside keeps a complete copy on disk
+        # at every instant; the stale __old dir is removed last and
+        # is safe to re-remove on retry.
+        old = path.rstrip("/") + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
     shutil.rmtree(old)
     return len(parquet_files(path))

@@ -35,11 +35,19 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     OVERWRITE semantics), leaving all other partitions' files
     untouched. Idempotent: re-running the same batch rewrites the
     same partitions to the same content."""
+    from weatherflow_spark.operators.commit import dataset_lock
+
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        # The advisory commit lock serializes this write against a
+        # concurrent compaction's validate-and-swap (commit.py): a
+        # swap cannot land mid-write and discard this batch, and this
+        # write's file changes force the racing compaction to abort
+        # and re-run rather than clobber.
+        with dataset_lock(path):
+            df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -61,6 +69,8 @@ def upsert_by_key(
     Deterministic given deterministic keys: re-running the same batch
     is a no-op on content.
     """
+    from weatherflow_spark.operators.commit import dataset_lock
+
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
@@ -68,7 +78,8 @@ def upsert_by_key(
         writer = new_batch.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(path)
+        with dataset_lock(path):
+            writer.parquet(path)
         return
 
     current = spark.read.parquet(path)
@@ -108,6 +119,7 @@ def upsert_by_key(
     # slice to the touched partitions (executor-local, spill-backed).
     merged = merged.localCheckpoint(eager=True)
     if partition_cols:
-        overwrite_partitions(merged, path, partition_cols)
+        overwrite_partitions(merged, path, partition_cols)  # takes the lock
     else:
-        merged.write.mode("overwrite").parquet(path)
+        with dataset_lock(path):
+            merged.write.mode("overwrite").parquet(path)
