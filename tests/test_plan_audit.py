@@ -736,3 +736,22 @@ def test_quality_gate_section_skips_digest_and_skew(spark):
     checks = {(r.tbl, r.check) for r in df.collect()}
     assert len(checks) == 11  # 4 counts + 3 pk + 2 fk + bounds + nulls
     assert ("lineitem", "fk_orphans_l_orderkey") in checks
+
+
+def test_covariance_blocking_plans_per_tile_exchanges(spark):
+    """E47: with blocking forced (B=32 over D=64 -> 3 tiles), each
+    tile owns its keyed aggregation — the plan carries one (i, j)
+    exchange PER TILE (bounded per-task hash-agg state), where the
+    single-pass form has exactly one."""
+    from weatherflow_spark.plans.stats import q_covariance_matrix
+
+    def ij_exchanges(df) -> int:
+        p = _plan(df)
+        return sum(
+            1
+            for b in _detail_blocks(p, "Exchange")
+            if re.search(r"hashpartitioning\(i#\d+, j#\d+", b)
+        )
+
+    assert ij_exchanges(q_covariance_matrix(spark, SF_SMALL)) == 1
+    assert ij_exchanges(q_covariance_matrix(spark, SF_SMALL, block_size=32)) == 3

@@ -112,3 +112,65 @@ def test_table_fingerprint_merges_across_loads(spark):
     assert full[0] == a[0] ^ b[0]
     assert full[1] == a[1] + b[1]
     assert full[2] == a[2] + b[2]
+
+
+def test_covariance_blocked_matches_single_pass(spark):
+    """E47 blocking (verdict r7 #6): dimension-blocked tiles must
+    reproduce the single-pass matrix exactly — including an uneven
+    final block (64 % 24 != 0)."""
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.plans.stats import q_covariance_matrix
+
+    try:
+        plain = {
+            (r.dim_i, r.dim_j): (r.sum_prod, r.cov_num, r.cov_e9)
+            for r in q_covariance_matrix(spark, SF_SMALL).collect()
+        }
+        blocked = {
+            (r.dim_i, r.dim_j): (r.sum_prod, r.cov_num, r.cov_e9)
+            for r in q_covariance_matrix(
+                spark, SF_SMALL, block_size=24
+            ).collect()
+        }
+        assert blocked == plain and len(plain) == 64 * 65 // 2
+    finally:
+        release_caches()
+        spark.catalog.clearCache()
+
+
+def test_covariance_blocked_d256_fixture(spark, tmp_path):
+    """D=256: the regime blocking exists for (D(D+1)/2 = 32,896
+    partial-agg keys per task unblocked). Deterministic synthetic
+    embeddings; blocked B=64 (10 tiles) == unblocked."""
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.plans.stats import q_covariance_matrix
+
+    d = 256
+    emb = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {d}), k -> "
+            "cast(((id * 37 + k * 11) % 97 - 48) / 100.0 as float))"
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    try:
+        plain = {
+            (r.dim_i, r.dim_j): (r.sum_prod, r.cov_num, r.cov_e9)
+            for r in q_covariance_matrix(spark, str(tmp_path), dim=d).collect()
+        }
+        blocked = {
+            (r.dim_i, r.dim_j): (r.sum_prod, r.cov_num, r.cov_e9)
+            for r in q_covariance_matrix(
+                spark, str(tmp_path), dim=d, block_size=64
+            ).collect()
+        }
+        assert blocked == plain and len(plain) == d * (d + 1) // 2
+    finally:
+        release_caches()
+        spark.catalog.clearCache()

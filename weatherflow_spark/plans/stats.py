@@ -1495,7 +1495,12 @@ COV_DIM = 64
 COV_SCALE = 1000
 
 
-def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_covariance_matrix(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = COV_DIM,
+    block_size: int | None = None,
+) -> DataFrame:
     """Full D×D sample covariance matrix of the embedding corpus —
     the one-pass distributed linear-algebra primitive under PCA /
     whitening / Mahalanobis scoring. Same exact-moments discipline as
@@ -1508,9 +1513,16 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Headroom: |aᵢaⱼ| ≤ 530² ≈ 2.8e5 per row ⇒ Σ fits int64 past 1e13
     rows; n·Σ ≈ 7e12 at sf0.1 — certified exact. At 100 TB the map
-    stage's ×D(D+1)/2 pair explode is the cost; the standard
-    refinement is dimension-blocking the triangle (same keyed-agg
-    shape per block), not a different algorithm."""
+    stage's ×D(D+1)/2 pair explode is the cost; the refinement is
+    dimension-BLOCKING the triangle, implemented here behind
+    ``block_size`` (r8): the (i ≤ j) triangle splits into
+    nb(nb+1)/2 block pairs, each exploding only a B×B tile per row
+    into its OWN keyed aggregation (its own exchange — audited), so
+    per-task hash-agg state is bounded by B² keys instead of
+    D(D+1)/2 and tiles can run as separate jobs at very large D.
+    Same integers, same final matrix (equality-tested at D=256);
+    ``block_size=None`` keeps the single-pass form, which is right
+    whenever D(D+1)/2 partial states fit task memory."""
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         # Explicit spread off the raw splits: the ×D(D+1)/2 pair
         # explode is CPU-bound on kB-scale input (the q_knn_graph
@@ -1523,22 +1535,42 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> cast(floor(cast(x as double) * {COV_SCALE}) as bigint))"
         ).alias("v")
     )
-    pairs_expr = (
-        f"flatten(transform(sequence(1, {COV_DIM}), i -> "
-        f"transform(sequence(i, {COV_DIM}), j -> "
-        "struct(i AS i, j AS j, element_at(v, i) * element_at(v, j) AS p))))"
-    )
-    triangle = (
-        scaled.select(F.explode(F.expr(pairs_expr)).alias("e"))
-        .select("e.i", "e.j", "e.p")
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("sum_prod"))
-    )
+    def tile_triangle(i_lo: int, i_hi: int, j_lo: int, j_hi: int) -> DataFrame:
+        """Σ aᵢaⱼ over one (i-range × j-range) tile of the upper
+        triangle; the diagonal tile clips j to start at i."""
+        j_start = "i" if i_lo == j_lo else str(j_lo)
+        expr = (
+            f"flatten(transform(sequence({i_lo}, {i_hi}), i -> "
+            f"transform(sequence({j_start}, {j_hi}), j -> "
+            "struct(i AS i, j AS j, element_at(v, i) * element_at(v, j) AS p))))"
+        )
+        return (
+            scaled.select(F.explode(F.expr(expr)).alias("e"))
+            .select("e.i", "e.j", "e.p")
+            .groupBy("i", "j")
+            .agg(F.sum("p").alias("sum_prod"))
+        )
+
+    if block_size is None or block_size >= dim:
+        triangle = tile_triangle(1, dim, 1, dim)
+    else:
+        bounds = [
+            (lo + 1, min(lo + block_size, dim))
+            for lo in range(0, dim, block_size)
+        ]
+        tiles = [
+            tile_triangle(alo, ahi, blo, bhi)
+            for bi, (alo, ahi) in enumerate(bounds)
+            for (blo, bhi) in bounds[bi:]
+        ]
+        triangle = tiles[0]
+        for t in tiles[1:]:
+            triangle = triangle.unionByName(t)
     dims = (
         scaled.select(
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, {COV_DIM}), i -> "
+                    f"transform(sequence(1, {dim}), i -> "
                     "struct(i AS i, element_at(v, i) AS x))"
                 )
             ).alias("e")
