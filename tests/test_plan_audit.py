@@ -755,3 +755,32 @@ def test_covariance_blocking_plans_per_tile_exchanges(spark):
 
     assert ij_exchanges(q_covariance_matrix(spark, SF_SMALL)) == 1
     assert ij_exchanges(q_covariance_matrix(spark, SF_SMALL, block_size=32)) == 3
+
+
+def test_bpe_encode_join_path_matches_and_avoids_broadcast_map(spark):
+    """E43 open-web path (verdict r7 #7): with the instance<->type
+    equi-join forced, q_bpe_encode must (a) reproduce the broadcast-map
+    output exactly and (b) plan WITHOUT the driver-sized vocab map —
+    a word-keyed join + a doc_id regroup instead."""
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.plans.ext_mining import q_bpe_encode
+
+    try:
+        default = sorted(q_bpe_encode(spark, SF_SMALL).collect())
+        joined_df = q_bpe_encode(spark, SF_SMALL, join_threshold=1)
+        joined = sorted(joined_df.collect())
+        assert joined == default
+        p = _plan(joined_df)
+        assert "map_from_entries" not in p, (
+            f"join path still builds the broadcast vocab map:\n{p}"
+        )
+        ex = _detail_blocks(p, "Exchange")
+        assert any("hashpartitioning(word" in b for b in ex) or any(
+            "hashpartitioning(doc_id" in b for b in ex
+        ), f"no word/doc exchanges in join path:\n{p}"
+        assert any("hashpartitioning(doc_id" in b for b in ex), (
+            f"missing doc_id regroup:\n{p}"
+        )
+    finally:
+        release_caches()
+        spark.catalog.clearCache()

@@ -778,7 +778,27 @@ def _oracle_bpe_train() -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Documents above which q_bpe_encode assumes an open-web vocabulary
+# whose per-type segmentation map outgrows a driver broadcast and
+# switches to the instance<->type equi-join. Corpus row count is the
+# (memoized, cheap-scan) proxy; a production deployment would feed the
+# measured type cardinality instead. Never reached at test SFs — both
+# paths are equality-tested and the join path is plan-audited.
+BPE_JOIN_DOC_THRESHOLD = 20_000_000
+_BPE_DOC_CENSUS: dict[str, int] = {}
+
+
+def _corpus_docs(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _BPE_DOC_CENSUS:
+        _BPE_DOC_CENSUS[sf_dir] = load_table(spark, sf_dir, "documents").count()
+    return _BPE_DOC_CENSUS[sf_dir]
+
+
+def q_bpe_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    join_threshold: int = BPE_JOIN_DOC_THRESHOLD,
+) -> DataFrame:
     """BPE **encoding**: segment every document with the merge table
     q_bpe_train just learned — the apply half of the tokenizer pair
     (train once, encode the whole corpus). Merge rules apply in
@@ -795,8 +815,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE broadcast map. The document pass is then a pure narrow map
     lookup per token (measured 8 s → sub-second at sf0.1 vs folding
     every instance). At open-web vocabulary scale the map outgrows a
-    broadcast; the switch is an instance↔type equi-join on word (one
-    word exchange + one doc_id regroup), same semantics.
+    broadcast; when the (memoized) corpus census exceeds
+    ``join_threshold`` the encode switches to the instance↔type
+    equi-join on word (one word exchange + one doc_id regroup with a
+    position-sorted reassembly) — implemented below (r8), same
+    output bit-for-bit, equality-tested and plan-audited with the
+    join path forced.
 
     Output per doc: word/piece counts and the segmented text
     (pieces '|'-joined within a word, words ' '-joined) — the full
@@ -824,6 +848,39 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m.l, m.r))) "
         "ELSE concat(acc, array(s)) END))"
     )
+    if _corpus_docs(spark, sf_dir) >= join_threshold:
+        # Open-web path: the per-type segmentation stays a TABLE
+        # (word, ps, np) and token instances equi-join it on word —
+        # no driver-sized map anywhere. One exchange on word, one
+        # regroup on doc_id; word order restored by position.
+        seg = (
+            types.crossJoin(F.broadcast(model))
+            .select("word", F.expr(enc_word).alias("syms"))
+            .select(
+                "word",
+                F.expr("array_join(syms, '|')").alias("ps"),
+                F.expr("cast(size(syms) as bigint)").alias("np"),
+            )
+        )
+        inst = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"filter({T.tokens_expr('text')}, w -> w <> '')")
+            ).alias("word_idx", "word"),
+        )
+        return (
+            inst.join(seg, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("np").alias("n_pieces"),
+                F.expr(
+                    "concat_ws(' ', transform(array_sort("
+                    "collect_list(struct(word_idx, ps))), x -> x.ps))"
+                ).alias("encoded"),
+            )
+            .select("doc_id", "n_words", "n_pieces", "encoded")
+        )
     vocab = (
         types.crossJoin(F.broadcast(model))
         .select("word", F.expr(enc_word).alias("syms"))
