@@ -144,6 +144,7 @@ OPTIONAL = [
     "q_rollup_serve",
     "q_global_index",
     "q_embedding_near_dup",
+    "q_containment_sweep",
 ]
 
 

@@ -597,3 +597,47 @@ def test_bigram_lm_guards_one_token_docs(spark, tmp_path):
     assert set(out) == {1, 2, 3}
     assert out[1].bi_nll_e6 == 0 and out[2].bi_nll_e6 == 0  # < 2 tokens => 0
     assert out[3].bi_nll_e6 > 0
+
+
+def test_containment_sweep_catches_quote_the_minhash_gate_misses(spark, tmp_path):
+    """E60 recall gap (verdict r7 #8): a 20-token quote embedded
+    verbatim in a ~2,000-token page has Jaccard ~0.01 — the banded
+    MinHash gate misses the pair with near certainty, while its
+    containment is ~1.0. The inverted-index sweep must catch it."""
+    from weatherflow_spark.plans.ext_dedup import (
+        q_containment,
+        q_containment_sweep,
+    )
+
+    quote_words = [f"qq{i}" for i in range(20)]  # 20 unique tokens
+    quote = " ".join(quote_words)
+    page_words = [f"pw{i % 997}x{i % 31}" for i in range(1980)]
+    page = " ".join(page_words[:990] + quote_words + page_words[990:])
+    filler = [
+        (10 + i, " ".join(f"f{i}w{j}" for j in range(40)), "en", "web", 200)
+        for i in range(6)
+    ]
+    rows = [
+        (1, quote, "en", "quotes", len(quote)),
+        (2, page, "en", "web", len(page)),
+        *filler,
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    gate_pairs = {
+        (r.doc_a, r.doc_b) for r in q_containment(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) not in gate_pairs, (
+        "fixture regression: the MinHash gate caught the extreme-ratio "
+        "pair this sweep exists for — rebuild the fixture"
+    )
+    sweep = {
+        (r.doc_a, r.doc_b): r
+        for r in q_containment_sweep(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in sweep
+    hit = sweep[(1, 2)]
+    # all 17 of the quote's 4-gram shingles appear in the page
+    assert hit.n_min == 17 and hit.n_inter == 17
+    assert hit.containment_e6 == 1_000_000

@@ -9,7 +9,10 @@ Eight dedup families plus entity resolution, all first-class queries:
                      block keys (band equi-join + Hamming verify).
 - **n-gram Jaccard** — exact 4-gram Jaccard verify over MinHash band
                      candidates (gated, never block-×-block).
-- **containment**  — asymmetric |A∩B|/min over the same gate (E60).
+- **containment**  — asymmetric |A∩B|/min over the same gate (E60),
+                     plus an inverted-index SWEEP branch (r8) whose
+                     recall covers the extreme size ratios the
+                     MinHash gate cannot see.
 - **winnowing**    — MOSS local fingerprints, capped inverted index
                      (E67; guaranteed shared-run detection).
 - **fuzzy strings** — blocked levenshtein over the name vocabulary
@@ -606,6 +609,141 @@ ORACLE_CONTAINMENT = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_containment_sweep — E60 second branch: inverted-index gate for
+# extreme size ratios (the recall the MinHash gate cannot give)
+# ---------------------------------------------------------------------------
+
+# A doc with at most this many distinct verify shingles counts as
+# "small" and posts its shingles into the inverted index. Quotation
+# dup is short-into-long BY DEFINITION, so the posted side is bounded
+# by construction — the big side is only ever probed.
+SWEEP_SMALL_MAX_GRAMS = 20
+# Per-gram posting cap (doc_id asc — deterministic): a stopword-like
+# shingle shared by every small doc would otherwise fan the probe join
+# out quadratically; capped postings trade bounded recall loss on
+# junk grams for a hard fanout bound (the winnowing-postings rule).
+SWEEP_POSTING_CAP = 16
+
+
+def q_containment_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment via INVERTED-INDEX sweep — the E60 branch for
+    extreme size ratios. MinHash band collisions track JACCARD, and a
+    20-token quote inside a 2,000-token page has j ≈ 0.01: the banded
+    gate misses it with near certainty while its containment is ~1.0.
+    This branch posts each SMALL doc's distinct shingles into an
+    inverted index (per-gram postings capped, doc_id asc) and probes
+    it with every other doc's distinct shingles — candidate
+    generation keyed on the GRAM, so recall no longer depends on
+    whole-document signature collisions at all.
+
+    Scale posture: the posted side is small-doc shingles only
+    (quotation sources are short by definition), the probe is one
+    equi-join on gram, the per-(pair) intersection count is a keyed
+    aggregation with map-side partials, and the posting cap bounds
+    per-gram fanout. Never all-pairs; both-small pairs dedup via
+    (least, greatest) + distinct-gram counting.
+
+    Certified top-25 by e6 containment with full tie-breaks, same
+    schema as q_containment (the gate branch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.col("doc_id"),
+        F.expr(
+            f"array_distinct({T.shingle_hashes_expr('text', NGRAM_VERIFY_N)})"
+        ).alias("gr"),
+    )
+    sizes = grams.select("doc_id", F.expr("size(gr)").alias("n_gr"))
+    flat = grams.select("doc_id", F.explode("gr").alias("gram"))
+    small = flat.join(
+        F.broadcast(
+            sizes.where(F.col("n_gr") <= SWEEP_SMALL_MAX_GRAMS).select("doc_id")
+        ),
+        "doc_id",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gram").orderBy("doc_id")
+    postings = (
+        small.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SWEEP_POSTING_CAP)
+        .select(F.col("doc_id").alias("s_id"), "gram")
+    )
+    hits = (
+        flat.join(postings, "gram")
+        .where(F.col("doc_id") != F.col("s_id"))
+        .select(
+            F.least("doc_id", "s_id").alias("doc_a"),
+            F.greatest("doc_id", "s_id").alias("doc_b"),
+            "gram",
+        )
+    )
+    inter = hits.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("gram").alias("n_inter")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_gr").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_gr").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("int").alias("n_inter"),
+            F.expr("cast(least(na, nb) as int)").alias("n_min"),
+            F.expr(
+                "CASE WHEN least(na, nb) = 0 THEN cast(0 as bigint) "
+                "ELSE cast(floor(cast(n_inter as double) "
+                "/ cast(least(na, nb) as double) * 1e6 + 0.5) as bigint) END"
+            ).alias("containment_e6"),
+        )
+        .orderBy(F.desc("containment_e6"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(25)
+    )
+
+
+ORACLE_CONTAINMENT_SWEEP = f"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct({T.shingle_hashes_sql('text', NGRAM_VERIFY_N)}) AS gr
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(len(gr) AS BIGINT) AS n_gr FROM grams),
+    flat AS (SELECT doc_id, unnest(gr) AS gram FROM grams),
+    postings AS (
+        SELECT s_id, gram FROM (
+            SELECT f.doc_id AS s_id, f.gram,
+                   row_number() OVER (PARTITION BY f.gram
+                                      ORDER BY f.doc_id ASC) AS rn
+            FROM flat f JOIN sizes s ON s.doc_id = f.doc_id
+            WHERE s.n_gr <= {SWEEP_SMALL_MAX_GRAMS}
+        ) WHERE rn <= {SWEEP_POSTING_CAP}
+    ),
+    hits AS (
+        SELECT least(f.doc_id, p.s_id) AS doc_a,
+               greatest(f.doc_id, p.s_id) AS doc_b, f.gram
+        FROM flat f JOIN postings p ON p.gram = f.gram
+        WHERE f.doc_id <> p.s_id
+    ),
+    inter AS (
+        SELECT doc_a, doc_b, CAST(count(DISTINCT gram) AS BIGINT) AS n_inter
+        FROM hits GROUP BY doc_a, doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS INTEGER) AS n_inter,
+           CAST(least(sa.n_gr, sb.n_gr) AS INTEGER) AS n_min,
+           CASE WHEN least(sa.n_gr, sb.n_gr) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(i.n_inter AS DOUBLE)
+                     / CAST(least(sa.n_gr, sb.n_gr) AS DOUBLE) * 1e6 + 0.5)
+                     AS BIGINT) END AS containment_e6
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    ORDER BY containment_e6 DESC, doc_a ASC, doc_b ASC
+    LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_fuzzy_join — entity resolution by blocked edit-distance join
 # ---------------------------------------------------------------------------
 
@@ -1113,12 +1251,24 @@ def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("winnow_sim_e6").cast("double") / 1e6).alias("score"),
         null_flag,
     )
+    # Ninth branch (E60 second gate, r8): containment via the
+    # inverted-index sweep — the recall path for extreme size ratios
+    # the MinHash gate cannot see (20-token quote in a 2,000-token
+    # page: j ≈ 0.01, containment ≈ 1.0).
+    sweep = q_containment_sweep(spark, sf_dir).select(
+        F.lit("containment_sweep").alias("method"),
+        "doc_a",
+        "doc_b",
+        (F.col("containment_e6").cast("double") / 1e6).alias("score"),
+        null_flag,
+    )
     return (
         mh.unionByName(sh)
         .unionByName(ng)
         .unionByName(sem)
         .unionByName(cont)
         .unionByName(win)
+        .unionByName(sweep)
     )
 
 
@@ -1131,7 +1281,8 @@ def _oracle_near_dup_suite() -> str:
     ng_side AS ({ORACLE_NGRAM_JACCARD}),
     sem_side AS ({ORACLE_SEMANTIC_PAIRS}),
     cont_side AS ({ORACLE_CONTAINMENT}),
-    win_side AS ({ORACLE_WINNOW_FINGERPRINT})
+    win_side AS ({ORACLE_WINNOW_FINGERPRINT}),
+    sweep_side AS ({ORACLE_CONTAINMENT_SWEEP})
     SELECT 'minhash' AS method, doc_a, doc_b, jaccard AS score, is_dup
     FROM mh_side
     UNION ALL
@@ -1152,12 +1303,17 @@ def _oracle_near_dup_suite() -> str:
     SELECT 'winnow', doc_a, doc_b,
            CAST(winnow_sim_e6 AS DOUBLE) / 1e6, CAST(NULL AS INTEGER)
     FROM win_side
+    UNION ALL
+    SELECT 'containment_sweep', doc_a, doc_b,
+           CAST(containment_e6 AS DOUBLE) / 1e6, CAST(NULL AS INTEGER)
+    FROM sweep_side
 """
 
 
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_containment": q_containment,
+    "q_containment_sweep": q_containment_sweep,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_entity_clusters": q_entity_clusters,
     "q_fuzzy_join": q_fuzzy_join,
@@ -1172,6 +1328,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 DEDUP_ORACLES: dict[str, str] = {
     "q_containment": ORACLE_CONTAINMENT,
+    "q_containment_sweep": ORACLE_CONTAINMENT_SWEEP,
     "q_winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     "q_entity_clusters": _oracle_entity_clusters(),
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
