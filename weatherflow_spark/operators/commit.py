@@ -65,6 +65,11 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 600.0):
     recorded for diagnosis). Commits are metadata-speed (rename /
     footer writes), so contention windows are milliseconds."""
     lp = _lock_path(path)
+    # First-ever write: the dataset's parent may not exist yet (the
+    # writer would create it) — the lock file needs it now.
+    parent = os.path.dirname(lp)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     deadline = time.monotonic() + timeout
     while True:
         try:
