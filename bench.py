@@ -145,6 +145,7 @@ OPTIONAL = [
     "q_global_index",
     "q_embedding_near_dup",
     "q_containment_sweep",
+    "q_incremental_embedding",
 ]
 
 

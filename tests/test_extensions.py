@@ -641,3 +641,49 @@ def test_containment_sweep_catches_quote_the_minhash_gate_misses(spark, tmp_path
     # all 17 of the quote's 4-gram shingles appear in the page
     assert hit.n_min == 17 and hit.n_inter == 17
     assert hit.containment_e6 == 1_000_000
+
+
+def test_incremental_embedding_verdicts(spark, tmp_path):
+    """E79 batch-vs-corpus embedding admission: an exact copy of a
+    corpus vector -> dup (cos 1.0); an orthogonal vector -> new."""
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.plans.ext_similarity import (
+        INCR_EMB_MOD,
+        q_incremental_embedding,
+    )
+
+    d = 8
+    base = [1.0] + [0.0] * (d - 1)
+    ortho = [0.0, 1.0] + [0.0] * (d - 2)
+    near = [0.98, 0.199] + [0.0] * (d - 2)  # cos ~0.98 vs base
+    rows = [
+        (0, base, 0),                 # batch (0 % 13 == 0): exact copy
+        (INCR_EMB_MOD, ortho, 0),     # batch: orthogonal to everything
+        (2 * INCR_EMB_MOD, near, 0),  # batch: near-dup of base
+        (1, base, 0),                 # corpus original
+        (2, [0.5] * d, 0),            # corpus filler
+        (3, [-1.0] + [0.2] * (d - 1), 0),
+    ]
+    import pyspark.sql.types as PT
+
+    schema = PT.StructType([
+        PT.StructField("vec_id", PT.LongType()),
+        PT.StructField("embedding", PT.ArrayType(PT.FloatType())),
+        PT.StructField("label", PT.IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    try:
+        out = {
+            r.vec_id: r for r in q_incremental_embedding(spark, str(tmp_path)).collect()
+        }
+        assert set(out) == {0, INCR_EMB_MOD, 2 * INCR_EMB_MOD}
+        assert out[0].verdict == "dup" and out[0].best_cos_e6 == 1_000_000
+        assert out[0].best_match == 1
+        assert out[2 * INCR_EMB_MOD].verdict == "dup"
+        assert out[2 * INCR_EMB_MOD].best_cos_e6 >= 950_000
+        assert out[INCR_EMB_MOD].verdict == "new"
+    finally:
+        release_caches()
+        spark.catalog.clearCache()

@@ -784,3 +784,13 @@ def test_bpe_encode_join_path_matches_and_avoids_broadcast_map(spark):
     finally:
         release_caches()
         spark.catalog.clearCache()
+
+
+def test_incremental_embedding_never_shuffle_joins_corpus(spark):
+    """E79's scale contract: the corpus side is never shuffle-JOINED —
+    every join is a broadcast hash join with the batch-bounded side
+    built (the q_incremental_dedup discipline applied to vectors)."""
+    p = _plan(QUERIES["q_incremental_embedding"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in p, f"corpus-side shuffle join:\n{p}"
+    assert "ShuffledHashJoin" not in p, f"corpus-side shuffle join:\n{p}"
+    assert "BroadcastHashJoin" in p, p

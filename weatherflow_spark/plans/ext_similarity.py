@@ -1506,6 +1506,179 @@ ORACLE_ANN_SUITE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_incremental_embedding — E79: batch-vs-corpus embedding admission
+# ---------------------------------------------------------------------------
+
+INCR_EMB_MOD = 13          # vec_id % 13 == 0 -> the ingest batch
+INCR_EMB_CAP = 64          # per-batch-vector candidate cap (ham, id order)
+INCR_EMB_DUP_T_E6 = 950_000  # cosine >= 0.95 -> semantic duplicate
+
+
+def q_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING admission — the ANN analog of
+    q_incremental_dedup, the decision a training pipeline runs on
+    every new ingest batch's vectors: is this embedding a semantic
+    duplicate of the existing corpus (cosine ≥ 0.95 against any
+    corpus vector in its sign-LSH neighborhood) or genuinely new?
+    One verdict row per batch vector, with the best-matching corpus
+    vector and its e6-pinned cosine.
+
+    Scale posture (the point vs the self-join families): the corpus
+    side is NEVER shuffle-JOINED — corpus sign codes are a narrow
+    per-row fold over the scan, the candidate join streams the corpus
+    against the *broadcast* multi-probed batch codes (batch ≪
+    corpus), the per-batch-vector candidate list is capped at
+    {INCR_EMB_CAP} by cheap code-Hamming rank (a window over
+    batch-bounded rows), and only the capped shortlist pays the
+    exact-cosine verify against a second corpus scan (again broadcast
+    on the shortlist). Recall contract = the near-dup family's:
+    16-bit bucket + all 1-bit flips."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    is_batch = F.col("vec_id") % INCR_EMB_MOD == 0
+    # Codes once for both sides; the repartition spreads the CPU-bound
+    # hyperplane fold off the raw splits (narrow data, the near-dup
+    # precedent) — the corpus is never JOIN-shuffled.
+    hashed = tracked_persist(
+        emb.repartition(par, F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.expr(lsh_bucket_expr("embedding", NEARDUP_PLANES)).alias("code"),
+        )
+        .withColumn("bucket", F.col("code") % F.lit(1 << NEARDUP_BUCKET_BITS))
+    )
+    probe_arr = (
+        f"array_union(array(bucket), transform(sequence(0, {NEARDUP_BUCKET_BITS - 1}), "
+        f"p -> bucket ^ shiftleft(cast(1 as bigint), p)))"
+    )
+    batch_probes = (
+        hashed.where(is_batch)
+        .select(
+            F.col("vec_id").alias("b_vec"),
+            F.col("code").alias("b_code"),
+            F.explode(F.expr(probe_arr)).alias("bucket"),
+        )
+    )
+    corpus_codes = hashed.where(~is_batch).select(
+        F.col("vec_id").alias("c_vec"), F.col("code").alias("c_code"), "bucket"
+    )
+    wv = Window.partitionBy("b_vec").orderBy(F.asc("ham"), F.asc("c_vec"))
+    cand = (
+        corpus_codes.join(F.broadcast(batch_probes), "bucket")
+        .select(
+            "b_vec",
+            "c_vec",
+            F.expr("bit_count(b_code ^ c_code)").cast("int").alias("ham"),
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= INCR_EMB_CAP)
+        .select("b_vec", "c_vec", "ham")
+    )
+    batch_emb = emb.where(is_batch).select(
+        F.col("vec_id").alias("b_vec"), F.col("embedding").alias("emb_b")
+    )
+    probe = cand.join(batch_emb, "b_vec")  # batch-bounded, carries emb_b
+    corpus_emb = emb.where(~is_batch).select(
+        F.col("vec_id").alias("c_vec"), F.col("embedding").alias("emb_c")
+    )
+    best = (
+        corpus_emb.join(F.broadcast(probe), "c_vec")
+        .select(
+            "b_vec",
+            "c_vec",
+            F.expr(
+                f"cast(floor(({cosine_expr('emb_b', 'emb_c')}) * 1e6 + 0.5) as bigint)"
+            ).alias("cos_e6"),
+        )
+        .groupBy("b_vec")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.expr("max(named_struct('cos_e6', cos_e6, 'neg', -c_vec))").alias("m"),
+        )
+        .select(
+            "b_vec",
+            "n_candidates",
+            (-F.col("m.neg")).alias("best_match"),
+            F.col("m.cos_e6").alias("best_cos_e6"),
+        )
+    )
+    return (
+        emb.where(is_batch)
+        .select("vec_id")
+        .join(F.broadcast(best.withColumnRenamed("b_vec", "vec_id")), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "best_match",
+            "best_cos_e6",
+            F.when(
+                F.col("best_cos_e6") >= INCR_EMB_DUP_T_E6, F.lit("dup")
+            )
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
+ORACLE_INCREMENTAL_EMBEDDING = f"""
+    WITH hashed AS (
+        SELECT vec_id, {lsh_bucket_sql('embedding', NEARDUP_PLANES)} AS code,
+               ({lsh_bucket_sql('embedding', NEARDUP_PLANES)}) % {1 << NEARDUP_BUCKET_BITS} AS bucket
+        FROM embeddings
+    ),
+    batch_probes AS (
+        SELECT vec_id AS b_vec, code AS b_code,
+               unnest(list_distinct(list_prepend(bucket,
+                   list_transform(generate_series(0, {NEARDUP_BUCKET_BITS - 1}),
+                                  p -> xor(bucket, CAST(1 AS BIGINT) << p))))) AS bucket
+        FROM hashed WHERE vec_id % {INCR_EMB_MOD} = 0
+    ),
+    cand AS (
+        SELECT b_vec, c_vec, ham FROM (
+            SELECT b_vec, c_vec, ham,
+                   row_number() OVER (PARTITION BY b_vec
+                                      ORDER BY ham ASC, c_vec ASC) AS rn
+            FROM (
+                SELECT DISTINCT p.b_vec, h.vec_id AS c_vec,
+                       CAST(bit_count(xor(p.b_code, h.code)) AS INTEGER) AS ham
+                FROM hashed h JOIN batch_probes p USING (bucket)
+                WHERE h.vec_id % {INCR_EMB_MOD} <> 0
+            )
+        ) WHERE rn <= {INCR_EMB_CAP}
+    ),
+    scored AS (
+        SELECT c.b_vec, c.c_vec,
+               CAST(floor(({cosine_sql('eb.embedding', 'ec.embedding')})
+                    * 1e6 + 0.5) AS BIGINT) AS cos_e6
+        FROM cand c
+        JOIN embeddings eb ON eb.vec_id = c.b_vec
+        JOIN embeddings ec ON ec.vec_id = c.c_vec
+    ),
+    best AS (
+        SELECT b_vec, n_candidates, c_vec AS best_match,
+               cos_e6 AS best_cos_e6
+        FROM (
+            SELECT b_vec, c_vec, cos_e6,
+                   row_number() OVER (PARTITION BY b_vec
+                                      ORDER BY cos_e6 DESC, c_vec ASC) AS rn,
+                   CAST(count(*) OVER (PARTITION BY b_vec) AS BIGINT)
+                       AS n_candidates
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT e.vec_id,
+           COALESCE(b.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+           b.best_match,
+           b.best_cos_e6,
+           CASE WHEN b.best_cos_e6 >= {INCR_EMB_DUP_T_E6} THEN 'dup'
+                ELSE 'new' END AS verdict
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % {INCR_EMB_MOD} = 0) e
+    LEFT JOIN best b ON b.b_vec = e.vec_id
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_similarity_topk": q_similarity_topk,
     "q_embedding_near_dup": q_embedding_near_dup,
@@ -1519,6 +1692,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_recall": q_ann_recall,
     "q_random_projection": q_random_projection,
     "q_pq_encode": q_pq_encode,
+    "q_incremental_embedding": q_incremental_embedding,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -1534,4 +1708,5 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "q_ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "q_ann_batch_topk": ORACLE_ANN_BATCH_TOPK,
     "q_ann_suite": ORACLE_ANN_SUITE,
+    "q_incremental_embedding": ORACLE_INCREMENTAL_EMBEDDING,
 }
