@@ -1315,6 +1315,17 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("label"),
         F.col("err_e6").cast("double").alias("cosine"),
     )
+    # E79 (r8): batch-vs-corpus admission verdicts projected onto the
+    # suite shape — q_id the batch vector, vec_id its best corpus
+    # match (-1 when none), label the dup flag, cosine the e6 best
+    # cosine (documented column reuse; hash pins every verdict).
+    admit = q_incremental_embedding(spark, sf_dir).select(
+        F.lit("admit").alias("method"),
+        F.col("vec_id").alias("q_id"),
+        F.coalesce(F.col("best_match"), F.lit(-1)).cast("long").alias("vec_id"),
+        (F.col("verdict") == "dup").cast("int").alias("label"),
+        F.col("best_cos_e6").cast("double").alias("cosine"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
@@ -1324,6 +1335,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recall)
         .unionByName(srp)
         .unionByName(pq)
+        .unionByName(admit)
     )
 
 
@@ -1676,6 +1688,23 @@ ORACLE_INCREMENTAL_EMBEDDING = f"""
                 ELSE 'new' END AS verdict
     FROM (SELECT vec_id FROM embeddings WHERE vec_id % {INCR_EMB_MOD} = 0) e
     LEFT JOIN best b ON b.b_vec = e.vec_id
+"""
+
+
+# Rebind: the ANN-suite oracle gains the E79 admission branch (defined
+# after the base literal, so extended here — the curation-suite
+# precedent).
+ORACLE_ANN_SUITE = f"""
+    WITH base AS ({ORACLE_ANN_SUITE}),
+    admit_side AS ({ORACLE_INCREMENTAL_EMBEDDING})
+    SELECT * FROM base
+    UNION ALL
+    SELECT 'admit' AS method, vec_id AS q_id,
+           CAST(COALESCE(best_match, -1) AS BIGINT) AS vec_id,
+           CAST(CASE WHEN verdict = 'dup' THEN 1 ELSE 0 END AS INTEGER)
+               AS label,
+           CAST(best_cos_e6 AS DOUBLE) AS cosine
+    FROM admit_side
 """
 
 
