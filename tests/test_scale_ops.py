@@ -304,3 +304,26 @@ def test_perplexity_skew_path_matches_window_path(spark, tmp_path):
     finally:
         release_caches()
         spark.catalog.clearCache()
+
+
+def test_domain_quota_skew_path_matches_window_path(spark, tmp_path):
+    """E32 (r8): the quota cap's distributed-rank path must be
+    result-identical to the window path on a skewed corpus and plan
+    no per-source window."""
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.plans.ext_text import q_domain_quota
+
+    d = _skewed_docs_dir(spark, tmp_path)
+    try:
+        window_rows = sorted(q_domain_quota(spark, d, skew_threshold=10**9).collect())
+        skew_df = q_domain_quota(spark, d, skew_threshold=1)
+        skew_rows = sorted(skew_df.collect())
+        assert skew_rows == window_rows
+        p = skew_df._sc._jvm.PythonSQLUtils.explainString(
+            skew_df._jdf.queryExecution(), "formatted"
+        )
+        assert "row_number()" not in p, f"skew path still windows rows:\n{p}"
+        assert "MapInPandas" in p and "rangepartitioning" in p.lower(), p
+    finally:
+        release_caches()
+        spark.catalog.clearCache()

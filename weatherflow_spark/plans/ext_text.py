@@ -29,6 +29,32 @@ from weatherflow_spark.operators.caching import tracked_persist
 
 _LANGS = sorted(T.LANG_STOPWORDS)
 
+# Rows per source above which per-source SELECTION queries (the E51
+# percentile cut, the E32 quota cap) switch from the hash-partitioned
+# window (one task per source) to the distributed exact rank of
+# operators/indexing.assign_grouped_rank. Sized so a source's window
+# partition stays well under one executor's memory; never reached at
+# test SFs (both paths are result-identical and equality-tested on a
+# skewed fixture, tests/test_scale_ops.py).
+PPL_SKEW_THRESHOLD = 5_000_000
+# Per-input source census memo: the skew decision needs max rows per
+# source, which is constant for a given input dir — pay the (cheap,
+# one-column) counting scan once per session, not once per build.
+_PPL_SRC_CENSUS: dict[str, int] = {}
+
+
+def _max_source_rows(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _PPL_SRC_CENSUS:
+        top = (
+            load_table(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()
+        )
+        _PPL_SRC_CENSUS[sf_dir] = int(top[0].m) if top and top[0].m is not None else 0
+    return _PPL_SRC_CENSUS[sf_dir]
+
 
 # ---------------------------------------------------------------------------
 # q_text_stats — quality scoring (length / punct / stopword ratios)
@@ -1169,7 +1195,11 @@ ORACLE_BOILERPLATE_DETECT = f"""
 QUOTA_PER_SOURCE = 40
 
 
-def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_domain_quota(
+    spark: SparkSession,
+    sf_dir: str,
+    skew_threshold: int = PPL_SKEW_THRESHOLD,
+) -> DataFrame:
     """Per-source document quota (the CommonCrawl-style per-domain cap
     every web-scale curation pipeline applies so one dominant domain
     cannot swamp the mixture): rank each source's documents by a
@@ -1180,12 +1210,34 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection, not just the survivors.
 
     Scale posture: one hash-partitioned window keyed by source — the
-    same shape (and skew hazard, and the same documented mitigation:
-    if one source dominates, pre-trim with the two-phase grouped
-    top-k of operators/topk.py, which bounds shuffle input to
-    partitions x quota) as every per-group selection in this tier.
-    No joins, no broadcast, no Python."""
+    same shape (and skew hazard, and the same r8-wired remedy) as the
+    perplexity filter's percentile cut: when the measured source
+    census exceeds ``skew_threshold``, the rank switches to the
+    distributed exact form (operators/indexing.assign_grouped_rank —
+    range-partition on (source, md5, doc_id) so a dominant source
+    spans partitions), emitting the identical (rank, kept) row for
+    every document. Default path: no joins, no broadcast, no
+    Python."""
     docs = load_table(spark, sf_dir, "documents")
+    if _max_source_rows(spark, sf_dir) >= skew_threshold:
+        from weatherflow_spark.operators.indexing import assign_grouped_rank
+
+        ranked = assign_grouped_rank(
+            docs.select(
+                "doc_id",
+                "source",
+                F.expr("md5(cast(doc_id AS string))").alias("__h"),
+            ),
+            ["source"],
+            ["__h", "doc_id"],
+            rank_col="__rank",
+        )
+        return ranked.select(
+            "doc_id",
+            "source",
+            F.col("__rank").cast("int").alias("quota_rank"),
+            (F.col("__rank") <= QUOTA_PER_SOURCE).cast("int").alias("kept"),
+        )
     w = (
         F.expr("row_number() OVER (PARTITION BY source "
                "ORDER BY md5(cast(doc_id AS string)) ASC, doc_id ASC)")
@@ -2017,30 +2069,6 @@ ORACLE_BIGRAM_LM_SCORE = f"""
 # ---------------------------------------------------------------------------
 
 PPL_KEEP_FRAC = 0.90
-# Rows per source above which the percentile cut switches from the
-# hash-partitioned window (one task per source) to the distributed
-# exact rank of operators/indexing.assign_grouped_rank. Sized so a
-# source's window partition stays well under one executor's memory;
-# never reached at test SFs (both paths are result-identical and
-# equality-tested on a skewed fixture, tests/test_scale_ops.py).
-PPL_SKEW_THRESHOLD = 5_000_000
-# Per-input source census memo: the skew decision needs max rows per
-# source, which is constant for a given input dir — pay the (cheap,
-# one-column) counting scan once per session, not once per build.
-_PPL_SRC_CENSUS: dict[str, int] = {}
-
-
-def _max_source_rows(spark: SparkSession, sf_dir: str) -> int:
-    if sf_dir not in _PPL_SRC_CENSUS:
-        top = (
-            load_table(spark, sf_dir, "documents")
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n").alias("m"))
-            .collect()
-        )
-        _PPL_SRC_CENSUS[sf_dir] = int(top[0].m) if top and top[0].m is not None else 0
-    return _PPL_SRC_CENSUS[sf_dir]
 
 
 def q_perplexity_filter(
