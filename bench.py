@@ -146,6 +146,8 @@ OPTIONAL = [
     "q_embedding_near_dup",
     "q_containment_sweep",
     "q_incremental_embedding",
+    "q_upsert_serve",
+    "q_compact_serve",
 ]
 
 

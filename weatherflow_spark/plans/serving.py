@@ -121,6 +121,126 @@ ORACLE_GLOBAL_INDEX = """
 """
 
 
+UPSERT_DEL_MOD = 3    # base = orders with o_orderkey % 3 != 0
+UPSERT_BATCH_MOD = 5  # batch = orders with o_orderkey % 5 == 0 (price +1)
+COMPACT_PART_MOD = 7  # compaction input = orders with o_orderkey % 7 != 0
+
+
+def q_upsert_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 driver row: the MERGE-upsert's semantics certified through
+    REAL file writes — write a base table (orders minus every %3 key,
+    partitioned by o_orderpriority), apply the SAME batch (every %5
+    key with price +1.0) through ``upsert_by_key`` TWICE (the
+    replay-idempotency contract: an Airflow retry re-delivers the
+    batch; the reference's uuid keys duplicate facts, dags/etl.py:103,
+    utils/database.py:25-34), then serve a per-priority summary from
+    the table on disk. The oracle derives the expected single-apply
+    merge directly from raw orders — a hash match certifies
+    replace-by-key, keep-others, partition pruning, AND idempotent
+    replay in one row set."""
+    import shutil
+
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    path = os.path.join(_scratch_dir(sf_dir), "upsert_tbl")
+    shutil.rmtree(path, ignore_errors=True)  # full reset: replayable query
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    base = orders.where(F.col("o_orderkey") % UPSERT_DEL_MOD != 0)
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    batch = orders.where(F.col("o_orderkey") % UPSERT_BATCH_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])  # replay
+    served = spark.read.parquet(path)
+    return served.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).alias(
+            "sum_cents"
+        ),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+ORACLE_UPSERT_SERVE = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_DEL_MOD} <> 0
+    ),
+    batch AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_BATCH_MOD} = 0
+    ),
+    merged AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        UNION ALL
+        SELECT * FROM batch
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           bit_xor(o_orderkey) AS key_xor,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM merged GROUP BY o_orderpriority
+"""
+
+
+def q_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 driver row: compaction certified content-exact through real
+    writes — scatter a subset of orders across 16 small files, compact
+    to ~1 target file (range-sorted on o_orderkey so min/max stats
+    are restored), and serve an order-independent digest of the
+    compacted table. The oracle computes the same digest from raw
+    orders, so a hash match certifies that the rewrite lost nothing,
+    duplicated nothing, and changed no value — the anti-entropy
+    discipline (E71) applied to the layout operator."""
+    import shutil
+
+    from weatherflow_spark.operators.layout import compact
+
+    path = os.path.join(_scratch_dir(sf_dir), "compact_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    subset = (
+        load_table(spark, sf_dir, "orders")
+        .select(*cols)
+        .where(F.col("o_orderkey") % COMPACT_PART_MOD != 0)
+    )
+    subset.repartition(16).write.mode("overwrite").parquet(path)
+    compact(spark, path, target_file_bytes=1 << 30, sort_col="o_orderkey")
+    served = spark.read.parquet(path)
+    return served.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).alias(
+            "sum_cents"
+        ),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ORACLE_COMPACT_SERVE = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(o_orderkey) AS key_xor,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % {COMPACT_PART_MOD} <> 0
+"""
+
+
 def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving certification row: E16 rollup-serve + E18 global index,
     tagged by op and unioned in LONG format — (op, key, metric,
@@ -138,7 +258,22 @@ def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'row_index' AS metric",
         "row_index AS value",
     )
-    return rs.unionByName(gi)
+    # r8 additions: K3 (idempotent keyed upsert through real writes)
+    # and E9 (content-exact compaction digest).
+    up = q_upsert_serve(spark, sf_dir).selectExpr(
+        "'upsert' AS op",
+        "o_orderpriority AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
+    cp = q_compact_serve(spark, sf_dir).selectExpr(
+        "'compact' AS op",
+        "'all' AS key",
+        "stack(6, 'n_rows', n_rows, 'key_xor', key_xor, 'key_sum', key_sum, "
+        "'sum_cents', sum_cents, 'min_key', min_key, 'max_key', max_key) "
+        "AS (metric, value)",
+    )
+    return rs.unionByName(gi).unionByName(up).unionByName(cp)
 
 
 ORACLE_SERVING_SUITE = f"""
@@ -157,6 +292,28 @@ ORACLE_SERVING_SUITE = f"""
     SELECT 'global_index', CAST(o_orderkey AS VARCHAR), 'row_index',
            row_index
     FROM ({ORACLE_GLOBAL_INDEX})
+    UNION ALL
+    SELECT 'upsert', o_orderpriority, u.metric, u.value
+    FROM ({ORACLE_UPSERT_SERVE}) s,
+         (VALUES ('n_rows'), ('sum_cents'), ('key_xor'), ('key_sum'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'sum_cents' THEN s.sum_cents
+                       WHEN 'key_xor' THEN s.key_xor
+                       ELSE s.key_sum END AS value) u
+    UNION ALL
+    SELECT 'compact', 'all', u.metric, u.value
+    FROM ({ORACLE_COMPACT_SERVE}) s,
+         (VALUES ('n_rows'), ('key_xor'), ('key_sum'), ('sum_cents'),
+                 ('min_key'), ('max_key')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'key_xor' THEN s.key_xor
+                       WHEN 'key_sum' THEN s.key_sum
+                       WHEN 'sum_cents' THEN s.sum_cents
+                       WHEN 'min_key' THEN s.min_key
+                       ELSE s.max_key END AS value) u
 """
 
 
@@ -164,10 +321,14 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_serving_suite": q_serving_suite,
     "q_rollup_serve": q_rollup_serve,
     "q_global_index": q_global_index,
+    "q_upsert_serve": q_upsert_serve,
+    "q_compact_serve": q_compact_serve,
 }
 
 SERVING_ORACLES: dict[str, str] = {
     "q_serving_suite": ORACLE_SERVING_SUITE,
     "q_rollup_serve": ORACLE_ROLLUP_SERVE,
     "q_global_index": ORACLE_GLOBAL_INDEX,
+    "q_upsert_serve": ORACLE_UPSERT_SERVE,
+    "q_compact_serve": ORACLE_COMPACT_SERVE,
 }
