@@ -42,10 +42,14 @@ ROLLUP_SCALE = 100  # cents — the partial state's exact integer unit
 
 
 def _scratch_dir(sf_dir: str) -> str:
-    """Stable per-SF scratch path: dynamic partition overwrite makes
-    repeated runs idempotent and bounds /tmp growth across bench reps."""
+    """Stable per-(SF, process) scratch path: stable within a process
+    so repeated builds/reps are idempotent overwrites (bounded /tmp
+    growth), per-process so a driver run and a concurrent pytest
+    session can never interleave writes on the same table paths."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return os.path.join(tempfile.gettempdir(), f"wf_rollup_serve_{tag}")
+    return os.path.join(
+        tempfile.gettempdir(), f"wf_rollup_serve_{tag}_{os.getpid()}"
+    )
 
 
 def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
