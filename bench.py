@@ -148,6 +148,7 @@ OPTIONAL = [
     "q_incremental_embedding",
     "q_upsert_serve",
     "q_compact_serve",
+    "q_grouped_rank",
 ]
 
 

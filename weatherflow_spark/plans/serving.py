@@ -125,6 +125,35 @@ ORACLE_GLOBAL_INDEX = """
 """
 
 
+def q_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E77 driver row: the distributed exact per-group rank
+    (operators/indexing.assign_grouped_rank) over orders — every
+    order's dense 1-based rank within its priority class by
+    (o_totalprice, o_orderkey). The oracle is the window spec
+    ``row_number() OVER (PARTITION BY ... ORDER BY ...)``, whose
+    physical plan pins each group to ONE task; the operator
+    range-partitions on (group, order) instead so a dominant group
+    spans partitions (the machinery behind the perplexity filter's
+    and the domain quota's skew paths — this row hash-certifies it
+    standalone)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    from weatherflow_spark.operators.indexing import assign_grouped_rank
+
+    return assign_grouped_rank(
+        orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"]
+    ).select("o_orderkey", "o_orderpriority", "rank")
+
+
+ORACLE_GROUPED_RANK = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS rank
+    FROM orders
+"""
+
+
 UPSERT_DEL_MOD = 3    # base = orders with o_orderkey % 3 != 0
 UPSERT_BATCH_MOD = 5  # batch = orders with o_orderkey % 5 == 0 (price +1)
 COMPACT_PART_MOD = 7  # compaction input = orders with o_orderkey % 7 != 0
@@ -327,6 +356,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_global_index": q_global_index,
     "q_upsert_serve": q_upsert_serve,
     "q_compact_serve": q_compact_serve,
+    "q_grouped_rank": q_grouped_rank,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -335,4 +365,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_global_index": ORACLE_GLOBAL_INDEX,
     "q_upsert_serve": ORACLE_UPSERT_SERVE,
     "q_compact_serve": ORACLE_COMPACT_SERVE,
+    "q_grouped_rank": ORACLE_GROUPED_RANK,
 }
