@@ -544,3 +544,48 @@ def test_bus_seam_stateful_dedup(spark, tmp_path):
     )
     ids = sorted(r.event_id for r in got.select("event_id").collect())
     assert ids == [1, 2, 3, 4]
+
+
+def test_bus_seam_continuous_rollup_end_to_end(spark, tmp_path):
+    """The full r8 production path in one test: Kafka-shaped bus
+    records -> shared decode -> foreach_batch_rollup continuous
+    aggregate -> read_rollup serve, equal to the direct batch
+    aggregation over the same events."""
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.operators.rollup import read_rollup
+    from weatherflow_spark.sources.stream_bus import (
+        events_from_bus,
+        file_bus_stub,
+    )
+    from weatherflow_spark.streaming.pipeline import foreach_batch_rollup
+
+    d = _ndjson_events_dir(spark, tmp_path)
+    path = str(tmp_path / "rollup")
+    q = (
+        events_from_bus(spark, file_bus_stub(d))
+        .writeStream.foreachBatch(foreach_batch_rollup(path))
+        .option("checkpointLocation", str(tmp_path / "ckpt_roll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r.event_date), r.event_type): (r.n, round(r.sum_value, 2))
+        for r in read_rollup(spark, path).collect()
+    }
+    events = load_table(spark, SF_SMALL, "events")
+    want = {
+        (str(r.event_date), r.event_type): (r.n, round(r.sum_value, 2))
+        for r in events.groupBy(
+            F.to_date("ts").alias("event_date"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")) / 100.0
+            ).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
