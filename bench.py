@@ -149,6 +149,7 @@ OPTIONAL = [
     "q_upsert_serve",
     "q_compact_serve",
     "q_grouped_rank",
+    "q_cdc_apply",
 ]
 
 

@@ -146,3 +146,61 @@ def test_stream_foreach_batch_upsert_replay_no_duplicates(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == n_first
     assert got.select("event_id").distinct().count() == n_first
+
+
+def test_apply_changes_deletes_upserts_and_replays(spark, tmp_path):
+    """CDC apply (r8): tombstones remove keys, upserts replace-or-
+    insert, untouched partitions keep their files, and re-applying the
+    same feed is a content no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "b"), (4, 40.0, "c")],
+        ["k", "v", "p"],
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    untouched_files = set(os.listdir(os.path.join(path, "p=c")))
+
+    feed = spark.createDataFrame(
+        [
+            (2, 0.0, "a", "D"),     # tombstone (non-key cols ignored)
+            (3, 33.0, "b", "U"),    # replace
+            (9, 90.0, "b", "U"),    # insert
+        ],
+        ["k", "v", "p", "op"],
+    )
+    apply_changes(spark, feed, path, ["k"], "op", ["p"])
+
+    def state():
+        return {
+            r.k: (r.v, r.p) for r in spark.read.parquet(path).collect()
+        }
+
+    expected = {1: (10.0, "a"), 3: (33.0, "b"), 4: (40.0, "c"), 9: (90.0, "b")}
+    assert state() == expected
+    # partition c was never touched by the feed: same files on disk
+    assert set(os.listdir(os.path.join(path, "p=c"))) == untouched_files
+
+    apply_changes(spark, feed, path, ["k"], "op", ["p"])  # replay
+    assert state() == expected
+
+
+def test_apply_changes_delete_and_upsert_same_key(spark, tmp_path):
+    """A key carrying both a tombstone and an upsert in one feed
+    resolves to the upsert (delete-then-insert, the MERGE order)."""
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = str(tmp_path / "cdc2")
+    spark.createDataFrame([(1, 10.0)], ["k", "v"]).write.mode(
+        "overwrite"
+    ).parquet(path)
+    feed = spark.createDataFrame(
+        [(1, 0.0, "D"), (1, 11.0, "U")], ["k", "v", "op"]
+    )
+    apply_changes(spark, feed, path, ["k"], "op")
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {(1, 11.0)}

@@ -123,3 +123,77 @@ def upsert_by_key(
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
+
+
+def apply_changes(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """CDC APPLY (r8): merge a change feed carrying upserts AND
+    deletes into a parquet table — the consumer half of the E61
+    snapshot diff (``MERGE ... WHEN MATCHED AND op = 'D' THEN DELETE
+    WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` without a
+    transactional table format). ``changes`` carries the table's
+    columns plus ``op_col`` ∈ {'U', 'D'}: 'U' rows replace-or-insert
+    by key, 'D' rows remove the key (their non-key columns are
+    ignored — a real feed often ships key-only tombstones).
+
+    Same bounded read-modify-write shape as :func:`upsert_by_key`
+    (and the same commit-lock discipline via the shared write paths):
+    when partitioned, ONLY partitions the feed touches are read —
+    which requires 'D' rows to carry their partition values, the
+    standard CDC contract (a tombstone without a partition cannot be
+    pruned to one). The existing side drops EVERY feed key (delete
+    and upsert alike — one anti-join), then upsert rows union back.
+    Idempotent: re-applying the same feed is a content no-op.
+    """
+    from weatherflow_spark.operators.commit import dataset_lock
+
+    exists = os.path.exists(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    )
+    upserts = changes.where(F.col(op_col) == "U").drop(op_col)
+    if not exists:
+        writer = upserts.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        with dataset_lock(path):
+            writer.parquet(path)
+        return
+
+    current = spark.read.parquet(path)
+    cur_types = dict(current.dtypes)
+    upserts = upserts.select(
+        *[
+            F.col(c).cast(cur_types[c]).alias(c)
+            if dict(upserts.dtypes)[c] != cur_types[c]
+            else F.col(c)
+            for c in upserts.columns
+        ]
+    )
+    if partition_cols:
+        touched = [
+            tuple(r[c] for c in partition_cols)
+            for r in changes.select(*partition_cols).distinct().collect()
+        ]
+        cond = None
+        for t in touched:
+            clause = None
+            for c, v in zip(partition_cols, t):
+                eq = F.col(c) == F.lit(v)
+                clause = eq if clause is None else (clause & eq)
+            cond = clause if cond is None else (cond | clause)
+        current = current.where(cond)
+    all_keys = changes.select(*key_cols).distinct()
+    kept = current.join(F.broadcast(all_keys), on=key_cols, how="anti")
+    merged = kept.unionByName(upserts.select(*current.columns))
+    merged = merged.localCheckpoint(eager=True)
+    if partition_cols:
+        overwrite_partitions(merged, path, partition_cols)  # takes the lock
+    else:
+        with dataset_lock(path):
+            merged.write.mode("overwrite").parquet(path)

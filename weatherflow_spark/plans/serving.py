@@ -274,6 +274,77 @@ ORACLE_COMPACT_SERVE = f"""
 """
 
 
+CDC_DEL_MOD = 11   # feed deletes: %11 keys (that are not also upserts)
+CDC_UPS_MOD = 7    # feed upserts: %7 keys, price +2.5
+CDC_PRICE_BUMP = 2.5  # binary-exact
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply driver row: the consumer half of the E61 snapshot
+    diff certified through REAL writes — write the orders base table
+    (partitioned by priority), apply a deterministic change feed
+    (DELETE every %{CDC_DEL_MOD} key, UPSERT every %{CDC_UPS_MOD} key
+    with price +{CDC_PRICE_BUMP}) through ``apply_changes`` TWICE
+    (replay idempotence), and serve a per-priority digest of the
+    table on disk. The oracle derives the expected single-apply state
+    from raw orders, so one hash certifies delete-by-tombstone,
+    replace-by-key, partition-scoped rewrites, and idempotent replay."""
+    import shutil
+
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = os.path.join(_scratch_dir(sf_dir), "cdc_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    k = F.col("o_orderkey")
+    deletes = orders.where((k % CDC_DEL_MOD == 0) & (k % CDC_UPS_MOD != 0)).select(
+        *cols, F.lit("D").alias("op")
+    )
+    upserts = orders.where(k % CDC_UPS_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(CDC_PRICE_BUMP)).alias("o_totalprice"),
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+    )
+    feed = deletes.unionByName(upserts)
+    apply_changes(spark, feed, path, ["o_orderkey"], "op", ["o_orderpriority"])
+    apply_changes(spark, feed, path, ["o_orderkey"], "op", ["o_orderpriority"])
+    served = spark.read.parquet(path)
+    return served.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).alias(
+            "sum_cents"
+        ),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+ORACLE_CDC_APPLY = f"""
+    WITH merged AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE NOT (o_orderkey % {CDC_DEL_MOD} = 0
+                   AND o_orderkey % {CDC_UPS_MOD} <> 0)
+          AND o_orderkey % {CDC_UPS_MOD} <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice + {CDC_PRICE_BUMP},
+               o_orderpriority
+        FROM orders WHERE o_orderkey % {CDC_UPS_MOD} = 0
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           bit_xor(o_orderkey) AS key_xor,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM merged GROUP BY o_orderpriority
+"""
+
+
 def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving certification row: E16 rollup-serve + E18 global index,
     tagged by op and unioned in LONG format — (op, key, metric,
@@ -306,7 +377,15 @@ def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'sum_cents', sum_cents, 'min_key', min_key, 'max_key', max_key) "
         "AS (metric, value)",
     )
-    return rs.unionByName(gi).unionByName(up).unionByName(cp)
+    cdc = q_cdc_apply(spark, sf_dir).selectExpr(
+        "'cdc' AS op",
+        "o_orderpriority AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
+    return (
+        rs.unionByName(gi).unionByName(up).unionByName(cp).unionByName(cdc)
+    )
 
 
 ORACLE_SERVING_SUITE = f"""
@@ -347,6 +426,16 @@ ORACLE_SERVING_SUITE = f"""
                        WHEN 'sum_cents' THEN s.sum_cents
                        WHEN 'min_key' THEN s.min_key
                        ELSE s.max_key END AS value) u
+    UNION ALL
+    SELECT 'cdc', o_orderpriority, u.metric, u.value
+    FROM ({ORACLE_CDC_APPLY}) s,
+         (VALUES ('n_rows'), ('sum_cents'), ('key_xor'), ('key_sum'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'sum_cents' THEN s.sum_cents
+                       WHEN 'key_xor' THEN s.key_xor
+                       ELSE s.key_sum END AS value) u
 """
 
 
@@ -357,6 +446,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_upsert_serve": q_upsert_serve,
     "q_compact_serve": q_compact_serve,
     "q_grouped_rank": q_grouped_rank,
+    "q_cdc_apply": q_cdc_apply,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -366,4 +456,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_upsert_serve": ORACLE_UPSERT_SERVE,
     "q_compact_serve": ORACLE_COMPACT_SERVE,
     "q_grouped_rank": ORACLE_GROUPED_RANK,
+    "q_cdc_apply": ORACLE_CDC_APPLY,
 }
