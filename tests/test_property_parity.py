@@ -146,3 +146,59 @@ def test_lsh_bucket_cross_engine(spark, vecs):
         f"SELECT {lsh_bucket_sql('v')} FROM t",
     )
     assert got == want
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            # epoch seconds 1990..2035 (covers leap days, century rule,
+            # year boundaries) and UTC offsets -14h..+14h in minutes
+            st.integers(min_value=631_152_000, max_value=2_051_222_400),
+            st.integers(min_value=-840, max_value=840).map(lambda m: m * 60),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_calendar_enrichment_cross_engine(spark, pairs):
+    """F2/F4/F5 fidelity core on ADVERSARIAL instants: local-timestamp
+    derivation, quarter and season labels identical between Spark's
+    builders and the DuckDB oracle expressions for arbitrary epochs
+    and any real-world UTC offset."""
+    from weatherflow_spark.functions.calendar import (
+        epoch_to_local_ts,
+        quarter_bucket,
+        season_bucket,
+    )
+
+    df = spark.createDataFrame(pairs, ["epoch_s", "tz_s"])
+    local = epoch_to_local_ts(F.col("epoch_s"), F.col("tz_s"))
+    got = [
+        (str(r.l), r.q, r.s)
+        for r in df.select(
+            local.alias("l"),
+            quarter_bucket(local).alias("q"),
+            season_bucket(local).alias("s"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        con.register("t", pd.DataFrame(pairs, columns=["epoch_s", "tz_s"]))
+        want = [
+            (str(l), q, s)
+            for l, q, s in con.sql(
+                """
+                SELECT make_timestamp((epoch_s + tz_s) * 1000000) AS l,
+                       'Q' || CAST(quarter(make_timestamp((epoch_s + tz_s) * 1000000)) AS VARCHAR) AS q,
+                       CASE WHEN month(make_timestamp((epoch_s + tz_s) * 1000000)) BETWEEN 3 AND 5 THEN 'Spring'
+                            WHEN month(make_timestamp((epoch_s + tz_s) * 1000000)) BETWEEN 6 AND 8 THEN 'Summer'
+                            WHEN month(make_timestamp((epoch_s + tz_s) * 1000000)) BETWEEN 9 AND 11 THEN 'Fall'
+                            ELSE 'Winter' END AS s
+                FROM t
+                """
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert got == want
