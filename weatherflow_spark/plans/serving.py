@@ -346,10 +346,13 @@ ORACLE_CDC_APPLY = f"""
 
 
 def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serving certification row: E16 rollup-serve + E18 global index,
-    tagged by op and unioned in LONG format — (op, key, metric,
-    value:bigint). Union is plan-level only; the singles stay
-    registered in the tail."""
+    """Serving/write-tier certification row: E16 rollup-serve, E18
+    global index, K3 double-applied upsert, E9 content-exact
+    compaction, and E80 CDC apply — tagged by op and unioned in LONG
+    format (op, key, metric, value:bigint). Every branch performs its
+    REAL maintain-then-serve I/O (partial writes, keyed merges, an
+    actual compaction) because that I/O is what the certified
+    surfaces claim; the singles stay registered in the tail."""
     rs = q_rollup_serve(spark, sf_dir).selectExpr(
         "'rollup_serve' AS op",
         "concat(month, '|', event_type) AS key",
