@@ -260,3 +260,58 @@ def test_partials_are_split_invariant(spark):
     cols = ["event_date", "event_type"]
     vals = ["n", "sum_scaled", "min_value", "max_value"]
     assert _as_dict(merged, cols, vals) == _as_dict(whole, cols, vals)
+
+
+def test_merge_rollup_folds_late_data_without_fact_reread(spark, tmpdir):
+    """Late-data maintenance (r8): a late batch for already-
+    materialized buckets merges into the partials by the aggregate
+    algebra — the served rollup equals a full recompute over all
+    facts, untouched buckets keep their files, and the fact table is
+    never read (there is none at the partial path)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.operators.rollup import (
+        event_partials,
+        merge_rollup,
+        read_rollup,
+        write_rollup,
+    )
+
+    def ev(eid, day, typ, val):
+        return (eid, dt.datetime(2024, 1, day, 12, 0), eid, typ, val, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    initial = spark.createDataFrame(
+        [ev(1, 1, "view", 1.0), ev(2, 1, "view", 3.0), ev(3, 2, "click", 5.0)],
+        cols,
+    )
+    late = spark.createDataFrame(
+        [ev(4, 1, "view", 7.0), ev(5, 1, "buy", 2.0)], cols  # day 1 only
+    )
+    path = f"{tmpdir}/partials"
+    write_rollup(initial, path)
+    day2_files = set(os.listdir(os.path.join(path, "event_date=2024-01-02")))
+
+    merge_rollup(spark, late, path)
+
+    got = {
+        (str(r.event_date), r.event_type): (r.n, r.sum_value, r.min_value, r.max_value)
+        for r in read_rollup(spark, path).collect()
+    }
+    # full recompute over ALL facts = expected state
+    full = event_partials(initial.unionByName(late))
+    expect = {
+        (str(r.event_date), r.event_type): (
+            r.n,
+            r.sum_scaled / 100.0,
+            r.min_value,
+            r.max_value,
+        )
+        for r in full.collect()
+    }
+    assert got == expect
+    # day-2 bucket untouched by the late batch: same files on disk
+    assert set(os.listdir(os.path.join(path, "event_date=2024-01-02"))) == day2_files

@@ -70,11 +70,62 @@ def refresh_rollup(
     partitions. Buckets the batch doesn't touch keep their files
     byte-identical. Assumes the batch carries each touched bucket's
     full data (micro-batch == the bucket's new content); for
-    out-of-order late data, union the batch with the bucket's
-    existing facts first (same partition-pruned read as
-    operators/upsert.upsert_by_key).
+    out-of-order LATE data use :func:`merge_rollup`, which folds the
+    batch's partials into the bucket's EXISTING partials — no fact
+    re-read at all.
     """
     overwrite_partitions(event_partials(new_batch, scale), path, ["event_date"])
+
+
+def merge_rollup(
+    spark: SparkSession, late_batch: DataFrame, path: str, scale: int = 100
+) -> None:
+    """Late-data maintenance (r8, closes the documented-only remedy):
+    fold a batch of NEW facts for already-materialized buckets into
+    the partial table WITHOUT re-reading any facts — the whole point
+    of keeping the state mergeable. The batch's partials merge with
+    the touched buckets' existing partials by the aggregate algebra
+    itself (counts and scaled sums add, min/max combine), and only
+    those bucket partitions rewrite. Cost: one pass over the late
+    batch + a read of |touched buckets × groups| partial rows — the
+    fact table is never touched.
+
+    Contract: ``late_batch`` rows must be NEW events (not replays of
+    rows already folded in) — merge is additive; replay-safety for
+    at-least-once delivery belongs to the upstream dedup
+    (streaming dropDuplicatesWithinWatermark / upsert keys).
+    """
+    import os
+
+    batch_partials = event_partials(late_batch, scale)
+    existing: DataFrame | None = None
+    if os.path.exists(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    ):
+        touched = [
+            r.event_date
+            for r in batch_partials.select("event_date").distinct().collect()
+        ]
+        existing = spark.read.parquet(path).where(
+            F.col("event_date").isin(touched)  # partition-pruned read
+        )
+    if existing is None:
+        merged = batch_partials
+    else:
+        merged = (
+            existing.unionByName(batch_partials)
+            .groupBy("event_date", "event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_scaled").alias("sum_scaled"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        # Materialize before the overwrite rewrites the files the
+        # merged plan reads (the upsert_by_key discipline).
+        merged = merged.localCheckpoint(eager=True)
+    overwrite_partitions(merged, path, ["event_date"])
 
 
 def read_rollup(
