@@ -150,6 +150,7 @@ OPTIONAL = [
     "q_compact_serve",
     "q_grouped_rank",
     "q_cdc_apply",
+    "q_index_admit",
 ]
 
 

@@ -687,3 +687,35 @@ def test_incremental_embedding_verdicts(spark, tmp_path):
     finally:
         release_caches()
         spark.catalog.clearCache()
+
+
+def test_signature_index_grows_with_admitted_docs(spark, tmp_path):
+    """E81: build index from corpus, admit batch 1 (a new doc),
+    append its signatures, then batch 2 containing a near-copy of the
+    batch-1 doc must be flagged against the GROWN index — text never
+    re-read."""
+    from weatherflow_spark.operators.sig_index import (
+        admit_with_index,
+        append_signature_index,
+        build_signature_index,
+    )
+
+    corpus_text = "the quick brown fox jumps over the lazy dog every single day"
+    novel = "completely fresh sentence about distributed systems and parquet files"
+    novel_near = "completely fresh sentence about distributed systems and parquet files today"
+    rows = lambda *items: spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in items],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    path = str(tmp_path / "idx")
+    build_signature_index(rows((1, corpus_text)), path)
+
+    b1 = rows((10, novel))
+    v1 = {r.doc_id: r.verdict for r in admit_with_index(spark, b1, path).collect()}
+    assert v1 == {10: "new"}
+    append_signature_index(b1, path)
+
+    b2 = rows((20, novel_near), (21, corpus_text))
+    v2 = {r.doc_id: r.verdict for r in admit_with_index(spark, b2, path).collect()}
+    assert v2[21] == "exact_dup"          # vs original corpus
+    assert v2[20] == "near_dup"           # vs the batch-1 doc, via the APPEND

@@ -1,0 +1,151 @@
+"""Persisted MinHash signature index — the production form of
+incremental dedup at 100 TB.
+
+``plans/ext_dedup.q_incremental_dedup`` certifies the batch-vs-corpus
+admission DECISION, but recomputes the corpus's signatures from text
+on every batch — three corpus scans per admission. At 100 TB the
+corpus text cannot be rescanned every five minutes; the deployable
+shape is this module's: signatures are computed ONCE per document and
+persisted as a compact two-table index, each admission reads ONLY the
+index, and admitted documents append their own signatures — the index
+grows with the corpus and the text is never touched again.
+
+Index layout (parquet):
+
+- ``<path>/sigs``:  doc_id, content_hash, shingles array<long> —
+  everything the exact stage and the Jaccard verify need (~tens of
+  longs per doc vs the full text).
+- ``<path>/bands``: band_key, doc_id — the LSH posting table the
+  candidate join keys off. At cluster scale, bucket it by band_key
+  (operators/bucketing.py) so admissions are shuffle-free probes.
+
+Certification: ``plans/serving.q_index_admit`` builds the index from
+the corpus split, admits the batch split THROUGH THE INDEX ONLY, and
+hash-matches the EXACT SAME oracle as the text-computed
+``q_incremental_dedup`` — proving index-served admission is
+decision-identical to recomputation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from weatherflow_spark.functions import text as T
+
+
+def _with_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id, content_hash, shingles — one narrow pass over text."""
+    return docs.select(
+        "doc_id",
+        F.sha2(F.trim(F.lower(F.col("text"))), 256).alias("content_hash"),
+        F.expr(f"array_distinct({T.shingle_hashes_expr('text')})").alias(
+            "shingles"
+        ),
+    )
+
+
+def build_signature_index(docs: DataFrame, path: str) -> None:
+    """Materialize the index for an initial corpus (overwrite)."""
+    from weatherflow_spark.plans.ext_dedup import minhash_band_keys
+
+    _with_signatures(docs).write.mode("overwrite").parquet(
+        os.path.join(path, "sigs")
+    )
+    minhash_band_keys(docs).write.mode("overwrite").parquet(
+        os.path.join(path, "bands")
+    )
+
+
+def append_signature_index(docs: DataFrame, path: str) -> None:
+    """Fold admitted documents into the index (append — signature
+    rows are immutable once written, so append is the whole story)."""
+    from weatherflow_spark.plans.ext_dedup import minhash_band_keys
+
+    _with_signatures(docs).write.mode("append").parquet(
+        os.path.join(path, "sigs")
+    )
+    minhash_band_keys(docs).write.mode("append").parquet(
+        os.path.join(path, "bands")
+    )
+
+
+def admit_with_index(
+    spark: SparkSession, batch_docs: DataFrame, path: str
+) -> DataFrame:
+    """Admission verdicts for a batch against the PERSISTED index —
+    (doc_id, verdict exact_dup|near_dup|new, best_jaccard), the exact
+    decision contract of q_incremental_dedup, with the corpus side
+    replaced by index scans:
+
+    - exact: index ``sigs.content_hash`` probed with the broadcast
+      batch hash set;
+    - near:  index ``bands`` probed with the broadcast batch band
+      keys; candidates carry the batch shingle set (batch-bounded)
+      and verify exact Jaccard against the index ``sigs.shingles``
+      scan — never against text.
+
+    The index is never shuffled: every join broadcasts the
+    batch-bounded side (the q_incremental_dedup discipline)."""
+    from weatherflow_spark.plans.ext_dedup import (
+        JACCARD_THRESHOLD,
+        minhash_band_keys,
+    )
+
+    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+
+    batch_sig = _with_signatures(batch_docs)
+    matched_h = (
+        sigs.select("content_hash")
+        .join(
+            F.broadcast(batch_sig.select("content_hash").distinct()),
+            "content_hash",
+        )
+        .distinct()
+        .withColumn("is_exact", F.lit(1))
+    )
+    batch_bands = minhash_band_keys(batch_docs).select(
+        F.col("doc_id").alias("b_doc"), "band_key"
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("c_doc"), "band_key")
+        .join(F.broadcast(batch_bands), "band_key")
+        .select("b_doc", "c_doc")
+        .distinct()
+    )
+    probe = cand.join(
+        batch_sig.select(F.col("doc_id").alias("b_doc"), F.col("shingles").alias("sh_b")),
+        "b_doc",
+    )
+    best = (
+        sigs.select(F.col("doc_id").alias("c_doc"), F.col("shingles").alias("sh_c"))
+        .join(F.broadcast(probe), "c_doc")
+        .withColumn("n_inter", F.expr("size(array_intersect(sh_b, sh_c))"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.expr("size(sh_b) + size(sh_c)") - F.col("n_inter")).cast(
+                "double"
+            ),
+        )
+        .groupBy("b_doc")
+        .agg(F.max("jaccard").alias("best_jaccard"))
+        .withColumnRenamed("b_doc", "doc_id")
+    )
+    return (
+        batch_sig.select("doc_id", "content_hash")
+        .join(F.broadcast(matched_h), "content_hash", "left")
+        .join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("best_jaccard") >= JACCARD_THRESHOLD, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            (F.floor(F.col("best_jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "best_jaccard"
+            ),
+        )
+    )

@@ -345,6 +345,40 @@ ORACLE_CDC_APPLY = f"""
 """
 
 
+def q_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E81 driver row: incremental-dedup admission served from the
+    PERSISTED signature index (operators/sig_index.py) — build the
+    two-table index from the corpus split, then decide every batch
+    document's verdict reading ONLY the index (the corpus text is
+    never rescanned; at 100 TB that is the difference between an
+    admission pipeline and a nightly job). Hash-certified against the
+    EXACT SAME oracle as q_incremental_dedup, so a match proves
+    index-served admission is decision-identical to full
+    recomputation."""
+    import shutil
+
+    from weatherflow_spark.operators.sig_index import (
+        admit_with_index,
+        build_signature_index,
+    )
+    from weatherflow_spark.plans.ext_dedup import INCR_BATCH_MOD
+
+    path = os.path.join(_scratch_dir(sf_dir), "sig_index")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    build_signature_index(docs.where(~is_batch), path)
+    return admit_with_index(spark, docs.where(is_batch), path)
+
+
+def _oracle_index_admit() -> str:
+    # Identical decision contract -> identical oracle (the whole
+    # point of the certification).
+    from weatherflow_spark.plans.ext_dedup import _oracle_incremental_dedup
+
+    return _oracle_incremental_dedup()
+
+
 def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving/write-tier certification row: E16 rollup-serve, E18
     global index, K3 double-applied upsert, E9 content-exact
@@ -450,6 +484,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_compact_serve": q_compact_serve,
     "q_grouped_rank": q_grouped_rank,
     "q_cdc_apply": q_cdc_apply,
+    "q_index_admit": q_index_admit,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -460,4 +495,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_compact_serve": ORACLE_COMPACT_SERVE,
     "q_grouped_rank": ORACLE_GROUPED_RANK,
     "q_cdc_apply": ORACLE_CDC_APPLY,
+    "q_index_admit": _oracle_index_admit(),
 }
