@@ -589,3 +589,74 @@ def test_bus_seam_continuous_rollup_end_to_end(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_admission_grows_index_across_batches(spark, tmp_path):
+    """r8 streaming admission: batch 1 seeds the index (all new);
+    batch 2 contains an exact copy and a near-copy of batch-1 docs
+    plus a genuinely new one — decided against the GROWN index."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from weatherflow_spark.streaming.pipeline import foreach_batch_admission
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    a = "the quick brown fox jumps over the lazy dog every single morning"
+    b = "an entirely different document about spark physical plans and shuffles"
+    near_a = "the quick brown fox jumps over the lazy dog every single evening"
+    fresh = "totally novel content mentioning neither foxes nor spark at all"
+
+    def write_batch(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t, "lang": "en",
+                            "source": "s0", "n_chars": len(t)})
+                for i, t in rows
+            )
+            + "\n"
+        )
+
+    write_batch("b0.json", [(1, a), (2, b)])
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    sink = foreach_batch_admission(
+        str(tmp_path / "idx"), str(tmp_path / "verdicts")
+    )
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(landing))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("ckpt1")
+    write_batch("b1.json", [(10, a), (11, near_a), (12, fresh)])
+    drain("ckpt1")  # same checkpoint: only the new file is batch 2
+
+    v = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    assert v[1] == "new" and v[2] == "new"          # seeded batch
+    assert v[10] == "exact_dup"                     # copy of doc 1
+    assert v[11] == "near_dup"                      # one-word edit of doc 1
+    assert v[12] == "new"

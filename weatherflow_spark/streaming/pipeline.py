@@ -606,3 +606,54 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def foreach_batch_admission(index_path: str, verdicts_path: str):
+    """Streaming corpus ADMISSION sink (r8): each micro-batch of
+    documents is decided against the persisted signature index
+    (operators/sig_index.py — exact dup / near dup / new, corpus text
+    never rescanned), verdicts land in ``verdicts_path``, and the
+    batch's NEW documents append their signatures so later batches
+    are checked against everything admitted before them. This is the
+    production shape of streaming dedup at 100 TB: per batch, work is
+    bounded by the batch and the (compact) index — not the corpus.
+
+    Replay safety: verdict writes are append-per-batch keyed by
+    batch_id (re-delivered batches overwrite their own directory),
+    and signature appends of a replayed batch add duplicate rows
+    whose band keys and hashes are IDENTICAL — candidate sets and
+    verdicts are unchanged (set semantics), so replay cannot flip a
+    decision; compact the index to dedup rows if storage matters."""
+    import os as _os
+
+    from weatherflow_spark.operators.sig_index import (
+        admit_with_index,
+        append_signature_index,
+        build_signature_index,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # stable for 3 uses
+        sig_dir = _os.path.join(index_path, "sigs")
+        if not _os.path.exists(sig_dir):
+            # Cold start: the first batch seeds the index; everything
+            # in it is 'new' by definition.
+            build_signature_index(batch_df, index_path)
+            verdicts = batch_df.select(
+                "doc_id",
+                F.lit("new").alias("verdict"),
+                F.lit(None).cast("double").alias("best_jaccard"),
+            )
+        else:
+            verdicts = admit_with_index(spark, batch_df, index_path)
+            verdicts = verdicts.localCheckpoint(eager=True)
+            new_ids = verdicts.where(F.col("verdict") == "new").select("doc_id")
+            append_signature_index(
+                batch_df.join(F.broadcast(new_ids), "doc_id"), index_path
+            )
+        verdicts.write.mode("overwrite").parquet(
+            _os.path.join(verdicts_path, f"batch_id={batch_id}")
+        )
+
+    return _sink
