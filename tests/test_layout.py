@@ -123,9 +123,12 @@ def test_compaction_aborts_when_load_races_and_loses_nothing(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1100
 
 
-def test_dataset_lock_is_exclusive_and_breaks_stale(tmp_path):
-    """The advisory commit lock: second acquirer times out while held;
-    a stale (crashed-holder) lock is broken by the next acquirer."""
+def test_dataset_lock_is_exclusive_reentrant_and_breaks_stale(tmp_path):
+    """The advisory commit lock: a FOREIGN live holder blocks the
+    acquirer until timeout; the same process re-enters its own lock
+    (writers lock their whole read-modify-write and the inner
+    overwrite helper locks again); a crashed holder's lock (dead pid
+    or stale age) is broken by the next acquirer."""
     import os
     import time
 
@@ -136,16 +139,37 @@ def test_dataset_lock_is_exclusive_and_breaks_stale(tmp_path):
 
     path = str(tmp_path / "ds")
     os.makedirs(path)
-    with dataset_lock(path):
-        with pytest.raises(DatasetLockTimeout):
-            with dataset_lock(path, timeout=0.3):
-                pass
-    # stale lock: fake a crashed holder by back-dating the lock file
     lp = path + ".__lock"
+
+    # foreign LIVE holder (pid 1 exists): acquirer must time out
     with open(lp, "w") as f:
-        f.write("0 0\n")
+        f.write(f"1 {time.time()}\n")
+    with pytest.raises(DatasetLockTimeout):
+        with dataset_lock(path, timeout=0.3):
+            pass
+    os.unlink(lp)
+
+    # reentrancy: the same process may nest its own lock
+    with dataset_lock(path):
+        with dataset_lock(path, timeout=0.3):
+            pass
+        assert os.path.exists(lp)  # inner exit keeps the outer hold
+    assert not os.path.exists(lp)
+
+    # crashed holder: dead pid breaks immediately (age > 1 s)
+    with open(lp, "w") as f:
+        f.write("999999999 0\n")
+    old = time.time() - 10
+    os.utime(lp, (old, old))
+    with dataset_lock(path, timeout=5.0, stale_after=600):
+        pass
+    assert not os.path.exists(lp)
+
+    # crashed holder: un-parseable pid falls back to age-based break
+    with open(lp, "w") as f:
+        f.write("garbage\n")
     old = time.time() - 10_000
     os.utime(lp, (old, old))
     with dataset_lock(path, timeout=1.0, stale_after=600):
-        pass  # acquired by breaking the stale lock
+        pass
     assert not os.path.exists(lp)

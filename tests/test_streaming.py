@@ -660,3 +660,31 @@ def test_streaming_admission_grows_index_across_batches(spark, tmp_path):
     assert v[10] == "exact_dup"                     # copy of doc 1
     assert v[11] == "near_dup"                      # one-word edit of doc 1
     assert v[12] == "new"
+
+
+def test_streaming_admission_replay_does_not_flip_verdicts(spark, tmp_path):
+    """r8 review: a re-delivered micro-batch (crash after the
+    signature append, before the checkpoint commit) probes an index
+    already containing its own rows — self-exclusion must reproduce
+    the ORIGINAL verdicts instead of flipping 'new' to 'exact_dup'."""
+    from weatherflow_spark.operators.sig_index import (
+        admit_with_index,
+        append_signature_index,
+        build_signature_index,
+    )
+
+    mk = lambda *items: spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in items],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    path = str(tmp_path / "idx")
+    build_signature_index(mk((1, "seed corpus document about warehouse tables")), path)
+
+    batch = mk((10, "a brand new document that matches nothing in the corpus"))
+    v1 = {r.doc_id: r.verdict for r in admit_with_index(spark, batch, path).collect()}
+    assert v1 == {10: "new"}
+    append_signature_index(batch, path)  # committed before the crash
+
+    # replay: the index now contains doc 10's own signatures
+    v2 = {r.doc_id: r.verdict for r in admit_with_index(spark, batch, path).collect()}
+    assert v2 == {10: "new"}  # unchanged — no self-match

@@ -204,3 +204,28 @@ def test_apply_changes_delete_and_upsert_same_key(spark, tmp_path):
     )
     apply_changes(spark, feed, path, ["k"], "op")
     assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {(1, 11.0)}
+
+
+def test_apply_changes_delete_can_empty_a_partition(spark, tmp_path):
+    """Code-review r8: a feed whose deletes remove EVERY row of a
+    touched partition must actually empty it — dynamic partition
+    overwrite alone never rewrites a partition absent from the merged
+    output, so the old files would silently survive."""
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = str(tmp_path / "cdc3")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "b")], ["k", "v", "p"]
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    feed = spark.createDataFrame(
+        [(2, 0.0, "b", "D"), (3, 0.0, "b", "D")], ["k", "v", "p", "op"]
+    )
+    apply_changes(spark, feed, path, ["k"], "op", ["p"])
+    got = {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 10.0, "a")}
+    # replay is still a no-op
+    apply_changes(spark, feed, path, ["k"], "op", ["p"])
+    assert {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()} == {
+        (1, 10.0, "a")
+    }

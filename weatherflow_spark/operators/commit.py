@@ -55,16 +55,52 @@ def _lock_path(path: str) -> str:
     return path.rstrip("/") + ".__lock"
 
 
+# Per-process reentrancy: a writer that takes the lock for its whole
+# read-modify-write calls helpers (overwrite_partitions) that take it
+# again — the inner acquisition must not deadlock on our own lock.
+# Writers are driver-side and single-threaded per dataset (foreachBatch
+# sinks, CLI jobs), which this counter assumes.
+_HELD: dict[str, int] = {}
+
+
+def _holder_alive(lp: str) -> bool:
+    """Best-effort liveness of the recorded holder pid (local form;
+    on a shared filesystem across hosts, age is the only signal)."""
+    try:
+        with open(lp) as f:
+            pid = int(f.read().split()[0])
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, just not ours to signal
+    except (OSError, ValueError, IndexError):
+        return False
+
+
 @contextmanager
-def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 600.0):
-    """Exclusive advisory lock on a dataset directory's COMMITS.
+def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 3600.0):
+    """Exclusive (per-process reentrant) advisory lock on a dataset
+    directory's COMMITS.
 
     Acquisition is O_EXCL file creation (atomic on POSIX and HDFS-like
-    stores). A lock older than ``stale_after`` seconds is presumed
-    crashed and broken by the next acquirer (the holder's pid+time are
-    recorded for diagnosis). Commits are metadata-speed (rename /
-    footer writes), so contention windows are milliseconds."""
+    stores). A lock whose holder is provably dead (pid gone, local
+    form) or older than ``stale_after`` is presumed crashed and broken
+    ATOMICALLY: the breaker renames the stale file aside — rename of
+    one source succeeds for exactly one waiter, so two waiters can
+    never both break-and-acquire. ``stale_after`` defaults to an hour
+    because writers hold the lock for their full merge WRITE (not just
+    a metadata rename); deployments should size it beyond their
+    longest load."""
     lp = _lock_path(path)
+    if _HELD.get(lp, 0) > 0:  # reentrant: already ours
+        _HELD[lp] += 1
+        try:
+            yield
+        finally:
+            _HELD[lp] -= 1
+        return
     # First-ever write: the dataset's parent may not exist yet (the
     # writer would create it) — the lock file needs it now.
     parent = os.path.dirname(lp)
@@ -82,9 +118,13 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 600.0):
                 age = time.time() - os.path.getmtime(lp)
             except OSError:
                 continue  # holder released between EXISTS and stat
-            if age > stale_after:
+            if age > stale_after or (age > 1.0 and not _holder_alive(lp)):
+                # Atomic break: exactly one waiter wins the rename;
+                # losers hit ENOENT and loop back to O_EXCL-create.
+                broken = f"{lp}.broken.{os.getpid()}.{time.monotonic_ns()}"
                 try:
-                    os.unlink(lp)  # break the crashed holder's lock
+                    os.rename(lp, broken)
+                    os.unlink(broken)
                 except OSError:
                     pass
                 continue
@@ -93,9 +133,11 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 600.0):
                     f"lock on {path} held for {age:.0f}s; timed out"
                 )
             time.sleep(0.05)
+    _HELD[lp] = 1
     try:
         yield
     finally:
+        _HELD[lp] = 0
         try:
             os.unlink(lp)
         except OSError:

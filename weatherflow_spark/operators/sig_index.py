@@ -24,6 +24,13 @@ the corpus split, admits the batch split THROUGH THE INDEX ONLY, and
 hash-matches the EXACT SAME oracle as the text-computed
 ``q_incremental_dedup`` — proving index-served admission is
 decision-identical to recomputation.
+
+``admit_with_index`` intentionally MIRRORS q_incremental_dedup's
+decision pipeline rather than sharing a builder (the two differ in
+where every input comes from — index scans vs text recompute — which
+is the certified property). Drift between the copies is caught every
+round: both hash against the one shared oracle, so an edit to either
+side (or to the oracle) fails the other's check.
 """
 
 from __future__ import annotations
@@ -97,6 +104,15 @@ def admit_with_index(
     bands = spark.read.parquet(os.path.join(path, "bands"))
 
     batch_sig = _with_signatures(batch_docs)
+    # Self-exclusion: the index must never match a batch document
+    # against ITSELF. A replayed micro-batch (at-least-once delivery,
+    # crash after the signature append but before the checkpoint
+    # commit) probes an index already containing its own rows — with
+    # the exclusion, the replay reproduces the original verdicts
+    # instead of flipping every 'new' to 'exact_dup' (r8 review).
+    batch_ids = batch_sig.select("doc_id")
+    sigs = sigs.join(F.broadcast(batch_ids), "doc_id", "anti")
+    bands = bands.join(F.broadcast(batch_ids), "doc_id", "anti")
     matched_h = (
         sigs.select("content_hash")
         .join(

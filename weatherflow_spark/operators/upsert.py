@@ -71,6 +71,25 @@ def upsert_by_key(
     """
     from weatherflow_spark.operators.commit import dataset_lock
 
+    # The lock covers the WHOLE read-modify-write (reentrant through
+    # the overwrite helper): without it, a compaction swap landing
+    # between this read's file listing and the checkpoint would
+    # delete the listed files mid-job — a FileNotFoundException
+    # instead of an orderly wait. Compaction's long rewrite phase
+    # stays unlocked; only its validate+swap contends here.
+    with dataset_lock(path):
+        _upsert_locked(spark, new_batch, path, key_cols, partition_cols)
+
+
+def _upsert_locked(
+    spark: SparkSession,
+    new_batch: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str] | None,
+) -> None:
+    from weatherflow_spark.operators.commit import dataset_lock
+
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
@@ -108,7 +127,11 @@ def upsert_by_key(
         for t in touched:
             clause = None
             for c, v in zip(partition_cols, t):
-                eq = F.col(c) == F.lit(v)
+                # eqNullSafe: a NULL partition value must select the
+                # __HIVE_DEFAULT_PARTITION__ rows — plain == never
+                # matches NULL, so that partition's kept rows would be
+                # dropped by the dynamic overwrite.
+                eq = F.col(c).eqNullSafe(F.lit(v))
                 clause = eq if clause is None else (clause & eq)
             cond = clause if cond is None else (cond | clause)
         current = current.where(cond)  # untouched partitions never read
@@ -153,6 +176,23 @@ def apply_changes(
     """
     from weatherflow_spark.operators.commit import dataset_lock
 
+    # Whole-operation lock (reentrant) — see upsert_by_key.
+    with dataset_lock(path):
+        _apply_changes_locked(
+            spark, changes, path, key_cols, op_col, partition_cols
+        )
+
+
+def _apply_changes_locked(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    key_cols: list[str],
+    op_col: str,
+    partition_cols: list[str] | None,
+) -> None:
+    from weatherflow_spark.operators.commit import dataset_lock
+
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
@@ -175,6 +215,7 @@ def apply_changes(
             for c in upserts.columns
         ]
     )
+    touched: list[tuple] = []
     if partition_cols:
         touched = [
             tuple(r[c] for c in partition_cols)
@@ -184,7 +225,7 @@ def apply_changes(
         for t in touched:
             clause = None
             for c, v in zip(partition_cols, t):
-                eq = F.col(c) == F.lit(v)
+                eq = F.col(c).eqNullSafe(F.lit(v))  # NULL partitions too
                 clause = eq if clause is None else (clause & eq)
             cond = clause if cond is None else (cond | clause)
         current = current.where(cond)
@@ -193,7 +234,31 @@ def apply_changes(
     merged = kept.unionByName(upserts.select(*current.columns))
     merged = merged.localCheckpoint(eager=True)
     if partition_cols:
+        # Dynamic partition overwrite only rewrites partitions PRESENT
+        # in the output: a feed whose deletes empty a touched partition
+        # (and land no upsert in it) produces zero merged rows there,
+        # so the old files would silently survive the 'delete'. Remove
+        # those now-empty partition directories explicitly, under the
+        # same commit lock as the overwrite.
+        import shutil
+
+        remaining = {
+            tuple(r[c] for c in partition_cols)
+            for r in merged.select(*partition_cols).distinct().collect()
+        }
+        emptied = [t for t in touched if t not in remaining]
         overwrite_partitions(merged, path, partition_cols)  # takes the lock
+        if emptied:
+            with dataset_lock(path):
+                for t in emptied:
+                    sub = os.path.join(
+                        path,
+                        *[
+                            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                            for c, v in zip(partition_cols, t)
+                        ],
+                    )
+                    shutil.rmtree(sub, ignore_errors=True)
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)

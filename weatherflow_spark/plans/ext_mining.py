@@ -785,13 +785,18 @@ def _oracle_bpe_train() -> str:
 # measured type cardinality instead. Never reached at test SFs — both
 # paths are equality-tested and the join path is plan-audited.
 BPE_JOIN_DOC_THRESHOLD = 20_000_000
-_BPE_DOC_CENSUS: dict[str, int] = {}
+# Keyed by (dir, data mtime) so a rewritten corpus re-measures (the
+# ext_text census discipline).
+_BPE_DOC_CENSUS: dict[tuple, int] = {}
 
 
 def _corpus_docs(spark: SparkSession, sf_dir: str) -> int:
-    if sf_dir not in _BPE_DOC_CENSUS:
-        _BPE_DOC_CENSUS[sf_dir] = load_table(spark, sf_dir, "documents").count()
-    return _BPE_DOC_CENSUS[sf_dir]
+    from weatherflow_spark.plans.ext_text import _docs_mtime
+
+    key = (sf_dir, _docs_mtime(sf_dir))
+    if key not in _BPE_DOC_CENSUS:
+        _BPE_DOC_CENSUS[key] = load_table(spark, sf_dir, "documents").count()
+    return _BPE_DOC_CENSUS[key]
 
 
 def q_bpe_encode(

@@ -37,14 +37,30 @@ _LANGS = sorted(T.LANG_STOPWORDS)
 # test SFs (both paths are result-identical and equality-tested on a
 # skewed fixture, tests/test_scale_ops.py).
 PPL_SKEW_THRESHOLD = 5_000_000
-# Per-input source census memo: the skew decision needs max rows per
-# source, which is constant for a given input dir — pay the (cheap,
-# one-column) counting scan once per session, not once per build.
-_PPL_SRC_CENSUS: dict[str, int] = {}
+# Per-input source census memo, keyed by (dir, data mtime) so a
+# rewritten corpus at the same path re-measures instead of reusing a
+# stale census (r8 review) — pay the (cheap, one-column) counting
+# scan once per data VERSION, not once per build.
+_PPL_SRC_CENSUS: dict[tuple, int] = {}
+
+
+def _docs_mtime(sf_dir: str) -> float:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            return max(
+                (e.stat().st_mtime for e in os.scandir(p)), default=0.0
+            )
+        return os.path.getmtime(p)
+    except OSError:
+        return 0.0
 
 
 def _max_source_rows(spark: SparkSession, sf_dir: str) -> int:
-    if sf_dir not in _PPL_SRC_CENSUS:
+    key = (sf_dir, _docs_mtime(sf_dir))
+    if key not in _PPL_SRC_CENSUS:
         top = (
             load_table(spark, sf_dir, "documents")
             .groupBy("source")
@@ -52,8 +68,8 @@ def _max_source_rows(spark: SparkSession, sf_dir: str) -> int:
             .agg(F.max("n").alias("m"))
             .collect()
         )
-        _PPL_SRC_CENSUS[sf_dir] = int(top[0].m) if top and top[0].m is not None else 0
-    return _PPL_SRC_CENSUS[sf_dir]
+        _PPL_SRC_CENSUS[key] = int(top[0].m) if top and top[0].m is not None else 0
+    return _PPL_SRC_CENSUS[key]
 
 
 # ---------------------------------------------------------------------------

@@ -618,12 +618,15 @@ def foreach_batch_admission(index_path: str, verdicts_path: str):
     production shape of streaming dedup at 100 TB: per batch, work is
     bounded by the batch and the (compact) index — not the corpus.
 
-    Replay safety: verdict writes are append-per-batch keyed by
-    batch_id (re-delivered batches overwrite their own directory),
-    and signature appends of a replayed batch add duplicate rows
-    whose band keys and hashes are IDENTICAL — candidate sets and
-    verdicts are unchanged (set semantics), so replay cannot flip a
-    decision; compact the index to dedup rows if storage matters."""
+    Replay safety: verdict writes are per-batch keyed by batch_id
+    (re-delivered batches overwrite their own directory);
+    admit_with_index SELF-EXCLUDES the batch's doc_ids from the index
+    probe, so a replayed batch whose signatures were already appended
+    (crash between the append and the checkpoint commit) reproduces
+    its ORIGINAL verdicts rather than matching itself; and a replayed
+    append only adds duplicate signature rows with identical keys —
+    candidate sets are unchanged (set semantics). Compact the index
+    to dedup rows if storage matters."""
     import os as _os
 
     from weatherflow_spark.operators.sig_index import (
