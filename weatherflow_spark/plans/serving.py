@@ -54,18 +54,30 @@ def _scratch_dir(sf_dir: str) -> str:
 
 def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E16 driver row: maintain the continuous-aggregate partial table
-    from TWO disjoint batches (even vs odd event dates — each batch
-    carries its buckets' full content, the refresh contract), then
-    answer a MONTH-grain rollup purely from the partials. The oracle
-    aggregates the raw events directly, so a hash match certifies the
-    whole maintain-then-serve path: mergeable state, partition
-    overwrite, and coarser-grain re-aggregation. Doubles are pinned
-    (sum/min/max as exact cents, avg as an e6 integer)."""
+    through ALL THREE maintenance paths — initial build (even event
+    dates), incremental refresh (odd dates, minus the late slice),
+    and the late-data MERGE (odd dates with odd event_id folded into
+    the already-materialized odd-date buckets via the mergeable
+    algebra — zero fact re-reads, operators/rollup.merge_rollup) —
+    then answer a MONTH-grain rollup purely from the partials. The
+    oracle aggregates the raw events directly, so ONE hash certifies
+    build + refresh + late-merge + coarser-grain re-aggregation
+    together. Doubles are pinned (sum/min/max as exact cents, avg as
+    an e6 integer)."""
+    from weatherflow_spark.operators.rollup import merge_rollup
+
     path = os.path.join(_scratch_dir(sf_dir), "partials")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # full reset: replayable
     events = load_table(spark, sf_dir, "events")
     day = F.dayofmonth(F.to_date("ts"))
+    late = (F.col("event_id") % 2 == 1) & (day % 2 == 1)
     write_rollup(events.where(day % 2 == 0), path, ROLLUP_SCALE)
-    refresh_rollup(spark, events.where(day % 2 == 1), path, ROLLUP_SCALE)
+    refresh_rollup(
+        spark, events.where((day % 2 == 1) & ~late), path, ROLLUP_SCALE
+    )
+    merge_rollup(spark, events.where(late), path, ROLLUP_SCALE)
     served = read_rollup(spark, path, grain="month", scale=ROLLUP_SCALE)
     return served.select(
         F.date_format(F.col("month"), "yyyy-MM-dd").alias("month"),
