@@ -151,6 +151,7 @@ OPTIONAL = [
     "q_grouped_rank",
     "q_cdc_apply",
     "q_index_admit",
+    "q_stream_serve",
 ]
 
 

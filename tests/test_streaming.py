@@ -688,3 +688,27 @@ def test_streaming_admission_replay_does_not_flip_verdicts(spark, tmp_path):
     # replay: the index now contains doc 10's own signatures
     v2 = {r.doc_id: r.verdict for r in admit_with_index(spark, batch, path).collect()}
     assert v2 == {10: "new"}  # unchanged — no self-match
+
+
+def test_stream_serve_runs_as_multiple_micro_batches(spark):
+    """T1's driver row (plans/serving.q_stream_serve) claims real
+    micro-batch SEQUENCING — three landed files drained one per
+    trigger. Pin that: the checkpoint's offsets log must hold one
+    entry per drop (a silent collapse to one batch would still
+    hash-match, so the parity check alone can't catch it), and the
+    served result must equal the batch twin on the raw table."""
+    from weatherflow_spark.plans.serving import _scratch_dir, q_stream_serve
+
+    served = q_stream_serve(spark, SF_SMALL)
+    offsets_dir = os.path.join(
+        _scratch_dir(SF_SMALL), "stream_serve", "ckpt", "offsets"
+    )
+    batches = [f for f in os.listdir(offsets_dir) if not f.startswith(".")]
+    assert len(batches) >= 3, batches
+    want = q_tumbling_window_agg(spark, SF_SMALL).withColumn(
+        "window_start", F.col("window_start").cast("timestamp")
+    )
+    assert _sorted_rows(
+        served.withColumn("window_start", F.col("window_start").cast("timestamp")),
+        "window_start",
+    ) == _sorted_rows(want, "window_start")

@@ -391,6 +391,99 @@ def _oracle_index_admit() -> str:
     return _oracle_incremental_dedup()
 
 
+STREAM_SPLIT_TS = "2024-01-16"  # testdata events span 2024-01; mid-month
+
+
+def q_stream_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T3 driver row: the streaming tier certified through a REAL
+    Structured Streaming execution — the events table lands in a
+    scratch directory as three time-ordered file drops (first half of
+    the month, second half, then the second half AGAIN — an
+    at-least-once redelivery, the reference's replay-duplicates flaw,
+    dags/etl.py:103), is read back as a file-source stream with
+    ``maxFilesPerTrigger=1`` so availableNow drains it as a SEQUENCE
+    of micro-batches (T1), flows through the production watermarked
+    ``dedup_events_stream`` (T3: ``dropDuplicatesWithinWatermark``
+    keeps cross-batch key state) into the tumbling 1-hour aggregation,
+    and is served from the memory sink. The oracle aggregates the raw
+    events directly — a hash match certifies that micro-batch
+    sequencing + stateful dedup under replay reproduce exactly the
+    batch answer.
+
+    Determinism: drops get explicit strictly-increasing mtimes (the
+    file source orders its backlog by modification time), each drop is
+    ONE file so a batch never splits a drop's time range (watermarks
+    advance between batches, so an intra-drop split could mark first
+    occurrences late), and the drops are time-ordered so no FIRST
+    occurrence ever arrives below the watermark. Every replayed row is
+    then excluded either as an in-state duplicate or as below the
+    watermark — both exclusions, which is the contract. ``coalesce(1)``
+    and the memory sink are the bounded test stand-ins for a real
+    landing directory and a real sink; the operators under test
+    (file source, watermark state, dedup, windowed agg) are the
+    production ones, with state bounded by the watermark horizon."""
+    import shutil
+    import time as _time
+
+    from weatherflow_spark.streaming.pipeline import (
+        dedup_events_stream,
+        read_events_stream,
+        run_available_now,
+        tumbling_value_agg,
+    )
+
+    base = os.path.join(_scratch_dir(sf_dir), "stream_serve")
+    shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint: replayable
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    events = load_table(spark, sf_dir, "events")
+
+    def _drop(df: DataFrame, name: str, mtime: float) -> str:
+        stage = os.path.join(base, "stage_" + name)
+        df.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(landing, name + ".parquet")
+        shutil.copyfile(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+        return dst
+
+    t0 = _time.time() - 3600.0
+    _drop(events.where(F.col("ts") < STREAM_SPLIT_TS), "drop1", t0)
+    d2 = _drop(events.where(F.col("ts") >= STREAM_SPLIT_TS), "drop2", t0 + 600)
+    replay = os.path.join(landing, "drop3_replay.parquet")
+    shutil.copyfile(d2, replay)
+    os.utime(replay, (t0 + 1200, t0 + 1200))
+
+    stream = read_events_stream(
+        spark, landing, glob="*.parquet", max_files_per_trigger=1
+    )
+    # One watermark for the whole stateful chain: the dedup stage owns
+    # it; redefining it at the agg is disallowed under chained
+    # stateful operators (and complete mode needs none of its own).
+    agg = tumbling_value_agg(dedup_events_stream(stream), with_watermark=False)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    served = run_available_now(
+        agg,
+        f"wf_stream_serve_{tag}_{os.getpid()}",
+        os.path.join(base, "ckpt"),
+        output_mode="complete",
+    )
+    return served.select("window_start", "n_events", "sum_value")
+
+
+# Dedup is identity on the raw table (event_ids are unique), so the
+# oracle is the direct tumbling aggregation — same expressions as the
+# batch twin q_tumbling_window_agg's oracle.
+ORACLE_STREAM_SERVE = """
+    SELECT
+        date_trunc('hour', ts) AS window_start,
+        count(*) AS n_events,
+        sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1
+"""
+
+
 def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving/write-tier certification row: E16 rollup-serve, E18
     global index, K3 double-applied upsert, E9 content-exact
@@ -497,6 +590,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_grouped_rank": q_grouped_rank,
     "q_cdc_apply": q_cdc_apply,
     "q_index_admit": q_index_admit,
+    "q_stream_serve": q_stream_serve,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -508,4 +602,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_grouped_rank": ORACLE_GROUPED_RANK,
     "q_cdc_apply": ORACLE_CDC_APPLY,
     "q_index_admit": _oracle_index_admit(),
+    "q_stream_serve": ORACLE_STREAM_SERVE,
 }
