@@ -152,6 +152,7 @@ OPTIONAL = [
     "q_cdc_apply",
     "q_index_admit",
     "q_stream_serve",
+    "q_sketch_serve",
 ]
 
 

@@ -280,6 +280,32 @@ def test_hll_registers_merge_by_max(spark):
     assert merged == whole
 
 
+def test_sketch_serve_reads_a_multi_slice_cube(spark):
+    """E82's serve must really come from a PERSISTED multi-slice cube
+    (build + late append): the scratch table must hold one partition
+    per slice after the query runs — a silent collapse to a single
+    unsliced write would still hash-match, so the parity check alone
+    can't pin the cube shape."""
+    import os
+
+    from weatherflow_spark.plans.serving import (
+        SKETCH_SLICES,
+        _scratch_dir,
+        q_sketch_serve,
+    )
+
+    out = {r.event_type: r for r in q_sketch_serve(spark, SF_SMALL).collect()}
+    assert out, "expected per-group estimates"
+    base = os.path.join(_scratch_dir(SF_SMALL), "sketch_cube")
+    slices = sorted(
+        d for d in os.listdir(base) if d.startswith("slice_id=")
+    )
+    assert slices == [f"slice_id={i}" for i in range(SKETCH_SLICES)]
+    for r in out.values():
+        assert r.hll_estimate > 0
+        assert abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct < 0.25
+
+
 def test_fuzzy_join_finds_same_noun_variants(spark):
     """Every reported pair shares its final (noun) token and is
     within the edit-distance budget; the closest pairs come first."""

@@ -391,6 +391,65 @@ def _oracle_index_admit() -> str:
     return _oracle_incremental_dedup()
 
 
+SKETCH_SLICES = 4  # cube build slices (day-of-month mod)
+
+
+def q_sketch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E82 driver row: the persisted SKETCH CUBE — per-(slice, group)
+    HyperLogLog register partials written to a parquet table
+    partitioned by slice (three slices in the initial build, the
+    fourth APPENDED later, the late-batch path), then per-group
+    distinct estimates served by merging the STORED partials
+    (bucket-wise max within each group; the registers of a union are
+    the max of the registers, plans/sketches.hll_registers). The
+    output is identical to the one-shot ``q_hll_grouped`` and reuses
+    its oracle verbatim — a hash match certifies the mergeability law
+    through real writes: sketch partials persisted slice-by-slice and
+    merged at serve time lose NOTHING vs sketching the raw data in
+    one pass. That is the 100 TB posture for approx-distinct
+    dashboards: each day/partition sketches independently (≤ groups ×
+    256 tiny rows), the cube grows by appends, and serving never
+    rescans the facts. (The exact-count column is the certification
+    companion, computed from raw events here as in q_hll_grouped; a
+    production cube would serve the estimate alone.)"""
+    import shutil
+
+    from weatherflow_spark.plans.sketches import (
+        grouped_hll_rows,
+        serve_grouped_hll,
+    )
+
+    base = os.path.join(_scratch_dir(sf_dir), "sketch_cube")
+    shutil.rmtree(base, ignore_errors=True)  # full reset: replayable
+    ev = load_table(spark, sf_dir, "events")
+    sliced = ev.withColumn(
+        "slice_id", F.dayofmonth(F.to_date("ts")) % SKETCH_SLICES
+    )
+    partials = grouped_hll_rows(sliced, "user_id", "slice_id", "event_type")
+    partials = partials.groupBy("slice_id", "event_type", "b").agg(
+        F.max("r").alias("m")
+    )
+    last = F.col("slice_id") == SKETCH_SLICES - 1
+    partials.where(~last).write.partitionBy("slice_id").parquet(base)
+    partials.where(last).write.mode("append").partitionBy("slice_id").parquet(
+        base
+    )
+    stored = spark.read.parquet(base)
+    regs = stored.groupBy("event_type", "b").agg(F.max("m").alias("m"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return serve_grouped_hll(regs, exact)
+
+
+def _oracle_sketch_serve() -> str:
+    # Merged-cube serve == one-shot sketch: the whole certification —
+    # so the oracle IS q_hll_grouped's.
+    from weatherflow_spark.plans.sketches import _oracle_hll_grouped
+
+    return _oracle_hll_grouped()
+
+
 STREAM_SPLIT_TS = "2024-01-16"  # testdata events span 2024-01; mid-month
 
 
@@ -591,6 +650,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cdc_apply": q_cdc_apply,
     "q_index_admit": q_index_admit,
     "q_stream_serve": q_stream_serve,
+    "q_sketch_serve": q_sketch_serve,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -603,4 +663,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_cdc_apply": ORACLE_CDC_APPLY,
     "q_index_admit": _oracle_index_admit(),
     "q_stream_serve": ORACLE_STREAM_SERVE,
+    "q_sketch_serve": _oracle_sketch_serve(),
 }

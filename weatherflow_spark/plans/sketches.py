@@ -418,10 +418,24 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction applies per group (these cardinalities sit well under
     2.5·m, exactly where production group-bys live)."""
     ev = load_table(spark, sf_dir, "events")
-    fold = T._tok_hash_lambda_spark("cast(user_id as string)")
+    rows = grouped_hll_rows(ev, "user_id", "event_type")
+    regs = rows.groupBy("event_type", "b").agg(F.max("r").alias("m"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return serve_grouped_hll(regs, exact)
+
+
+def grouped_hll_rows(df: DataFrame, value_col: str, *keys: str) -> DataFrame:
+    """(keys..., b, r): one mixed-hash row per input row, ready for
+    the (keys, b) → max(r) register aggregation. Factored out so the
+    persisted sketch cube (plans/serving.q_sketch_serve) computes its
+    per-slice partials with the exact same hash pipeline the one-shot
+    query uses — byte-identical registers is the merge contract."""
+    fold = T._tok_hash_lambda_spark(f"cast({value_col} as string)")
     mixed = _hll_mixed_hash(fold, "div", lambda x, y: f"({x} ^ {y})")
-    rows = ev.select(
-        "event_type",
+    return df.select(
+        *keys,
         F.expr(f"{mixed} % {HLL_M}").alias("b"),
         F.expr(
             T.let_spark(
@@ -431,15 +445,19 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("int").alias("r"),
     )
-    regs = rows.groupBy("event_type", "b").agg(F.max("r").alias("m"))
-    summary = regs.groupBy("event_type").agg(
+
+
+def serve_grouped_hll(
+    regs: DataFrame, exact: DataFrame, key: str = "event_type"
+) -> DataFrame:
+    """Per-``key`` HLL estimate from a (key, b, m) register table +
+    per-key small-range linear counting — the serve half shared by the
+    one-shot query and the persisted-cube serve."""
+    summary = regs.groupBy(key).agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - m)")).alias(
             "s_hit"
         ),
         F.count(F.lit(1)).alias("present"),
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
     )
     raw = F.lit(_HLL_C) / (
         F.col("s_hit")
@@ -450,8 +468,8 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw < F.lit(2.5 * HLL_M)) & (zeros > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
     ).otherwise(raw)
-    return summary.join(exact, "event_type").select(
-        "event_type",
+    return summary.join(exact, key).select(
+        key,
         F.col("exact_distinct"),
         (F.floor(est * 1e2 + F.lit(0.5)) / 1e2).alias("hll_estimate"),
         zeros.cast("int").alias("n_zero_registers"),
