@@ -153,6 +153,7 @@ OPTIONAL = [
     "q_index_admit",
     "q_stream_serve",
     "q_sketch_serve",
+    "q_margin_pairs",
 ]
 
 

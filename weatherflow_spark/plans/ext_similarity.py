@@ -773,6 +773,126 @@ ORACLE_KNN_GRAPH = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_margin_pairs — E83: margin-based mutual-kNN pair mining
+# ---------------------------------------------------------------------------
+
+MARGIN_MIN_E6 = 1_000_000  # keep pairs scoring above the neighborhood mean
+
+# Identical arithmetic text in both engines: every input is an exact
+# integer (e6-pinned cosines, counts), so the margin is ONE double
+# expression tree over integers — deterministic cross-engine.
+_MARGIN_E6 = (
+    "cast(floor(2.0 * cos_e6 / "
+    "(pen_sum_a / pen_cnt_a + pen_sum_b / pen_cnt_b) * 1e6 + 0.5) as bigint)"
+)
+
+
+def q_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mutual-kNN pair mining — the CCMatrix/LASER-style
+    bitext/alignment miner, the operator that pairs parallel or
+    near-parallel documents across two corpora for translation /
+    contrastive training data. Sides are the vec_id parity halves
+    (the stand-in for two languages); candidates are the kNN-graph
+    edges that CROSS sides; a pair must be MUTUAL (x in y's
+    neighborhood and y in x's); and the score is the ratio margin
+    margin(x,y) = cos(x,y) / ((pen(x) + pen(y)) / 2), where pen(v) is
+    the mean cosine of v's cross-side neighborhood — pairs only count
+    if they beat what their endpoints' neighborhoods offer on
+    average, which kills hub vectors that are merely close to
+    everything. Pairs below margin 1.0 are dropped.
+
+    Built ON the persisted kNN graph (q_knn_graph — bounded LSH
+    candidate generation, two-stage Hamming→cosine ranking), so the
+    mining layer adds only key-sized aggregations and a semi-join:
+    per-vector penalty sums over ≤ K edges, the mutuality check, and
+    one margin expression per surviving pair. At 1e9 vectors the
+    extra shuffles carry (id, 3 ints) rows — the graph build
+    dominates, exactly as in the published pipelines. Determinism:
+    cosines are e6-pinned BEFORE the penalty average (a raw double
+    sum would be summation-order-dependent), and the margin is a
+    single double expression over exact integers, spelled with the
+    same text in the DuckDB oracle."""
+    knn = q_knn_graph(spark, sf_dir)
+    cross = knn.where(
+        (F.col("src_id") % 2) != (F.col("nb_id") % 2)
+    ).select(
+        "src_id",
+        "nb_id",
+        F.expr("cast(floor(cosine * 1e6 + 0.5) as bigint)").alias("cos_e6"),
+    )
+    pen = cross.groupBy("src_id").agg(
+        F.sum("cos_e6").alias("pen_sum"),
+        F.count(F.lit(1)).alias("pen_cnt"),
+    )
+    fwd = cross.where(F.col("src_id") % 2 == 0).select(
+        F.col("src_id").alias("a_id"),
+        F.col("nb_id").alias("b_id"),
+        "cos_e6",
+    )
+    rev = cross.select(
+        F.col("nb_id").alias("a_id"), F.col("src_id").alias("b_id")
+    )
+    mutual = fwd.join(rev, ["a_id", "b_id"], "left_semi")
+    return (
+        mutual.join(
+            pen.select(
+                F.col("src_id").alias("a_id"),
+                F.col("pen_sum").alias("pen_sum_a"),
+                F.col("pen_cnt").alias("pen_cnt_a"),
+            ),
+            "a_id",
+        )
+        .join(
+            pen.select(
+                F.col("src_id").alias("b_id"),
+                F.col("pen_sum").alias("pen_sum_b"),
+                F.col("pen_cnt").alias("pen_cnt_b"),
+            ),
+            "b_id",
+        )
+        .withColumn("margin_e6", F.expr(_MARGIN_E6))
+        .where(F.col("margin_e6") >= MARGIN_MIN_E6)
+        .select("a_id", "b_id", "cos_e6", "margin_e6")
+    )
+
+
+ORACLE_MARGIN_PAIRS = f"""
+    WITH knn AS ({ORACLE_KNN_GRAPH}),
+    cross_e AS (
+        SELECT src_id, nb_id,
+               CAST(floor(cosine * 1e6 + 0.5) AS BIGINT) AS cos_e6
+        FROM knn WHERE src_id % 2 <> nb_id % 2
+    ),
+    pen AS (
+        SELECT src_id, CAST(sum(cos_e6) AS BIGINT) AS pen_sum,
+               count(*) AS pen_cnt
+        FROM cross_e GROUP BY src_id
+    ),
+    mutual AS (
+        SELECT f.src_id AS a_id, f.nb_id AS b_id, f.cos_e6
+        FROM cross_e f
+        WHERE f.src_id % 2 = 0
+          AND EXISTS (
+              SELECT 1 FROM cross_e b
+              WHERE b.src_id = f.nb_id AND b.nb_id = f.src_id
+          )
+    ),
+    scored AS (
+        SELECT a_id, b_id, cos_e6,
+               {_MARGIN_E6.replace('cast(', 'CAST(').replace(' as bigint', ' AS BIGINT')}
+                   AS margin_e6
+        FROM mutual m
+        JOIN (SELECT src_id AS a_id, pen_sum AS pen_sum_a,
+                     pen_cnt AS pen_cnt_a FROM pen) pa USING (a_id)
+        JOIN (SELECT src_id AS b_id, pen_sum AS pen_sum_b,
+                     pen_cnt AS pen_cnt_b FROM pen) pb USING (b_id)
+    )
+    SELECT a_id, b_id, cos_e6, margin_e6
+    FROM scored WHERE margin_e6 >= {MARGIN_MIN_E6}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_ann_recall — E57: index-quality self-evaluation (recall@k)
 # ---------------------------------------------------------------------------
 
@@ -1326,6 +1446,16 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("verdict") == "dup").cast("int").alias("label"),
         F.col("best_cos_e6").cast("double").alias("cosine"),
     )
+    # E83 (r8): mutual-kNN margin pairs on the same persisted graph —
+    # q_id/vec_id the pair, cosine the e6 margin (documented column
+    # reuse; the hash pins every mined pair and its score).
+    margin = q_margin_pairs(spark, sf_dir).select(
+        F.lit("margin").alias("method"),
+        F.col("a_id").alias("q_id"),
+        F.col("b_id").alias("vec_id"),
+        F.lit(None).cast("int").alias("label"),
+        F.col("margin_e6").cast("double").alias("cosine"),
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
@@ -1336,6 +1466,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(srp)
         .unionByName(pq)
         .unionByName(admit)
+        .unionByName(margin)
     )
 
 
@@ -1696,7 +1827,8 @@ ORACLE_INCREMENTAL_EMBEDDING = f"""
 # precedent).
 ORACLE_ANN_SUITE = f"""
     WITH base AS ({ORACLE_ANN_SUITE}),
-    admit_side AS ({ORACLE_INCREMENTAL_EMBEDDING})
+    admit_side AS ({ORACLE_INCREMENTAL_EMBEDDING}),
+    margin_side AS ({ORACLE_MARGIN_PAIRS})
     SELECT * FROM base
     UNION ALL
     SELECT 'admit' AS method, vec_id AS q_id,
@@ -1705,6 +1837,11 @@ ORACLE_ANN_SUITE = f"""
                AS label,
            CAST(best_cos_e6 AS DOUBLE) AS cosine
     FROM admit_side
+    UNION ALL
+    SELECT 'margin' AS method, a_id AS q_id, b_id AS vec_id,
+           CAST(NULL AS INTEGER) AS label,
+           CAST(margin_e6 AS DOUBLE) AS cosine
+    FROM margin_side
 """
 
 
@@ -1722,6 +1859,7 @@ SIMILARITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_random_projection": q_random_projection,
     "q_pq_encode": q_pq_encode,
     "q_incremental_embedding": q_incremental_embedding,
+    "q_margin_pairs": q_margin_pairs,
 }
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -1738,4 +1876,5 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "q_ann_batch_topk": ORACLE_ANN_BATCH_TOPK,
     "q_ann_suite": ORACLE_ANN_SUITE,
     "q_incremental_embedding": ORACLE_INCREMENTAL_EMBEDDING,
+    "q_margin_pairs": ORACLE_MARGIN_PAIRS,
 }
