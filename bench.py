@@ -154,6 +154,7 @@ OPTIONAL = [
     "q_stream_serve",
     "q_sketch_serve",
     "q_margin_pairs",
+    "q_retrieval_eval",
 ]
 
 

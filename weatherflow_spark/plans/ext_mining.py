@@ -183,6 +183,176 @@ def _oracle_tfidf_topk() -> str:
 
 
 # ---------------------------------------------------------------------------
+# q_retrieval_eval — E84: ranking-quality metrics (MRR / nDCG / P@k)
+# ---------------------------------------------------------------------------
+
+EVAL_CUTS = (5, 10)
+# 1/log2(rank+1) discount weights as e9 integers — computed ONCE here
+# and injected as identical literals into both engines' expressions,
+# so no cross-libm log2 ulp can diverge; DCG sums are then exact
+# integer sums and nDCG one double division of integers.
+import math as _math
+
+_DCG_W_E9 = {
+    i: int(_math.floor(1.0 / _math.log2(i + 1) * 1e9 + 0.5))
+    for i in range(1, max(EVAL_CUTS) + 1)
+}
+_IDCG_PREFIX_E9 = {0: 0}
+for _i in range(1, max(EVAL_CUTS) + 1):
+    _IDCG_PREFIX_E9[_i] = _IDCG_PREFIX_E9[_i - 1] + _DCG_W_E9[_i]
+
+
+def _dcg_case(rank: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {w}" for i, w in sorted(_DCG_W_E9.items())
+    )
+    return f"CASE {rank} {whens} ELSE 0 END"
+
+
+def _idcg_case(n_rel: str, k: int) -> str:
+    # IDCG@k with binary relevance = prefix sum of the first
+    # min(n_rel, k) weights; n_rel < k resolved by a literal ladder.
+    whens = " ".join(
+        f"WHEN {i} THEN {_IDCG_PREFIX_E9[i]}" for i in range(k)
+    )
+    return (
+        f"CASE WHEN {n_rel} >= {k} THEN {_IDCG_PREFIX_E9[k]} "
+        f"ELSE CASE {n_rel} {whens} ELSE 0 END END"
+    )
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 ranking — the metrics
+    layer every retrieval pipeline ships with (the companion of the
+    ANN tier's measured recall, q_ann_recall): MRR@k, binary-relevance
+    nDCG@k, and precision@k at cutoffs {5, 10}, against the
+    deterministic ground truth "document contains ALL query terms"
+    (exactly ``n_terms_matched == |terms|`` in the BM25 table, but
+    counted corpus-wide — an all-terms doc outside the top-25 still
+    belongs in n_rel and the IDCG base).
+
+    Determinism: the log2 discounts are e9-integer literals computed
+    once in Python and injected into BOTH engines (no cross-libm
+    log2); DCG/IDCG are exact integer sums; MRR, nDCG, precision are
+    each one double division of exact integers. The ranking window is
+    a single partition over the ≤ {BM25_TOPK}-row persisted BM25
+    result — bounded by construction, like the bloom word collect.
+    At 100 TB the eval cost is the ground-truth census (one narrow
+    token scan with the tokenization let-bound once per row); the
+    per-ranking arithmetic is constant-size."""
+    from pyspark.sql import Window
+
+    n_terms = len(QUERY_TERMS)
+    bm = q_tfidf_topk(spark, sf_dir)
+    ranked = bm.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        ),
+    )
+    contains = " AND ".join(
+        f"array_contains(tk, '{t}')" for t in QUERY_TERMS
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_rel_df = docs.select(
+        F.expr(
+            T.let_spark(T.tokens_expr("text"), "tk", contains)
+        ).alias("rel")
+    ).agg(F.sum(F.col("rel").cast("bigint")).alias("n_rel"))
+
+    aggs = []
+    for k in EVAL_CUTS:
+        hit = (F.col("n_terms_matched") == n_terms) & (F.col("rank") <= k)
+        aggs += [
+            F.coalesce(F.sum(hit.cast("bigint")), F.lit(0)).alias(
+                f"hits_{k}"
+            ),
+            F.min(F.when(hit, F.col("rank"))).alias(f"first_{k}"),
+            F.coalesce(
+                F.sum(F.when(hit, F.expr(_dcg_case("rank")))), F.lit(0)
+            ).alias(f"dcg_{k}"),
+        ]
+    summ = ranked.agg(*aggs).crossJoin(F.broadcast(n_rel_df))
+
+    parts = []
+    for k in EVAL_CUTS:
+        idcg = _idcg_case("n_rel", k)
+        parts.append(
+            summ.selectExpr(
+                f"cast({k} as int) AS k",
+                "n_rel",
+                f"hits_{k} AS n_hits",
+                f"cast(coalesce(floor(1e6 / first_{k} + 0.5), 0) as bigint)"
+                " AS mrr_e6",
+                f"cast(CASE WHEN {idcg} > 0 THEN "
+                f"floor(dcg_{k} / ({idcg}) * 1e6 + 0.5) ELSE 0 END "
+                "as bigint) AS ndcg_e6",
+                f"cast(floor(hits_{k} * 1e6 / {k} + 0.5) as bigint)"
+                " AS precision_e6",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_retrieval_eval() -> str:
+    n_terms = len(QUERY_TERMS)
+    contains = " AND ".join(
+        f"list_contains(tk, '{t}')" for t in QUERY_TERMS
+    )
+    agg_cols = []
+    for k in EVAL_CUTS:
+        hit = f"(n_terms_matched = {n_terms} AND rank <= {k})"
+        agg_cols += [
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN 1 END), 0) AS BIGINT)"
+            f" AS hits_{k}",
+            f"min(CASE WHEN {hit} THEN rank END) AS first_{k}",
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN"
+            f" {_dcg_case('rank')} END), 0) AS BIGINT) AS dcg_{k}",
+        ]
+    selects = []
+    for k in EVAL_CUTS:
+        idcg = _idcg_case("n_rel", k)
+        selects.append(
+            f"""SELECT CAST({k} AS INTEGER) AS k, n_rel,
+                   hits_{k} AS n_hits,
+                   CAST(coalesce(floor(1e6 / first_{k} + 0.5), 0)
+                       AS BIGINT) AS mrr_e6,
+                   CAST(CASE WHEN {idcg} > 0 THEN
+                       floor(dcg_{k} / ({idcg}) * 1e6 + 0.5)
+                       ELSE 0 END AS BIGINT) AS ndcg_e6,
+                   CAST(floor(hits_{k} * 1e6 / {k} + 0.5) AS BIGINT)
+                       AS precision_e6
+            FROM summ"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+        WITH bm AS ({_oracle_tfidf_topk()}),
+        ranked AS (
+            SELECT doc_id, n_terms_matched, score_e6,
+                   row_number() OVER (
+                       ORDER BY score_e6 DESC, doc_id ASC
+                   ) AS rank
+            FROM bm
+        ),
+        nrel AS (
+            SELECT CAST(coalesce(sum(CASE WHEN
+                {T.let_duck(T.tokens_sql('text'), 'tk', contains)}
+                THEN 1 END), 0) AS BIGINT) AS n_rel
+            FROM documents
+        ),
+        summ AS (
+            SELECT {', '.join(agg_cols)}, n_rel
+            FROM ranked CROSS JOIN nrel
+            GROUP BY n_rel
+        )
+        {union}
+    """
+
+
+# ---------------------------------------------------------------------------
 # q_pmi_cooc — PMI token co-occurrence (collocation mining)
 # ---------------------------------------------------------------------------
 
@@ -365,6 +535,15 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'lex_rank', lex_rank, 'vec_rank', vec_rank, "
         "'neg_rank', neg_rank) AS (metric, value)",
     )
+    # E84 (r8): the metrics layer over the same persisted BM25 ranking
+    # — one LONG row per (cutoff, metric), the hash pins every score.
+    ev = q_retrieval_eval(spark, sf_dir).selectExpr(
+        "'retrieval_eval' AS op",
+        "cast(k as string) AS key",
+        "stack(5, 'n_rel', n_rel, 'n_hits', n_hits, 'mrr_e6', mrr_e6, "
+        "'ndcg_e6', ndcg_e6, 'precision_e6', precision_e6) "
+        "AS (metric, value)",
+    )
     return (
         bm.unionByName(pm)
         .unionByName(bpe)
@@ -373,6 +552,7 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hyb)
         .unionByName(rr)
         .unionByName(hn)
+        .unionByName(ev)
     )
 
 
@@ -385,7 +565,8 @@ def _oracle_text_mining_suite() -> str:
         fh_side AS ({ORACLE_FEATURE_HASH}),
         hyb_side AS ({_oracle_hybrid_retrieval()}),
         rr_side AS ({_oracle_rerank_topk()}),
-        hn_side AS ({_oracle_hard_negatives()})
+        hn_side AS ({_oracle_hard_negatives()}),
+        ev_side AS ({_oracle_retrieval_eval()})
         SELECT 'bm25' AS op, CAST(doc_id AS VARCHAR) AS key,
                'score_e6' AS metric, score_e6 AS value FROM bm_side
         UNION ALL
@@ -451,6 +632,21 @@ def _oracle_text_mining_suite() -> str:
         UNION ALL
         SELECT 'hard_negatives', CAST(doc_id AS VARCHAR), 'neg_rank',
                neg_rank FROM hn_side
+        UNION ALL
+        SELECT 'retrieval_eval', CAST(k AS VARCHAR), 'n_rel',
+               n_rel FROM ev_side
+        UNION ALL
+        SELECT 'retrieval_eval', CAST(k AS VARCHAR), 'n_hits',
+               n_hits FROM ev_side
+        UNION ALL
+        SELECT 'retrieval_eval', CAST(k AS VARCHAR), 'mrr_e6',
+               mrr_e6 FROM ev_side
+        UNION ALL
+        SELECT 'retrieval_eval', CAST(k AS VARCHAR), 'ndcg_e6',
+               ndcg_e6 FROM ev_side
+        UNION ALL
+        SELECT 'retrieval_eval', CAST(k AS VARCHAR), 'precision_e6',
+               precision_e6 FROM ev_side
     """
 
 
@@ -1366,6 +1562,7 @@ MINING_QUERIES = {
     "q_hybrid_retrieval": q_hybrid_retrieval,
     "q_hard_negatives": q_hard_negatives,
     "q_rerank_topk": q_rerank_topk,
+    "q_retrieval_eval": q_retrieval_eval,
 }
 
 MINING_ORACLES = {
@@ -1380,4 +1577,5 @@ MINING_ORACLES = {
     "q_pmi_cooc": _oracle_pmi_cooc(),
     "q_inverted_index": ORACLE_INVERTED_INDEX,
     "q_bpe_train": _oracle_bpe_train(),
+    "q_retrieval_eval": _oracle_retrieval_eval(),
 }
