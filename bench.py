@@ -155,6 +155,7 @@ OPTIONAL = [
     "q_sketch_serve",
     "q_margin_pairs",
     "q_retrieval_eval",
+    "q_shard_export",
 ]
 
 

@@ -391,6 +391,89 @@ def _oracle_index_admit() -> str:
     return _oracle_incremental_dedup()
 
 
+N_SHARDS = 8  # export shards (hash-mod assignment)
+
+
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E85 driver row: deterministic shuffle-and-shard EXPORT — the
+    final-mile operator between a curated corpus and a training
+    dataloader. Every document gets a pseudo-random position key (the
+    engine's cross-engine char fold of its id — decorrelated from
+    insertion/source order, reproducible forever), shard =
+    ``pos_key % N`` (hash-mod: balanced in expectation and ORDER-FREE
+    — no global sort), within-shard positions via the skew-proof
+    E77 grouped rank (``assign_grouped_rank``: a dominant shard spans
+    partitions instead of funneling through one window task), and the
+    shards are REALLY WRITTEN partition-by-shard before serving. The
+    serve digests each written shard: doc count, key XOR + sum, an
+    order fingerprint binding each position to its doc (16-bit limb
+    product-sum — exact to ~2^30 rows/shard; re-limb beyond), and the
+    payload char total. The oracle derives all of it from raw
+    documents with ``row_number() OVER (PARTITION BY shard)`` — a
+    hash match certifies assignment, ordering, and the write/read
+    round-trip in one row set."""
+    import shutil
+
+    from weatherflow_spark.functions import text as T
+    from weatherflow_spark.operators.indexing import assign_grouped_rank
+
+    base = os.path.join(_scratch_dir(sf_dir), "shards")
+    shutil.rmtree(base, ignore_errors=True)  # full reset: replayable
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(T._tok_hash_lambda_spark("cast(doc_id as string)")).alias(
+            "pos_key"
+        ),
+    ).withColumn("shard_id", (F.col("pos_key") % N_SHARDS).cast("int"))
+    ranked = assign_grouped_rank(
+        keyed, ["shard_id"], ["pos_key", "doc_id"], rank_col="pos"
+    )
+    ranked.write.partitionBy("shard_id").parquet(base)
+    stored = spark.read.parquet(base)
+    return stored.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_xor(doc_id)").alias("key_xor"),
+        F.sum("doc_id").alias("key_sum"),
+        F.sum(
+            (F.col("pos") % 65536) * (F.col("doc_id") % 65536)
+        ).alias("order_fp"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+
+
+def _oracle_shard_export() -> str:
+    from weatherflow_spark.functions import text as T
+
+    fold = T._tok_hash_lambda_duck("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars, {fold} AS pos_key FROM documents
+        ),
+        sharded AS (
+            SELECT *, CAST(pos_key % {N_SHARDS} AS INTEGER) AS shard_id
+            FROM keyed
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY shard_id ORDER BY pos_key ASC, doc_id ASC
+            ) AS pos
+            FROM sharded
+        )
+        SELECT shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               bit_xor(doc_id) AS key_xor,
+               CAST(sum(doc_id) AS BIGINT) AS key_sum,
+               CAST(sum((pos % 65536) * (doc_id % 65536)) AS BIGINT)
+                   AS order_fp,
+               CAST(sum(n_chars) AS BIGINT) AS chars_total
+        FROM ranked GROUP BY shard_id
+    """
+
+
 SKETCH_SLICES = 4  # cube build slices (day-of-month mod)
 
 
@@ -651,6 +734,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_index_admit": q_index_admit,
     "q_stream_serve": q_stream_serve,
     "q_sketch_serve": q_sketch_serve,
+    "q_shard_export": q_shard_export,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -664,4 +748,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_index_admit": _oracle_index_admit(),
     "q_stream_serve": ORACLE_STREAM_SERVE,
     "q_sketch_serve": _oracle_sketch_serve(),
+    "q_shard_export": _oracle_shard_export(),
 }
