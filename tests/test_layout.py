@@ -137,13 +137,16 @@ def test_dataset_lock_is_exclusive_reentrant_and_breaks_stale(tmp_path):
         dataset_lock,
     )
 
+    import socket
+
     path = str(tmp_path / "ds")
     os.makedirs(path)
     lp = path + ".__lock"
+    host = socket.gethostname()
 
-    # foreign LIVE holder (pid 1 exists): acquirer must time out
+    # same-host LIVE holder (pid 1 exists): acquirer must time out
     with open(lp, "w") as f:
-        f.write(f"1 {time.time()}\n")
+        f.write(f"{host} 1 deadbeef {time.time()}\n")
     with pytest.raises(DatasetLockTimeout):
         with dataset_lock(path, timeout=0.3):
             pass
@@ -156,16 +159,16 @@ def test_dataset_lock_is_exclusive_reentrant_and_breaks_stale(tmp_path):
         assert os.path.exists(lp)  # inner exit keeps the outer hold
     assert not os.path.exists(lp)
 
-    # crashed holder: dead pid breaks immediately (age > 1 s)
+    # crashed SAME-HOST holder: dead pid breaks immediately (age > 1 s)
     with open(lp, "w") as f:
-        f.write("999999999 0\n")
+        f.write(f"{host} 999999999 deadbeef 0\n")
     old = time.time() - 10
     os.utime(lp, (old, old))
     with dataset_lock(path, timeout=5.0, stale_after=600):
         pass
     assert not os.path.exists(lp)
 
-    # crashed holder: un-parseable pid falls back to age-based break
+    # crashed holder: un-parseable token falls back to age-based break
     with open(lp, "w") as f:
         f.write("garbage\n")
     old = time.time() - 10_000
@@ -173,3 +176,75 @@ def test_dataset_lock_is_exclusive_reentrant_and_breaks_stale(tmp_path):
     with dataset_lock(path, timeout=1.0, stale_after=600):
         pass
     assert not os.path.exists(lp)
+
+
+def test_lock_foreign_host_is_never_pid_probed(tmp_path):
+    """r9 ADVICE fix: on a shared filesystem another host's LIVE
+    holder must not be broken just because its pid isn't visible
+    locally — the pid probe applies only when the recorded hostname
+    is ours; a foreign holder expires only when its heartbeat stops
+    (mtime older than stale_after)."""
+    import os
+    import time
+
+    from weatherflow_spark.operators.commit import (
+        DatasetLockTimeout,
+        dataset_lock,
+    )
+
+    path = str(tmp_path / "ds")
+    os.makedirs(path)
+    lp = path + ".__lock"
+
+    # Foreign host, nonexistent pid, FRESH heartbeat: must block.
+    with open(lp, "w") as f:
+        f.write(f"some-other-host 999999999 cafebabe {time.time()}\n")
+    now = time.time() - 3  # past the 1 s grace, well inside stale_after
+    os.utime(lp, (now, now))
+    with pytest.raises(DatasetLockTimeout):
+        with dataset_lock(path, timeout=0.4, stale_after=600):
+            pass
+
+    # Same file with a STOPPED heartbeat (mtime beyond stale_after):
+    # presumed crashed, broken, acquired.
+    old = time.time() - 30
+    os.utime(lp, (old, old))
+    with dataset_lock(path, timeout=2.0, stale_after=10):
+        pass
+    assert not os.path.exists(lp)
+
+
+def test_lock_release_spares_successor_and_heartbeats(tmp_path):
+    """r9 ADVICE fix: release re-reads the lock file and unlinks only
+    if the token is still OURS — a holder whose lock was broken and
+    re-taken must not delete the successor's lock (that reopened the
+    lost-update window). Also: the heartbeat keeps a live holder's
+    mtime fresh so long writes never age into staleness."""
+    import os
+    import time
+
+    from weatherflow_spark.operators import commit as C
+
+    path = str(tmp_path / "ds")
+    os.makedirs(path)
+    lp = path + ".__lock"
+
+    cm = C.dataset_lock(path, stale_after=2.0)
+    cm.__enter__()
+    try:
+        tok = C._read_token(lp)
+        assert tok is not None and len(tok.split()) == 3
+        # heartbeat: after > stale_after/4, mtime must still be fresh
+        time.sleep(1.2)
+        assert time.time() - os.path.getmtime(lp) < 1.0
+    finally:
+        # Simulate a waiter breaking the lock and re-acquiring while
+        # the original holder is still inside its critical section.
+        os.unlink(lp)
+        with open(lp, "w") as f:
+            f.write(f"successor-host 123 0123abcd {time.time()}\n")
+        cm.__exit__(None, None, None)
+    # The original holder's release must have spared the successor.
+    assert os.path.exists(lp)
+    assert C._read_token(lp) == "successor-host 123 0123abcd"
+    os.unlink(lp)

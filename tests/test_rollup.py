@@ -315,3 +315,42 @@ def test_merge_rollup_folds_late_data_without_fact_reread(spark, tmpdir):
     assert got == expect
     # day-2 bucket untouched by the late batch: same files on disk
     assert set(os.listdir(os.path.join(path, "event_date=2024-01-02"))) == day2_files
+
+
+def test_merge_rollup_preserves_null_date_bucket(spark, tmpdir):
+    """r9 ADVICE fix: a NULL event_date (null ts →
+    __HIVE_DEFAULT_PARTITION__) late batch must MERGE with that
+    bucket's existing partials, not replace them — isin() never
+    matches NULL, so the old pruning skipped the existing rows and
+    the dynamic overwrite dropped them silently."""
+    import datetime as dt
+
+    from weatherflow_spark.operators.rollup import (
+        merge_rollup,
+        read_rollup,
+        write_rollup,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    initial = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 12, 0), 1, "view", 1.0, "{}"),
+            (2, None, 2, "view", 3.0, "{}"),  # NULL-ts bucket, pre-existing
+        ],
+        cols,
+    )
+    late = spark.createDataFrame(
+        [(3, None, 3, "view", 7.0, "{}")],  # NULL-ts again, late
+        initial.schema,
+    )
+    path = f"{tmpdir}/partials_null"
+    write_rollup(initial, path)
+    merge_rollup(spark, late, path)
+
+    got = {
+        (r.event_date, r.event_type): (r.n, r.sum_value)
+        for r in read_rollup(spark, path).collect()
+    }
+    # the NULL bucket holds BOTH events (3.0 + 7.0), not just the late one
+    assert got[(None, "view")] == (2, 10.0)
+    assert got[(dt.date(2024, 1, 1), "view")] == (1, 1.0)

@@ -690,6 +690,44 @@ def test_streaming_admission_replay_does_not_flip_verdicts(spark, tmp_path):
     assert v2 == {10: "new"}  # unchanged — no self-match
 
 
+def test_streaming_admission_replay_does_not_grow_index(spark, tmp_path):
+    """r9 ADVICE fix: the admission sink's signature writes are
+    batch_id-keyed OVERWRITES, so a re-delivered micro-batch (crash
+    between the index write and the checkpoint commit, repeated any
+    number of times) rewrites its own slice instead of appending
+    duplicate rows to sigs/ and bands/ without bound."""
+    from weatherflow_spark.streaming.pipeline import foreach_batch_admission
+
+    mk = lambda *items: spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in items],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    idx = str(tmp_path / "idx")
+    sink = foreach_batch_admission(idx, str(tmp_path / "verdicts"))
+    sink(mk((1, "seed corpus document about warehouse tables"),
+            (2, "another seed document describing shuffle exchanges")), 0)
+    fresh = mk((10, "a brand new document that matches nothing in the corpus"))
+    sink(fresh, 1)
+    sigs = os.path.join(idx, "sigs")
+    bands = os.path.join(idx, "bands")
+    n_sigs = spark.read.parquet(sigs).count()
+    n_bands = spark.read.parquet(bands).count()
+    assert n_sigs == 3  # every admitted doc exactly once
+
+    # replay batch 1 three times, and even the seed batch once
+    for _ in range(3):
+        sink(fresh, 1)
+    sink(mk((1, "seed corpus document about warehouse tables"),
+            (2, "another seed document describing shuffle exchanges")), 0)
+    assert spark.read.parquet(sigs).count() == n_sigs
+    assert spark.read.parquet(bands).count() == n_bands
+    v = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    assert v == {1: "new", 2: "new", 10: "new"}
+
+
 def test_stream_serve_runs_as_multiple_micro_batches(spark):
     """T1's driver row (plans/serving.q_stream_serve) claims real
     micro-batch SEQUENCING — three landed files drained one per

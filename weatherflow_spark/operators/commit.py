@@ -38,6 +38,8 @@ row-level conflict detection, out of scope for plain parquet.
 from __future__ import annotations
 
 import os
+import socket
+import threading
 import time
 from contextlib import contextmanager
 
@@ -63,12 +65,42 @@ def _lock_path(path: str) -> str:
 _HELD: dict[str, int] = {}
 
 
-def _holder_alive(lp: str) -> bool:
-    """Best-effort liveness of the recorded holder pid (local form;
-    on a shared filesystem across hosts, age is the only signal)."""
+def _lock_token() -> str:
+    """hostname + pid + nonce: identifies one ACQUISITION, not just a
+    process. The hostname scopes the pid-liveness probe to this host
+    (a pid is meaningless across a shared filesystem); the nonce makes
+    release safe — two acquisitions by the same pid (break + retake)
+    still carry distinct tokens, so a stale holder can never unlink
+    the lock a successor legitimately owns."""
+    return f"{socket.gethostname()} {os.getpid()} {os.urandom(8).hex()}"
+
+
+def _read_token(lp: str) -> str | None:
+    """The holder token recorded in the lock file (first 3 fields),
+    or None if unreadable/garbled."""
     try:
         with open(lp) as f:
-            pid = int(f.read().split()[0])
+            parts = f.read().split()
+        if len(parts) < 3:
+            return None
+        return " ".join(parts[:3])
+    except OSError:
+        return None
+
+
+def _holder_alive(lp: str) -> bool:
+    """Best-effort liveness of the recorded holder. The pid probe is
+    only meaningful on the holder's OWN host: on a shared filesystem
+    another host's live writer would look dead locally (its pid isn't
+    ours to see), so for foreign hostnames we return True and let age
+    — kept fresh by the holder's mtime heartbeat — be the only
+    signal."""
+    try:
+        with open(lp) as f:
+            parts = f.read().split()
+        host, pid = parts[0], int(parts[1])
+        if host != socket.gethostname():
+            return True  # foreign holder: only the heartbeat can expire it
         os.kill(pid, 0)
         return True
     except ProcessLookupError:
@@ -85,14 +117,19 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 3600.0):
     directory's COMMITS.
 
     Acquisition is O_EXCL file creation (atomic on POSIX and HDFS-like
-    stores). A lock whose holder is provably dead (pid gone, local
-    form) or older than ``stale_after`` is presumed crashed and broken
-    ATOMICALLY: the breaker renames the stale file aside — rename of
-    one source succeeds for exactly one waiter, so two waiters can
-    never both break-and-acquire. ``stale_after`` defaults to an hour
-    because writers hold the lock for their full merge WRITE (not just
-    a metadata rename); deployments should size it beyond their
-    longest load."""
+    stores). The lock file records a ``hostname pid nonce`` token: the
+    pid-liveness fast path applies only to same-host holders (a
+    foreign host's live writer must never look dead locally — r8
+    ADVICE), a heartbeat thread refreshes the file's mtime every
+    ``stale_after/4`` so a live holder of ANY duration never ages
+    into staleness, and release re-reads the file and unlinks only if
+    the token is still ours — a broken-then-superseded holder cannot
+    delete its successor's lock. A lock whose holder is provably dead
+    (pid gone, same host) or older than ``stale_after`` (heartbeat
+    stopped) is presumed crashed and broken ATOMICALLY: the breaker
+    renames the stale file aside — rename of one source succeeds for
+    exactly one waiter, so two waiters can never both
+    break-and-acquire."""
     lp = _lock_path(path)
     if _HELD.get(lp, 0) > 0:  # reentrant: already ours
         _HELD[lp] += 1
@@ -106,11 +143,12 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 3600.0):
     parent = os.path.dirname(lp)
     if parent:
         os.makedirs(parent, exist_ok=True)
+    token = _lock_token()
     deadline = time.monotonic() + timeout
     while True:
         try:
             fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.write(fd, f"{token} {time.time()}\n".encode())
             os.close(fd)
             break
         except FileExistsError:
@@ -134,14 +172,37 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 3600.0):
                 )
             time.sleep(0.05)
     _HELD[lp] = 1
+    # Heartbeat: holders keep the lock for full Spark writes, which
+    # can legitimately exceed any fixed stale_after. Refreshing mtime
+    # makes staleness mean "heartbeat stopped" (crashed process /
+    # lost host) instead of "write was slow".
+    stop = threading.Event()
+
+    def _beat() -> None:
+        interval = max(0.5, min(stale_after / 4.0, 60.0))
+        while not stop.wait(interval):
+            try:
+                now = time.time()
+                os.utime(lp, (now, now))
+            except OSError:
+                return  # lock broken out from under us; stop beating
+    beat = threading.Thread(target=_beat, daemon=True, name="wf-lock-beat")
+    beat.start()
     try:
         yield
     finally:
         _HELD[lp] = 0
-        try:
-            os.unlink(lp)
-        except OSError:
-            pass
+        stop.set()
+        beat.join(timeout=1.0)
+        # Release ONLY our own acquisition: if a waiter broke this
+        # lock as stale and re-acquired, the file now carries ITS
+        # token — unlinking it would let a third writer in while two
+        # are still committing (the r8 ADVICE lost-update window).
+        if _read_token(lp) == token:
+            try:
+                os.unlink(lp)
+            except OSError:
+                pass
 
 
 def dataset_snapshot(path: str) -> frozenset[tuple[str, int]]:
@@ -155,5 +216,15 @@ def dataset_snapshot(path: str) -> frozenset[tuple[str, int]]:
             if f.startswith(("_", ".")):
                 continue
             full = os.path.join(root, f)
-            out.append((os.path.relpath(full, path), os.path.getsize(full)))
+            try:
+                size = os.path.getsize(full)
+            except OSError:
+                # The file vanished between the walk listing and the
+                # stat (a concurrent dynamic overwrite deleting part
+                # files). Record a sentinel instead of crashing: the
+                # set will differ from any post-rewrite snapshot, so
+                # the swap-time comparison fails — the conservative
+                # outcome the optimistic protocol wants.
+                size = -1
+            out.append((os.path.relpath(full, path), size))
     return frozenset(out)

@@ -93,6 +93,7 @@ def compact(
     """
     from weatherflow_spark.operators.commit import (
         CompactionConflict,
+        DatasetLockTimeout,
         dataset_lock,
         dataset_snapshot,
     )
@@ -112,28 +113,50 @@ def compact(
     # (On an object store, swap via a catalog pointer instead — renames
     # aren't atomic there; this file-system path is the local/HDFS form.)
     tmp = path.rstrip("/") + "__compacting"
-    out.write.mode("overwrite").parquet(tmp)
-    if _before_swap is not None:
-        _before_swap()
-    with dataset_lock(path):
-        # Optimistic validation: any load that committed since the
-        # snapshot changed the data-file set (part-file names carry
-        # task UUIDs) — swapping now would discard its rows.
-        if dataset_snapshot(path) != snap0:
-            shutil.rmtree(tmp)
+    old = path.rstrip("/") + "__old"
+    swapped = False
+    try:
+        out.write.mode("overwrite").parquet(tmp)
+        if _before_swap is not None:
+            _before_swap()
+        with dataset_lock(path):
+            # Optimistic validation: any load that committed since the
+            # snapshot changed the data-file set (part-file names carry
+            # task UUIDs) — swapping now would discard its rows.
+            if dataset_snapshot(path) != snap0:
+                raise CompactionConflict(
+                    f"{path}: dataset changed during compaction; re-run"
+                )
+            # Swap via rename-aside, not delete-then-rename: with
+            # rmtree(path) first, a crash between the two calls loses
+            # the dataset and concurrent readers see the table vanish.
+            # Renaming the old copy aside keeps a complete copy on
+            # disk at every instant; the stale __old dir is removed
+            # last and is safe to re-remove on retry.
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            swapped = True
+    except (CompactionConflict, DatasetLockTimeout):
+        raise
+    except Exception as e:
+        # A concurrent dynamic overwrite can delete part files the
+        # unlocked read already listed — Spark surfaces that as a
+        # FileNotFound from deep in the scan. Translate it into the
+        # one retryable error type callers already handle; anything
+        # else propagates unchanged.
+        msg = str(e)
+        if "FileNotFoundException" in msg or "FileNotFoundError" in msg:
             raise CompactionConflict(
-                f"{path}: dataset changed during compaction; re-run"
-            )
-        # Swap via rename-aside, not delete-then-rename: with
-        # rmtree(path) first, a crash between the two calls loses the
-        # dataset and concurrent readers see the table vanish.
-        # Renaming the old copy aside keeps a complete copy on disk
-        # at every instant; the stale __old dir is removed last and
-        # is safe to re-remove on retry.
-        old = path.rstrip("/") + "__old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(path, old)
-        os.rename(tmp, path)
+                f"{path}: files changed under the unlocked rewrite; re-run"
+            ) from e
+        raise
+    finally:
+        # Every non-success exit (conflict, lock timeout, mid-rewrite
+        # failure) must reclaim the scratch dir — leaking it turns
+        # retries into disk-pressure incidents at warehouse scale.
+        if not swapped:
+            shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old)
     return len(parquet_files(path))

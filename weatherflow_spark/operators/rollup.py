@@ -106,9 +106,16 @@ def merge_rollup(
             r.event_date
             for r in batch_partials.select("event_date").distinct().collect()
         ]
-        existing = spark.read.parquet(path).where(
-            F.col("event_date").isin(touched)  # partition-pruned read
-        )
+        # eqNullSafe per touched value, not isin: a NULL event_date
+        # (null ts → __HIVE_DEFAULT_PARTITION__) never matches isin,
+        # so that bucket's existing partials would be skipped and the
+        # dynamic overwrite would replace them with batch-only
+        # partials — silent loss (the upsert_by_key NULL-partition
+        # fix, applied here too; r8 ADVICE).
+        pred = F.lit(False)
+        for v in touched:
+            pred = pred | F.col("event_date").eqNullSafe(F.lit(v))
+        existing = spark.read.parquet(path).where(pred)  # partition-pruned
     if existing is None:
         merged = batch_partials
     else:

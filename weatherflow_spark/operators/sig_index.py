@@ -67,7 +67,10 @@ def build_signature_index(docs: DataFrame, path: str) -> None:
 
 def append_signature_index(docs: DataFrame, path: str) -> None:
     """Fold admitted documents into the index (append — signature
-    rows are immutable once written, so append is the whole story)."""
+    rows are immutable once written, so append is the whole story).
+    Batch-job form: use :func:`write_signature_batch` from streaming
+    sinks, where at-least-once redelivery would otherwise re-append
+    the same rows forever."""
     from weatherflow_spark.plans.ext_dedup import minhash_band_keys
 
     _with_signatures(docs).write.mode("append").parquet(
@@ -75,6 +78,29 @@ def append_signature_index(docs: DataFrame, path: str) -> None:
     )
     minhash_band_keys(docs).write.mode("append").parquet(
         os.path.join(path, "bands")
+    )
+
+
+def write_signature_batch(docs: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-micro-batch index write: the batch's signature
+    rows land under ``batch_id=<n>`` partition directories (OVERWRITE
+    of exactly that slice), so a replayed batch — crash between the
+    index write and the checkpoint commit, at-least-once delivery —
+    rewrites its own slice byte-for-byte instead of appending
+    duplicate rows without bound (r8 ADVICE). Readers see one
+    partitioned table: ``spark.read.parquet(<path>/sigs)`` discovers
+    the ``batch_id`` column and ``admit_with_index`` ignores it.
+
+    A dataset must use ONE layout consistently — this per-batch form
+    (streaming sinks) or the flat build/append form (batch jobs);
+    Spark's partition discovery cannot mix them under one root."""
+    from weatherflow_spark.plans.ext_dedup import minhash_band_keys
+
+    _with_signatures(docs).write.mode("overwrite").parquet(
+        os.path.join(path, "sigs", f"batch_id={batch_id}")
+    )
+    minhash_band_keys(docs).write.mode("overwrite").parquet(
+        os.path.join(path, "bands", f"batch_id={batch_id}")
     )
 
 

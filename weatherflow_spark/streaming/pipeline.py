@@ -618,21 +618,22 @@ def foreach_batch_admission(index_path: str, verdicts_path: str):
     production shape of streaming dedup at 100 TB: per batch, work is
     bounded by the batch and the (compact) index — not the corpus.
 
-    Replay safety: verdict writes are per-batch keyed by batch_id
-    (re-delivered batches overwrite their own directory);
-    admit_with_index SELF-EXCLUDES the batch's doc_ids from the index
-    probe, so a replayed batch whose signatures were already appended
-    (crash between the append and the checkpoint commit) reproduces
-    its ORIGINAL verdicts rather than matching itself; and a replayed
-    append only adds duplicate signature rows with identical keys —
-    candidate sets are unchanged (set semantics). Compact the index
-    to dedup rows if storage matters."""
+    Replay safety: BOTH writes are per-batch keyed by batch_id —
+    verdicts overwrite their own directory, and signature rows land
+    under ``batch_id=<n>`` slices of sigs/ and bands/ (overwrite, via
+    ``write_signature_batch``), so a crash/replay cycle rewrites the
+    SAME slice instead of appending duplicate rows without bound (r8
+    ADVICE: the old flat append grew the index on every redelivery).
+    admit_with_index additionally SELF-EXCLUDES the batch's doc_ids
+    from the index probe, so a replayed batch whose signatures were
+    already written (crash between the index write and the checkpoint
+    commit) reproduces its ORIGINAL verdicts rather than matching
+    itself."""
     import os as _os
 
     from weatherflow_spark.operators.sig_index import (
         admit_with_index,
-        append_signature_index,
-        build_signature_index,
+        write_signature_batch,
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -641,8 +642,10 @@ def foreach_batch_admission(index_path: str, verdicts_path: str):
         sig_dir = _os.path.join(index_path, "sigs")
         if not _os.path.exists(sig_dir):
             # Cold start: the first batch seeds the index; everything
-            # in it is 'new' by definition.
-            build_signature_index(batch_df, index_path)
+            # in it is 'new' by definition. Seeded through the same
+            # per-batch slice so the index stays one partitioned
+            # layout and the seed itself is replay-idempotent.
+            write_signature_batch(batch_df, index_path, batch_id)
             verdicts = batch_df.select(
                 "doc_id",
                 F.lit("new").alias("verdict"),
@@ -652,8 +655,10 @@ def foreach_batch_admission(index_path: str, verdicts_path: str):
             verdicts = admit_with_index(spark, batch_df, index_path)
             verdicts = verdicts.localCheckpoint(eager=True)
             new_ids = verdicts.where(F.col("verdict") == "new").select("doc_id")
-            append_signature_index(
-                batch_df.join(F.broadcast(new_ids), "doc_id"), index_path
+            write_signature_batch(
+                batch_df.join(F.broadcast(new_ids), "doc_id"),
+                index_path,
+                batch_id,
             )
         verdicts.write.mode("overwrite").parquet(
             _os.path.join(verdicts_path, f"batch_id={batch_id}")
