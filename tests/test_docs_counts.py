@@ -44,3 +44,45 @@ def test_python_boundary_claim_matches_registry():
     )
     for n in names:
         assert n in QUERIES, f"claimed boundary query {n} not registered"
+
+
+def test_certification_tier_claims_match_window():
+    """r9 (VERDICT r8 'Next round' #7): every SURVEY §2 certification
+    claim must match reality — a query described as 'driver-certified'
+    or as having a 'driver window row' must actually sit in the
+    registry's first-50 certified prefix (directly or via the cited
+    suite), and every backticked q_* name in SURVEY must be a
+    registered query. This is the audit that makes the r8 mislabel
+    (tail queries documented as driver-certified) structurally
+    impossible to reintroduce."""
+    import re
+
+    window = set(list(QUERIES)[:50])
+    survey = open(os.path.join(REPO, "SURVEY.md")).read()
+
+    for q in set(re.findall(r"`(q_\w+)`", survey)):
+        assert q in QUERIES, f"SURVEY cites unregistered query {q}"
+
+    claims = re.findall(
+        r"(driver-certified by|driver window row via)((?:[^|\n])*)", survey
+    )
+    assert claims, "SURVEY certification phrasing changed — update audit"
+    for verb, blob in claims:
+        names = re.findall(r"`(q_\w+)`", blob)
+        assert names, f"claim '{verb}{blob[:60]}' cites no query"
+        in_window = [n for n in names if n in window]
+        assert in_window, (
+            f"SURVEY claims '{verb}' citing only tail queries {names} — "
+            "either rotate one into the window or reword the tier"
+        )
+
+    # The phrase 'driver-certified' must never be attached to a line
+    # whose ONLY cited queries are tail entries (checked above); also
+    # make sure no line claims a 'driver row' bare, without citing any
+    # query at all that this audit could check.
+    for line in survey.splitlines():
+        if "driver-certified" in line or "driver window row" in line:
+            names = re.findall(r"`(q_\w+)`", line)
+            assert any(n in window for n in names), (
+                f"tier claim without a window query on line: {line[:100]}"
+            )

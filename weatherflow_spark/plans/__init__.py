@@ -132,7 +132,15 @@ _CERTIFICATION_WINDOW = [
     # goes to the E55 warehouse data-quality report (round-7 fold-in,
     # VERDICT r6 'What's missing' #1).
     "q_data_quality_report",      # E55
-    "q_knn_graph",                # E44
+    # r9: q_knn_graph's slot rotates to the pipeline suite — E44's
+    # kNN-graph rows ARE q_ann_suite's 'knn' branch (the single
+    # existed to pin its plan, which tests/test_plan_audit.py still
+    # does; it keeps tail parity + an OPTIONAL bench row). The five
+    # surfaces the r8 verdict flagged as local-only (T1/T3
+    # q_stream_serve, E77 q_grouped_rank, E81 q_index_admit, E82
+    # q_sketch_serve, E85 q_shard_export) get their driver row here
+    # (VERDICT r8 'Next round' #1).
+    "q_pipeline_suite",
     # product analytics (funnel + cohort retention)
     "q_product_analytics_suite",
     # iterative + sketch + layout + time-series + graph surfaces

@@ -723,7 +723,121 @@ ORACLE_SERVING_SUITE = f"""
 """
 
 
+def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-pipeline certification row (r9): the five surfaces the
+    r8 verdict flagged as local-only get one DRIVER row here — tagged
+    by op and unioned in LONG format (op, key, metric, value:bigint):
+
+    - ``stream_serve``  (T1+T3): REAL Structured Streaming run —
+      micro-batch sequencing + watermarked dedup under replay.
+    - ``grouped_rank``  (E77): skew-proof distributed per-group rank
+      vs the single-task window spec.
+    - ``index_admit``   (E81): admission served from the PERSISTED
+      signature index, decision-identical to text recompute.
+    - ``sketch_cube``   (E82): HLL partials persisted slice-by-slice,
+      merged at serve — identical to the one-shot sketch.
+    - ``shard_export``  (E85): deterministic shuffle-and-shard export
+      written partition-by-shard and digested from disk.
+
+    Every branch performs its real maintain-then-serve I/O (landing
+    drops, index build, cube writes, shard writes) because that I/O
+    IS the certified claim. Doubles are pinned to integers per branch
+    (cents / e2 / e6) before the union; the singles stay registered
+    in the tail for parity + timing continuity."""
+    ss = q_stream_serve(spark, sf_dir).selectExpr(
+        "'stream_serve' AS op",
+        "date_format(cast(window_start as timestamp), 'yyyy-MM-dd HH:mm:ss')"
+        " AS key",
+        "stack(2, 'n_events', cast(n_events as bigint), "
+        "'sum_cents', cast(floor(sum_value * 100 + 0.5) as bigint))"
+        " AS (metric, value)",
+    )
+    gr = q_grouped_rank(spark, sf_dir).selectExpr(
+        "'grouped_rank' AS op",
+        "concat(o_orderpriority, '|', cast(o_orderkey as string)) AS key",
+        "'rank' AS metric",
+        "cast(rank as bigint) AS value",
+    )
+    ia = q_index_admit(spark, sf_dir).selectExpr(
+        "'index_admit' AS op",
+        "cast(doc_id as string) AS key",
+        "stack(2, 'verdict_code', cast(CASE verdict WHEN 'exact_dup' THEN 0 "
+        "WHEN 'near_dup' THEN 1 ELSE 2 END as bigint), "
+        "'best_j_e6', coalesce(cast(floor(best_jaccard * 1e6 + 0.5) "
+        "as bigint), -1)) AS (metric, value)",
+    )
+    sk = q_sketch_serve(spark, sf_dir).selectExpr(
+        "'sketch_cube' AS op",
+        "event_type AS key",
+        "stack(3, 'exact_distinct', cast(exact_distinct as bigint), "
+        "'hll_e2', cast(floor(hll_estimate * 100 + 0.5) as bigint), "
+        "'n_zero_registers', cast(n_zero_registers as bigint))"
+        " AS (metric, value)",
+    )
+    se = q_shard_export(spark, sf_dir).selectExpr(
+        "'shard_export' AS op",
+        "cast(shard_id as string) AS key",
+        "stack(5, 'n_docs', cast(n_docs as bigint), "
+        "'key_xor', cast(key_xor as bigint), "
+        "'key_sum', cast(key_sum as bigint), "
+        "'order_fp', cast(order_fp as bigint), "
+        "'chars_total', cast(chars_total as bigint)) AS (metric, value)",
+    )
+    return (
+        ss.unionByName(gr).unionByName(ia).unionByName(sk).unionByName(se)
+    )
+
+
+def _oracle_pipeline_suite() -> str:
+    return f"""
+    SELECT 'stream_serve' AS op,
+           strftime(window_start, '%Y-%m-%d %H:%M:%S') AS key,
+           u.metric, u.value
+    FROM ({ORACLE_STREAM_SERVE}) s,
+         (VALUES ('n_events'), ('sum_cents')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric WHEN 'n_events' THEN s.n_events
+                       ELSE floor(s.sum_value * 100 + 0.5) END AS BIGINT)
+                      AS value) u
+    UNION ALL
+    SELECT 'grouped_rank', o_orderpriority || '|' || CAST(o_orderkey AS VARCHAR),
+           'rank', CAST(rank AS BIGINT)
+    FROM ({ORACLE_GROUPED_RANK})
+    UNION ALL
+    SELECT 'index_admit', CAST(doc_id AS VARCHAR), u.metric, u.value
+    FROM ({_oracle_index_admit()}) s,
+         (VALUES ('verdict_code'), ('best_j_e6')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric WHEN 'verdict_code' THEN
+                           CASE s.verdict WHEN 'exact_dup' THEN 0
+                                WHEN 'near_dup' THEN 1 ELSE 2 END
+                       ELSE COALESCE(floor(s.best_jaccard * 1e6 + 0.5), -1)
+                       END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'sketch_cube', event_type, u.metric, u.value
+    FROM ({_oracle_sketch_serve()}) s,
+         (VALUES ('exact_distinct'), ('hll_e2'), ('n_zero_registers'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric WHEN 'exact_distinct' THEN s.exact_distinct
+                       WHEN 'hll_e2' THEN floor(s.hll_estimate * 100 + 0.5)
+                       ELSE s.n_zero_registers END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'shard_export', CAST(shard_id AS VARCHAR), u.metric, u.value
+    FROM ({_oracle_shard_export()}) s,
+         (VALUES ('n_docs'), ('key_xor'), ('key_sum'), ('order_fp'),
+                 ('chars_total')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric WHEN 'n_docs' THEN s.n_docs
+                       WHEN 'key_xor' THEN s.key_xor
+                       WHEN 'key_sum' THEN s.key_sum
+                       WHEN 'order_fp' THEN s.order_fp
+                       ELSE s.chars_total END AS BIGINT) AS value) u
+    """
+
+
 SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_pipeline_suite": q_pipeline_suite,
     "q_serving_suite": q_serving_suite,
     "q_rollup_serve": q_rollup_serve,
     "q_global_index": q_global_index,
@@ -738,6 +852,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SERVING_ORACLES: dict[str, str] = {
+    "q_pipeline_suite": _oracle_pipeline_suite(),
     "q_serving_suite": ORACLE_SERVING_SUITE,
     "q_rollup_serve": ORACLE_ROLLUP_SERVE,
     "q_global_index": ORACLE_GLOBAL_INDEX,
