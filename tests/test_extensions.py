@@ -745,3 +745,41 @@ def test_signature_index_grows_with_admitted_docs(spark, tmp_path):
     v2 = {r.doc_id: r.verdict for r in admit_with_index(spark, b2, path).collect()}
     assert v2[21] == "exact_dup"          # vs original corpus
     assert v2[20] == "near_dup"           # vs the batch-1 doc, via the APPEND
+
+
+def test_phash_catches_near_identical_planes_exact_hash_misses(spark, tmp_path):
+    """E86 (r9): byte-level near-identical planes that the EXACT
+    content hash misses must pair under the perceptual hash. Doc 2 is
+    doc 1 with four bytes flipped (different sha, same block-average
+    profile → Hamming ~0); doc 3 is the inverted plane (every block
+    mean on the other side of the global mean → Hamming ~60, no
+    shared band, never a candidate)."""
+    from weatherflow_spark.plans.ext_dedup import (
+        PHASH_HAMMING_MAX,
+        q_phash_near_dup,
+    )
+
+    base = "".join(("a" if i % 2 == 0 else "z") * 20 for i in range(60))
+    mutated = list(base)
+    for p in (30, 310, 770, 1150):  # flip bytes inside 'z' blocks: z -> y
+        mutated[p] = "y" if mutated[p] == "z" else "b"
+    mutated = "".join(mutated)
+    inverted = "".join(("z" if i % 2 == 0 else "a") * 20 for i in range(60))
+    assert mutated != base  # the exact hash misses exactly this pair
+
+    df = spark.createDataFrame(
+        [
+            (1, base, "en", "s0", len(base)),
+            (2, mutated, "en", "s0", len(mutated)),
+            (3, inverted, "en", "s0", len(inverted)),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tmp_path / "phash_sf"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {(r.doc_a, r.doc_b): r.hamming for r in q_phash_near_dup(spark, str(d)).collect()}
+    assert (1, 2) in out and out[(1, 2)] <= PHASH_HAMMING_MAX
+    assert out[(1, 2)] <= 4  # a few flipped bytes, not a different plane
+    assert (1, 3) not in out and (2, 3) not in out

@@ -277,3 +277,83 @@ def multimodal_resize(docs: DataFrame, target_bytes: int = 64) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(
         make_resize(target_bytes), RESIZED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash — block-average (aHash-family) over the byte plane
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 60  # 4 x 15-bit bands, mirroring the SimHash banding
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def make_phash(
+    decode: Callable[[bytes], bytes] | None = None,
+    n_bits: int = PHASH_BITS,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build the perceptual-hash mapInPandas worker (closure — see
+    make_extract_features for why). Block-average hash, the aHash
+    member of the pHash family: the decoded byte plane is split into
+    ``n_bits`` contiguous blocks (position p → block p·n_bits // n),
+    and bit b is set iff block b's mean byte value exceeds the plane's
+    global mean — compared CROSS-MULTIPLIED in integers
+    (block_sum·n > total·block_len), so no float ever enters the hash
+    and the DuckDB oracle reproduces it bit-for-bit from `text`
+    (ASCII plane: byte == codepoint). A few flipped bytes move a few
+    block means, so near-identical planes land within a small Hamming
+    distance while the exact content hash already differs — the
+    property the banded near-dup join exploits. Real deployments put
+    the image decode + DCT low-pass in ``decode``; the per-plane body
+    is numpy-vectorized (bincount over block ids), not per-byte
+    Python."""
+    nb_bits = int(n_bits)
+    if decode is None:
+
+        def decode(payload: bytes) -> bytes:
+            return payload
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd  # re-import inside the worker process
+
+        def one(payload: bytes) -> int:
+            plane = decode(payload)
+            n = len(plane)
+            if n == 0:
+                return 0
+            arr = np.frombuffer(plane, dtype=np.uint8).astype(np.int64)
+            total = int(arr.sum())
+            blocks = (np.arange(n, dtype=np.int64) * nb_bits) // n
+            sums = np.bincount(blocks, weights=arr, minlength=nb_bits)
+            counts = np.bincount(blocks, minlength=nb_bits)
+            mask = sums.astype(np.int64) * n > total * counts.astype(np.int64)
+            h = 0
+            for b in np.nonzero(mask)[0]:
+                h |= 1 << int(b)
+            return h
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.Series(
+                        [one(p) for p in pdf["payload"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return phash_batches
+
+
+def multimodal_phash(docs: DataFrame) -> DataFrame:
+    """Attach payload → mapInPandas perceptual hash: (doc_id, phash).
+    Narrow (no shuffle); callers band the hash for the candidate
+    join (plans/ext_dedup.q_phash_near_dup)."""
+    return with_binary_payload(docs).mapInPandas(make_phash(), PHASH_SCHEMA)

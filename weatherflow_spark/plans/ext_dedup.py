@@ -451,6 +451,130 @@ ORACLE_SIMHASH_NEAR_DUP = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_phash_near_dup — perceptual-hash near-dup over the BINARY plane (E86)
+# ---------------------------------------------------------------------------
+
+PHASH_HAMMING_MAX = 12  # calibrated: testdata's identical-plane pairs sit at
+# Hamming 0 and the near-profile tail at 8-12 (sf0.1 band-gated histogram:
+# 8 pairs at 0, ~230 at <=12), while the random-pair mode is ~19-25.
+
+
+def _phash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sim, band_key): one row per 15-bit band of the 60-bit
+    perceptual hash — the multimodal mirror of ``_simhash_banded``.
+    The hash itself comes through the binary-plane mapInPandas seam
+    (multimodal/binary.make_phash: payload → decode stand-in →
+    block-average bits), so the EXPENSIVE step is one narrow
+    Arrow-batched pass; it is persisted (two longs per doc) before
+    the band explosion because it feeds both sides of the candidate
+    self-join, exactly the _simhash_banded trade. The repartition
+    spreads the Python stage off the single-file scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    from weatherflow_spark.multimodal.binary import multimodal_phash
+
+    par = spark.sparkContext.defaultParallelism
+    sigs = multimodal_phash(docs.repartition(par, F.col("doc_id"))).select(
+        "doc_id", F.col("phash").alias("sim")
+    )
+    sigs = tracked_persist(sigs)
+    band_structs = (
+        f"transform(sequence(0, {N_SIMHASH_BANDS - 1}), __b -> "
+        f"concat(cast(__b as string), ':', cast("
+        f"(sim div shiftleft(cast(1 as bigint), __b * {SIMHASH_BAND_BITS})) "
+        f"% {1 << SIMHASH_BAND_BITS} as string)))"
+    )
+    return sigs.select(
+        "doc_id", "sim", F.explode(F.expr(band_structs)).alias("band_key")
+    )
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E86: perceptual-hash near-dup detection over the BINARY plane —
+    the multimodal member of the near-dup family. Byte-level
+    near-identical planes (a re-encoded image, a few flipped bytes)
+    defeat the exact content hash but land within a small Hamming
+    distance of the 60-bit block-average perceptual hash
+    (multimodal/binary.make_phash — decode stand-in through the same
+    mapInPandas seam as E11, integer-exact cross-multiplied block
+    compare). Blocking mirrors the SimHash discipline: 4 × 15-bit
+    band keys, keyed equi-join (never all-pairs), Hamming-verify in
+    whole-stage codegen BEFORE the distinct so the dedup shuffle
+    carries only survivors, top-50 by (hamming, doc_a, doc_b).
+    At 100 TB the signature table is two longs per object and the
+    band join is the only exchange — the same sub-quadratic posture
+    as every other family here."""
+    banded = _phash_banded(spark, sf_dir)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.sim ^ b.sim)").cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+    )
+    return pairs.orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b")).limit(50)
+
+
+# The oracle rebuilds the perceptual hash RELATIONALLY from `text`
+# (ASCII plane: byte == codepoint): per-position block ids, grouped
+# block sums, cross-multiplied integer compare, then the same banded
+# candidate join — bit-for-bit the mapInPandas worker's contract.
+ORACLE_PHASH_NEAR_DUP = f"""
+    WITH pos AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n, u.i AS i,
+               CAST(ascii(substring(text, CAST(u.i AS INTEGER), 1)) AS BIGINT)
+                   AS c
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) u
+        WHERE length(text) > 0
+    ),
+    blocks AS (
+        SELECT doc_id, n, ((i - 1) * 60) // n AS b,
+               CAST(sum(c) AS BIGINT) AS bs,
+               CAST(count(*) AS BIGINT) AS bl
+        FROM pos GROUP BY doc_id, n, ((i - 1) * 60) // n
+    ),
+    tot AS (
+        SELECT doc_id, n, CAST(sum(bs) AS BIGINT) AS total
+        FROM blocks GROUP BY doc_id, n
+    ),
+    sigs0 AS (
+        SELECT b.doc_id,
+               CAST(sum(CASE WHEN b.bs * t.n > t.total * b.bl
+                        THEN CAST(1 AS BIGINT) << CAST(b.b AS INTEGER)
+                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+        FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id
+    ),
+    sigs AS (
+        SELECT d.doc_id, COALESCE(s.sim, CAST(0 AS BIGINT)) AS sim
+        FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+    ),
+    banded AS (
+        SELECT doc_id, sim,
+               concat(CAST(b AS VARCHAR), ':',
+                      CAST((sim // (CAST(1 AS BIGINT) << (b * {SIMHASH_BAND_BITS})))
+                           % {1 << SIMHASH_BAND_BITS} AS VARCHAR)) AS band_key
+        FROM sigs CROSS JOIN UNNEST(generate_series(0, {N_SIMHASH_BANDS - 1})) AS u(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.sim, b.sim)) <= {PHASH_HAMMING_MAX}
+    )
+    SELECT doc_a, doc_b, hamming
+    FROM pairs
+    ORDER BY hamming ASC, doc_a ASC, doc_b ASC
+    LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_ngram_jaccard — blocked pairwise exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 
@@ -1262,6 +1386,16 @@ def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("containment_e6").cast("double") / 1e6).alias("score"),
         null_flag,
     )
+    # Tenth family (E86, r9): perceptual-hash near-dup over the BINARY
+    # plane — the multimodal member (block-average hash through the
+    # E11 mapInPandas decode seam, banded Hamming buckets).
+    ph = q_phash_near_dup(spark, sf_dir).select(
+        F.lit("phash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("score"),
+        null_flag,
+    )
     return (
         mh.unionByName(sh)
         .unionByName(ng)
@@ -1269,6 +1403,7 @@ def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cont)
         .unionByName(win)
         .unionByName(sweep)
+        .unionByName(ph)
     )
 
 
@@ -1282,7 +1417,8 @@ def _oracle_near_dup_suite() -> str:
     sem_side AS ({ORACLE_SEMANTIC_PAIRS}),
     cont_side AS ({ORACLE_CONTAINMENT}),
     win_side AS ({ORACLE_WINNOW_FINGERPRINT}),
-    sweep_side AS ({ORACLE_CONTAINMENT_SWEEP})
+    sweep_side AS ({ORACLE_CONTAINMENT_SWEEP}),
+    ph_side AS ({ORACLE_PHASH_NEAR_DUP})
     SELECT 'minhash' AS method, doc_a, doc_b, jaccard AS score, is_dup
     FROM mh_side
     UNION ALL
@@ -1307,6 +1443,10 @@ def _oracle_near_dup_suite() -> str:
     SELECT 'containment_sweep', doc_a, doc_b,
            CAST(containment_e6 AS DOUBLE) / 1e6, CAST(NULL AS INTEGER)
     FROM sweep_side
+    UNION ALL
+    SELECT 'phash', doc_a, doc_b, CAST(hamming AS DOUBLE),
+           CAST(NULL AS INTEGER)
+    FROM ph_side
 """
 
 
@@ -1321,6 +1461,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_near_dup": q_minhash_near_dup,
     "q_simhash": q_simhash,
     "q_simhash_near_dup": q_simhash_near_dup,
+    "q_phash_near_dup": q_phash_near_dup,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_near_dup_suite": q_near_dup_suite,
     "q_incremental_dedup": q_incremental_dedup,
@@ -1337,6 +1478,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "q_minhash_near_dup": _oracle_minhash_near_dup(),
     "q_simhash": ORACLE_SIMHASH,
     "q_simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
+    "q_phash_near_dup": ORACLE_PHASH_NEAR_DUP,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_near_dup_suite": _oracle_near_dup_suite(),
     "q_incremental_dedup": _oracle_incremental_dedup(),
