@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import Row, functions as F
 
 from weatherflow_spark.operators.upsert import overwrite_partitions, upsert_by_key
@@ -229,3 +231,89 @@ def test_apply_changes_delete_can_empty_a_partition(spark, tmp_path):
     assert {(r.k, r.v, r.p) for r in spark.read.parquet(path).collect()} == {
         (1, 10.0, "a")
     }
+
+
+def test_upsert_cas_detects_concurrent_content_merge(spark, tmp_path):
+    """r9 (VERDICT r8 'Next round' #4): two writers each compute a
+    batch FROM a read of the same partition — without CAS the second
+    commit silently discards the first's merge (last-writer-wins on
+    content). With the partition-version manifest: writer B, holding
+    the versions it read BEFORE A committed, raises UpsertConflict and
+    nothing is written; B re-reads, recomputes, retries, and the final
+    table holds BOTH merges."""
+    from weatherflow_spark.operators.commit import (
+        UpsertConflict,
+        partition_key,
+        partition_versions,
+    )
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    path = str(tmp_path / "cas_tbl")
+    seed = spark.createDataFrame(
+        [(1, 10.0, "p1"), (2, 20.0, "p1"), (9, 90.0, "p2")], ["k", "v", "p"]
+    )
+    upsert_by_key(spark, seed, path, ["k"], ["p"])
+
+    # Both writers read the table + versions at the same instant.
+    v_read = partition_versions(path)
+    k_p1 = partition_key(["p"], ("p1",))
+    assert v_read[k_p1] == 1
+
+    # A: increments k=1 (batch computed from the read), commits first.
+    a_batch = spark.createDataFrame([(1, 11.0, "p1")], ["k", "v", "p"])
+    upsert_by_key(spark, a_batch, path, ["k"], ["p"], expected_versions=v_read)
+
+    # B: computed k=2's update from the SAME stale read — must conflict.
+    b_batch = spark.createDataFrame([(2, 21.0, "p1")], ["k", "v", "p"])
+    with pytest.raises(UpsertConflict) as exc:
+        upsert_by_key(
+            spark, b_batch, path, ["k"], ["p"], expected_versions=v_read
+        )
+    assert k_p1 in exc.value.stale_partitions
+    # nothing written by the failed attempt: A's merge intact
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 11.0), (2, 20.0), (9, 90.0)}
+
+    # B retries against a fresh read → both merges land.
+    v_retry = partition_versions(path)
+    upsert_by_key(
+        spark, b_batch, path, ["k"], ["p"], expected_versions=v_retry
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 11.0), (2, 21.0), (9, 90.0)}
+    # untouched partition p2 never bumped
+    assert partition_versions(path)[partition_key(["p"], ("p2",))] == 1
+
+
+def test_upsert_cas_opt_out_and_unpartitioned_table(spark, tmp_path):
+    """Without expected_versions the behavior is unchanged (bump only);
+    unpartitioned tables CAS through the single __TABLE__ key, and the
+    sibling manifest survives the full-directory overwrite."""
+    from weatherflow_spark.operators.commit import (
+        UpsertConflict,
+        partition_versions,
+    )
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    path = str(tmp_path / "cas_flat")
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 1.0)], ["k", "v"]),
+        path,
+        ["k"],
+    )
+    v1 = partition_versions(path)
+    assert v1 == {"__TABLE__": 1}
+    upsert_by_key(
+        spark, spark.createDataFrame([(2, 2.0)], ["k", "v"]), path, ["k"]
+    )  # no expected_versions: plain bump
+    assert partition_versions(path) == {"__TABLE__": 2}
+    with pytest.raises(UpsertConflict):
+        upsert_by_key(
+            spark,
+            spark.createDataFrame([(3, 3.0)], ["k", "v"]),
+            path,
+            ["k"],
+            expected_versions=v1,  # stale
+        )
+    assert {r.k for r in spark.read.parquet(path).collect()} == {1, 2}

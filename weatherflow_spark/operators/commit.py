@@ -28,15 +28,30 @@ object store, the same two ideas become a catalog pointer swap with a
 conditional-put (compare-and-set on the manifest version) — the
 validate step IS the compare, the swap IS the set.
 
-Scope: this protects the file SET against concurrent structural
-changes. Two concurrent keyed upserts to the same partition remain
-last-writer-wins on content (each is individually atomic under the
-lock); serializing merge CONTENT requires a table format with
-row-level conflict detection, out of scope for plain parquet.
+3. **Partition-version manifest** (r9): row-level conflict detection
+   for keyed content merges. Each partition carries a monotone
+   version in ``<path>.__versions.json`` — a SIBLING of the dataset
+   directory, like the lock file, so a full-table overwrite cannot
+   wipe it and a compaction swap (directory rename) never moves it —
+   bumped under the lock by every ``upsert_by_key`` / ``apply_changes``
+   commit that touches it. A caller whose batch was COMPUTED from a
+   read of the table passes the versions it read as
+   ``expected_versions``; if any touched partition's version has
+   advanced since (another writer merged content in between), the
+   upsert raises :class:`UpsertConflict` BEFORE writing instead of
+   silently last-writer-winning — the caller re-reads, recomputes,
+   retries. This is optimistic concurrency control at partition
+   granularity: the validate is the compare, the bump is the set,
+   and both happen under the same lock as the write, so there is no
+   window between them. (True row-granular conflict detection needs
+   a table format's row lineage; partition granularity is the honest
+   limit for plain parquet and is exactly what the bounded
+   read-modify-write touches anyway.)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import socket
 import threading
@@ -51,6 +66,19 @@ class CompactionConflict(RuntimeError):
 
 class DatasetLockTimeout(RuntimeError):
     """Could not acquire the dataset's advisory commit lock in time."""
+
+
+class UpsertConflict(RuntimeError):
+    """Compare-and-set failure: a touched partition's version advanced
+    past the version the caller read, i.e. another writer merged
+    content into it since this batch was computed. Nothing was
+    written. Re-read the table (and ``partition_versions``), recompute
+    the batch, retry."""
+
+    def __init__(self, msg: str, stale: dict[str, tuple[int, int]]):
+        super().__init__(msg)
+        #: partition key → (expected version, current version)
+        self.stale_partitions = stale
 
 
 def _lock_path(path: str) -> str:
@@ -228,3 +256,82 @@ def dataset_snapshot(path: str) -> frozenset[tuple[str, int]]:
                 size = -1
             out.append((os.path.relpath(full, path), size))
     return frozenset(out)
+
+
+# ---------------------------------------------------------------------------
+# partition-version manifest — optimistic row-level conflict detection
+# ---------------------------------------------------------------------------
+
+def _manifest_path(path: str) -> str:
+    # Sibling of the dataset dir (like the lock file): survives full
+    # overwrites of an unpartitioned table AND compaction's directory
+    # swap, and is invisible to Spark's file index by construction.
+    return path.rstrip("/") + ".__versions.json"
+
+
+def partition_key(partition_cols: list[str] | None, values: tuple) -> str:
+    """Canonical manifest key for one partition — the hive directory
+    form (``c1=v1/c2=v2``; NULL → ``__HIVE_DEFAULT_PARTITION__``), or
+    ``__TABLE__`` for an unpartitioned table."""
+    if not partition_cols:
+        return "__TABLE__"
+    return "/".join(
+        f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+        for c, v in zip(partition_cols, values)
+    )
+
+
+def partition_versions(path: str) -> dict[str, int]:
+    """The table's current partition versions (missing manifest / new
+    table → empty; absent keys mean version 0). Read this BEFORE
+    computing a batch from the table's content and pass it back as
+    ``expected_versions`` to get compare-and-set semantics."""
+    try:
+        with open(_manifest_path(path)) as f:
+            data = json.load(f)
+        return {str(k): int(v) for k, v in data.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def check_and_bump_versions(
+    path: str,
+    touched_keys: list[str],
+    expected_versions: dict[str, int] | None = None,
+    *,
+    bump: bool = True,
+) -> None:
+    """The CAS core — MUST run while holding ``dataset_lock(path)``
+    (callers do; the lock is what removes the validate→write→bump
+    window). With ``bump=False`` only validates (the fail-fast check
+    before the merge job); with ``bump=True`` validates and advances
+    every touched key, persisting the manifest atomically
+    (tmp + ``os.replace``)."""
+    cur = partition_versions(path)
+    if expected_versions is not None:
+        stale = {
+            k: (expected_versions.get(k, 0), cur.get(k, 0))
+            for k in touched_keys
+            if cur.get(k, 0) != expected_versions.get(k, 0)
+        }
+        if stale:
+            raise UpsertConflict(
+                f"{path}: {len(stale)} touched partition(s) changed since "
+                f"the batch was computed: "
+                + ", ".join(
+                    f"{k} (read v{e}, now v{c})"
+                    for k, (e, c) in sorted(stale.items())
+                ),
+                stale,
+            )
+    if not bump:
+        return
+    for k in touched_keys:
+        cur[k] = cur.get(k, 0) + 1
+    parent = os.path.dirname(_manifest_path(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    tmp = _manifest_path(path) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(cur, f, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))

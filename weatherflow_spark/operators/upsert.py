@@ -58,6 +58,7 @@ def upsert_by_key(
     path: str,
     key_cols: list[str],
     partition_cols: list[str] | None = None,
+    expected_versions: dict[str, int] | None = None,
 ) -> None:
     """MERGE-style upsert into a parquet table: rows whose key appears
     in ``new_batch`` are replaced, all others kept. Without a
@@ -68,7 +69,17 @@ def upsert_by_key(
 
     Deterministic given deterministic keys: re-running the same batch
     is a no-op on content.
-    """
+
+    Conflict detection (r9): every commit bumps the touched
+    partitions' versions in the dataset's manifest
+    (``commit.partition_versions``). A caller whose batch was
+    COMPUTED from a read of the table passes the versions it read as
+    ``expected_versions`` (partition key → version,
+    ``commit.partition_key`` form); if another writer merged content
+    into a touched partition since, the upsert raises
+    :class:`~weatherflow_spark.operators.commit.UpsertConflict`
+    BEFORE writing — re-read, recompute, retry — instead of silently
+    losing that writer's merge (last-writer-wins)."""
     from weatherflow_spark.operators.commit import dataset_lock
 
     # The lock covers the WHOLE read-modify-write (reentrant through
@@ -76,9 +87,29 @@ def upsert_by_key(
     # between this read's file listing and the checkpoint would
     # delete the listed files mid-job — a FileNotFoundException
     # instead of an orderly wait. Compaction's long rewrite phase
-    # stays unlocked; only its validate+swap contends here.
+    # stays unlocked; only its validate+swap contends here. The CAS
+    # validate and the version bump run under this same hold, so
+    # there is no validate→write→bump window.
     with dataset_lock(path):
-        _upsert_locked(spark, new_batch, path, key_cols, partition_cols)
+        _upsert_locked(
+            spark, new_batch, path, key_cols, partition_cols, expected_versions
+        )
+
+
+def _touched_keys(
+    batch: DataFrame, partition_cols: list[str] | None
+) -> tuple[list[tuple], list[str]]:
+    """(touched partition value-tuples, their manifest keys). One tiny
+    distinct-collect — batches touch few partitions by contract."""
+    from weatherflow_spark.operators.commit import partition_key
+
+    if not partition_cols:
+        return [], [partition_key(None, ())]
+    touched = [
+        tuple(r[c] for c in partition_cols)
+        for r in batch.select(*partition_cols).distinct().collect()
+    ]
+    return touched, [partition_key(partition_cols, t) for t in touched]
 
 
 def _upsert_locked(
@@ -87,18 +118,25 @@ def _upsert_locked(
     path: str,
     key_cols: list[str],
     partition_cols: list[str] | None,
+    expected_versions: dict[str, int] | None = None,
 ) -> None:
-    from weatherflow_spark.operators.commit import dataset_lock
+    from weatherflow_spark.operators.commit import (
+        check_and_bump_versions,
+        dataset_lock,
+    )
 
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
     if not exists:
+        touched, keys = _touched_keys(new_batch, partition_cols)
+        check_and_bump_versions(path, keys, expected_versions, bump=False)
         writer = new_batch.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         with dataset_lock(path):
             writer.parquet(path)
+        check_and_bump_versions(path, keys)
         return
 
     current = spark.read.parquet(path)
@@ -113,16 +151,17 @@ def _upsert_locked(
             for c in new_batch.columns
         ]
     )
+    touched, keys = _touched_keys(new_batch, partition_cols)
+    # Fail-fast CAS validate BEFORE the merge job runs (nothing to
+    # undo); the bump lands after the successful write, all under the
+    # outer lock hold.
+    check_and_bump_versions(path, keys, expected_versions, bump=False)
     if partition_cols:
         # Prune the existing side to touched partitions: a literal
         # IN-list of the batch's partition values (typed to match, so
         # it constant-folds into a partition filter — no full-table
         # read). Batches touch few partitions, so collecting the
         # distinct values is tiny.
-        touched = [
-            tuple(r[c] for c in partition_cols)
-            for r in new_batch.select(*partition_cols).distinct().collect()
-        ]
         cond = None
         for t in touched:
             clause = None
@@ -146,6 +185,7 @@ def _upsert_locked(
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
+    check_and_bump_versions(path, keys)
 
 
 def apply_changes(
@@ -155,6 +195,7 @@ def apply_changes(
     key_cols: list[str],
     op_col: str = "op",
     partition_cols: list[str] | None = None,
+    expected_versions: dict[str, int] | None = None,
 ) -> None:
     """CDC APPLY (r8): merge a change feed carrying upserts AND
     deletes into a parquet table — the consumer half of the E61
@@ -176,10 +217,13 @@ def apply_changes(
     """
     from weatherflow_spark.operators.commit import dataset_lock
 
-    # Whole-operation lock (reentrant) — see upsert_by_key.
+    # Whole-operation lock (reentrant) — see upsert_by_key. Same CAS
+    # contract as upsert_by_key: ``expected_versions`` turns
+    # last-writer-wins into raise-and-retry.
     with dataset_lock(path):
         _apply_changes_locked(
-            spark, changes, path, key_cols, op_col, partition_cols
+            spark, changes, path, key_cols, op_col, partition_cols,
+            expected_versions,
         )
 
 
@@ -190,19 +234,26 @@ def _apply_changes_locked(
     key_cols: list[str],
     op_col: str,
     partition_cols: list[str] | None,
+    expected_versions: dict[str, int] | None = None,
 ) -> None:
-    from weatherflow_spark.operators.commit import dataset_lock
+    from weatherflow_spark.operators.commit import (
+        check_and_bump_versions,
+        dataset_lock,
+    )
 
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
     upserts = changes.where(F.col(op_col) == "U").drop(op_col)
     if not exists:
+        _, keys = _touched_keys(upserts, partition_cols)
+        check_and_bump_versions(path, keys, expected_versions, bump=False)
         writer = upserts.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         with dataset_lock(path):
             writer.parquet(path)
+        check_and_bump_versions(path, keys)
         return
 
     current = spark.read.parquet(path)
@@ -215,12 +266,12 @@ def _apply_changes_locked(
             for c in upserts.columns
         ]
     )
-    touched: list[tuple] = []
+    # Touched set from the WHOLE feed (deletes prune partitions too).
+    touched, keys = _touched_keys(
+        changes.drop(op_col) if partition_cols else changes, partition_cols
+    )
+    check_and_bump_versions(path, keys, expected_versions, bump=False)
     if partition_cols:
-        touched = [
-            tuple(r[c] for c in partition_cols)
-            for r in changes.select(*partition_cols).distinct().collect()
-        ]
         cond = None
         for t in touched:
             clause = None
@@ -262,3 +313,4 @@ def _apply_changes_locked(
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
+    check_and_bump_versions(path, keys)
