@@ -170,6 +170,8 @@ OPTIONAL = [
     "q_shard_export",
     # round 9: multimodal near-dup single (suite carries the window row)
     "q_phash_near_dup",
+    # round 9: scheduler-gate form of the quality report (pinned budget)
+    "q_quality_gate",
 ]
 
 

