@@ -172,6 +172,7 @@ OPTIONAL = [
     "q_phash_near_dup",
     # round 9: scheduler-gate form of the quality report (pinned budget)
     "q_quality_gate",
+    "q_media_segments",
 ]
 
 

@@ -783,3 +783,27 @@ def test_phash_catches_near_identical_planes_exact_hash_misses(spark, tmp_path):
     assert (1, 2) in out and out[(1, 2)] <= PHASH_HAMMING_MAX
     assert out[(1, 2)] <= 4  # a few flipped bytes, not a different plane
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_media_segments_gaps_and_islands(spark, tmp_path):
+    """E87 (r9): known plane → known segments. Two consecutive
+    high-energy frames, a silent frame, one more active frame, then
+    silence: exactly two segments, [0,32) with 2 windows and [48,64)
+    with 1 — the gaps-and-islands contract over the VAD flags."""
+    from weatherflow_spark.plans.ext_udf import q_media_segments
+
+    text = "z" * 32 + " " * 16 + "z" * 16 + " " * 16
+    df = spark.createDataFrame(
+        [(1, text, "en", "s0", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tmp_path / "seg_sf"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    segs = {
+        (r.seg_start, r.seg_end): (r.n_windows, r.energy)
+        for r in q_media_segments(spark, str(d)).collect()
+    }
+    z_e = 16 * 122 * 122  # one all-'z' window's energy
+    assert segs == {(0, 32): (2, 2 * z_e), (48, 64): (1, z_e)}

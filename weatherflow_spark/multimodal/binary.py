@@ -357,3 +357,91 @@ def multimodal_phash(docs: DataFrame) -> DataFrame:
     Narrow (no shuffle); callers band the hash for the candidate
     join (plans/ext_dedup.q_phash_near_dup)."""
     return with_binary_payload(docs).mapInPandas(make_phash(), PHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# window energy — the audio path: fixed frames → energy → VAD-style activity
+# ---------------------------------------------------------------------------
+
+ENERGY_WIN = 16  # bytes per analysis window (the stand-in "frame")
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("widx", IntegerType()),
+        StructField("w_offset", IntegerType()),
+        StructField("w_len", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("active", IntegerType()),
+    ]
+)
+
+
+def make_window_energy(
+    decode: Callable[[bytes], bytes] | None = None,
+    win: int = ENERGY_WIN,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build the frame-energy mapInPandas worker (closure — see
+    make_extract_features). The audio analog of the frame sampler:
+    the decoded byte plane splits into fixed ``win``-byte windows,
+    each emitting an integer ENERGY (sum of squared byte values) and
+    a VAD-style activity flag — active iff the window's energy
+    exceeds the plane's MEAN window energy, compared cross-multiplied
+    in integers (energy · n_windows > total_energy), so the whole
+    row set is reproducible in SQL from the ASCII stand-in plane.
+    Real deployments put PCM decode in ``decode`` and keep everything
+    downstream unchanged. numpy-vectorized per plane (pad to a
+    multiple of ``win`` with zeros, reshape, row sums) — no per-byte
+    Python."""
+    w = int(win)
+    if decode is None:
+
+        def decode(payload: bytes) -> bytes:
+            return payload
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd  # re-import inside the worker process
+
+        for pdf in batches:
+            ids, idxs, offs, lens, energies, actives = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                plane = decode(payload)
+                n = len(plane)
+                if n == 0:
+                    continue
+                arr = np.frombuffer(plane, dtype=np.uint8).astype(np.int64)
+                sq = arr * arr
+                nw = (n + w - 1) // w
+                padded = np.zeros(nw * w, dtype=np.int64)
+                padded[:n] = sq
+                e = padded.reshape(nw, w).sum(axis=1)
+                total = int(e.sum())
+                act = (e * nw) > total
+                ids.extend([doc_id] * nw)
+                idxs.extend(range(nw))
+                offs.extend(i * w for i in range(nw))
+                lens.extend(min(w, n - i * w) for i in range(nw))
+                energies.extend(int(x) for x in e)
+                actives.extend(int(b) for b in act)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "widx": pd.Series(idxs, dtype="int32"),
+                    "w_offset": pd.Series(offs, dtype="int32"),
+                    "w_len": pd.Series(lens, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "active": pd.Series(actives, dtype="int32"),
+                }
+            )
+
+    return energy_batches
+
+
+def multimodal_window_energy(docs: DataFrame) -> DataFrame:
+    """Attach payload → mapInPandas frame-energy rows (1 → N windows).
+    Narrow; segmentation over the result is pure Catalyst
+    (plans/ext_udf.q_media_segments — gaps-and-islands)."""
+    return with_binary_payload(docs).mapInPandas(
+        make_window_energy(), ENERGY_SCHEMA
+    )

@@ -140,6 +140,88 @@ ORACLE_MULTIMODAL_FRAMES = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_media_segments — E87: frame energy (audio path) → VAD-style islands
+# ---------------------------------------------------------------------------
+
+
+def q_media_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E87: activity SEGMENTATION over binary planes — the audio
+    member of the multimodal family (voice-activity detection shape).
+    The decode seam emits per-frame integer energies with an adaptive
+    above-mean activity flag (multimodal/binary.make_window_energy,
+    one narrow Arrow pass); everything after is pure Catalyst: the
+    classic gaps-and-islands (widx − row_number) groups consecutive
+    active frames into segments with start/end offsets, frame counts
+    and summed energy. Python only where the codec would live; the
+    relational half stays in whole-stage codegen. The per-doc window
+    is bounded by one media object's frame count (seconds-to-minutes
+    of audio — a pathological single object would switch to the E77
+    grouped rank, same contract as everywhere)."""
+    from pyspark.sql import Window
+
+    from weatherflow_spark.multimodal.binary import multimodal_window_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    wins = multimodal_window_energy(docs.repartition(par, F.col("doc_id")))
+    act = wins.where(F.col("active") == 1)
+    w = Window.partitionBy("doc_id").orderBy("widx")
+    isl = act.withColumn("grp", F.col("widx") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("w_offset").cast("bigint").alias("seg_start"),
+            F.max(F.col("w_offset") + F.col("w_len")).cast("bigint").alias(
+                "seg_end"
+            ),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("energy").alias("energy"),
+        )
+        .select("doc_id", "seg_start", "seg_end", "n_windows", "energy")
+    )
+
+
+ORACLE_MEDIA_SEGMENTS = """
+    WITH pos AS (
+        SELECT doc_id, u.i AS i,
+               CAST(ascii(substring(text, CAST(u.i AS INTEGER), 1)) AS BIGINT)
+                   AS c
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) u
+        WHERE length(text) > 0
+    ),
+    wins AS (
+        SELECT doc_id, CAST((i - 1) // 16 AS BIGINT) AS widx,
+               CAST(sum(c * c) AS BIGINT) AS energy,
+               CAST(count(*) AS BIGINT) AS w_len
+        FROM pos GROUP BY doc_id, (i - 1) // 16
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(energy) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS nw
+        FROM wins GROUP BY doc_id
+    ),
+    act AS (
+        SELECT w.doc_id, w.widx, w.energy, w.w_len
+        FROM wins w JOIN tot t USING (doc_id)
+        WHERE w.energy * t.nw > t.total
+    ),
+    isl AS (
+        SELECT doc_id, widx, energy, w_len,
+               widx - row_number() OVER (PARTITION BY doc_id ORDER BY widx)
+                   AS grp
+        FROM act
+    )
+    SELECT doc_id,
+           CAST(min(widx) * 16 AS BIGINT) AS seg_start,
+           CAST(max(widx * 16 + w_len) AS BIGINT) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(energy) AS BIGINT) AS energy
+    FROM isl GROUP BY doc_id, grp
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_grouped_quantiles_udf — X3/E53: grouped-map applyInPandas
 # ---------------------------------------------------------------------------
 
@@ -244,7 +326,17 @@ def q_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({1 + len(_QUANTILE_PCTS)}, 'n', n, {gq_stack}) "
         "AS (metric, value)",
     )
-    return pu.unionByName(mf).unionByName(fr).unionByName(gq)
+    # r9: the audio path (E87) — frame energy through the decode seam,
+    # VAD-style islands in pure Catalyst.
+    sg = q_media_segments(spark, sf_dir).selectExpr(
+        "'mm_segments' AS op",
+        "concat(cast(doc_id as string), '|', cast(seg_start as string)) AS key",
+        "stack(3, 'seg_end', seg_end, 'n_windows', n_windows, "
+        "'energy', energy) AS (metric, value)",
+    )
+    return (
+        pu.unionByName(mf).unionByName(fr).unionByName(gq).unionByName(sg)
+    )
 
 
 def _oracle_udf_suite() -> str:
@@ -256,7 +348,8 @@ def _oracle_udf_suite() -> str:
         WITH pu_side AS ({ORACLE_PANDAS_UDF_METRIC}),
         mf_side AS ({ORACLE_MULTIMODAL_FEATURES}),
         fr_side AS ({ORACLE_MULTIMODAL_FRAMES}),
-        gq_side AS ({ORACLE_GROUPED_QUANTILES})
+        gq_side AS ({ORACLE_GROUPED_QUANTILES}),
+        sg_side AS ({ORACLE_MEDIA_SEGMENTS})
         SELECT 'pandas_udf' AS op, CAST(event_id AS VARCHAR) AS key,
                'dew_point_e6' AS metric,
                CAST(floor(dew_point * 1e6 + 0.5) AS BIGINT) AS value
@@ -286,6 +379,18 @@ def _oracle_udf_suite() -> str:
         SELECT 'grouped_quantiles', source, 'n', n FROM gq_side
         UNION ALL
 {gq_rows}
+        UNION ALL
+        SELECT 'mm_segments',
+               CAST(doc_id AS VARCHAR) || '|' || CAST(seg_start AS VARCHAR),
+               'seg_end', seg_end FROM sg_side
+        UNION ALL
+        SELECT 'mm_segments',
+               CAST(doc_id AS VARCHAR) || '|' || CAST(seg_start AS VARCHAR),
+               'n_windows', n_windows FROM sg_side
+        UNION ALL
+        SELECT 'mm_segments',
+               CAST(doc_id AS VARCHAR) || '|' || CAST(seg_start AS VARCHAR),
+               'energy', energy FROM sg_side
     """
 
 
@@ -294,6 +399,7 @@ UDF_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pandas_udf_metric": q_pandas_udf_metric,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_media_segments": q_media_segments,
     "q_grouped_quantiles_udf": q_grouped_quantiles_udf,
 }
 
@@ -302,5 +408,6 @@ UDF_ORACLES: dict[str, str] = {
     "q_pandas_udf_metric": ORACLE_PANDAS_UDF_METRIC,
     "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "q_multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "q_media_segments": ORACLE_MEDIA_SEGMENTS,
     "q_grouped_quantiles_udf": ORACLE_GROUPED_QUANTILES,
 }
