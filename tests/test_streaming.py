@@ -805,3 +805,78 @@ def test_bus_dead_letter_quarantines_corrupt_records(spark, tmp_path):
     assert all(r.topic == "events" for r in dl)
     # accounting: every published line is exactly one of good-agg'd / dead
     assert 2 + len(dl) == len(lines)
+
+
+def test_stream_sketch_cube_matches_one_shot(spark, tmp_path):
+    """E82 streaming form (r9): per-micro-batch HLL register slices
+    written by foreach_batch_sketch must merge (bucket-wise max) to
+    registers BIT-IDENTICAL to a one-shot sketch of everything
+    ingested, the served estimates must match q_hll_grouped's, and a
+    replayed micro-batch must not perturb the cube (slice overwrite)."""
+    import glob as globmod
+    import shutil
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.plans.sketches import (
+        grouped_hll_rows,
+        serve_grouped_hll,
+    )
+    from weatherflow_spark.streaming.pipeline import (
+        foreach_batch_sketch,
+        read_events_stream,
+        read_stream_sketch,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ev = load_table(spark, SF_SMALL, "events")
+    for i in range(3):
+        staged = tmp_path / f"stage_{i}"
+        ev.where(f"user_id % 3 = {i}").coalesce(1).write.parquet(str(staged))
+        part = globmod.glob(str(staged / "part-*.parquet"))[0]
+        shutil.copy(part, land / f"events_{i}.parquet")
+
+    cube = str(tmp_path / "cube")
+    stream = read_events_stream(
+        spark, str(land), glob="events_*.parquet", max_files_per_trigger=1
+    )
+    sink = foreach_batch_sketch(cube)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (
+        spark.read.parquet(cube).select("slice_id").distinct().count() >= 2
+    ), "expected multiple micro-batch slices"
+
+    merged = read_stream_sketch(spark, cube)
+    one_shot = (
+        grouped_hll_rows(ev, "user_id", "event_type")
+        .groupBy("event_type", "b")
+        .agg(F.max("r").alias("m"))
+    )
+    g = {(r.event_type, r.b): r.m for r in merged.collect()}
+    w = {(r.event_type, r.b): r.m for r in one_shot.collect()}
+    assert g == w  # byte-identical registers — the mergeability law
+
+    # served estimates equal the one-shot query's
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    got_est = {
+        r.event_type: (r.exact_distinct, r.hll_estimate)
+        for r in serve_grouped_hll(merged, exact).collect()
+    }
+    want_est = {
+        r.event_type: (r.exact_distinct, r.hll_estimate)
+        for r in serve_grouped_hll(one_shot, exact).collect()
+    }
+    assert got_est == want_est
+
+    # replay: re-deliver batch 0's rows under its own batch_id
+    sink(ev.where("user_id % 3 = 0"), 0)
+    g2 = {(r.event_type, r.b): r.m for r in read_stream_sketch(spark, cube).collect()}
+    assert g2 == w

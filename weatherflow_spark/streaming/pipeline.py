@@ -432,6 +432,54 @@ def foreach_batch_fingerprint(path: str) -> Callable[[DataFrame, int], None]:
     return _sink
 
 
+def foreach_batch_sketch(
+    path: str, value_col: str = "user_id", key: str = "event_type"
+) -> Callable[[DataFrame, int], None]:
+    """Streaming form of the E82 sketch cube (r9): each micro-batch
+    writes its OWN per-(key, bucket) HLL register partials under
+    ``slice_id=<batch_id>`` (dynamic partition overwrite → a replayed
+    batch rewrites its slice, never double-folds). Registers come
+    from the EXACT one-shot hash pipeline (``sketches.
+    grouped_hll_rows``), so merging the stored slices bucket-wise
+    (max) yields registers byte-identical to sketching every ingested
+    row at once — the mergeability law, maintained continuously.
+    State written per batch: ≤ |keys| × 256 tiny rows; the raw stream
+    is never retained and the serve never rescans it. This is the
+    approx-distinct dashboard posture at 100 TB/day: sketch at
+    ingest, merge at read."""
+    from weatherflow_spark.plans.sketches import grouped_hll_rows
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        regs = (
+            grouped_hll_rows(batch_df, value_col, key)
+            .groupBy(key, "b")
+            .agg(F.max("r").alias("m"))
+            .withColumn("slice_id", F.lit(batch_id).cast("long"))
+        )
+        (
+            regs.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("slice_id")
+            .parquet(path)
+        )
+
+    return _sink
+
+
+def read_stream_sketch(
+    spark: SparkSession, path: str, key: str = "event_type"
+) -> DataFrame:
+    """Merge the streamed cube's stored slices into the current
+    per-(key, bucket) registers — the serve half. Feed the result to
+    ``sketches.serve_grouped_hll`` for estimates; the registers here
+    must equal (bit-for-bit) a one-shot sketch of everything
+    ingested, which the streaming test pins."""
+    return (
+        spark.read.parquet(path).groupBy(key, "b").agg(F.max("m").alias("m"))
+    )
+
+
 def read_stream_fingerprint(spark: SparkSession, path: str):
     """Combine the per-batch digests into the running table digest:
     XOR of XORs, plain sum of the (already per-row-modded) sum
