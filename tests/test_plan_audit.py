@@ -794,3 +794,50 @@ def test_incremental_embedding_never_shuffle_joins_corpus(spark):
     assert "SortMergeJoin" not in p, f"corpus-side shuffle join:\n{p}"
     assert "ShuffledHashJoin" not in p, f"corpus-side shuffle join:\n{p}"
     assert "BroadcastHashJoin" in p, p
+
+
+def test_phash_near_dup_plan_is_band_equi_join(spark):
+    """E86 (r9): the perceptual-hash candidate stage must plan as an
+    EQUI-join on the band key — never a cartesian or nested-loop over
+    signatures — and the Hamming verify must sit in the join output's
+    codegen, with the persisted signature relation feeding both sides
+    (one Arrow pass, not two)."""
+    p = _plan(QUERIES["q_phash_near_dup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    joins = (
+        _detail_blocks(p, "BroadcastHashJoin")
+        + _detail_blocks(p, "SortMergeJoin")
+        + _detail_blocks(p, "ShuffledHashJoin")
+    )
+    assert joins and any("band_key" in b for b in joins), (
+        f"candidate stage must equi-join on band_key:\n{p}"
+    )
+    assert _detail_headers(p, "InMemoryTableScan"), (
+        f"phash signatures must be persisted (both join sides):\n{p}"
+    )
+
+
+def test_media_segments_plan_two_exchanges_agg_reuses_window(spark):
+    """E87 (r9): exactly TWO doc_id exchanges and no more — the
+    explicit REPARTITION_BY_NUM spreading the Arrow energy pass off
+    the single-file scan, and the window's ENSURE_REQUIREMENTS; the
+    segment aggregation must REUSE the window's partitioning (no
+    third exchange) and plan as partial+final HashAggregate. Never a
+    cartesian."""
+    p = _plan(QUERIES["q_media_segments"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert _detail_headers(p, "Window"), p
+    exchanges = [
+        b for b in _detail_blocks(p, "Exchange")
+        if "hashpartitioning(doc_id" in b
+    ]
+    assert len(exchanges) == 2, (
+        f"expected exactly two doc_id exchanges (pre-UDF spread + "
+        f"window), got {len(exchanges)}:\n{p}"
+    )
+    assert sum("REPARTITION_BY_NUM" in b for b in exchanges) == 1, p
+    assert sum("ENSURE_REQUIREMENTS" in b for b in exchanges) == 1, p
+    assert any(
+        "partial_count" in b for b in _detail_blocks(p, "HashAggregate")
+    ), f"segment agg must have a map-side partial:\n{p}"
