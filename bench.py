@@ -220,7 +220,16 @@ def main() -> None:
     ratios = sorted(
         timings[n] / ref for n, ref in CONTROL_REFS.items() if n in timings
     )
-    ambient = round(ratios[len(ratios) // 2], 3) if ratios else None
+    if ratios:
+        mid = len(ratios) // 2
+        med = (
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2
+        )
+        ambient = round(med, 3)
+    else:
+        ambient = None
     controls = {
         n: {"ref": ref, "now": timings.get(n)}
         for n, ref in CONTROL_REFS.items()

@@ -880,3 +880,37 @@ def test_stream_sketch_cube_matches_one_shot(spark, tmp_path):
     sink(ev.where("user_id % 3 = 0"), 0)
     g2 = {(r.event_type, r.b): r.m for r in read_stream_sketch(spark, cube).collect()}
     assert g2 == w
+
+
+def test_streaming_admission_migrates_flat_index(spark, tmp_path):
+    """r9 review: an index built by the FLAT batch API must keep
+    working when the per-batch streaming sink takes over — the sink
+    migrates root part files into a batch_id=-1 slice before writing
+    batch_id=N siblings (mixed layouts are unreadable by Spark)."""
+    from weatherflow_spark.operators.sig_index import build_signature_index
+    from weatherflow_spark.streaming.pipeline import foreach_batch_admission
+
+    mk = lambda *items: spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in items],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    idx = str(tmp_path / "idx")
+    corpus_text = "seed corpus document about warehouse tables"
+    build_signature_index(mk((1, corpus_text)), idx)  # FLAT layout
+
+    sink = foreach_batch_admission(idx, str(tmp_path / "verdicts"))
+    sink(mk((10, corpus_text),  # exact dup of the flat-indexed doc
+            (11, "a brand new document that matches nothing at all")), 7)
+
+    v = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    assert v == {10: "exact_dup", 11: "new"}
+    # the root holds only partition dirs now; the index stays readable
+    sig_root = os.path.join(idx, "sigs")
+    assert all(
+        n.startswith(("batch_id=", "_", "."))
+        for n in os.listdir(sig_root)
+    )
+    assert spark.read.parquet(sig_root).count() == 2  # doc 1 + admitted 11

@@ -317,3 +317,40 @@ def test_upsert_cas_opt_out_and_unpartitioned_table(spark, tmp_path):
             expected_versions=v1,  # stale
         )
     assert {r.k for r in spark.read.parquet(path).collect()} == {1, 2}
+
+
+def test_cas_sees_non_upsert_content_writers(spark, tmp_path):
+    """r9 review: the CAS must conflict on ANY concurrent content
+    merge, not only other upserts — overwrite_partitions (the choke
+    point every rollup refresh / CDC apply routes through) bumps the
+    touched versions, so an upsert computed from a read taken before
+    such a write raises instead of silently discarding it."""
+    from weatherflow_spark.operators.commit import (
+        UpsertConflict,
+        partition_versions,
+    )
+    from weatherflow_spark.operators.upsert import (
+        overwrite_partitions,
+        upsert_by_key,
+    )
+
+    path = str(tmp_path / "cas_mixed")
+    seed = spark.createDataFrame([(1, 10.0, "p1")], ["k", "v", "p"])
+    upsert_by_key(spark, seed, path, ["k"], ["p"])
+    v_read = partition_versions(path)
+
+    # a NON-upsert content writer replaces p1's content
+    overwrite_partitions(
+        spark.createDataFrame([(1, 99.0, "p1")], ["k", "v", "p"]), path, ["p"]
+    )
+    with pytest.raises(UpsertConflict):
+        upsert_by_key(
+            spark,
+            spark.createDataFrame([(1, 11.0, "p1")], ["k", "v", "p"]),
+            path,
+            ["k"],
+            ["p"],
+            expected_versions=v_read,
+        )
+    # the non-upsert writer's content survived
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {(1, 99.0)}

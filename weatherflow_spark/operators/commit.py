@@ -126,9 +126,15 @@ def _holder_alive(lp: str) -> bool:
     try:
         with open(lp) as f:
             parts = f.read().split()
-        host, pid = parts[0], int(parts[1])
-        if host != socket.gethostname():
+        if not parts:
+            return False
+        # Host check BEFORE parsing the pid: a token whose second
+        # field isn't an int (foreign format, pre-token writers) must
+        # not fall through to "dead" — for anything not provably ours
+        # the heartbeat/age is the only safe signal (r9 review).
+        if parts[0] != socket.gethostname():
             return True  # foreign holder: only the heartbeat can expire it
+        pid = int(parts[1])
         os.kill(pid, 0)
         return True
     except ProcessLookupError:
@@ -226,7 +232,18 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 3600.0):
         # lock as stale and re-acquired, the file now carries ITS
         # token — unlinking it would let a third writer in while two
         # are still committing (the r8 ADVICE lost-update window).
-        if _read_token(lp) == token:
+        # A name-based unlink cannot be made atomic with the token
+        # read (r9 review); we shrink the residual window to
+        # practical zero by also requiring our heartbeat to still be
+        # LIVE (fresh mtime): a holder that was suspended past
+        # stale_after — the only way it can have been broken — skips
+        # the unlink entirely and lets the next waiter expire the
+        # file as stale instead.
+        try:
+            fresh = (time.time() - os.path.getmtime(lp)) < stale_after / 2
+        except OSError:
+            fresh = False
+        if fresh and _read_token(lp) == token:
             try:
                 os.unlink(lp)
             except OSError:

@@ -99,7 +99,16 @@ def compact(
     )
 
     snap0 = dataset_snapshot(path)
-    total_bytes = sum(os.path.getsize(f) for f in parquet_files(path))
+    # Per-file guard: a concurrent dynamic overwrite can delete a part
+    # file between the listing and the stat (the dataset_snapshot
+    # sentinel race, r9 review) — a vanished file contributes 0 bytes
+    # and the swap-time snapshot comparison catches the change.
+    total_bytes = 0
+    for f in parquet_files(path):
+        try:
+            total_bytes += os.path.getsize(f)
+        except OSError:
+            pass
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
     if sort_col is not None:
@@ -146,8 +155,9 @@ def compact(
         # FileNotFound from deep in the scan. Translate it into the
         # one retryable error type callers already handle; anything
         # else propagates unchanged.
-        msg = str(e)
-        if "FileNotFoundException" in msg or "FileNotFoundError" in msg:
+        # isinstance covers Python-side FileNotFoundError (its str()
+        # lacks the class name); the string match covers Java traces.
+        if isinstance(e, FileNotFoundError) or "FileNotFoundException" in str(e):
             raise CompactionConflict(
                 f"{path}: files changed under the unlocked rewrite; re-run"
             ) from e

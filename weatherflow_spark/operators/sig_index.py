@@ -104,6 +104,37 @@ def write_signature_batch(docs: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
+def migrate_flat_index_to_batched(path: str) -> bool:
+    """One-time layout migration (r9 review): move any FLAT part
+    files at the root of sigs/ and bands/ into a ``batch_id=-1``
+    slice, so the per-batch streaming sink can write ``batch_id=N``
+    siblings without corrupting partition discovery — Spark refuses a
+    directory mixing leaf files with partition subdirs ('Conflicting
+    directory structures'). Idempotent (nothing flat → no-op); safe
+    in the sink's single-writer context (the checkpoint serializes
+    micro-batches). Returns True if anything moved."""
+    moved = False
+    for sub in ("sigs", "bands"):
+        d = os.path.join(path, sub)
+        if not os.path.isdir(d):
+            continue
+        flat = [
+            n
+            for n in os.listdir(d)
+            if not n.startswith(("_", "."))
+            and not n.startswith("batch_id=")
+            and os.path.isfile(os.path.join(d, n))
+        ]
+        if not flat:
+            continue
+        dst = os.path.join(d, "batch_id=-1")
+        os.makedirs(dst, exist_ok=True)
+        for n in flat:
+            os.replace(os.path.join(d, n), os.path.join(dst, n))
+        moved = True
+    return moved
+
+
 def admit_with_index(
     spark: SparkSession, batch_docs: DataFrame, path: str
 ) -> DataFrame:

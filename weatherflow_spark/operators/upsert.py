@@ -34,8 +34,23 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     """Replace exactly the partitions present in ``df`` (INSERT
     OVERWRITE semantics), leaving all other partitions' files
     untouched. Idempotent: re-running the same batch rewrites the
-    same partitions to the same content."""
-    from weatherflow_spark.operators.commit import dataset_lock
+    same partitions to the same content.
+
+    Version choke point (r9 review): EVERY content writer that goes
+    through this helper — keyed upserts, CDC applies, rollup refresh
+    and late-merge — bumps the touched partitions' versions in the
+    dataset's manifest here, under the same lock as the write. A CAS
+    caller (``upsert_by_key(expected_versions=...)``) therefore
+    conflicts on ANY concurrent content merge, not only on other
+    upserts. Costs one distinct-collect of the batch's partition
+    values (callers materialize ``df`` before overwriting anyway).
+    Direct bulk writers (initial table builds) bypass this helper and
+    the manifest — they create tables, they don't merge into them."""
+    from weatherflow_spark.operators.commit import (
+        check_and_bump_versions,
+        dataset_lock,
+        partition_key,
+    )
 
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -48,6 +63,13 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         # and re-run rather than clobber.
         with dataset_lock(path):
             df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+            keys = [
+                partition_key(
+                    partition_cols, tuple(r[c] for c in partition_cols)
+                )
+                for r in df.select(*partition_cols).distinct().collect()
+            ]
+            check_and_bump_versions(path, keys)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -181,11 +203,12 @@ def _upsert_locked(
     # slice to the touched partitions (executor-local, spill-backed).
     merged = merged.localCheckpoint(eager=True)
     if partition_cols:
-        overwrite_partitions(merged, path, partition_cols)  # takes the lock
+        # takes the lock; bumps the touched versions (choke point)
+        overwrite_partitions(merged, path, partition_cols)
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
-    check_and_bump_versions(path, keys)
+        check_and_bump_versions(path, keys)
 
 
 def apply_changes(
@@ -298,7 +321,8 @@ def _apply_changes_locked(
             for r in merged.select(*partition_cols).distinct().collect()
         }
         emptied = [t for t in touched if t not in remaining]
-        overwrite_partitions(merged, path, partition_cols)  # takes the lock
+        # takes the lock; bumps the MERGED partitions' versions
+        overwrite_partitions(merged, path, partition_cols)
         if emptied:
             with dataset_lock(path):
                 for t in emptied:
@@ -310,7 +334,15 @@ def _apply_changes_locked(
                         ],
                     )
                     shutil.rmtree(sub, ignore_errors=True)
+                # Emptied partitions are content changes too, but they
+                # are absent from the merged output — bump them here.
+                from weatherflow_spark.operators.commit import partition_key
+
+                check_and_bump_versions(
+                    path,
+                    [partition_key(partition_cols, t) for t in emptied],
+                )
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
-    check_and_bump_versions(path, keys)
+        check_and_bump_versions(path, keys)

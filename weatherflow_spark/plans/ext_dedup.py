@@ -385,6 +385,14 @@ def _simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), F.expr(T.simhash_wide_expr(_TH_SPARK)).alias("sim"))
     )
     sigs = tracked_persist(sigs)
+    return _explode_sim_bands(sigs)
+
+
+def _explode_sim_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sim) → one row per 15-bit band key — the shared band
+    explosion for every 60-bit-signature family (SimHash, pHash).
+    One definition so band width/key format can never silently
+    diverge between families (r9 review)."""
     band_structs = (
         f"transform(sequence(0, {N_SIMHASH_BANDS - 1}), __b -> "
         f"concat(cast(__b as string), ':', cast("
@@ -477,15 +485,7 @@ def _phash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("phash").alias("sim")
     )
     sigs = tracked_persist(sigs)
-    band_structs = (
-        f"transform(sequence(0, {N_SIMHASH_BANDS - 1}), __b -> "
-        f"concat(cast(__b as string), ':', cast("
-        f"(sim div shiftleft(cast(1 as bigint), __b * {SIMHASH_BAND_BITS})) "
-        f"% {1 << SIMHASH_BAND_BITS} as string)))"
-    )
-    return sigs.select(
-        "doc_id", "sim", F.explode(F.expr(band_structs)).alias("band_key")
-    )
+    return _explode_sim_bands(sigs)  # the shared 4x15-bit banding
 
 
 def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

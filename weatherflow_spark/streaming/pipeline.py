@@ -685,8 +685,17 @@ def foreach_batch_admission(index_path: str, verdicts_path: str):
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from weatherflow_spark.operators.sig_index import (
+            migrate_flat_index_to_batched,
+        )
+
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # stable for 3 uses
+        # Upgrade path: an index built by the flat batch API must move
+        # its root files into a batch_id=-1 slice before this sink
+        # writes batch_id=N siblings — Spark cannot read a root that
+        # mixes leaf files with partition dirs (r9 review).
+        migrate_flat_index_to_batched(index_path)
         sig_dir = _os.path.join(index_path, "sigs")
         if not _os.path.exists(sig_dir):
             # Cold start: the first batch seeds the index; everything
