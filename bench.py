@@ -173,6 +173,7 @@ OPTIONAL = [
     # round 9: scheduler-gate form of the quality report (pinned budget)
     "q_quality_gate",
     "q_media_segments",
+    "q_ann_index_serve",
 ]
 
 

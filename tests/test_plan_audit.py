@@ -841,3 +841,26 @@ def test_media_segments_plan_two_exchanges_agg_reuses_window(spark):
     assert any(
         "partial_count" in b for b in _detail_blocks(p, "HashAggregate")
     ), f"segment agg must have a map-side partial:\n{p}"
+
+
+def test_ann_index_serve_scan_prunes_to_probed_cells(spark):
+    """E88 (r9): the index-served ANN search must read ONLY the
+    probed cells — the vectors scan's PartitionFilters must carry the
+    label IN-list (file-level pruning), and the centroid ranking must
+    come from the stored centroid table, not a corpus recompute."""
+    p = _plan(QUERIES["q_ann_index_serve"](spark, SF_SMALL))
+    scans = _detail_blocks(p, "Scan parquet")
+    vec = [b for b in scans if "ivf_index/vectors" in b]
+    assert vec, f"expected a scan of the stored vectors table:\n{p}"
+    assert any(
+        "PartitionFilters" in b and "label" in b.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        for b in vec
+    ), f"vectors scan must partition-prune on the probed labels:\n{p}"
+    # the raw embeddings table may appear ONLY as the 1-row query-
+    # vector point read (vec_id = 0 pushed to the scan) — never as a
+    # corpus rescan
+    for b in scans:
+        if "embeddings.parquet" in b:
+            assert "EqualTo(vec_id,0)" in b, (
+                f"serve plan rescans the raw corpus:\n{p}"
+            )

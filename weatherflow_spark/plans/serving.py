@@ -723,6 +723,45 @@ ORACLE_SERVING_SUITE = f"""
 """
 
 
+def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E88 driver row: ANN served from the PERSISTED IVF index
+    (operators/vec_index.py) — build the two-table index (centroid
+    table + label-partitioned vectors) through real writes, then
+    answer the standard query reading ONLY the stored centroid table
+    and the probed cells' partitions (the corpus outside the probe is
+    never read; at 1e9 vectors that is the difference between a
+    search service and a batch job). Hash-certified against the EXACT
+    SAME oracle as the one-shot ``q_ann_ivf_topk``, so a match proves
+    index-served search is decision-identical to full recomputation —
+    the sig_index/sketch-cube discipline applied to the vector tier."""
+    import shutil
+
+    from weatherflow_spark.operators.vec_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from weatherflow_spark.plans.ext_similarity import (
+        QUERY_VEC_ID,
+        _query_vec,
+    )
+
+    path = os.path.join(_scratch_dir(sf_dir), "ivf_index")
+    shutil.rmtree(path, ignore_errors=True)  # full reset: replayable
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, path)
+    return search_ivf_index(
+        spark, path, _query_vec(spark, sf_dir), exclude_vec_id=QUERY_VEC_ID
+    )
+
+
+def _oracle_ann_index_serve() -> str:
+    # Index-served == one-shot recompute: the whole certification —
+    # so the oracle IS q_ann_ivf_topk's.
+    from weatherflow_spark.plans.ext_similarity import ORACLE_ANN_IVF_TOPK
+
+    return ORACLE_ANN_IVF_TOPK
+
+
 def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-pipeline certification row (r9): the five surfaces the
     r8 verdict flagged as local-only get one DRIVER row here — tagged
@@ -738,6 +777,8 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       merged at serve — identical to the one-shot sketch.
     - ``shard_export``  (E85): deterministic shuffle-and-shard export
       written partition-by-shard and digested from disk.
+    - ``ann_serve``     (E88, r9): ANN served from the persisted IVF
+      index — probed cells only, decision-identical to one-shot.
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -783,8 +824,19 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'order_fp', cast(order_fp as bigint), "
         "'chars_total', cast(chars_total as bigint)) AS (metric, value)",
     )
+    av = q_ann_index_serve(spark, sf_dir).selectExpr(
+        "'ann_serve' AS op",
+        "cast(vec_id as string) AS key",
+        "stack(2, 'label', cast(label as bigint), "
+        "'cosine_e6', cast(floor(cosine * 1e6 + 0.5) as bigint))"
+        " AS (metric, value)",
+    )
     return (
-        ss.unionByName(gr).unionByName(ia).unionByName(sk).unionByName(se)
+        ss.unionByName(gr)
+        .unionByName(ia)
+        .unionByName(sk)
+        .unionByName(se)
+        .unionByName(av)
     )
 
 
@@ -833,6 +885,14 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'key_sum' THEN s.key_sum
                        WHEN 'order_fp' THEN s.order_fp
                        ELSE s.chars_total END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'ann_serve', CAST(vec_id AS VARCHAR), u.metric, u.value
+    FROM ({_oracle_ann_index_serve()}) s,
+         (VALUES ('label'), ('cosine_e6')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric WHEN 'label' THEN s.label
+                       ELSE floor(s.cosine * 1e6 + 0.5) END AS BIGINT)
+                      AS value) u
     """
 
 
@@ -849,6 +909,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_serve": q_stream_serve,
     "q_sketch_serve": q_sketch_serve,
     "q_shard_export": q_shard_export,
+    "q_ann_index_serve": q_ann_index_serve,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -864,4 +925,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_stream_serve": ORACLE_STREAM_SERVE,
     "q_sketch_serve": _oracle_sketch_serve(),
     "q_shard_export": _oracle_shard_export(),
+    "q_ann_index_serve": _oracle_ann_index_serve(),
 }
