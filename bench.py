@@ -174,6 +174,8 @@ OPTIONAL = [
     "q_quality_gate",
     "q_media_segments",
     "q_ann_index_serve",
+    "q_tpch_q1",
+    "q_tpch_q19",
 ]
 
 

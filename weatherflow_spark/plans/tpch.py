@@ -237,7 +237,127 @@ def _oracle_tpch_suite() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# q_tpch_q1 — pricing summary report: the canonical one-pass wide agg
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (r9): the pricing summary report — one scan of
+    lineitem with the shipdate predicate PUSHED to parquet, grouped
+    by (returnflag, linestatus) into eight aggregates computed in a
+    single partial+final hash agg pass: exact scaled-integer sums for
+    qty / base price / discounted price / charge (scale 10^2 / 10^2 /
+    10^4 / 10^6 matching each expression's decimal width), e6-pinned
+    averages replaying the sum/count op order on both engines, and
+    the order count. The canonical 'does the engine do wide
+    aggregation right' benchmark: every metric is one pass, map-side
+    partials, zero joins."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        scaled_sum(F.col("l_quantity"), 100).alias("sum_qty"),
+        scaled_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+        scaled_sum(disc_price, 10_000).alias("sum_disc_price"),
+        scaled_sum(charge, 1_000_000).alias("sum_charge"),
+        scaled_sum(F.col("l_discount"), 100).alias("_sum_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order").cast("double")
+    e6 = lambda c: F.expr(f"cast(floor(({c}) * 1e6 + 0.5) as bigint)")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        e6(f"sum_qty / cast(count_order as double)").alias("avg_qty_e6"),
+        e6(f"sum_base_price / cast(count_order as double)").alias("avg_price_e6"),
+        e6(f"_sum_disc / cast(count_order as double)").alias("avg_disc_e6"),
+        "count_order",
+    )
+
+
+ORACLE_TPCH_Q1 = f"""
+    WITH g AS (
+        SELECT l_returnflag, l_linestatus,
+               {scaled_sum_sql("l_quantity", 100)} AS sum_qty,
+               {scaled_sum_sql("l_extendedprice", 100)} AS sum_base_price,
+               {scaled_sum_sql("l_extendedprice * (1.0 - l_discount)", 10_000)}
+                   AS sum_disc_price,
+               {scaled_sum_sql(
+                   "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)",
+                   1_000_000)} AS sum_charge,
+               {scaled_sum_sql("l_discount", 100)} AS sum_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+           sum_disc_price, sum_charge,
+           CAST(floor(sum_qty / CAST(count_order AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS avg_qty_e6,
+           CAST(floor(sum_base_price / CAST(count_order AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS avg_price_e6,
+           CAST(floor(sum_disc / CAST(count_order AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS avg_disc_e6,
+           count_order
+    FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_tpch_q19 — disjunctive-predicate revenue (Q19 shape, available columns)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (r9), adapted to the testdata's columns: total
+    revenue from lineitem⋈part pairs matching an OR of three
+    (brand, part-size range, quantity range) conjunctions — the
+    canonical disjunctive-predicate benchmark. The part side
+    BROADCASTS (its brand/size conjunctions prune it first), the OR
+    evaluates in whole-stage codegen on the join output, and the
+    single-row sum is the exact ×10⁴ scaled-integer form. At 100 TB
+    the join stays one broadcast + one scan of lineitem with the
+    quantity bounds pushed down."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(scaled_sum(rev, 10_000).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q19 = f"""
+    SELECT {scaled_sum_sql("l_extendedprice * (1.0 - l_discount)", 10_000)}
+               AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 TPCH_QUERIES = {
+    "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q19": q_tpch_q19,
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q14": q_tpch_q14,
     "q_supplier_rank": q_supplier_rank,
@@ -245,6 +365,8 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLES = {
+    "q_tpch_q1": ORACLE_TPCH_Q1,
+    "q_tpch_q19": ORACLE_TPCH_Q19,
     "q_tpch_q5": ORACLE_TPCH_Q5,
     "q_tpch_q14": ORACLE_TPCH_Q14,
     "q_supplier_rank": ORACLE_SUPPLIER_RANK,
