@@ -864,3 +864,32 @@ def test_ann_index_serve_scan_prunes_to_probed_cells(spark):
             assert "EqualTo(vec_id,0)" in b, (
                 f"serve plan rescans the raw corpus:\n{p}"
             )
+
+
+def test_tpch_q1_pushdown_and_one_pass_agg(spark):
+    """r9 Q1: the shipdate predicate must reach the parquet scan and
+    the nine aggregates must compute in ONE partial+final hash-agg
+    pass (no second exchange, no join)."""
+    p = _plan(QUERIES["q_tpch_q1"](spark, SF_SMALL))
+    assert "PushedFilters: [" in p, p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, f"shipdate not pushed:\n{p}"
+    assert len(_detail_headers(p, "Exchange")) == 1, (
+        f"Q1 must be one agg exchange:\n{p}"
+    )
+    assert not _detail_blocks(p, "BroadcastHashJoin"), p
+    assert any(
+        "partial_sum" in b for b in _detail_blocks(p, "HashAggregate")
+    ), f"Q1 aggregates must run map-side partials:\n{p}"
+
+
+def test_tpch_q19_broadcasts_part_no_cartesian(spark):
+    """r9 Q19: the part side must broadcast (pruned by its brand/size
+    conjunctions) and the disjunctive predicate must never degrade
+    the equi-join into a cartesian/nested-loop."""
+    p = _plan(QUERIES["q_tpch_q19"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert _detail_blocks(p, "BroadcastHashJoin"), (
+        f"part side must broadcast:\n{p}"
+    )
