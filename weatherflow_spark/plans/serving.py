@@ -764,8 +764,9 @@ def _oracle_ann_index_serve() -> str:
 
 def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-pipeline certification row (r9): the five surfaces the
-    r8 verdict flagged as local-only get one DRIVER row here — tagged
-    by op and unioned in LONG format (op, key, metric, value:bigint):
+    r8 verdict flagged as local-only — plus the r9 persisted IVF
+    serve — get one DRIVER row here, tagged by op and unioned in LONG
+    format (op, key, metric, value:bigint):
 
     - ``stream_serve``  (T1+T3): REAL Structured Streaming run —
       micro-batch sequencing + watermarked dedup under replay.
