@@ -914,3 +914,56 @@ def test_streaming_admission_migrates_flat_index(spark, tmp_path):
         for n in os.listdir(sig_root)
     )
     assert spark.read.parquet(sig_root).count() == 2  # doc 1 + admitted 11
+
+
+def test_stream_cms_matches_one_shot(spark, tmp_path):
+    """r9: per-micro-batch CMS cell slices written by
+    foreach_batch_cms must SUM (the count-min mergeability law) to
+    the exact one-shot cell table over everything ingested, and a
+    replayed micro-batch must not double-count (slice overwrite)."""
+    import glob as globmod
+    import shutil
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.plans.sketches import cms_cells
+    from weatherflow_spark.streaming.pipeline import (
+        foreach_batch_cms,
+        read_stream_cms,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    docs = load_table(spark, SF_SMALL, "documents")
+    for i in range(3):
+        staged = tmp_path / f"stage_{i}"
+        docs.where(f"doc_id % 3 = {i}").coalesce(1).write.parquet(str(staged))
+        part = globmod.glob(str(staged / "part-*.parquet"))[0]
+        shutil.copy(part, land / f"docs_{i}.parquet")
+
+    cube = str(tmp_path / "cms_cube")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "docs_*.parquet")
+        .parquet(str(land))
+    )
+    sink = foreach_batch_cms(cube)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (
+        spark.read.parquet(cube).select("slice_id").distinct().count() >= 2
+    )
+
+    merged = {(r.j, r.bucket): r.n for r in read_stream_cms(spark, cube).collect()}
+    want = {(r.j, r.bucket): r.n for r in cms_cells(docs).collect()}
+    assert merged == want  # summed slices == one-shot cells, exactly
+
+    # replay batch 0 under its own slice: nothing double-counts
+    sink(docs.where("doc_id % 3 = 0"), 0)
+    again = {(r.j, r.bucket): r.n for r in read_stream_cms(spark, cube).collect()}
+    assert again == want

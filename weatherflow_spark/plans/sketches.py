@@ -49,6 +49,37 @@ def _cms_bucket_duck(i: int) -> str:
     return f"((h * {a} + {b}) % {T.MOD}) % {CMS_W}"
 
 
+def cms_cells(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(j, bucket, n): the CMS cell-count table for a document set —
+    4·1024 cells regardless of corpus size, built as one token
+    explode + hash aggregate with map-side partials. Factored out so
+    the streaming sink (``streaming.pipeline.foreach_batch_cms``)
+    builds per-batch cells with the EXACT same hash pipeline as the
+    one-shot query; cell counts ADD across batches (the CMS
+    mergeability law), so summed slices equal a one-shot sketch."""
+    th = (
+        f"transform({T.tokens_expr(text_col)}, "
+        f"tok -> {T._tok_hash_lambda_spark('tok')})"
+    )
+    toks = docs.select(F.explode(F.expr(th)).alias("h"))
+    return (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"named_struct('j', {j}, 'bucket', {_cms_bucket_spark(j)})"
+                        for j in range(CMS_ROWS)
+                    )
+                    + ")"
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over `documents` tokens: exact top-10
     tokens by occurrence (ties broken by token hash) with their CMS
@@ -60,20 +91,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = f"transform({T.tokens_expr('text')}, tok -> {T._tok_hash_lambda_spark('tok')})"
     toks = docs.select(F.explode(F.expr(th)).alias("h"))
     # sketch: one row per (sketch row j, bucket) with exact count
-    cells = toks.select(
-        F.explode(
-            F.expr(
-                "array("
-                + ", ".join(
-                    f"named_struct('j', {j}, 'bucket', {_cms_bucket_spark(j)})"
-                    for j in range(CMS_ROWS)
-                )
-                + ")"
-            )
-        ).alias("c")
-    ).groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    cells = cms_cells(docs)
     # candidates: exact top tokens (by hash — token strings with equal
     # hash collapse, which is the sketch's own equivalence anyway)
     cand = (

@@ -480,6 +480,48 @@ def read_stream_sketch(
     )
 
 
+def foreach_batch_cms(
+    path: str, text_col: str = "text"
+) -> Callable[[DataFrame, int], None]:
+    """Streaming count-min sketch (r9): each micro-batch of documents
+    writes ITS OWN (j, bucket, n) cell counts under
+    ``slice_id=<batch_id>`` (dynamic overwrite → a replayed batch
+    rewrites its slice, never double-counts). Cell counts ADD across
+    slices — the CMS mergeability law — so the summed table equals a
+    one-shot sketch of everything ingested, and heavy-hitter point
+    estimates served from the merged cube match the batch query's.
+    State per batch: 4·1024 rows; the token stream is never retained.
+    The streaming member of the sketch tier, next to
+    ``foreach_batch_sketch`` (HLL) and ``foreach_batch_fingerprint``
+    (digest)."""
+    from weatherflow_spark.plans.sketches import cms_cells
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cells = cms_cells(batch_df, text_col).withColumn(
+            "slice_id", F.lit(batch_id).cast("long")
+        )
+        (
+            cells.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("slice_id")
+            .parquet(path)
+        )
+
+    return _sink
+
+
+def read_stream_cms(spark: SparkSession, path: str) -> DataFrame:
+    """Merge the streamed CMS cube: per-(j, bucket) summed counts —
+    equal to one-shot ``sketches.cms_cells`` over everything ingested
+    (pinned by tests/test_streaming.py)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 def read_stream_fingerprint(spark: SparkSession, path: str):
     """Combine the per-batch digests into the running table digest:
     XOR of XORs, plain sum of the (already per-row-modded) sum
