@@ -175,6 +175,8 @@ OPTIONAL = [
     "q_media_segments",
     "q_ann_index_serve",
     "q_tpch_q1",
+    "q_tpch_q4",
+    "q_tpch_q18",
     "q_tpch_q19",
 ]
 

@@ -893,3 +893,31 @@ def test_tpch_q19_broadcasts_part_no_cartesian(spark):
     assert _detail_blocks(p, "BroadcastHashJoin"), (
         f"part side must broadcast:\n{p}"
     )
+
+
+def test_tpch_q4_plans_left_semi_once_per_order(spark):
+    """r9 Q4: the EXISTS must plan as a LEFT SEMI join (each order
+    counted once with no dedup shuffle), never inner-join+distinct,
+    and the quarter predicate must reach the orders scan."""
+    p = _plan(QUERIES["q_tpch_q4"](spark, SF_SMALL))
+    joins = (
+        _detail_blocks(p, "BroadcastHashJoin")
+        + _detail_blocks(p, "SortMergeJoin")
+        + _detail_blocks(p, "ShuffledHashJoin")
+    )
+    assert joins and all("LeftSemi" in b for b in joins), (
+        f"EXISTS must plan as a semi join:\n{p}"
+    )
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderdate" in pushed, f"quarter filter not pushed:\n{p}"
+
+
+def test_tpch_q18_joins_only_qualifying_keys(spark):
+    """r9 Q18: the HAVING filter runs on the aggregated side before
+    the join back, so the qualifying-order relation broadcasts and
+    the plan is a bounded top-20 heap — no cartesian, no global
+    sort."""
+    p = _plan(QUERIES["q_tpch_q18"](spark, SF_SMALL))
+    assert "CartesianProduct" not in p, p
+    assert _detail_blocks(p, "BroadcastHashJoin"), p
+    assert "TakeOrderedAndProject" in p, f"top-20 must be a heap:\n{p}"

@@ -355,8 +355,120 @@ ORACLE_TPCH_Q19 = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# q_tpch_q4 — order-priority checking: EXISTS semi-join with a non-equi term
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (r9, adapted to the testdata columns): per
+    priority, how many 1996-Q1 orders had at least one LATE-SHIPPED
+    line (l_shipdate more than 60 days after o_orderdate — the stand-
+    in for Q4's commit<receipt predicate, which needs columns the
+    testdata lacks). Plans as a LEFT SEMI join on the order key with
+    the date comparison as a join-side filter — each order counts
+    ONCE no matter how many lines are late (the EXISTS semantics the
+    naive inner-join-then-distinct shape pays a dedup shuffle for),
+    then a 5-group aggregate."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("interval 60 days")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+ORACLE_TPCH_Q4 = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_tpch_q18 — large-volume orders: HAVING-sum filter + join back
+# ---------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD = 250  # sf0.001: 25 qualifying orders; sf0.01: 204
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (r9): the 20 largest-volume orders — aggregate
+    lineitem quantities per order (exact scaled-integer sum), keep
+    orders whose total exceeds the threshold (the HAVING filter runs
+    on the AGGREGATED side, so the join back to orders/customer
+    carries only qualifying keys — at 100 TB that is a few hundred
+    rows, broadcastable), then enrich with customer and take the
+    top-20 heap by (total_qty, o_orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(scaled_sum(F.col("l_quantity"), 100).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.expr(
+                "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            ).alias("price_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q18 = f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               {scaled_sum_sql("l_quantity", 100)} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {scaled_sum_sql("l_quantity", 100)} > {Q18_QTY_THRESHOLD}
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           total_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 20
+"""
+
+
 TPCH_QUERIES = {
     "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q18": q_tpch_q18,
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q14": q_tpch_q14,
@@ -366,6 +478,8 @@ TPCH_QUERIES = {
 
 TPCH_ORACLES = {
     "q_tpch_q1": ORACLE_TPCH_Q1,
+    "q_tpch_q4": ORACLE_TPCH_Q4,
+    "q_tpch_q18": ORACLE_TPCH_Q18,
     "q_tpch_q19": ORACLE_TPCH_Q19,
     "q_tpch_q5": ORACLE_TPCH_Q5,
     "q_tpch_q14": ORACLE_TPCH_Q14,
