@@ -218,22 +218,92 @@ def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("promo_pct").alias("key"),
         F.col("promo_pct").alias("metric"),
     )
-    return q3.unionByName(q5).unionByName(q14)
+    # r9 branches: Q1 wide agg (8 metrics per group, stacked long),
+    # Q4 semi-join counts, Q18 large-volume orders, Q19 disjunctive
+    # revenue — every double exact by construction (scaled-int sums /
+    # bigint casts), so the shared (side, key, metric) shape hashes.
+    q1 = (
+        q_tpch_q1(spark, sf_dir)
+        .selectExpr(
+            "'q1' AS side",
+            "concat(l_returnflag, '|', l_linestatus) AS grp",
+            "stack(8, 'sum_qty', sum_qty, "
+            "'sum_base_price', sum_base_price, "
+            "'sum_disc_price', sum_disc_price, "
+            "'sum_charge', sum_charge, "
+            "'avg_qty_e6', cast(avg_qty_e6 as double), "
+            "'avg_price_e6', cast(avg_price_e6 as double), "
+            "'avg_disc_e6', cast(avg_disc_e6 as double), "
+            "'count_order', cast(count_order as double)) AS (mname, metric)",
+        )
+        .selectExpr("side", "concat(grp, '|', mname) AS key", "metric")
+    )
+    q4 = q_tpch_q4(spark, sf_dir).select(
+        F.lit("q4").alias("side"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("order_count").cast("double").alias("metric"),
+    )
+    q18 = q_tpch_q18(spark, sf_dir).select(
+        F.lit("q18").alias("side"),
+        F.concat_ws("|", "c_custkey", "o_orderkey").alias("key"),
+        F.col("total_qty").alias("metric"),
+    )
+    q19 = q_tpch_q19(spark, sf_dir).select(
+        F.lit("q19").alias("side"),
+        F.lit("revenue").alias("key"),
+        F.col("revenue").alias("metric"),
+    )
+    return (
+        q3.unionByName(q5)
+        .unionByName(q14)
+        .unionByName(q1)
+        .unionByName(q4)
+        .unionByName(q18)
+        .unionByName(q19)
+    )
 
 
 def _oracle_tpch_suite() -> str:
     from weatherflow_spark.plans.stats import ORACLE_TPCH_Q3
 
+    q1_rows = "\n    UNION ALL\n".join(
+        f"    SELECT 'q1', l_returnflag || '|' || l_linestatus || '|{m}',"
+        f" CAST({m} AS DOUBLE) FROM q1_side"
+        for m in (
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty_e6",
+            "avg_price_e6",
+            "avg_disc_e6",
+            "count_order",
+        )
+    )
     return f"""
     WITH q3_side AS ({ORACLE_TPCH_Q3}),
     q5_side AS ({ORACLE_TPCH_Q5}),
-    q14_side AS ({ORACLE_TPCH_Q14})
+    q14_side AS ({ORACLE_TPCH_Q14}),
+    q1_side AS ({ORACLE_TPCH_Q1}),
+    q4_side AS ({ORACLE_TPCH_Q4}),
+    q18_side AS ({ORACLE_TPCH_Q18}),
+    q19_side AS ({ORACLE_TPCH_Q19})
     SELECT 'q3' AS side, CAST(l_orderkey AS VARCHAR) AS key, revenue AS metric
     FROM q3_side
     UNION ALL
     SELECT 'q5' AS side, n_name AS key, revenue AS metric FROM q5_side
     UNION ALL
     SELECT 'q14' AS side, 'promo_pct' AS key, promo_pct AS metric FROM q14_side
+    UNION ALL
+{q1_rows}
+    UNION ALL
+    SELECT 'q4', o_orderpriority, CAST(order_count AS DOUBLE) FROM q4_side
+    UNION ALL
+    SELECT 'q18', CAST(c_custkey AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR),
+           total_qty
+    FROM q18_side
+    UNION ALL
+    SELECT 'q19', 'revenue', revenue FROM q19_side
 """
 
 
