@@ -75,3 +75,45 @@ def test_curate_cli_entry(spark, tmp_path):
     out = str(tmp_path / "cli_release")
     main(["--source", SF_SMALL, "--out", out])
     assert spark.read.parquet(f"{out}/curated").count() > 0
+
+
+def test_curate_shard_export_final_mile(spark, tmp_path):
+    """r9: --shards finishes the release with the E85 deterministic
+    export of the CURATED corpus — every curated doc lands in exactly
+    one shard, within-shard positions are dense 1..n, and the shard
+    assignment is a pure function of doc_id (re-running produces the
+    identical layout)."""
+    out = str(tmp_path / "rel")
+    curate_corpus(spark, SF_SMALL, out, n_shards=4)
+    curated = spark.read.parquet(f"{out}/curated")
+    shards = spark.read.parquet(f"{out}/shards")
+
+    assert shards.count() == curated.count()
+    assert shards.select("doc_id").distinct().count() == curated.count()
+    assert shards.select("shard_id").distinct().count() <= 4
+    # dense 1..n positions per shard
+    from pyspark.sql import functions as F
+
+    per = shards.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("npos"),
+    )
+    for r in per.collect():
+        assert (r.lo, r.hi, r.npos) == (1, r.n, r.n), r
+    # determinism: same doc -> same shard on a re-export
+    import shutil
+
+    first = {
+        r.doc_id: (r.shard_id, r.pos) for r in shards.collect()
+    }
+    shutil.rmtree(f"{out}/shards")
+    from weatherflow_spark.plans.serving import export_shards
+
+    export_shards(curated, f"{out}/shards", 4)
+    again = {
+        r.doc_id: (r.shard_id, r.pos)
+        for r in spark.read.parquet(f"{out}/shards").collect()
+    }
+    assert again == first

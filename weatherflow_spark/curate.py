@@ -52,7 +52,7 @@ def redact_text(col: F.Column) -> F.Column:
 
 
 def curate_corpus(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 0
 ) -> dict[str, int]:
     """Run the release pipeline; returns the stage funnel counts and
     writes ``curated`` (parquet) plus ``report`` under ``out_dir``."""
@@ -107,6 +107,17 @@ def curate_corpus(
             "n_after_perplexity": stage3.count(),
         }
         write_table(curated, f"{out_dir}/curated")
+        if n_shards:
+            # Final mile (r9): the E85 deterministic shuffle-and-shard
+            # export of the CURATED corpus — the same shared operator
+            # the driver hash-certifies (plans/serving.export_shards).
+            from weatherflow_spark.plans.serving import export_shards
+
+            export_shards(
+                spark.read.parquet(f"{out_dir}/curated"),
+                f"{out_dir}/shards",
+                n_shards,
+            )
     finally:
         release_caches()
     report = spark.createDataFrame(
@@ -120,12 +131,19 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="corpus curation pipeline")
     p.add_argument("--source", required=True, help="input sf dir (documents.parquet)")
     p.add_argument("--out", required=True, help="output directory")
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="also write the curated corpus as N deterministically "
+        "shuffled training shards (E85 export; 0 = skip)",
+    )
     args = p.parse_args(argv)
 
     from weatherflow_spark.session import get_spark
 
     spark = get_spark(app_name="weatherflow-curate")
-    funnel = curate_corpus(spark, args.source, args.out)
+    funnel = curate_corpus(spark, args.source, args.out, args.shards)
     for stage, n in funnel.items():
         print(f"{stage}: {n}")
 

@@ -394,6 +394,29 @@ def _oracle_index_admit() -> str:
 N_SHARDS = 8  # export shards (hash-mod assignment)
 
 
+def export_shards(docs: DataFrame, base: str, n_shards: int = N_SHARDS) -> None:
+    """The reusable E85 export: write ``docs`` (any frame with a
+    ``doc_id`` column; other columns ride along) as ``n_shards``
+    deterministically shuffled shards under ``base`` — pseudo-random
+    position key from the engine's char fold of the id (reproducible
+    forever, decorrelated from source order), shard = key % n
+    (order-free, no global sort), within-shard positions via the
+    skew-proof E77 grouped rank, written partition-by-shard. Shared
+    by the certified ``q_shard_export`` digest and the release CLI's
+    ``--shards`` final mile (curate.py)."""
+    from weatherflow_spark.functions import text as T
+    from weatherflow_spark.operators.indexing import assign_grouped_rank
+
+    keyed = docs.withColumn(
+        "pos_key",
+        F.expr(T._tok_hash_lambda_spark("cast(doc_id as string)")),
+    ).withColumn("shard_id", (F.col("pos_key") % n_shards).cast("int"))
+    ranked = assign_grouped_rank(
+        keyed, ["shard_id"], ["pos_key", "doc_id"], rank_col="pos"
+    )
+    ranked.write.partitionBy("shard_id").parquet(base)
+
+
 def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E85 driver row: deterministic shuffle-and-shard EXPORT — the
     final-mile operator between a curated corpus and a training
@@ -414,25 +437,12 @@ def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip in one row set."""
     import shutil
 
-    from weatherflow_spark.functions import text as T
-    from weatherflow_spark.operators.indexing import assign_grouped_rank
-
     base = os.path.join(_scratch_dir(sf_dir), "shards")
     shutil.rmtree(base, ignore_errors=True)  # full reset: replayable
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
-    keyed = docs.select(
-        "doc_id",
-        "n_chars",
-        F.expr(T._tok_hash_lambda_spark("cast(doc_id as string)")).alias(
-            "pos_key"
-        ),
-    ).withColumn("shard_id", (F.col("pos_key") % N_SHARDS).cast("int"))
-    ranked = assign_grouped_rank(
-        keyed, ["shard_id"], ["pos_key", "doc_id"], rank_col="pos"
-    )
-    ranked.write.partitionBy("shard_id").parquet(base)
+    export_shards(docs, base, N_SHARDS)
     stored = spark.read.parquet(base)
     return stored.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
