@@ -26,3 +26,35 @@ def test_cli_batch_run_builds_star(spark, tmp_path):
     fact = spark.read.parquet(os.path.join(wh, "w_fact"))
     time_dim = spark.read.parquet(os.path.join(wh, "w_time_dim"))
     assert fact.join(time_dim, "time_id", "inner").count() == n_events
+
+
+def test_cli_quality_gate_blocks_bad_load(spark, tmp_path):
+    """r9: --quality-gate runs the pinned-budget invariant tier BEFORE
+    the load — a clean source loads normally; a source with duplicated
+    order pks aborts with exit code 2 and writes NOTHING."""
+    import glob
+    import shutil
+
+    import pytest
+
+    # clean source: gate passes, warehouse builds
+    wh1 = str(tmp_path / "wh_ok")
+    main(["--source", SF_SMALL, "--warehouse", wh1,
+          "--checkpoint", str(tmp_path / "ck1"), "--quality-gate"])
+    assert os.path.isdir(os.path.join(wh1, "w_fact"))
+
+    # corrupted source: duplicate every order row (pk_dupes > 0)
+    bad = tmp_path / "bad_sf"
+    bad.mkdir()
+    for f in glob.glob(os.path.join(SF_SMALL, "*.parquet")):
+        shutil.copy(f, bad / os.path.basename(f))
+    orders = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    orders.unionAll(orders).coalesce(1).write.mode("overwrite").parquet(
+        str(bad / "orders.parquet")
+    )
+    wh2 = str(tmp_path / "wh_blocked")
+    with pytest.raises(SystemExit) as exc:
+        main(["--source", str(bad), "--warehouse", wh2,
+              "--checkpoint", str(tmp_path / "ck2"), "--quality-gate"])
+    assert exc.value.code == 2
+    assert not os.path.exists(os.path.join(wh2, "w_fact"))  # nothing written

@@ -25,9 +25,38 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="run continuously (5-minute trigger) instead of one batch",
     )
+    p.add_argument(
+        "--quality-gate",
+        action="store_true",
+        help="block the load on the pinned-budget invariant gate "
+        "(plans/quality.q_quality_gate): any hard-check violation in "
+        "the source tables aborts with exit code 2 BEFORE anything "
+        "is written",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="weatherflow-etl")
+
+    if args.quality_gate:
+        # The scheduler-gate story made executable (r9): the cheap
+        # GATE_SECTIONS tier (< 1 s at sf0.1, budget-pinned in
+        # tests/test_plans.py) runs first; a violated hard invariant
+        # (pass = 0) aborts the job before the warehouse is touched.
+        # The report is ~a dozen rows — the collect is bounded.
+        import sys
+
+        from weatherflow_spark.plans.quality import q_quality_gate
+
+        failures = [
+            (r.tbl, r.check, r.value)
+            for r in q_quality_gate(spark, args.source).collect()
+            if r["pass"] == 0
+        ]
+        if failures:
+            for tbl, check, value in failures:
+                print(f"QUALITY GATE FAILED: {tbl}.{check} = {value}",
+                      file=sys.stderr)
+            raise SystemExit(2)
 
     from weatherflow_spark.streaming.pipeline import weather_etl_stream
 
