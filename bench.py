@@ -178,6 +178,17 @@ OPTIONAL = [
     "q_tpch_q4",
     "q_tpch_q18",
     "q_tpch_q19",
+    # round 9 continuation: TPC-H completion singles (suite branches
+    # carry the window rows)
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q21",
+    "q_tpch_q22",
 ]
 
 

@@ -921,3 +921,72 @@ def test_tpch_q18_joins_only_qualifying_keys(spark):
     assert "CartesianProduct" not in p, p
     assert _detail_blocks(p, "BroadcastHashJoin"), p
     assert "TakeOrderedAndProject" in p, f"top-20 must be a heap:\n{p}"
+
+
+def test_tpch_q6_every_predicate_reaches_the_scan(spark):
+    """r9 Q6: the query exists to prove predicates reach parquet —
+    shipdate bounds AND the quantity bound must appear in
+    PushedFilters, the plan must contain no join at all, and the
+    global sum must be one partial+final pass (a single exchange)."""
+    p = _plan(QUERIES["q_tpch_q6"](spark, SF_SMALL))
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, (
+        f"Q6 predicates not pushed:\n{p}"
+    )
+    assert "Join" not in p, f"Q6 must be join-free:\n{p}"
+    assert len(_detail_headers(p, "Exchange")) == 1, p
+
+
+def test_tpch_q15_scans_lineitem_once(spark):
+    """r9 Q15: max-revenue equality consumes the per-supplier
+    aggregate twice; the tracked_persist must make both consumers
+    read the cached frame so lineitem is scanned ONCE (unpersisted
+    this planned as two full scans, zero reused exchanges)."""
+    p = _plan(QUERIES["q_tpch_q15"](spark, SF_SMALL))
+    assert p.count("lineitem.parquet") == 1, (
+        f"Q15 must scan lineitem once:\n{p}"
+    )
+
+
+def test_tpch_q17_window_stats_single_scan(spark):
+    """r9 Q17: the decorrelated per-part average uses WINDOW
+    aggregates over the partkey shuffle, not agg + join-back — one
+    scan of the brand-pruned lineitem (join-back planned two), the
+    brand prune a broadcast join into the scan side."""
+    p = _plan(QUERIES["q_tpch_q17"](spark, SF_SMALL))
+    assert p.count("lineitem.parquet") == 1, (
+        f"Q17 must scan lineitem once:\n{p}"
+    )
+    assert _detail_headers(p, "Window"), f"Q17 must use window stats:\n{p}"
+    assert _detail_blocks(p, "BroadcastHashJoin"), p
+
+
+def test_tpch_q21_one_pass_profile_no_self_join(spark):
+    """r9 Q21: the EXISTS/NOT-EXISTS pair must decorrelate into ONE
+    per-order profile aggregate — lineitem scanned once, never the
+    textbook double self-join (which would scan it three times), and
+    no cartesian anywhere."""
+    p = _plan(QUERIES["q_tpch_q21"](spark, SF_SMALL))
+    assert p.count("lineitem.parquet") == 1, (
+        f"Q21 must scan lineitem once:\n{p}"
+    )
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, f"top-20 must be a heap:\n{p}"
+
+
+def test_tpch_q22_anti_join_and_broadcast_scalar(spark):
+    """r9 Q22: the NOT-EXISTS must plan as a LEFT ANTI join against
+    the date-pruned orders projection (pushed filter), and the scalar
+    average must arrive as a 1-row broadcast, never a shuffle."""
+    p = _plan(QUERIES["q_tpch_q22"](spark, SF_SMALL))
+    assert "LeftAnti" in p, f"Q22 must anti-join:\n{p}"
+    pushed_blocks = [
+        b
+        for b in _detail_blocks(p, "Scan parquet")
+        if "orders.parquet" in b
+    ]
+    assert pushed_blocks and any(
+        "o_orderdate" in b.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        for b in pushed_blocks
+        if "PushedFilters: [" in b
+    ), f"Q22 dormancy date not pushed to orders scan:\n{p}"

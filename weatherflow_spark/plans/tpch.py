@@ -253,6 +253,73 @@ def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("revenue").alias("key"),
         F.col("revenue").alias("metric"),
     )
+    # r9 completion branches (plans/tpch_ext.py): Q6 scan-only sum,
+    # Q7 dual-direction nation pairs, Q8 market share, Q10 returns
+    # top-20, Q13 outer-join distribution, Q15 scalar-max join-back,
+    # Q17 decorrelated per-part avg, Q21 sole-late-supplier profile,
+    # Q22 dormant high-balance anti-join. Every metric is exact by
+    # construction (scaled-int sums / bigint counts / one double
+    # division of exact longs), so the shared shape hashes.
+    from weatherflow_spark.plans.tpch_ext import (
+        q_tpch_q6,
+        q_tpch_q7,
+        q_tpch_q8,
+        q_tpch_q10,
+        q_tpch_q13,
+        q_tpch_q15,
+        q_tpch_q17,
+        q_tpch_q21,
+        q_tpch_q22,
+    )
+
+    q6 = q_tpch_q6(spark, sf_dir).select(
+        F.lit("q6").alias("side"),
+        F.lit("revenue").alias("key"),
+        F.col("revenue").alias("metric"),
+    )
+    q7 = q_tpch_q7(spark, sf_dir).select(
+        F.lit("q7").alias("side"),
+        F.concat_ws(
+            "|", "supp_nation", "cust_nation", F.col("l_year").cast("string")
+        ).alias("key"),
+        F.col("revenue").alias("metric"),
+    )
+    q8 = q_tpch_q8(spark, sf_dir).select(
+        F.lit("q8").alias("side"),
+        F.col("o_year").cast("string").alias("key"),
+        F.col("mkt_share").alias("metric"),
+    )
+    q10 = q_tpch_q10(spark, sf_dir).select(
+        F.lit("q10").alias("side"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("revenue").alias("metric"),
+    )
+    q13 = q_tpch_q13(spark, sf_dir).select(
+        F.lit("q13").alias("side"),
+        F.col("c_count").cast("string").alias("key"),
+        F.col("custdist").cast("double").alias("metric"),
+    )
+    q15 = q_tpch_q15(spark, sf_dir).select(
+        F.lit("q15").alias("side"),
+        F.col("s_suppkey").cast("string").alias("key"),
+        F.col("total_revenue").alias("metric"),
+    )
+    q17 = q_tpch_q17(spark, sf_dir).select(
+        F.lit("q17").alias("side"),
+        F.lit("avg_yearly").alias("key"),
+        F.col("avg_yearly").alias("metric"),
+    )
+    q21 = q_tpch_q21(spark, sf_dir).select(
+        F.lit("q21").alias("side"),
+        F.col("s_suppkey").cast("string").alias("key"),
+        F.col("numwait").cast("double").alias("metric"),
+    )
+    q22 = q_tpch_q22(spark, sf_dir).selectExpr(
+        "'q22' AS side",
+        "cast(c_nationkey as string) AS nk",
+        "stack(2, 'numcust', cast(numcust as double), "
+        "'totacctbal', totacctbal) AS (mname, metric)",
+    ).selectExpr("side", "concat(nk, '|', mname) AS key", "metric")
     return (
         q3.unionByName(q5)
         .unionByName(q14)
@@ -260,11 +327,31 @@ def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q4)
         .unionByName(q18)
         .unionByName(q19)
+        .unionByName(q6)
+        .unionByName(q7)
+        .unionByName(q8)
+        .unionByName(q10)
+        .unionByName(q13)
+        .unionByName(q15)
+        .unionByName(q17)
+        .unionByName(q21)
+        .unionByName(q22)
     )
 
 
 def _oracle_tpch_suite() -> str:
     from weatherflow_spark.plans.stats import ORACLE_TPCH_Q3
+    from weatherflow_spark.plans.tpch_ext import (
+        ORACLE_TPCH_Q6,
+        ORACLE_TPCH_Q7,
+        ORACLE_TPCH_Q8,
+        ORACLE_TPCH_Q10,
+        ORACLE_TPCH_Q13,
+        ORACLE_TPCH_Q15,
+        ORACLE_TPCH_Q17,
+        ORACLE_TPCH_Q21,
+        ORACLE_TPCH_Q22,
+    )
 
     q1_rows = "\n    UNION ALL\n".join(
         f"    SELECT 'q1', l_returnflag || '|' || l_linestatus || '|{m}',"
@@ -287,7 +374,16 @@ def _oracle_tpch_suite() -> str:
     q1_side AS ({ORACLE_TPCH_Q1}),
     q4_side AS ({ORACLE_TPCH_Q4}),
     q18_side AS ({ORACLE_TPCH_Q18}),
-    q19_side AS ({ORACLE_TPCH_Q19})
+    q19_side AS ({ORACLE_TPCH_Q19}),
+    q6_side AS ({ORACLE_TPCH_Q6}),
+    q7_side AS ({ORACLE_TPCH_Q7}),
+    q8_side AS ({ORACLE_TPCH_Q8}),
+    q10_side AS ({ORACLE_TPCH_Q10}),
+    q13_side AS ({ORACLE_TPCH_Q13}),
+    q15_side AS ({ORACLE_TPCH_Q15}),
+    q17_side AS ({ORACLE_TPCH_Q17}),
+    q21_side AS ({ORACLE_TPCH_Q21}),
+    q22_side AS ({ORACLE_TPCH_Q22})
     SELECT 'q3' AS side, CAST(l_orderkey AS VARCHAR) AS key, revenue AS metric
     FROM q3_side
     UNION ALL
@@ -304,6 +400,33 @@ def _oracle_tpch_suite() -> str:
     FROM q18_side
     UNION ALL
     SELECT 'q19', 'revenue', revenue FROM q19_side
+    UNION ALL
+    SELECT 'q6', 'revenue', revenue FROM q6_side
+    UNION ALL
+    SELECT 'q7', supp_nation || '|' || cust_nation || '|'
+               || CAST(l_year AS VARCHAR), revenue
+    FROM q7_side
+    UNION ALL
+    SELECT 'q8', CAST(o_year AS VARCHAR), mkt_share FROM q8_side
+    UNION ALL
+    SELECT 'q10', CAST(c_custkey AS VARCHAR), revenue FROM q10_side
+    UNION ALL
+    SELECT 'q13', CAST(c_count AS VARCHAR), CAST(custdist AS DOUBLE)
+    FROM q13_side
+    UNION ALL
+    SELECT 'q15', CAST(s_suppkey AS VARCHAR), total_revenue FROM q15_side
+    UNION ALL
+    SELECT 'q17', 'avg_yearly', avg_yearly FROM q17_side
+    UNION ALL
+    SELECT 'q21', CAST(s_suppkey AS VARCHAR), CAST(numwait AS DOUBLE)
+    FROM q21_side
+    UNION ALL
+    SELECT 'q22', CAST(c_nationkey AS VARCHAR) || '|numcust',
+           CAST(numcust AS DOUBLE)
+    FROM q22_side
+    UNION ALL
+    SELECT 'q22', CAST(c_nationkey AS VARCHAR) || '|totacctbal', totacctbal
+    FROM q22_side
 """
 
 
@@ -535,7 +658,13 @@ ORACLE_TPCH_Q18 = f"""
 """
 
 
+from weatherflow_spark.plans.tpch_ext import (  # noqa: E402
+    TPCH_EXT_QUERIES,
+    TPCH_EXT_ORACLES,
+)
+
 TPCH_QUERIES = {
+    **TPCH_EXT_QUERIES,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q4": q_tpch_q4,
     "q_tpch_q18": q_tpch_q18,
@@ -547,6 +676,7 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLES = {
+    **TPCH_EXT_ORACLES,
     "q_tpch_q1": ORACLE_TPCH_Q1,
     "q_tpch_q4": ORACLE_TPCH_Q4,
     "q_tpch_q18": ORACLE_TPCH_Q18,
