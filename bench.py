@@ -189,6 +189,9 @@ OPTIONAL = [
     "q_tpch_q17",
     "q_tpch_q21",
     "q_tpch_q22",
+    # round 9 continuation: repeated-span dedup single (suite branch
+    # carries the window row)
+    "q_span_dedup",
 ]
 
 

@@ -807,3 +807,43 @@ def test_media_segments_gaps_and_islands(spark, tmp_path):
     }
     z_e = 16 * 122 * 122  # one all-'z' window's energy
     assert segs == {(0, 32): (2, 2 * z_e), (48, 64): (1, z_e)}
+
+
+def test_span_dedup_exact_boundaries_and_cross_doc_only(spark):
+    """E89 (r9): the repeated-span profile must (a) find the shared
+    run with EXACT token boundaries, (b) merge overlapping duplicated
+    windows into one maximal span, and (c) ignore repetition that
+    lives inside a single document (that is E25's contract)."""
+    from weatherflow_spark.plans.ext_dedup import repeated_span_profile
+
+    shared = [f"sh{i}" for i in range(12)]  # 12-token run in docs 1+2
+    a_words = [f"aa{i}" for i in range(30)] + shared + [
+        f"ab{i}" for i in range(25)
+    ]
+    b_words = [f"ba{i}" for i in range(10)] + shared + [
+        f"bb{i}" for i in range(40)
+    ]
+    # doc 3: an 8-gram repeated TWICE within itself but nowhere else —
+    # must produce no span (cross-doc only).
+    rep = [f"rr{i}" for i in range(8)]
+    c_words = rep + [f"ca{i}" for i in range(20)] + rep + [
+        f"cb{i}" for i in range(20)
+    ]
+    rows = [
+        (1, " ".join(a_words), "en", "web", 0),
+        (2, " ".join(b_words), "en", "web", 0),
+        (3, " ".join(c_words), "en", "web", 0),
+        (4, " ".join(f"dd{i}" for i in range(40)), "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in repeated_span_profile(docs, n=8).collect()}
+    # the 12-token run yields windows at 5 consecutive start positions
+    # per doc — they must merge into ONE span of exactly 12 tokens
+    assert set(out) == {1, 2}, f"cross-doc-only violated: {sorted(out)}"
+    for doc_id, start in ((1, 30), (2, 10)):
+        r = out[doc_id]
+        assert r.n_spans == 1 and r.dup_tokens == 12, r
+    assert out[1].n_tokens == 67 and out[2].n_tokens == 62
+    assert out[1].dup_ratio_e6 == 12 * 1_000_000 // 67

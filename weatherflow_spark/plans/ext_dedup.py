@@ -18,6 +18,11 @@ Eight dedup families plus entity resolution, all first-class queries:
 - **fuzzy strings** — blocked levenshtein over the name vocabulary
                      (E26), extended to canonical ENTITY CLUSTERS by
                      min-label propagation (E74).
+- **repeated spans** — cross-document exact-substring dedup (E89):
+                     n-token window hashes appearing in ≥ 2 docs,
+                     merged per doc into maximal spans (Lee et al.
+                     2022 — the span-level leak doc-level families
+                     cannot see).
 (The embedding-cosine and SemDeDup families live in ext_similarity.)
 
 Everything is hash-checked against DuckDB: the minhash/simhash math
@@ -1298,6 +1303,156 @@ ORACLE_WINNOW_FINGERPRINT = f"""
 
 
 # ---------------------------------------------------------------------------
+# q_span_dedup — E89: cross-document repeated n-gram SPAN dedup
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8  # window width in tokens; ~50 in production (Lee et al.),
+            # 8 so the sf-scale word-soup corpus exercises every stage
+
+
+def repeated_span_profile(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Exact substring (repeated n-gram span) dedup — the
+    training-data operator from "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022): find every n-token
+    window whose hash occurs in ≥ 2 DISTINCT documents, then merge
+    overlapping windows per doc into maximal spans and profile the
+    duplicated footprint. Doc-LEVEL near-dup (the other E1 families)
+    misses this entirely: two long documents sharing one boilerplate
+    paragraph are not near-dups, but the paragraph still leaks
+    between train and eval. Within-doc repetition is deliberately
+    excluded (that is q_repetition_filter's E25 contract).
+
+    Pipeline (all Catalyst, cross-engine polynomial window hashes):
+    1. posexplode the n-gram hash array → (doc_id, pos, h); the
+       narrow tokenize+hash work is repartitioned off the
+       single-file scan (AQE would otherwise 1-task it).
+    2. duplicated hashes = groupBy(h) HAVING countDistinct(doc_id)≥2
+       — partial-agg shuffle keyed by h, never a self-join of the
+       position table.
+    3. LEFT SEMI join positions against the duplicated-hash set
+       (same h key; AQE broadcasts when the dup set is small).
+    4. gaps-and-islands per doc: windows at positions i < j overlap
+       or abut iff j ≤ i + n, so a break is pos − prev > n; spans
+       aggregate min(pos) .. max(pos)+n−1.
+    Steps 1–2 and 3 re-derive the exploded frame (two scans): the
+    per-token frame is corpus-×-tokens sized, so persisting it is
+    exactly what a 100 TB run cannot do — two pipelined passes is
+    the scale-honest shape (the dup-hash side reduces map-side).
+
+    Returns one row per document with ≥ 1 duplicated span:
+    (doc_id, n_spans, dup_tokens, n_tokens, dup_ratio_e6) — all
+    BIGINT, ratio as exact integer millionths (truncating DIV).
+    """
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.expr(T.shingle_hashes_expr("text", n)).alias("sh"),
+        F.expr(f"size({T.tokens_expr('text')})").cast("long").alias("n_tokens"),
+    )
+    exploded = sh.select(
+        "doc_id", "n_tokens", F.posexplode("sh").alias("pos", "h")
+    )
+    dup = (
+        exploded.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = exploded.join(dup, "h", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(F.col("pos") - F.col("prev") > n, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = islands.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+                "dup_tokens"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.expr(
+                "CAST((dup_tokens * 1000000) DIV n_tokens AS BIGINT)"
+            ).alias("dup_ratio_e6"),
+        )
+    )
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E89 registry entry: the repeated-span profile over the full
+    documents table (see repeated_span_profile)."""
+    return repeated_span_profile(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_span_dedup() -> str:
+    n = SPAN_N
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {T.shingle_hashes_sql('text', n)} AS sh,
+               len({T.tokens_sql('text')}) AS n_tokens
+        FROM documents
+    ),
+    exploded AS (
+        SELECT doc_id, n_tokens, i - 1 AS pos, sh[i] AS h
+        FROM sh, LATERAL (SELECT unnest(generate_series(1, len(sh))) AS i) u
+    ),
+    dup AS (
+        SELECT h FROM exploded GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+        SELECT e.doc_id, e.n_tokens, e.pos,
+               CASE WHEN e.pos - lag(e.pos) OVER (
+                        PARTITION BY e.doc_id ORDER BY e.pos) > {n}
+                    THEN 1 ELSE 0 END AS brk
+        FROM exploded e JOIN dup USING (h)
+    ),
+    islands AS (
+        SELECT doc_id, n_tokens, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens, island,
+               min(pos) AS span_start, max(pos) + {n} - 1 AS span_end
+        FROM islands GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((CAST(sum(span_end - span_start + 1) AS BIGINT) * 1000000)
+                // n_tokens AS BIGINT) AS dup_ratio_e6
+    FROM spans GROUP BY doc_id, n_tokens
+"""
+
+
+ORACLE_SPAN_DEDUP = _oracle_span_dedup()
+
+
+# ---------------------------------------------------------------------------
 
 
 def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1396,6 +1551,17 @@ def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("double").alias("score"),
         null_flag,
     )
+    # Eleventh family (E89, r9): cross-document repeated n-gram SPAN
+    # dedup — per-doc rows (doc_b NULL), score = exact duplicated-
+    # token ratio; the full span profile stays in the q_span_dedup
+    # single (tail parity + bench).
+    span = q_span_dedup(spark, sf_dir).select(
+        F.lit("span").alias("method"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        (F.col("dup_ratio_e6").cast("double") / 1e6).alias("score"),
+        F.lit(1).cast("int").alias("is_dup"),
+    )
     return (
         mh.unionByName(sh)
         .unionByName(ng)
@@ -1404,6 +1570,7 @@ def q_near_dup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(win)
         .unionByName(sweep)
         .unionByName(ph)
+        .unionByName(span)
     )
 
 
@@ -1418,7 +1585,8 @@ def _oracle_near_dup_suite() -> str:
     cont_side AS ({ORACLE_CONTAINMENT}),
     win_side AS ({ORACLE_WINNOW_FINGERPRINT}),
     sweep_side AS ({ORACLE_CONTAINMENT_SWEEP}),
-    ph_side AS ({ORACLE_PHASH_NEAR_DUP})
+    ph_side AS ({ORACLE_PHASH_NEAR_DUP}),
+    span_side AS ({ORACLE_SPAN_DEDUP})
     SELECT 'minhash' AS method, doc_a, doc_b, jaccard AS score, is_dup
     FROM mh_side
     UNION ALL
@@ -1447,6 +1615,10 @@ def _oracle_near_dup_suite() -> str:
     SELECT 'phash', doc_a, doc_b, CAST(hamming AS DOUBLE),
            CAST(NULL AS INTEGER)
     FROM ph_side
+    UNION ALL
+    SELECT 'span', doc_id, CAST(NULL AS BIGINT),
+           CAST(dup_ratio_e6 AS DOUBLE) / 1e6, 1
+    FROM span_side
 """
 
 
@@ -1463,6 +1635,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_phash_near_dup": q_phash_near_dup,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_span_dedup": q_span_dedup,
     "q_near_dup_suite": q_near_dup_suite,
     "q_incremental_dedup": q_incremental_dedup,
 }
@@ -1480,6 +1653,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "q_simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "q_phash_near_dup": ORACLE_PHASH_NEAR_DUP,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_span_dedup": ORACLE_SPAN_DEDUP,
     "q_near_dup_suite": _oracle_near_dup_suite(),
     "q_incremental_dedup": _oracle_incremental_dedup(),
 }
