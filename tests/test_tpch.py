@@ -49,3 +49,79 @@ def test_supplier_rank_no_shuffle_for_dim_joins(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     # only the window's own partitioning exchanges rows
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# ---------------------------------------------------------------------------
+# r9 continuation: derived partsupp + the six queries completing 22/22
+# ---------------------------------------------------------------------------
+
+
+def test_derived_partsupp_invariants(spark):
+    """The derived table must behave like dbgen's partsupp: exactly
+    four suppliers per part, (partkey, suppkey) a primary key BY
+    CONSTRUCTION (four consecutive integers mod S are distinct for
+    S >= 4), suppkey inside [1, S], and the canonical value domains
+    (availqty 1..9999, supplycost 1.00..999.99 in cents)."""
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.plans.tpch_ps import derived_partsupp
+
+    ps = derived_partsupp(spark, SF_SMALL).cache()
+    try:
+        n_part = load_table(spark, SF_SMALL, "part").count()
+        n_supp = load_table(spark, SF_SMALL, "supplier").count()
+        assert ps.count() == 4 * n_part
+        assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == 4 * n_part
+        lo, hi, alo, ahi, clo, chi = ps.selectExpr(
+            "min(ps_suppkey)", "max(ps_suppkey)",
+            "min(ps_availqty)", "max(ps_availqty)",
+            "min(ps_supplycost_c)", "max(ps_supplycost_c)",
+        ).first()
+        assert 1 <= lo and hi <= n_supp
+        assert 1 <= alo and ahi <= 9999
+        assert 100 <= clo and chi <= 99999
+    finally:
+        ps.unpersist()
+
+
+def test_q2_decorrelated_min_is_one_exchange(spark):
+    """Q2's min-cost-per-part must be the window decorrelation: all
+    four dimension joins broadcast and the ONLY hash exchange is the
+    p_partkey window partitioning (plus the top-100 singleton sort)."""
+    from weatherflow_spark.plans.tpch_ps import q_tpch_q2
+
+    plan = _plan(q_tpch_q2(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q9_filters_part_before_lineitem_join(spark):
+    """Q9 must pre-reduce partsupp by the broadcast name-filtered
+    part BEFORE lineitem joins it — the name predicate must appear
+    pushed at the part scan, not post-join."""
+    from weatherflow_spark.plans.tpch_ps import q_tpch_q9
+
+    df = q_tpch_q9(spark, SF_SMALL)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = [
+        s for s in formatted.split("PushedFilters") if "p_name" in s.splitlines()[0]
+    ]
+    assert scan, "p_name contains-filter did not reach the part scan"
+
+
+def test_q12_pushes_shipdate_range(spark):
+    """Q12's year window is a shipdate range predicate and must reach
+    the lineitem parquet scan (the derived shipmode column must not
+    block pushdown of the scan-side filters)."""
+    from weatherflow_spark.plans.tpch_ps import q_tpch_q12
+
+    df = q_tpch_q12(spark, SF_SMALL)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in formatted
+    assert any(
+        "l_shipdate" in s.splitlines()[0]
+        for s in formatted.split("PushedFilters")[1:]
+    )

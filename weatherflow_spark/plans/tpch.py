@@ -320,6 +320,53 @@ def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'numcust', cast(numcust as double), "
         "'totacctbal', totacctbal) AS (mname, metric)",
     ).selectExpr("side", "concat(nk, '|', mname) AS key", "metric")
+    # r9 completion branches (plans/tpch_ps.py): the six queries
+    # needing the DERIVED partsupp (Q2 min-cost supplier, Q9 profit,
+    # Q11 stock-value HAVING, Q16 supplier counts, Q20 surplus
+    # stock) or the derived shipmode dictionary (Q12) — with these
+    # the suite hashes all 22 TPC-H compositions in one driver row.
+    # Metrics are integer-exact (cents / e4 longs / counts) or raw
+    # parquet doubles (q20's acctbal), so the shared shape hashes.
+    from weatherflow_spark.plans.tpch_ps import (
+        q_tpch_q2,
+        q_tpch_q9,
+        q_tpch_q11,
+        q_tpch_q12,
+        q_tpch_q16,
+        q_tpch_q20,
+    )
+
+    q2 = q_tpch_q2(spark, sf_dir).select(
+        F.lit("q2").alias("side"),
+        F.concat_ws("|", "p_partkey", "s_name").alias("key"),
+        F.col("ps_supplycost_c").cast("double").alias("metric"),
+    )
+    q9 = q_tpch_q9(spark, sf_dir).select(
+        F.lit("q9").alias("side"),
+        F.concat_ws("|", "nation", "o_year").alias("key"),
+        F.col("profit_e4").cast("double").alias("metric"),
+    )
+    q11 = q_tpch_q11(spark, sf_dir).select(
+        F.lit("q11").alias("side"),
+        F.col("ps_partkey").cast("string").alias("key"),
+        F.col("value_c").cast("double").alias("metric"),
+    )
+    q12 = q_tpch_q12(spark, sf_dir).selectExpr(
+        "'q12' AS side",
+        "l_shipmode AS mode",
+        "stack(2, 'high', cast(high_line_count as double), "
+        "'low', cast(low_line_count as double)) AS (mname, metric)",
+    ).selectExpr("side", "concat(mode, '|', mname) AS key", "metric")
+    q16 = q_tpch_q16(spark, sf_dir).select(
+        F.lit("q16").alias("side"),
+        F.concat_ws("|", "p_brand", "p_type", "p_size").alias("key"),
+        F.col("supplier_cnt").cast("double").alias("metric"),
+    )
+    q20 = q_tpch_q20(spark, sf_dir).select(
+        F.lit("q20").alias("side"),
+        F.col("s_suppkey").cast("string").alias("key"),
+        F.col("s_acctbal").alias("metric"),
+    )
     return (
         q3.unionByName(q5)
         .unionByName(q14)
@@ -336,6 +383,12 @@ def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q17)
         .unionByName(q21)
         .unionByName(q22)
+        .unionByName(q2)
+        .unionByName(q9)
+        .unionByName(q11)
+        .unionByName(q12)
+        .unionByName(q16)
+        .unionByName(q20)
     )
 
 
@@ -351,6 +404,14 @@ def _oracle_tpch_suite() -> str:
         ORACLE_TPCH_Q17,
         ORACLE_TPCH_Q21,
         ORACLE_TPCH_Q22,
+    )
+    from weatherflow_spark.plans.tpch_ps import (
+        ORACLE_TPCH_Q2,
+        ORACLE_TPCH_Q9,
+        ORACLE_TPCH_Q11,
+        ORACLE_TPCH_Q12,
+        ORACLE_TPCH_Q16,
+        ORACLE_TPCH_Q20,
     )
 
     q1_rows = "\n    UNION ALL\n".join(
@@ -383,7 +444,13 @@ def _oracle_tpch_suite() -> str:
     q15_side AS ({ORACLE_TPCH_Q15}),
     q17_side AS ({ORACLE_TPCH_Q17}),
     q21_side AS ({ORACLE_TPCH_Q21}),
-    q22_side AS ({ORACLE_TPCH_Q22})
+    q22_side AS ({ORACLE_TPCH_Q22}),
+    q2_side AS ({ORACLE_TPCH_Q2}),
+    q9_side AS ({ORACLE_TPCH_Q9}),
+    q11_side AS ({ORACLE_TPCH_Q11}),
+    q12_side AS ({ORACLE_TPCH_Q12}),
+    q16_side AS ({ORACLE_TPCH_Q16}),
+    q20_side AS ({ORACLE_TPCH_Q20})
     SELECT 'q3' AS side, CAST(l_orderkey AS VARCHAR) AS key, revenue AS metric
     FROM q3_side
     UNION ALL
@@ -427,6 +494,30 @@ def _oracle_tpch_suite() -> str:
     UNION ALL
     SELECT 'q22', CAST(c_nationkey AS VARCHAR) || '|totacctbal', totacctbal
     FROM q22_side
+    UNION ALL
+    SELECT 'q2', CAST(p_partkey AS VARCHAR) || '|' || s_name,
+           CAST(ps_supplycost_c AS DOUBLE)
+    FROM q2_side
+    UNION ALL
+    SELECT 'q9', nation || '|' || CAST(o_year AS VARCHAR),
+           CAST(profit_e4 AS DOUBLE)
+    FROM q9_side
+    UNION ALL
+    SELECT 'q11', CAST(ps_partkey AS VARCHAR), CAST(value_c AS DOUBLE)
+    FROM q11_side
+    UNION ALL
+    SELECT 'q12', l_shipmode || '|high', CAST(high_line_count AS DOUBLE)
+    FROM q12_side
+    UNION ALL
+    SELECT 'q12', l_shipmode || '|low', CAST(low_line_count AS DOUBLE)
+    FROM q12_side
+    UNION ALL
+    SELECT 'q16', p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR),
+           CAST(supplier_cnt AS DOUBLE)
+    FROM q16_side
+    UNION ALL
+    SELECT 'q20', CAST(s_suppkey AS VARCHAR), s_acctbal
+    FROM q20_side
 """
 
 
@@ -662,9 +753,14 @@ from weatherflow_spark.plans.tpch_ext import (  # noqa: E402
     TPCH_EXT_QUERIES,
     TPCH_EXT_ORACLES,
 )
+from weatherflow_spark.plans.tpch_ps import (  # noqa: E402
+    TPCH_PS_QUERIES,
+    TPCH_PS_ORACLES,
+)
 
 TPCH_QUERIES = {
     **TPCH_EXT_QUERIES,
+    **TPCH_PS_QUERIES,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q4": q_tpch_q4,
     "q_tpch_q18": q_tpch_q18,
@@ -677,6 +773,7 @@ TPCH_QUERIES = {
 
 TPCH_ORACLES = {
     **TPCH_EXT_ORACLES,
+    **TPCH_PS_ORACLES,
     "q_tpch_q1": ORACLE_TPCH_Q1,
     "q_tpch_q4": ORACLE_TPCH_Q4,
     "q_tpch_q18": ORACLE_TPCH_Q18,
