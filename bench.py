@@ -192,6 +192,14 @@ OPTIONAL = [
     # round 9 continuation: repeated-span dedup single (suite branch
     # carries the window row)
     "q_span_dedup",
+    # round 9 continuation: derived-partsupp TPC-H completion (22/22;
+    # suite branches carry the window rows)
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
 ]
 
 

@@ -102,13 +102,13 @@ def test_curate_shard_export_final_mile(spark, tmp_path):
     )
     for r in per.collect():
         assert (r.lo, r.hi, r.npos) == (1, r.n, r.n), r
-    # determinism: same doc -> same shard on a re-export
-    import shutil
-
+    # determinism + rerun safety: re-exporting INTO THE EXISTING dir
+    # (the CLI-run-twice case) must not raise path-already-exists and
+    # must reproduce the identical layout, and a re-export with fewer
+    # shards must leave no stale shard dirs behind (static overwrite).
     first = {
         r.doc_id: (r.shard_id, r.pos) for r in shards.collect()
     }
-    shutil.rmtree(f"{out}/shards")
     from weatherflow_spark.plans.serving import export_shards
 
     export_shards(curated, f"{out}/shards", 4)
@@ -117,3 +117,7 @@ def test_curate_shard_export_final_mile(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/shards").collect()
     }
     assert again == first
+    export_shards(curated, f"{out}/shards", 2)
+    slim = spark.read.parquet(f"{out}/shards")
+    assert slim.count() == curated.count()
+    assert slim.select("shard_id").distinct().count() <= 2

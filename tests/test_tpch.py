@@ -76,7 +76,20 @@ def test_derived_partsupp_invariants(spark):
             "min(ps_availqty)", "max(ps_availqty)",
             "min(ps_supplycost_c)", "max(ps_supplycost_c)",
         ).first()
-        assert 1 <= lo and hi <= n_supp
+        # 0-based like the testdata's supplier keys: every derived
+        # suppkey must be a REAL supplier (no phantom FK) and, with
+        # 4 stride-1 keys per part over >= 4 suppliers, every
+        # supplier must stock at least one part.
+        assert 0 <= lo and hi <= n_supp - 1
+        supp = load_table(spark, SF_SMALL, "supplier").select("s_suppkey")
+        orphans = ps.join(
+            supp, ps.ps_suppkey == supp.s_suppkey, "left_anti"
+        ).count()
+        assert orphans == 0, f"{orphans} partsupp rows reference no supplier"
+        unstocked = supp.join(
+            ps, supp.s_suppkey == ps.ps_suppkey, "left_anti"
+        ).count()
+        assert unstocked == 0, f"{unstocked} suppliers stock nothing"
         assert 1 <= alo and ahi <= 9999
         assert 100 <= clo and chi <= 99999
     finally:

@@ -414,7 +414,17 @@ def export_shards(docs: DataFrame, base: str, n_shards: int = N_SHARDS) -> None:
     ranked = assign_grouped_rank(
         keyed, ["shard_id"], ["pos_key", "doc_id"], rank_col="pos"
     )
-    ranked.write.partitionBy("shard_id").parquet(base)
+    # Full-corpus re-export replaces EVERYTHING under base: static
+    # overwrite (per-write option, immune to a session-wide dynamic
+    # mode) so a rerun with fewer shards leaves no stale shard dirs,
+    # and a repeated CLI run (curate.py --shards) never hits
+    # error-if-exists.
+    (
+        ranked.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("shard_id")
+        .parquet(base)
+    )
 
 
 def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -550,7 +550,6 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_sum(F.col("l_discount"), 100).alias("_sum_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
-    n = F.col("count_order").cast("double")
     e6 = lambda c: F.expr(f"cast(floor(({c}) * 1e6 + 0.5) as bigint)")
     return agg.select(
         "l_returnflag",
@@ -616,7 +615,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (
         ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
         | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
-        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+        | ((b == "Brand#14") & s.between(1, 15) & q.between(20, 30))
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
@@ -634,7 +633,7 @@ ORACLE_TPCH_Q19 = f"""
            AND l_quantity BETWEEN 1 AND 11)
        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
            AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 20 AND 30)
 """
 

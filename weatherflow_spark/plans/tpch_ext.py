@@ -1,16 +1,18 @@
 """TPC-H coverage completion (r9): the nine remaining queries
-expressible over the testdata's columns — Q6, Q7, Q8, Q10, Q13, Q15,
-Q17, Q21, Q22.  With plans/tpch.py's Q1/Q3/Q4/Q5/Q14/Q18/Q19 this
-makes 16 of the 22 TPC-H queries; the missing six (Q2, Q9, Q11, Q16,
-Q20, and the full Q12) all require the ``partsupp`` table or lineitem
-columns (`l_shipmode`, `l_commitdate`, `l_receiptdate`) the driver's
-testdata does not generate — documented, not skipped silently.
+expressible over the testdata's RAW columns — Q6, Q7, Q8, Q10, Q13,
+Q15, Q17, Q21, Q22.  With plans/tpch.py's Q1/Q3/Q4/Q5/Q14/Q18/Q19
+this makes 16 of the 22 TPC-H queries; the remaining six (Q2, Q9,
+Q11, Q16, Q20, and the full Q12) need the ``partsupp`` table or
+lineitem shipping columns the testdata does not generate and are
+completed in plans/tpch_ps.py over a DERIVED partsupp both engines
+build identically — 22/22 total.
 
 Adaptations (testdata lacks some canonical columns; the *plan shape*
 each query exists to exercise is preserved exactly):
 
 - Q21's "receipt after commit" lateness → ship > order date + 90 days
-  (same stand-in as Q4, tpch.py).
+  (the same shipped-late stand-in family as Q4, which uses its own
+  60-day window — tpch.py).
 - Q22's "no orders at all" anti-join → "no order since 2001-01-01"
   (the generator gives every customer at least one order, so the
   canonical form is vacuously empty; the dormancy form keeps the

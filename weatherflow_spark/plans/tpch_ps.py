@@ -6,7 +6,8 @@ columns (Q12) the driver's testdata does not generate.
 engines BUILD the identical one from `part` × a supplier census with
 pure integer arithmetic (the generated-dimension precedent of E12's
 date dim, plans/stats.py): each part gets exactly four suppliers
-``(p_partkey*4 + i) % S + 1`` for i∈0..3 — four consecutive integers
+``(p_partkey*4 + i) % S`` for i∈0..3 (0-based, matching the
+testdata's 0-based supplier keys) — four consecutive integers
 mod S are distinct whenever S ≥ 4, so the (partkey, suppkey) primary
 key holds by construction (dbgen's own formula, `(p + i*(S/4 +
 (p-1)/S)) % S + 1`, collapses to one supplier for whole partkey bands
@@ -76,7 +77,9 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier")
         .agg(F.count(F.lit(1)).cast("long").alias("s_cnt"))
     )
-    sk = (F.col("p_partkey") * 4 + F.col("i")) % F.col("s_cnt") + 1
+    # testdata keys are 0-based (s_suppkey in 0..S-1) — no +1, or the
+    # top supplier would be a phantom FK and supplier 0 never stocked.
+    sk = (F.col("p_partkey") * 4 + F.col("i")) % F.col("s_cnt")
     return (
         part.crossJoin(F.broadcast(s_cnt))
         .select(
@@ -105,10 +108,10 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PARTSUPP_SQL = """
     SELECT p_partkey AS ps_partkey,
-           (p_partkey * 4 + i) % s_cnt + 1 AS ps_suppkey,
-           (p_partkey * 7 + ((p_partkey * 4 + i) % s_cnt + 1) * 11) % 9999
+           (p_partkey * 4 + i) % s_cnt AS ps_suppkey,
+           (p_partkey * 7 + ((p_partkey * 4 + i) % s_cnt) * 11) % 9999
                + 1 AS ps_availqty,
-           (p_partkey * 31 + ((p_partkey * 4 + i) % s_cnt + 1) * 17) % 99900
+           (p_partkey * 31 + ((p_partkey * 4 + i) % s_cnt) * 17) % 99900
                + 100 AS ps_supplycost_c
     FROM part
     CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) sc
@@ -416,7 +419,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     group key with the suppkey as payload."""
     ps = derived_partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").where(
-        (F.col("p_brand") != "Brand#45")
+        (F.col("p_brand") != "Brand#15")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(Q16_SIZES)
     )
@@ -443,7 +446,7 @@ ORACLE_TPCH_Q16 = f"""
            CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
     FROM partsupp
     JOIN part ON ps_partkey = p_partkey
-    WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+    WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
       AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
       AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
                              WHERE s_acctbal < 0)
