@@ -1,0 +1,149 @@
+"""Snapshot log + time travel (E90): every commit through the write
+choke point becomes a readable version; old versions survive dynamic
+overwrite AND compaction (retained hard links); vacuum bounds history
+without touching live data."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from weatherflow_spark.io import load_table
+from weatherflow_spark.operators.snaplog import (
+    init_snapshot_log,
+    read_version,
+    record_commit,
+    snapshot_enabled,
+    vacuum_versions,
+    versions,
+)
+from weatherflow_spark.operators.upsert import upsert_by_key
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="wf-snaplog-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _digest(df):
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("ks"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("cents"),
+    ).first()
+    return (r.n, r.ks, r.cents)
+
+
+def _build_versioned(spark, path):
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, SF_SMALL, "orders").select(*cols)
+    base = orders.where(F.col("o_orderkey") % 3 != 0)
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)  # v1
+    batch = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])  # v2
+    return orders, base, batch
+
+
+def test_commits_become_versions_and_time_travel_reads(spark, tmpdir):
+    path = f"{tmpdir}/tt"
+    orders, base, batch = _build_versioned(spark, path)
+    assert snapshot_enabled(path)
+    assert versions(path) == [1, 2]
+
+    # v1 is the pre-upsert base — bit-for-bit, partition column included
+    v1 = read_version(spark, path, 1)
+    assert sorted(v1.columns) == sorted(base.columns)
+    assert _digest(v1) == _digest(base)
+
+    # v2 == merged == the live table
+    merged = base.join(
+        batch.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(batch)
+    v2 = read_version(spark, path, 2)
+    assert _digest(v2) == _digest(merged)
+    assert _digest(v2) == _digest(spark.read.parquet(path))
+    # default = latest
+    assert _digest(read_version(spark, path)) == _digest(v2)
+
+
+def test_versions_survive_compaction_and_replay(spark, tmpdir):
+    from weatherflow_spark.operators.layout import compact
+
+    path = f"{tmpdir}/tt"
+    orders, base, batch = _build_versioned(spark, path)
+    d1 = _digest(read_version(spark, path, 1))
+    d2 = _digest(read_version(spark, path, 2))
+
+    # replayed batch: new version, identical content (idempotent merge)
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])
+    assert versions(path) == [1, 2, 3]
+    assert _digest(read_version(spark, path, 3)) == d2
+
+    # compaction rewrites every file; old versions must still read
+    compact(spark, path, target_file_bytes=1 << 30)
+    assert versions(path) == [1, 2, 3, 4]
+    assert _digest(read_version(spark, path, 1)) == d1
+    assert _digest(read_version(spark, path, 2)) == d2
+    assert _digest(read_version(spark, path, 4)) == d2
+
+
+def test_vacuum_bounds_history_and_gcs_files(spark, tmpdir):
+    path = f"{tmpdir}/tt"
+    _build_versioned(spark, path)
+    d2 = _digest(read_version(spark, path, 2))
+    retain = path + ".__retain"
+    n_before = sum(len(fs) for _, _, fs in os.walk(retain))
+
+    out = vacuum_versions(path, keep_last=1)
+    assert out["dropped_versions"] == 1
+    assert out["removed_files"] > 0
+    assert versions(path) == [2]
+    # the kept version still reads; the dropped one is gone for good
+    assert _digest(read_version(spark, path, 2)) == d2
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_version(spark, path, 1)
+    n_after = sum(len(fs) for _, _, fs in os.walk(retain))
+    assert n_after < n_before
+    # live table untouched
+    assert _digest(spark.read.parquet(path)) == d2
+
+
+def test_unversioned_tables_pay_nothing(spark, tmpdir):
+    path = f"{tmpdir}/plain"
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, SF_SMALL, "orders").select(*cols)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    batch = orders.limit(5)
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])
+    assert not snapshot_enabled(path)
+    assert versions(path) == []
+    assert not os.path.exists(path + ".__snaplog")
+    with pytest.raises(ValueError, match="no committed versions"):
+        read_version(spark, path)
+
+
+def test_unpartitioned_table_round_trip(spark, tmpdir):
+    path = f"{tmpdir}/flat"
+    nation = load_table(spark, SF_SMALL, "nation")
+    nation.write.mode("overwrite").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)
+    got = read_version(spark, path, 1)
+    assert sorted(got.columns) == sorted(nation.columns)
+    assert got.count() == nation.count()

@@ -147,6 +147,18 @@ def compact(
             os.rename(path, old)
             os.rename(tmp, path)
             swapped = True
+            # Versioned tables (E90): the rewrite changed every file
+            # name, so record the compacted layout as a new version —
+            # time-travel readers keep pre-compaction versions via
+            # the retained links (same inodes; the rename-aside and
+            # rmtree of __old cannot touch them).
+            from weatherflow_spark.operators.snaplog import (
+                record_commit,
+                snapshot_enabled,
+            )
+
+            if snapshot_enabled(path):
+                record_commit(path)
     except (CompactionConflict, DatasetLockTimeout):
         raise
     except Exception as e:

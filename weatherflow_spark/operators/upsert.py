@@ -70,6 +70,17 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
                 for r in df.select(*partition_cols).distinct().collect()
             ]
             check_and_bump_versions(path, keys)
+            # Versioned tables (E90, opt-in): every content commit
+            # through the choke point lands in the snapshot log, so
+            # time-travel readers see upserts/CDC/rollup refreshes as
+            # distinct versions. No-op unless init_snapshot_log ran.
+            from weatherflow_spark.operators.snaplog import (
+                record_commit,
+                snapshot_enabled,
+            )
+
+            if snapshot_enabled(path):
+                record_commit(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
