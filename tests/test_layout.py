@@ -248,3 +248,41 @@ def test_lock_release_spares_successor_and_heartbeats(tmp_path):
     assert os.path.exists(lp)
     assert C._read_token(lp) == "successor-host 123 0123abcd"
     os.unlink(lp)
+
+
+def test_heartbeat_never_refreshes_a_successors_lock(tmp_path):
+    """r10 ADVICE fix (commit.py heartbeat): a holder that resumes
+    after its stale lock was broken must not refresh the SUCCESSOR'S
+    lock file mtime — otherwise a crashed successor's lock could not
+    age into staleness until the zombie's write finished, stalling
+    every waiter past stale_after. The beat now verifies the token
+    is still ours before each utime."""
+    import os
+    import time
+
+    from weatherflow_spark.operators import commit as C
+
+    path = str(tmp_path / "ds")
+    os.makedirs(path)
+    lp = path + ".__lock"
+
+    cm = C.dataset_lock(path, stale_after=2.0)  # beat interval 0.5 s
+    cm.__enter__()
+    try:
+        # Simulate: our lock was broken as stale and a successor
+        # re-acquired, then crashed (heartbeat stopped, old mtime).
+        os.unlink(lp)
+        with open(lp, "w") as f:
+            f.write(f"successor-host 123 0123abcd {time.time()}\n")
+        crashed_at = time.time() - 100
+        os.utime(lp, (crashed_at, crashed_at))
+        time.sleep(1.3)  # >= 2 beat intervals while we're the zombie
+        # The zombie's beat must NOT have touched the successor's file:
+        # its mtime still reads as crashed long ago, so waiters can
+        # expire it on schedule.
+        assert abs(os.path.getmtime(lp) - crashed_at) < 5.0
+    finally:
+        cm.__exit__(None, None, None)
+    # and release spared it too (token isn't ours)
+    assert C._read_token(lp) == "successor-host 123 0123abcd"
+    os.unlink(lp)

@@ -147,3 +147,100 @@ def test_unpartitioned_table_round_trip(spark, tmpdir):
     got = read_version(spark, path, 1)
     assert sorted(got.columns) == sorted(nation.columns)
     assert got.count() == nation.count()
+
+
+def test_emptied_partition_head_version_matches_live(spark, tmpdir):
+    """r10 ADVICE fix (high): a CDC apply whose deletes EMPTY a
+    partition must record the snapshot AFTER the emptied directory is
+    removed — the head version previously still listed the deleted
+    rows' files, so read_version() at the head resurrected deleted
+    data."""
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = f"{tmpdir}/cdc"
+    nation = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)  # v1
+
+    # Tombstone EVERY key of one region (empties its partition) and
+    # upsert one row elsewhere in the same feed.
+    doomed = nation.where(F.col("n_regionkey") == 0).withColumn(
+        "op", F.lit("D")
+    )
+    kept_region = (
+        nation.where(F.col("n_regionkey") == 1)
+        .limit(1)
+        .withColumn("n_name", F.upper(F.col("n_name")))
+        .withColumn("op", F.lit("U"))
+    )
+    apply_changes(
+        spark,
+        doomed.unionByName(kept_region),
+        path,
+        ["n_nationkey"],
+        partition_cols=["n_regionkey"],
+    )
+
+    live = spark.read.parquet(path)
+    assert live.where(F.col("n_regionkey") == 0).count() == 0
+    head = read_version(spark, path)  # latest version
+    assert head.where(F.col("n_regionkey") == 0).count() == 0
+    assert head.count() == live.count()
+    # v1 still shows the pre-delete state (time travel intact)
+    assert read_version(spark, path, 1).where(
+        F.col("n_regionkey") == 0
+    ).count() == nation.where(F.col("n_regionkey") == 0).count()
+
+
+def test_unpartitioned_upsert_records_versions(spark, tmpdir):
+    """r10 ADVICE fix (medium): unpartitioned upsert_by_key (and the
+    seed branch) now route through the snapshot choke point — a full
+    overwrite deletes the old files, so without a recorded version
+    the pre-merge state was unrecoverable."""
+    path = f"{tmpdir}/flat"
+    init_snapshot_log(path)  # sibling dirs exist before the dataset
+    nation = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    upsert_by_key(spark, nation, path, ["n_nationkey"])  # seed -> v1
+    assert versions(path) == [1]
+    batch = nation.limit(3).withColumn("n_name", F.lower(F.col("n_name")))
+    upsert_by_key(spark, batch, path, ["n_nationkey"])  # merge -> v2
+    assert versions(path) == [1, 2]
+    v1 = read_version(spark, path, 1)
+    # v1 predates the lowercasing merge entirely
+    assert v1.where(F.col("n_name") == F.lower(F.col("n_name"))).count() == 0
+    v2 = read_version(spark, path, 2)
+    assert v2.count() == nation.count()
+    assert (
+        v2.where(F.col("n_name") == F.lower(F.col("n_name"))).count() == 3
+    )
+
+
+def test_partitioned_seed_and_cdc_record_versions(spark, tmpdir):
+    """Seed-branch + unpartitioned apply_changes coverage of the same
+    choke-point contract (r10 ADVICE, medium)."""
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = f"{tmpdir}/seeded"
+    init_snapshot_log(path)
+    nation = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    upsert_by_key(
+        spark, nation, path, ["n_nationkey"], partition_cols=["n_regionkey"]
+    )
+    assert versions(path) == [1]
+
+    flat = f"{tmpdir}/flat_cdc"
+    init_snapshot_log(flat)
+    seed = nation.withColumn("op", F.lit("U"))
+    apply_changes(spark, seed, flat, ["n_nationkey"])  # seed -> v1
+    feed = nation.limit(2).withColumn("op", F.lit("D"))
+    apply_changes(spark, feed, flat, ["n_nationkey"])  # delete -> v2
+    assert versions(flat) == [1, 2]
+    assert read_version(spark, flat, 2).count() == nation.count() - 2
+    assert read_version(spark, flat, 1).count() == nation.count()

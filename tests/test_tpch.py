@@ -138,3 +138,26 @@ def test_q12_pushes_shipdate_range(spark):
         "l_shipdate" in s.splitlines()[0]
         for s in formatted.split("PushedFilters")[1:]
     )
+
+
+def test_q16_exclusion_filters_are_not_vacuous(spark):
+    """r10 ADVICE audit: Q16's brand/type exclusions must each remove
+    rows from the size-filtered part set at every SF, or the query's
+    NOT-EQUAL pushdown shape would be certified against an empty
+    predicate (the f2f8116 vacuous-brand-filter class). Verified
+    against the generated domains: Brand#15 and PROMO both occur
+    inside the Q16_SIZES subset (sf0.001: 2 and 4 parts; sf0.1: 120
+    and 567)."""
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.plans.tpch_ps import Q16_SIZES
+
+    part = load_table(spark, SF_SMALL, "part").where(
+        F.col("p_size").isin(Q16_SIZES)
+    )
+    n_all = part.count()
+    n_brand = part.where(F.col("p_brand") != "Brand#15").count()
+    n_type = part.where(F.col("p_type") != "PROMO").count()
+    assert 0 < n_brand < n_all, "Brand#15 exclusion removed nothing"
+    assert 0 < n_type < n_all, "PROMO exclusion removed nothing"

@@ -216,6 +216,14 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 3600.0):
         interval = max(0.5, min(stale_after / 4.0, 60.0))
         while not stop.wait(interval):
             try:
+                # Verify the file still carries OUR token before each
+                # refresh (r9 ADVICE): a holder that resumes after its
+                # stale lock was broken would otherwise refresh the
+                # SUCCESSOR'S lock file mtime — if that successor then
+                # crashes, its lock can't age into staleness until the
+                # zombie stops beating, stalling every waiter.
+                if _read_token(lp) != token:
+                    return  # not ours anymore; stop beating
                 now = time.time()
                 os.utime(lp, (now, now))
             except OSError:

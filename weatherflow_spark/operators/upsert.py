@@ -30,7 +30,29 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+def _record_snapshot(path: str) -> None:
+    """Versioned tables (E90, opt-in): EVERY content commit — through
+    the dynamic-overwrite choke point, the unpartitioned full
+    overwrites, AND the table-seed first writes (r9 ADVICE: the seed
+    and unpartitioned branches used to bypass this, so snapshot-enabled
+    unpartitioned tables silently got no versions and a full overwrite
+    made the old state unrecoverable) — lands in the snapshot log.
+    No-op unless init_snapshot_log ran for this dataset."""
+    from weatherflow_spark.operators.snaplog import (
+        record_commit,
+        snapshot_enabled,
+    )
+
+    if snapshot_enabled(path):
+        record_commit(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    record_snapshot: bool = True,
+) -> None:
     """Replace exactly the partitions present in ``df`` (INSERT
     OVERWRITE semantics), leaving all other partitions' files
     untouched. Idempotent: re-running the same batch rewrites the
@@ -70,17 +92,13 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
                 for r in df.select(*partition_cols).distinct().collect()
             ]
             check_and_bump_versions(path, keys)
-            # Versioned tables (E90, opt-in): every content commit
-            # through the choke point lands in the snapshot log, so
-            # time-travel readers see upserts/CDC/rollup refreshes as
-            # distinct versions. No-op unless init_snapshot_log ran.
-            from weatherflow_spark.operators.snaplog import (
-                record_commit,
-                snapshot_enabled,
-            )
-
-            if snapshot_enabled(path):
-                record_commit(path)
+            # ``record_snapshot=False`` lets a caller whose commit is
+            # NOT finished at this point (apply_changes with emptied
+            # partitions still to rmtree) defer the version until the
+            # live tree matches the logical result — otherwise the
+            # head snapshot would resurrect deleted rows (r9 ADVICE).
+            if record_snapshot:
+                _record_snapshot(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -169,7 +187,8 @@ def _upsert_locked(
             writer = writer.partitionBy(*partition_cols)
         with dataset_lock(path):
             writer.parquet(path)
-        check_and_bump_versions(path, keys)
+            check_and_bump_versions(path, keys)
+            _record_snapshot(path)  # seed = the table's first version
         return
 
     current = spark.read.parquet(path)
@@ -219,7 +238,11 @@ def _upsert_locked(
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
-        check_and_bump_versions(path, keys)
+            check_and_bump_versions(path, keys)
+            # Unpartitioned full overwrite DELETES the old files —
+            # without this record the pre-merge state would be
+            # unrecoverable on a versioned table (r9 ADVICE).
+            _record_snapshot(path)
 
 
 def apply_changes(
@@ -287,7 +310,8 @@ def _apply_changes_locked(
             writer = writer.partitionBy(*partition_cols)
         with dataset_lock(path):
             writer.parquet(path)
-        check_and_bump_versions(path, keys)
+            check_and_bump_versions(path, keys)
+            _record_snapshot(path)  # seed = the table's first version
         return
 
     current = spark.read.parquet(path)
@@ -332,8 +356,15 @@ def _apply_changes_locked(
             for r in merged.select(*partition_cols).distinct().collect()
         }
         emptied = [t for t in touched if t not in remaining]
-        # takes the lock; bumps the MERGED partitions' versions
-        overwrite_partitions(merged, path, partition_cols)
+        # takes the lock; bumps the MERGED partitions' versions. When
+        # deletes empty a partition the commit is NOT complete until
+        # the emptied directories are removed below — defer the
+        # snapshot record to that point, or the head version would
+        # still list the deleted rows' files and read_version() at
+        # the head would resurrect deleted data (r9 ADVICE, high).
+        overwrite_partitions(
+            merged, path, partition_cols, record_snapshot=not emptied
+        )
         if emptied:
             with dataset_lock(path):
                 for t in emptied:
@@ -353,7 +384,11 @@ def _apply_changes_locked(
                     path,
                     [partition_key(partition_cols, t) for t in emptied],
                 )
+                # Deferred from overwrite_partitions: the live tree
+                # now matches the logical post-delete result.
+                _record_snapshot(path)
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
-        check_and_bump_versions(path, keys)
+            check_and_bump_versions(path, keys)
+            _record_snapshot(path)  # full overwrite deletes old files
