@@ -244,3 +244,89 @@ def test_partitioned_seed_and_cdc_record_versions(spark, tmpdir):
     assert versions(flat) == [1, 2]
     assert read_version(spark, flat, 2).count() == nation.count() - 2
     assert read_version(spark, flat, 1).count() == nation.count()
+
+
+def test_partition_commit_walks_only_touched_scope(spark, tmpdir):
+    """r9 verdict #4: the upsert/CDC choke points pass their touched
+    partition list into record_commit(scope=...), so a one-partition
+    micro-batch commit walks ONLY that partition directory — never the
+    whole tree — and carries every untouched file forward from the
+    previous version's entry. Proven by instrumenting the walk."""
+    from weatherflow_spark.operators import snaplog as S
+
+    path = f"{tmpdir}/scoped"
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, SF_SMALL, "orders").select(*cols)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        path
+    )
+    init_snapshot_log(path)
+    record_commit(path)  # v1: full walk (first version, nothing to carry)
+
+    one_prio = orders.select("o_orderpriority").first()[0]
+    batch = (
+        orders.where(F.col("o_orderpriority") == one_prio)
+        .limit(3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+
+    calls = []
+    real_walk = S._walk_data_files
+
+    def spy(p, subdirs=None):
+        calls.append(subdirs)
+        return real_walk(p, subdirs)
+
+    S._walk_data_files = spy
+    try:
+        upsert_by_key(
+            spark, batch, path, ["o_orderkey"], ["o_orderpriority"]
+        )  # v2
+    finally:
+        S._walk_data_files = real_walk
+
+    # Every walk during the commit was scoped to the touched partition.
+    assert calls, "record_commit never listed files"
+    assert all(sd == [f"o_orderpriority={one_prio}"] for sd in calls), calls
+
+    # And the scoped entry is COMPLETE: v2 == the expected merge.
+    v2 = read_version(spark, path, 2)
+    merged = orders.join(
+        batch.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(batch)
+    assert _digest(v2) == _digest(merged)
+    # untouched partitions' files carried forward verbatim
+    import json as _json
+
+    with open(path + ".__snaplog/v000002.json") as f:
+        v2_files = {r for r, _ in _json.load(f)["files"]}
+    with open(path + ".__snaplog/v000001.json") as f:
+        v1_files = {r for r, _ in _json.load(f)["files"]}
+    untouched_v1 = {
+        r for r in v1_files if not r.startswith(f"o_orderpriority={one_prio}/")
+    }
+    assert untouched_v1 <= v2_files
+
+
+def test_batch_keyed_commit_is_replay_idempotent(spark, tmpdir):
+    """record_commit(batch_id=...) must mint exactly one version per
+    batch id: a re-delivered micro-batch returns the original version
+    instead of a duplicate (the foreachBatch exactly-once contract)."""
+    from weatherflow_spark.operators.snaplog import committed_batch_version
+
+    path = f"{tmpdir}/keyed"
+    nation = load_table(spark, SF_SMALL, "nation")
+    nation.write.mode("overwrite").parquet(path)
+    init_snapshot_log(path)
+    v = record_commit(path, batch_id=7)
+    assert v == 1
+    assert committed_batch_version(path, 7) == 1
+    assert record_commit(path, batch_id=7) == 1  # replay: no new version
+    assert versions(path) == [1]
+    assert record_commit(path, batch_id=8) == 2
+    assert versions(path) == [1, 2]

@@ -30,21 +30,27 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _record_snapshot(path: str) -> None:
+def _record_snapshot(path: str, scope: list[str] | None = None) -> None:
     """Versioned tables (E90, opt-in): EVERY content commit — through
     the dynamic-overwrite choke point, the unpartitioned full
     overwrites, AND the table-seed first writes (r9 ADVICE: the seed
     and unpartitioned branches used to bypass this, so snapshot-enabled
     unpartitioned tables silently got no versions and a full overwrite
     made the old state unrecoverable) — lands in the snapshot log.
-    No-op unless init_snapshot_log ran for this dataset."""
+    No-op unless init_snapshot_log ran for this dataset.
+
+    ``scope`` (hive partition dirs, ``commit.partition_key`` form) is
+    the touched-slice hint: partitioned commits pass the partitions
+    they may have changed so the version listing walks only that
+    slice and carries the rest from the previous entry — O(touched
+    files) per micro-batch commit, never a full-tree walk."""
     from weatherflow_spark.operators.snaplog import (
         record_commit,
         snapshot_enabled,
     )
 
     if snapshot_enabled(path):
-        record_commit(path)
+        record_commit(path, scope=scope)
 
 
 def overwrite_partitions(
@@ -98,7 +104,7 @@ def overwrite_partitions(
             # live tree matches the logical result — otherwise the
             # head snapshot would resurrect deleted rows (r9 ADVICE).
             if record_snapshot:
-                _record_snapshot(path)
+                _record_snapshot(path, scope=keys)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -385,8 +391,16 @@ def _apply_changes_locked(
                     [partition_key(partition_cols, t) for t in emptied],
                 )
                 # Deferred from overwrite_partitions: the live tree
-                # now matches the logical post-delete result.
-                _record_snapshot(path)
+                # now matches the logical post-delete result. Scope =
+                # every feed-touched partition (merged AND emptied —
+                # emptied dirs walk to nothing, which is exactly the
+                # deletion the carried list must not resurrect).
+                _record_snapshot(
+                    path,
+                    scope=[
+                        partition_key(partition_cols, t) for t in touched
+                    ],
+                )
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
