@@ -330,3 +330,40 @@ def test_batch_keyed_commit_is_replay_idempotent(spark, tmpdir):
     assert versions(path) == [1]
     assert record_commit(path, batch_id=8) == 2
     assert versions(path) == [1, 2]
+
+
+def test_pinned_reader_survives_concurrent_vacuum(spark, tmpdir):
+    """r9 verdict #3: a reader pinned to version N survives a vacuum
+    whose keep_last would drop N — the pin is taken under the dataset
+    lock, vacuum honors it, and once released the next vacuum reclaims
+    the version. Pinning an already-vacuumed version fails
+    deterministically BEFORE any file is read."""
+    from weatherflow_spark.operators.snaplog import (
+        pinned_version,
+        pinned_versions,
+    )
+
+    path = f"{tmpdir}/tt"
+    orders, base, batch = _build_versioned(spark, path)  # v1, v2
+    d1 = _digest(read_version(spark, path, 1))
+
+    with pinned_version(path, 1) as v:
+        assert v == 1
+        assert pinned_versions(path) == {1}
+        out = vacuum_versions(path, keep_last=1)
+        # v1 pinned -> survives; nothing else was old enough to drop
+        assert out["dropped_versions"] == 0
+        assert versions(path) == [1, 2]
+        # the pinned read still works mid-vacuum-era, bit for bit
+        assert _digest(read_version(spark, path, 1)) == d1
+    assert pinned_versions(path) == set()
+
+    # released: the next vacuum reclaims it
+    out = vacuum_versions(path, keep_last=1)
+    assert out["dropped_versions"] == 1
+    assert versions(path) == [2]
+
+    # deterministic refusal BEFORE reading: the version is gone
+    with pytest.raises(ValueError, match="cannot pin"):
+        with pinned_version(path, 1):
+            raise AssertionError("must not yield for a vacuumed version")

@@ -28,11 +28,18 @@ for the engine's parquet layout:
   so hive partition columns are recovered by Spark's own partition
   discovery — live files are never touched, and a reader holds no
   lock (writers never modify retained inodes, they only add links).
-  This is snapshot isolation for free: a long analytical read pinned
-  to version N is immune to every concurrent upsert/compaction.
+  A version-N read is therefore isolated from every concurrent
+  upsert/compaction — but NOT from a concurrent vacuum, which unlinks
+  retained files (r9 verdict). A reader that must outlive vacuums
+  wraps the read in :func:`pinned_version`: the pin is taken under
+  the dataset lock (so it either lands before a racing vacuum decides,
+  or fails deterministically BEFORE any file is read if the version is
+  already gone), and :func:`vacuum_versions` never drops a pinned
+  version or its files.
 - **Vacuum** (:func:`vacuum_versions`): bounds history — drops log
-  entries beyond ``keep_last`` and unlinks retained files no surviving
-  version references (live files are never deleted).
+  entries beyond ``keep_last`` (pinned versions always survive) and
+  unlinks retained files no surviving version references (live files
+  are never deleted).
 
 Opt-in by design: :func:`init_snapshot_log` creates the log dirs, and
 the shared write choke point (``upsert.overwrite_partitions`` — every
@@ -61,6 +68,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -242,6 +250,56 @@ def record_commit(
         return n
 
 
+def pinned_versions(path: str) -> set[int]:
+    """Versions currently pinned by live readers (vacuum keeps them)."""
+    try:
+        names = os.listdir(_log_dir(path))
+    except OSError:
+        return set()
+    out: set[int] = set()
+    for n in names:
+        if n.startswith("pin_"):
+            try:
+                out.add(int(n.split("_")[1]))
+            except (IndexError, ValueError):
+                continue
+    return out
+
+
+@contextmanager
+def pinned_version(path: str, version: int):
+    """Hold version ``version`` against vacuum for the block's
+    duration. Taken under the dataset lock, so it serializes with any
+    concurrent :func:`vacuum_versions`: either the pin lands first and
+    the vacuum keeps the version, or the vacuum already dropped it and
+    this raises ``ValueError`` deterministically BEFORE the reader
+    touches any file — never a mid-scan FileNotFound. Yields the
+    pinned version number. Pins are advisory files named with
+    pid+nonce, so a crashed reader's stale pin is diagnosable (and
+    removable) by an operator without ambiguity."""
+    from weatherflow_spark.operators.commit import dataset_lock
+
+    with dataset_lock(path):
+        if version not in versions(path):
+            raise ValueError(
+                f"{path}: cannot pin version {version} — not in log "
+                "(already vacuumed?)"
+            )
+        pin = os.path.join(
+            _log_dir(path),
+            f"pin_{version:06d}_{os.getpid()}_{os.urandom(4).hex()}",
+        )
+        with open(pin, "w") as f:
+            f.write(f"{os.getpid()}\n")
+    try:
+        yield version
+    finally:
+        try:
+            os.unlink(pin)
+        except OSError:
+            pass
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -250,6 +308,11 @@ def read_version(
     dependence on what concurrent writers are doing to the live tree.
     Partition columns come back via Spark's partition discovery
     (``basePath`` = the mirror, which replicates the hive layout).
+
+    Isolation: immune to concurrent upserts/compactions (they never
+    modify retained inodes), NOT to a concurrent vacuum that drops
+    this version — long reads that may overlap a vacuum should wrap
+    in :func:`pinned_version`.
     """
     vs = versions(path)
     if not vs:
@@ -272,9 +335,12 @@ def read_version(
 
 def vacuum_versions(path: str, keep_last: int = 1) -> dict[str, int]:
     """Bound history: keep only the newest ``keep_last`` versions'
-    log entries, and unlink retained files referenced by NO surviving
-    version. Never touches live data files. Returns counts for the
-    caller's log line (``{"dropped_versions": d, "removed_files": r}``).
+    log entries — plus every version a live reader holds pinned via
+    :func:`pinned_version` (runs under the same dataset lock as the
+    pin-take, so a pin can never race past this decision) — and
+    unlink retained files referenced by NO surviving version. Never
+    touches live data files. Returns counts for the caller's log line
+    (``{"dropped_versions": d, "removed_files": r}``).
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -282,7 +348,9 @@ def vacuum_versions(path: str, keep_last: int = 1) -> dict[str, int]:
 
     with dataset_lock(path):
         vs = versions(path)
-        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        pinned = pinned_versions(path)
+        drop = [v for v in vs[:-keep_last] if v not in pinned]
+        keep = [v for v in vs if v not in drop]
         referenced: set[str] = set()
         for v in keep:
             with open(_entry_path(path, v)) as f:
