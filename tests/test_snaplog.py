@@ -367,3 +367,55 @@ def test_pinned_reader_survives_concurrent_vacuum(spark, tmpdir):
     with pytest.raises(ValueError, match="cannot pin"):
         with pinned_version(path, 1):
             raise AssertionError("must not yield for a vacuumed version")
+
+
+def test_streaming_versioned_upsert_replay_mints_no_duplicate_version(
+    spark, tmpdir
+):
+    """r9 verdict #7: the foreachBatch snapshot sink records exactly
+    one version per micro-batch id — a re-delivered batch neither
+    duplicates rows nor mints a duplicate version, and each version
+    is the table as of that batch (streaming time travel)."""
+    from weatherflow_spark.streaming.pipeline import (
+        foreach_batch_versioned_upsert,
+    )
+
+    path = f"{tmpdir}/stream_tbl"
+    init_snapshot_log(path)
+    sink = foreach_batch_versioned_upsert(
+        path, ["o_orderkey"], ["o_orderpriority"]
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, SF_SMALL, "orders").select(*cols)
+    b0 = orders.where(F.col("o_orderkey") % 2 == 0)
+    b1 = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+    sink(b0, 0)  # -> v1
+    sink(b1, 1)  # -> v2
+    assert versions(path) == [1, 2]
+    d2 = _digest(spark.read.parquet(path))
+
+    # at-least-once re-delivery of BOTH batches: no new versions, no
+    # content change
+    sink(b0, 0)
+    sink(b1, 1)
+    assert versions(path) == [1, 2]
+    assert _digest(spark.read.parquet(path)) == d2
+
+    # each version is the table as of that batch
+    assert _digest(read_version(spark, path, 1)) == _digest(b0)
+    merged = b0.join(
+        b1.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(b1)
+    assert _digest(read_version(spark, path, 2)) == _digest(merged)
+
+    # and a genuinely new batch continues the trail
+    b2 = orders.where(F.col("o_orderkey") % 7 == 0)
+    sink(b2, 2)
+    assert versions(path) == [1, 2, 3]

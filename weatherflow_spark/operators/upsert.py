@@ -30,7 +30,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _record_snapshot(path: str, scope: list[str] | None = None) -> None:
+def _record_snapshot(
+    path: str,
+    scope: list[str] | None = None,
+    batch_id: object | None = None,
+) -> None:
     """Versioned tables (E90, opt-in): EVERY content commit — through
     the dynamic-overwrite choke point, the unpartitioned full
     overwrites, AND the table-seed first writes (r9 ADVICE: the seed
@@ -50,7 +54,7 @@ def _record_snapshot(path: str, scope: list[str] | None = None) -> None:
     )
 
     if snapshot_enabled(path):
-        record_commit(path, scope=scope)
+        record_commit(path, scope=scope, batch_id=batch_id)
 
 
 def overwrite_partitions(
@@ -58,6 +62,7 @@ def overwrite_partitions(
     path: str,
     partition_cols: list[str],
     record_snapshot: bool = True,
+    snapshot_batch_id: object | None = None,
 ) -> None:
     """Replace exactly the partitions present in ``df`` (INSERT
     OVERWRITE semantics), leaving all other partitions' files
@@ -104,7 +109,7 @@ def overwrite_partitions(
             # live tree matches the logical result — otherwise the
             # head snapshot would resurrect deleted rows (r9 ADVICE).
             if record_snapshot:
-                _record_snapshot(path, scope=keys)
+                _record_snapshot(path, scope=keys, batch_id=snapshot_batch_id)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -116,6 +121,7 @@ def upsert_by_key(
     key_cols: list[str],
     partition_cols: list[str] | None = None,
     expected_versions: dict[str, int] | None = None,
+    snapshot_batch_id: object | None = None,
 ) -> None:
     """MERGE-style upsert into a parquet table: rows whose key appears
     in ``new_batch`` are replaced, all others kept. Without a
@@ -149,7 +155,8 @@ def upsert_by_key(
     # there is no validate→write→bump window.
     with dataset_lock(path):
         _upsert_locked(
-            spark, new_batch, path, key_cols, partition_cols, expected_versions
+            spark, new_batch, path, key_cols, partition_cols,
+            expected_versions, snapshot_batch_id,
         )
 
 
@@ -176,6 +183,7 @@ def _upsert_locked(
     key_cols: list[str],
     partition_cols: list[str] | None,
     expected_versions: dict[str, int] | None = None,
+    snapshot_batch_id: object | None = None,
 ) -> None:
     from weatherflow_spark.operators.commit import (
         check_and_bump_versions,
@@ -194,7 +202,8 @@ def _upsert_locked(
         with dataset_lock(path):
             writer.parquet(path)
             check_and_bump_versions(path, keys)
-            _record_snapshot(path)  # seed = the table's first version
+            # seed = the table's first version
+            _record_snapshot(path, batch_id=snapshot_batch_id)
         return
 
     current = spark.read.parquet(path)
@@ -240,7 +249,10 @@ def _upsert_locked(
     merged = merged.localCheckpoint(eager=True)
     if partition_cols:
         # takes the lock; bumps the touched versions (choke point)
-        overwrite_partitions(merged, path, partition_cols)
+        overwrite_partitions(
+            merged, path, partition_cols,
+            snapshot_batch_id=snapshot_batch_id,
+        )
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
@@ -248,7 +260,7 @@ def _upsert_locked(
             # Unpartitioned full overwrite DELETES the old files —
             # without this record the pre-merge state would be
             # unrecoverable on a versioned table (r9 ADVICE).
-            _record_snapshot(path)
+            _record_snapshot(path, batch_id=snapshot_batch_id)
 
 
 def apply_changes(
@@ -259,6 +271,7 @@ def apply_changes(
     op_col: str = "op",
     partition_cols: list[str] | None = None,
     expected_versions: dict[str, int] | None = None,
+    snapshot_batch_id: object | None = None,
 ) -> None:
     """CDC APPLY (r8): merge a change feed carrying upserts AND
     deletes into a parquet table — the consumer half of the E61
@@ -286,7 +299,7 @@ def apply_changes(
     with dataset_lock(path):
         _apply_changes_locked(
             spark, changes, path, key_cols, op_col, partition_cols,
-            expected_versions,
+            expected_versions, snapshot_batch_id,
         )
 
 
@@ -298,6 +311,7 @@ def _apply_changes_locked(
     op_col: str,
     partition_cols: list[str] | None,
     expected_versions: dict[str, int] | None = None,
+    snapshot_batch_id: object | None = None,
 ) -> None:
     from weatherflow_spark.operators.commit import (
         check_and_bump_versions,
@@ -317,7 +331,8 @@ def _apply_changes_locked(
         with dataset_lock(path):
             writer.parquet(path)
             check_and_bump_versions(path, keys)
-            _record_snapshot(path)  # seed = the table's first version
+            # seed = the table's first version
+            _record_snapshot(path, batch_id=snapshot_batch_id)
         return
 
     current = spark.read.parquet(path)
@@ -369,7 +384,8 @@ def _apply_changes_locked(
         # still list the deleted rows' files and read_version() at
         # the head would resurrect deleted data (r9 ADVICE, high).
         overwrite_partitions(
-            merged, path, partition_cols, record_snapshot=not emptied
+            merged, path, partition_cols, record_snapshot=not emptied,
+            snapshot_batch_id=snapshot_batch_id,
         )
         if emptied:
             with dataset_lock(path):
@@ -400,9 +416,11 @@ def _apply_changes_locked(
                     scope=[
                         partition_key(partition_cols, t) for t in touched
                     ],
+                    batch_id=snapshot_batch_id,
                 )
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
             check_and_bump_versions(path, keys)
-            _record_snapshot(path)  # full overwrite deletes old files
+            # full overwrite deletes old files
+            _record_snapshot(path, batch_id=snapshot_batch_id)

@@ -375,6 +375,50 @@ def foreach_batch_upsert(
     return _sink
 
 
+def foreach_batch_versioned_upsert(
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreach_batch_upsert`` for a SNAPSHOT-ENABLED table (E90):
+    each micro-batch merge records exactly one snaplog version, KEYED
+    by the micro-batch id — so the version history is a faithful
+    time-travel trail of the stream (version k = table after batch k)
+    and a re-delivered batch (checkpoint recovery, at-least-once
+    delivery) neither duplicates rows (the upsert contract) NOR mints
+    a duplicate version (the ``record_commit(batch_id=...)`` replay
+    key). A replayed batch short-circuits before the merge job: its
+    content is already on disk by idempotence, so re-running it buys
+    nothing and the skip keeps recovery O(1) per replayed batch.
+
+    This is the streaming member of the maintain-then-serve family
+    (next to the sketch/CMS/fingerprint sinks): continuous ingestion
+    with queryable history, the Delta/Iceberg streaming-commit shape
+    on plain parquet."""
+    from weatherflow_spark.operators.snaplog import (
+        committed_batch_version,
+        snapshot_enabled,
+    )
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if (
+            snapshot_enabled(path)
+            and committed_batch_version(path, batch_id) is not None
+        ):
+            return  # replayed batch: content + version already landed
+        upsert_by_key(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            key_cols,
+            partition_cols,
+            snapshot_batch_id=batch_id,
+        )
+
+    return _sink
+
+
 def foreach_batch_rollup(path: str, scale: int = 100) -> Callable[[DataFrame, int], None]:
     """A streaming *continuous aggregate* sink: each micro-batch
     refreshes the rollup partial table (operators/rollup.py) for the
