@@ -86,3 +86,38 @@ def test_certification_tier_claims_match_window():
             assert any(n in window for n in names), (
                 f"tier claim without a window query on line: {line[:100]}"
             )
+
+
+def test_every_engine_module_is_cited_in_survey():
+    """r10 (VERDICT r9 'Next round' #2): the REVERSE doc audit. The r9
+    snapshot-log operator shipped with zero SURVEY presence because the
+    existing audits only validate claims that exist — this one asserts
+    every non-init module under the engine's operator-bearing packages
+    is cited somewhere in SURVEY (as ``pkg/mod.py``, ``pkg/mod``, or
+    the bare ``mod.py``), so an undocumented surface can never ship
+    again."""
+    survey = open(os.path.join(REPO, "SURVEY.md")).read()
+    packages = [
+        "operators",
+        "plans",
+        "multimodal",
+        "streaming",
+        "sources",
+        "functions",
+    ]
+    missing = []
+    for pkg in packages:
+        d = os.path.join(REPO, "weatherflow_spark", pkg)
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".py") or f == "__init__.py":
+                continue
+            mod = f[:-3]
+            forms = (f"{pkg}/{mod}.py", f"{pkg}/{mod}", f"{mod}.py")
+            if not any(x in survey for x in forms):
+                missing.append(f"{pkg}/{mod}")
+    assert not missing, (
+        "engine modules with no SURVEY citation (add a §2 row or cite "
+        f"them in the owning row): {missing}"
+    )

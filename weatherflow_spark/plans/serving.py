@@ -357,6 +357,137 @@ ORACLE_CDC_APPLY = f"""
 """
 
 
+TT_DEL_MOD = 7  # time-travel feed: DELETE every o_orderkey % 7 == 0
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E90 driver row: the snapshot log + time-travel read certified
+    through REAL versioned writes (operators/snaplog.py) — build a
+    versioned orders table and walk it through the full commit family:
+
+    - v1: bulk seed (base = orders minus every %{UPSERT_DEL_MOD} key)
+      + explicit ``record_commit`` (full walk — first version),
+    - v2: keyed upsert (every %{UPSERT_BATCH_MOD} key, price +1)
+      through the choke point — a SCOPED commit (touched partitions
+      walked, the rest carried from v1's entry),
+    - v3: the SAME batch replayed — a new version whose content must
+      equal v2 bit-for-bit (replay idempotence inside the hash),
+    - v4/head: a CDC delete feed (every %{TT_DEL_MOD} key) — another
+      scoped commit.
+
+    Serve per-(version, priority) digests of ``read_version(1..3)``
+    and the default head read, all from the retention mirror — the
+    live tree is never consulted. The oracle derives each version's
+    relation straight from raw orders, so ONE hash certifies: every
+    commit mints exactly one version, time travel reconstructs
+    pre-upsert and pre-delete states exactly, scoped commits carry
+    untouched files correctly (twice), and replay changes content
+    never history semantics. 100 TB posture: versions are O(touched
+    files) metadata + hard links, reads are manifest-driven scans —
+    nothing here rescans or copies data."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        read_version,
+        record_commit,
+    )
+    from weatherflow_spark.operators.upsert import apply_changes, upsert_by_key
+
+    path = os.path.join(_scratch_dir(sf_dir), "tt_tbl")
+    # Reset the dataset AND its sibling state (log, retention mirror,
+    # lock, version manifest): the query must be replayable per run.
+    for d in (path, path + ".__snaplog", path + ".__retain"):
+        shutil.rmtree(d, ignore_errors=True)
+    for f_ in (path + ".__versions.json", path + ".__lock"):
+        try:
+            os.unlink(f_)
+        except OSError:
+            pass
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    base = orders.where(k % UPSERT_DEL_MOD != 0)
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)  # v1
+
+    batch = orders.where(k % UPSERT_BATCH_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])  # v2
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])  # v3 = replay
+    deletes = orders.where(k % TT_DEL_MOD == 0).select(
+        *cols, F.lit("D").alias("op")
+    )
+    apply_changes(
+        spark, deletes, path, ["o_orderkey"], "op", ["o_orderpriority"]
+    )  # v4
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("sum_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(
+            F.lit(tag).alias("version_tag"),
+            "o_orderpriority",
+            "n_rows",
+            "sum_cents",
+            "key_xor",
+            "key_sum",
+        )
+
+    return (
+        digest(read_version(spark, path, 1), "v1")
+        .unionByName(digest(read_version(spark, path, 2), "v2"))
+        .unionByName(digest(read_version(spark, path, 3), "v3"))
+        .unionByName(digest(read_version(spark, path), "head"))
+    )
+
+
+ORACLE_TIME_TRAVEL = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_DEL_MOD} <> 0
+    ),
+    batch AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_BATCH_MOD} = 0
+    ),
+    merged AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        UNION ALL
+        SELECT * FROM batch
+    ),
+    final AS (
+        SELECT * FROM merged WHERE o_orderkey % {TT_DEL_MOD} <> 0
+    ),
+    tagged AS (
+        SELECT 'v1' AS version_tag, * FROM base
+        UNION ALL SELECT 'v2', * FROM merged
+        UNION ALL SELECT 'v3', * FROM merged
+        UNION ALL SELECT 'head', * FROM final
+    )
+    SELECT version_tag, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           bit_xor(o_orderkey) AS key_xor,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM tagged GROUP BY version_tag, o_orderpriority
+"""
+
+
 def q_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E81 driver row: incremental-dedup admission served from the
     PERSISTED signature index (operators/sig_index.py) — build the
@@ -800,6 +931,8 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       written partition-by-shard and digested from disk.
     - ``ann_serve``     (E88, r9): ANN served from the persisted IVF
       index — probed cells only, decision-identical to one-shot.
+    - ``time_travel``   (E90, r10): snapshot-log versions + as-of
+      reads — v1/v2/replay/head digests from the retention mirror.
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -845,6 +978,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'order_fp', cast(order_fp as bigint), "
         "'chars_total', cast(chars_total as bigint)) AS (metric, value)",
     )
+    tt = q_time_travel(spark, sf_dir).selectExpr(
+        "'time_travel' AS op",
+        "concat(version_tag, '|', o_orderpriority) AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
     av = q_ann_index_serve(spark, sf_dir).selectExpr(
         "'ann_serve' AS op",
         "cast(vec_id as string) AS key",
@@ -858,6 +997,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sk)
         .unionByName(se)
         .unionByName(av)
+        .unionByName(tt)
     )
 
 
@@ -907,6 +1047,17 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'order_fp' THEN s.order_fp
                        ELSE s.chars_total END AS BIGINT) AS value) u
     UNION ALL
+    SELECT 'time_travel', version_tag || '|' || o_orderpriority,
+           u.metric, u.value
+    FROM ({ORACLE_TIME_TRAVEL}) s,
+         (VALUES ('n_rows'), ('sum_cents'), ('key_xor'), ('key_sum'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'sum_cents' THEN s.sum_cents
+                       WHEN 'key_xor' THEN s.key_xor
+                       ELSE s.key_sum END AS value) u
+    UNION ALL
     SELECT 'ann_serve', CAST(vec_id AS VARCHAR), u.metric, u.value
     FROM ({_oracle_ann_index_serve()}) s,
          (VALUES ('label'), ('cosine_e6')) AS m(metric),
@@ -931,6 +1082,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sketch_serve": q_sketch_serve,
     "q_shard_export": q_shard_export,
     "q_ann_index_serve": q_ann_index_serve,
+    "q_time_travel": q_time_travel,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -947,4 +1099,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_sketch_serve": _oracle_sketch_serve(),
     "q_shard_export": _oracle_shard_export(),
     "q_ann_index_serve": _oracle_ann_index_serve(),
+    "q_time_travel": ORACLE_TIME_TRAVEL,
 }
