@@ -161,3 +161,41 @@ def test_q16_exclusion_filters_are_not_vacuous(spark):
     n_type = part.where(F.col("p_type") != "PROMO").count()
     assert 0 < n_brand < n_all, "Brand#15 exclusion removed nothing"
     assert 0 < n_type < n_all, "PROMO exclusion removed nothing"
+
+
+def test_derived_commit_receipt_invariants(spark):
+    """r10 (VERDICT r9 #6): the derived l_commitdate/l_receiptdate
+    columns must satisfy dbgen's shape — receipt strictly after ship
+    (1..30 days), commit within ship-10..ship+50 — and the three
+    lateness predicates Q4/Q12/Q21 now exercise must each be
+    NON-vacuous and NON-total (they remove some rows and keep some)."""
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.plans.tpch import with_commit_receipt
+
+    li = with_commit_receipt(
+        load_table(spark, SF_SMALL, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate"
+        )
+    )
+    ship = F.col("l_shipdate").cast("date")
+    n = li.count()
+    assert n > 0
+    assert li.where(F.col("l_receiptdate") <= ship).count() == 0
+    assert (
+        li.where(F.datediff(F.col("l_receiptdate"), ship) > 30).count() == 0
+    )
+    assert (
+        li.where(F.datediff(F.col("l_commitdate"), ship) < -10).count() == 0
+    )
+    assert (
+        li.where(F.datediff(F.col("l_commitdate"), ship) > 50).count() == 0
+    )
+    for pred in (
+        F.col("l_commitdate") < F.col("l_receiptdate"),  # Q4/Q12 lateness
+        F.col("l_receiptdate") > F.col("l_commitdate"),  # Q21 lateness
+        ship < F.col("l_commitdate"),  # Q12 shipped-before-commit
+    ):
+        kept = li.where(pred).count()
+        assert 0 < kept < n, f"predicate {pred} vacuous or total: {kept}/{n}"

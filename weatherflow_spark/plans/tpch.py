@@ -638,35 +638,81 @@ ORACLE_TPCH_Q19 = f"""
 """
 
 
+
+# ---------------------------------------------------------------------------
+# derived l_commitdate / l_receiptdate — deterministic, engine-independent
+# ---------------------------------------------------------------------------
+
+# The testdata generates lineitem without l_commitdate/l_receiptdate,
+# so Q4/Q12/Q21's lateness predicate was approximated by "shipped > N
+# days after order date" through r9. Both engines now DERIVE the two
+# columns from the line's key pair (the derived-partsupp precedent,
+# plans/tpch_ps.py), keeping dbgen's *shape* — commit scattered around
+# ship, receipt strictly after ship:
+#
+#   l_commitdate  = ship + ((5k + 7n) % 61 - 10) days   (ship-10 .. ship+50)
+#   l_receiptdate = ship + ((11k + 3n) % 30 + 1) days   (ship+1  .. ship+30)
+#
+# so the REAL TPC-H predicates are exercised with honest selectivity:
+# "l_commitdate < l_receiptdate" holds for ~42% of lines and
+# "l_shipdate < l_commitdate" for ~82% (measured at sf0.01), and both
+# remove rows at every SF (invariants pinned in tests/test_tpch.py).
+
+
+def with_commit_receipt(li: DataFrame) -> DataFrame:
+    """lineitem + derived ``l_commitdate``/``l_receiptdate`` (DATE).
+    Requires ``l_orderkey``, ``l_linenumber``, ``l_shipdate``."""
+    ship = F.col("l_shipdate").cast("date")
+    c_off = (
+        (F.col("l_orderkey") * 5 + F.col("l_linenumber") * 7) % 61 - 10
+    ).cast("int")
+    r_off = (
+        (F.col("l_orderkey") * 11 + F.col("l_linenumber") * 3) % 30 + 1
+    ).cast("int")
+    return li.withColumn("l_commitdate", F.date_add(ship, c_off)).withColumn(
+        "l_receiptdate", F.date_add(ship, r_off)
+    )
+
+
+COMMIT_RECEIPT_SQL = """
+    CAST(l_shipdate AS DATE)
+        + CAST((l_orderkey * 5 + l_linenumber * 7) % 61 - 10 AS INTEGER)
+        AS l_commitdate,
+    CAST(l_shipdate AS DATE)
+        + CAST((l_orderkey * 11 + l_linenumber * 3) % 30 + 1 AS INTEGER)
+        AS l_receiptdate
+"""
+
+
 # ---------------------------------------------------------------------------
 # q_tpch_q4 — order-priority checking: EXISTS semi-join with a non-equi term
 # ---------------------------------------------------------------------------
 
 
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape (r9, adapted to the testdata columns): per
-    priority, how many 1996-Q1 orders had at least one LATE-SHIPPED
-    line (l_shipdate more than 60 days after o_orderdate — the stand-
-    in for Q4's commit<receipt predicate, which needs columns the
-    testdata lacks). Plans as a LEFT SEMI join on the order key with
-    the date comparison as a join-side filter — each order counts
-    ONCE no matter how many lines are late (the EXISTS semantics the
-    naive inner-join-then-distinct shape pays a dedup shuffle for),
-    then a 5-group aggregate."""
+    """TPC-H Q4, REAL predicate shape (r10): per priority, how many
+    1996-Q1 orders had at least one line that missed its commitment
+    (``l_commitdate < l_receiptdate`` over the derived date columns —
+    through r9 this was the shipped-late stand-in). Plans as a LEFT
+    SEMI join on the order key with the line-side lateness as a
+    join-side filter — each order counts ONCE no matter how many
+    lines are late (the EXISTS semantics the naive
+    inner-join-then-distinct shape pays a dedup shuffle for), then a
+    5-group aggregate. The lateness predicate is line-LOCAL (unlike
+    the old stand-in it doesn't reference o_orderdate), so it filters
+    lineitem BEFORE the join — strictly less exchange input."""
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
-    )
+    li = with_commit_receipt(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate"
+        )
+    ).where(F.col("l_commitdate") < F.col("l_receiptdate"))
     late = orders.join(
-        li,
-        (F.col("o_orderkey") == F.col("l_orderkey"))
-        & (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("interval 60 days")
-        ),
+        li.select("l_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(
@@ -674,14 +720,15 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TPCH_Q4 = """
+ORACLE_TPCH_Q4 = f"""
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
     FROM orders o
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate <  TIMESTAMP '1996-04-01'
-      AND EXISTS (SELECT 1 FROM lineitem l
+      AND EXISTS (SELECT 1 FROM (SELECT l_orderkey, {COMMIT_RECEIPT_SQL}
+                                 FROM lineitem) l
                   WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                    AND l.l_commitdate < l.l_receiptdate)
     GROUP BY o_orderpriority
 """
 

@@ -10,9 +10,10 @@ build identically — 22/22 total.
 Adaptations (testdata lacks some canonical columns; the *plan shape*
 each query exists to exercise is preserved exactly):
 
-- Q21's "receipt after commit" lateness → ship > order date + 90 days
-  (the same shipped-late stand-in family as Q4, which uses its own
-  60-day window — tpch.py).
+- Q21's "receipt after commit" lateness runs the REAL
+  ``l_receiptdate > l_commitdate`` predicate over the derived date
+  columns since r10 (tpch.py ``with_commit_receipt``; the r9
+  shipped-late stand-in is gone).
 - Q22's "no orders at all" anti-join → "no order since 2001-01-01"
   (the generator gives every customer at least one order, so the
   canonical form is vacuously empty; the dormancy form keeps the
@@ -38,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weatherflow_spark.io import load_table
 from weatherflow_spark.plans.queries import scaled_sum, scaled_sum_sql
+from weatherflow_spark.plans.tpch import COMMIT_RECEIPT_SQL, with_commit_receipt
 
 
 # ---------------------------------------------------------------------------
@@ -488,15 +490,18 @@ ORACLE_TPCH_Q17 = f"""
 # q_tpch_q21 — suppliers who kept orders waiting: sole-late-supplier profile
 # ---------------------------------------------------------------------------
 
-Q21_LATE_DAYS = 90
 Q21_TOP = 20
 
 
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
-    finished multi-supplier order ("kept the order waiting"), top 20
-    by how many orders they stalled. Lateness is ship > order date +
-    90 days (the Q4 stand-in — no commit/receipt columns).
+    """TPC-H Q21, REAL predicate shape (r10): suppliers who were the
+    SOLE late supplier on a finished multi-supplier order ("kept the
+    order waiting"), top 20 by how many orders they stalled. Lateness
+    is the canonical ``l_receiptdate > l_commitdate`` over the
+    derived date columns (tpch.py ``with_commit_receipt``; through r9
+    this was a shipped-late stand-in referencing o_orderdate — the
+    real predicate is line-LOCAL, so the orders join now carries no
+    date term at all).
 
     The canonical EXISTS(other supplier) + NOT EXISTS(other LATE
     supplier) pair decorrelates into ONE per-order profile:
@@ -508,13 +513,13 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffles lineitem twice more)."""
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
-        f"interval {Q21_LATE_DAYS} days"
-    )
+    ).select("o_orderkey")
+    li = with_commit_receipt(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate"
+        )
+    ).select("l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate")
+    late = F.col("l_receiptdate") > F.col("l_commitdate")
     profile = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey")
@@ -541,16 +546,18 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TPCH_Q21 = f"""
-    WITH profile AS (
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey, {COMMIT_RECEIPT_SQL}
+        FROM lineitem
+    ),
+    profile AS (
         SELECT l_orderkey,
                count(DISTINCT l_suppkey) AS n_supp,
-               count(DISTINCT CASE WHEN l_shipdate > o_orderdate
-                         + INTERVAL {Q21_LATE_DAYS} DAY
+               count(DISTINCT CASE WHEN l_receiptdate > l_commitdate
                      THEN l_suppkey END) AS n_late,
-               max(CASE WHEN l_shipdate > o_orderdate
-                         + INTERVAL {Q21_LATE_DAYS} DAY
+               max(CASE WHEN l_receiptdate > l_commitdate
                    THEN l_suppkey END) AS late_suppkey
-        FROM lineitem
+        FROM li
         JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderstatus = 'F'
         GROUP BY l_orderkey

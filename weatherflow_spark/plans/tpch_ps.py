@@ -31,8 +31,10 @@ documented):
   sf0.001).
 - Q12's ``l_shipmode`` → a derived 7-mode dictionary column keyed by
   ``(l_orderkey + l_linenumber*3) % 7`` (deterministic in both
-  engines); its commit/receipt lateness → shipped > 90 days after
-  order date (the same stand-in Q4/Q21 use, tpch.py).
+  engines); its commit/receipt lateness runs the REAL
+  ``l_shipdate < l_commitdate < l_receiptdate`` sandwich over the
+  derived date columns (tpch.py ``with_commit_receipt``, r10 — the
+  r9 shipped-late stand-in is gone).
 - Q16's "customer complaints" supplier exclusion → suppliers with
   negative account balance (testdata has no s_comment; keeps the
   NOT-IN anti-join shape with a non-trivial excluded set).
@@ -59,6 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from weatherflow_spark.io import load_table
+from weatherflow_spark.plans.tpch import COMMIT_RECEIPT_SQL, with_commit_receipt
 
 
 # ---------------------------------------------------------------------------
@@ -329,19 +332,29 @@ SHIP_MODES = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
 
 
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: for lines shipped in 1996 by MAIL or SHIP
-    that were LATE (shipped > 90 days after order date — the Q4/Q21
-    stand-in), how many belong to high-priority vs low-priority
-    orders, per mode. ``l_shipmode`` is a derived 7-value dictionary
-    column keyed by ``(l_orderkey + l_linenumber*3) % 7`` (module
-    doc); the mode filter applies BEFORE the orders join, the year
-    filter is a pushable shipdate range, and the join is the usual
-    l_orderkey ⋈ o_orderkey exchange followed by a 2-group
-    conditional count — one pass, no second scan for the low/high
-    split."""
+    """TPC-H Q12, REAL predicate shape (r10): for MAIL/SHIP lines
+    RECEIVED in 1996 that were late against their commitment
+    (``l_commitdate < l_receiptdate``) after shipping before it
+    (``l_shipdate < l_commitdate``) — the canonical three-way date
+    sandwich over the derived commit/receipt columns (tpch.py; the
+    r9 form substituted one shipped-late join term) — how many belong
+    to high- vs low-priority orders, per mode. ``l_shipmode`` is the
+    derived 7-value dictionary column (module doc). The receipt-year
+    filter can't reach the parquet scan (the column is derived), so
+    the IMPLIED shipdate superset range (receipt ∈ ship+1..ship+30 ⟹
+    ship ∈ [1995-12-02, 1996-12-31)) is stated explicitly and pushes
+    down — the standard derived-column residual-predicate pattern.
+    The orders join is back to a pure key equi-join (no date term),
+    followed by a 2-group conditional count — one pass."""
     li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1995-12-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = with_commit_receipt(li).where(
+        (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
     )
     mode = F.element_at(
         F.array(*[F.lit(m) for m in SHIP_MODES]),
@@ -353,18 +366,11 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipmode").isin("MAIL", "SHIP")
     )
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
+        "o_orderkey", "o_orderpriority"
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(
-            orders,
-            (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("interval 90 days")
-            ),
-        )
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_shipmode")
         .agg(
             F.sum(F.when(high, 1).otherwise(0))
@@ -380,14 +386,23 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MODES_SQL = "[" + ", ".join(f"'{m}'" for m in SHIP_MODES) + "]"
 
 ORACLE_TPCH_Q12 = f"""
-    WITH li AS (
-        SELECT l_orderkey, l_shipdate,
+    WITH li0 AS (
+        SELECT l_orderkey,
+               CAST(l_shipdate AS DATE) AS l_shipd,
                ({_MODES_SQL})[
                    CAST((l_orderkey + l_linenumber * 3) % 7 + 1 AS INTEGER)
-               ] AS l_shipmode
+               ] AS l_shipmode,
+               {COMMIT_RECEIPT_SQL}
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        WHERE l_shipdate >= TIMESTAMP '1995-12-01'
           AND l_shipdate <  TIMESTAMP '1997-01-01'
+    ),
+    li AS (
+        SELECT l_orderkey, l_shipmode FROM li0
+        WHERE l_receiptdate >= DATE '1996-01-01'
+          AND l_receiptdate <  DATE '1997-01-01'
+          AND l_commitdate < l_receiptdate
+          AND l_shipd < l_commitdate
     )
     SELECT l_shipmode,
            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -396,7 +411,6 @@ ORACLE_TPCH_Q12 = f"""
                          THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM li
     JOIN orders ON l_orderkey = o_orderkey
-                AND l_shipdate > o_orderdate + INTERVAL 90 DAY
     WHERE l_shipmode IN ('MAIL', 'SHIP')
     GROUP BY l_shipmode
 """
