@@ -200,9 +200,10 @@ OPTIONAL = [
     "q_tpch_q12",
     "q_tpch_q16",
     "q_tpch_q20",
-    # round 10: snapshot time-travel single (suite branch carries the
-    # window row)
+    # round 10: snapshot time-travel + version-diff singles (suite
+    # branches carry the window rows)
     "q_time_travel",
+    "q_version_diff",
 ]
 
 

@@ -419,3 +419,60 @@ def test_streaming_versioned_upsert_replay_mints_no_duplicate_version(
     b2 = orders.where(F.col("o_orderkey") % 7 == 0)
     sink(b2, 2)
     assert versions(path) == [1, 2, 3]
+
+
+def test_diff_versions_emits_exact_cdc_feed_and_round_trips(spark, tmpdir):
+    """E91 (r10): diff_versions between two retained versions yields
+    exactly the U/D feed that transforms the older into the newer —
+    changed rows carry NEW values, deletes carry OLD rows (partition
+    values included), unchanged rows are absent — and applying the
+    feed to a copy of the older version reconstructs the newer one."""
+    from weatherflow_spark.operators.snaplog import diff_versions
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = f"{tmpdir}/vd"
+    orders, base, batch = _build_versioned(spark, path)  # v1, v2 (upsert)
+
+    feed = diff_versions(spark, path, 1, 2, ["o_orderkey"])
+    u = feed.where(F.col("op") == "U").drop("op")
+    d = feed.where(F.col("op") == "D")
+    # the upsert batch changed/inserted exactly its own rows; nothing
+    # was deleted between v1 and v2
+    assert d.count() == 0
+    assert _digest(u) == _digest(batch)
+    # U rows carry the NEW price (+1.0 vs raw orders)
+    joined = u.alias("u").join(
+        orders.alias("o"), on="o_orderkey"
+    ).where(F.expr("abs(u.o_totalprice - (o.o_totalprice + 1.0)) > 1e-9"))
+    assert joined.count() == 0
+
+    # now delete some keys -> v3; diff(2,3) must be pure tombstones
+    doomed = (
+        spark.read.parquet(path)
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .withColumn("op", F.lit("D"))
+    )
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    apply_changes(
+        spark, doomed, path, ["o_orderkey"], "op", ["o_orderpriority"]
+    )  # v3
+    feed23 = diff_versions(spark, path, 2, 3, ["o_orderkey"])
+    assert feed23.where(F.col("op") == "U").count() == 0
+    assert feed23.where(F.col("op") == "D").count() == n_doomed
+
+    # round-trip across BOTH steps: v1 copy + diff(1,3) == v3
+    rt = f"{tmpdir}/rt"
+    from weatherflow_spark.operators.snaplog import read_version
+
+    read_version(spark, path, 1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(rt)
+    feed13 = diff_versions(spark, path, 1, 3, ["o_orderkey"])
+    apply_changes(
+        spark, feed13, rt, ["o_orderkey"], "op", ["o_orderpriority"]
+    )
+    assert _digest(spark.read.parquet(rt)) == _digest(
+        read_version(spark, path, 3)
+    )

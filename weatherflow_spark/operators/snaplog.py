@@ -70,7 +70,7 @@ import os
 import shutil
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _log_dir(path: str) -> str:
@@ -331,6 +331,42 @@ def read_version(
     if not paths:
         raise ValueError(f"{path}: version {version} recorded no files")
     return spark.read.option("basePath", retain).parquet(*paths)
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """The CDC feed that transforms version ``v_from`` into ``v_to``
+    (E91): rows with ``op='U'`` (insert-or-replace by key) and
+    ``op='D'`` (tombstones carrying the OLD row's values — including
+    its partition columns, so :func:`~weatherflow_spark.operators.
+    upsert.apply_changes` can prune to the touched partitions, the
+    standard CDC contract). Applying the feed to a copy of ``v_from``
+    reconstructs ``v_to`` exactly — the round-trip law the E91
+    certification query pins through real writes.
+
+    Semantics are multiset-exact, not hash-approximate: U = the rows
+    of ``v_to`` minus (exceptAll) the rows of ``v_from`` — new keys
+    and changed rows both land here with their NEW values; D = keys
+    present in ``v_from`` but absent from ``v_to`` (a LEFT ANTI on
+    the key). Both are single co-partitioned exchanges; at 100 TB
+    this is the canonical two-shuffle diff, and because versions read
+    from the retention mirror the live table is never touched —
+    change feeds can be derived long after the fact, between ANY two
+    retained versions, which the reference's overwrite-in-place
+    warehouse fundamentally cannot do (dags/utils/database.py:25-34).
+    """
+    b = read_version(spark, path, v_to)
+    a = read_version(spark, path, v_from).select(*b.columns)
+    u = b.exceptAll(a).withColumn("op", F.lit("U"))
+    d = a.join(
+        b.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    ).withColumn("op", F.lit("D"))
+    return u.unionByName(d)
 
 
 def vacuum_versions(path: str, keep_last: int = 1) -> dict[str, int]:

@@ -488,6 +488,161 @@ ORACLE_TIME_TRAVEL = f"""
 """
 
 
+VDIFF_DEL_MOD = 7  # version-diff feed: DELETE %7 keys (not re-upserted)
+
+
+def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E91 driver row: the snaplog version-diff certified as an
+    OPERATIONAL CDC feed through real writes. Build a versioned
+    orders table (v1 = base), move it to v2 with a mixed feed
+    (upsert every %{UPSERT_BATCH_MOD} key with price +1, delete every
+    %{VDIFF_DEL_MOD} key not re-upserted), then:
+
+    - derive ``diff_versions(v1, v2)`` — U rows must be EXACTLY the
+      upsert batch (new keys and changed rows with their new values),
+      D rows exactly the deleted keys with their OLD values;
+    - ROUND-TRIP: write a fresh copy of v1 and ``apply_changes`` the
+      derived feed into it — the reconstructed table must digest
+      identically to v2.
+
+    Served long-wise as (section, priority) digests; the oracle
+    derives all three sections from raw orders. One hash certifies
+    the diff's multiset semantics, the tombstones' partition-carrying
+    contract, and the round-trip law (diff ∘ apply = identity on
+    versions). The reference's overwrite-in-place MySQL warehouse
+    cannot produce a between-loads change feed at all
+    (dags/utils/database.py:25-34); with the retention mirror it
+    falls out of two exchanges over any two retained versions."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        diff_versions,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+    )
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = os.path.join(_scratch_dir(sf_dir), "vdiff_tbl")
+    rt = os.path.join(_scratch_dir(sf_dir), "vdiff_roundtrip")
+    for d in (
+        path,
+        path + ".__snaplog",
+        path + ".__retain",
+        rt,
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+    for f_ in (
+        path + ".__versions.json",
+        path + ".__lock",
+        rt + ".__versions.json",
+        rt + ".__lock",
+    ):
+        try:
+            os.unlink(f_)
+        except OSError:
+            pass
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    base = orders.where(k % UPSERT_DEL_MOD != 0)
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)  # v1
+
+    ups = orders.where(k % UPSERT_BATCH_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+    )
+    dels = base.where(
+        (k % VDIFF_DEL_MOD == 0) & (k % UPSERT_BATCH_MOD != 0)
+    ).select(*cols, F.lit("D").alias("op"))
+    apply_changes(
+        spark,
+        dels.unionByName(ups),
+        path,
+        ["o_orderkey"],
+        "op",
+        ["o_orderpriority"],
+    )  # v2
+
+    feed = diff_versions(spark, path, 1, 2, ["o_orderkey"])
+    feed = feed.localCheckpoint(eager=True)  # consumed 3x below
+
+    # round-trip: v1 copy + derived feed must reconstruct v2
+    read_version(spark, path, 1).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(rt)
+    apply_changes(
+        spark, feed, rt, ["o_orderkey"], "op", ["o_orderpriority"]
+    )
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("sum_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(
+            F.lit(tag).alias("section"),
+            "o_orderpriority",
+            "n_rows",
+            "sum_cents",
+            "key_xor",
+            "key_sum",
+        )
+
+    return (
+        digest(feed.where(F.col("op") == "U"), "diff_u")
+        .unionByName(digest(feed.where(F.col("op") == "D"), "diff_d"))
+        .unionByName(digest(spark.read.parquet(rt), "roundtrip"))
+    )
+
+
+ORACLE_VERSION_DIFF = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_DEL_MOD} <> 0
+    ),
+    ups AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_BATCH_MOD} = 0
+    ),
+    dels AS (
+        SELECT * FROM base
+        WHERE o_orderkey % {VDIFF_DEL_MOD} = 0
+          AND o_orderkey % {UPSERT_BATCH_MOD} <> 0
+    ),
+    v2 AS (
+        SELECT * FROM base
+        WHERE o_orderkey % {UPSERT_BATCH_MOD} <> 0
+          AND NOT (o_orderkey % {VDIFF_DEL_MOD} = 0
+                   AND o_orderkey % {UPSERT_BATCH_MOD} <> 0)
+        UNION ALL
+        SELECT * FROM ups
+    ),
+    tagged AS (
+        SELECT 'diff_u' AS section, * FROM ups
+        UNION ALL SELECT 'diff_d', * FROM dels
+        UNION ALL SELECT 'roundtrip', * FROM v2
+    )
+    SELECT section, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           bit_xor(o_orderkey) AS key_xor,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM tagged GROUP BY section, o_orderpriority
+"""
+
+
 def q_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E81 driver row: incremental-dedup admission served from the
     PERSISTED signature index (operators/sig_index.py) — build the
@@ -933,6 +1088,8 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       index — probed cells only, decision-identical to one-shot.
     - ``time_travel``   (E90, r10): snapshot-log versions + as-of
       reads — v1/v2/replay/head digests from the retention mirror.
+    - ``version_diff``  (E91, r10): between-versions CDC feed + the
+      round-trip law (apply(diff(v1,v2)) to v1 reconstructs v2).
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -978,6 +1135,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'order_fp', cast(order_fp as bigint), "
         "'chars_total', cast(chars_total as bigint)) AS (metric, value)",
     )
+    vd = q_version_diff(spark, sf_dir).selectExpr(
+        "'version_diff' AS op",
+        "concat(section, '|', o_orderpriority) AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
     tt = q_time_travel(spark, sf_dir).selectExpr(
         "'time_travel' AS op",
         "concat(version_tag, '|', o_orderpriority) AS key",
@@ -998,6 +1161,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(se)
         .unionByName(av)
         .unionByName(tt)
+        .unionByName(vd)
     )
 
 
@@ -1047,6 +1211,17 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'order_fp' THEN s.order_fp
                        ELSE s.chars_total END AS BIGINT) AS value) u
     UNION ALL
+    SELECT 'version_diff', section || '|' || o_orderpriority,
+           u.metric, u.value
+    FROM ({ORACLE_VERSION_DIFF}) s,
+         (VALUES ('n_rows'), ('sum_cents'), ('key_xor'), ('key_sum'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'sum_cents' THEN s.sum_cents
+                       WHEN 'key_xor' THEN s.key_xor
+                       ELSE s.key_sum END AS value) u
+    UNION ALL
     SELECT 'time_travel', version_tag || '|' || o_orderpriority,
            u.metric, u.value
     FROM ({ORACLE_TIME_TRAVEL}) s,
@@ -1083,6 +1258,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_shard_export": q_shard_export,
     "q_ann_index_serve": q_ann_index_serve,
     "q_time_travel": q_time_travel,
+    "q_version_diff": q_version_diff,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -1100,4 +1276,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_shard_export": _oracle_shard_export(),
     "q_ann_index_serve": _oracle_ann_index_serve(),
     "q_time_travel": ORACLE_TIME_TRAVEL,
+    "q_version_diff": ORACLE_VERSION_DIFF,
 }
