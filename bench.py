@@ -204,6 +204,7 @@ OPTIONAL = [
     # branches carry the window rows)
     "q_time_travel",
     "q_version_diff",
+    "q_ivm_rollup",
 ]
 
 

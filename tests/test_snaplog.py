@@ -476,3 +476,59 @@ def test_diff_versions_emits_exact_cdc_feed_and_round_trips(spark, tmpdir):
     assert _digest(spark.read.parquet(rt)) == _digest(
         read_version(spark, path, 3)
     )
+
+
+def test_delta_update_agg_matches_direct_reaggregation(spark):
+    """E92 (r10): delta maintenance over an insert+update+delete+
+    group-move feed must equal direct re-aggregation — including the
+    xor digest (self-inverse algebra) — and groups emptied by deletes
+    must vanish like a direct agg's."""
+    from weatherflow_spark.operators.ivm import delta_update_agg
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10),  # will be updated in place
+            (2, "a", 20),  # will move to group b with a new value
+            (3, "b", 30),  # untouched
+            (4, "c", 40),  # deleted; group c becomes empty
+        ],
+        "k int, g string, v int",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 11),
+            (2, "b", 25),
+            (3, "b", 30),
+            (5, "d", 50),  # insert into a brand-new group
+        ],
+        "k int, g string, v int",
+    )
+    plus = new.subtract(old)  # U rows (new values): k=1,2,5
+    d_keys = old.join(new, "k", "left_anti")  # k=4
+    minus = old.join(
+        plus.select("k").union(d_keys.select("k")), "k", "left_semi"
+    )  # pre-images of changed keys + deleted rows: k=1,2,4
+
+    measures = {
+        "n": ("sum", "1"),
+        "sv": ("sum", "v"),
+        "xk": ("xor", "k"),
+    }
+
+    def direct(df):
+        from pyspark.sql import functions as F
+
+        return df.groupBy("g").agg(
+            F.sum(F.expr("cast(1 as bigint)")).alias("n"),
+            F.sum(F.expr("cast(v as bigint)")).alias("sv"),
+            F.expr("bit_xor(cast(k as bigint))").alias("xk"),
+        )
+
+    refreshed = delta_update_agg(
+        direct(old), plus, minus, ["g"], measures, count_col="n"
+    )
+    got = {r.g: (r.n, r.sv, r.xk) for r in refreshed.collect()}
+    want = {r.g: (r.n, r.sv, r.xk) for r in direct(new).collect()}
+    assert got == want
+    assert "c" not in got  # emptied group dropped
+    assert "d" in got  # new group created

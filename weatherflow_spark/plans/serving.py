@@ -643,6 +643,141 @@ ORACLE_VERSION_DIFF = f"""
 """
 
 
+def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E92 driver row: incremental view maintenance — a per-priority
+    aggregate kept current from the E91 change feed, the FACTS NEVER
+    RESCANNED. Build the same versioned table as q_version_diff
+    (v1 = base; v2 via a mixed upsert+delete feed), aggregate v1 ONCE
+    (the initial build — the only full scan this view ever pays),
+    then refresh it purely from deltas:
+
+    - plus  = the feed's U rows (new values),
+    - minus = the feed's D tombstones (old rows, CDC contract) plus
+      the pre-image of every changed key — read from the v1 mirror
+      pruned by a broadcast of the U keys: O(|changes|) rows, not
+      the table.
+
+    The refreshed aggregate must hash-match a DIRECT aggregation of
+    the v2 relation (the oracle) — sum, count, key-sum AND the xor
+    digest (xor is self-inverse, so the delta algebra covers it).
+    This is the steady-state dashboard posture at 100 TB: aggregate
+    cost tracks the change feed, never the fact table (the reference
+    re-reads its tables wholesale per load, dags/etl.py)."""
+    import shutil
+
+    from weatherflow_spark.operators.ivm import delta_update_agg
+    from weatherflow_spark.operators.snaplog import (
+        diff_versions,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+    )
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = os.path.join(_scratch_dir(sf_dir), "ivm_tbl")
+    for d in (path, path + ".__snaplog", path + ".__retain"):
+        shutil.rmtree(d, ignore_errors=True)
+    for f_ in (path + ".__versions.json", path + ".__lock"):
+        try:
+            os.unlink(f_)
+        except OSError:
+            pass
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    base = orders.where(k % UPSERT_DEL_MOD != 0)
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)  # v1
+
+    ups = orders.where(k % UPSERT_BATCH_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+    )
+    dels = base.where(
+        (k % VDIFF_DEL_MOD == 0) & (k % UPSERT_BATCH_MOD != 0)
+    ).select(*cols, F.lit("D").alias("op"))
+    apply_changes(
+        spark,
+        dels.unionByName(ups),
+        path,
+        ["o_orderkey"],
+        "op",
+        ["o_orderpriority"],
+    )  # v2
+
+    MEASURES = {
+        "n_rows": ("sum", "1"),
+        "sum_cents": ("sum", "floor(o_totalprice * 100 + 0.5)"),
+        "key_xor": ("xor", "o_orderkey"),
+        "key_sum": ("sum", "o_orderkey"),
+    }
+
+    def direct_agg(df: DataFrame) -> DataFrame:
+        aggs = []
+        for name, (kind, expr) in MEASURES.items():
+            if kind == "sum":
+                aggs.append(
+                    F.sum(F.expr(f"cast({expr} as bigint)")).alias(name)
+                )
+            else:
+                aggs.append(
+                    F.expr(f"bit_xor(cast({expr} as bigint))").alias(name)
+                )
+        return df.groupBy("o_orderpriority").agg(*aggs)
+
+    v1 = read_version(spark, path, 1)
+    old_agg = direct_agg(v1)  # the initial build — the only full scan
+    feed = diff_versions(spark, path, 1, 2, ["o_orderkey"])
+    feed = feed.localCheckpoint(eager=True)  # consumed by plus + keys + minus
+    u_rows = feed.where(F.col("op") == "U").drop("op")
+    d_rows = feed.where(F.col("op") == "D").drop("op")
+    # pre-image of the changed keys: v1 pruned by a broadcast semi-join
+    old_changed = v1.join(
+        F.broadcast(u_rows.select("o_orderkey")), "o_orderkey", "left_semi"
+    )
+    return delta_update_agg(
+        old_agg,
+        plus=u_rows,
+        minus=old_changed.unionByName(d_rows),
+        group_cols=["o_orderpriority"],
+        measures=MEASURES,
+        count_col="n_rows",
+    )
+
+
+ORACLE_IVM_ROLLUP = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_DEL_MOD} <> 0
+    ),
+    ups AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_BATCH_MOD} = 0
+    ),
+    v2 AS (
+        SELECT * FROM base
+        WHERE o_orderkey % {UPSERT_BATCH_MOD} <> 0
+          AND NOT (o_orderkey % {VDIFF_DEL_MOD} = 0
+                   AND o_orderkey % {UPSERT_BATCH_MOD} <> 0)
+        UNION ALL
+        SELECT * FROM ups
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           bit_xor(o_orderkey) AS key_xor,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM v2 GROUP BY o_orderpriority
+"""
+
+
 def q_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E81 driver row: incremental-dedup admission served from the
     PERSISTED signature index (operators/sig_index.py) — build the
@@ -1090,6 +1225,8 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       reads — v1/v2/replay/head digests from the retention mirror.
     - ``version_diff``  (E91, r10): between-versions CDC feed + the
       round-trip law (apply(diff(v1,v2)) to v1 reconstructs v2).
+    - ``ivm_rollup``    (E92, r10): delta-maintained aggregate ==
+      direct re-aggregation, facts never rescanned.
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -1141,6 +1278,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
+    iv = q_ivm_rollup(spark, sf_dir).selectExpr(
+        "'ivm_rollup' AS op",
+        "o_orderpriority AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
     tt = q_time_travel(spark, sf_dir).selectExpr(
         "'time_travel' AS op",
         "concat(version_tag, '|', o_orderpriority) AS key",
@@ -1162,6 +1305,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(av)
         .unionByName(tt)
         .unionByName(vd)
+        .unionByName(iv)
     )
 
 
@@ -1211,6 +1355,16 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'order_fp' THEN s.order_fp
                        ELSE s.chars_total END AS BIGINT) AS value) u
     UNION ALL
+    SELECT 'ivm_rollup', o_orderpriority, u.metric, u.value
+    FROM ({ORACLE_IVM_ROLLUP}) s,
+         (VALUES ('n_rows'), ('sum_cents'), ('key_xor'), ('key_sum'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'sum_cents' THEN s.sum_cents
+                       WHEN 'key_xor' THEN s.key_xor
+                       ELSE s.key_sum END AS value) u
+    UNION ALL
     SELECT 'version_diff', section || '|' || o_orderpriority,
            u.metric, u.value
     FROM ({ORACLE_VERSION_DIFF}) s,
@@ -1259,6 +1413,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_index_serve": q_ann_index_serve,
     "q_time_travel": q_time_travel,
     "q_version_diff": q_version_diff,
+    "q_ivm_rollup": q_ivm_rollup,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -1277,4 +1432,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_ann_index_serve": _oracle_ann_index_serve(),
     "q_time_travel": ORACLE_TIME_TRAVEL,
     "q_version_diff": ORACLE_VERSION_DIFF,
+    "q_ivm_rollup": ORACLE_IVM_ROLLUP,
 }
