@@ -990,3 +990,39 @@ def test_tpch_q22_anti_join_and_broadcast_scalar(spark):
         for b in pushed_blocks
         if "PushedFilters: [" in b
     ), f"Q22 dormancy date not pushed to orders scan:\n{p}"
+
+
+def test_ivm_rollup_broadcasts_changed_keys_and_stays_delta_sized(spark):
+    """r10 E92: the pre-image read (old version pruned to changed
+    keys) must arrive as a BROADCAST semi join — the delta path's
+    cost is O(|changes|), so shuffling the version for it would
+    defeat the operator's reason to exist. And nothing in the
+    delta-merge may plan a cartesian."""
+    p = _plan(QUERIES["q_ivm_rollup"](spark, SF_SMALL))
+    semi = [
+        b
+        for b in _detail_blocks(p, "BroadcastHashJoin")
+        if "LeftSemi" in b
+    ]
+    assert semi, f"changed-keys pre-image must broadcast-semi-join:\n{p}"
+    assert "CartesianProduct" not in p, p
+
+
+def test_version_diff_plans_no_cartesian_or_python(spark):
+    """r10 E91: the diff itself is two co-partitioned exchanges
+    (exceptAll + key anti join) — no cartesian, no Python boundary,
+    and the D side anti-joins rather than re-aggregating the full
+    version. The serve query localCheckpoints the feed, so the diff
+    plan is audited directly on the table the serve query builds."""
+    import os
+
+    from weatherflow_spark.operators.snaplog import diff_versions
+    from weatherflow_spark.plans import serving
+
+    # builds the versioned scratch table (v1, v2) as a side effect
+    QUERIES["q_version_diff"](spark, SF_SMALL)
+    path = os.path.join(serving._scratch_dir(SF_SMALL), "vdiff_tbl")
+    p = _plan(diff_versions(spark, path, 1, 2, ["o_orderkey"]))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "LeftAnti" in p, f"D side must plan as an anti join:\n{p}"
