@@ -532,3 +532,101 @@ def test_delta_update_agg_matches_direct_reaggregation(spark):
     assert got == want
     assert "c" not in got  # emptied group dropped
     assert "d" in got  # new group created
+
+
+def test_streaming_version_trail_drives_incremental_aggregate(spark, tmpdir):
+    """Composition (r10): the E90 streaming version trail feeds E91
+    diffs into E92 delta maintenance — a continuously-maintained
+    aggregate that tracks a micro-batch stream without ever rescanning
+    the table, converging to the direct aggregation of the live data.
+    Replayed batches mint no version, so the maintenance loop (driven
+    by versions()) naturally skips them."""
+    from weatherflow_spark.operators.ivm import delta_update_agg
+    from weatherflow_spark.operators.snaplog import (
+        diff_versions,
+        read_version,
+        versions,
+    )
+    from weatherflow_spark.streaming.pipeline import (
+        foreach_batch_versioned_upsert,
+    )
+
+    path = f"{tmpdir}/stream_agg_tbl"
+    init_snapshot_log(path)
+    sink = foreach_batch_versioned_upsert(
+        path, ["o_orderkey"], ["o_orderpriority"]
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, SF_SMALL, "orders").select(*cols)
+    batches = [
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        orders.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            "o_orderpriority",
+        ),
+        orders.where(F.col("o_orderkey") % 5 == 0),
+    ]
+
+    MEASURES = {
+        "n_rows": ("sum", "1"),
+        "sum_cents": ("sum", "floor(o_totalprice * 100 + 0.5)"),
+        "key_xor": ("xor", "o_orderkey"),
+    }
+
+    def direct(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(F.expr("cast(1 as bigint)")).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("sum_cents"),
+            F.expr("bit_xor(cast(o_orderkey as bigint))").alias("key_xor"),
+        )
+
+    agg = None
+    applied_through = 0
+    for i, b in enumerate(batches):
+        sink(b, i)
+        if i == 1:
+            sink(b, i)  # replay mid-stream: no version, no double count
+        # maintenance loop: catch up on any versions minted since
+        for v in versions(path):
+            if v <= applied_through:
+                continue
+            if agg is None:
+                agg = direct(read_version(spark, path, v))
+            else:
+                feed = diff_versions(
+                    spark, path, applied_through, v, ["o_orderkey"]
+                ).localCheckpoint(eager=True)
+                u = feed.where(F.col("op") == "U").drop("op")
+                d = feed.where(F.col("op") == "D").drop("op")
+                old_changed = read_version(
+                    spark, path, applied_through
+                ).join(
+                    F.broadcast(u.select("o_orderkey")),
+                    "o_orderkey",
+                    "left_semi",
+                )
+                agg = delta_update_agg(
+                    agg,
+                    plus=u,
+                    minus=old_changed.unionByName(d),
+                    group_cols=["o_orderpriority"],
+                    measures=MEASURES,
+                    count_col="n_rows",
+                )
+            agg = agg.localCheckpoint(eager=True)
+            applied_through = v
+
+    assert applied_through == 3  # three versions, replay minted none
+    got = {
+        r.o_orderpriority: (r.n_rows, r.sum_cents, r.key_xor)
+        for r in agg.collect()
+    }
+    want = {
+        r.o_orderpriority: (r.n_rows, r.sum_cents, r.key_xor)
+        for r in direct(spark.read.parquet(path)).collect()
+    }
+    assert got == want
