@@ -1006,6 +1006,11 @@ def test_ivm_rollup_broadcasts_changed_keys_and_stays_delta_sized(spark):
     ]
     assert semi, f"changed-keys pre-image must broadcast-semi-join:\n{p}"
     assert "CartesianProduct" not in p, p
+    # the pre-image version scan must be partition-pruned to the
+    # feed's touched partitions (the bytes bound of the delta path)
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*o_orderpriority[^\]]*IN", p
+    ), f"pre-image scan not partition-pruned:\n{p}"
 
 
 def test_version_diff_plans_no_cartesian_or_python(spark):

@@ -14,9 +14,12 @@ delta-apply primitive:
 - ``plus``  = the feed's U rows (their NEW values enter the groups),
 - ``minus`` = the OLD rows being displaced: the feed's D tombstones
   (they carry the old row by the CDC contract) plus the pre-image of
-  every changed key — which the caller reads from the OLD version
-  pruned to the U keys (a broadcast semi-join against the retention
-  mirror: O(|changes|) rows read, never the table).
+  every changed key, which the caller reads from the OLD version's
+  retention mirror — pruned first to the feed's touched PARTITIONS
+  (that bounds bytes read; CDC batches touch few partitions by
+  contract), then to the changed keys via a broadcast semi-join
+  (that bounds rows kept). The table is never fully rescanned in
+  the steady state.
 
 Two measure kinds, both group-combinable without order sensitivity:
 

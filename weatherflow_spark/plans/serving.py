@@ -653,9 +653,9 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - plus  = the feed's U rows (new values),
     - minus = the feed's D tombstones (old rows, CDC contract) plus
-      the pre-image of every changed key — read from the v1 mirror
-      pruned by a broadcast of the U keys: O(|changes|) rows, not
-      the table.
+      the pre-image of every changed key — the v1 mirror read pruned
+      to the feed's touched PARTITIONS (bytes bound), then a
+      broadcast key semi-join (rows bound).
 
     The refreshed aggregate must hash-match a DIRECT aggregation of
     the v2 relation (the oracle) — sum, count, key-sum AND the xor
@@ -736,8 +736,18 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = feed.localCheckpoint(eager=True)  # consumed by plus + keys + minus
     u_rows = feed.where(F.col("op") == "U").drop("op")
     d_rows = feed.where(F.col("op") == "D").drop("op")
-    # pre-image of the changed keys: v1 pruned by a broadcast semi-join
-    old_changed = v1.join(
+    # Pre-image of the changed keys. Two-level bound: the mirror read
+    # is PRUNED to the feed's touched partitions (a tiny distinct-
+    # collect, the CDC batch contract — shows up as PartitionFilters
+    # on the version scan, plan-audited), then the broadcast semi-join
+    # filters to exactly the changed keys. At 100 TB the partition
+    # prune is what bounds bytes read; the join bounds rows kept.
+    touched_prios = [
+        r[0] for r in u_rows.select("o_orderpriority").distinct().collect()
+    ]
+    old_changed = v1.where(
+        F.col("o_orderpriority").isin(touched_prios)
+    ).join(
         F.broadcast(u_rows.select("o_orderkey")), "o_orderkey", "left_semi"
     )
     return delta_update_agg(
