@@ -205,6 +205,7 @@ OPTIONAL = [
     "q_time_travel",
     "q_version_diff",
     "q_ivm_rollup",
+    "q_bucketed_join_serve",
 ]
 
 

@@ -31,13 +31,19 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by the join
     key. Sorting within buckets additionally removes the Sort from
-    sort-merge joins — the join becomes a pure streaming merge."""
+    sort-merge joins — the join becomes a pure streaming merge.
+    ``path`` makes the table external (data at a caller-chosen
+    location instead of the session warehouse dir) — scratch-backed
+    certification queries use it so nothing lands in the repo's cwd."""
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

@@ -788,6 +788,84 @@ ORACLE_IVM_ROLLUP = f"""
 """
 
 
+BUCKETS = 8  # bucket count for the co-located join certification
+
+
+def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E93 driver row: the bucketed co-located fact⋈fact join
+    certified through real writes — lineitem and orders are BOTH
+    persisted bucketed (and sorted) by the join key with the same
+    bucket count, then joined; the query RAISES unless the planned
+    join has zero shuffle Exchange (each task streams bucket i of
+    both sides — at 100 TB this removes the dominant cost of the
+    fact-fact join family entirely, the layout decision the module
+    doc calls out). The served digest hash-matches the oracle's plain
+    join, so one row certifies the layout is both shuffle-free AND
+    lossless. Scratch-backed external tables (per-SF, per-process
+    names) keep replays idempotent and the warehouse dir untouched."""
+    import shutil
+
+    from weatherflow_spark.operators.bucketing import (
+        cocated_join_is_shuffle_free,
+        write_bucketed,
+    )
+
+    base = os.path.join(_scratch_dir(sf_dir), "bucketed")
+    shutil.rmtree(base, ignore_errors=True)
+    tag = (
+        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        + f"_{os.getpid()}"
+    )
+    t_orders, t_li = f"wf_bj_orders_{tag}", f"wf_bj_lineitem_{tag}"
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    write_bucketed(
+        orders, t_orders, ["o_orderkey"], BUCKETS,
+        sort_cols=["o_orderkey"], path=os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        li, t_li, ["l_orderkey"], BUCKETS,
+        sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
+    )
+    joined = spark.table(t_li).join(
+        spark.table(t_orders),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    if not cocated_join_is_shuffle_free(joined):
+        raise RuntimeError(
+            "bucketed lineitem⋈orders planned a shuffle Exchange — "
+            "the co-located layout regressed"
+        )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr("cast(floor(l_quantity * 100 + 0.5) as bigint)")
+        ).alias("qty_c"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("price_c"),
+        F.expr("bit_xor(l_orderkey)").alias("key_xor"),
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty_c,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS price_c,
+           bit_xor(l_orderkey) AS key_xor
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+"""
+
+
 def q_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E81 driver row: incremental-dedup admission served from the
     PERSISTED signature index (operators/sig_index.py) — build the
@@ -1237,6 +1315,8 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       round-trip law (apply(diff(v1,v2)) to v1 reconstructs v2).
     - ``ivm_rollup``    (E92, r10): delta-maintained aggregate ==
       direct re-aggregation, facts never rescanned.
+    - ``bucketed_join`` (E93, r10): co-located fact⋈fact join —
+      raises unless zero-Exchange, digest == plain join.
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -1288,6 +1368,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
+    bj = q_bucketed_join_serve(spark, sf_dir).selectExpr(
+        "'bucketed_join' AS op",
+        "l_returnflag AS key",
+        "stack(4, 'n_rows', n_rows, 'qty_c', qty_c, "
+        "'price_c', price_c, 'key_xor', key_xor) AS (metric, value)",
+    )
     iv = q_ivm_rollup(spark, sf_dir).selectExpr(
         "'ivm_rollup' AS op",
         "o_orderpriority AS key",
@@ -1316,6 +1402,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tt)
         .unionByName(vd)
         .unionByName(iv)
+        .unionByName(bj)
     )
 
 
@@ -1364,6 +1451,16 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'key_sum' THEN s.key_sum
                        WHEN 'order_fp' THEN s.order_fp
                        ELSE s.chars_total END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'bucketed_join', l_returnflag, u.metric, u.value
+    FROM ({ORACLE_BUCKETED_JOIN}) s,
+         (VALUES ('n_rows'), ('qty_c'), ('price_c'), ('key_xor'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'qty_c' THEN s.qty_c
+                       WHEN 'price_c' THEN s.price_c
+                       ELSE s.key_xor END AS value) u
     UNION ALL
     SELECT 'ivm_rollup', o_orderpriority, u.metric, u.value
     FROM ({ORACLE_IVM_ROLLUP}) s,
@@ -1424,6 +1521,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_time_travel": q_time_travel,
     "q_version_diff": q_version_diff,
     "q_ivm_rollup": q_ivm_rollup,
+    "q_bucketed_join_serve": q_bucketed_join_serve,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -1443,4 +1541,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_time_travel": ORACLE_TIME_TRAVEL,
     "q_version_diff": ORACLE_VERSION_DIFF,
     "q_ivm_rollup": ORACLE_IVM_ROLLUP,
+    "q_bucketed_join_serve": ORACLE_BUCKETED_JOIN,
 }
