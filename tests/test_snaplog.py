@@ -630,3 +630,42 @@ def test_streaming_version_trail_drives_incremental_aggregate(spark, tmpdir):
         for r in direct(spark.read.parquet(path)).collect()
     }
     assert got == want
+
+
+def test_batch_markers_collision_proof_and_crash_safe(spark, tmpdir):
+    """r10 review fixes: (1) distinct batch ids that sanitize to the
+    same name must not collide ('8.1' vs '8_1'); (2) the version
+    entry is the replay-key source of truth — losing the marker file
+    to a crash between the two writes must not re-mint a version;
+    (3) vacuum GCs markers along with their dropped versions."""
+    import glob
+    import os as _os
+
+    from weatherflow_spark.operators.snaplog import committed_batch_version
+
+    path = f"{tmpdir}/mk"
+    nation = load_table(spark, SF_SMALL, "nation")
+    nation.write.mode("overwrite").parquet(path)
+    init_snapshot_log(path)
+
+    v1 = record_commit(path, batch_id="8.1")
+    assert committed_batch_version(path, "8.1") == v1
+    assert committed_batch_version(path, "8_1") is None  # no collision
+    v2 = record_commit(path, batch_id="8_1")
+    assert v2 == v1 + 1  # a real new version, not a skipped replay
+
+    # crash window: marker lost after the entry landed
+    v3 = record_commit(path, batch_id="later")
+    for m in glob.glob(path + ".__snaplog/b_later_*.json"):
+        _os.unlink(m)
+    assert committed_batch_version(path, "later") == v3  # entry fallback
+    assert record_commit(path, batch_id="later") == v3  # replay: no mint
+    assert versions(path)[-1] == v3
+
+    # vacuum GCs markers of dropped versions
+    n_markers = len(glob.glob(path + ".__snaplog/b_*.json"))
+    vacuum_versions(path, keep_last=1)
+    left = glob.glob(path + ".__snaplog/b_*.json")
+    assert len(left) < n_markers
+    # the surviving version's marker (if any) still resolves
+    assert committed_batch_version(path, "later") == v3

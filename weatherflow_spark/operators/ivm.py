@@ -19,7 +19,16 @@ delta-apply primitive:
   (that bounds bytes read; CDC batches touch few partitions by
   contract), then to the changed keys via a broadcast semi-join
   (that bounds rows kept). The table is never fully rescanned in
-  the steady state.
+  the steady state. PRUNING CONTRACT: partition-pruning the
+  pre-image read by the feed's partition values is valid ONLY when a
+  key's partition never changes between versions (the usual CDC
+  contract — partitions are event dates or stable categories). A
+  feed that MOVES keys across partitions carries only the NEW
+  partition in its U rows, so the prune would miss the pre-image in
+  the old partition and the old group would keep a row it lost —
+  for such feeds, widen the prune with the keys' old partitions or
+  skip it. ``delta_update_agg`` itself is prune-agnostic: given the
+  full pre-images it handles group moves by construction.
 
 Two measure kinds, both group-combinable without order sensitivity:
 

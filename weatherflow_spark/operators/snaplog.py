@@ -143,21 +143,51 @@ def _walk_data_files(
 
 
 def _batch_marker(path: str, batch_id: object) -> str:
-    safe = "".join(
-        c if c.isalnum() or c in "-_" else "_" for c in str(batch_id)
-    )
-    return os.path.join(_log_dir(path), f"b_{safe}.json")
+    # Sanitized name PLUS a hash of the raw id: sanitization alone can
+    # collide distinct ids ('8.1' and '8_1' both -> b_8_1), and a
+    # collision here would make record_commit treat a never-committed
+    # batch as committed — silent data loss in the streaming sink
+    # (r10 review). The raw id is also stored inside the marker and
+    # re-checked on read.
+    import hashlib
+
+    raw = str(batch_id)
+    safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in raw)[:40]
+    digest = hashlib.sha256(raw.encode()).hexdigest()[:12]
+    return os.path.join(_log_dir(path), f"b_{safe}_{digest}.json")
 
 
 def committed_batch_version(path: str, batch_id: object) -> int | None:
     """The version a replay-keyed commit minted for ``batch_id``, or
     None if that batch never committed. Lets exactly-once sinks
-    (foreachBatch) skip re-delivered micro-batches."""
+    (foreachBatch) skip re-delivered micro-batches.
+
+    The VERSION ENTRY is the source of truth (``record_commit``
+    writes the batch id into the entry json in the same atomic
+    rename); the marker file is only a fast index, written second —
+    a crash between the two steps loses the marker but not the
+    commit, so this falls back to scanning the retained entries.
+    Replay protection therefore extends exactly as far as version
+    retention: a batch whose version was vacuumed is out of contract
+    (streaming checkpoints only replay recent batches) and would
+    re-commit."""
+    raw = str(batch_id)
     try:
         with open(_batch_marker(path, batch_id)) as f:
-            return int(json.load(f)["version"])
+            d = json.load(f)
+        if d.get("batch_id") == raw:
+            return int(d["version"])
     except (OSError, ValueError, KeyError):
-        return None
+        pass
+    for v in reversed(versions(path)):
+        try:
+            with open(_entry_path(path, v)) as f:
+                e = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if e.get("batch_id") == raw:
+            return v
+    return None
 
 
 def record_commit(
@@ -238,9 +268,15 @@ def record_commit(
             except OSError:
                 shutil.copy2(src, dst)  # cross-device fallback
         n = (vs[-1] if vs else 0) + 1
+        entry = {"version": n, "files": sorted(listed)}
+        if batch_id is not None:
+            # inside the entry = atomically recorded with the version
+            # (the marker below is only an index; see
+            # committed_batch_version)
+            entry["batch_id"] = str(batch_id)
         tmp = _entry_path(path, n) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump({"version": n, "files": sorted(listed)}, f)
+            json.dump(entry, f)
         os.replace(tmp, _entry_path(path, n))
         if batch_id is not None:
             btmp = _batch_marker(path, batch_id) + f".tmp.{os.getpid()}"
@@ -391,8 +427,27 @@ def vacuum_versions(path: str, keep_last: int = 1) -> dict[str, int]:
         for v in keep:
             with open(_entry_path(path, v)) as f:
                 referenced.update(rel for rel, _ in json.load(f)["files"])
+        dropped = set(drop)
         for v in drop:
             os.unlink(_entry_path(path, v))
+        # GC batch markers whose version is gone: they would otherwise
+        # grow the log dir without bound under a long-running stream
+        # and point readers at vacuumed versions (r10 review). Replay
+        # protection intentionally ends with retention (see
+        # committed_batch_version).
+        for nme in os.listdir(_log_dir(path)):
+            if nme.startswith("b_") and nme.endswith(".json"):
+                full = os.path.join(_log_dir(path), nme)
+                try:
+                    with open(full) as f:
+                        mv = int(json.load(f)["version"])
+                except (OSError, ValueError, KeyError):
+                    continue
+                if mv in dropped:
+                    try:
+                        os.unlink(full)
+                    except OSError:
+                        pass
         removed = 0
         retain = _retain_dir(path)
         for root, _, files in os.walk(retain, topdown=False):

@@ -357,6 +357,28 @@ ORACLE_CDC_APPLY = f"""
 """
 
 
+def _priority_digest(df: DataFrame, tag_col: str, tag: str) -> DataFrame:
+    """Shared per-priority digest for the versioned-fixture rows
+    (count, integer cents sum, key xor, key sum) — one definition so
+    the E90/E91 suite branches and singles can never drift apart on
+    rounding or column naming (r10 review)."""
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("sum_cents"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        F.sum("o_orderkey").alias("key_sum"),
+    ).select(
+        F.lit(tag).alias(tag_col),
+        "o_orderpriority",
+        "n_rows",
+        "sum_cents",
+        "key_xor",
+        "key_sum",
+    )
+
+
 TT_DEL_MOD = 7  # time-travel feed: DELETE every o_orderkey % 7 == 0
 
 
@@ -429,21 +451,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # v4
 
     def digest(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
-            ).alias("sum_cents"),
-            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
-            F.sum("o_orderkey").alias("key_sum"),
-        ).select(
-            F.lit(tag).alias("version_tag"),
-            "o_orderpriority",
-            "n_rows",
-            "sum_cents",
-            "key_xor",
-            "key_sum",
-        )
+        return _priority_digest(df, "version_tag", tag)
 
     return (
         digest(read_version(spark, path, 1), "v1")
@@ -491,53 +499,30 @@ ORACLE_TIME_TRAVEL = f"""
 VDIFF_DEL_MOD = 7  # version-diff feed: DELETE %7 keys (not re-upserted)
 
 
-def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E91 driver row: the snaplog version-diff certified as an
-    OPERATIONAL CDC feed through real writes. Build a versioned
-    orders table (v1 = base), move it to v2 with a mixed feed
-    (upsert every %{UPSERT_BATCH_MOD} key with price +1, delete every
-    %{VDIFF_DEL_MOD} key not re-upserted), then:
-
-    - derive ``diff_versions(v1, v2)`` — U rows must be EXACTLY the
-      upsert batch (new keys and changed rows with their new values),
-      D rows exactly the deleted keys with their OLD values;
-    - ROUND-TRIP: write a fresh copy of v1 and ``apply_changes`` the
-      derived feed into it — the reconstructed table must digest
-      identically to v2.
-
-    Served long-wise as (section, priority) digests; the oracle
-    derives all three sections from raw orders. One hash certifies
-    the diff's multiset semantics, the tombstones' partition-carrying
-    contract, and the round-trip law (diff ∘ apply = identity on
-    versions). The reference's overwrite-in-place MySQL warehouse
-    cannot produce a between-loads change feed at all
-    (dags/utils/database.py:25-34); with the retention mirror it
-    falls out of two exchanges over any two retained versions."""
+def _build_versioned_orders(
+    spark: SparkSession, sf_dir: str, name: str
+) -> str:
+    """Shared E91/E92 fixture builder: a versioned orders table at
+    scratch ``name`` — v1 = base (orders minus every %{UPSERT_DEL_MOD}
+    key), v2 via one mixed CDC feed (upsert every %{UPSERT_BATCH_MOD}
+    key with price +1, delete every %{VDIFF_DEL_MOD} key not
+    re-upserted). Resets the dataset AND its snaplog/lock/manifest
+    siblings first, so every call is a replayable rebuild. The suite
+    builds this ONCE and serves both the version-diff and the IVM
+    branches from it (the builds are identical by construction; the
+    singles keep building their own)."""
     import shutil
 
     from weatherflow_spark.operators.snaplog import (
-        diff_versions,
         init_snapshot_log,
-        read_version,
         record_commit,
     )
     from weatherflow_spark.operators.upsert import apply_changes
 
-    path = os.path.join(_scratch_dir(sf_dir), "vdiff_tbl")
-    rt = os.path.join(_scratch_dir(sf_dir), "vdiff_roundtrip")
-    for d in (
-        path,
-        path + ".__snaplog",
-        path + ".__retain",
-        rt,
-    ):
+    path = os.path.join(_scratch_dir(sf_dir), name)
+    for d in (path, path + ".__snaplog", path + ".__retain"):
         shutil.rmtree(d, ignore_errors=True)
-    for f_ in (
-        path + ".__versions.json",
-        path + ".__lock",
-        rt + ".__versions.json",
-        rt + ".__lock",
-    ):
+    for f_ in (path + ".__versions.json", path + ".__lock"):
         try:
             os.unlink(f_)
         except OSError:
@@ -569,6 +554,53 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op",
         ["o_orderpriority"],
     )  # v2
+    return path
+
+
+def q_version_diff(
+    spark: SparkSession, sf_dir: str, _table: str | None = None
+) -> DataFrame:
+    """E91 driver row: the snaplog version-diff certified as an
+    OPERATIONAL CDC feed through real writes. Build a versioned
+    orders table (v1 = base), move it to v2 with a mixed feed
+    (upsert every %{UPSERT_BATCH_MOD} key with price +1, delete every
+    %{VDIFF_DEL_MOD} key not re-upserted), then:
+
+    - derive ``diff_versions(v1, v2)`` — U rows must be EXACTLY the
+      upsert batch (new keys and changed rows with their new values),
+      D rows exactly the deleted keys with their OLD values;
+    - ROUND-TRIP: write a fresh copy of v1 and ``apply_changes`` the
+      derived feed into it — the reconstructed table must digest
+      identically to v2.
+
+    Served long-wise as (section, priority) digests; the oracle
+    derives all three sections from raw orders. One hash certifies
+    the diff's multiset semantics, the tombstones' partition-carrying
+    contract, and the round-trip law (diff ∘ apply = identity on
+    versions). The reference's overwrite-in-place MySQL warehouse
+    cannot produce a between-loads change feed at all
+    (dags/utils/database.py:25-34); with the retention mirror it
+    falls out of two exchanges over any two retained versions.
+
+    ``_table``: suite-internal hook — a prebuilt fixture path from
+    :func:`_build_versioned_orders` (the suite builds one fixture for
+    the E91 and E92 branches); the registered single builds its own."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        diff_versions,
+        read_version,
+    )
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = _table or _build_versioned_orders(spark, sf_dir, "vdiff_tbl")
+    rt = os.path.join(_scratch_dir(sf_dir), "vdiff_roundtrip")
+    shutil.rmtree(rt, ignore_errors=True)
+    for f_ in (rt + ".__versions.json", rt + ".__lock"):
+        try:
+            os.unlink(f_)
+        except OSError:
+            pass
 
     feed = diff_versions(spark, path, 1, 2, ["o_orderkey"])
     feed = feed.localCheckpoint(eager=True)  # consumed 3x below
@@ -582,21 +614,7 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def digest(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
-            ).alias("sum_cents"),
-            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
-            F.sum("o_orderkey").alias("key_sum"),
-        ).select(
-            F.lit(tag).alias("section"),
-            "o_orderpriority",
-            "n_rows",
-            "sum_cents",
-            "key_xor",
-            "key_sum",
-        )
+        return _priority_digest(df, "section", tag)
 
     return (
         digest(feed.where(F.col("op") == "U"), "diff_u")
@@ -643,7 +661,9 @@ ORACLE_VERSION_DIFF = f"""
 """
 
 
-def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivm_rollup(
+    spark: SparkSession, sf_dir: str, _table: str | None = None
+) -> DataFrame:
     """E92 driver row: incremental view maintenance — a per-priority
     aggregate kept current from the E91 change feed, the FACTS NEVER
     RESCANNED. Build the same versioned table as q_version_diff
@@ -663,52 +683,13 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the steady-state dashboard posture at 100 TB: aggregate
     cost tracks the change feed, never the fact table (the reference
     re-reads its tables wholesale per load, dags/etl.py)."""
-    import shutil
-
     from weatherflow_spark.operators.ivm import delta_update_agg
     from weatherflow_spark.operators.snaplog import (
         diff_versions,
-        init_snapshot_log,
         read_version,
-        record_commit,
     )
-    from weatherflow_spark.operators.upsert import apply_changes
 
-    path = os.path.join(_scratch_dir(sf_dir), "ivm_tbl")
-    for d in (path, path + ".__snaplog", path + ".__retain"):
-        shutil.rmtree(d, ignore_errors=True)
-    for f_ in (path + ".__versions.json", path + ".__lock"):
-        try:
-            os.unlink(f_)
-        except OSError:
-            pass
-
-    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
-    orders = load_table(spark, sf_dir, "orders").select(*cols)
-    k = F.col("o_orderkey")
-    base = orders.where(k % UPSERT_DEL_MOD != 0)
-    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-    init_snapshot_log(path)
-    record_commit(path)  # v1
-
-    ups = orders.where(k % UPSERT_BATCH_MOD == 0).select(
-        "o_orderkey",
-        "o_custkey",
-        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
-        "o_orderpriority",
-        F.lit("U").alias("op"),
-    )
-    dels = base.where(
-        (k % VDIFF_DEL_MOD == 0) & (k % UPSERT_BATCH_MOD != 0)
-    ).select(*cols, F.lit("D").alias("op"))
-    apply_changes(
-        spark,
-        dels.unionByName(ups),
-        path,
-        ["o_orderkey"],
-        "op",
-        ["o_orderpriority"],
-    )  # v2
+    path = _table or _build_versioned_orders(spark, sf_dir, "ivm_tbl")
 
     MEASURES = {
         "n_rows": ("sum", "1"),
@@ -738,10 +719,13 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_rows = feed.where(F.col("op") == "D").drop("op")
     # Pre-image of the changed keys. Two-level bound: the mirror read
     # is PRUNED to the feed's touched partitions (a tiny distinct-
-    # collect, the CDC batch contract — shows up as PartitionFilters
-    # on the version scan, plan-audited), then the broadcast semi-join
-    # filters to exactly the changed keys. At 100 TB the partition
-    # prune is what bounds bytes read; the join bounds rows kept.
+    # collect — shows up as PartitionFilters on the version scan,
+    # plan-audited), then the broadcast semi-join filters to exactly
+    # the changed keys. At 100 TB the partition prune bounds bytes
+    # read; the join bounds rows kept. VALID here because this feed
+    # never moves a key across partitions (upserts keep their
+    # priority by construction) — see the pruning contract in
+    # operators/ivm.py for partition-moving feeds.
     touched_prios = [
         r[0] for r in u_rows.select("o_orderpriority").distinct().collect()
     ]
@@ -832,25 +816,42 @@ def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, t_li, ["l_orderkey"], BUCKETS,
         sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
     )
-    joined = spark.table(t_li).join(
-        spark.table(t_orders),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
-    if not cocated_join_is_shuffle_free(joined):
-        raise RuntimeError(
-            "bucketed lineitem⋈orders planned a shuffle Exchange — "
-            "the co-located layout regressed"
+    # Broadcast would make the zero-Exchange check vacuous (a small
+    # orders side planning BroadcastHashJoin has no shuffle either,
+    # so a lost bucket layout would still "pass" — r10 review): force
+    # the sort-merge path for the certification join so the property
+    # being asserted is the bucketed co-location itself.
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(t_li).join(
+            spark.table(t_orders),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
-    return joined.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(
-            F.expr("cast(floor(l_quantity * 100 + 0.5) as bigint)")
-        ).alias("qty_c"),
-        F.sum(
-            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
-        ).alias("price_c"),
-        F.expr("bit_xor(l_orderkey)").alias("key_xor"),
-    )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" not in plan or not cocated_join_is_shuffle_free(
+            joined
+        ):
+            raise RuntimeError(
+                "bucketed lineitem⋈orders did not plan a zero-Exchange "
+                "sort-merge join — the co-located layout regressed"
+            )
+        out = joined.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(l_quantity * 100 + 0.5) as bigint)")
+            ).alias("qty_c"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("price_c"),
+            F.expr("bit_xor(l_orderkey)").alias("key_xor"),
+        )
+        # Materialize under the forced-sort-merge conf so the executed
+        # join is the certified one, then restore the session setting.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    return out
 
 
 ORACLE_BUCKETED_JOIN = """
@@ -1362,7 +1363,11 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'order_fp', cast(order_fp as bigint), "
         "'chars_total', cast(chars_total as bigint)) AS (metric, value)",
     )
-    vd = q_version_diff(spark, sf_dir).selectExpr(
+    # E91 + E92 certify against the SAME versioned fixture by
+    # construction — build it once for both branches (the singles
+    # keep building their own; the claims and oracles are unchanged).
+    shared_tbl = _build_versioned_orders(spark, sf_dir, "pipe_vdiff_tbl")
+    vd = q_version_diff(spark, sf_dir, _table=shared_tbl).selectExpr(
         "'version_diff' AS op",
         "concat(section, '|', o_orderpriority) AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
@@ -1374,7 +1379,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'qty_c', qty_c, "
         "'price_c', price_c, 'key_xor', key_xor) AS (metric, value)",
     )
-    iv = q_ivm_rollup(spark, sf_dir).selectExpr(
+    iv = q_ivm_rollup(spark, sf_dir, _table=shared_tbl).selectExpr(
         "'ivm_rollup' AS op",
         "o_orderpriority AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
