@@ -206,6 +206,7 @@ OPTIONAL = [
     "q_version_diff",
     "q_ivm_rollup",
     "q_bucketed_join_serve",
+    "q_schema_evolution",
 ]
 
 

@@ -354,3 +354,64 @@ def test_cas_sees_non_upsert_content_writers(spark, tmp_path):
         )
     # the non-upsert writer's content survived
     assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {(1, 99.0)}
+
+
+def test_upsert_merge_schema_add_column_and_guards(spark, tmp_path):
+    """E94 (r10): merge_schema=True lets a batch add columns (existing
+    rows read back NULL through the merge-read); by default an
+    unknown batch column raises instead of being silently dropped,
+    and a batch missing table columns still fails (null-overwrite
+    protection). A later batch WITHOUT the evolved column gets NULLs
+    under the flag."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.operators.upsert import upsert_by_key
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "evolve")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, SF_SMALL, "orders").select(*cols)
+    base = orders.where(F.col("o_orderkey") % 3 != 0)
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+
+    batch = orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+        "score", (F.col("o_orderkey") % 7).cast("long")
+    )
+    # default: unknown column is refused, not dropped
+    with pytest.raises(ValueError, match="merge_schema"):
+        upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])
+
+    upsert_by_key(
+        spark, batch, path, ["o_orderkey"], ["o_orderpriority"],
+        merge_schema=True,
+    )
+    served = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "score" in served.columns
+    n_batch = batch.count()
+    assert served.where(F.col("score").isNotNull()).count() == n_batch
+    kept = served.where(F.col("score").isNull())
+    assert kept.count() == base.join(
+        batch.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count()
+
+    # a later SHORT batch (no evolved column) gets NULL under the flag
+    n_before = served.count()
+    short = orders.where(F.col("o_orderkey") % 11 == 0).limit(5)
+    short = short.localCheckpoint(eager=True)
+    n_new_keys = short.join(
+        served.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count()
+    upsert_by_key(
+        spark, short, path, ["o_orderkey"], ["o_orderpriority"],
+        merge_schema=True,
+    )
+    served2 = spark.read.option("mergeSchema", "true").parquet(path)
+    assert served2.count() == n_before + n_new_keys
+    assert (
+        served2.join(short.select("o_orderkey"), "o_orderkey", "left_semi")
+        .where(F.col("score").isNotNull())
+        .count()
+        == 0
+    )

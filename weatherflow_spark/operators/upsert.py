@@ -122,6 +122,7 @@ def upsert_by_key(
     partition_cols: list[str] | None = None,
     expected_versions: dict[str, int] | None = None,
     snapshot_batch_id: object | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """MERGE-style upsert into a parquet table: rows whose key appears
     in ``new_batch`` are replaced, all others kept. Without a
@@ -156,7 +157,7 @@ def upsert_by_key(
     with dataset_lock(path):
         _upsert_locked(
             spark, new_batch, path, key_cols, partition_cols,
-            expected_versions, snapshot_batch_id,
+            expected_versions, snapshot_batch_id, merge_schema,
         )
 
 
@@ -184,6 +185,7 @@ def _upsert_locked(
     partition_cols: list[str] | None,
     expected_versions: dict[str, int] | None = None,
     snapshot_batch_id: object | None = None,
+    merge_schema: bool = False,
 ) -> None:
     from weatherflow_spark.operators.commit import (
         check_and_bump_versions,
@@ -206,7 +208,34 @@ def _upsert_locked(
             _record_snapshot(path, batch_id=snapshot_batch_id)
         return
 
-    current = spark.read.parquet(path)
+    # ADD-COLUMN schema evolution (E94, opt-in): with ``merge_schema``
+    # the batch may carry columns the table lacks — existing rows get
+    # NULLs, exactly the lakehouse add-column contract. The read must
+    # then schema-merge across part files, because untouched
+    # partitions keep their pre-evolution files forever (dynamic
+    # overwrite never rewrites them): a plain read samples one footer
+    # and may miss the new column entirely. Type CHANGES stay out of
+    # scope by design — parquet footers with int32 vs int64 cannot be
+    # schema-merged at read time, so widening on plain parquet is a
+    # table rewrite (compaction's job), not an upsert flag.
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    current = reader.parquet(path)
+    if merge_schema:
+        batch_types = dict(new_batch.dtypes)
+        added = [c for c in new_batch.columns if c not in current.columns]
+        for c in added:
+            current = current.withColumn(
+                c, F.lit(None).cast(batch_types[c])
+            )
+    else:
+        unknown = [c for c in new_batch.columns if c not in current.columns]
+        if unknown:
+            raise ValueError(
+                f"{path}: batch carries columns the table lacks "
+                f"{unknown}; pass merge_schema=True to evolve the schema"
+            )
     # Partition-value type inference means columns can read back with a
     # different type than the batch carries (e.g. '2026-01-01' string →
     # DATE). Align the batch to the table's schema so the anti-join and
@@ -218,6 +247,16 @@ def _upsert_locked(
             for c in new_batch.columns
         ]
     )
+    if merge_schema:
+        # Columns the batch lacks (table-side columns, incl. any a
+        # PRIOR evolution added): batch rows get NULLs. Only under
+        # the evolution flag — by default a short batch is a caller
+        # bug, not a schema decision (it would null-overwrite data).
+        for c in current.columns:
+            if c not in new_batch.columns:
+                new_batch = new_batch.withColumn(
+                    c, F.lit(None).cast(cur_types[c])
+                )
     touched, keys = _touched_keys(new_batch, partition_cols)
     # Fail-fast CAS validate BEFORE the merge job runs (nothing to
     # undo); the bump lands after the successful write, all under the

@@ -867,6 +867,89 @@ ORACLE_BUCKETED_JOIN = """
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E94 driver row: ADD-COLUMN schema evolution through the keyed
+    upsert, certified on disk. Seed the orders base table (4 columns,
+    partitioned by priority), then merge a batch that carries a NEW
+    column (``churn_e4`` = (o_orderkey*7) %% 10000) with
+    ``merge_schema=True``, twice (replayed evolution must be a
+    content no-op). Untouched partitions keep their pre-evolution
+    part files forever — dynamic overwrite never rewrites them — so
+    the serve read schema-merges across footers, and existing rows
+    surface NULL for the new column: exactly the lakehouse
+    add-column contract on plain parquet. Type CHANGES are refused
+    by design (int32/int64 footers cannot schema-merge at read time;
+    widening is a table rewrite, compaction's job).
+
+    The digest counts scored vs unscored rows and sums the new
+    column per priority; the oracle derives the same from raw orders
+    with a CASE for batch membership — one hash certifies evolution,
+    NULL backfill, replay idempotence, and the merge-read path."""
+    import shutil
+
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    path = os.path.join(_scratch_dir(sf_dir), "evolve_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    for f_ in (path + ".__versions.json", path + ".__lock"):
+        try:
+            os.unlink(f_)
+        except OSError:
+            pass
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    base = orders.where(k % UPSERT_DEL_MOD != 0)
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+
+    batch = orders.where(k % UPSERT_BATCH_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+        ((k * 7) % 10000).cast("long").alias("churn_e4"),
+    )
+    upsert_by_key(
+        spark, batch, path, ["o_orderkey"], ["o_orderpriority"],
+        merge_schema=True,
+    )
+    upsert_by_key(  # replayed evolution: content no-op
+        spark, batch, path, ["o_orderkey"], ["o_orderpriority"],
+        merge_schema=True,
+    )
+    served = spark.read.option("mergeSchema", "true").parquet(path)
+    return served.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("sum_cents"),
+        F.count("churn_e4").alias("n_scored"),
+        F.sum(F.coalesce(F.col("churn_e4"), F.lit(0))).alias("churn_sum"),
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = f"""
+    WITH merged AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority,
+               CAST(NULL AS BIGINT) AS churn_e4
+        FROM orders
+        WHERE o_orderkey % {UPSERT_DEL_MOD} <> 0
+          AND o_orderkey % {UPSERT_BATCH_MOD} <> 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1.0, o_orderpriority,
+               (o_orderkey * 7) % 10000
+        FROM orders WHERE o_orderkey % {UPSERT_BATCH_MOD} = 0
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(count(churn_e4) AS BIGINT) AS n_scored,
+           CAST(sum(COALESCE(churn_e4, 0)) AS BIGINT) AS churn_sum
+    FROM merged GROUP BY o_orderpriority
+"""
+
+
 def q_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E81 driver row: incremental-dedup admission served from the
     PERSISTED signature index (operators/sig_index.py) — build the
@@ -1317,7 +1400,9 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``ivm_rollup``    (E92, r10): delta-maintained aggregate ==
       direct re-aggregation, facts never rescanned.
     - ``bucketed_join`` (E93, r10): co-located fact⋈fact join —
-      raises unless zero-Exchange, digest == plain join.
+      raises unless zero-Exchange sort-merge, digest == plain join.
+    - ``schema_evolution`` (E94, r10): add-column evolution through
+      the keyed upsert — NULL backfill + merge-read, replayed.
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -1373,6 +1458,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
+    sev = q_schema_evolution(spark, sf_dir).selectExpr(
+        "'schema_evolution' AS op",
+        "o_orderpriority AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'n_scored', n_scored, 'churn_sum', churn_sum) AS (metric, value)",
+    )
     bj = q_bucketed_join_serve(spark, sf_dir).selectExpr(
         "'bucketed_join' AS op",
         "l_returnflag AS key",
@@ -1408,6 +1499,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vd)
         .unionByName(iv)
         .unionByName(bj)
+        .unionByName(sev)
     )
 
 
@@ -1456,6 +1548,16 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'key_sum' THEN s.key_sum
                        WHEN 'order_fp' THEN s.order_fp
                        ELSE s.chars_total END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'schema_evolution', o_orderpriority, u.metric, u.value
+    FROM ({ORACLE_SCHEMA_EVOLUTION}) s,
+         (VALUES ('n_rows'), ('sum_cents'), ('n_scored'), ('churn_sum'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'sum_cents' THEN s.sum_cents
+                       WHEN 'n_scored' THEN s.n_scored
+                       ELSE s.churn_sum END AS value) u
     UNION ALL
     SELECT 'bucketed_join', l_returnflag, u.metric, u.value
     FROM ({ORACLE_BUCKETED_JOIN}) s,
@@ -1527,6 +1629,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_version_diff": q_version_diff,
     "q_ivm_rollup": q_ivm_rollup,
     "q_bucketed_join_serve": q_bucketed_join_serve,
+    "q_schema_evolution": q_schema_evolution,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -1547,4 +1650,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_version_diff": ORACLE_VERSION_DIFF,
     "q_ivm_rollup": ORACLE_IVM_ROLLUP,
     "q_bucketed_join_serve": ORACLE_BUCKETED_JOIN,
+    "q_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
 }
