@@ -415,3 +415,37 @@ def test_upsert_merge_schema_add_column_and_guards(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_apply_changes_merge_schema_symmetry(spark, tmp_path):
+    """E94 symmetry: the CDC apply path accepts evolving feeds under
+    the same flag and default guard as the keyed upsert."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.operators.upsert import apply_changes
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "evolve_cdc")
+    nation = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(path)
+
+    feed = (
+        nation.limit(4)
+        .withColumn("op", F.lit("U"))
+        .withColumn("grade", (F.col("n_nationkey") % 3).cast("long"))
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        apply_changes(
+            spark, feed, path, ["n_nationkey"], "op", ["n_regionkey"]
+        )
+    apply_changes(
+        spark, feed, path, ["n_nationkey"], "op", ["n_regionkey"],
+        merge_schema=True,
+    )
+    served = spark.read.option("mergeSchema", "true").parquet(path)
+    assert served.where(F.col("grade").isNotNull()).count() == 4
+    assert served.count() == nation.count()

@@ -311,6 +311,7 @@ def apply_changes(
     partition_cols: list[str] | None = None,
     expected_versions: dict[str, int] | None = None,
     snapshot_batch_id: object | None = None,
+    merge_schema: bool = False,
 ) -> None:
     """CDC APPLY (r8): merge a change feed carrying upserts AND
     deletes into a parquet table — the consumer half of the E61
@@ -338,7 +339,7 @@ def apply_changes(
     with dataset_lock(path):
         _apply_changes_locked(
             spark, changes, path, key_cols, op_col, partition_cols,
-            expected_versions, snapshot_batch_id,
+            expected_versions, snapshot_batch_id, merge_schema,
         )
 
 
@@ -351,6 +352,7 @@ def _apply_changes_locked(
     partition_cols: list[str] | None,
     expected_versions: dict[str, int] | None = None,
     snapshot_batch_id: object | None = None,
+    merge_schema: bool = False,
 ) -> None:
     from weatherflow_spark.operators.commit import (
         check_and_bump_versions,
@@ -374,7 +376,27 @@ def _apply_changes_locked(
             _record_snapshot(path, batch_id=snapshot_batch_id)
         return
 
-    current = spark.read.parquet(path)
+    # Same ADD-COLUMN evolution contract as _upsert_locked (E94):
+    # evolved reads schema-merge, U rows may add columns, table-side
+    # columns the feed lacks NULL-backfill — under the flag only.
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    current = reader.parquet(path)
+    if merge_schema:
+        up_types = dict(upserts.dtypes)
+        for c in upserts.columns:
+            if c not in current.columns:
+                current = current.withColumn(
+                    c, F.lit(None).cast(up_types[c])
+                )
+    else:
+        unknown = [c for c in upserts.columns if c not in current.columns]
+        if unknown:
+            raise ValueError(
+                f"{path}: feed carries columns the table lacks "
+                f"{unknown}; pass merge_schema=True to evolve the schema"
+            )
     cur_types = dict(current.dtypes)
     upserts = upserts.select(
         *[
@@ -384,6 +406,12 @@ def _apply_changes_locked(
             for c in upserts.columns
         ]
     )
+    if merge_schema:
+        for c in current.columns:
+            if c not in upserts.columns:
+                upserts = upserts.withColumn(
+                    c, F.lit(None).cast(cur_types[c])
+                )
     # Touched set from the WHOLE feed (deletes prune partitions too).
     touched, keys = _touched_keys(
         changes.drop(op_col) if partition_cols else changes, partition_cols
