@@ -207,6 +207,7 @@ OPTIONAL = [
     "q_ivm_rollup",
     "q_bucketed_join_serve",
     "q_schema_evolution",
+    "q_change_feed",
 ]
 
 

@@ -669,3 +669,71 @@ def test_batch_markers_collision_proof_and_crash_safe(spark, tmpdir):
     assert len(left) < n_markers
     # the surviving version's marker (if any) still resolves
     assert committed_batch_version(path, "later") == v3
+
+
+def test_change_feed_streams_with_checkpoint_continuity(spark, tmpdir):
+    """E95 (r10): the materialized change feed is stream-consumable —
+    a file-source stream over the feed dir delivers every exported
+    change, and after MORE versions are exported a resumed stream
+    (same checkpoint) delivers exactly the new partitions, nothing
+    twice."""
+    from weatherflow_spark.operators.snaplog import (
+        export_change_feed,
+        read_change_feed,
+    )
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    path = f"{tmpdir}/cf"
+    orders, base, batch = _build_versioned(spark, path)  # v1, v2
+    feed_dir = f"{tmpdir}/cf_feed"
+    ckpt = f"{tmpdir}/cf_ckpt"
+    assert sorted(export_change_feed(spark, path, feed_dir, ["o_orderkey"])) == [1, 2]
+
+    out = f"{tmpdir}/cf_out"
+
+    def drain():
+        # parquet sink: the memory sink cannot recover from a
+        # checkpoint, and checkpoint continuity is the claim under test
+        q = (
+            read_change_feed(spark, feed_dir, streaming=True)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    got1 = drain()
+    # round 1 = seed inserts + the diff feed
+    n_v1 = base.count()
+    assert got1.where(F.col("change_version") == 1).count() == n_v1
+    n_u2 = got1.where(
+        (F.col("change_version") == 2) & (F.col("op") == "U")
+    ).count()
+    assert n_u2 == batch.count()
+    n_round1 = got1.count()
+
+    # new version lands; incremental export + resumed stream
+    b2 = orders.where(F.col("o_orderkey") % 11 == 0)
+    upsert_by_key(spark, b2, path, ["o_orderkey"], ["o_orderpriority"])  # v3
+    assert export_change_feed(spark, path, feed_dir, ["o_orderkey"]) == [3]
+    got2 = drain()
+    # the RESUMED stream (same checkpoint) appended only version 3's
+    # rows — nothing re-delivered
+    new_rows = got2.count() - n_round1
+    assert new_rows == got2.where(F.col("change_version") == 3).count()
+    # the feed is CHANGE-only: b2 rows identical to their v2 image
+    # produce no event — expected U = b2 exceptAll v2
+    from weatherflow_spark.operators.snaplog import read_version
+
+    v2 = read_version(spark, path, 2)
+    expected_u = b2.select(*v2.columns).exceptAll(v2).count()
+    assert expected_u > 0
+    assert (
+        got2.where((F.col("change_version") == 3) & (F.col("op") == "U"))
+        .count()
+        == expected_u
+    )

@@ -405,6 +405,61 @@ def diff_versions(
     return u.unionByName(d)
 
 
+def export_change_feed(
+    spark: SparkSession, path: str, feed_dir: str, key_cols: list[str]
+) -> list[int]:
+    """Materialize the dataset's CHANGE DATA FEED (E95, the Delta CDF
+    shape re-derived): one ``change_version=N`` partition per
+    committed version, holding the U/D feed that transforms N-1 into
+    N (:func:`diff_versions`); version 1 (the seed) exports as
+    all-'U' inserts. Incremental and idempotent: versions whose
+    partition already exists are skipped, so a scheduler can call
+    this after every commit and only pay for the new versions.
+    Returns the newly exported version numbers.
+
+    The feed directory is a plain parquet table partitioned by
+    ``change_version`` — which makes it STREAM-CONSUMABLE: a
+    ``spark.readStream.parquet(feed_dir)`` sees each export as new
+    files and delivers downstream exactly the committed changes, with
+    checkpoint continuity across export rounds (tested). This is how
+    a 100 TB pipeline fans out CDC to many consumers without each of
+    them diffing versions themselves: diff once at the source, stream
+    the materialized feed. Derivable only while the source versions
+    are retained — export before vacuum."""
+    os.makedirs(feed_dir, exist_ok=True)
+    exported = []
+    for v in versions(path):
+        part = os.path.join(feed_dir, f"change_version={v}")
+        if os.path.isdir(part):
+            continue  # already exported: idempotent re-runs skip
+        if v == 1:
+            feed = read_version(spark, path, 1).withColumn(
+                "op", F.lit("U")
+            )
+        else:
+            feed = diff_versions(spark, path, v - 1, v, key_cols)
+        feed.write.mode("overwrite").parquet(part)
+        exported.append(v)
+    return exported
+
+
+def read_change_feed(
+    spark: SparkSession, feed_dir: str, streaming: bool = False
+) -> DataFrame:
+    """The materialized change feed (``change_version`` recovered by
+    partition discovery). ``streaming=True`` returns a file-source
+    stream over the same directory — new exports arrive as
+    micro-batches with checkpoint continuity."""
+    if streaming:
+        static = spark.read.option("basePath", feed_dir).parquet(feed_dir)
+        return (
+            spark.readStream.schema(static.schema)
+            .option("basePath", feed_dir)
+            .parquet(feed_dir)
+        )
+    return spark.read.option("basePath", feed_dir).parquet(feed_dir)
+
+
 def vacuum_versions(path: str, keep_last: int = 1) -> dict[str, int]:
     """Bound history: keep only the newest ``keep_last`` versions'
     log entries — plus every version a live reader holds pinned via

@@ -950,6 +950,76 @@ ORACLE_SCHEMA_EVOLUTION = f"""
 """
 
 
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E95 driver row: the materialized change-data feed certified
+    from DISK. Build the shared versioned fixture (v1 = base, v2 via
+    the mixed upsert+delete feed), ``export_change_feed`` it TWICE
+    (idempotence: the second export must skip every version), then
+    serve per-(change_version, op, priority) digests of the feed
+    parquet as read back from disk. The oracle derives both
+    partitions from raw orders — change_version 1 is the seed as
+    all-'U' inserts, change_version 2 is exactly the E91 diff (U =
+    the upsert batch, D = the deleted keys with old values). One hash
+    certifies the diff-once/stream-many CDC fan-out shape: the feed a
+    downstream consumer reads equals the changes the table actually
+    committed."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        export_change_feed,
+        read_change_feed,
+    )
+
+    path = _build_versioned_orders(spark, sf_dir, "cf_tbl")
+    feed_dir = os.path.join(_scratch_dir(sf_dir), "cf_feed")
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    first = export_change_feed(spark, path, feed_dir, ["o_orderkey"])
+    again = export_change_feed(spark, path, feed_dir, ["o_orderkey"])
+    if sorted(first) != [1, 2] or again != []:
+        raise RuntimeError(
+            f"change-feed export not incremental-idempotent: "
+            f"first={first} again={again}"
+        )
+    feed = read_change_feed(spark, feed_dir)
+    return feed.groupBy("change_version", "op", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("sum_cents"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+    ).withColumn("change_version", F.col("change_version").cast("long"))
+
+
+ORACLE_CHANGE_FEED = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_DEL_MOD} <> 0
+    ),
+    ups AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_BATCH_MOD} = 0
+    ),
+    dels AS (
+        SELECT * FROM base
+        WHERE o_orderkey % {VDIFF_DEL_MOD} = 0
+          AND o_orderkey % {UPSERT_BATCH_MOD} <> 0
+    ),
+    feed AS (
+        SELECT 1 AS change_version, 'U' AS op, * FROM base
+        UNION ALL SELECT 2, 'U', * FROM ups
+        UNION ALL SELECT 2, 'D', * FROM dels
+    )
+    SELECT CAST(change_version AS BIGINT) AS change_version, op,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           bit_xor(o_orderkey) AS key_xor
+    FROM feed GROUP BY change_version, op, o_orderpriority
+"""
+
+
 def q_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E81 driver row: incremental-dedup admission served from the
     PERSISTED signature index (operators/sig_index.py) — build the
@@ -1403,6 +1473,8 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       raises unless zero-Exchange sort-merge, digest == plain join.
     - ``schema_evolution`` (E94, r10): add-column evolution through
       the keyed upsert — NULL backfill + merge-read, replayed.
+    - ``change_feed``   (E95, r10): materialized CDC feed from the
+      version trail — incremental, idempotent, stream-consumable.
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -1458,6 +1530,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
+    cf = q_change_feed(spark, sf_dir).selectExpr(
+        "'change_feed' AS op",
+        "concat(change_version, '|', op, '|', o_orderpriority) AS key",
+        "stack(3, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor) AS (metric, value)",
+    )
     sev = q_schema_evolution(spark, sf_dir).selectExpr(
         "'schema_evolution' AS op",
         "o_orderpriority AS key",
@@ -1500,6 +1578,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(iv)
         .unionByName(bj)
         .unionByName(sev)
+        .unionByName(cf)
     )
 
 
@@ -1548,6 +1627,16 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'key_sum' THEN s.key_sum
                        WHEN 'order_fp' THEN s.order_fp
                        ELSE s.chars_total END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'change_feed',
+           change_version || '|' || f.op || '|' || o_orderpriority,
+           u.metric, u.value
+    FROM ({ORACLE_CHANGE_FEED}) f,
+         (VALUES ('n_rows'), ('sum_cents'), ('key_xor')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN f.n_rows
+                       WHEN 'sum_cents' THEN f.sum_cents
+                       ELSE f.key_xor END AS value) u
     UNION ALL
     SELECT 'schema_evolution', o_orderpriority, u.metric, u.value
     FROM ({ORACLE_SCHEMA_EVOLUTION}) s,
@@ -1630,6 +1719,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivm_rollup": q_ivm_rollup,
     "q_bucketed_join_serve": q_bucketed_join_serve,
     "q_schema_evolution": q_schema_evolution,
+    "q_change_feed": q_change_feed,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -1651,4 +1741,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_ivm_rollup": ORACLE_IVM_ROLLUP,
     "q_bucketed_join_serve": ORACLE_BUCKETED_JOIN,
     "q_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
+    "q_change_feed": ORACLE_CHANGE_FEED,
 }
