@@ -737,3 +737,75 @@ def test_change_feed_streams_with_checkpoint_continuity(spark, tmpdir):
         .count()
         == expected_u
     )
+
+
+def test_change_feed_replicates_table_end_to_end(spark, tmpdir):
+    """E95 composition: streaming the materialized change feed into a
+    replica via foreachBatch apply_changes reproduces the source table
+    — CDC replication on plain parquet, replayed micro-batches and
+    all. The replica consumes ONLY the feed; it never reads the
+    source."""
+    from weatherflow_spark.operators.snaplog import (
+        export_change_feed,
+        read_change_feed,
+    )
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = f"{tmpdir}/src"
+    orders, base, batch = _build_versioned(spark, path)  # v1, v2
+    feed_dir = f"{tmpdir}/feed"
+    export_change_feed(spark, path, feed_dir, ["o_orderkey"])
+    replica = f"{tmpdir}/replica"
+
+    def apply_batch(df, batch_id):
+        # change_version ordering inside a micro-batch: apply versions
+        # in order (a micro-batch can carry several exports)
+        vs = sorted(
+            r.change_version
+            for r in df.select("change_version").distinct().collect()
+        )
+        for v in vs:
+            apply_changes(
+                df.sparkSession,
+                df.where(F.col("change_version") == v).drop(
+                    "change_version"
+                ),
+                replica,
+                ["o_orderkey"],
+                "op",
+                ["o_orderpriority"],
+            )
+
+    q = (
+        read_change_feed(spark, feed_dir, streaming=True)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _digest(spark.read.parquet(replica)) == _digest(
+        spark.read.parquet(path)
+    )
+
+    # source advances (incl. deletes); only the feed flows to the replica
+    feed2 = (
+        spark.read.parquet(path)
+        .where(F.col("o_orderkey") % 4 == 0)
+        .withColumn("op", F.lit("D"))
+    )
+    apply_changes(
+        spark, feed2, path, ["o_orderkey"], "op", ["o_orderpriority"]
+    )  # v3
+    export_change_feed(spark, path, feed_dir, ["o_orderkey"])
+    q = (
+        read_change_feed(spark, feed_dir, streaming=True)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _digest(spark.read.parquet(replica)) == _digest(
+        spark.read.parquet(path)
+    )
