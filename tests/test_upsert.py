@@ -396,16 +396,23 @@ def test_upsert_merge_schema_add_column_and_guards(spark, tmp_path):
         batch.select("o_orderkey"), "o_orderkey", "left_anti"
     ).count()
 
-    # a later SHORT batch (no evolved column) gets NULL under the flag
+    # a later SHORT batch (no evolved column): refused by default
+    # even under merge_schema (null-overwrite protection, r10 review),
+    # allowed only with the explicit allow_missing_columns opt-in
     n_before = served.count()
     short = orders.where(F.col("o_orderkey") % 11 == 0).limit(5)
     short = short.localCheckpoint(eager=True)
     n_new_keys = short.join(
         served.select("o_orderkey"), "o_orderkey", "left_anti"
     ).count()
+    with pytest.raises(ValueError, match="allow_missing_columns"):
+        upsert_by_key(
+            spark, short, path, ["o_orderkey"], ["o_orderpriority"],
+            merge_schema=True,
+        )
     upsert_by_key(
         spark, short, path, ["o_orderkey"], ["o_orderpriority"],
-        merge_schema=True,
+        merge_schema=True, allow_missing_columns=True,
     )
     served2 = spark.read.option("mergeSchema", "true").parquet(path)
     assert served2.count() == n_before + n_new_keys
@@ -449,3 +456,27 @@ def test_apply_changes_merge_schema_symmetry(spark, tmp_path):
     served = spark.read.option("mergeSchema", "true").parquet(path)
     assert served.where(F.col("grade").isNotNull()).count() == 4
     assert served.count() == nation.count()
+
+
+def test_merge_schema_refuses_case_variant_columns(spark, tmp_path):
+    """r10 review: Spark resolves case-insensitively, so a batch
+    column differing only in case would silently REPLACE the existing
+    column with NULLs if treated as an add — it must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.operators.upsert import upsert_by_key
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "case")
+    nation = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(path)
+    bad = nation.limit(2).withColumnRenamed("n_name", "N_NAME")
+    with pytest.raises(ValueError, match="case"):
+        upsert_by_key(
+            spark, bad, path, ["n_nationkey"], ["n_regionkey"],
+            merge_schema=True,
+        )

@@ -366,7 +366,16 @@ def read_version(
     paths = [os.path.join(retain, rel) for rel, _ in entry["files"]]
     if not paths:
         raise ValueError(f"{path}: version {version} recorded no files")
-    return spark.read.option("basePath", retain).parquet(*paths)
+    # mergeSchema: an E94 add-column evolution leaves untouched
+    # partitions' pre-evolution footers in the version's file list
+    # forever — a sampled-footer read would silently drop the evolved
+    # column from time-travel results (r10 review). Merging is
+    # footer-metadata work over an explicitly bounded file list.
+    return (
+        spark.read.option("basePath", retain)
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+    )
 
 
 def diff_versions(
@@ -397,7 +406,19 @@ def diff_versions(
     warehouse fundamentally cannot do (dags/utils/database.py:25-34).
     """
     b = read_version(spark, path, v_to)
-    a = read_version(spark, path, v_from).select(*b.columns)
+    a = read_version(spark, path, v_from)
+    # Schema evolution between the versions (E94): a column added
+    # after v_from reads back only on the b side — align both sides
+    # with NULLs (exactly what the evolved rows held), or the select
+    # below would raise / silently drop the column (r10 review).
+    b_types, a_types = dict(b.dtypes), dict(a.dtypes)
+    for c in b.columns:
+        if c not in a.columns:
+            a = a.withColumn(c, F.lit(None).cast(b_types[c]))
+    for c in a.columns:
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None).cast(a_types[c]))
+    a = a.select(*b.columns)
     u = b.exceptAll(a).withColumn("op", F.lit("U"))
     d = a.join(
         b.select(*key_cols).distinct(), on=key_cols, how="left_anti"
@@ -430,8 +451,13 @@ def export_change_feed(
     exported = []
     for v in versions(path):
         part = os.path.join(feed_dir, f"change_version={v}")
-        if os.path.isdir(part):
-            continue  # already exported: idempotent re-runs skip
+        # "already exported" means COMMITTED: a crashed partial export
+        # leaves the directory (Spark creates it at job start) without
+        # the _SUCCESS marker, and skipping on bare isdir would drop
+        # that version from the feed forever (r10 review) — re-export
+        # overwrites the partial.
+        if os.path.isfile(os.path.join(part, "_SUCCESS")):
+            continue
         if v == 1:
             feed = read_version(spark, path, 1).withColumn(
                 "op", F.lit("U")
@@ -444,20 +470,47 @@ def export_change_feed(
 
 
 def read_change_feed(
-    spark: SparkSession, feed_dir: str, streaming: bool = False
+    spark: SparkSession,
+    feed_dir: str,
+    streaming: bool = False,
+    schema=None,
 ) -> DataFrame:
     """The materialized change feed (``change_version`` recovered by
-    partition discovery). ``streaming=True`` returns a file-source
-    stream over the same directory — new exports arrive as
-    micro-batches with checkpoint continuity."""
+    partition discovery; footers schema-merged, so evolved columns
+    survive heterogeneous per-version partitions). ``streaming=True``
+    returns a file-source stream over the same directory — new
+    exports arrive as micro-batches with checkpoint continuity.
+
+    A streaming consumer that starts BEFORE the first export must
+    pass ``schema`` explicitly (a file stream needs one and an empty
+    directory can't be probed); without it, an empty feed raises a
+    clear error instead of Spark's opaque inference failure."""
     if streaming:
-        static = spark.read.option("basePath", feed_dir).parquet(feed_dir)
+        if schema is None:
+            try:
+                schema = (
+                    spark.read.option("basePath", feed_dir)
+                    .option("mergeSchema", "true")
+                    .parquet(feed_dir)
+                    .schema
+                )
+            except Exception as exc:
+                raise ValueError(
+                    f"{feed_dir}: no exported changes to probe a schema "
+                    "from — pass schema= to start a consumer before the "
+                    "first export_change_feed run"
+                ) from exc
         return (
-            spark.readStream.schema(static.schema)
+            spark.readStream.schema(schema)
             .option("basePath", feed_dir)
+            .option("mergeSchema", "true")
             .parquet(feed_dir)
         )
-    return spark.read.option("basePath", feed_dir).parquet(feed_dir)
+    return (
+        spark.read.option("basePath", feed_dir)
+        .option("mergeSchema", "true")
+        .parquet(feed_dir)
+    )
 
 
 def vacuum_versions(path: str, keep_last: int = 1) -> dict[str, int]:

@@ -123,6 +123,7 @@ def upsert_by_key(
     expected_versions: dict[str, int] | None = None,
     snapshot_batch_id: object | None = None,
     merge_schema: bool = False,
+    allow_missing_columns: bool = False,
 ) -> None:
     """MERGE-style upsert into a parquet table: rows whose key appears
     in ``new_batch`` are replaced, all others kept. Without a
@@ -158,6 +159,7 @@ def upsert_by_key(
         _upsert_locked(
             spark, new_batch, path, key_cols, partition_cols,
             expected_versions, snapshot_batch_id, merge_schema,
+            allow_missing_columns,
         )
 
 
@@ -186,6 +188,7 @@ def _upsert_locked(
     expected_versions: dict[str, int] | None = None,
     snapshot_batch_id: object | None = None,
     merge_schema: bool = False,
+    allow_missing_columns: bool = False,
 ) -> None:
     from weatherflow_spark.operators.commit import (
         check_and_bump_versions,
@@ -224,7 +227,23 @@ def _upsert_locked(
     current = reader.parquet(path)
     if merge_schema:
         batch_types = dict(new_batch.dtypes)
-        added = [c for c in new_batch.columns if c not in current.columns]
+        cur_lower = {c.lower(): c for c in current.columns}
+        added = []
+        for c in new_batch.columns:
+            if c in current.columns:
+                continue
+            if c.lower() in cur_lower:
+                # Spark resolves case-insensitively by default: a
+                # differently-cased "new" column would REPLACE the
+                # existing one with NULLs instead of adding — refuse
+                # loudly (r10 review).
+                raise ValueError(
+                    f"{path}: batch column {c!r} differs only in case "
+                    f"from table column {cur_lower[c.lower()]!r} — "
+                    "rename the batch column; case-variant evolution "
+                    "is data loss, not an add"
+                )
+            added.append(c)
         for c in added:
             current = current.withColumn(
                 c, F.lit(None).cast(batch_types[c])
@@ -247,16 +266,22 @@ def _upsert_locked(
             for c in new_batch.columns
         ]
     )
-    if merge_schema:
-        # Columns the batch lacks (table-side columns, incl. any a
-        # PRIOR evolution added): batch rows get NULLs. Only under
-        # the evolution flag — by default a short batch is a caller
-        # bug, not a schema decision (it would null-overwrite data).
-        for c in current.columns:
-            if c not in new_batch.columns:
-                new_batch = new_batch.withColumn(
-                    c, F.lit(None).cast(cur_types[c])
-                )
+    short = [c for c in current.columns if c not in new_batch.columns]
+    if short:
+        # NULL-backfilling a missing column is a whole-row-replace
+        # null-OVERWRITE for matched keys — never something a schema
+        # flag should enable wholesale (r10 review: merge_schema used
+        # to). It needs its own explicit opt-in.
+        if not allow_missing_columns:
+            raise ValueError(
+                f"{path}: batch lacks table columns {short}; pass "
+                "allow_missing_columns=True only if NULLing them on "
+                "matched keys is intended"
+            )
+        for c in short:
+            new_batch = new_batch.withColumn(
+                c, F.lit(None).cast(cur_types[c])
+            )
     touched, keys = _touched_keys(new_batch, partition_cols)
     # Fail-fast CAS validate BEFORE the merge job runs (nothing to
     # undo); the bump lands after the successful write, all under the
@@ -312,6 +337,7 @@ def apply_changes(
     expected_versions: dict[str, int] | None = None,
     snapshot_batch_id: object | None = None,
     merge_schema: bool = False,
+    allow_missing_columns: bool = False,
 ) -> None:
     """CDC APPLY (r8): merge a change feed carrying upserts AND
     deletes into a parquet table — the consumer half of the E61
@@ -340,6 +366,7 @@ def apply_changes(
         _apply_changes_locked(
             spark, changes, path, key_cols, op_col, partition_cols,
             expected_versions, snapshot_batch_id, merge_schema,
+            allow_missing_columns,
         )
 
 
@@ -353,6 +380,7 @@ def _apply_changes_locked(
     expected_versions: dict[str, int] | None = None,
     snapshot_batch_id: object | None = None,
     merge_schema: bool = False,
+    allow_missing_columns: bool = False,
 ) -> None:
     from weatherflow_spark.operators.commit import (
         check_and_bump_versions,
@@ -385,11 +413,20 @@ def _apply_changes_locked(
     current = reader.parquet(path)
     if merge_schema:
         up_types = dict(upserts.dtypes)
+        cur_lower = {c.lower(): c for c in current.columns}
         for c in upserts.columns:
-            if c not in current.columns:
-                current = current.withColumn(
-                    c, F.lit(None).cast(up_types[c])
+            if c in current.columns:
+                continue
+            if c.lower() in cur_lower:
+                raise ValueError(
+                    f"{path}: feed column {c!r} differs only in case "
+                    f"from table column {cur_lower[c.lower()]!r} — "
+                    "rename the feed column; case-variant evolution "
+                    "is data loss, not an add"
                 )
+            current = current.withColumn(
+                c, F.lit(None).cast(up_types[c])
+            )
     else:
         unknown = [c for c in upserts.columns if c not in current.columns]
         if unknown:
@@ -406,12 +443,18 @@ def _apply_changes_locked(
             for c in upserts.columns
         ]
     )
-    if merge_schema:
-        for c in current.columns:
-            if c not in upserts.columns:
-                upserts = upserts.withColumn(
-                    c, F.lit(None).cast(cur_types[c])
-                )
+    short = [c for c in current.columns if c not in upserts.columns]
+    if short:
+        if not allow_missing_columns:
+            raise ValueError(
+                f"{path}: feed lacks table columns {short}; pass "
+                "allow_missing_columns=True only if NULLing them on "
+                "matched keys is intended"
+            )
+        for c in short:
+            upserts = upserts.withColumn(
+                c, F.lit(None).cast(cur_types[c])
+            )
     # Touched set from the WHOLE feed (deletes prune partitions too).
     touched, keys = _touched_keys(
         changes.drop(op_col) if partition_cols else changes, partition_cols

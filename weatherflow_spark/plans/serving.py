@@ -950,7 +950,9 @@ ORACLE_SCHEMA_EVOLUTION = f"""
 """
 
 
-def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_change_feed(
+    spark: SparkSession, sf_dir: str, _table: str | None = None
+) -> DataFrame:
     """E95 driver row: the materialized change-data feed certified
     from DISK. Build the shared versioned fixture (v1 = base, v2 via
     the mixed upsert+delete feed), ``export_change_feed`` it TWICE
@@ -970,7 +972,7 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_change_feed,
     )
 
-    path = _build_versioned_orders(spark, sf_dir, "cf_tbl")
+    path = _table or _build_versioned_orders(spark, sf_dir, "cf_tbl")
     feed_dir = os.path.join(_scratch_dir(sf_dir), "cf_feed")
     shutil.rmtree(feed_dir, ignore_errors=True)
     first = export_change_feed(spark, path, feed_dir, ["o_orderkey"])
@@ -1530,7 +1532,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
-    cf = q_change_feed(spark, sf_dir).selectExpr(
+    cf = q_change_feed(spark, sf_dir, _table=shared_tbl).selectExpr(
         "'change_feed' AS op",
         "concat(change_version, '|', op, '|', o_orderpriority) AS key",
         "stack(3, 'n_rows', n_rows, 'sum_cents', sum_cents, "
