@@ -480,3 +480,53 @@ def test_merge_schema_refuses_case_variant_columns(spark, tmp_path):
             spark, bad, path, ["n_nationkey"], ["n_regionkey"],
             merge_schema=True,
         )
+
+
+def test_duplicate_key_batches_are_refused(spark, tmp_path):
+    """r10 hardening: a batch (or CDC feed upsert side) carrying the
+    same key twice would write both rows — the anti-join removes
+    existing rows, the union keeps every batch row — silently
+    key-duplicating the table. Both merge paths refuse before
+    writing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.operators.upsert import (
+        apply_changes,
+        upsert_by_key,
+    )
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "dup")
+    nation = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(path)
+
+    dup_batch = nation.limit(2).unionAll(nation.limit(1))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_by_key(
+            spark, dup_batch, path, ["n_nationkey"], ["n_regionkey"]
+        )
+    # table untouched
+    assert spark.read.parquet(path).count() == nation.count()
+
+    dup_feed = dup_batch.withColumn("op", F.lit("U"))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        apply_changes(
+            spark, dup_feed, path, ["n_nationkey"], "op", ["n_regionkey"]
+        )
+
+    # a D and a U on the SAME key in one feed stays legal (replace)
+    mixed = (
+        nation.limit(1)
+        .withColumn("op", F.lit("D"))
+        .unionByName(
+            nation.limit(1)
+            .withColumn("n_name", F.lower(F.col("n_name")))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    apply_changes(spark, mixed, path, ["n_nationkey"], "op", ["n_regionkey"])
+    assert spark.read.parquet(path).count() == nation.count()

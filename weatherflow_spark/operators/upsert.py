@@ -163,6 +163,32 @@ def upsert_by_key(
         )
 
 
+def _require_unique_keys(
+    batch: DataFrame, key_cols: list[str], what: str, path: str
+) -> None:
+    """A batch carrying the same key twice would write BOTH rows (the
+    anti-join removes existing rows, the union keeps every batch row)
+    — a silently key-duplicated table, the exact corruption the keyed
+    upsert exists to prevent. One tiny aggregation over the (small by
+    contract) batch catches it before anything is written."""
+    dup = (
+        batch.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        sample = ", ".join(
+            "(" + ", ".join(str(r[c]) for c in key_cols) + f") x{r['count']}"
+            for r in dup
+        )
+        raise ValueError(
+            f"{path}: {what} carries duplicate keys — merging it would "
+            f"key-duplicate the table. First offenders: {sample}"
+        )
+
+
 def _touched_keys(
     batch: DataFrame, partition_cols: list[str] | None
 ) -> tuple[list[tuple], list[str]]:
@@ -198,6 +224,7 @@ def _upsert_locked(
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
+    _require_unique_keys(new_batch, key_cols, "batch", path)
     if not exists:
         touched, keys = _touched_keys(new_batch, partition_cols)
         check_and_bump_versions(path, keys, expected_versions, bump=False)
@@ -391,6 +418,9 @@ def _apply_changes_locked(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
     upserts = changes.where(F.col(op_col) == "U").drop(op_col)
+    # Only the U side must be key-unique (a D and a U on the same key
+    # is the normal replace; two D's collapse in the anti-join).
+    _require_unique_keys(upserts, key_cols, "feed's upsert side", path)
     if not exists:
         _, keys = _touched_keys(upserts, partition_cols)
         check_and_bump_versions(path, keys, expected_versions, bump=False)
