@@ -809,3 +809,61 @@ def test_change_feed_replicates_table_end_to_end(spark, tmpdir):
     assert _digest(spark.read.parquet(replica)) == _digest(
         spark.read.parquet(path)
     )
+
+
+def test_export_marker_and_partial_export_recovery(spark, tmpdir):
+    """r10 third-review fixes: a crashed partial export (directory
+    exists, no completion marker) is re-exported instead of skipped
+    forever; the marker is the engine's own file, independent of the
+    _SUCCESS setting; NULL-key and post-cast-collision batches are
+    refused by the guard."""
+    import os as _os
+
+    import pytest
+
+    from weatherflow_spark.operators.snaplog import export_change_feed
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    path = f"{tmpdir}/pe"
+    orders, base, batch = _build_versioned(spark, path)  # v1, v2
+    feed_dir = f"{tmpdir}/pe_feed"
+    assert sorted(
+        export_change_feed(spark, path, feed_dir, ["o_orderkey"])
+    ) == [1, 2]
+    # simulate a crashed partial export of a NEW version: dir without
+    # the completion marker must be re-exported, not skipped
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])
+    part3 = _os.path.join(feed_dir, "change_version=3")
+    _os.makedirs(part3, exist_ok=True)  # job-start artifact, no marker
+    assert export_change_feed(spark, path, feed_dir, ["o_orderkey"]) == [3]
+    assert _os.path.isfile(_os.path.join(part3, "_WF_EXPORTED"))
+    # and now it's committed: the next run skips it
+    assert export_change_feed(spark, path, feed_dir, ["o_orderkey"]) == []
+
+    # guard hardening: NULL keys refused
+    null_batch = batch.limit(1).withColumn(
+        "o_orderkey", F.lit(None).cast("bigint")
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_by_key(
+            spark, null_batch, path, ["o_orderkey"], ["o_orderpriority"]
+        )
+
+    # guard hardening: keys that collide only AFTER the table-type
+    # cast ('7' vs '07' -> bigint 7) are refused too
+    k = orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                      "o_orderpriority").first()
+    cast_batch = spark.createDataFrame(
+        [
+            (str(k.o_orderkey), k.o_custkey, k.o_totalprice,
+             k.o_orderpriority),
+            ("0" + str(k.o_orderkey), k.o_custkey, k.o_totalprice,
+             k.o_orderpriority),
+        ],
+        "o_orderkey string, o_custkey bigint, o_totalprice double, "
+        "o_orderpriority string",
+    )
+    with pytest.raises(ValueError, match="type alignment"):
+        upsert_by_key(
+            spark, cast_batch, path, ["o_orderkey"], ["o_orderpriority"]
+        )

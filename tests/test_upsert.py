@@ -505,7 +505,7 @@ def test_duplicate_key_batches_are_refused(spark, tmp_path):
     nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(path)
 
     dup_batch = nation.limit(2).unionAll(nation.limit(1))
-    with pytest.raises(ValueError, match="duplicate keys"):
+    with pytest.raises(ValueError, match="duplicate or NULL"):
         upsert_by_key(
             spark, dup_batch, path, ["n_nationkey"], ["n_regionkey"]
         )
@@ -513,7 +513,7 @@ def test_duplicate_key_batches_are_refused(spark, tmp_path):
     assert spark.read.parquet(path).count() == nation.count()
 
     dup_feed = dup_batch.withColumn("op", F.lit("U"))
-    with pytest.raises(ValueError, match="duplicate keys"):
+    with pytest.raises(ValueError, match="duplicate or NULL"):
         apply_changes(
             spark, dup_feed, path, ["n_nationkey"], "op", ["n_regionkey"]
         )

@@ -407,17 +407,18 @@ def diff_versions(
     """
     b = read_version(spark, path, v_to)
     a = read_version(spark, path, v_from)
-    # Schema evolution between the versions (E94): a column added
-    # after v_from reads back only on the b side — align both sides
-    # with NULLs (exactly what the evolved rows held), or the select
-    # below would raise / silently drop the column (r10 review).
-    b_types, a_types = dict(b.dtypes), dict(a.dtypes)
+    # Schema evolution between the versions (E94): the feed's schema
+    # is v_to's. A column ADDED after v_from reads back only on the b
+    # side — align a with NULLs (exactly what the evolved rows held),
+    # or the projection would raise / silently drop it (r10 review).
+    # A column DROPPED after v_from (external rewrite; the engine's
+    # own upserts never drop) is simply projected away: padding b
+    # with NULLs instead would make EVERY v_to row differ from its
+    # v_from image and explode U to the whole table (r10 review #2).
+    b_types = dict(b.dtypes)
     for c in b.columns:
         if c not in a.columns:
             a = a.withColumn(c, F.lit(None).cast(b_types[c]))
-    for c in a.columns:
-        if c not in b.columns:
-            b = b.withColumn(c, F.lit(None).cast(a_types[c]))
     a = a.select(*b.columns)
     u = b.exceptAll(a).withColumn("op", F.lit("U"))
     d = a.join(
@@ -453,10 +454,12 @@ def export_change_feed(
         part = os.path.join(feed_dir, f"change_version={v}")
         # "already exported" means COMMITTED: a crashed partial export
         # leaves the directory (Spark creates it at job start) without
-        # the _SUCCESS marker, and skipping on bare isdir would drop
-        # that version from the feed forever (r10 review) — re-export
-        # overwrites the partial.
-        if os.path.isfile(os.path.join(part, "_SUCCESS")):
+        # a completion marker, and skipping on bare isdir would drop
+        # that version from the feed forever (r10 review). The marker
+        # is OUR OWN (written after the Spark write returns), so the
+        # check keeps working when deployments suppress _SUCCESS files
+        # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false).
+        if os.path.isfile(os.path.join(part, "_WF_EXPORTED")):
             continue
         if v == 1:
             feed = read_version(spark, path, 1).withColumn(
@@ -465,6 +468,8 @@ def export_change_feed(
         else:
             feed = diff_versions(spark, path, v - 1, v, key_cols)
         feed.write.mode("overwrite").parquet(part)
+        with open(os.path.join(part, "_WF_EXPORTED"), "w") as f:
+            f.write(f"{v}\n")
         exported.append(v)
     return exported
 
@@ -484,7 +489,13 @@ def read_change_feed(
     A streaming consumer that starts BEFORE the first export must
     pass ``schema`` explicitly (a file stream needs one and an empty
     directory can't be probed); without it, an empty feed raises a
-    clear error instead of Spark's opaque inference failure."""
+    clear error instead of Spark's opaque inference failure.
+
+    Schema-PIN caveat (r10 review): a file stream fixes its schema at
+    start — an E94 column evolution exported AFTER the consumer
+    started will not appear in its micro-batches until the consumer
+    restarts (or was started with a ``schema`` that already includes
+    the column). The batch form schema-merges live."""
     if streaming:
         if schema is None:
             try:

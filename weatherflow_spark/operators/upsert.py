@@ -147,6 +147,9 @@ def upsert_by_key(
     losing that writer's merge (last-writer-wins)."""
     from weatherflow_spark.operators.commit import dataset_lock
 
+    # Validation job runs BEFORE the lock (it must not lengthen the
+    # critical section that serializes every writer on the dataset).
+    _require_unique_keys(new_batch, key_cols, "batch", path)
     # The lock covers the WHOLE read-modify-write (reentrant through
     # the overwrite helper): without it, a compaction swap landing
     # between this read's file listing and the checkpoint would
@@ -169,24 +172,128 @@ def _require_unique_keys(
     """A batch carrying the same key twice would write BOTH rows (the
     anti-join removes existing rows, the union keeps every batch row)
     — a silently key-duplicated table, the exact corruption the keyed
-    upsert exists to prevent. One tiny aggregation over the (small by
-    contract) batch catches it before anything is written."""
-    dup = (
+    upsert exists to prevent. NULL keys are refused by the same
+    check: the anti-join is null-UNSAFE, so a NULL-key batch row
+    would never match an existing NULL-key row and would duplicate it
+    (r10 review). One tiny aggregation over the (small by contract)
+    batch, aliased so key columns named ``count`` don't collide,
+    catches both before anything is written. Runs BEFORE the dataset
+    lock — validation must not lengthen the critical section."""
+    null_any = None
+    for c in key_cols:
+        cond = F.col(c).isNull()
+        null_any = cond if null_any is None else (null_any | cond)
+    bad = (
         batch.groupBy(*key_cols)
-        .count()
-        .where(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("__dup_n"))
+        .where((F.col("__dup_n") > 1) | null_any)
         .limit(5)
         .collect()
     )
-    if dup:
+    if bad:
         sample = ", ".join(
-            "(" + ", ".join(str(r[c]) for c in key_cols) + f") x{r['count']}"
-            for r in dup
+            "("
+            + ", ".join(str(r[c]) for c in key_cols)
+            + f") x{r['__dup_n']}"
+            for r in bad
         )
         raise ValueError(
-            f"{path}: {what} carries duplicate keys — merging it would "
-            f"key-duplicate the table. First offenders: {sample}"
+            f"{path}: {what} carries duplicate or NULL keys — merging "
+            f"it would key-duplicate the table. First offenders: {sample}"
         )
+
+
+def _read_and_evolve(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    merge_schema: bool,
+    what: str,
+) -> DataFrame:
+    """Read the existing table and apply the ADD-COLUMN evolution
+    contract (E94, shared by keyed upsert and CDC apply — one
+    definition so the two paths cannot drift, r10 review): with
+    ``merge_schema`` the read schema-merges across part files
+    (untouched partitions keep pre-evolution footers forever) and
+    columns the incoming frame adds appear on the table side as
+    NULLs; case-variant "adds" raise (Spark's case-insensitive
+    resolution would replace the original with NULLs); without the
+    flag an unknown incoming column raises instead of being silently
+    dropped. Type CHANGES stay out of scope by design — int32/int64
+    footers cannot be schema-merged at read time, so widening on
+    plain parquet is a table rewrite (compaction's job)."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    current = reader.parquet(path)
+    inc_types = dict(incoming.dtypes)
+    if merge_schema:
+        cur_lower = {c.lower(): c for c in current.columns}
+        for c in incoming.columns:
+            if c in current.columns:
+                continue
+            if c.lower() in cur_lower:
+                raise ValueError(
+                    f"{path}: {what} column {c!r} differs only in case "
+                    f"from table column {cur_lower[c.lower()]!r} — "
+                    f"rename the {what} column; case-variant evolution "
+                    "is data loss, not an add"
+                )
+            current = current.withColumn(
+                c, F.lit(None).cast(inc_types[c])
+            )
+    else:
+        unknown = [c for c in incoming.columns if c not in current.columns]
+        if unknown:
+            raise ValueError(
+                f"{path}: {what} carries columns the table lacks "
+                f"{unknown}; pass merge_schema=True to evolve the schema"
+            )
+    return current
+
+
+def _align_to_table(
+    incoming: DataFrame,
+    current: DataFrame,
+    key_cols: list[str],
+    allow_missing_columns: bool,
+    what: str,
+    path: str,
+) -> DataFrame:
+    """Cast the incoming frame to the table's column types (partition
+    value inference can shift them), recheck key uniqueness when a
+    KEY column's type actually moved (caller-distinct keys can
+    collide after the cast — '7' and '07' → int 7), and NULL-backfill
+    table columns the frame lacks only under the explicit
+    ``allow_missing_columns`` opt-in (a whole-row replace would
+    otherwise null-overwrite matched keys)."""
+    cur_types = dict(current.dtypes)
+    pre_cast_types = dict(incoming.dtypes)
+    incoming = incoming.select(
+        *[
+            F.col(c).cast(cur_types[c]).alias(c)
+            if pre_cast_types[c] != cur_types[c]
+            else F.col(c)
+            for c in incoming.columns
+        ]
+    )
+    if any(pre_cast_types[k] != cur_types[k] for k in key_cols):
+        _require_unique_keys(
+            incoming, key_cols, f"{what} (after type alignment)", path
+        )
+    short = [c for c in current.columns if c not in incoming.columns]
+    if short:
+        if not allow_missing_columns:
+            raise ValueError(
+                f"{path}: {what} lacks table columns {short}; pass "
+                "allow_missing_columns=True only if NULLing them on "
+                "matched keys is intended"
+            )
+        for c in short:
+            incoming = incoming.withColumn(
+                c, F.lit(None).cast(cur_types[c])
+            )
+    return incoming
 
 
 def _touched_keys(
@@ -224,7 +331,6 @@ def _upsert_locked(
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
-    _require_unique_keys(new_batch, key_cols, "batch", path)
     if not exists:
         touched, keys = _touched_keys(new_batch, partition_cols)
         check_and_bump_versions(path, keys, expected_versions, bump=False)
@@ -238,77 +344,11 @@ def _upsert_locked(
             _record_snapshot(path, batch_id=snapshot_batch_id)
         return
 
-    # ADD-COLUMN schema evolution (E94, opt-in): with ``merge_schema``
-    # the batch may carry columns the table lacks — existing rows get
-    # NULLs, exactly the lakehouse add-column contract. The read must
-    # then schema-merge across part files, because untouched
-    # partitions keep their pre-evolution files forever (dynamic
-    # overwrite never rewrites them): a plain read samples one footer
-    # and may miss the new column entirely. Type CHANGES stay out of
-    # scope by design — parquet footers with int32 vs int64 cannot be
-    # schema-merged at read time, so widening on plain parquet is a
-    # table rewrite (compaction's job), not an upsert flag.
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    current = reader.parquet(path)
-    if merge_schema:
-        batch_types = dict(new_batch.dtypes)
-        cur_lower = {c.lower(): c for c in current.columns}
-        added = []
-        for c in new_batch.columns:
-            if c in current.columns:
-                continue
-            if c.lower() in cur_lower:
-                # Spark resolves case-insensitively by default: a
-                # differently-cased "new" column would REPLACE the
-                # existing one with NULLs instead of adding — refuse
-                # loudly (r10 review).
-                raise ValueError(
-                    f"{path}: batch column {c!r} differs only in case "
-                    f"from table column {cur_lower[c.lower()]!r} — "
-                    "rename the batch column; case-variant evolution "
-                    "is data loss, not an add"
-                )
-            added.append(c)
-        for c in added:
-            current = current.withColumn(
-                c, F.lit(None).cast(batch_types[c])
-            )
-    else:
-        unknown = [c for c in new_batch.columns if c not in current.columns]
-        if unknown:
-            raise ValueError(
-                f"{path}: batch carries columns the table lacks "
-                f"{unknown}; pass merge_schema=True to evolve the schema"
-            )
-    # Partition-value type inference means columns can read back with a
-    # different type than the batch carries (e.g. '2026-01-01' string →
-    # DATE). Align the batch to the table's schema so the anti-join and
-    # union are type-exact.
-    cur_types = dict(current.dtypes)
-    new_batch = new_batch.select(
-        *[
-            F.col(c).cast(cur_types[c]).alias(c) if dict(new_batch.dtypes)[c] != cur_types[c] else F.col(c)
-            for c in new_batch.columns
-        ]
+    # Evolution + type alignment: shared contract (helpers above).
+    current = _read_and_evolve(spark, path, new_batch, merge_schema, "batch")
+    new_batch = _align_to_table(
+        new_batch, current, key_cols, allow_missing_columns, "batch", path
     )
-    short = [c for c in current.columns if c not in new_batch.columns]
-    if short:
-        # NULL-backfilling a missing column is a whole-row-replace
-        # null-OVERWRITE for matched keys — never something a schema
-        # flag should enable wholesale (r10 review: merge_schema used
-        # to). It needs its own explicit opt-in.
-        if not allow_missing_columns:
-            raise ValueError(
-                f"{path}: batch lacks table columns {short}; pass "
-                "allow_missing_columns=True only if NULLing them on "
-                "matched keys is intended"
-            )
-        for c in short:
-            new_batch = new_batch.withColumn(
-                c, F.lit(None).cast(cur_types[c])
-            )
     touched, keys = _touched_keys(new_batch, partition_cols)
     # Fail-fast CAS validate BEFORE the merge job runs (nothing to
     # undo); the bump lands after the successful write, all under the
@@ -389,6 +429,15 @@ def apply_changes(
     # Whole-operation lock (reentrant) — see upsert_by_key. Same CAS
     # contract as upsert_by_key: ``expected_versions`` turns
     # last-writer-wins into raise-and-retry.
+    # Only the U side must be key-unique (a D and a U on the same key
+    # is the normal replace; two D's collapse in the anti-join).
+    # Validation runs BEFORE the lock.
+    _require_unique_keys(
+        changes.where(F.col(op_col) == "U"),
+        key_cols,
+        "feed's upsert side",
+        path,
+    )
     with dataset_lock(path):
         _apply_changes_locked(
             spark, changes, path, key_cols, op_col, partition_cols,
@@ -418,9 +467,6 @@ def _apply_changes_locked(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
     upserts = changes.where(F.col(op_col) == "U").drop(op_col)
-    # Only the U side must be key-unique (a D and a U on the same key
-    # is the normal replace; two D's collapse in the anti-join).
-    _require_unique_keys(upserts, key_cols, "feed's upsert side", path)
     if not exists:
         _, keys = _touched_keys(upserts, partition_cols)
         check_and_bump_versions(path, keys, expected_versions, bump=False)
@@ -437,54 +483,11 @@ def _apply_changes_locked(
     # Same ADD-COLUMN evolution contract as _upsert_locked (E94):
     # evolved reads schema-merge, U rows may add columns, table-side
     # columns the feed lacks NULL-backfill — under the flag only.
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    current = reader.parquet(path)
-    if merge_schema:
-        up_types = dict(upserts.dtypes)
-        cur_lower = {c.lower(): c for c in current.columns}
-        for c in upserts.columns:
-            if c in current.columns:
-                continue
-            if c.lower() in cur_lower:
-                raise ValueError(
-                    f"{path}: feed column {c!r} differs only in case "
-                    f"from table column {cur_lower[c.lower()]!r} — "
-                    "rename the feed column; case-variant evolution "
-                    "is data loss, not an add"
-                )
-            current = current.withColumn(
-                c, F.lit(None).cast(up_types[c])
-            )
-    else:
-        unknown = [c for c in upserts.columns if c not in current.columns]
-        if unknown:
-            raise ValueError(
-                f"{path}: feed carries columns the table lacks "
-                f"{unknown}; pass merge_schema=True to evolve the schema"
-            )
-    cur_types = dict(current.dtypes)
-    upserts = upserts.select(
-        *[
-            F.col(c).cast(cur_types[c]).alias(c)
-            if dict(upserts.dtypes)[c] != cur_types[c]
-            else F.col(c)
-            for c in upserts.columns
-        ]
+    # Evolution + type alignment: shared contract (helpers above).
+    current = _read_and_evolve(spark, path, upserts, merge_schema, "feed")
+    upserts = _align_to_table(
+        upserts, current, key_cols, allow_missing_columns, "feed", path
     )
-    short = [c for c in current.columns if c not in upserts.columns]
-    if short:
-        if not allow_missing_columns:
-            raise ValueError(
-                f"{path}: feed lacks table columns {short}; pass "
-                "allow_missing_columns=True only if NULLing them on "
-                "matched keys is intended"
-            )
-        for c in short:
-            upserts = upserts.withColumn(
-                c, F.lit(None).cast(cur_types[c])
-            )
     # Touched set from the WHOLE feed (deletes prune partitions too).
     touched, keys = _touched_keys(
         changes.drop(op_col) if partition_cols else changes, partition_cols

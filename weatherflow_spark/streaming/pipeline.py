@@ -266,9 +266,14 @@ def weather_etl_stream(
 
         tables = build_weather_star(batch_df, station_col="station_id")
         for name, tdf in tables.items():
+            # Surrogate keys are content hashes: an event delivered
+            # twice within one micro-batch (at-least-once sources)
+            # yields byte-identical rows, so collapsing by key here is
+            # lossless — and required, or the upsert's duplicate-key
+            # guard would poison-loop the stream on replay.
             upsert_by_key(
                 batch_df.sparkSession,
-                tdf,
+                tdf.dropDuplicates([_STAR_KEYS[name]]),
                 os.path.join(warehouse_dir, name),
                 [_STAR_KEYS[name]],
             )
@@ -370,7 +375,21 @@ def foreach_batch_upsert(
     from weatherflow_spark.operators.upsert import upsert_by_key
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_by_key(batch_df.sparkSession, batch_df, path, key_cols, partition_cols)
+        # At-least-once sources can deliver the same record twice
+        # WITHIN one micro-batch; the upsert's duplicate-key guard
+        # (r10) would turn that into a poison batch that crash-loops
+        # through checkpoint recovery. Collapse in-batch duplicates
+        # here: for true re-deliveries the rows are identical, so the
+        # pick is a no-op; sources that can emit CONFLICTING same-key
+        # rows in one batch must pre-aggregate upstream (the pick
+        # between conflicting rows is otherwise arbitrary).
+        upsert_by_key(
+            batch_df.sparkSession,
+            batch_df.dropDuplicates(key_cols),
+            path,
+            key_cols,
+            partition_cols,
+        )
 
     return _sink
 
@@ -409,7 +428,8 @@ def foreach_batch_versioned_upsert(
             return  # replayed batch: content + version already landed
         upsert_by_key(
             batch_df.sparkSession,
-            batch_df,
+            # in-batch duplicate collapse: see foreach_batch_upsert
+            batch_df.dropDuplicates(key_cols),
             path,
             key_cols,
             partition_cols,
