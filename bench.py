@@ -208,6 +208,7 @@ OPTIONAL = [
     "q_bucketed_join_serve",
     "q_schema_evolution",
     "q_change_feed",
+    "q_table_clone",
 ]
 
 

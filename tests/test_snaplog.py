@@ -867,3 +867,64 @@ def test_export_marker_and_partial_export_recovery(spark, tmpdir):
         upsert_by_key(
             spark, cast_batch, path, ["o_orderkey"], ["o_orderpriority"]
         )
+
+
+def test_clone_table_zero_copy_and_divergence_isolation(spark, tmpdir):
+    """E96 (r10): shallow clone hard-links the source's files (same
+    inodes — zero copy), refuses non-empty destinations, diverges
+    safely in BOTH directions (writers replace files, never modify
+    inodes), and with_history seeds the clone's own v1."""
+    import os as _os
+
+    import pytest
+
+    from weatherflow_spark.operators.snaplog import clone_table
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    src = f"{tmpdir}/src"
+    nation = load_table(spark, SF_SMALL, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(src)
+    d0 = spark.read.parquet(src).count()
+
+    dst = f"{tmpdir}/dst"
+    n = clone_table(src, dst, with_history=True)
+    assert n > 0
+    # zero-copy: at least one linked pair shares an inode
+    shared = 0
+    for root, _, files in _os.walk(dst):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            rel = _os.path.relpath(_os.path.join(root, f), dst)
+            s_stat = _os.stat(_os.path.join(src, rel))
+            d_stat = _os.stat(_os.path.join(dst, rel))
+            if s_stat.st_ino == d_stat.st_ino:
+                shared += 1
+    assert shared == n
+    assert spark.read.parquet(dst).count() == d0
+    assert versions(dst) == [1]  # with_history seeds the clone's v1
+    assert versions(src) == []  # source history untouched
+
+    # clone diverges; source unchanged — and vice versa
+    batch = nation.limit(3).withColumn("n_name", F.lower(F.col("n_name")))
+    upsert_by_key(spark, batch, dst, ["n_nationkey"], ["n_regionkey"])
+    assert (
+        spark.read.parquet(dst)
+        .where(F.col("n_name") == F.lower(F.col("n_name")))
+        .count()
+        == 3
+    )
+    assert (
+        spark.read.parquet(src)
+        .where(F.col("n_name") == F.lower(F.col("n_name")))
+        .count()
+        == 0
+    )
+    src_batch = nation.limit(1).withColumn("n_name", F.lit("XX"))
+    upsert_by_key(spark, src_batch, src, ["n_nationkey"], ["n_regionkey"])
+    assert spark.read.parquet(dst).where(F.col("n_name") == "XX").count() == 0
+
+    with pytest.raises(ValueError, match="non-empty"):
+        clone_table(src, dst)

@@ -427,6 +427,51 @@ def diff_versions(
     return u.unionByName(d)
 
 
+def clone_table(src: str, dst: str, with_history: bool = False) -> int:
+    """Zero-copy table clone (E96, the Delta SHALLOW CLONE shape on
+    plain parquet): hard-link every data file of ``src`` into ``dst``
+    (``copy2`` fallback across devices) — no bytes move, the clone is
+    ready in O(files) metadata time at any table size. Safe to
+    diverge both ways because every writer in this engine REPLACES
+    files (dynamic overwrite, compaction swap, full overwrite) and
+    never modifies an inode in place: an upsert into the clone
+    unlinks the clone's name for a replaced file while the source's
+    name keeps the original inode, and vice versa.
+
+    The clone starts with FRESH sibling state — no lock, no partition
+    versions, no snapshot log carried over (they describe the
+    source's history, not the clone's). ``with_history=True`` opts
+    the clone into its own snapshot log seeded with the cloned state
+    as version 1. Returns the number of files linked. Refuses a
+    non-empty destination (clone is a create, not a merge)."""
+    if not os.path.isdir(src):
+        raise ValueError(f"{src}: no such table to clone")
+    if os.path.exists(dst) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(dst)
+    ):
+        raise ValueError(f"{dst}: destination exists and is non-empty")
+    from weatherflow_spark.operators.commit import dataset_lock
+
+    n = 0
+    # Lock the SOURCE so the linked file set is one consistent commit
+    # (a concurrent upsert cannot swap files mid-walk).
+    with dataset_lock(src):
+        for rel, _size in _walk_data_files(src):
+            d = os.path.join(dst, rel)
+            parent = os.path.dirname(d)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            try:
+                os.link(os.path.join(src, rel), d)
+            except OSError:
+                shutil.copy2(os.path.join(src, rel), d)
+            n += 1
+    if with_history:
+        init_snapshot_log(dst)
+        record_commit(dst)
+    return n
+
+
 def export_change_feed(
     spark: SparkSession, path: str, feed_dir: str, key_cols: list[str]
 ) -> list[int]:

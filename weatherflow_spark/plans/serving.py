@@ -1022,6 +1022,88 @@ ORACLE_CHANGE_FEED = f"""
 """
 
 
+def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E96 driver row: the zero-copy SHALLOW CLONE certified through
+    real writes and real divergence. Build the orders base table,
+    ``clone_table`` it (hard links — no data copied), then upsert the
+    price+1 batch into the CLONE only. Serve per-(side, priority)
+    digests of both tables read from disk: the source must still
+    equal the pre-clone base (divergence isolation — writers replace
+    files, never modify inodes, so the clone's rewrite cannot reach
+    the source's data) and the clone must equal the merged relation.
+    The oracle derives both sides from raw orders; one hash certifies
+    the clone's completeness AND the isolation. 100 TB posture: a
+    full-table test/dev clone costs O(files) metadata, zero bytes —
+    the experiment-branch workflow a copy-based clone cannot afford."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import clone_table
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    src = os.path.join(_scratch_dir(sf_dir), "clone_src")
+    dst = os.path.join(_scratch_dir(sf_dir), "clone_dst")
+    for d in (src, dst):
+        shutil.rmtree(d, ignore_errors=True)
+        for f_ in (d + ".__versions.json", d + ".__lock"):
+            try:
+                os.unlink(f_)
+            except OSError:
+                pass
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    base = orders.where(k % UPSERT_DEL_MOD != 0)
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(src)
+
+    n_linked = clone_table(src, dst)
+    if n_linked <= 0:
+        raise RuntimeError("clone linked no files")
+
+    batch = orders.where(k % UPSERT_BATCH_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    upsert_by_key(spark, batch, dst, ["o_orderkey"], ["o_orderpriority"])
+
+    return _priority_digest(
+        spark.read.parquet(src), "side", "source"
+    ).unionByName(
+        _priority_digest(spark.read.parquet(dst), "side", "clone")
+    )
+
+
+ORACLE_TABLE_CLONE = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_DEL_MOD} <> 0
+    ),
+    batch AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % {UPSERT_BATCH_MOD} = 0
+    ),
+    merged AS (
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        UNION ALL
+        SELECT * FROM batch
+    ),
+    tagged AS (
+        SELECT 'source' AS side, * FROM base
+        UNION ALL SELECT 'clone', * FROM merged
+    )
+    SELECT side, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           bit_xor(o_orderkey) AS key_xor,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM tagged GROUP BY side, o_orderpriority
+"""
+
+
 def q_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E81 driver row: incremental-dedup admission served from the
     PERSISTED signature index (operators/sig_index.py) — build the
@@ -1477,6 +1559,8 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       the keyed upsert — NULL backfill + merge-read, replayed.
     - ``change_feed``   (E95, r10): materialized CDC feed from the
       version trail — incremental, idempotent, stream-consumable.
+    - ``table_clone``   (E96, r10): zero-copy shallow clone — clone
+      complete AND divergence-isolated in one hash.
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -1532,6 +1616,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
+    tc = q_table_clone(spark, sf_dir).selectExpr(
+        "'table_clone' AS op",
+        "concat(side, '|', o_orderpriority) AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
     cf = q_change_feed(spark, sf_dir, _table=shared_tbl).selectExpr(
         "'change_feed' AS op",
         "concat(change_version, '|', op, '|', o_orderpriority) AS key",
@@ -1581,6 +1671,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bj)
         .unionByName(sev)
         .unionByName(cf)
+        .unionByName(tc)
     )
 
 
@@ -1629,6 +1720,17 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'key_sum' THEN s.key_sum
                        WHEN 'order_fp' THEN s.order_fp
                        ELSE s.chars_total END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'table_clone', side || '|' || o_orderpriority,
+           u.metric, u.value
+    FROM ({ORACLE_TABLE_CLONE}) s,
+         (VALUES ('n_rows'), ('sum_cents'), ('key_xor'), ('key_sum'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'sum_cents' THEN s.sum_cents
+                       WHEN 'key_xor' THEN s.key_xor
+                       ELSE s.key_sum END AS value) u
     UNION ALL
     SELECT 'change_feed',
            change_version || '|' || f.op || '|' || o_orderpriority,
@@ -1722,6 +1824,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bucketed_join_serve": q_bucketed_join_serve,
     "q_schema_evolution": q_schema_evolution,
     "q_change_feed": q_change_feed,
+    "q_table_clone": q_table_clone,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -1744,4 +1847,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_bucketed_join_serve": ORACLE_BUCKETED_JOIN,
     "q_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "q_change_feed": ORACLE_CHANGE_FEED,
+    "q_table_clone": ORACLE_TABLE_CLONE,
 }
