@@ -874,12 +874,7 @@ def test_clone_table_zero_copy_and_divergence_isolation(spark, tmpdir):
     inodes — zero copy), refuses non-empty destinations, diverges
     safely in BOTH directions (writers replace files, never modify
     inodes), and with_history seeds the clone's own v1."""
-    import os as _os
-
-    import pytest
-
     from weatherflow_spark.operators.snaplog import clone_table
-    from weatherflow_spark.operators.upsert import upsert_by_key
 
     src = f"{tmpdir}/src"
     nation = load_table(spark, SF_SMALL, "nation").select(
@@ -893,13 +888,13 @@ def test_clone_table_zero_copy_and_divergence_isolation(spark, tmpdir):
     assert n > 0
     # zero-copy: at least one linked pair shares an inode
     shared = 0
-    for root, _, files in _os.walk(dst):
+    for root, _, files in os.walk(dst):
         for f in files:
             if f.startswith(("_", ".")):
                 continue
-            rel = _os.path.relpath(_os.path.join(root, f), dst)
-            s_stat = _os.stat(_os.path.join(src, rel))
-            d_stat = _os.stat(_os.path.join(dst, rel))
+            rel = os.path.relpath(os.path.join(root, f), dst)
+            s_stat = os.stat(os.path.join(src, rel))
+            d_stat = os.stat(os.path.join(dst, rel))
             if s_stat.st_ino == d_stat.st_ino:
                 shared += 1
     assert shared == n
@@ -928,3 +923,18 @@ def test_clone_table_zero_copy_and_divergence_isolation(spark, tmpdir):
 
     with pytest.raises(ValueError, match="non-empty"):
         clone_table(src, dst)
+
+    # r10 review: a DROPPED table's stale siblings must not graft its
+    # history onto a new clone at the same path
+    shutil.rmtree(dst)
+    assert versions(dst) != []  # stale log still on disk (v1 + upsert's v2)
+    clone_table(src, dst, with_history=True)
+    assert versions(dst) == [1]  # fresh history, not v2 of the dead one
+    assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+
+    # destination-is-a-file refuses with the documented error
+    f_dst = f"{tmpdir}/afile"
+    with open(f_dst, "w") as fh:
+        fh.write("x")
+    with pytest.raises(ValueError, match="not a directory"):
+        clone_table(src, f_dst)

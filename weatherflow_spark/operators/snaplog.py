@@ -444,18 +444,41 @@ def clone_table(src: str, dst: str, with_history: bool = False) -> int:
     the clone into its own snapshot log seeded with the cloned state
     as version 1. Returns the number of files linked. Refuses a
     non-empty destination (clone is a create, not a merge)."""
+    import errno
+
     if not os.path.isdir(src):
         raise ValueError(f"{src}: no such table to clone")
-    if os.path.exists(dst) and any(
-        not n.startswith(("_", ".")) for n in os.listdir(dst)
-    ):
-        raise ValueError(f"{dst}: destination exists and is non-empty")
+    if os.path.exists(dst) and not os.path.isdir(dst):
+        raise ValueError(f"{dst}: destination exists and is not a directory")
     from weatherflow_spark.operators.commit import dataset_lock
 
     n = 0
-    # Lock the SOURCE so the linked file set is one consistent commit
-    # (a concurrent upsert cannot swap files mid-walk).
-    with dataset_lock(src):
+    # Lock BOTH sides, in sorted-path order (two concurrent clones in
+    # opposite directions otherwise deadlock): the source lock makes
+    # the linked file set one consistent commit (no upsert can swap
+    # files mid-walk), the destination lock closes the TOCTOU between
+    # the emptiness check and the link loop (two clones into the same
+    # dst would otherwise interleave into a silently mixed table —
+    # r10 review).
+    first, second = sorted([src.rstrip("/"), dst.rstrip("/")])
+    with dataset_lock(first), dataset_lock(second):
+        if os.path.isdir(dst) and any(
+            not nme.startswith(("_", ".")) for nme in os.listdir(dst)
+        ):
+            raise ValueError(f"{dst}: destination exists and is non-empty")
+        # Stale sibling state from a previously DROPPED table at dst
+        # (rmtree removes the data dir, never the siblings) would
+        # graft the dead table's history, retention files, and CAS
+        # counters onto the clone — versions would continue from the
+        # dead table's max and read_version would serve its data (r10
+        # review). The data dir is empty here, so those siblings are
+        # definitionally orphaned: clear them.
+        shutil.rmtree(_log_dir(dst), ignore_errors=True)
+        shutil.rmtree(_retain_dir(dst), ignore_errors=True)
+        try:
+            os.unlink(dst.rstrip("/") + ".__versions.json")
+        except OSError:
+            pass
         for rel, _size in _walk_data_files(src):
             d = os.path.join(dst, rel)
             parent = os.path.dirname(d)
@@ -463,7 +486,12 @@ def clone_table(src: str, dst: str, with_history: bool = False) -> int:
                 os.makedirs(parent, exist_ok=True)
             try:
                 os.link(os.path.join(src, rel), d)
-            except OSError:
+            except OSError as exc:
+                # Only the documented cross-device fallback degrades
+                # to a physical copy; anything else (permissions, a
+                # colliding name) must raise, not silently copy over.
+                if exc.errno != errno.EXDEV:
+                    raise
                 shutil.copy2(os.path.join(src, rel), d)
             n += 1
     if with_history:
