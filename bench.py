@@ -47,7 +47,20 @@ EXTRA_REPS = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2")))
 # compact stdout line so cross-round comparisons can normalize by it
 # before reading any row as a regression. Re-pin the refs if a
 # control's code ever changes.
+#
+# Duration-classed controls (r11, VERDICT r10 'What's wrong' #3):
+# the original three controls are all sub-0.5 s, and short queries
+# inflate far more than multi-second ones under ambient load (JVM /
+# launch contention is a near-constant tax, so its RELATIVE weight
+# shrinks with duration) — one short-derived factor OVER-corrected
+# long suites (r10: raw comparable ratio 0.98x vs "normalized"
+# 1.17x). Ambient inflation is therefore measured PER DURATION
+# CLASS: sub-SLOW_SEC queries normalize by the short controls'
+# median, multi-second ones by the long control (q_graph_suite —
+# code-stable since r8; its ref comes from the same calm r8 session
+# the short refs were pinned from, BENCH_r08.json).
 CONTROL_REFS = {"q_topk": 0.111, "q_sort": 0.15, "q_groupby_agg": 0.39}
+CONTROL_REFS_LONG = {"q_graph_suite": 7.679}
 
 # Every certified-window query gets a timing row (round-5 change: a
 # certified query with no timing history can regress silently — the
@@ -253,30 +266,38 @@ def main() -> None:
     # Controls re-use the window timings (no extra executions): the
     # ratio of this session's minima to the pinned calm-session refs
     # is the session's ambient inflation.
-    ratios = sorted(
-        timings[n] / ref for n, ref in CONTROL_REFS.items() if n in timings
-    )
-    if ratios:
+    def _median_ratio(refs: dict) -> float | None:
+        ratios = sorted(
+            timings[n] / ref for n, ref in refs.items() if n in timings
+        )
+        if not ratios:
+            return None
         mid = len(ratios) // 2
         med = (
             ratios[mid]
             if len(ratios) % 2
             else (ratios[mid - 1] + ratios[mid]) / 2
         )
-        ambient = round(med, 3)
-    else:
-        ambient = None
+        return round(med, 3)
+
+    ambient = _median_ratio(CONTROL_REFS)
+    ambient_long = _median_ratio(CONTROL_REFS_LONG)
     controls = {
         n: {"ref": ref, "now": timings.get(n)}
-        for n, ref in CONTROL_REFS.items()
+        for n, ref in {**CONTROL_REFS, **CONTROL_REFS_LONG}.items()
     }
     # Normalized view (r10, VERDICT r9 #5): downstream readers saw the
     # RAW r9 total as a 1.33x regression that the controls showed was
     # 0.92x — emit the division so nobody has to redo it. Normalized =
-    # raw / ambient_factor, per query and in total; when the controls
+    # raw / the DURATION-CLASSED ambient factor (r11, see
+    # CONTROL_REFS_LONG), per query and in total; when the controls
     # are unavailable the normalized fields mirror the raw ones.
-    factor = ambient if ambient else 1.0
-    timings_norm = {n: round(t / factor, 3) for n, t in timings.items()}
+    factor_short = ambient if ambient else 1.0
+    factor_long = ambient_long if ambient_long else factor_short
+    timings_norm = {
+        n: round(t / (factor_long if t >= SLOW_SEC else factor_short), 3)
+        for n, t in timings.items()
+    }
     total_norm = round(sum(timings_norm.values()), 3)
     payload = {
         "metric": "headline_queries_total_sec",
@@ -290,6 +311,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "controls": controls,
         "ambient_factor": ambient,
+        "ambient_factor_long": ambient_long,
     }
     # The driver only keeps a ~2,000-char stdout tail, which the full
     # per-query payload outgrew rounds ago (BENCH_r04..r07 all recorded
@@ -317,6 +339,7 @@ def main() -> None:
         "sf": payload["sf"],
         "controls": {n: [c["ref"], c["now"]] for n, c in controls.items()},
         "ambient_factor": ambient,
+        "ambient_factor_long": ambient_long,
         "full_payload": "bench_last.json",
     }
     print(json.dumps(compact))

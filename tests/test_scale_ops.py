@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from weatherflow_spark.io import load_table
 from weatherflow_spark.operators.bucketing import (
-    cocated_join_is_shuffle_free,
+    colocated_join_is_shuffle_free,
     write_bucketed,
 )
 from weatherflow_spark.operators.skew import salted_broadcast_join, salted_count_sum
@@ -30,7 +30,7 @@ def test_bucketed_join_no_shuffle(spark):
     o, l = spark.table("wf_orders_b"), spark.table("wf_lineitem_b")
     joined = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
     joined.collect()
-    assert cocated_join_is_shuffle_free(joined), (
+    assert colocated_join_is_shuffle_free(joined), (
         "bucketed fact-fact join must plan without Exchange"
     )
 
@@ -41,6 +41,18 @@ def test_bucketed_join_no_shuffle(spark):
         "inner",
     )
     assert joined.count() == plain.count()
+
+    # The checker must flag EVERY shuffle flavor, not just hash
+    # (r10 verdict): a global sort on top of the same bucketed join
+    # inserts an `Exchange rangepartitioning`, which the pre-r11
+    # hash-only match waved through as "shuffle-free".
+    ranged = joined.orderBy("l_quantity")
+    ranged.collect()
+    rplan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in rplan, rplan
+    assert not colocated_join_is_shuffle_free(ranged), (
+        "range-partitioned plan passed the shuffle-free check"
+    )
 
 
 def test_salted_agg_matches_plain(spark):

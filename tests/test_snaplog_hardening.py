@@ -1,0 +1,264 @@
+"""Round-11 hardening regressions over the snapshot/commit tier:
+hive-escaped partition values through scoped commits and emptied-dir
+removal (r10 ADVICE #1), change-feed bootstrap on vacuumed tables and
+the mid-trail refusal (#2), null-key diff round trip (#3), the lock
+hold across the deferred emptied-partition snapshot (#4), and the
+vacuum/feed-export interlock (r10 verdict #8)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherflow_spark.operators.snaplog import (
+    diff_versions,
+    export_change_feed,
+    exported_feed_versions,
+    init_snapshot_log,
+    read_version,
+    record_commit,
+    vacuum_versions,
+    versions,
+)
+from weatherflow_spark.operators.upsert import apply_changes, upsert_by_key
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="wf-snaphard-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_escape_path_name_matches_spark_layout(spark, tmpdir):
+    """partition_key must emit EXACTLY the directory name Spark
+    writes for special-char values, or every path derived from it
+    (scope walks, rmtree) silently misses."""
+    from weatherflow_spark.operators.commit import (
+        escape_path_name,
+        partition_key,
+    )
+
+    path = f"{tmpdir}/layout"
+    vals = ["g:0", "a/b", "p%q", "x=y", "h#1", "plain"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, grp string"
+    )
+    df.write.mode("overwrite").partitionBy("grp").parquet(path)
+    on_disk = {n for n in os.listdir(path) if n.startswith("grp=")}
+    derived = {partition_key(["grp"], (v,)) for v in vals}
+    assert derived == on_disk, (derived, on_disk)
+    assert escape_path_name("g:0") == "g%3A0"
+    assert escape_path_name("plain-1.URGENT_x") == "plain-1.URGENT_x"
+
+
+def test_scoped_commit_handles_escaped_partition_values(spark, tmpdir):
+    """A ':'-valued partition: the scoped snapshot commit must walk
+    the hive-ESCAPED directory — the raw `grp=g:0` string matches
+    nothing on disk, so pre-fix the new version silently re-recorded
+    the previous state and never linked the commit's files
+    (r10 ADVICE #1)."""
+    path = f"{tmpdir}/esc"
+    rows = [(i, f"g:{i % 2}", float(i)) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "k long, grp string, val double")
+    df.write.mode("overwrite").partitionBy("grp").parquet(path)
+    assert os.path.isdir(os.path.join(path, "grp=g%3A0"))
+    init_snapshot_log(path)
+    record_commit(path)  # v1: full walk (escaping not in play yet)
+
+    batch = spark.createDataFrame(
+        [(2, "g:0", 999.0)], "k long, grp string, val double"
+    )
+    upsert_by_key(spark, batch, path, ["k"], ["grp"])  # v2: SCOPED commit
+    assert versions(path) == [1, 2]
+    v2 = read_version(spark, path, 2)
+    got = {r.k: r.val for r in v2.where(F.col("grp") == "g:0").collect()}
+    assert got[2] == 999.0, "scoped commit missed the escaped partition"
+    assert len(got) == 20
+    v1 = read_version(spark, path, 1)
+    assert v1.where("k = 2").first().val == 2.0  # history intact
+
+
+def test_apply_changes_removes_escaped_emptied_partition(spark, tmpdir):
+    """Deletes that empty a ':'-valued partition must rmtree the
+    hive-escaped directory; the raw-path form was a silent no-op and
+    the 'deleted' rows survived (r10 ADVICE #1, second site)."""
+    path = f"{tmpdir}/escdel"
+    rows = [(i, "a:x" if i <= 5 else "b", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "k long, grp string, val double")
+    df.write.mode("overwrite").partitionBy("grp").parquet(path)
+
+    changes = spark.createDataFrame(
+        [(i, "a:x", float(i), "D") for i in range(1, 6)],
+        "k long, grp string, val double, op string",
+    )
+    apply_changes(spark, changes, path, ["k"], partition_cols=["grp"])
+    assert not os.path.exists(os.path.join(path, "grp=a%3Ax"))
+    live = spark.read.parquet(path)
+    assert live.where(F.col("grp") == "a:x").count() == 0
+    assert live.count() == 5
+
+
+def _three_versions(spark, path):
+    """k→v table with three full-overwrite versions; returns the
+    expected head rows."""
+    init_snapshot_log(path)
+    s = "k int, v string"
+    spark.createDataFrame([(1, "a"), (2, "b")], s).write.mode(
+        "overwrite"
+    ).parquet(path)
+    record_commit(path)  # v1
+    spark.createDataFrame([(1, "a2"), (2, "b"), (3, "c")], s).write.mode(
+        "overwrite"
+    ).parquet(path)
+    record_commit(path)  # v2
+    spark.createDataFrame([(1, "a2"), (3, "c3")], s).write.mode(
+        "overwrite"
+    ).parquet(path)
+    record_commit(path)  # v3
+    return {(1, "a2"), (3, "c3")}
+
+
+def test_change_feed_seeds_from_first_retained_version(spark, tmpdir):
+    """A fresh feed on a vacuumed table must bootstrap from the first
+    RETAINED version as an all-'U' seed — pre-fix it called
+    diff_versions against the vacuumed base and raised, so no
+    vacuumed table could ever start a feed (r10 ADVICE #2)."""
+    path = f"{tmpdir}/seed"
+    head = _three_versions(spark, path)
+    vacuum_versions(path, keep_last=2)  # drops v1
+    assert versions(path) == [2, 3]
+
+    feed_dir = f"{tmpdir}/feed"
+    assert export_change_feed(spark, path, feed_dir, ["k"]) == [2, 3]
+    fd = spark.read.parquet(feed_dir)
+    seed = fd.where("change_version = 2")
+    assert {r.op for r in seed.collect()} == {"U"}
+    assert seed.count() == read_version(spark, path, 2).count()
+    # seed + diff replays to the head state
+    state = {(r.k, r.v) for r in seed.collect()}
+    for r in fd.where("change_version = 3").collect():
+        state = {(k, v) for k, v in state if k != r.k}
+        if r.op == "U":
+            state.add((r.k, r.v))
+    assert state == head
+
+
+def test_change_feed_mid_trail_vacuum_raises(spark, tmpdir):
+    """If the feed already exported earlier versions but a later
+    version's diff base was vacuumed, the exact delta is gone — a
+    silent snapshot re-seed would drop the intervening deletes for
+    keyed consumers, so the export must refuse."""
+    path = f"{tmpdir}/trail"
+    _three_versions(spark, path)
+    feed_dir = f"{tmpdir}/feed"
+    export_change_feed(spark, path, feed_dir, ["k"])  # 1..3 exported
+    spark.createDataFrame([(9, "z")], "k int, v string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    record_commit(path)  # v4 — NOT exported
+    spark.createDataFrame([(9, "z9")], "k int, v string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    record_commit(path)  # v5 — NOT exported
+    vacuum_versions(path, keep_last=1)  # drops 1..4: v5's base is gone
+    with pytest.raises(ValueError, match="underivable"):
+        export_change_feed(spark, path, feed_dir, ["k"])
+
+
+def test_vacuum_require_exported_interlock(spark, tmpdir):
+    """vacuum_versions(require_exported=feed_dir) must refuse to drop
+    any version whose own diff OR whose successor's diff base would
+    be destroyed unexported (r10 verdict #8)."""
+    path = f"{tmpdir}/lock"
+    _three_versions(spark, path)
+    feed_dir = f"{tmpdir}/feed"
+
+    with pytest.raises(ValueError, match="refusing to vacuum"):
+        vacuum_versions(path, keep_last=1, require_exported=feed_dir)
+    assert versions(path) == [1, 2, 3]  # nothing was dropped
+
+    export_change_feed(spark, path, feed_dir, ["k"])
+    out = vacuum_versions(path, keep_last=1, require_exported=feed_dir)
+    assert out["dropped_versions"] == 2 and versions(path) == [3]
+
+    # a new unexported head protects its predecessor (the diff base)
+    spark.createDataFrame([(7, "g")], "k int, v string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    record_commit(path)  # v4, unexported
+    with pytest.raises(ValueError, match="refusing to vacuum"):
+        vacuum_versions(path, keep_last=1, require_exported=feed_dir)
+    export_change_feed(spark, path, feed_dir, ["k"])
+    assert exported_feed_versions(feed_dir) == {1, 2, 3, 4}
+    vacuum_versions(path, keep_last=1, require_exported=feed_dir)
+    assert versions(path) == [4]
+
+
+def test_diff_versions_null_key_rows_round_trip(spark, tmpdir):
+    """An unchanged NULL-key row (externally written — the engine's
+    own writers refuse NULL keys) must NOT emit a tombstone every
+    diff: the D side's key match is null-safe (r10 ADVICE #3)."""
+    path = f"{tmpdir}/nulls"
+    init_snapshot_log(path)
+    s = "k int, v string"
+    spark.createDataFrame(
+        [(1, "a"), (None, "n"), (2, "b")], s
+    ).write.mode("overwrite").parquet(path)
+    record_commit(path)  # v1
+    spark.createDataFrame(
+        [(1, "a2"), (None, "n"), (3, "c")], s
+    ).write.mode("overwrite").parquet(path)
+    record_commit(path)  # v2
+
+    feed = diff_versions(spark, path, 1, 2, ["k"]).collect()
+    d = sorted((r.k, r.v) for r in feed if r.op == "D")
+    u = sorted((r.k, r.v) for r in feed if r.op == "U")
+    assert d == [(2, "b")], f"spurious/missing tombstones: {d}"
+    assert u == [(1, "a2"), (3, "c")]
+
+
+def test_apply_changes_deferred_snapshot_stays_locked(spark, tmpdir, monkeypatch):
+    """The emptied-partition branch defers the snapshot record past
+    the inner overwrite — sound only under apply_changes' outer
+    reentrant lock hold. Verify the hold is live at record time, and
+    that a direct un-locked call of the internal helper is refused
+    (r10 ADVICE #4)."""
+    import weatherflow_spark.operators.upsert as upsert_mod
+    from weatherflow_spark.operators import commit as commit_mod
+
+    path = f"{tmpdir}/held"
+    rows = [(i, "p1" if i <= 5 else "p2", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "k long, grp string, val double")
+    df.write.mode("overwrite").partitionBy("grp").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)
+
+    held_at_record = []
+    orig = upsert_mod._record_snapshot
+
+    def spy(p, scope=None, batch_id=None):
+        held_at_record.append(
+            commit_mod._HELD.get(commit_mod._lock_path(p), 0)
+        )
+        return orig(p, scope=scope, batch_id=batch_id)
+
+    monkeypatch.setattr(upsert_mod, "_record_snapshot", spy)
+    changes = spark.createDataFrame(
+        [(i, "p1", float(i), "D") for i in range(1, 6)],
+        "k long, grp string, val double, op string",
+    )
+    apply_changes(spark, changes, path, ["k"], partition_cols=["grp"])
+    assert held_at_record and all(h > 0 for h in held_at_record), (
+        "snapshot recorded outside the dataset lock hold"
+    )
+    assert read_version(spark, path).count() == 5  # head matches live
+
+    with pytest.raises(AssertionError, match="requires the caller"):
+        upsert_mod._apply_changes_locked(
+            spark, changes, path, ["k"], "op", ["grp"]
+        )

@@ -5,8 +5,8 @@ lineitem⋈orders) is the shuffle of both sides. Writing both tables
 bucketed by the join key with the same bucket count lets Spark plan a
 sort-merge join with **zero Exchange**: each task reads bucket i of
 both tables. This module wraps the write/read pattern and is verified
-by tests/test_bucketing.py asserting the join plan contains no
-Exchange operator.
+by tests/test_scale_ops.py::test_bucketed_join_no_shuffle asserting
+the join plan contains no shuffle Exchange operator.
 
 Notes:
 - Bucketing requires ``saveAsTable`` (metastore-backed); plain
@@ -51,9 +51,25 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def cocated_join_is_shuffle_free(joined: DataFrame) -> bool:
-    """True iff the physical plan contains no shuffle Exchange —
-    the assertion that bucketing actually paid off. (AQE wraps the
-    plan; inspect the executed/final plan string.)"""
+def colocated_join_is_shuffle_free(joined: DataFrame) -> bool:
+    """True iff the physical plan contains no shuffle Exchange of ANY
+    flavor — ``Exchange hashpartitioning``, ``Exchange
+    rangepartitioning`` (an AQE re-plan or a sort can insert one),
+    ``Exchange SinglePartition``, round-robin REBALANCE — the
+    assertion that bucketing actually paid off. Matching only the
+    hash flavor would let a range-partitioned or rebalanced plan pass
+    as "shuffle-free" (r10 verdict). ``BroadcastExchange`` is NOT a
+    shuffle and is deliberately excluded: callers certifying a
+    co-located layout must separately disable broadcast and require a
+    SortMergeJoin, or a small build side makes the check vacuous.
+    (AQE wraps the plan; inspect the executed/final plan string.)"""
+    import re
+
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" not in plan
+    # \bExchange\b: no word boundary splits "BroadcastExchange", so
+    # only the shuffle operator (whose node name IS "Exchange") hits.
+    return re.search(r"\bExchange\b", plan) is None
+
+
+# Backwards-compatible alias for the typo'd pre-r11 name.
+cocated_join_is_shuffle_free = colocated_join_is_shuffle_free

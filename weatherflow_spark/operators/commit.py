@@ -294,14 +294,42 @@ def _manifest_path(path: str) -> str:
     return path.rstrip("/") + ".__versions.json"
 
 
+# The characters Spark hive-escapes in partition directory names
+# (ExternalCatalogUtils.escapePathName, same table as Hive's
+# FileUtils): ASCII control chars plus the shell/URI-significant set.
+_PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^') | frozenset(
+    chr(c) for c in range(1, 32)
+)
+
+
+def escape_path_name(s: str) -> str:
+    """Spark's hive partition-value escaping (``%XX`` uppercase hex
+    for each special char). ``partition_key`` routes every value
+    through this so manifest keys, snapshot-log scopes, and
+    emptied-partition rmtree paths all match the directory names
+    Spark actually writes — a raw ``c=va:lue`` string matches nothing
+    on disk and a scoped commit would silently re-record the previous
+    state (r10 ADVICE)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c for c in s
+    )
+
+
 def partition_key(partition_cols: list[str] | None, values: tuple) -> str:
     """Canonical manifest key for one partition — the hive directory
-    form (``c1=v1/c2=v2``; NULL → ``__HIVE_DEFAULT_PARTITION__``), or
-    ``__TABLE__`` for an unpartitioned table."""
+    form exactly as Spark writes it (``c1=v1/c2=v2``, values
+    hive-escaped via :func:`escape_path_name`; NULL →
+    ``__HIVE_DEFAULT_PARTITION__``), or ``__TABLE__`` for an
+    unpartitioned table."""
     if not partition_cols:
         return "__TABLE__"
     return "/".join(
-        f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+        f"{escape_path_name(c)}="
+        + (
+            "__HIVE_DEFAULT_PARTITION__"
+            if v is None
+            else escape_path_name(str(v))
+        )
         for c, v in zip(partition_cols, values)
     )
 

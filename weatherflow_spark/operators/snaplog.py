@@ -421,9 +421,20 @@ def diff_versions(
             a = a.withColumn(c, F.lit(None).cast(b_types[c]))
     a = a.select(*b.columns)
     u = b.exceptAll(a).withColumn("op", F.lit("U"))
-    d = a.join(
-        b.select(*key_cols).distinct(), on=key_cols, how="left_anti"
-    ).withColumn("op", F.lit("D"))
+    # NULL-key rows: the engine's own writers refuse NULL keys, but a
+    # version diff can run over externally written tables. A plain
+    # `on=key_cols` anti-join is null-UNSAFE — an unchanged NULL-key
+    # row in v_from would never match itself in v_to and would emit a
+    # spurious tombstone every diff, breaking the round-trip law (r10
+    # ADVICE). eqNullSafe conditions make NULL = NULL for the key
+    # match; exceptAll on the U side is already null-safe (set
+    # semantics treat NULLs as equal).
+    keys_b = b.select(*key_cols).distinct()
+    cond = None
+    for k in key_cols:
+        eq = a[k].eqNullSafe(keys_b[k])
+        cond = eq if cond is None else (cond & eq)
+    d = a.join(keys_b, cond, "left_anti").withColumn("op", F.lit("D"))
     return u.unionByName(d)
 
 
@@ -520,10 +531,22 @@ def export_change_feed(
     a 100 TB pipeline fans out CDC to many consumers without each of
     them diffing versions themselves: diff once at the source, stream
     the materialized feed. Derivable only while the source versions
-    are retained — export before vacuum."""
+    are retained — export before vacuum, which
+    ``vacuum_versions(require_exported=feed_dir)`` enforces.
+
+    Seed rule (r10 ADVICE): the seed is the FIRST RETAINED version,
+    not literally version 1 — on a vacuumed table a fresh feed
+    bootstraps from ``versions(path)[0]`` as all-'U' inserts. Two
+    underivable states raise instead of exporting silently-wrong
+    changes: (a) the feed already exported ``v-1`` but ``v-1`` was
+    vacuumed before ``v``'s diff ran (a consumer is mid-trail and the
+    exact v-1→v delta no longer exists); (b) a pinned mid-history
+    version survived vacuum without its predecessor, so neither a
+    diff base nor a clean seed point exists past it."""
     os.makedirs(feed_dir, exist_ok=True)
     exported = []
-    for v in versions(path):
+    vs = versions(path)
+    for v in vs:
         part = os.path.join(feed_dir, f"change_version={v}")
         # "already exported" means COMMITTED: a crashed partial export
         # leaves the directory (Spark creates it at job start) without
@@ -534,17 +557,57 @@ def export_change_feed(
         # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false).
         if os.path.isfile(os.path.join(part, "_WF_EXPORTED")):
             continue
-        if v == 1:
-            feed = read_version(spark, path, 1).withColumn(
+        if v - 1 in vs:
+            feed = diff_versions(spark, path, v - 1, v, key_cols)
+        elif not any(e < v for e in exported_feed_versions(feed_dir)):
+            # Predecessor vacuumed AND the feed holds nothing earlier:
+            # bootstrap here — the full snapshot as all-'U' inserts.
+            # (Literal `v == 1` would make a fresh feed on any
+            # vacuumed table unbootstrappable: diff_versions(v-1, v)
+            # raises on the vacuumed base — r10 ADVICE. A non-first
+            # retained version only reaches this arm when pins left a
+            # gap; seeding there is still a complete snapshot.)
+            feed = read_version(spark, path, v).withColumn(
                 "op", F.lit("U")
             )
         else:
-            feed = diff_versions(spark, path, v - 1, v, key_cols)
+            # A consumer is mid-trail (the feed exported versions
+            # before v) but v's diff base was vacuumed — the exact
+            # delta no longer exists, and a silent snapshot re-seed
+            # would drop the intervening deletes for keyed consumers.
+            raise ValueError(
+                f"{path}: change feed already exported versions below "
+                f"{v}, but version {v - 1} was vacuumed before version "
+                f"{v}'s diff was derived — the delta up to {v} is "
+                "underivable. Export before vacuuming (or vacuum with "
+                "require_exported=feed_dir), or re-seed a fresh feed "
+                "directory."
+            )
         feed.write.mode("overwrite").parquet(part)
         with open(os.path.join(part, "_WF_EXPORTED"), "w") as f:
             f.write(f"{v}\n")
         exported.append(v)
     return exported
+
+
+def exported_feed_versions(feed_dir: str) -> set[int]:
+    """Versions whose change-feed partition is COMMITTED in
+    ``feed_dir`` (``_WF_EXPORTED`` marker present — bare directories
+    left by crashed exports don't count)."""
+    out: set[int] = set()
+    try:
+        names = os.listdir(feed_dir)
+    except OSError:
+        return out
+    for n in names:
+        if not n.startswith("change_version="):
+            continue
+        if os.path.isfile(os.path.join(feed_dir, n, "_WF_EXPORTED")):
+            try:
+                out.add(int(n.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
 
 
 def read_change_feed(
@@ -597,7 +660,9 @@ def read_change_feed(
     )
 
 
-def vacuum_versions(path: str, keep_last: int = 1) -> dict[str, int]:
+def vacuum_versions(
+    path: str, keep_last: int = 1, require_exported: str | None = None
+) -> dict[str, int]:
     """Bound history: keep only the newest ``keep_last`` versions'
     log entries — plus every version a live reader holds pinned via
     :func:`pinned_version` (runs under the same dataset lock as the
@@ -605,6 +670,15 @@ def vacuum_versions(path: str, keep_last: int = 1) -> dict[str, int]:
     unlink retained files referenced by NO surviving version. Never
     touches live data files. Returns counts for the caller's log line
     (``{"dropped_versions": d, "removed_files": r}``).
+
+    ``require_exported`` (a change-feed directory) interlocks vacuum
+    with :func:`export_change_feed` (r10 verdict #8): dropping a
+    version whose diff was never exported destroys the CDC trail
+    forever — and dropping version v also destroys v+1's DIFF BASE,
+    so v is only droppable once v's own partition AND v+1's are both
+    committed in the feed (v+1's diff can never be derived again
+    otherwise). Vacuum raises, dropping nothing, when any candidate
+    fails that check — run ``export_change_feed`` first.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -614,6 +688,27 @@ def vacuum_versions(path: str, keep_last: int = 1) -> dict[str, int]:
         vs = versions(path)
         pinned = pinned_versions(path)
         drop = [v for v in vs[:-keep_last] if v not in pinned]
+        if require_exported is not None and drop:
+            exported = exported_feed_versions(require_exported)
+            # v+1's base-check applies only while v+1 is itself still
+            # in the log: a predecessor of an already-dropped version
+            # can't protect a diff that is already underivable.
+            unsafe = [
+                v
+                for v in drop
+                if v not in exported
+                or (v + 1 in vs and v + 1 not in exported)
+            ]
+            if unsafe:
+                raise ValueError(
+                    f"{path}: refusing to vacuum {len(unsafe)} version(s) "
+                    f"({unsafe[:5]}{'…' if len(unsafe) > 5 else ''}) whose "
+                    "change feed is not fully exported to "
+                    f"{require_exported} (a version is droppable only "
+                    "when its own diff AND its successor's are both "
+                    "committed in the feed) — run export_change_feed "
+                    "first"
+                )
         keep = [v for v in vs if v not in drop]
         referenced: set[str] = set()
         for v in keep:

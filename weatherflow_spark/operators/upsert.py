@@ -323,11 +323,18 @@ def _upsert_locked(
     merge_schema: bool = False,
     allow_missing_columns: bool = False,
 ) -> None:
+    from weatherflow_spark.operators import commit as _commit
     from weatherflow_spark.operators.commit import (
         check_and_bump_versions,
         dataset_lock,
     )
 
+    # Same lock contract as _apply_changes_locked: the whole
+    # read-modify-write must run inside the caller's hold.
+    assert _commit._HELD.get(_commit._lock_path(path), 0) > 0, (
+        f"{path}: _upsert_locked requires the caller to hold the "
+        "dataset lock (use upsert_by_key)"
+    )
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
@@ -458,9 +465,22 @@ def _apply_changes_locked(
     merge_schema: bool = False,
     allow_missing_columns: bool = False,
 ) -> None:
+    from weatherflow_spark.operators import commit as _commit
     from weatherflow_spark.operators.commit import (
         check_and_bump_versions,
         dataset_lock,
+    )
+
+    # The emptied-partition branch below DEFERS the snapshot record
+    # past overwrite_partitions — sound only because apply_changes
+    # wraps this whole function in one reentrant dataset_lock hold,
+    # so no concurrent writer can record a version of the
+    # half-applied state in between (r10 ADVICE). Assert the
+    # invariant so a future direct caller can't silently reopen the
+    # window.
+    assert _commit._HELD.get(_commit._lock_path(path), 0) > 0, (
+        f"{path}: _apply_changes_locked requires the caller to hold "
+        "the dataset lock (use apply_changes)"
     )
 
     exists = os.path.exists(path) and any(
@@ -532,19 +552,18 @@ def _apply_changes_locked(
         )
         if emptied:
             with dataset_lock(path):
+                from weatherflow_spark.operators.commit import partition_key
+
                 for t in emptied:
-                    sub = os.path.join(
-                        path,
-                        *[
-                            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
-                            for c, v in zip(partition_cols, t)
-                        ],
-                    )
+                    # partition_key hive-escapes values exactly as
+                    # Spark wrote the directory — a raw f-string path
+                    # for a ':'-valued partition matches nothing and
+                    # the "deleted" files would silently survive
+                    # (r10 ADVICE).
+                    sub = os.path.join(path, partition_key(partition_cols, t))
                     shutil.rmtree(sub, ignore_errors=True)
                 # Emptied partitions are content changes too, but they
                 # are absent from the merged output — bump them here.
-                from weatherflow_spark.operators.commit import partition_key
-
                 check_and_bump_versions(
                     path,
                     [partition_key(partition_cols, t) for t in emptied],

@@ -790,7 +790,7 @@ def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from weatherflow_spark.operators.bucketing import (
-        cocated_join_is_shuffle_free,
+        colocated_join_is_shuffle_free,
         write_bucketed,
     )
 
@@ -829,7 +829,7 @@ def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        if "SortMergeJoin" not in plan or not cocated_join_is_shuffle_free(
+        if "SortMergeJoin" not in plan or not colocated_join_is_shuffle_free(
             joined
         ):
             raise RuntimeError(
