@@ -182,3 +182,110 @@ def compact(
             shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old)
     return len(parquet_files(path))
+
+
+# Lossless parquet type widenings: every value of the narrow type is
+# exactly representable in the wide one. int64→double is deliberately
+# absent (doubles hold 53 mantissa bits).
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+}
+
+
+def rewrite_widen(
+    spark: SparkSession,
+    path: str,
+    widen: dict[str, str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """WIDEN column types via a full table rewrite (E94's missing
+    half, r10 verdict #4): the keyed upsert refuses type changes by
+    design — int32 and int64 parquet footers cannot be schema-merged
+    at read time, so on plain parquet widening IS a rewrite, exactly
+    like a Delta/Iceberg ``ALTER COLUMN TYPE`` on formats without
+    type-evolution metadata. ``widen`` maps column → target Spark
+    type name; only LOSSLESS widenings are accepted (integer ladder
+    ups, float→double) — anything else would silently corrupt values
+    under the cast.
+
+    Same optimistic validate-and-swap discipline as :func:`compact`
+    (the rewrite job runs unlocked; the swap aborts with
+    :class:`~weatherflow_spark.operators.commit.CompactionConflict`
+    if any writer committed in between), but PARTITION-PRESERVING:
+    the rewrite keeps the hive layout so partition pruning and the
+    scoped-commit contract survive the widen. On a versioned table
+    the swap mints a snapshot version — pre-widen versions stay
+    readable via time travel with their ORIGINAL narrow footers (the
+    retention mirror's hard links keep the old inodes alive through
+    the directory swap). A widened batch upsert is accepted
+    afterwards with no ``merge_schema`` flag: every live footer now
+    carries the wide type."""
+    from weatherflow_spark.operators.commit import (
+        CompactionConflict,
+        dataset_lock,
+        dataset_snapshot,
+    )
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    types = dict(df.dtypes)
+    for col, target in widen.items():
+        if col not in types:
+            raise ValueError(f"{path}: no column {col!r} to widen")
+        if partition_cols and col in partition_cols:
+            raise ValueError(
+                f"{path}: {col!r} is a partition column — its values "
+                "live in directory names, not footers; widening it is "
+                "a repartitioning decision, not a cast"
+            )
+        cur = types[col]
+        if cur == target:
+            continue
+        if (cur, target) not in _WIDENINGS:
+            raise ValueError(
+                f"{path}: {col!r} {cur}→{target} is not a lossless "
+                f"widening (allowed from {cur}: "
+                f"{sorted(t for c, t in _WIDENINGS if c == cur) or 'none'})"
+            )
+    snap0 = dataset_snapshot(path)
+    out = df.select(
+        *[
+            F.col(c).cast(widen[c]).alias(c)
+            if c in widen and types[c] != widen[c]
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    tmp = path.rstrip("/") + "__widening"
+    old = path.rstrip("/") + "__old_widen"
+    swapped = False
+    try:
+        writer = out.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
+        with dataset_lock(path):
+            if dataset_snapshot(path) != snap0:
+                raise CompactionConflict(
+                    f"{path}: dataset changed during the widen rewrite; "
+                    "re-run"
+                )
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            swapped = True
+            from weatherflow_spark.operators.snaplog import (
+                record_commit,
+                snapshot_enabled,
+            )
+
+            if snapshot_enabled(path):
+                record_commit(path)
+    finally:
+        if not swapped:
+            shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old)

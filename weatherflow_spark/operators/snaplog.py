@@ -584,10 +584,70 @@ def export_change_feed(
                 "directory."
             )
         feed.write.mode("overwrite").parquet(part)
+        # Schema stamp BEFORE the completion marker (a crash between
+        # the two re-exports the version, never leaves a marked
+        # partition without its stamp): consumers use it to fail fast
+        # when an E94 evolution lands mid-stream (r10 verdict #7).
+        stmp = os.path.join(part, "_WF_SCHEMA")
+        with open(stmp + ".tmp", "w") as f:
+            json.dump({"version": v, "columns": feed.columns}, f)
+        os.replace(stmp + ".tmp", stmp)
         with open(os.path.join(part, "_WF_EXPORTED"), "w") as f:
             f.write(f"{v}\n")
         exported.append(v)
     return exported
+
+
+def feed_version_columns(feed_dir: str, version: int) -> list[str] | None:
+    """The column list stamped on one exported feed version, or None
+    for pre-stamp exports (older feeds keep working; the guard just
+    can't protect them)."""
+    stmp = os.path.join(
+        feed_dir, f"change_version={version}", "_WF_SCHEMA"
+    )
+    try:
+        with open(stmp) as f:
+            return list(json.load(f)["columns"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def check_feed_schema(feed_dir: str, consumer_columns, versions_in_batch=None):
+    """Fail fast when the feed evolved past a consumer's pinned
+    schema (r10 verdict #7): a parquet file stream FIXES its schema
+    at start, so an E94 add-column evolution exported after the
+    consumer started would be SILENTLY DROPPED from every micro-batch
+    until restart — for a CDC consumer that means writing rows with
+    the new column nulled while believing it replicated them.
+
+    Compares the columns stamped on exported versions (all of them,
+    or just ``versions_in_batch`` for the per-micro-batch form)
+    against ``consumer_columns`` and raises naming the missing
+    columns. Call it (a) before starting a consumer with an explicit
+    ``schema=`` — read_change_feed does this automatically — and
+    (b) inside the consumer's foreachBatch with the batch's
+    ``change_version`` values, which is what makes a RUNNING consumer
+    fail fast instead of silently dropping (the stamp reads are a few
+    tiny json files per batch)."""
+    have = {c for c in consumer_columns}
+    vs = (
+        sorted(exported_feed_versions(feed_dir))
+        if versions_in_batch is None
+        else sorted(set(versions_in_batch))
+    )
+    for v in vs:
+        cols = feed_version_columns(feed_dir, v)
+        if cols is None:
+            continue
+        missing = [c for c in cols if c not in have]
+        if missing:
+            raise ValueError(
+                f"{feed_dir}: change_version={v} carries column(s) "
+                f"{missing} absent from the consumer's pinned schema "
+                f"{sorted(have)} — the source table's schema evolved "
+                "after this consumer started; restart the consumer "
+                "(or start it with a schema that includes the column)"
+            )
 
 
 def exported_feed_versions(feed_dir: str) -> set[int]:
@@ -631,7 +691,14 @@ def read_change_feed(
     start — an E94 column evolution exported AFTER the consumer
     started will not appear in its micro-batches until the consumer
     restarts (or was started with a ``schema`` that already includes
-    the column). The batch form schema-merges live."""
+    the column). The batch form schema-merges live. Two guards close
+    the silent-drop window (r10 verdict #7): at start, the pinned
+    schema is validated against every exported version's stamp
+    (:func:`check_feed_schema` — an explicit ``schema=`` lacking an
+    already-exported column raises here instead of nulling it
+    forever); mid-stream, the consumer's foreachBatch should call
+    ``check_feed_schema(feed_dir, batch.columns, versions_in_batch)``
+    so a post-start evolution fails fast at the next micro-batch."""
     if streaming:
         if schema is None:
             try:
@@ -647,6 +714,9 @@ def read_change_feed(
                     "from — pass schema= to start a consumer before the "
                     "first export_change_feed run"
                 ) from exc
+        check_feed_schema(
+            feed_dir, [f.name for f in schema.fields] + ["change_version"]
+        )
         return (
             spark.readStream.schema(schema)
             .option("basePath", feed_dir)

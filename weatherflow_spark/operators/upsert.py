@@ -221,7 +221,10 @@ def _read_and_evolve(
     flag an unknown incoming column raises instead of being silently
     dropped. Type CHANGES stay out of scope by design — int32/int64
     footers cannot be schema-merged at read time, so widening on
-    plain parquet is a table rewrite (compaction's job)."""
+    plain parquet is a table rewrite —
+    :func:`weatherflow_spark.operators.layout.rewrite_widen` (one
+    partition-preserving validate-and-swap rewrite, r11; upserts with
+    the wide type are accepted afterwards)."""
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
