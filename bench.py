@@ -222,6 +222,9 @@ OPTIONAL = [
     "q_schema_evolution",
     "q_change_feed",
     "q_table_clone",
+    # round 11: cross-table warehouse snapshot single (suite branch
+    # carries the window row)
+    "q_warehouse_snapshot",
 ]
 
 

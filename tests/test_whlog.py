@@ -1,0 +1,175 @@
+"""Warehouse-level consistent snapshots (E97, r10 verdict #1): one
+logical-load entry maps table → snapshot version, recorded under ALL
+member locks — so "the warehouse as of load N" reads fact and dims
+from one consistent cut, never fact-at-N joined to dim-at-M."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from weatherflow_spark.operators.snaplog import vacuum_versions, versions
+from weatherflow_spark.operators.upsert import upsert_by_key
+from weatherflow_spark.operators.whlog import (
+    commit_warehouse,
+    init_warehouse_log,
+    load_entry,
+    pinned_load,
+    read_warehouse,
+    warehouse_loads,
+)
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    d = tempfile.mkdtemp(prefix="wf-wh-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _seed(spark, wh_dir):
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(1, 31)],
+        "k long, cust long, amt double",
+    )
+    dim = spark.createDataFrame(
+        [(c, f"seg{c}", 100.0 * (c + 1)) for c in range(3)],
+        "cust long, seg string, bal double",
+    )
+    fact.write.mode("overwrite").parquet(os.path.join(wh_dir, "fact"))
+    dim.write.mode("overwrite").parquet(os.path.join(wh_dir, "dim"))
+    init_warehouse_log(wh_dir)
+
+
+def _joined_digest(tables):
+    j = tables["fact"].join(tables["dim"], "cust")
+    r = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(floor(amt * 100 + 0.5) as bigint)")).alias("amt_c"),
+        F.sum(F.expr("cast(floor(bal * 100 + 0.5) as bigint)")).alias("bal_c"),
+    ).first()
+    return (r.n, r.amt_c, r.bal_c)
+
+
+def test_loads_are_consistent_cuts(spark, wh):
+    _seed(spark, wh)
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L1") == 1
+    d1 = _joined_digest(read_warehouse(spark, wh, 1))
+
+    # both tables mutate between loads, through the keyed choke point
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 0, 999.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+    )
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(0, "seg0", 777.0)], "cust long, seg string, bal double"),
+        os.path.join(wh, "dim"),
+        ["cust"],
+    )
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L2") == 2
+    d2 = _joined_digest(read_warehouse(spark, wh))
+
+    # a POST-load single-table commit is invisible at every load
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(2, 1, 0.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+    )
+    assert _joined_digest(read_warehouse(spark, wh, 1)) == d1
+    assert _joined_digest(read_warehouse(spark, wh, 2)) == d2
+    assert d1 != d2
+
+    # load1 must pair the ORIGINAL dim with the ORIGINAL fact: bal_c
+    # for cust 0 rows would differ if dim@head leaked into load1
+    t1 = read_warehouse(spark, wh, 1)
+    bal0 = t1["dim"].where("cust = 0").first().bal
+    assert bal0 == 100.0  # not the 777.0 written after load 1
+
+
+def test_commit_reuses_existing_versions(spark, wh):
+    """A member table whose writers already versioned the current
+    state must not be re-versioned by the warehouse commit — loads
+    after normal upserts are pure metadata."""
+    _seed(spark, wh)
+    commit_warehouse(wh, ["fact", "dim"])  # mints v1 for both
+    v_fact = versions(os.path.join(wh, "fact"))
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 0, 5.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+    )  # the upsert records fact v2 itself
+    commit_warehouse(wh, ["fact", "dim"])
+    e = load_entry(wh, 2)
+    assert e["tables"]["fact"] == max(versions(os.path.join(wh, "fact")))
+    assert versions(os.path.join(wh, "fact")) == v_fact + [v_fact[-1] + 1]
+    assert versions(os.path.join(wh, "dim")) == [1]  # unchanged: reused
+
+
+def test_replayed_load_is_exactly_once(spark, wh):
+    _seed(spark, wh)
+    n1 = commit_warehouse(wh, ["fact", "dim"], batch_id="batch-7")
+    n2 = commit_warehouse(wh, ["fact", "dim"], batch_id="batch-7")
+    assert n1 == n2 == 1
+    assert warehouse_loads(wh) == [1]
+
+
+def test_all_member_locks_held_across_records(spark, wh, monkeypatch):
+    """The consistency mechanism itself: while ANY member's version
+    is being recorded, EVERY member's commit lock file must exist on
+    disk — a cross-process writer on any member blocks until the
+    whole load entry is durable, so no entry can pair versions from
+    different instants."""
+    import weatherflow_spark.operators.whlog as whlog_mod
+
+    _seed(spark, wh)
+    observed = []
+    orig = whlog_mod._record_or_reuse
+
+    def spy(path, batch_id):
+        observed.append(
+            tuple(
+                os.path.exists(os.path.join(wh, t) + ".__lock")
+                for t in ("fact", "dim")
+            )
+        )
+        return orig(path, batch_id)
+
+    monkeypatch.setattr(whlog_mod, "_record_or_reuse", spy)
+    commit_warehouse(wh, ["fact", "dim"])
+    assert len(observed) == 2
+    assert all(locks == (True, True) for locks in observed), observed
+
+
+def test_pinned_load_survives_vacuum_and_stale_load_raises(spark, wh):
+    _seed(spark, wh)
+    commit_warehouse(wh, ["fact", "dim"])
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 0, 5.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+    )
+    commit_warehouse(wh, ["fact", "dim"])
+
+    with pinned_load(wh, 1) as entry:
+        # vacuum drops nothing pinned: load-1 read still works inside
+        vacuum_versions(os.path.join(wh, "fact"), keep_last=1)
+        t = read_warehouse(spark, wh, 1)
+        assert t["fact"].count() == 30
+        assert entry["load"] == 1
+
+    # after the pin: vacuum may drop load 1's fact version …
+    vacuum_versions(os.path.join(wh, "fact"), keep_last=1)
+    # … and the stale load read fails deterministically, never mixes
+    with pytest.raises(ValueError, match="version"):
+        read_warehouse(spark, wh, 1)
+    assert _joined_digest(read_warehouse(spark, wh, 2))[0] == 30

@@ -1104,6 +1104,172 @@ ORACLE_TABLE_CLONE = f"""
 """
 
 
+WH_DIM_UPS_MOD = 7  # warehouse load 2 bumps acctbal +100 for %7 custkeys
+
+
+def q_warehouse_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E97 driver row: CROSS-TABLE consistent snapshots
+    (operators/whlog.py) certified through two real multi-table
+    loads. The reference's per-record transaction spans all five star
+    tables (reference dags/utils/database.py:25-34) — consistent but
+    history-less; E90 gave each table independent history — versioned
+    but mixable. This certifies the coordinator that closes the gap:
+
+    - **load 1**: fact (orders minus every %{UPSERT_DEL_MOD} key,
+      partitioned by priority) + dim (customer) bulk-written, then
+      ``commit_warehouse`` — one logical-load entry mapping both
+      tables to versions recorded under BOTH commit locks.
+    - **between loads**: BOTH tables mutate through the keyed choke
+      point (fact: every %{UPSERT_BATCH_MOD} key, price +1 — a scoped
+      partitioned commit; dim: every %{WH_DIM_UPS_MOD} custkey,
+      acctbal +100 — an unpartitioned full-overwrite commit).
+    - **load 2**: ``commit_warehouse`` again — this one must REUSE
+      the versions the upserts already minted (pure metadata), and a
+      replayed commit with load 2's batch_id must return load 2
+      without minting a third entry (the query RAISES otherwise).
+
+    Serve per-(load, mktsegment) digests of fact⋈dim read via
+    ``read_warehouse`` at load 1 and at the head load. The oracle
+    derives both warehouse states from raw orders+customer, so ONE
+    hash certifies the consistent cut both ways: load 1 must pair the
+    ORIGINAL dim with the ORIGINAL fact (a dim-at-head leak shifts
+    bal_cents), and the head must pair both mutated states. 100 TB
+    posture: the load entry is O(tables) metadata over O(touched
+    files) per-table commits; locks are held for the metadata
+    instant, never across Spark jobs."""
+    import shutil
+
+    from weatherflow_spark.operators.upsert import upsert_by_key
+    from weatherflow_spark.operators.whlog import (
+        commit_warehouse,
+        init_warehouse_log,
+        read_warehouse,
+        warehouse_loads,
+    )
+
+    wh = os.path.join(_scratch_dir(sf_dir), "wh_tx")
+    # Member tables and ALL their sibling state (snaplogs, retention
+    # mirrors, locks, manifests, the load log) live INSIDE wh — one
+    # rmtree resets everything, keeping replays idempotent.
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+
+    fact_p = os.path.join(wh, "fact_orders")
+    dim_p = os.path.join(wh, "dim_customer")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders.where(k % UPSERT_DEL_MOD != 0).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(fact_p)
+    customer.write.mode("overwrite").parquet(dim_p)
+    init_warehouse_log(wh)
+    load1 = commit_warehouse(
+        wh, ["fact_orders", "dim_customer"], batch_id="wh-load-1"
+    )
+
+    fact_batch = orders.where(k % UPSERT_BATCH_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    upsert_by_key(
+        spark, fact_batch, fact_p, ["o_orderkey"], ["o_orderpriority"]
+    )
+    dim_batch = customer.where(
+        F.col("c_custkey") % WH_DIM_UPS_MOD == 0
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    )
+    upsert_by_key(spark, dim_batch, dim_p, ["c_custkey"])
+    load2 = commit_warehouse(
+        wh, ["fact_orders", "dim_customer"], batch_id="wh-load-2"
+    )
+    replay = commit_warehouse(
+        wh, ["fact_orders", "dim_customer"], batch_id="wh-load-2"
+    )
+    if not (load1 == 1 and load2 == 2 and replay == 2) or warehouse_loads(
+        wh
+    ) != [1, 2]:
+        raise RuntimeError(
+            "warehouse load numbering broke: expected exactly loads "
+            f"[1, 2] with replay-keyed commits, got loads {warehouse_loads(wh)} "
+            f"({load1}, {load2}, replay {replay})"
+        )
+
+    def digest(tables: dict, tag: str) -> DataFrame:
+        j = tables["fact_orders"].join(
+            tables["dim_customer"],
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        return j.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("price_cents"),
+            F.sum(
+                F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")
+            ).alias("bal_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        ).select(
+            F.lit(tag).alias("version_tag"),
+            "c_mktsegment",
+            "n_rows",
+            "price_cents",
+            "bal_cents",
+            "key_xor",
+        )
+
+    return digest(read_warehouse(spark, wh, 1), "load1").unionByName(
+        digest(read_warehouse(spark, wh), "head")
+    )
+
+
+ORACLE_WAREHOUSE_SNAPSHOT = f"""
+    WITH f1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % {UPSERT_DEL_MOD} <> 0
+    ),
+    f2 AS (
+        SELECT * FROM f1 WHERE o_orderkey % {UPSERT_BATCH_MOD} <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice + 1.0
+        FROM orders WHERE o_orderkey % {UPSERT_BATCH_MOD} = 0
+    ),
+    d1 AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    d2 AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % {WH_DIM_UPS_MOD} = 0
+                    THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        FROM customer
+    ),
+    tagged AS (
+        SELECT 'load1' AS version_tag, f1.o_orderkey, d1.c_mktsegment,
+               f1.o_totalprice, d1.c_acctbal
+        FROM f1 JOIN d1 ON f1.o_custkey = d1.c_custkey
+        UNION ALL
+        SELECT 'head', f2.o_orderkey, d2.c_mktsegment,
+               f2.o_totalprice, d2.c_acctbal
+        FROM f2 JOIN d2 ON f2.o_custkey = d2.c_custkey
+    )
+    SELECT version_tag, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+           bit_xor(o_orderkey) AS key_xor
+    FROM tagged GROUP BY version_tag, c_mktsegment
+"""
+
+
 def q_index_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E81 driver row: incremental-dedup admission served from the
     PERSISTED signature index (operators/sig_index.py) — build the
@@ -1561,6 +1727,9 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       version trail — incremental, idempotent, stream-consumable.
     - ``table_clone``   (E96, r10): zero-copy shallow clone — clone
       complete AND divergence-isolated in one hash.
+    - ``warehouse_snapshot`` (E97, r11): cross-table consistent
+      snapshots — two multi-table loads, fact⋈dim read as-of load 1
+      and at head, each a consistent cut (whlog.py).
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -1659,6 +1828,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'cosine_e6', cast(floor(cosine * 1e6 + 0.5) as bigint))"
         " AS (metric, value)",
     )
+    ws = q_warehouse_snapshot(spark, sf_dir).selectExpr(
+        "'warehouse_snapshot' AS op",
+        "concat(version_tag, '|', c_mktsegment) AS key",
+        "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
+    )
     return (
         ss.unionByName(gr)
         .unionByName(ia)
@@ -1672,6 +1847,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sev)
         .unionByName(cf)
         .unionByName(tc)
+        .unionByName(ws)
     )
 
 
@@ -1794,6 +1970,17 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'key_xor' THEN s.key_xor
                        ELSE s.key_sum END AS value) u
     UNION ALL
+    SELECT 'warehouse_snapshot', version_tag || '|' || c_mktsegment,
+           u.metric, u.value
+    FROM ({ORACLE_WAREHOUSE_SNAPSHOT}) s,
+         (VALUES ('n_rows'), ('price_cents'), ('bal_cents'), ('key_xor'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'price_cents' THEN s.price_cents
+                       WHEN 'bal_cents' THEN s.bal_cents
+                       ELSE s.key_xor END AS value) u
+    UNION ALL
     SELECT 'ann_serve', CAST(vec_id AS VARCHAR), u.metric, u.value
     FROM ({_oracle_ann_index_serve()}) s,
          (VALUES ('label'), ('cosine_e6')) AS m(metric),
@@ -1825,6 +2012,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_schema_evolution": q_schema_evolution,
     "q_change_feed": q_change_feed,
     "q_table_clone": q_table_clone,
+    "q_warehouse_snapshot": q_warehouse_snapshot,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -1848,4 +2036,5 @@ SERVING_ORACLES: dict[str, str] = {
     "q_schema_evolution": ORACLE_SCHEMA_EVOLUTION,
     "q_change_feed": ORACLE_CHANGE_FEED,
     "q_table_clone": ORACLE_TABLE_CLONE,
+    "q_warehouse_snapshot": ORACLE_WAREHOUSE_SNAPSHOT,
 }
