@@ -222,9 +222,13 @@ OPTIONAL = [
     "q_schema_evolution",
     "q_change_feed",
     "q_table_clone",
-    # round 11: cross-table warehouse snapshot single (suite branch
-    # carries the window row)
+    # round 11: cross-table warehouse snapshot + bucketed-layout TPC-H
+    # adoption singles (suite branch carries the window rows); the
+    # plain q_tpch_q3/q_tpch_q18 stay benched above, so BENCH_r11
+    # carries the measured bucketed-vs-plain delta side by side
     "q_warehouse_snapshot",
+    "q_tpch_q3_bucketed",
+    "q_tpch_q18_bucketed",
 ]
 
 

@@ -388,3 +388,26 @@ def test_shard_export_rank_survives_80pct_skewed_shard(spark):
     finally:
         release_caches()
         spark.catalog.clearCache()
+
+
+def test_bucketed_tpch_adoption_plans_zero_shuffle(spark):
+    """r10 verdict #2: the bucketed layout must be ADOPTED by the
+    real TPC-H family, not just certified on scratch digests — Q3 and
+    Q18 over bucketed_warehouse plan their fact-fact join (and Q18's
+    pre-join aggregate) with zero shuffle Exchange, broadcast only on
+    the dimension side, and return results row-identical to the plain
+    forms."""
+    from weatherflow_spark.plans.serving import (
+        q_tpch_q3_bucketed,
+        q_tpch_q18_bucketed,
+    )
+    from weatherflow_spark.plans.stats import q_tpch_q3
+    from weatherflow_spark.plans.tpch import q_tpch_q18
+
+    b3 = q_tpch_q3_bucketed(spark, SF_SMALL)   # raises unless zero-Exchange SMJ
+    p3 = q_tpch_q3(spark, SF_SMALL)
+    assert sorted(map(tuple, b3.collect())) == sorted(map(tuple, p3.collect()))
+
+    b18 = q_tpch_q18_bucketed(spark, SF_SMALL)
+    p18 = q_tpch_q18(spark, SF_SMALL)
+    assert sorted(map(tuple, b18.collect())) == sorted(map(tuple, p18.collect()))

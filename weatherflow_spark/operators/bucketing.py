@@ -21,7 +21,21 @@ Notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Columns the bucketed warehouse keeps — the orderkey join family's
+# working set (Q3/Q18 and kin). A layout is a standing decision: add
+# columns here (and rebuild) rather than minting per-query layouts.
+BW_LINEITEM_COLS = [
+    "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+    "l_shipdate",
+]
+BW_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+]
 
 
 def write_bucketed(
@@ -49,6 +63,64 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def bucketed_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_base: str,
+    n_buckets: int = 8,
+) -> tuple[str, str]:
+    """The WAREHOUSE-ADOPTED bucketed layout (r10 verdict #2): build
+    lineitem and orders ONCE as co-bucketed tables (bucketBy + sortBy
+    ``orderkey``, same bucket count) and return their catalog names
+    ``(lineitem_table, orders_table)``. Every orderkey-join query
+    routed through these tables plans its fact⋈fact join — and any
+    groupBy on a superset of the orderkey — with ZERO shuffle
+    Exchange; at 100 TB that shuffle is the dominant cost of the
+    whole TPC-H Q3/Q18 family (module doc), paid once at layout time
+    instead of per query.
+
+    A layout decision is made once and amortized: the build is
+    CACHED per (scratch_base, process) — our own completion marker,
+    written after both saveAsTable calls return, gates the skip (a
+    bare directory from a crashed build is rebuilt, and a fresh
+    process/session rebuilds because bucket metadata lives in the
+    session catalog). External ``path=`` keeps the data out of the
+    repo's warehouse dir; per-process names keep a driver run and a
+    concurrent pytest from interleaving."""
+    import shutil
+
+    from weatherflow_spark.io import load_table
+
+    tag = (
+        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        + f"_{os.getpid()}"
+    )
+    t_li, t_ord = f"wf_bw_lineitem_{tag}", f"wf_bw_orders_{tag}"
+    base = os.path.join(scratch_base, "bucketed_wh")
+    marker = os.path.join(base, "_WF_BUILT")
+    if (
+        os.path.isfile(marker)
+        and spark.catalog.tableExists(t_li)
+        and spark.catalog.tableExists(t_ord)
+    ):
+        return t_li, t_ord
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    li = load_table(spark, sf_dir, "lineitem").select(*BW_LINEITEM_COLS)
+    orders = load_table(spark, sf_dir, "orders").select(*BW_ORDERS_COLS)
+    write_bucketed(
+        li, t_li, ["l_orderkey"], n_buckets,
+        sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
+    )
+    write_bucketed(
+        orders, t_ord, ["o_orderkey"], n_buckets,
+        sort_cols=["o_orderkey"], path=os.path.join(base, "orders"),
+    )
+    with open(marker, "w") as f:
+        f.write(f"{t_li} {t_ord}\n")
+    return t_li, t_ord
 
 
 def colocated_join_is_shuffle_free(joined: DataFrame) -> bool:

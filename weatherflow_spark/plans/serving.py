@@ -867,6 +867,144 @@ ORACLE_BUCKETED_JOIN = """
 """
 
 
+def _require_zero_shuffle_smj(df: DataFrame, what: str) -> None:
+    """The adoption certification's teeth: RAISE unless the executed
+    plan is a zero-shuffle-Exchange SortMergeJoin plan. Broadcast is
+    disabled by the caller for the fact⋈fact join (a small build side
+    would make the check vacuous — r10 review), so SortMergeJoin must
+    appear; colocated_join_is_shuffle_free rejects every shuffle
+    flavor (hash, range, rebalance) while permitting the deliberate
+    BroadcastExchange of the dimension side."""
+    from weatherflow_spark.operators.bucketing import (
+        colocated_join_is_shuffle_free,
+    )
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan or not colocated_join_is_shuffle_free(df):
+        raise RuntimeError(
+            f"{what}: expected a zero-Exchange sort-merge plan over the "
+            "bucketed warehouse — the adopted layout regressed"
+        )
+
+
+def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98 driver row: the E93 bucketed layout ADOPTED by the real
+    TPC-H Q3 (r10 verdict #2 — E93 certified the layout on scratch
+    digests while every TPC-H fact⋈fact plan still shuffled both
+    sides). Q3 runs over :func:`~weatherflow_spark.operators.
+    bucketing.bucketed_warehouse` tables: lineitem⋈orders is a pure
+    bucket-to-bucket streaming merge, the revenue groupBy reuses the
+    same partitioning (its keys are a superset of the orderkey), the
+    segment dim stays an explicit broadcast, and the top-10 is a
+    TakeOrdered heap — the ONLY exchange in the whole plan is the
+    deliberate dimension broadcast. The query RAISES unless exactly
+    that plan executed, and hash-matches the UNBUCKETED Q3 oracle
+    verbatim, so one row certifies the layout is both adopted and
+    lossless. At 100 TB the removed shuffle is both sides of the
+    biggest join in the query."""
+    from weatherflow_spark.operators.bucketing import bucketed_warehouse
+    from weatherflow_spark.plans.queries import scaled_sum
+
+    t_li, t_ord = bucketed_warehouse(spark, sf_dir, _scratch_dir(sf_dir))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.table(t_ord).where(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = spark.table(t_li).where(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(scaled_sum(rev, 10_000).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+        _require_zero_shuffle_smj(out, "tpch q3 (bucketed)")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    return out
+
+
+def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98 driver row, second family member: TPC-H Q18 over the
+    bucketed warehouse. Unlike the plain form (which broadcasts the
+    qualifying-orders set), here the per-order quantity aggregate
+    runs WITHOUT an exchange (groupBy on the bucket key), keeps the
+    bucketed partitioning through the HAVING filter, and sort-merges
+    back to orders bucket-to-bucket — the whole agg→join chain plans
+    zero shuffle Exchange (certified by raise), with only the
+    customer dim broadcast. Hash-matches the unbucketed Q18 oracle
+    verbatim."""
+    from weatherflow_spark.operators.bucketing import bucketed_warehouse
+    from weatherflow_spark.plans.queries import scaled_sum
+    from weatherflow_spark.plans.tpch import Q18_QTY_THRESHOLD
+
+    t_li, t_ord = bucketed_warehouse(spark, sf_dir, _scratch_dir(sf_dir))
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = (
+            spark.table(t_li)
+            .groupBy("l_orderkey")
+            .agg(scaled_sum(F.col("l_quantity"), 100).alias("total_qty"))
+            .where(F.col("total_qty") > Q18_QTY_THRESHOLD)
+        )
+        out = (
+            spark.table(t_ord)
+            .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(
+                F.broadcast(customer),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select(
+                "c_custkey",
+                "c_name",
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                    "o_orderdate"
+                ),
+                F.expr(
+                    "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                ).alias("price_cents"),
+                "total_qty",
+            )
+            .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+            .limit(20)
+        )
+        _require_zero_shuffle_smj(out, "tpch q18 (bucketed)")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    return out
+
+
+def _oracle_tpch_q3_bucketed() -> str:
+    # The adoption claim IS oracle identity with the plain form.
+    from weatherflow_spark.plans.stats import ORACLE_TPCH_Q3
+
+    return ORACLE_TPCH_Q3
+
+
+def _oracle_tpch_q18_bucketed() -> str:
+    from weatherflow_spark.plans.tpch import ORACLE_TPCH_Q18
+
+    return ORACLE_TPCH_Q18
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E94 driver row: ADD-COLUMN schema evolution through the keyed
     upsert, certified on disk. Seed the orders base table (4 columns,
@@ -1834,6 +1972,23 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
     )
+    tb = q_tpch_q3_bucketed(spark, sf_dir).selectExpr(
+        "'tpch_bucketed' AS op",
+        "concat('q3|', l_orderkey, '|', "
+        "date_format(o_orderdate, 'yyyy-MM-dd'), '|', o_orderpriority)"
+        " AS key",
+        "'revenue_e4' AS metric",
+        "cast(floor(revenue * 1e4 + 0.5) as bigint) AS value",
+    ).unionByName(
+        q_tpch_q18_bucketed(spark, sf_dir).selectExpr(
+            "'tpch_bucketed' AS op",
+            "concat('q18|', o_orderkey) AS key",
+            "stack(3, "
+            "'total_qty_c', cast(floor(total_qty * 100 + 0.5) as bigint), "
+            "'price_cents', price_cents, "
+            "'c_custkey', cast(c_custkey as bigint)) AS (metric, value)",
+        )
+    )
     return (
         ss.unionByName(gr)
         .unionByName(ia)
@@ -1848,6 +2003,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cf)
         .unionByName(tc)
         .unionByName(ws)
+        .unionByName(tb)
     )
 
 
@@ -1981,6 +2137,22 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'bal_cents' THEN s.bal_cents
                        ELSE s.key_xor END AS value) u
     UNION ALL
+    SELECT 'tpch_bucketed',
+           'q3|' || l_orderkey || '|' || strftime(o_orderdate, '%Y-%m-%d')
+               || '|' || o_orderpriority,
+           'revenue_e4', CAST(floor(revenue * 1e4 + 0.5) AS BIGINT)
+    FROM ({_oracle_tpch_q3_bucketed()})
+    UNION ALL
+    SELECT 'tpch_bucketed', 'q18|' || o_orderkey, u.metric, u.value
+    FROM ({_oracle_tpch_q18_bucketed()}) s,
+         (VALUES ('total_qty_c'), ('price_cents'), ('c_custkey'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric
+                       WHEN 'total_qty_c' THEN floor(s.total_qty * 100 + 0.5)
+                       WHEN 'price_cents' THEN s.price_cents
+                       ELSE s.c_custkey END AS BIGINT) AS value) u
+    UNION ALL
     SELECT 'ann_serve', CAST(vec_id AS VARCHAR), u.metric, u.value
     FROM ({_oracle_ann_index_serve()}) s,
          (VALUES ('label'), ('cosine_e6')) AS m(metric),
@@ -2013,6 +2185,8 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_change_feed": q_change_feed,
     "q_table_clone": q_table_clone,
     "q_warehouse_snapshot": q_warehouse_snapshot,
+    "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
+    "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -2037,4 +2211,6 @@ SERVING_ORACLES: dict[str, str] = {
     "q_change_feed": ORACLE_CHANGE_FEED,
     "q_table_clone": ORACLE_TABLE_CLONE,
     "q_warehouse_snapshot": ORACLE_WAREHOUSE_SNAPSHOT,
+    "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
+    "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
 }
