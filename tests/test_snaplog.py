@@ -32,6 +32,69 @@ def tmpdir():
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.fixture(params=["mirror", "manifest"])
+def snap_mode(request, tmpdir, monkeypatch):
+    """Run the suite in BOTH retention modes (r10 verdict #3): every
+    bare init_snapshot_log in the test (and in the engine, e.g. the
+    clone seeding path) defaults to the active mode. Teardown asserts
+    the manifest mode made ZERO hard links — no retention mirror may
+    exist with files in it."""
+    import weatherflow_spark.operators.snaplog as S
+
+    real = S.init_snapshot_log
+    mode = request.param
+
+    def init_with_mode(path, mode=mode):
+        real(path, mode=mode)
+
+    monkeypatch.setattr(S, "init_snapshot_log", init_with_mode)
+    monkeypatch.setitem(globals(), "init_snapshot_log", init_with_mode)
+    yield mode
+    if mode == "manifest":
+        # Zero-hard-link audit: no MANIFEST-mode dataset may have put
+        # a single file into a retention mirror. (A mirror-mode
+        # dataset created explicitly inside a test — e.g. a clone of
+        # an unversioned source — keeps its links legitimately.)
+        for root, dirs, _ in os.walk(tmpdir):
+            for d in dirs:
+                if not d.endswith(".__retain"):
+                    continue
+                log_mode = os.path.join(
+                    root, d[: -len(".__retain")] + ".__snaplog", "MODE"
+                )
+                try:
+                    with open(log_mode) as fh:
+                        if fh.read().strip() != "manifest":
+                            continue
+                except OSError:
+                    continue
+                links = [
+                    f
+                    for r, _, fs in os.walk(os.path.join(root, d))
+                    for f in fs
+                ]
+                assert not links, (
+                    f"manifest mode hard-linked {len(links)} files "
+                    f"into {d} — the mirror must stay empty"
+                )
+
+
+def _live(spark, path):
+    """The table's CURRENT logical content: a raw directory read in
+    mirror mode (or for unversioned tables), the head version in
+    manifest mode — where the live tree also holds superseded files
+    that a raw read would double-count."""
+    from weatherflow_spark.operators.snaplog import (
+        read_version,
+        snapshot_mode,
+        versions as _vs,
+    )
+
+    if snapshot_mode(path) == "manifest" and _vs(path):
+        return read_version(spark, path)
+    return spark.read.parquet(path)
+
+
 def _digest(df):
     r = df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -60,7 +123,7 @@ def _build_versioned(spark, path):
     return orders, base, batch
 
 
-def test_commits_become_versions_and_time_travel_reads(spark, tmpdir):
+def test_commits_become_versions_and_time_travel_reads(spark, tmpdir, snap_mode):
     path = f"{tmpdir}/tt"
     orders, base, batch = _build_versioned(spark, path)
     assert snapshot_enabled(path)
@@ -77,12 +140,12 @@ def test_commits_become_versions_and_time_travel_reads(spark, tmpdir):
     ).unionByName(batch)
     v2 = read_version(spark, path, 2)
     assert _digest(v2) == _digest(merged)
-    assert _digest(v2) == _digest(spark.read.parquet(path))
+    assert _digest(v2) == _digest(_live(spark, path))
     # default = latest
     assert _digest(read_version(spark, path)) == _digest(v2)
 
 
-def test_versions_survive_compaction_and_replay(spark, tmpdir):
+def test_versions_survive_compaction_and_replay(spark, tmpdir, snap_mode):
     from weatherflow_spark.operators.layout import compact
 
     path = f"{tmpdir}/tt"
@@ -103,12 +166,24 @@ def test_versions_survive_compaction_and_replay(spark, tmpdir):
     assert _digest(read_version(spark, path, 4)) == d2
 
 
-def test_vacuum_bounds_history_and_gcs_files(spark, tmpdir):
+def test_vacuum_bounds_history_and_gcs_files(spark, tmpdir, snap_mode):
     path = f"{tmpdir}/tt"
     _build_versioned(spark, path)
     d2 = _digest(read_version(spark, path, 2))
-    retain = path + ".__retain"
-    n_before = sum(len(fs) for _, _, fs in os.walk(retain))
+    # vacuum's GC root differs by mode: the retention mirror holds the
+    # reclaimable files in mirror mode, the LIVE tree (superseded
+    # files accumulate there) in manifest mode.
+    gc_root = path + (".__retain" if snap_mode == "mirror" else "")
+
+    def _n_gc_files():
+        return sum(
+            1
+            for _, _, fs in os.walk(gc_root)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    n_before = _n_gc_files()
 
     out = vacuum_versions(path, keep_last=1)
     assert out["dropped_versions"] == 1
@@ -118,10 +193,11 @@ def test_vacuum_bounds_history_and_gcs_files(spark, tmpdir):
     assert _digest(read_version(spark, path, 2)) == d2
     with pytest.raises(ValueError, match="vacuumed"):
         read_version(spark, path, 1)
-    n_after = sum(len(fs) for _, _, fs in os.walk(retain))
+    n_after = _n_gc_files()
     assert n_after < n_before
-    # live table untouched
-    assert _digest(spark.read.parquet(path)) == d2
+    # logical head untouched (manifest-mode vacuum DOES sweep the
+    # superseded live files; the head content must not move)
+    assert _digest(_live(spark, path)) == d2
 
 
 def test_unversioned_tables_pay_nothing(spark, tmpdir):
@@ -138,7 +214,7 @@ def test_unversioned_tables_pay_nothing(spark, tmpdir):
         read_version(spark, path)
 
 
-def test_unpartitioned_table_round_trip(spark, tmpdir):
+def test_unpartitioned_table_round_trip(spark, tmpdir, snap_mode):
     path = f"{tmpdir}/flat"
     nation = load_table(spark, SF_SMALL, "nation")
     nation.write.mode("overwrite").parquet(path)
@@ -149,7 +225,7 @@ def test_unpartitioned_table_round_trip(spark, tmpdir):
     assert got.count() == nation.count()
 
 
-def test_emptied_partition_head_version_matches_live(spark, tmpdir):
+def test_emptied_partition_head_version_matches_live(spark, tmpdir, snap_mode):
     """r10 ADVICE fix (high): a CDC apply whose deletes EMPTY a
     partition must record the snapshot AFTER the emptied directory is
     removed — the head version previously still listed the deleted
@@ -184,7 +260,7 @@ def test_emptied_partition_head_version_matches_live(spark, tmpdir):
         partition_cols=["n_regionkey"],
     )
 
-    live = spark.read.parquet(path)
+    live = _live(spark, path)
     assert live.where(F.col("n_regionkey") == 0).count() == 0
     head = read_version(spark, path)  # latest version
     assert head.where(F.col("n_regionkey") == 0).count() == 0
@@ -195,7 +271,7 @@ def test_emptied_partition_head_version_matches_live(spark, tmpdir):
     ).count() == nation.where(F.col("n_regionkey") == 0).count()
 
 
-def test_unpartitioned_upsert_records_versions(spark, tmpdir):
+def test_unpartitioned_upsert_records_versions(spark, tmpdir, snap_mode):
     """r10 ADVICE fix (medium): unpartitioned upsert_by_key (and the
     seed branch) now route through the snapshot choke point — a full
     overwrite deletes the old files, so without a recorded version
@@ -220,7 +296,7 @@ def test_unpartitioned_upsert_records_versions(spark, tmpdir):
     )
 
 
-def test_partitioned_seed_and_cdc_record_versions(spark, tmpdir):
+def test_partitioned_seed_and_cdc_record_versions(spark, tmpdir, snap_mode):
     """Seed-branch + unpartitioned apply_changes coverage of the same
     choke-point contract (r10 ADVICE, medium)."""
     from weatherflow_spark.operators.upsert import apply_changes
@@ -246,7 +322,7 @@ def test_partitioned_seed_and_cdc_record_versions(spark, tmpdir):
     assert read_version(spark, flat, 1).count() == nation.count()
 
 
-def test_partition_commit_walks_only_touched_scope(spark, tmpdir):
+def test_partition_commit_walks_only_touched_scope(spark, tmpdir, snap_mode):
     """r9 verdict #4: the upsert/CDC choke points pass their touched
     partition list into record_commit(scope=...), so a one-partition
     micro-batch commit walks ONLY that partition directory — never the
@@ -313,7 +389,7 @@ def test_partition_commit_walks_only_touched_scope(spark, tmpdir):
     assert untouched_v1 <= v2_files
 
 
-def test_batch_keyed_commit_is_replay_idempotent(spark, tmpdir):
+def test_batch_keyed_commit_is_replay_idempotent(spark, tmpdir, snap_mode):
     """record_commit(batch_id=...) must mint exactly one version per
     batch id: a re-delivered micro-batch returns the original version
     instead of a duplicate (the foreachBatch exactly-once contract)."""
@@ -332,7 +408,7 @@ def test_batch_keyed_commit_is_replay_idempotent(spark, tmpdir):
     assert versions(path) == [1, 2]
 
 
-def test_pinned_reader_survives_concurrent_vacuum(spark, tmpdir):
+def test_pinned_reader_survives_concurrent_vacuum(spark, tmpdir, snap_mode):
     """r9 verdict #3: a reader pinned to version N survives a vacuum
     whose keep_last would drop N — the pin is taken under the dataset
     lock, vacuum honors it, and once released the next vacuum reclaims
@@ -369,9 +445,7 @@ def test_pinned_reader_survives_concurrent_vacuum(spark, tmpdir):
             raise AssertionError("must not yield for a vacuumed version")
 
 
-def test_streaming_versioned_upsert_replay_mints_no_duplicate_version(
-    spark, tmpdir
-):
+def test_streaming_versioned_upsert_replay_mints_no_duplicate_version(spark, tmpdir, snap_mode):
     """r9 verdict #7: the foreachBatch snapshot sink records exactly
     one version per micro-batch id — a re-delivered batch neither
     duplicates rows nor mints a duplicate version, and each version
@@ -399,14 +473,14 @@ def test_streaming_versioned_upsert_replay_mints_no_duplicate_version(
     sink(b0, 0)  # -> v1
     sink(b1, 1)  # -> v2
     assert versions(path) == [1, 2]
-    d2 = _digest(spark.read.parquet(path))
+    d2 = _digest(_live(spark, path))
 
     # at-least-once re-delivery of BOTH batches: no new versions, no
     # content change
     sink(b0, 0)
     sink(b1, 1)
     assert versions(path) == [1, 2]
-    assert _digest(spark.read.parquet(path)) == d2
+    assert _digest(_live(spark, path)) == d2
 
     # each version is the table as of that batch
     assert _digest(read_version(spark, path, 1)) == _digest(b0)
@@ -421,7 +495,7 @@ def test_streaming_versioned_upsert_replay_mints_no_duplicate_version(
     assert versions(path) == [1, 2, 3]
 
 
-def test_diff_versions_emits_exact_cdc_feed_and_round_trips(spark, tmpdir):
+def test_diff_versions_emits_exact_cdc_feed_and_round_trips(spark, tmpdir, snap_mode):
     """E91 (r10): diff_versions between two retained versions yields
     exactly the U/D feed that transforms the older into the newer —
     changed rows carry NEW values, deletes carry OLD rows (partition
@@ -448,7 +522,7 @@ def test_diff_versions_emits_exact_cdc_feed_and_round_trips(spark, tmpdir):
 
     # now delete some keys -> v3; diff(2,3) must be pure tombstones
     doomed = (
-        spark.read.parquet(path)
+        _live(spark, path)
         .where(F.col("o_orderkey") % 4 == 0)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
         .withColumn("op", F.lit("D"))
@@ -473,7 +547,7 @@ def test_diff_versions_emits_exact_cdc_feed_and_round_trips(spark, tmpdir):
     apply_changes(
         spark, feed13, rt, ["o_orderkey"], "op", ["o_orderpriority"]
     )
-    assert _digest(spark.read.parquet(rt)) == _digest(
+    assert _digest(_live(spark, rt)) == _digest(
         read_version(spark, path, 3)
     )
 
@@ -534,7 +608,7 @@ def test_delta_update_agg_matches_direct_reaggregation(spark):
     assert "d" in got  # new group created
 
 
-def test_streaming_version_trail_drives_incremental_aggregate(spark, tmpdir):
+def test_streaming_version_trail_drives_incremental_aggregate(spark, tmpdir, snap_mode):
     """Composition (r10): the E90 streaming version trail feeds E91
     diffs into E92 delta maintenance — a continuously-maintained
     aggregate that tracks a micro-batch stream without ever rescanning
@@ -627,12 +701,12 @@ def test_streaming_version_trail_drives_incremental_aggregate(spark, tmpdir):
     }
     want = {
         r.o_orderpriority: (r.n_rows, r.sum_cents, r.key_xor)
-        for r in direct(spark.read.parquet(path)).collect()
+        for r in direct(_live(spark, path)).collect()
     }
     assert got == want
 
 
-def test_batch_markers_collision_proof_and_crash_safe(spark, tmpdir):
+def test_batch_markers_collision_proof_and_crash_safe(spark, tmpdir, snap_mode):
     """r10 review fixes: (1) distinct batch ids that sanitize to the
     same name must not collide ('8.1' vs '8_1'); (2) the version
     entry is the replay-key source of truth — losing the marker file
@@ -671,7 +745,7 @@ def test_batch_markers_collision_proof_and_crash_safe(spark, tmpdir):
     assert committed_batch_version(path, "later") == v3
 
 
-def test_change_feed_streams_with_checkpoint_continuity(spark, tmpdir):
+def test_change_feed_streams_with_checkpoint_continuity(spark, tmpdir, snap_mode):
     """E95 (r10): the materialized change feed is stream-consumable —
     a file-source stream over the feed dir delivers every exported
     change, and after MORE versions are exported a resumed stream
@@ -739,7 +813,7 @@ def test_change_feed_streams_with_checkpoint_continuity(spark, tmpdir):
     )
 
 
-def test_change_feed_replicates_table_end_to_end(spark, tmpdir):
+def test_change_feed_replicates_table_end_to_end(spark, tmpdir, snap_mode):
     """E95 composition: streaming the materialized change feed into a
     replica via foreachBatch apply_changes reproduces the source table
     — CDC replication on plain parquet, replayed micro-batches and
@@ -784,13 +858,13 @@ def test_change_feed_replicates_table_end_to_end(spark, tmpdir):
         .start()
     )
     q.awaitTermination()
-    assert _digest(spark.read.parquet(replica)) == _digest(
-        spark.read.parquet(path)
+    assert _digest(_live(spark, replica)) == _digest(
+        _live(spark, path)
     )
 
     # source advances (incl. deletes); only the feed flows to the replica
     feed2 = (
-        spark.read.parquet(path)
+        _live(spark, path)
         .where(F.col("o_orderkey") % 4 == 0)
         .withColumn("op", F.lit("D"))
     )
@@ -806,12 +880,12 @@ def test_change_feed_replicates_table_end_to_end(spark, tmpdir):
         .start()
     )
     q.awaitTermination()
-    assert _digest(spark.read.parquet(replica)) == _digest(
-        spark.read.parquet(path)
+    assert _digest(_live(spark, replica)) == _digest(
+        _live(spark, path)
     )
 
 
-def test_export_marker_and_partial_export_recovery(spark, tmpdir):
+def test_export_marker_and_partial_export_recovery(spark, tmpdir, snap_mode):
     """r10 third-review fixes: a crashed partial export (directory
     exists, no completion marker) is re-exported instead of skipped
     forever; the marker is the engine's own file, independent of the
@@ -869,7 +943,7 @@ def test_export_marker_and_partial_export_recovery(spark, tmpdir):
         )
 
 
-def test_clone_table_zero_copy_and_divergence_isolation(spark, tmpdir):
+def test_clone_table_zero_copy_and_divergence_isolation(spark, tmpdir, snap_mode):
     """E96 (r10): shallow clone hard-links the source's files (same
     inodes — zero copy), refuses non-empty destinations, diverges
     safely in BOTH directions (writers replace files, never modify
@@ -938,3 +1012,36 @@ def test_clone_table_zero_copy_and_divergence_isolation(spark, tmpdir):
         fh.write("x")
     with pytest.raises(ValueError, match="not a directory"):
         clone_table(src, f_dst)
+
+    # manifest-mode source (r11): the live tree holds SUPERSEDED
+    # files — the clone must be the head version's file list, not the
+    # raw walk, and with_history inherits the manifest mode (so the
+    # clone links zero files into any mirror).
+    if snap_mode == "manifest":
+        msrc = f"{tmpdir}/msrc"
+        nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(
+            msrc
+        )
+        init_snapshot_log(msrc)  # -> manifest via the fixture default
+        from weatherflow_spark.operators.snaplog import record_commit
+
+        record_commit(msrc)  # v1
+        mb = nation.limit(4).withColumn("n_name", F.lower(F.col("n_name")))
+        upsert_by_key(spark, mb, msrc, ["n_nationkey"], ["n_regionkey"])
+        # the live tree now holds v1's superseded files too
+        n_live = sum(
+            1
+            for r, _, fs in os.walk(msrc)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        mdst = f"{tmpdir}/mdst"
+        n_cloned = clone_table(msrc, mdst, with_history=True)
+        assert n_cloned < n_live, "clone copied superseded files"
+        assert _live(spark, mdst).count() == nation.count()
+        assert (
+            _live(spark, mdst)
+            .where(F.col("n_name") == F.lower(F.col("n_name")))
+            .count()
+            == 4
+        )

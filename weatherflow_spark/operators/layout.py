@@ -63,6 +63,101 @@ def parquet_files(path: str) -> list[str]:
     ]
 
 
+def _compact_out(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int,
+    sort_col: str | None,
+) -> DataFrame:
+    """The compacted-output plan for a MANIFEST-mode table: source =
+    the head version's file list (the live tree also holds superseded
+    files, which must neither be read nor counted toward sizing)."""
+    import json as _json
+
+    from weatherflow_spark.operators.snaplog import (
+        _entry_path,
+        read_version,
+        versions,
+    )
+
+    with open(_entry_path(path, versions(path)[-1])) as f:
+        entry = _json.load(f)
+    total_bytes = sum(max(int(sz), 0) for _, sz in entry["files"])
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = read_version(spark, path)
+    if sort_col is not None:
+        return df.repartitionByRange(
+            n_files, F.col(sort_col)
+        ).sortWithinPartitions(sort_col)
+    return df.repartition(n_files)
+
+
+def _manifest_rewrite(
+    spark: SparkSession,
+    path: str,
+    out: DataFrame,
+    partition_cols: list[str] | None = None,
+    _before_swap=None,
+) -> int:
+    """Manifest-mode full-table rewrite commit (shared by compaction
+    and the widen rewrite): write ``out`` to a sibling scratch, then —
+    under the dataset lock, after the same optimistic file-set
+    validation as the mirror-mode swap — MOVE the new files into the
+    live tree (job-unique names, no collisions) and record a version
+    listing only them. Nothing is deleted: superseded files stay
+    readable for every retained version until vacuum, which is the
+    object-store contract (immutable PUTs + manifest commit +
+    deferred deletes). Returns the new file count."""
+    from weatherflow_spark.operators.commit import (
+        CompactionConflict,
+        dataset_lock,
+        dataset_snapshot,
+    )
+    from weatherflow_spark.operators.snaplog import record_commit
+
+    snap0 = dataset_snapshot(path)
+    tmp = path.rstrip("/") + "__rewriting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    committed = False
+    try:
+        writer = out.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
+        if _before_swap is not None:
+            _before_swap()
+        with dataset_lock(path):
+            if dataset_snapshot(path) != snap0:
+                raise CompactionConflict(
+                    f"{path}: dataset changed during the rewrite; re-run"
+                )
+            moved: list[tuple[str, int]] = []
+            for root, _, files in os.walk(tmp):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, tmp)
+                    dst = os.path.join(path, rel)
+                    parent = os.path.dirname(dst)
+                    if parent:
+                        os.makedirs(parent, exist_ok=True)
+                    size = os.path.getsize(full)
+                    os.rename(full, dst)
+                    moved.append((rel, size))
+            record_commit(path, files=sorted(moved))
+            committed = True
+        return len(moved)
+    finally:
+        # Success leaves only empty dirs in tmp; every failure exit
+        # (conflict, mid-write crash) reclaims the whole scratch. A
+        # crash BETWEEN moves strands already-moved files in the live
+        # tree with no version referencing them — garbage that vacuum
+        # sweeps, the documented manifest-mode failure shape.
+        del committed
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -97,6 +192,13 @@ def compact(
         dataset_lock,
         dataset_snapshot,
     )
+    from weatherflow_spark.operators.snaplog import snapshot_mode
+
+    if snapshot_mode(path) == "manifest":
+        return _manifest_rewrite(
+            spark, path, _compact_out(spark, path, target_file_bytes, sort_col),
+            _before_swap=_before_swap,
+        )
 
     snap0 = dataset_snapshot(path)
     # Per-file guard: a concurrent dynamic overwrite can delete a part
@@ -229,8 +331,17 @@ def rewrite_widen(
         dataset_lock,
         dataset_snapshot,
     )
+    from weatherflow_spark.operators.snaplog import (
+        read_version,
+        snapshot_mode,
+        versions,
+    )
 
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    manifest = snapshot_mode(path) == "manifest"
+    if manifest and versions(path):
+        df = read_version(spark, path)  # superseded files must not be read
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
     types = dict(df.dtypes)
     for col, target in widen.items():
         if col not in types:
@@ -250,7 +361,6 @@ def rewrite_widen(
                 f"widening (allowed from {cur}: "
                 f"{sorted(t for c, t in _WIDENINGS if c == cur) or 'none'})"
             )
-    snap0 = dataset_snapshot(path)
     out = df.select(
         *[
             F.col(c).cast(widen[c]).alias(c)
@@ -259,6 +369,12 @@ def rewrite_widen(
             for c in df.columns
         ]
     )
+    if manifest:
+        # Object-store form: no swap — new files move in, a version
+        # lists only them, old footers stay readable for time travel.
+        _manifest_rewrite(spark, path, out, partition_cols)
+        return
+    snap0 = dataset_snapshot(path)
     tmp = path.rstrip("/") + "__widening"
     old = path.rstrip("/") + "__old_widen"
     swapped = False

@@ -89,10 +89,55 @@ def snapshot_enabled(path: str) -> bool:
     return os.path.isdir(_log_dir(path))
 
 
-def init_snapshot_log(path: str) -> None:
-    """Opt this dataset into versioned commits (idempotent)."""
+def snapshot_mode(path: str) -> str | None:
+    """``"mirror"`` (hard-linked retention store), ``"manifest"``
+    (object-store form: the log's file list IS the snapshot, no
+    links), or None when the dataset has no snapshot log."""
+    if not snapshot_enabled(path):
+        return None
+    try:
+        with open(os.path.join(_log_dir(path), "MODE")) as f:
+            return f.read().strip() or "mirror"
+    except OSError:
+        return "mirror"  # pre-r11 logs carry no MODE file
+
+
+def init_snapshot_log(path: str, mode: str = "mirror") -> None:
+    """Opt this dataset into versioned commits (idempotent).
+
+    ``mode="mirror"`` (default, the local/HDFS form): every committed
+    file is hard-linked into a retention store sibling, so versions
+    survive writers that physically delete replaced files.
+
+    ``mode="manifest"`` (the object-store form, r10 verdict #3): no
+    links, no mirror — each version entry's file list IS the
+    snapshot, read straight from the LIVE tree (the Iceberg
+    manifest-list shape). This requires writers that NEVER delete
+    committed files until vacuum; the engine's write choke points
+    detect the mode and switch to append-new-files + logical-replace
+    (operators/upsert.py), compaction moves its output in without
+    removing the input (operators/layout.py), and
+    :func:`vacuum_versions` becomes the ONLY deleter — it unlinks
+    live files referenced by no surviving version. On S3-class
+    storage this is the mode that runs as-is: immutable PUTs, list
+    from the manifest, deferred deletes."""
+    if mode not in ("mirror", "manifest"):
+        raise ValueError(f"unknown snapshot mode {mode!r}")
+    prior = snapshot_mode(path)
+    if prior is not None and prior != mode:
+        raise ValueError(
+            f"{path}: snapshot log already initialised in {prior!r} mode; "
+            "switching modes mid-history is not supported"
+        )
     os.makedirs(_log_dir(path), exist_ok=True)
-    os.makedirs(_retain_dir(path), exist_ok=True)
+    if mode == "mirror":
+        os.makedirs(_retain_dir(path), exist_ok=True)
+    mode_file = os.path.join(_log_dir(path), "MODE")
+    if not os.path.isfile(mode_file):
+        tmp = mode_file + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(mode + "\n")
+        os.replace(tmp, mode_file)
 
 
 def _entry_path(path: str, version: int) -> str:
@@ -229,6 +274,7 @@ def record_commit(
         raise ValueError(
             f"{path}: snapshot log not initialised (init_snapshot_log)"
         )
+    manifest = snapshot_mode(path) == "manifest"
     with dataset_lock(path):
         if batch_id is not None:
             prior = committed_batch_version(path, batch_id)
@@ -239,6 +285,18 @@ def record_commit(
             listed = [tuple(x) for x in files]
             to_link = listed
         elif scope is not None and vs:
+            if manifest:
+                # A manifest-mode writer never deletes, so touched
+                # directories still hold the SUPERSEDED files — a
+                # scoped walk would list them as live and the new
+                # version would resurrect replaced rows. Manifest
+                # writers know their exact file set (append before /
+                # after diff at the choke point) and must pass it.
+                raise ValueError(
+                    f"{path}: scope-based commits are mirror-mode "
+                    "only; manifest-mode writers must pass the "
+                    "complete files= list"
+                )
             touched = _walk_data_files(path, subdirs=scope)
             prefixes = tuple(s.rstrip("/") + "/" for s in scope)
             with open(_entry_path(path, vs[-1])) as f:
@@ -252,8 +310,15 @@ def record_commit(
             # need links.
             to_link = touched
         else:
+            # Full walk: every on-disk data file is live. True for
+            # bulk builds and seeds in both modes; in manifest mode a
+            # post-seed full walk is only correct right after a
+            # vacuum (no superseded files on disk) — the engine's
+            # writers all pass files= after the seed.
             listed = _walk_data_files(path)
             to_link = listed
+        if manifest:
+            to_link = []  # the file list IS the snapshot; nothing to copy
         retain = _retain_dir(path)
         for rel, _size in to_link:
             dst = os.path.join(retain, rel)
@@ -362,8 +427,16 @@ def read_version(
         )
     with open(_entry_path(path, version)) as f:
         entry = json.load(f)
-    retain = _retain_dir(path)
-    paths = [os.path.join(retain, rel) for rel, _ in entry["files"]]
+    # Manifest mode: the entry's file list IS the snapshot — read it
+    # straight from the LIVE tree (writers never delete committed
+    # files until vacuum, the object-store contract). Mirror mode
+    # reads the hard-linked retention store.
+    base = (
+        path.rstrip("/")
+        if snapshot_mode(path) == "manifest"
+        else _retain_dir(path)
+    )
+    paths = [os.path.join(base, rel) for rel, _ in entry["files"]]
     if not paths:
         raise ValueError(f"{path}: version {version} recorded no files")
     # mergeSchema: an E94 add-column evolution leaves untouched
@@ -372,7 +445,7 @@ def read_version(
     # column from time-travel results (r10 review). Merging is
     # footer-metadata work over an explicitly bounded file list.
     return (
-        spark.read.option("basePath", retain)
+        spark.read.option("basePath", base)
         .option("mergeSchema", "true")
         .parquet(*paths)
     )
@@ -490,7 +563,16 @@ def clone_table(src: str, dst: str, with_history: bool = False) -> int:
             os.unlink(dst.rstrip("/") + ".__versions.json")
         except OSError:
             pass
-        for rel, _size in _walk_data_files(src):
+        if snapshot_mode(src) == "manifest" and versions(src):
+            # A manifest-mode live tree also holds SUPERSEDED files
+            # (writers never delete until vacuum) — the clone must be
+            # the head VERSION's file list, not the raw walk, or it
+            # would resurrect replaced rows.
+            with open(_entry_path(src, versions(src)[-1])) as f:
+                src_files = [tuple(x) for x in json.load(f)["files"]]
+        else:
+            src_files = _walk_data_files(src)
+        for rel, _size in src_files:
             d = os.path.join(dst, rel)
             parent = os.path.dirname(d)
             if parent:
@@ -506,7 +588,10 @@ def clone_table(src: str, dst: str, with_history: bool = False) -> int:
                 shutil.copy2(os.path.join(src, rel), d)
             n += 1
     if with_history:
-        init_snapshot_log(dst)
+        # The clone inherits the source's retention mode: its tree is
+        # exactly one clean version's files, so the seed full-walk is
+        # correct in both modes.
+        init_snapshot_log(dst, mode=snapshot_mode(src) or "mirror")
         record_commit(dst)
     return n
 
@@ -806,16 +891,28 @@ def vacuum_versions(
                     except OSError:
                         pass
         removed = 0
-        retain = _retain_dir(path)
-        for root, _, files in os.walk(retain, topdown=False):
+        if snapshot_mode(path) == "manifest":
+            # Manifest mode: vacuum is the ONE deleter — unlink LIVE
+            # data files no surviving version references (writers
+            # only ever add; superseded files accumulate until here).
+            # Runs under the dataset lock, and writers commit under
+            # the same lock, so no uncommitted-but-live file can be
+            # swept except a crashed writer's orphans — which are
+            # garbage by definition.
+            gc_root = path.rstrip("/")
+        else:
+            gc_root = _retain_dir(path)
+        for root, _, files in os.walk(gc_root, topdown=False):
             for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # markers/CRCs are not data files
                 full = os.path.join(root, f)
-                if os.path.relpath(full, retain) not in referenced:
+                if os.path.relpath(full, gc_root) not in referenced:
                     try:
                         os.unlink(full)
                         removed += 1
                     except OSError:
                         pass
-            if root != retain and not os.listdir(root):
+            if root != gc_root and not os.listdir(root):
                 os.rmdir(root)
         return {"dropped_versions": len(drop), "removed_files": removed}

@@ -57,12 +57,116 @@ def _record_snapshot(
         record_commit(path, scope=scope, batch_id=batch_id)
 
 
+def _manifest_mode(path: str) -> bool:
+    from weatherflow_spark.operators.snaplog import snapshot_mode
+
+    return snapshot_mode(path) == "manifest"
+
+
+def _manifest_overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    replaced_keys: list[str],
+    snapshot_batch_id: object | None,
+) -> None:
+    """The manifest-mode (object-store) form of the partition
+    overwrite: committed files are NEVER deleted — the batch is
+    APPENDED under job-unique part names and the logical replace
+    happens in the version entry (new version = previous entry minus
+    every replaced partition's files, plus exactly the files this
+    append created). ``replaced_keys`` is the full replaced set —
+    the partitions present in ``df`` plus any partitions a delete
+    emptied (present in neither the output nor the new file walk, so
+    the carve-out is the only thing that removes them). Runs under
+    the dataset lock; superseded files stay on disk for time travel
+    until :func:`~weatherflow_spark.operators.snaplog.
+    vacuum_versions` sweeps them."""
+    import json
+
+    from weatherflow_spark.operators.commit import (
+        check_and_bump_versions,
+        dataset_lock,
+        partition_key,
+    )
+    from weatherflow_spark.operators.snaplog import (
+        _entry_path,
+        _walk_data_files,
+        record_commit,
+        versions,
+    )
+
+    spark = df.sparkSession
+    with dataset_lock(path):
+        keys = [
+            partition_key(
+                partition_cols, tuple(r[c] for c in partition_cols)
+            )
+            for r in df.select(*partition_cols).distinct().collect()
+        ]
+        all_replaced = sorted(set(keys) | set(replaced_keys))
+        before = set(_walk_data_files(path, subdirs=all_replaced))
+        df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+        after = set(_walk_data_files(path, subdirs=all_replaced))
+        new_files = sorted(after - before)
+        vs = versions(path)
+        if not vs:
+            raise ValueError(
+                f"{path}: manifest-mode table has no seed version — "
+                "record_commit the initial build first"
+            )
+        with open(_entry_path(path, vs[-1])) as f:
+            prev = json.load(f)["files"]
+        prefixes = tuple(k.rstrip("/") + "/" for k in all_replaced)
+        carried = [
+            (r, sz) for r, sz in prev if not r.startswith(prefixes)
+        ]
+        check_and_bump_versions(path, all_replaced)
+        record_commit(
+            path,
+            files=carried + new_files,
+            batch_id=snapshot_batch_id,
+        )
+
+
+def _manifest_full_replace(
+    merged: DataFrame,
+    path: str,
+    keys: list[str],
+    snapshot_batch_id: object | None,
+) -> None:
+    """Manifest-mode unpartitioned full overwrite: append the new
+    content under job-unique names and record a version listing ONLY
+    the appended files (full-replace semantics carry nothing) — the
+    old files stay on disk for time travel until vacuum."""
+    from weatherflow_spark.operators.commit import (
+        check_and_bump_versions,
+        dataset_lock,
+    )
+    from weatherflow_spark.operators.snaplog import (
+        _walk_data_files,
+        record_commit,
+    )
+
+    with dataset_lock(path):
+        before = set(_walk_data_files(path))
+        merged.write.mode("append").parquet(path)
+        after = set(_walk_data_files(path))
+        check_and_bump_versions(path, keys)
+        record_commit(
+            path,
+            files=sorted(after - before),
+            batch_id=snapshot_batch_id,
+        )
+
+
 def overwrite_partitions(
     df: DataFrame,
     path: str,
     partition_cols: list[str],
     record_snapshot: bool = True,
     snapshot_batch_id: object | None = None,
+    replaced_keys: list[str] | None = None,
 ) -> None:
     """Replace exactly the partitions present in ``df`` (INSERT
     OVERWRITE semantics), leaving all other partitions' files
@@ -84,6 +188,18 @@ def overwrite_partitions(
         dataset_lock,
         partition_key,
     )
+
+    if _manifest_mode(path):
+        # Object-store discipline: append + logical replace, no
+        # physical delete of committed files. record_snapshot=False
+        # has no meaning here — there is no emptied-dir rmtree to
+        # defer past, the carve-out already excludes emptied
+        # partitions — so the version is always recorded here.
+        _manifest_overwrite_partitions(
+            df, path, partition_cols, replaced_keys or [],
+            snapshot_batch_id,
+        )
+        return
 
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -225,10 +341,18 @@ def _read_and_evolve(
     :func:`weatherflow_spark.operators.layout.rewrite_widen` (one
     partition-preserving validate-and-swap rewrite, r11; upserts with
     the wide type are accepted afterwards)."""
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    current = reader.parquet(path)
+    if _manifest_mode(path):
+        # A manifest-mode live tree also holds superseded files — the
+        # ONLY correct read is the head version's file list (always
+        # schema-merged, the read_version contract).
+        from weatherflow_spark.operators.snaplog import read_version
+
+        current = read_version(spark, path)
+    else:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        current = reader.parquet(path)
     inc_types = dict(incoming.dtypes)
     if merge_schema:
         cur_lower = {c.lower(): c for c in current.columns}
@@ -394,6 +518,8 @@ def _upsert_locked(
             merged, path, partition_cols,
             snapshot_batch_id=snapshot_batch_id,
         )
+    elif _manifest_mode(path):
+        _manifest_full_replace(merged, path, keys, snapshot_batch_id)
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
@@ -543,6 +669,22 @@ def _apply_changes_locked(
             for r in merged.select(*partition_cols).distinct().collect()
         }
         emptied = [t for t in touched if t not in remaining]
+        if _manifest_mode(path):
+            # Manifest mode needs no rmtree and no deferred record:
+            # passing the emptied partitions as replaced_keys carves
+            # their files out of the new version's list — the logical
+            # delete IS the manifest change, the files stay for time
+            # travel until vacuum.
+            from weatherflow_spark.operators.commit import partition_key
+
+            overwrite_partitions(
+                merged, path, partition_cols,
+                snapshot_batch_id=snapshot_batch_id,
+                replaced_keys=[
+                    partition_key(partition_cols, t) for t in emptied
+                ],
+            )
+            return
         # takes the lock; bumps the MERGED partitions' versions. When
         # deletes empty a partition the commit is NOT complete until
         # the emptied directories are removed below — defer the
@@ -583,6 +725,8 @@ def _apply_changes_locked(
                     ],
                     batch_id=snapshot_batch_id,
                 )
+    elif _manifest_mode(path):
+        _manifest_full_replace(merged, path, keys, snapshot_batch_id)
     else:
         with dataset_lock(path):
             merged.write.mode("overwrite").parquet(path)
