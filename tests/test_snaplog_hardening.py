@@ -44,7 +44,10 @@ def test_escape_path_name_matches_spark_layout(spark, tmpdir):
     )
 
     path = f"{tmpdir}/layout"
-    vals = ["g:0", "a/b", "p%q", "x=y", "h#1", "plain"]
+    # "" rides along: Spark routes the EMPTY STRING to the default
+    # partition dir exactly like NULL (r11 review) — a bare `grp=`
+    # key would match nothing on disk.
+    vals = ["g:0", "a/b", "p%q", "x=y", "h#1", "plain", ""]
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vals)], "k long, grp string"
     )
@@ -258,7 +261,7 @@ def test_apply_changes_deferred_snapshot_stays_locked(spark, tmpdir, monkeypatch
     )
     assert read_version(spark, path).count() == 5  # head matches live
 
-    with pytest.raises(AssertionError, match="requires the caller"):
+    with pytest.raises(RuntimeError, match="requires the caller"):
         upsert_mod._apply_changes_locked(
             spark, changes, path, ["k"], "op", ["grp"]
         )

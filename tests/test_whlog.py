@@ -173,3 +173,65 @@ def test_pinned_load_survives_vacuum_and_stale_load_raises(spark, wh):
     with pytest.raises(ValueError, match="version"):
         read_warehouse(spark, wh, 1)
     assert _joined_digest(read_warehouse(spark, wh, 2))[0] == 30
+
+
+def test_manifest_mode_member_reuses_head_never_raw_walk(spark, wh):
+    """A manifest-mode member's live tree holds superseded files; the
+    warehouse commit must record the HEAD version, never a raw walk
+    that would resurrect replaced rows (r11 review)."""
+    from weatherflow_spark.operators.snaplog import init_snapshot_log, record_commit
+
+    _seed(spark, wh)
+    fact_p = os.path.join(wh, "fact")
+    init_snapshot_log(fact_p, mode="manifest")
+    record_commit(fact_p)  # seed v1
+    # replace k=1 through the keyed choke point: old file stays on disk
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 0, 999.0)], "k long, cust long, amt double"),
+        fact_p,
+        ["k"],
+    )
+    assert versions(fact_p) == [1, 2]
+    commit_warehouse(wh, ["fact", "dim"])
+    e = load_entry(wh, 1)
+    assert e["tables"]["fact"] == 2  # head reused, nothing minted
+    t1 = read_warehouse(spark, wh, 1)
+    assert t1["fact"].count() == 30  # no resurrected duplicates
+    assert t1["fact"].where("k = 1").count() == 1
+    assert t1["fact"].where("k = 1").first().amt == 999.0
+
+
+def test_vacuum_warehouse_keeps_retained_loads_readable(spark, wh):
+    """Load-aware vacuum (r11): per-table vacuum_versions is
+    load-blind and can drop versions older load entries reference;
+    vacuum_warehouse keeps every version the surviving loads point at
+    and drops everything else."""
+    from weatherflow_spark.operators.whlog import vacuum_warehouse
+
+    _seed(spark, wh)
+    commit_warehouse(wh, ["fact", "dim"])  # load 1
+    for i in range(2, 5):  # loads 2..4, fact mutates each time
+        upsert_by_key(
+            spark,
+            spark.createDataFrame(
+                [(1, 0, float(i))], "k long, cust long, amt double"
+            ),
+            os.path.join(wh, "fact"),
+            ["k"],
+        )
+        commit_warehouse(wh, ["fact", "dim"])
+    assert warehouse_loads(wh) == [1, 2, 3, 4]
+    assert versions(os.path.join(wh, "fact")) == [1, 2, 3, 4]
+
+    out = vacuum_warehouse(wh, keep_last_loads=2)
+    assert out["__loads__"]["dropped_loads"] == 2
+    assert warehouse_loads(wh) == [3, 4]
+    # fact keeps exactly the versions loads 3 and 4 reference
+    assert versions(os.path.join(wh, "fact")) == [3, 4]
+    # both retained loads still read consistently
+    assert read_warehouse(spark, wh, 3)["fact"].where("k = 1").first().amt == 3.0
+    assert read_warehouse(spark, wh, 4)["fact"].where("k = 1").first().amt == 4.0
+    # the dropped load fails deterministically
+    with pytest.raises(ValueError, match="load"):
+        read_warehouse(spark, wh, 1)

@@ -98,7 +98,12 @@ def bucketed_warehouse(
         + f"_{os.getpid()}"
     )
     t_li, t_ord = f"wf_bw_lineitem_{tag}", f"wf_bw_orders_{tag}"
-    base = os.path.join(scratch_base, "bucketed_wh")
+    # The data dir carries the SAME (sf, pid) tag as the table names:
+    # a shared base under a caller-chosen scratch_base would let a
+    # second process (or a second sf in this process) rmtree the live
+    # files backing the first one's still-registered external tables
+    # (r11 review).
+    base = os.path.join(scratch_base, f"bucketed_wh_{tag}")
     marker = os.path.join(base, "_WF_BUILT")
     if (
         os.path.isfile(marker)

@@ -318,16 +318,18 @@ def escape_path_name(s: str) -> str:
 def partition_key(partition_cols: list[str] | None, values: tuple) -> str:
     """Canonical manifest key for one partition — the hive directory
     form exactly as Spark writes it (``c1=v1/c2=v2``, values
-    hive-escaped via :func:`escape_path_name`; NULL →
-    ``__HIVE_DEFAULT_PARTITION__``), or ``__TABLE__`` for an
-    unpartitioned table."""
+    hive-escaped via :func:`escape_path_name`; NULL **and the empty
+    string** → ``__HIVE_DEFAULT_PARTITION__``, matching Spark's
+    getPartitionPathString, which routes both to the default
+    partition — a bare ``c=`` key would match nothing on disk, r11
+    review), or ``__TABLE__`` for an unpartitioned table."""
     if not partition_cols:
         return "__TABLE__"
     return "/".join(
         f"{escape_path_name(c)}="
         + (
             "__HIVE_DEFAULT_PARTITION__"
-            if v is None
+            if v is None or str(v) == ""
             else escape_path_name(str(v))
         )
         for c, v in zip(partition_cols, values)

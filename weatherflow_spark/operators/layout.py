@@ -63,6 +63,57 @@ def parquet_files(path: str) -> list[str]:
     ]
 
 
+def _manifest_table_root(path: str) -> str | None:
+    """The manifest-mode table root ``path`` sits inside (itself
+    included), or None. Guards the per-partition-directory rewrite
+    idiom: a subdirectory of a manifest table has no snapshot log of
+    its own, so a naive mode check would route it through the
+    mirror-mode swap and physically DELETE files every retained
+    version still references — with no mirror links to fall back on
+    (r11 review)."""
+    from weatherflow_spark.operators.snaplog import snapshot_mode
+
+    p = os.path.abspath(path.rstrip("/"))
+    while True:
+        if snapshot_mode(p) == "manifest":
+            return p
+        parent = os.path.dirname(p)
+        if parent == p:
+            return None
+        p = parent
+
+
+def _head_partition_cols(path: str) -> list[str] | None:
+    """The hive partition column sequence of a manifest table's HEAD
+    version, inferred from its file list (``c1=v1/c2=v2/part-…``), or
+    None for an unpartitioned layout. Raises on a mixed layout — a
+    rewrite that guessed wrong would flatten the table and break
+    every later partition carve-out (r11 review)."""
+    import json as _json
+
+    from weatherflow_spark.operators.snaplog import _entry_path, versions
+
+    with open(_entry_path(path, versions(path)[-1])) as f:
+        files = _json.load(f)["files"]
+
+    def cols_of(rel: str) -> list[str]:
+        return [
+            d.split("=", 1)[0]
+            for d in rel.split("/")[:-1]
+            if "=" in d
+        ]
+
+    first = cols_of(files[0][0])
+    for rel, _ in files:
+        if cols_of(rel) != first:
+            raise ValueError(
+                f"{path}: head version mixes partition layouts "
+                f"({cols_of(rel)} vs {first}) — cannot infer a "
+                "partition-preserving rewrite"
+            )
+    return first or None
+
+
 def _compact_out(
     spark: SparkSession,
     path: str,
@@ -118,7 +169,6 @@ def _manifest_rewrite(
     snap0 = dataset_snapshot(path)
     tmp = path.rstrip("/") + "__rewriting"
     shutil.rmtree(tmp, ignore_errors=True)
-    committed = False
     try:
         writer = out.write.mode("overwrite")
         if partition_cols:
@@ -146,15 +196,14 @@ def _manifest_rewrite(
                     os.rename(full, dst)
                     moved.append((rel, size))
             record_commit(path, files=sorted(moved))
-            committed = True
         return len(moved)
     finally:
-        # Success leaves only empty dirs in tmp; every failure exit
-        # (conflict, mid-write crash) reclaims the whole scratch. A
-        # crash BETWEEN moves strands already-moved files in the live
-        # tree with no version referencing them — garbage that vacuum
-        # sweeps, the documented manifest-mode failure shape.
-        del committed
+        # Unconditional: success leaves only empty dirs in tmp; every
+        # failure exit (conflict, mid-write crash) reclaims the whole
+        # scratch. A crash BETWEEN moves strands already-moved files
+        # in the live tree with no version referencing them — garbage
+        # that vacuum sweeps, the documented manifest-mode failure
+        # shape.
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -194,9 +243,21 @@ def compact(
     )
     from weatherflow_spark.operators.snaplog import snapshot_mode
 
+    root = _manifest_table_root(path)
+    if root is not None and root != os.path.abspath(path.rstrip("/")):
+        raise ValueError(
+            f"{path}: inside the manifest-mode table {root} — compact "
+            "the table root; a subdirectory swap would delete files "
+            "retained versions still reference"
+        )
     if snapshot_mode(path) == "manifest":
+        # Partition-preserving: the flattened mirror-style rewrite
+        # would leave root-level files no partition carve-out ever
+        # matches — every later overwrite would resurrect replaced
+        # rows (r11 review).
         return _manifest_rewrite(
             spark, path, _compact_out(spark, path, target_file_bytes, sort_col),
+            partition_cols=_head_partition_cols(path),
             _before_swap=_before_swap,
         )
 
@@ -337,6 +398,13 @@ def rewrite_widen(
         versions,
     )
 
+    root = _manifest_table_root(path)
+    if root is not None and root != os.path.abspath(path.rstrip("/")):
+        raise ValueError(
+            f"{path}: inside the manifest-mode table {root} — widen "
+            "the table root; a subdirectory swap would delete files "
+            "retained versions still reference"
+        )
     manifest = snapshot_mode(path) == "manifest"
     if manifest and versions(path):
         df = read_version(spark, path)  # superseded files must not be read

@@ -351,6 +351,39 @@ def record_commit(
         return n
 
 
+def prelink_retained(path: str) -> int:
+    """Best-effort, LOCK-FREE pre-linking of the live tree into the
+    retention mirror (mirror mode only; manifest-mode no-op). Linking
+    is idempotent and additive — a pre-linked file that a later write
+    supersedes is just an unreferenced link vacuum sweeps — so this
+    can run with no lock at all. Multi-table commits
+    (operators/whlog.py) call it BEFORE taking every member's lock,
+    shrinking the all-locks-held window to the listing delta + entry
+    writes instead of a full first-commit link pass (r11 review).
+    Returns the number of files linked."""
+    if snapshot_mode(path) != "mirror":
+        return 0
+    retain = _retain_dir(path)
+    n = 0
+    for rel, _size in _walk_data_files(path):
+        dst = os.path.join(retain, rel)
+        if os.path.exists(dst):
+            continue
+        parent = os.path.dirname(dst)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        src = os.path.join(path, rel)
+        try:
+            os.link(src, dst)
+        except OSError:
+            try:
+                shutil.copy2(src, dst)
+            except OSError:
+                continue  # vanished mid-walk; the locked commit decides
+        n += 1
+    return n
+
+
 def pinned_versions(path: str) -> set[int]:
     """Versions currently pinned by live readers (vacuum keeps them)."""
     try:
@@ -816,7 +849,10 @@ def read_change_feed(
 
 
 def vacuum_versions(
-    path: str, keep_last: int = 1, require_exported: str | None = None
+    path: str,
+    keep_last: int = 1,
+    require_exported: str | None = None,
+    keep_versions: set[int] | None = None,
 ) -> dict[str, int]:
     """Bound history: keep only the newest ``keep_last`` versions'
     log entries — plus every version a live reader holds pinned via
@@ -834,6 +870,11 @@ def vacuum_versions(
     committed in the feed (v+1's diff can never be derived again
     otherwise). Vacuum raises, dropping nothing, when any candidate
     fails that check — run ``export_change_feed`` first.
+
+    ``keep_versions`` is an EXTRA keep-set beyond ``keep_last`` and
+    the pins — the hook warehouse-level vacuum uses to protect every
+    version a retained logical load still references
+    (:func:`~weatherflow_spark.operators.whlog.vacuum_warehouse`).
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -842,6 +883,8 @@ def vacuum_versions(
     with dataset_lock(path):
         vs = versions(path)
         pinned = pinned_versions(path)
+        if keep_versions:
+            pinned = pinned | set(keep_versions)
         drop = [v for v in vs[:-keep_last] if v not in pinned]
         if require_exported is not None and drop:
             exported = exported_feed_versions(require_exported)

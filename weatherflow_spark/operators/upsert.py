@@ -458,10 +458,14 @@ def _upsert_locked(
 
     # Same lock contract as _apply_changes_locked: the whole
     # read-modify-write must run inside the caller's hold.
-    assert _commit._HELD.get(_commit._lock_path(path), 0) > 0, (
-        f"{path}: _upsert_locked requires the caller to hold the "
-        "dataset lock (use upsert_by_key)"
-    )
+    if not _commit._HELD.get(_commit._lock_path(path), 0) > 0:
+        # RuntimeError, not assert: python -O would compile an assert
+        # away and silently reopen the deferred-snapshot window (r11
+        # review).
+        raise RuntimeError(
+            f"{path}: _upsert_locked requires the caller to hold the "
+            "dataset lock (use upsert_by_key)"
+        )
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)
     )
@@ -607,10 +611,11 @@ def _apply_changes_locked(
     # half-applied state in between (r10 ADVICE). Assert the
     # invariant so a future direct caller can't silently reopen the
     # window.
-    assert _commit._HELD.get(_commit._lock_path(path), 0) > 0, (
-        f"{path}: _apply_changes_locked requires the caller to hold "
-        "the dataset lock (use apply_changes)"
-    )
+    if not _commit._HELD.get(_commit._lock_path(path), 0) > 0:
+        raise RuntimeError(
+            f"{path}: _apply_changes_locked requires the caller to "
+            "hold the dataset lock (use apply_changes)"
+        )
 
     exists = os.path.exists(path) and any(
         not n.startswith(("_", ".")) for n in os.listdir(path)

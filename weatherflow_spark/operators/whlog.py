@@ -43,9 +43,12 @@ transaction shape re-derived on the engine's own primitives:
 
 Scale posture (100 TB): a load entry is O(tables) metadata on top of
 O(touched files) per-table commits — the coordinator adds no data
-I/O, no shuffle, and holds locks only for the metadata instant, not
-for the load's Spark jobs (those run before, under their own
-per-table write discipline).
+I/O and no shuffle, and never holds locks across the load's Spark
+jobs (those run before, under their own per-table write discipline).
+The all-locks-held window is file-METADATA work: manifest-mode
+members reuse their head version (O(1)), mirror-mode members pay one
+stat walk, with the mirror pre-linked lock-free beforehand so a
+first commit never bulk-links under the locks (r11 review).
 """
 
 from __future__ import annotations
@@ -118,16 +121,30 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
     version when the live file set is unchanged (the table's own
     content writers already versioned it — the common case), mint one
     otherwise (bulk-written tables with no explicit record). Caller
-    holds the table's lock."""
+    holds the table's lock.
+
+    Manifest-mode members reuse the head UNCONDITIONALLY when one
+    exists: their live tree also holds superseded files, so a raw
+    walk would record a version resurrecting replaced rows (r11
+    review) — and the manifest contract already guarantees every
+    content commit recorded a version, so the head IS the current
+    state. An unversioned manifest member seeds via the full walk
+    (valid: replace-writers refuse manifest tables with no seed, so
+    an unversioned tree holds no superseded files)."""
     from weatherflow_spark.operators.snaplog import (
         _entry_path,
         _walk_data_files,
         record_commit,
+        snapshot_mode,
         versions,
     )
 
-    cur = sorted((r, s) for r, s in _walk_data_files(path))
     vs = versions(path)
+    if snapshot_mode(path) == "manifest":
+        if vs:
+            return vs[-1]
+        return record_commit(path, batch_id=batch_id)
+    cur = sorted((r, s) for r, s in _walk_data_files(path))
     if vs:
         with open(_entry_path(path, vs[-1])) as f:
             prev = sorted(tuple(x) for x in json.load(f)["files"])
@@ -161,6 +178,14 @@ def commit_warehouse(
     for t, p in paths.items():
         if not os.path.isdir(p):
             raise ValueError(f"{wh_dir}: member table {t!r} does not exist")
+    # Pre-warm the retention mirrors LOCK-FREE (idempotent links; a
+    # superseded pre-link is garbage vacuum sweeps): the all-locks
+    # window below then pays only the listing delta and the entry
+    # writes, not a first-commit bulk link pass (r11 review).
+    from weatherflow_spark.operators.snaplog import prelink_retained
+
+    for p in paths.values():
+        prelink_retained(p)
     with ExitStack() as stack:
         # Warehouse lock FIRST (serializes load numbering between two
         # warehouse commits), then member locks sorted by path — the
@@ -214,6 +239,52 @@ def read_warehouse(
         t: read_version(spark, os.path.join(wh_dir, t), v)
         for t, v in entry["tables"].items()
     }
+
+
+def vacuum_warehouse(
+    wh_dir: str, keep_last_loads: int = 1
+) -> dict[str, dict[str, int]]:
+    """Bound warehouse history WITHOUT breaking any retained load: a
+    bare per-table ``vacuum_versions`` is load-blind — it can drop a
+    member version an older load entry still references, silently
+    turning ``read_warehouse(load)`` into an error (r11). This is the
+    load-aware form: drop load entries beyond ``keep_last_loads``,
+    then vacuum every member table that appears in any entry with
+    ``keep_versions`` = every version the SURVIVING loads reference —
+    so "the warehouse as of load N" keeps working for exactly the
+    loads the log retains. Per-table histories between loads are
+    still bounded by each member's own keep_last=1 tail. Returns
+    ``{table: vacuum counts}`` plus a ``"__loads__"`` entry."""
+    from weatherflow_spark.operators.commit import dataset_lock
+    from weatherflow_spark.operators.snaplog import vacuum_versions
+
+    if keep_last_loads < 1:
+        raise ValueError("keep_last_loads must be >= 1")
+    with dataset_lock(_wh_lock_base(wh_dir)):
+        ls = warehouse_loads(wh_dir)
+        drop = ls[:-keep_last_loads]
+        keep = [n for n in ls if n not in drop]
+        referenced: dict[str, set[int]] = {}
+        for n in keep:
+            for t, v in load_entry(wh_dir, n)["tables"].items():
+                referenced.setdefault(t, set()).add(int(v))
+        # Entries whose tables are no longer referenced by any kept
+        # load still contribute their table names (so their versions
+        # get vacuumed rather than orphaned).
+        for n in drop:
+            for t in load_entry(wh_dir, n)["tables"]:
+                referenced.setdefault(t, set())
+        for n in drop:
+            os.remove(_load_path(wh_dir, n))
+        out: dict[str, dict[str, int]] = {
+            "__loads__": {"dropped_loads": len(drop)}
+        }
+        for t, keep_vs in sorted(referenced.items()):
+            out[t] = vacuum_versions(
+                os.path.join(wh_dir, t), keep_last=1,
+                keep_versions=keep_vs,
+            )
+        return out
 
 
 @contextmanager
