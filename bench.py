@@ -229,6 +229,7 @@ OPTIONAL = [
     "q_warehouse_snapshot",
     "q_tpch_q3_bucketed",
     "q_tpch_q18_bucketed",
+    "q_time_travel_manifest",
 ]
 
 

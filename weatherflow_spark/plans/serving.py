@@ -496,6 +496,84 @@ ORACLE_TIME_TRAVEL = f"""
 """
 
 
+def q_time_travel_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E99 driver row: the OBJECT-STORE retention mode certified
+    through the exact commit walk E90 certifies in mirror mode — same
+    seed → scoped-equivalent upsert → replay → CDC delete sequence,
+    but on a table initialised with ``init_snapshot_log(mode=
+    "manifest")``: writers never delete committed files (the upsert
+    APPENDS and logically replaces via the version entry; the delete
+    that empties keys carves them out with no rmtree), ``read_version``
+    serves every version from the LIVE tree's manifest-listed files,
+    and the query RAISES unless the retention mirror stayed completely
+    empty (zero hard links — the property that makes this mode run
+    as-is on S3-class storage, where links don't exist). The oracle is
+    ORACLE_TIME_TRAVEL **verbatim**: both modes must reconstruct
+    identical logical history, so one hash certifies the manifest
+    read path AND its equivalence to the mirror form."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        read_version,
+        record_commit,
+    )
+    from weatherflow_spark.operators.upsert import apply_changes, upsert_by_key
+
+    path = os.path.join(_scratch_dir(sf_dir), "tt_tbl_manifest")
+    for d in (path, path + ".__snaplog", path + ".__retain"):
+        shutil.rmtree(d, ignore_errors=True)
+    for f_ in (path + ".__versions.json", path + ".__lock"):
+        try:
+            os.unlink(f_)
+        except OSError:
+            pass
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    base = orders.where(k % UPSERT_DEL_MOD != 0)
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path, mode="manifest")
+    record_commit(path)  # v1 (clean tree: full walk is exact)
+
+    batch = orders.where(k % UPSERT_BATCH_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])  # v2
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])  # v3
+    deletes = orders.where(k % TT_DEL_MOD == 0).select(
+        *cols, F.lit("D").alias("op")
+    )
+    apply_changes(
+        spark, deletes, path, ["o_orderkey"], "op", ["o_orderpriority"]
+    )  # v4
+
+    # The mode's defining property, checked with teeth: NOTHING was
+    # ever hard-linked into a mirror.
+    retain = path + ".__retain"
+    if os.path.isdir(retain) and any(
+        fs for _, _, fs in os.walk(retain)
+    ):
+        raise RuntimeError(
+            "manifest-mode table hard-linked files into its retention "
+            "mirror — the object-store contract regressed"
+        )
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return _priority_digest(df, "version_tag", tag)
+
+    return (
+        digest(read_version(spark, path, 1), "v1")
+        .unionByName(digest(read_version(spark, path, 2), "v2"))
+        .unionByName(digest(read_version(spark, path, 3), "v3"))
+        .unionByName(digest(read_version(spark, path), "head"))
+    )
+
+
 VDIFF_DEL_MOD = 7  # version-diff feed: DELETE %7 keys (not re-upserted)
 
 
@@ -1868,6 +1946,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``warehouse_snapshot`` (E97, r11): cross-table consistent
       snapshots — two multi-table loads, fact⋈dim read as-of load 1
       and at head, each a consistent cut (whlog.py).
+    - ``tpch_bucketed`` (E98, r11): the bucketed layout ADOPTED by
+      real TPC-H Q3+Q18 — zero-Exchange plans (raise-checked), hash
+      == the unbucketed oracles verbatim.
+    - ``manifest_travel`` (E99, r11): the object-store retention
+      mode walking E90's exact commit sequence — zero hard links
+      (raise-checked), oracle == ORACLE_TIME_TRAVEL verbatim.
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -1959,6 +2043,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
+    tm = q_time_travel_manifest(spark, sf_dir).selectExpr(
+        "'manifest_travel' AS op",
+        "concat(version_tag, '|', o_orderpriority) AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
     av = q_ann_index_serve(spark, sf_dir).selectExpr(
         "'ann_serve' AS op",
         "cast(vec_id as string) AS key",
@@ -2004,6 +2094,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tc)
         .unionByName(ws)
         .unionByName(tb)
+        .unionByName(tm)
     )
 
 
@@ -2137,6 +2228,17 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'bal_cents' THEN s.bal_cents
                        ELSE s.key_xor END AS value) u
     UNION ALL
+    SELECT 'manifest_travel', version_tag || '|' || o_orderpriority,
+           u.metric, u.value
+    FROM ({ORACLE_TIME_TRAVEL}) s,
+         (VALUES ('n_rows'), ('sum_cents'), ('key_xor'), ('key_sum'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'sum_cents' THEN s.sum_cents
+                       WHEN 'key_xor' THEN s.key_xor
+                       ELSE s.key_sum END AS value) u
+    UNION ALL
     SELECT 'tpch_bucketed',
            'q3|' || l_orderkey || '|' || strftime(o_orderdate, '%Y-%m-%d')
                || '|' || o_orderpriority,
@@ -2187,6 +2289,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warehouse_snapshot": q_warehouse_snapshot,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
+    "q_time_travel_manifest": q_time_travel_manifest,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -2213,4 +2316,7 @@ SERVING_ORACLES: dict[str, str] = {
     "q_warehouse_snapshot": ORACLE_WAREHOUSE_SNAPSHOT,
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
+    # E99: the manifest-mode walk must reconstruct the SAME logical
+    # history as the mirror-mode walk — oracle reused verbatim.
+    "q_time_travel_manifest": ORACLE_TIME_TRAVEL,
 }
