@@ -343,3 +343,76 @@ def test_change_feed_schema_evolution_fail_fast(spark, tmpdir):
     stale = spark.createDataFrame([], s1 + ", op string").schema
     with pytest.raises(ValueError, match="absent from the consumer"):
         read_change_feed(spark, feed_dir, streaming=True, schema=stale)
+
+
+def test_packaged_feed_consumer_replicates_orders_and_evolution(spark, tmpdir):
+    """r11: foreach_batch_apply_change_feed is the packaged CDC
+    replication consumer — in-batch version ordering, idempotent
+    replay, schema fail-fast on mid-stream evolution, and replica
+    evolution after restart, all built in."""
+    from weatherflow_spark.operators.upsert import upsert_by_key
+    from weatherflow_spark.operators.snaplog import read_change_feed
+    from weatherflow_spark.streaming.pipeline import (
+        foreach_batch_apply_change_feed,
+    )
+
+    src = f"{tmpdir}/src"
+    init_snapshot_log(src)
+    s1 = "k int, grp string, v string"
+    seed = spark.createDataFrame(
+        [(i, f"g{i % 2}", f"v{i}") for i in range(1, 9)], s1
+    )
+    seed.write.mode("overwrite").partitionBy("grp").parquet(src)
+    record_commit(src)  # v1
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(2, "g0", "V2"), (9, "g1", "v9")], s1),
+        src,
+        ["k"],
+        ["grp"],
+    )  # v2
+    feed_dir = f"{tmpdir}/feed"
+    export_change_feed(spark, src, feed_dir, ["k"])
+
+    replica = f"{tmpdir}/replica"
+    sink = foreach_batch_apply_change_feed(
+        feed_dir, replica, ["k"], ["grp"]
+    )
+    ckpt = f"{tmpdir}/ckpt"
+
+    def drain(stream):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+    stream = read_change_feed(spark, feed_dir, streaming=True)
+    drain(stream)  # one micro-batch carries versions 1 AND 2: ordered
+    got = {(r.k, r.v) for r in spark.read.parquet(replica).collect()}
+    want = {(r.k, r.v) for r in spark.read.parquet(src).collect()}
+    assert got == want and (2, "V2") in got and (9, "v9") in got
+
+    # mid-stream evolution: source gains a column, export, the
+    # PRE-evolution consumer fails fast naming it
+    evolved = spark.createDataFrame(
+        [(2, "g0", "V2b", 7)], s1 + ", w int"
+    )
+    upsert_by_key(spark, evolved, src, ["k"], ["grp"], merge_schema=True)
+    export_change_feed(spark, src, feed_dir, ["k"])
+    with pytest.raises(Exception, match="absent from the consumer"):
+        drain(stream)  # same pinned schema
+
+    # restart re-resolves the schema; the replica evolves with it
+    fresh = read_change_feed(spark, feed_dir, streaming=True)
+    drain(fresh)
+    rep = spark.read.option("mergeSchema", "true").parquet(replica)
+    assert rep.where("k = 2").first().w == 7
+    assert rep.where("k = 3").first().w is None  # untouched rows NULL
+    assert rep.count() == spark.read.option(
+        "mergeSchema", "true"
+    ).parquet(src).count()

@@ -439,6 +439,61 @@ def foreach_batch_versioned_upsert(
     return _sink
 
 
+def foreach_batch_apply_change_feed(
+    feed_dir: str,
+    replica_path: str,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The packaged CDC-REPLICATION consumer (E95's receive half,
+    r11): attach to ``read_change_feed(feed_dir, streaming=True)``
+    and every micro-batch merges the exported changes into
+    ``replica_path`` — the replica tracks the source table from the
+    feed ALONE, never reading the source. Three contracts the ad-hoc
+    form gets wrong are built in:
+
+    - **version ordering**: one micro-batch can carry several
+      ``change_version`` partitions (a catch-up after downtime);
+      applying them out of order replays deletes/upserts against the
+      wrong base. Versions apply ascending, each through the full
+      ``apply_changes`` merge.
+    - **schema fail-fast** (E94 × E95): before applying, the batch's
+      columns are checked against the stamps of exactly the versions
+      it carries (:func:`~weatherflow_spark.operators.snaplog.
+      check_feed_schema`) — a source evolution exported after this
+      consumer started raises at the next batch, naming the column,
+      instead of silently replicating NULLs.
+    - **idempotent replay**: ``apply_changes`` is a content no-op on
+      re-delivered feeds, so checkpoint recovery is safe.
+    """
+    from weatherflow_spark.operators.snaplog import check_feed_schema
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        vs = sorted(
+            r.change_version
+            for r in batch_df.select("change_version").distinct().collect()
+        )
+        check_feed_schema(feed_dir, batch_df.columns, vs)
+        for v in vs:
+            apply_changes(
+                batch_df.sparkSession,
+                batch_df.where(
+                    batch_df.change_version == v
+                ).drop("change_version"),
+                replica_path,
+                key_cols,
+                "op",
+                partition_cols,
+                # a replica follows its source's schema by definition:
+                # after a restart picks up an evolved column, the
+                # merge evolves the replica the same way (E94)
+                merge_schema=True,
+            )
+
+    return _sink
+
+
 def foreach_batch_rollup(path: str, scale: int = 100) -> Callable[[DataFrame, int], None]:
     """A streaming *continuous aggregate* sink: each micro-batch
     refreshes the rollup partial table (operators/rollup.py) for the
