@@ -354,3 +354,50 @@ def test_merge_rollup_preserves_null_date_bucket(spark, tmpdir):
     # the NULL bucket holds BOTH events (3.0 + 7.0), not just the late one
     assert got[(None, "view")] == (2, 10.0)
     assert got[(dt.date(2024, 1, 1), "view")] == (1, 1.0)
+
+
+def test_rollup_maintenance_is_manifest_safe(spark, tmp_path):
+    """r11 review #1: merge_rollup/read_rollup on a MANIFEST-mode
+    rollup table must read the head version, not the raw live tree —
+    superseded partials would fold in twice and inflate every merged
+    bucket."""
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.operators.rollup import (
+        merge_rollup,
+        read_rollup,
+        write_rollup,
+    )
+    from weatherflow_spark.operators.snaplog import init_snapshot_log, versions
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "partials_manifest")
+    init_snapshot_log(path, mode="manifest")
+    events = load_table(spark, SF_SMALL, "events")
+    half = events.where(F.col("event_id") % 2 == 0)
+    late = events.where(F.col("event_id") % 2 == 1)
+    write_rollup(half, path)  # seeds v1 through the choke point
+    assert versions(path) == [1]
+    merge_rollup(spark, late, path)  # folds into EXISTING partials
+    assert versions(path) == [1, 2]
+
+    got = {
+        (r.event_date, r.event_type): (r.n, r.sum_value)
+        for r in read_rollup(spark, path).collect()
+    }
+    p = F.lit(100.0)
+    want = {
+        (r.event_date, r.event_type): (r.n, r.sum_value)
+        for r in (
+            events.withColumn("event_date", F.to_date("ts"))
+            .groupBy("event_date", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum(F.floor(F.col("value") * p + F.lit(0.5))) / p).alias(
+                    "sum_value"
+                ),
+            )
+        ).collect()
+    }
+    assert got == want  # raw-read double counting would inflate n

@@ -111,6 +111,26 @@ def bucketed_warehouse(
         and spark.catalog.tableExists(t_ord)
     ):
         return t_li, t_ord
+    # Reclaim siblings left by DEAD processes (r11 review: each run
+    # otherwise strands a full bucketed lineitem+orders copy forever).
+    # pid-liveness is meaningful here — scratch is host-local.
+    try:
+        for n in os.listdir(scratch_base):
+            if not n.startswith("bucketed_wh_") or n == os.path.basename(base):
+                continue
+            try:
+                pid = int(n.rsplit("_", 1)[-1])
+                os.kill(pid, 0)
+            except ValueError:
+                continue  # foreign name shape: not ours to sweep
+            except ProcessLookupError:
+                shutil.rmtree(
+                    os.path.join(scratch_base, n), ignore_errors=True
+                )
+            except OSError:
+                continue  # alive-but-not-ours or unknowable: keep
+    except OSError:
+        pass
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     li = load_table(spark, sf_dir, "lineitem").select(*BW_LINEITEM_COLS)

@@ -148,6 +148,7 @@ def _manifest_rewrite(
     path: str,
     out: DataFrame,
     partition_cols: list[str] | None = None,
+    snap0: frozenset | None = None,
     _before_swap=None,
 ) -> int:
     """Manifest-mode full-table rewrite commit (shared by compaction
@@ -166,14 +167,32 @@ def _manifest_rewrite(
     )
     from weatherflow_spark.operators.snaplog import record_commit
 
-    snap0 = dataset_snapshot(path)
+    if snap0 is None:
+        # Callers MUST take the token BEFORE resolving the source's
+        # head version (compact/rewrite_widen do): taken here it
+        # would include a commit that landed after the head was
+        # resolved, and the swap-time re-check would wave through a
+        # rewrite of the stale head — silently dropping that commit's
+        # rows (r11 review #2). This fallback exists only for sources
+        # built in the same expression as the call.
+        snap0 = dataset_snapshot(path)
     tmp = path.rstrip("/") + "__rewriting"
     shutil.rmtree(tmp, ignore_errors=True)
     try:
         writer = out.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(tmp)
+        try:
+            writer.parquet(tmp)
+        except Exception as e:
+            # A concurrent vacuum can unlink superseded files the
+            # unlocked rewrite is still reading — translate into the
+            # retryable type callers handle, like the mirror path.
+            if isinstance(e, FileNotFoundError) or "FileNotFoundException" in str(e):
+                raise CompactionConflict(
+                    f"{path}: files changed under the unlocked rewrite; re-run"
+                ) from e
+            raise
         if _before_swap is not None:
             _before_swap()
         with dataset_lock(path):
@@ -251,6 +270,11 @@ def compact(
             "retained versions still reference"
         )
     if snapshot_mode(path) == "manifest":
+        # Token BEFORE the head resolves (r11 review #2): a commit
+        # landing between head-resolution and a later snapshot would
+        # otherwise survive the swap-time re-check while the rewrite
+        # reproduces the stale head — dropping that commit's rows.
+        snap0 = dataset_snapshot(path)
         # Partition-preserving: the flattened mirror-style rewrite
         # would leave root-level files no partition carve-out ever
         # matches — every later overwrite would resurrect replaced
@@ -258,6 +282,7 @@ def compact(
         return _manifest_rewrite(
             spark, path, _compact_out(spark, path, target_file_bytes, sort_col),
             partition_cols=_head_partition_cols(path),
+            snap0=snap0,
             _before_swap=_before_swap,
         )
 
@@ -406,7 +431,10 @@ def rewrite_widen(
             "retained versions still reference"
         )
     manifest = snapshot_mode(path) == "manifest"
+    manifest_snap0 = None
     if manifest and versions(path):
+        # Token BEFORE the head resolves, as in compact (r11 review).
+        manifest_snap0 = dataset_snapshot(path)
         df = read_version(spark, path)  # superseded files must not be read
     else:
         df = spark.read.option("mergeSchema", "true").parquet(path)
@@ -440,7 +468,21 @@ def rewrite_widen(
     if manifest:
         # Object-store form: no swap — new files move in, a version
         # lists only them, old footers stay readable for time travel.
-        _manifest_rewrite(spark, path, out, partition_cols)
+        # Partition layout: never trust an omitted partition_cols —
+        # a flattened rewrite would leave root files every later
+        # carve-out misses, resurrecting replaced rows (r11 review);
+        # infer from the head entry like compact, and refuse a
+        # mismatch between the caller's claim and the actual layout.
+        head_cols = _head_partition_cols(path) if versions(path) else None
+        if partition_cols and head_cols and list(partition_cols) != head_cols:
+            raise ValueError(
+                f"{path}: partition_cols={list(partition_cols)} does not "
+                f"match the head version's hive layout {head_cols}"
+            )
+        _manifest_rewrite(
+            spark, path, out, partition_cols or head_cols,
+            snap0=manifest_snap0,
+        )
         return
     snap0 = dataset_snapshot(path)
     tmp = path.rstrip("/") + "__widening"

@@ -115,7 +115,12 @@ def merge_rollup(
         pred = F.lit(False)
         for v in touched:
             pred = pred | F.col("event_date").eqNullSafe(F.lit(v))
-        existing = spark.read.parquet(path).where(pred)  # partition-pruned
+        # read_live: on a manifest-mode rollup table the live tree
+        # also holds superseded partials — a raw read would fold them
+        # in twice and inflate every merged bucket (r11 review).
+        from weatherflow_spark.operators.snaplog import read_live
+
+        existing = read_live(spark, path).where(pred)  # partition-pruned
     if existing is None:
         merged = batch_partials
     else:
@@ -143,8 +148,10 @@ def read_rollup(
     through; ``month``/coarser grains merge buckets. avg derives from
     the exact state. Scans |buckets × groups| rows, never facts.
     """
+    from weatherflow_spark.operators.snaplog import read_live
+
     p = float(scale)
-    partials = spark.read.parquet(path)
+    partials = read_live(spark, path)  # manifest-safe (r11 review)
     if grain == "event_date":
         keys = [F.col("event_date")]
     else:

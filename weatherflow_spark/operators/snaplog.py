@@ -484,6 +484,18 @@ def read_version(
     )
 
 
+def read_live(spark: SparkSession, path: str) -> DataFrame:
+    """The table's CURRENT logical content regardless of retention
+    mode: a raw directory read for plain / mirror-mode tables, the
+    HEAD version for manifest-mode tables — whose live tree also
+    holds superseded files a raw read would double-count (r11
+    review). Every engine read of a possibly-manifest table must go
+    through this (or read_version directly)."""
+    if snapshot_mode(path) == "manifest" and versions(path):
+        return read_version(spark, path)
+    return spark.read.parquet(path)
+
+
 def diff_versions(
     spark: SparkSession,
     path: str,

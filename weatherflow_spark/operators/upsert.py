@@ -105,22 +105,30 @@ def _manifest_overwrite_partitions(
             for r in df.select(*partition_cols).distinct().collect()
         ]
         all_replaced = sorted(set(keys) | set(replaced_keys))
+        vs = versions(path)
+        if not vs and _walk_data_files(path):
+            # BEFORE the physical append (r11 review #3): raising
+            # after it would strand the batch's files in the live
+            # tree, where the error's own recovery step (a full-walk
+            # seed record_commit) would list them as live alongside
+            # the rows they were meant to replace.
+            raise ValueError(
+                f"{path}: manifest-mode table has data but no seed "
+                "version — record_commit the initial build first"
+            )
         before = set(_walk_data_files(path, subdirs=all_replaced))
         df.write.mode("append").partitionBy(*partition_cols).parquet(path)
         after = set(_walk_data_files(path, subdirs=all_replaced))
         new_files = sorted(after - before)
-        vs = versions(path)
-        if not vs:
-            raise ValueError(
-                f"{path}: manifest-mode table has no seed version — "
-                "record_commit the initial build first"
-            )
-        with open(_entry_path(path, vs[-1])) as f:
-            prev = json.load(f)["files"]
-        prefixes = tuple(k.rstrip("/") + "/" for k in all_replaced)
-        carried = [
-            (r, sz) for r, sz in prev if not r.startswith(prefixes)
-        ]
+        if vs:
+            with open(_entry_path(path, vs[-1])) as f:
+                prev = json.load(f)["files"]
+            prefixes = tuple(k.rstrip("/") + "/" for k in all_replaced)
+            carried = [
+                (r, sz) for r, sz in prev if not r.startswith(prefixes)
+            ]
+        else:
+            carried = []  # fresh empty table: this write IS the seed
         check_and_bump_versions(path, all_replaced)
         record_commit(
             path,
