@@ -79,3 +79,44 @@ def test_heat_index_dim_hardcoded_fields(spark):
     hd = build_weather_star(_enriched(spark))["w_heat_index_dim"].head()
     assert hd.heat_index_category == 1
     assert hd.description == ""
+
+
+def test_load_star_warehouse_is_one_transaction(spark, tmp_path):
+    """r11 (E97 × K1-K3): the five-table star load commits as ONE
+    logical warehouse load — the reference's per-record transaction
+    spanning the same five tables (database.py:25-34) — so a reader
+    never sees a fact batch without its dims, replays are
+    exactly-once, and 'the warehouse as of load N' answers across all
+    five tables."""
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.operators.star import load_star_warehouse
+    from weatherflow_spark.operators.whlog import (
+        read_warehouse,
+        warehouse_loads,
+    )
+
+    wh = str(tmp_path / "star_wh")
+    star1 = build_weather_star(_enriched(spark))
+    assert load_star_warehouse(spark, star1, wh, batch_id="b1") == 1
+    # replayed load: content no-op (deterministic keys), SAME entry
+    assert load_star_warehouse(spark, star1, wh, batch_id="b1") == 1
+    assert warehouse_loads(wh) == [1]
+
+    # load 2: a station's temp is revised — same natural key, new dim
+    revised = _enriched(spark).withColumn(
+        "temp", F.col("temp") + F.lit(10.0)
+    )
+    star2 = build_weather_star(revised)
+    assert load_star_warehouse(spark, star2, wh, batch_id="b2") == 2
+
+    t1 = read_warehouse(spark, wh, 1)
+    t2 = read_warehouse(spark, wh)
+    assert set(t1) == set(star1)  # all five tables, both loads
+    # as-of load 1: the ORIGINAL temps, consistently joined
+    j1 = t1["w_fact"].join(t1["w_temp_dim"], "temp_id")
+    assert sorted(r.temp for r in j1.collect()) == [5.0, 7.0]
+    j2 = t2["w_fact"].join(t2["w_temp_dim"], "temp_id")
+    assert sorted(r.temp for r in j2.collect()) == [15.0, 17.0]
+    # fact row count stable across loads (keys deterministic)
+    assert t1["w_fact"].count() == t2["w_fact"].count() == 2

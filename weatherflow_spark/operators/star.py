@@ -134,3 +134,55 @@ def write_star(
     co-located star joins at scale (dims are broadcast-size)."""
     for name, df in tables.items():
         df.write.mode(mode).parquet(f"{base_path}/{name}")
+
+
+# Each star table's merge key — the surrogate id it is keyed by
+# (create_tables.sql PRIMARY KEYs).
+STAR_KEYS = {
+    "w_fact": "record_id",
+    "w_time_dim": "time_id",
+    "w_param_dim": "parameter_id",
+    "w_temp_dim": "temp_id",
+    "w_heat_index_dim": "heat_index_id",
+}
+
+
+def load_star_warehouse(
+    spark,
+    tables: dict[str, DataFrame],
+    wh_dir: str,
+    batch_id: object | None = None,
+) -> int:
+    """ONE logical star load (E97 × K1-K3): merge every star table by
+    its surrogate key, then commit all five as a single warehouse
+    load entry — the engine's analog of the reference's per-record
+    transaction spanning the same five tables (reference
+    dags/utils/database.py:25-34, create_tables.sql:11-55). The load
+    entry exists only after EVERY table committed under all five
+    locks, so ``read_warehouse(wh_dir, load)`` can never observe a
+    fact batch without its dims (a crash mid-load leaves the previous
+    load as the newest entry; the half-written table versions are
+    superseded by the replayed load). Replay-safe twice over:
+    deterministic surrogate keys make the per-table merges content
+    no-ops, and ``batch_id`` makes the load entry itself
+    exactly-once. Returns the load number."""
+    import os
+
+    from weatherflow_spark.operators.upsert import upsert_by_key
+    from weatherflow_spark.operators.whlog import (
+        commit_warehouse,
+        init_warehouse_log,
+    )
+
+    unknown = sorted(set(tables) - set(STAR_KEYS))
+    if unknown:
+        raise ValueError(f"not star tables: {unknown}")
+    init_warehouse_log(wh_dir)
+    for name in sorted(tables):
+        upsert_by_key(
+            spark,
+            tables[name],
+            os.path.join(wh_dir, name),
+            [STAR_KEYS[name]],
+        )
+    return commit_warehouse(wh_dir, sorted(tables), batch_id=batch_id)
