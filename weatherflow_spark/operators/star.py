@@ -152,6 +152,7 @@ def load_star_warehouse(
     tables: dict[str, DataFrame],
     wh_dir: str,
     batch_id: object | None = None,
+    partition_cols: dict[str, list[str]] | None = None,
 ) -> int:
     """ONE logical star load (E97 × K1-K3): merge every star table by
     its surrogate key, then commit all five as a single warehouse
@@ -160,29 +161,56 @@ def load_star_warehouse(
     dags/utils/database.py:25-34, create_tables.sql:11-55). The load
     entry exists only after EVERY table committed under all five
     locks, so ``read_warehouse(wh_dir, load)`` can never observe a
-    fact batch without its dims (a crash mid-load leaves the previous
-    load as the newest entry; the half-written table versions are
-    superseded by the replayed load). Replay-safe twice over:
-    deterministic surrogate keys make the per-table merges content
-    no-ops, and ``batch_id`` makes the load entry itself
-    exactly-once. Returns the load number."""
+    fact batch without its dims. Hardened per the r11 review:
+
+    - ``batch_id`` short-circuits BEFORE any table is touched — a
+      late-redelivered OLD batch must not rewrite current rows back
+      to stale values (its dim ids are the same content hashes) and
+      then "succeed" by returning the old load number.
+    - The COMPLETE five-table set is required: a partial load entry
+      would make the warehouse-as-of-load contract unanswerable for
+      the missing members and let ``vacuum_warehouse`` sweep their
+      as-of versions.
+    - Dims write first, ``w_fact`` LAST: a crash mid-load strands at
+      worst unreferenced dim rows — never facts whose dims don't
+      exist — so the next distinct load's entry stays join-complete.
+    - In-batch duplicate keys collapse before the merge (byte-
+      identical rows by the content-hash construction); otherwise an
+      at-least-once double delivery poison-loops on the upsert's
+      duplicate-key guard (the streaming-sink lesson).
+
+    ``partition_cols`` maps table → hive partition columns for
+    deployments that carry a date column on the tables (the 100 TB
+    posture: without it each load is a full-table read-modify-write;
+    with it the merge touches only the batch's partitions). Returns
+    the load number."""
     import os
 
     from weatherflow_spark.operators.upsert import upsert_by_key
     from weatherflow_spark.operators.whlog import (
         commit_warehouse,
+        committed_load,
         init_warehouse_log,
     )
 
-    unknown = sorted(set(tables) - set(STAR_KEYS))
-    if unknown:
-        raise ValueError(f"not star tables: {unknown}")
+    if set(tables) != set(STAR_KEYS):
+        raise ValueError(
+            f"load_star_warehouse needs exactly {sorted(STAR_KEYS)}, "
+            f"got {sorted(tables)}"
+        )
     init_warehouse_log(wh_dir)
-    for name in sorted(tables):
+    if batch_id is not None:
+        prior = committed_load(wh_dir, batch_id)
+        if prior is not None:
+            return prior  # replayed load: nothing touched
+    order = sorted(n for n in tables if n != "w_fact") + ["w_fact"]
+    for name in order:
+        key = STAR_KEYS[name]
         upsert_by_key(
             spark,
-            tables[name],
+            tables[name].dropDuplicates([key]),
             os.path.join(wh_dir, name),
-            [STAR_KEYS[name]],
+            [key],
+            (partition_cols or {}).get(name),
         )
     return commit_warehouse(wh_dir, sorted(tables), batch_id=batch_id)

@@ -153,6 +153,24 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
     return record_commit(path, files=cur, batch_id=batch_id)
 
 
+def committed_load(wh_dir: str, batch_id: object) -> int | None:
+    """The load number a replay-keyed commit minted for ``batch_id``,
+    or None. Loaders call this BEFORE touching any member table: a
+    late-redelivered OLD batch must short-circuit here, not after its
+    upserts have already rewritten current rows back to stale values
+    (r11 review)."""
+    raw = str(batch_id)
+    for n in reversed(warehouse_loads(wh_dir)):
+        try:
+            with open(_load_path(wh_dir, n)) as f:
+                e = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if e.get("batch_id") == raw:
+            return n
+    return None
+
+
 def commit_warehouse(
     wh_dir: str, tables: list[str], batch_id: object | None = None
 ) -> int:
@@ -193,15 +211,9 @@ def commit_warehouse(
         # uses (clone_table), so no cycle is possible.
         stack.enter_context(dataset_lock(_wh_lock_base(wh_dir)))
         if batch_id is not None:
-            raw = str(batch_id)
-            for n in reversed(warehouse_loads(wh_dir)):
-                try:
-                    with open(_load_path(wh_dir, n)) as f:
-                        e = json.load(f)
-                except (OSError, ValueError):
-                    continue
-                if e.get("batch_id") == raw:
-                    return n  # replayed load: exactly-once
+            prior = committed_load(wh_dir, batch_id)
+            if prior is not None:
+                return prior  # replayed load: exactly-once
         for p in sorted(paths.values()):
             stack.enter_context(dataset_lock(p))
         table_versions = {}

@@ -250,33 +250,23 @@ def weather_etl_stream(
 
     # foreachBatch is at-least-once: a batch replayed after checkpoint
     # recovery re-runs the sink. Appending would duplicate every star
-    # row on replay (the reference's flaw, etl.py:103); instead each
-    # table is keyed-upserted on its deterministic surrogate key, so a
-    # replayed batch replaces its own rows — idempotent end to end.
-    _STAR_KEYS = {
-        "w_fact": "record_id",
-        "w_time_dim": "time_id",
-        "w_param_dim": "parameter_id",
-        "w_temp_dim": "temp_id",
-        "w_heat_index_dim": "heat_index_id",
-    }
-
+    # row on replay (the reference's flaw, etl.py:103). r11: the sink
+    # routes through load_star_warehouse — each micro-batch is ONE
+    # logical warehouse load (the reference's per-record five-table
+    # transaction, database.py:25-34): keyed upserts on deterministic
+    # surrogate ids (replay replaces its own rows), in-batch duplicate
+    # collapse (or the upsert's dup-key guard poison-loops the
+    # stream), dims-before-fact write order, and a batch-keyed load
+    # entry so a re-delivered batch short-circuits before touching
+    # any table — "the warehouse as of load N" is answerable across
+    # all five tables for every micro-batch.
     def load_star(batch_df: DataFrame, batch_id: int) -> None:
-        from weatherflow_spark.operators.upsert import upsert_by_key
+        from weatherflow_spark.operators.star import load_star_warehouse
 
         tables = build_weather_star(batch_df, station_col="station_id")
-        for name, tdf in tables.items():
-            # Surrogate keys are content hashes: an event delivered
-            # twice within one micro-batch (at-least-once sources)
-            # yields byte-identical rows, so collapsing by key here is
-            # lossless — and required, or the upsert's duplicate-key
-            # guard would poison-loop the stream on replay.
-            upsert_by_key(
-                batch_df.sparkSession,
-                tdf.dropDuplicates([_STAR_KEYS[name]]),
-                os.path.join(warehouse_dir, name),
-                [_STAR_KEYS[name]],
-            )
+        load_star_warehouse(
+            batch_df.sparkSession, tables, warehouse_dir, batch_id=batch_id
+        )
 
     writer = (
         enriched.writeStream.foreachBatch(load_star)
