@@ -235,3 +235,46 @@ def test_vacuum_warehouse_keeps_retained_loads_readable(spark, wh):
     # the dropped load fails deterministically
     with pytest.raises(ValueError, match="load"):
         read_warehouse(spark, wh, 1)
+
+
+def test_batch_markers_and_recycled_id_scoping(spark, wh):
+    """r11 review: committed_load resolves O(1) via a marker index
+    (entry = source of truth, crash-lost markers fall back to the
+    scan), vacuum GCs markers with their loads, and recycled
+    micro-batch numbers in a DIFFERENT query scope mint new loads
+    instead of being swallowed by old entries."""
+    import glob
+
+    from weatherflow_spark.operators.whlog import committed_load
+
+    _seed(spark, wh)
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="q1:0") == 1
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="q1:0") == 1
+    # same numeric suffix, different query scope: a NEW load
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="q2:0") == 2
+    assert warehouse_loads(wh) == [1, 2]
+
+    # marker index exists and resolves; losing it falls back to scan
+    assert committed_load(wh, "q1:0") == 1
+    markers = glob.glob(os.path.join(wh, ".__whlog", "B_q1_0_*.json"))
+    assert len(markers) == 1
+    os.remove(markers[0])
+    assert committed_load(wh, "q1:0") == 1  # entry fallback
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="q1:0") == 1
+
+    # vacuum drops load 1 (and its markers); replay protection for
+    # q1:0 intentionally ends with retention
+    from weatherflow_spark.operators.whlog import vacuum_warehouse
+
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 0, 5.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+    )
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="q1:1") == 3
+    vacuum_warehouse(wh, keep_last_loads=1)
+    assert warehouse_loads(wh) == [3]
+    assert committed_load(wh, "q1:0") is None
+    assert not glob.glob(os.path.join(wh, ".__whlog", "B_q1_0_*.json"))
+    assert committed_load(wh, "q1:1") == 3  # kept load's marker survives

@@ -174,10 +174,21 @@ def load_star_warehouse(
     - Dims write first, ``w_fact`` LAST: a crash mid-load strands at
       worst unreferenced dim rows — never facts whose dims don't
       exist — so the next distinct load's entry stays join-complete.
-    - In-batch duplicate keys collapse before the merge (byte-
-      identical rows by the content-hash construction); otherwise an
+    - In-batch duplicate keys collapse before the merge; otherwise an
       at-least-once double delivery poison-loops on the upsert's
-      duplicate-key guard (the streaming-sink lesson).
+      duplicate-key guard (the streaming-sink lesson). NOTE the
+      per-table picks are INDEPENDENT: true re-deliveries are
+      byte-identical so any pick is a no-op, but a batch carrying
+      CONFLICTING rows for one natural key (an in-batch revision —
+      surrogate ids hash only the natural key) could keep different
+      revisions in different tables. Callers must collapse
+      conflicting records upstream on the natural key — one
+      consistent winner across all five splits — as the engine's
+      stream sink does (streaming/pipeline.py).
+    - ``batch_id`` replay protection lasts exactly as far as LOAD
+      RETENTION and the id space is CALLER-OWNED (the Delta txnAppId
+      shape) — see :func:`~weatherflow_spark.operators.whlog.
+      committed_load` for both boundaries.
 
     ``partition_cols`` maps table → hive partition columns for
     deployments that carry a date column on the tables (the 100 TB
@@ -198,6 +209,11 @@ def load_star_warehouse(
             f"load_star_warehouse needs exactly {sorted(STAR_KEYS)}, "
             f"got {sorted(tables)}"
         )
+    bad_pc = sorted(set(partition_cols or {}) - set(STAR_KEYS))
+    if bad_pc:
+        # A typo'd table name would otherwise silently degrade that
+        # table to an unpartitioned full rewrite per load (r11 review).
+        raise ValueError(f"partition_cols for unknown star tables: {bad_pc}")
     init_warehouse_log(wh_dir)
     if batch_id is not None:
         prior = committed_load(wh_dir, batch_id)

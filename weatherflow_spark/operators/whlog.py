@@ -153,13 +153,45 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
     return record_commit(path, files=cur, batch_id=batch_id)
 
 
+def _load_batch_marker(wh_dir: str, batch_id: object) -> str:
+    # Same shape as snaplog's batch markers: sanitized name + content
+    # hash so distinct ids can't collide after sanitization.
+    import hashlib
+
+    raw = str(batch_id)
+    safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in raw)[:40]
+    digest = hashlib.sha256(raw.encode()).hexdigest()[:12]
+    return os.path.join(_wh_log_dir(wh_dir), f"B_{safe}_{digest}.json")
+
+
 def committed_load(wh_dir: str, batch_id: object) -> int | None:
     """The load number a replay-keyed commit minted for ``batch_id``,
     or None. Loaders call this BEFORE touching any member table: a
     late-redelivered OLD batch must short-circuit here, not after its
     upserts have already rewritten current rows back to stale values
-    (r11 review)."""
+    (r11 review).
+
+    O(1) via a marker index (entry = source of truth, marker written
+    second — a crash between the two falls back to the scan), so a
+    long-lived stream never pays an O(loads) log scan per batch.
+
+    Contract boundaries (identical to snaplog's batch keying): replay
+    protection extends exactly as far as LOAD RETENTION — a batch
+    whose load entry was vacuumed is out of contract (streaming
+    checkpoints only replay recent batches; keep ``keep_last_loads``
+    above the replay horizon). And the ID SPACE is caller-owned, the
+    Delta txnAppId shape: a reset checkpoint restarts micro-batch
+    numbering, so callers must scope ids by query identity (the
+    engine's stream sink keys by checkpoint path) or old entries
+    would silently swallow new batches."""
     raw = str(batch_id)
+    try:
+        with open(_load_batch_marker(wh_dir, batch_id)) as f:
+            d = json.load(f)
+        if d.get("batch_id") == raw:
+            return int(d["load"])
+    except (OSError, ValueError, KeyError):
+        pass
     for n in reversed(warehouse_loads(wh_dir)):
         try:
             with open(_load_path(wh_dir, n)) as f:
@@ -231,6 +263,13 @@ def commit_warehouse(
         with open(tmp, "w") as f:
             json.dump(entry, f)
         os.replace(tmp, _load_path(wh_dir, n))
+        if batch_id is not None:
+            # fast replay index, written AFTER the entry (see
+            # committed_load: the entry is the source of truth)
+            mtmp = _load_batch_marker(wh_dir, batch_id) + f".tmp.{os.getpid()}"
+            with open(mtmp, "w") as f:
+                json.dump({"batch_id": str(batch_id), "load": n}, f)
+            os.replace(mtmp, _load_batch_marker(wh_dir, batch_id))
         return n
 
 
@@ -288,6 +327,22 @@ def vacuum_warehouse(
                 referenced.setdefault(t, set())
         for n in drop:
             os.remove(_load_path(wh_dir, n))
+        # GC batch markers whose load was dropped (replay protection
+        # intentionally ends with load retention — committed_load).
+        dropped = set(drop)
+        for nme in os.listdir(_wh_log_dir(wh_dir)):
+            if nme.startswith("B_") and nme.endswith(".json"):
+                full = os.path.join(_wh_log_dir(wh_dir), nme)
+                try:
+                    with open(full) as f:
+                        ml = int(json.load(f)["load"])
+                except (OSError, ValueError, KeyError):
+                    continue
+                if ml in dropped:
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
         out: dict[str, dict[str, int]] = {
             "__loads__": {"dropped_loads": len(drop)}
         }

@@ -260,12 +260,38 @@ def weather_etl_stream(
     # entry so a re-delivered batch short-circuits before touching
     # any table — "the warehouse as of load N" is answerable across
     # all five tables for every micro-batch.
+    # Load ids are SCOPED BY QUERY IDENTITY (the Delta txnAppId
+    # shape): micro-batch numbering restarts at 0 when a checkpoint
+    # is reset, so a bare batch_id would match an OLD load entry and
+    # silently swallow every new batch up to the old max id (r11
+    # review). The checkpoint path is stable across restarts of the
+    # same query (replays still short-circuit) and differs for a
+    # fresh checkpoint (fresh id space).
+    import hashlib
+
+    scope = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
     def load_star(batch_df: DataFrame, batch_id: int) -> None:
         from weatherflow_spark.operators.star import load_star_warehouse
 
-        tables = build_weather_star(batch_df, station_col="station_id")
+        # Collapse CONFLICTING same-natural-key rows to ONE winner
+        # BEFORE the five-way split: per-table picks inside the
+        # loader are independent, so an in-batch revision could
+        # otherwise keep old temp with new humidity — a mixed record
+        # committed as a "consistent" load (r11 review).
+        tables = build_weather_star(
+            batch_df.dropDuplicates(
+                ["station_id", "recorded_datetime_local"]
+            ),
+            station_col="station_id",
+        )
         load_star_warehouse(
-            batch_df.sparkSession, tables, warehouse_dir, batch_id=batch_id
+            batch_df.sparkSession,
+            tables,
+            warehouse_dir,
+            batch_id=f"{scope}:{batch_id}",
         )
 
     writer = (
