@@ -230,6 +230,9 @@ OPTIONAL = [
     "q_tpch_q3_bucketed",
     "q_tpch_q18_bucketed",
     "q_time_travel_manifest",
+    # r11: the five-table transactional star load (2 loads x 5 keyed
+    # merges of REAL I/O — the cost IS the certified claim)
+    "q_star_transaction",
 ]
 
 

@@ -1322,6 +1322,137 @@ ORACLE_TABLE_CLONE = f"""
 
 WH_DIM_UPS_MOD = 7  # warehouse load 2 bumps acctbal +100 for %7 custkeys
 
+ST_SEED_MOD = 3   # star load 1 = events with event_id % 3 != 0
+ST_REV_MOD = 5    # star load 2 revises temp +2.0 for event_id % 5 == 0
+ST_SAMPLE_MOD = 7  # deterministic event sample: the certification is
+                   # about transactional load semantics, not volume —
+                   # 1/7th of events keeps the ten read-modify-writes
+                   # (2 loads x 5 tables) benchable
+
+
+def _star_enriched(spark: SparkSession, sf_dir: str, revised: bool):
+    """The weather-enriched event frame the star build consumes —
+    optionally with load-2's temp revision applied BEFORE the derived
+    metrics, so dew point / heat index move with it (a revision that
+    only touched temp_dim would not exercise cross-dim consistency)."""
+    from weatherflow_spark.functions.calendar import season_bucket
+    from weatherflow_spark.functions.weather import add_calc_attributes
+    from weatherflow_spark.plans.queries import _local_ts, events_weather
+
+    base = events_weather(spark, sf_dir).where(
+        F.col("event_id") % ST_SAMPLE_MOD == 0
+    )
+    if revised:
+        base = base.withColumn(
+            "temp",
+            F.when(
+                F.col("event_id") % ST_REV_MOD == 0,
+                F.col("temp") + F.lit(2.0),
+            ).otherwise(F.col("temp")),
+        )
+    local = _local_ts(base)
+    return add_calc_attributes(
+        base.withColumns(
+            {
+                "station_id": F.col("user_id"),
+                "recorded_datetime_local": F.date_format(
+                    local, "yyyy-MM-dd HH:mm:ss"
+                ),
+                "recorded_season_local": season_bucket(local),
+            }
+        )
+    )
+
+
+def q_star_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E97 × K1-K3 driver row: the reference's five-table per-record
+    transaction (dags/utils/database.py:25-34) re-expressed as
+    ``star.load_star_warehouse`` and certified through TWO real
+    loads WITH history — the thing the reference's transaction can't
+    give. Load 1 seeds the warehouse from a partial event slice
+    (every %{ST_SEED_MOD} key held back); load 2 merges the full
+    corpus with a temp REVISION (+2.0 for every %{ST_REV_MOD} key)
+    applied before the derived metrics, so temp_dim AND
+    heat_index_dim move together; the replayed load-2 batch id must
+    return load 2 without minting a third entry (raise otherwise).
+
+    Serve per-(load, season) digests of fact ⋈ time_dim ⋈ temp_dim ⋈
+    heat_index_dim read via ``read_warehouse`` at load 1 and head —
+    four-way surrogate-key joins through the ACTUAL star tables. The
+    oracle derives both warehouse states straight from raw events
+    (enrichment + revision in SQL), so one hash certifies: the load
+    entry pairs all five tables consistently at both points in time,
+    the keyed merges replaced revised records exactly once, and the
+    derived dims track the revision."""
+    import shutil
+
+    from weatherflow_spark.operators.star import (
+        build_weather_star,
+        load_star_warehouse,
+    )
+    from weatherflow_spark.operators.whlog import (
+        read_warehouse,
+        warehouse_loads,
+    )
+
+    wh = os.path.join(_scratch_dir(sf_dir), "star_tx")
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+
+    e1 = _star_enriched(spark, sf_dir, revised=False).where(
+        F.col("event_id") % ST_SEED_MOD != 0
+    )
+    load1 = load_star_warehouse(
+        spark,
+        build_weather_star(
+            e1, station_col="station_id", natural_key_cols=["event_id"]
+        ),
+        wh,
+        batch_id="star-load-1",
+    )
+    e2 = _star_enriched(spark, sf_dir, revised=True)
+    star2 = build_weather_star(
+        e2, station_col="station_id", natural_key_cols=["event_id"]
+    )
+    load2 = load_star_warehouse(spark, star2, wh, batch_id="star-load-2")
+    replay = load_star_warehouse(spark, star2, wh, batch_id="star-load-2")
+    if not (load1 == 1 and load2 == 2 and replay == 2) or warehouse_loads(
+        wh
+    ) != [1, 2]:
+        raise RuntimeError(
+            f"star warehouse load numbering broke: {load1}, {load2}, "
+            f"replay {replay}, loads {warehouse_loads(wh)}"
+        )
+
+    def digest(tables: dict, tag: str) -> DataFrame:
+        j = (
+            tables["w_fact"]
+            .join(tables["w_time_dim"], "time_id")
+            .join(tables["w_temp_dim"], "temp_id")
+            .join(tables["w_heat_index_dim"], "heat_index_id")
+        )
+        return j.groupBy("recorded_season_local").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(temp * 100 + 0.5) as bigint)")
+            ).alias("temp_cents"),
+            F.sum(
+                F.expr("cast(floor(heat_index * 100 + 0.5) as bigint)")
+            ).alias("hi_cents"),
+            F.sum("station_id").alias("station_sum"),
+        ).select(
+            F.lit(tag).alias("version_tag"),
+            "recorded_season_local",
+            "n_rows",
+            "temp_cents",
+            "hi_cents",
+            "station_sum",
+        )
+
+    return digest(read_warehouse(spark, wh, 1), "load1").unionByName(
+        digest(read_warehouse(spark, wh), "head")
+    )
+
 
 def q_warehouse_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E97 driver row: CROSS-TABLE consistent snapshots
@@ -1483,6 +1614,47 @@ ORACLE_WAREHOUSE_SNAPSHOT = f"""
                AS bal_cents,
            bit_xor(o_orderkey) AS key_xor
     FROM tagged GROUP BY version_tag, c_mktsegment
+"""
+
+
+def _oracle_star_transaction() -> str:
+    from weatherflow_spark.plans.oracles import (
+        EVENTS_SIM,
+        HEAT_INDEX,
+        LOCAL_TS,
+        SEASON_SQL,
+    )
+
+    season = SEASON_SQL.format(ts="lts")
+    return f"""
+    WITH w AS ({EVENTS_SIM}),
+    e AS (
+        SELECT event_id, user_id, temp, humidity, {LOCAL_TS} AS lts
+        FROM w WHERE event_id % {ST_SAMPLE_MOD} = 0
+    ),
+    s1 AS (SELECT * FROM e WHERE event_id % {ST_SEED_MOD} <> 0),
+    s2 AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % {ST_REV_MOD} = 0
+                    THEN temp + 2.0 ELSE temp END AS temp,
+               humidity, lts
+        FROM e
+    ),
+    tagged AS (
+        SELECT 'load1' AS version_tag, {season} AS recorded_season_local,
+               temp, humidity, user_id
+        FROM s1
+        UNION ALL
+        SELECT 'head', {season}, temp, humidity, user_id FROM s2
+    )
+    SELECT version_tag, recorded_season_local,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(temp * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS temp_cents,
+           CAST(sum(CAST(floor(({HEAT_INDEX}) * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS hi_cents,
+           CAST(sum(user_id) AS BIGINT) AS station_sum
+    FROM tagged GROUP BY version_tag, recorded_season_local
 """
 
 
@@ -2290,6 +2462,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
     "q_time_travel_manifest": q_time_travel_manifest,
+    "q_star_transaction": q_star_transaction,
 }
 
 SERVING_ORACLES: dict[str, str] = {
@@ -2319,4 +2492,5 @@ SERVING_ORACLES: dict[str, str] = {
     # E99: the manifest-mode walk must reconstruct the SAME logical
     # history as the mirror-mode walk — oracle reused verbatim.
     "q_time_travel_manifest": ORACLE_TIME_TRAVEL,
+    "q_star_transaction": _oracle_star_transaction(),
 }
