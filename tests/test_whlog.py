@@ -278,3 +278,23 @@ def test_batch_markers_and_recycled_id_scoping(spark, wh):
     assert committed_load(wh, "q1:0") is None
     assert not glob.glob(os.path.join(wh, ".__whlog", "B_q1_0_*.json"))
     assert committed_load(wh, "q1:1") == 3  # kept load's marker survives
+
+
+def test_stale_marker_never_vouches_for_a_gone_load(spark, wh):
+    """r11 review: a vacuum that crashes between entry removal and
+    marker GC leaves a marker without its entry — the fast path must
+    not let it swallow a post-retention recycled batch id."""
+    import glob
+
+    from weatherflow_spark.operators.whlog import committed_load
+
+    _seed(spark, wh)
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="r:0") == 1
+    # simulate the crash window: entry gone, marker left behind
+    os.remove(os.path.join(wh, ".__whlog", "L000001.json"))
+    assert glob.glob(os.path.join(wh, ".__whlog", "B_r_0_*.json"))
+    assert committed_load(wh, "r:0") is None
+    # the recycled id mints a fresh load instead of being swallowed
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="r:0") == 1
+    assert warehouse_loads(wh) == [1]
+    assert committed_load(wh, "r:0") == 1

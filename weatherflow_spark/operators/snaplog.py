@@ -187,19 +187,26 @@ def _walk_data_files(
     return out
 
 
-def _batch_marker(path: str, batch_id: object) -> str:
-    # Sanitized name PLUS a hash of the raw id: sanitization alone can
-    # collide distinct ids ('8.1' and '8_1' both -> b_8_1), and a
-    # collision here would make record_commit treat a never-committed
-    # batch as committed — silent data loss in the streaming sink
-    # (r10 review). The raw id is also stored inside the marker and
-    # re-checked on read.
+def batch_marker_filename(prefix: str, batch_id: object) -> str:
+    """Collision-proof marker file name for a batch id: sanitized
+    name PLUS a hash of the raw id — sanitization alone can collide
+    distinct ids ('8.1' and '8_1' both → 8_1), and a collision would
+    make a replay check treat a never-committed batch as committed —
+    silent data loss (r10 review). Shared by the snaplog version
+    markers and the whlog load markers so the two schemes cannot
+    drift (r11 review)."""
     import hashlib
 
     raw = str(batch_id)
     safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in raw)[:40]
     digest = hashlib.sha256(raw.encode()).hexdigest()[:12]
-    return os.path.join(_log_dir(path), f"b_{safe}_{digest}.json")
+    return f"{prefix}_{safe}_{digest}.json"
+
+
+def _batch_marker(path: str, batch_id: object) -> str:
+    # The raw id is also stored inside the marker and re-checked on
+    # read.
+    return os.path.join(_log_dir(path), batch_marker_filename("b", batch_id))
 
 
 def committed_batch_version(path: str, batch_id: object) -> int | None:
@@ -220,7 +227,14 @@ def committed_batch_version(path: str, batch_id: object) -> int | None:
     try:
         with open(_batch_marker(path, batch_id)) as f:
             d = json.load(f)
-        if d.get("batch_id") == raw:
+        if d.get("batch_id") == raw and os.path.isfile(
+            # The marker is only an index: a vacuum that crashed
+            # between dropping the entry and GC'ing the marker must
+            # not let a stale marker vouch for a gone version —
+            # post-retention id recycling would be silently swallowed
+            # (r11 review).
+            _entry_path(path, int(d["version"]))
+        ):
             return int(d["version"])
     except (OSError, ValueError, KeyError):
         pass
@@ -924,27 +938,32 @@ def vacuum_versions(
         for v in keep:
             with open(_entry_path(path, v)) as f:
                 referenced.update(rel for rel, _ in json.load(f)["files"])
-        dropped = set(drop)
         for v in drop:
             os.unlink(_entry_path(path, v))
         # GC batch markers whose version is gone: they would otherwise
         # grow the log dir without bound under a long-running stream
         # and point readers at vacuumed versions (r10 review). Replay
         # protection intentionally ends with retention (see
-        # committed_batch_version).
-        for nme in os.listdir(_log_dir(path)):
-            if nme.startswith("b_") and nme.endswith(".json"):
-                full = os.path.join(_log_dir(path), nme)
-                try:
-                    with open(full) as f:
-                        mv = int(json.load(f)["version"])
-                except (OSError, ValueError, KeyError):
-                    continue
-                if mv in dropped:
+        # committed_batch_version). Matching "not in keep" (rather
+        # than this run's drop set) self-heals markers stranded by a
+        # vacuum that crashed between entry removal and marker GC;
+        # the loop is guarded so a no-op vacuum doesn't pay O(markers)
+        # reads (r11 review).
+        kept = set(keep)
+        if drop:
+            for nme in os.listdir(_log_dir(path)):
+                if nme.startswith("b_") and nme.endswith(".json"):
+                    full = os.path.join(_log_dir(path), nme)
                     try:
-                        os.unlink(full)
-                    except OSError:
-                        pass
+                        with open(full) as f:
+                            mv = int(json.load(f)["version"])
+                    except (OSError, ValueError, KeyError):
+                        continue
+                    if mv not in kept:
+                        try:
+                            os.unlink(full)
+                        except OSError:
+                            pass
         removed = 0
         if snapshot_mode(path) == "manifest":
             # Manifest mode: vacuum is the ONE deleter — unlink LIVE

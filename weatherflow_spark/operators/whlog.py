@@ -154,14 +154,13 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
 
 
 def _load_batch_marker(wh_dir: str, batch_id: object) -> str:
-    # Same shape as snaplog's batch markers: sanitized name + content
-    # hash so distinct ids can't collide after sanitization.
-    import hashlib
+    # Shared naming with snaplog's batch markers (one sanitize+hash
+    # scheme to maintain, r11 review).
+    from weatherflow_spark.operators.snaplog import batch_marker_filename
 
-    raw = str(batch_id)
-    safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in raw)[:40]
-    digest = hashlib.sha256(raw.encode()).hexdigest()[:12]
-    return os.path.join(_wh_log_dir(wh_dir), f"B_{safe}_{digest}.json")
+    return os.path.join(
+        _wh_log_dir(wh_dir), batch_marker_filename("B", batch_id)
+    )
 
 
 def committed_load(wh_dir: str, batch_id: object) -> int | None:
@@ -188,7 +187,13 @@ def committed_load(wh_dir: str, batch_id: object) -> int | None:
     try:
         with open(_load_batch_marker(wh_dir, batch_id)) as f:
             d = json.load(f)
-        if d.get("batch_id") == raw:
+        if d.get("batch_id") == raw and os.path.isfile(
+            # Verify the ENTRY still exists: a vacuum that crashed
+            # between entry removal and marker GC must not let a
+            # stale marker swallow a post-retention recycled id
+            # (r11 review).
+            _load_path(wh_dir, int(d["load"]))
+        ):
             return int(d["load"])
     except (OSError, ValueError, KeyError):
         pass
@@ -325,24 +330,29 @@ def vacuum_warehouse(
         for n in drop:
             for t in load_entry(wh_dir, n)["tables"]:
                 referenced.setdefault(t, set())
+        # GC batch markers BEFORE removing entries (a crash in
+        # between then leaves an entry without a marker — the scan
+        # fallback still resolves it — never a marker without an
+        # entry, which the fast path additionally guards against).
+        # "not in keep" self-heals strays; guarded so a no-op vacuum
+        # pays nothing (r11 review).
+        kept = set(keep)
+        if drop:
+            for nme in os.listdir(_wh_log_dir(wh_dir)):
+                if nme.startswith("B_") and nme.endswith(".json"):
+                    full = os.path.join(_wh_log_dir(wh_dir), nme)
+                    try:
+                        with open(full) as f:
+                            ml = int(json.load(f)["load"])
+                    except (OSError, ValueError, KeyError):
+                        continue
+                    if ml not in kept:
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass
         for n in drop:
             os.remove(_load_path(wh_dir, n))
-        # GC batch markers whose load was dropped (replay protection
-        # intentionally ends with load retention — committed_load).
-        dropped = set(drop)
-        for nme in os.listdir(_wh_log_dir(wh_dir)):
-            if nme.startswith("B_") and nme.endswith(".json"):
-                full = os.path.join(_wh_log_dir(wh_dir), nme)
-                try:
-                    with open(full) as f:
-                        ml = int(json.load(f)["load"])
-                except (OSError, ValueError, KeyError):
-                    continue
-                if ml in dropped:
-                    try:
-                        os.remove(full)
-                    except OSError:
-                        pass
         out: dict[str, dict[str, int]] = {
             "__loads__": {"dropped_loads": len(drop)}
         }

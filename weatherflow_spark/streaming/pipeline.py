@@ -269,30 +269,39 @@ def weather_etl_stream(
     # fresh checkpoint (fresh id space).
     import hashlib
 
+    # realpath, not abspath: a relative path resolved from a
+    # different cwd (or a symlink alias) must not silently change the
+    # id scope across restarts of the same query (r11 review).
     scope = hashlib.sha256(
-        os.path.abspath(checkpoint_dir).encode()
+        os.path.realpath(checkpoint_dir).encode()
     ).hexdigest()[:12]
 
     def load_star(batch_df: DataFrame, batch_id: int) -> None:
         from weatherflow_spark.operators.star import load_star_warehouse
 
         # Collapse CONFLICTING same-natural-key rows to ONE winner
-        # BEFORE the five-way split: per-table picks inside the
-        # loader are independent, so an in-batch revision could
-        # otherwise keep old temp with new humidity — a mixed record
-        # committed as a "consistent" load (r11 review).
-        tables = build_weather_star(
-            batch_df.dropDuplicates(
-                ["station_id", "recorded_datetime_local"]
-            ),
-            station_col="station_id",
-        )
-        load_star_warehouse(
-            batch_df.sparkSession,
-            tables,
-            warehouse_dir,
-            batch_id=f"{scope}:{batch_id}",
-        )
+        # BEFORE the five-way split — and MATERIALIZE the survivors:
+        # dropDuplicates' pick is partition-order-dependent, and the
+        # loader runs ~10 jobs (5 validations + 5 writes) over this
+        # lineage; un-persisted, each job could re-pick a DIFFERENT
+        # winner (old temp with new humidity committed as one
+        # "consistent" load) and the batch's read+enrich+dedup cost
+        # would be paid ten times over (r11 review). One persist
+        # fixes both; released after the load commits.
+        deduped = batch_df.dropDuplicates(
+            ["station_id", "recorded_datetime_local"]
+        ).persist()
+        try:
+            deduped.count()  # pin the survivors before any consumer
+            tables = build_weather_star(deduped, station_col="station_id")
+            load_star_warehouse(
+                batch_df.sparkSession,
+                tables,
+                warehouse_dir,
+                batch_id=f"{scope}:{batch_id}",
+            )
+        finally:
+            deduped.unpersist()
 
     writer = (
         enriched.writeStream.foreachBatch(load_star)
