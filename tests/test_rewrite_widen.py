@@ -136,6 +136,58 @@ def test_widen_aborts_on_concurrent_commit(spark, tmpdir):
     assert not os.path.exists(path.rstrip("/") + "__widening")
 
 
+def test_widen_token_precedes_listing(spark, tmpdir):
+    """r12 advice (medium): Spark freezes the parquet file listing at
+    DataFrame creation; if the optimistic token were taken AFTER the
+    listing, a commit landing in between is inside the token but
+    outside the rewrite — the swap check passes while that commit's
+    rows are silently dropped. Inject a commit immediately after the
+    listing resolves and require the widen to ABORT, not lose rows."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from weatherflow_spark.operators.commit import CompactionConflict
+
+    path = f"{tmpdir}/t"
+    _seed(spark, path)
+
+    real_parquet = DataFrameReader.parquet
+    fired = {"done": False}
+
+    def racing_parquet(self, *paths, **kw):
+        df = real_parquet(self, *paths, **kw)
+        if not fired["done"] and paths and paths[0] == path:
+            fired["done"] = True  # listing frozen; now a writer lands
+            spark.createDataFrame(
+                [(99, "p0", 1)], "k int, grp string, amount int"
+            ).write.mode("append").partitionBy("grp").parquet(path)
+        return df
+
+    try:
+        DataFrameReader.parquet = racing_parquet
+        with pytest.raises(CompactionConflict):
+            rewrite_widen(spark, path, {"amount": "bigint"}, ["grp"])
+    finally:
+        DataFrameReader.parquet = real_parquet
+
+    assert fired["done"]
+    live = spark.read.parquet(path)
+    assert dict(live.dtypes)["amount"] == "int"  # swap never happened
+    assert live.count() == 21  # the racing commit's row survived
+
+
+def test_compact_manifest_without_versions_is_a_clear_error(spark, tmpdir):
+    """r12 advice (low): compact()/widen on a manifest-mode table with
+    zero committed versions must raise a clear ValueError, not a bare
+    IndexError from versions(path)[-1]."""
+    from weatherflow_spark.operators.layout import compact
+
+    path = f"{tmpdir}/t"
+    _seed(spark, path)
+    init_snapshot_log(path, mode="manifest")  # enabled, nothing committed
+    with pytest.raises(ValueError, match="no committed versions"):
+        compact(spark, path)
+
+
 def test_widen_manifest_mode_keeps_old_footers_readable(spark, tmpdir):
     """Manifest-mode widen (r11): no directory swap — the widened
     files MOVE into the live tree, a version lists only them, the

@@ -83,6 +83,21 @@ def _manifest_table_root(path: str) -> str | None:
         p = parent
 
 
+def _head_version(path: str) -> int:
+    """The manifest table's head version number, with a clear error
+    when the snapshot log has no committed versions yet — the raw
+    ``versions(path)[-1]`` would raise a bare IndexError (r12 advice)."""
+    from weatherflow_spark.operators.snaplog import versions
+
+    vs = versions(path)
+    if not vs:
+        raise ValueError(
+            f"{path}: manifest-mode table has no committed versions — "
+            "record_commit the seed first"
+        )
+    return vs[-1]
+
+
 def _head_partition_cols(path: str) -> list[str] | None:
     """The hive partition column sequence of a manifest table's HEAD
     version, inferred from its file list (``c1=v1/c2=v2/part-…``), or
@@ -91,9 +106,9 @@ def _head_partition_cols(path: str) -> list[str] | None:
     every later partition carve-out (r11 review)."""
     import json as _json
 
-    from weatherflow_spark.operators.snaplog import _entry_path, versions
+    from weatherflow_spark.operators.snaplog import _entry_path
 
-    with open(_entry_path(path, versions(path)[-1])) as f:
+    with open(_entry_path(path, _head_version(path))) as f:
         files = _json.load(f)["files"]
 
     def cols_of(rel: str) -> list[str]:
@@ -128,10 +143,9 @@ def _compact_out(
     from weatherflow_spark.operators.snaplog import (
         _entry_path,
         read_version,
-        versions,
     )
 
-    with open(_entry_path(path, versions(path)[-1])) as f:
+    with open(_entry_path(path, _head_version(path))) as f:
         entry = _json.load(f)
     total_bytes = sum(max(int(sz), 0) for _, sz in entry["files"])
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
@@ -432,9 +446,16 @@ def rewrite_widen(
         )
     manifest = snapshot_mode(path) == "manifest"
     manifest_snap0 = None
+    # Token BEFORE the source resolves (r11 review principle; the r12
+    # advice caught the mirror path inverting it): Spark freezes the
+    # parquet file listing at DataFrame creation, so a commit landing
+    # between the listing and the token would be INCLUDED in the token
+    # yet EXCLUDED from the rewrite — the swap-time re-check would pass
+    # while silently dropping that commit's rows. Taking the token
+    # first makes any post-listing commit fail the swap comparison.
+    snap0 = dataset_snapshot(path)
     if manifest and versions(path):
-        # Token BEFORE the head resolves, as in compact (r11 review).
-        manifest_snap0 = dataset_snapshot(path)
+        manifest_snap0 = snap0
         df = read_version(spark, path)  # superseded files must not be read
     else:
         df = spark.read.option("mergeSchema", "true").parquet(path)
@@ -484,7 +505,6 @@ def rewrite_widen(
             snap0=manifest_snap0,
         )
         return
-    snap0 = dataset_snapshot(path)
     tmp = path.rstrip("/") + "__widening"
     old = path.rstrip("/") + "__old_widen"
     swapped = False
