@@ -229,6 +229,11 @@ OPTIONAL = [
     "q_warehouse_snapshot",
     "q_tpch_q3_bucketed",
     "q_tpch_q18_bucketed",
+    # r12: the rest of the orderkey family routed through the durable
+    # layout (plain q4/q12/q21 stay benched above for the delta)
+    "q_tpch_q4_bucketed",
+    "q_tpch_q12_bucketed",
+    "q_tpch_q21_bucketed",
     "q_time_travel_manifest",
     # r11: the five-table transactional star load (2 loads x 5 keyed
     # merges of REAL I/O — the cost IS the certified claim)

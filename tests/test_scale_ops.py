@@ -396,18 +396,95 @@ def test_bucketed_tpch_adoption_plans_zero_shuffle(spark):
     Q18 over bucketed_warehouse plan their fact-fact join (and Q18's
     pre-join aggregate) with zero shuffle Exchange, broadcast only on
     the dimension side, and return results row-identical to the plain
-    forms."""
+    forms. r11 verdict #2 widened the family: Q4/Q12/Q21 route through
+    the same layout with exactly ONE Exchange each (the tiny
+    post-aggregation re-group on a non-bucket key — the builders
+    raise if the bound is exceeded) and stay row-identical too."""
     from weatherflow_spark.plans.serving import (
         q_tpch_q3_bucketed,
+        q_tpch_q4_bucketed,
+        q_tpch_q12_bucketed,
         q_tpch_q18_bucketed,
+        q_tpch_q21_bucketed,
     )
     from weatherflow_spark.plans.stats import q_tpch_q3
-    from weatherflow_spark.plans.tpch import q_tpch_q18
+    from weatherflow_spark.plans.tpch import q_tpch_q4, q_tpch_q18
+    from weatherflow_spark.plans.tpch_ext import q_tpch_q21
+    from weatherflow_spark.plans.tpch_ps import q_tpch_q12
 
-    b3 = q_tpch_q3_bucketed(spark, SF_SMALL)   # raises unless zero-Exchange SMJ
-    p3 = q_tpch_q3(spark, SF_SMALL)
-    assert sorted(map(tuple, b3.collect())) == sorted(map(tuple, p3.collect()))
+    for bucketed, plain in [
+        (q_tpch_q3_bucketed, q_tpch_q3),     # raises unless 0 Exchange
+        (q_tpch_q18_bucketed, q_tpch_q18),   # raises unless 0 Exchange
+        (q_tpch_q4_bucketed, q_tpch_q4),     # raises unless <= 1
+        (q_tpch_q12_bucketed, q_tpch_q12),   # raises unless <= 1
+        (q_tpch_q21_bucketed, q_tpch_q21),   # raises unless <= 1
+    ]:
+        b = bucketed(spark, SF_SMALL)
+        p = plain(spark, SF_SMALL)
+        assert sorted(map(tuple, b.collect())) == sorted(
+            map(tuple, p.collect())
+        ), bucketed.__name__
 
-    b18 = q_tpch_q18_bucketed(spark, SF_SMALL)
-    p18 = q_tpch_q18(spark, SF_SMALL)
-    assert sorted(map(tuple, b18.collect())) == sorted(map(tuple, p18.collect()))
+
+def test_bucketed_warehouse_is_durable_across_sessions(spark, tmp_path):
+    """r11 verdict #2: a layout 'amortized forever' must survive the
+    session. Build once; wipe the catalog entries (what a fresh
+    process starts with — the data and marker stay on disk); re-call
+    bucketed_warehouse and prove it RE-REGISTERS instead of
+    rewriting: zero new data files, identical file set, and the
+    re-registered tables still plan the zero-Exchange co-located
+    join. A spec change (different bucket count) then really does
+    rebuild."""
+    import os
+
+    from weatherflow_spark.operators.bucketing import bucketed_warehouse
+
+    scratch = str(tmp_path)
+
+    def file_set():
+        out = {}
+        for root, _, files in os.walk(scratch):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    t_li, t_ord = bucketed_warehouse(spark, SF_SMALL, scratch, n_buckets=4)
+    built = file_set()
+    assert built, "build produced no files"
+
+    # Simulate a fresh session: external DROP removes metadata only.
+    spark.sql(f"DROP TABLE {t_li}")
+    spark.sql(f"DROP TABLE {t_ord}")
+    assert not spark.catalog.tableExists(t_li)
+
+    t_li2, t_ord2 = bucketed_warehouse(spark, SF_SMALL, scratch, n_buckets=4)
+    assert (t_li2, t_ord2) == (t_li, t_ord)
+    assert file_set() == built, "reuse path wrote/touched data files"
+    assert spark.catalog.tableExists(t_li2)
+
+    # The re-registered tables still carry bucket metadata: the
+    # co-located join plans with zero Exchange.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(t_li2).join(
+            spark.table(t_ord2),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert colocated_join_is_shuffle_free(j), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # Spec change invalidates the marker and rebuilds exactly once.
+    t_li3, _ = bucketed_warehouse(spark, SF_SMALL, scratch, n_buckets=2)
+    assert t_li3 == t_li
+    rebuilt = file_set()
+    assert rebuilt != built, "spec change must rebuild the layout"
+    import json
+
+    with open(os.path.join(scratch, os.listdir(scratch)[0], "_WF_BUILT")) as f:
+        assert json.load(f)["spec"]["n_buckets"] == 2

@@ -5,12 +5,18 @@ lineitem⋈orders) is the shuffle of both sides. Writing both tables
 bucketed by the join key with the same bucket count lets Spark plan a
 sort-merge join with **zero Exchange**: each task reads bucket i of
 both tables. This module wraps the write/read pattern and is verified
-by tests/test_scale_ops.py::test_bucketed_join_no_shuffle asserting
-the join plan contains no shuffle Exchange operator.
+by tests/test_scale_ops.py::test_bucketed_join_no_shuffle (the layout
+primitive) and tests/test_scale_ops.py::
+test_bucketed_tpch_adoption_plans_zero_shuffle (the adopted TPC-H
+family) asserting the join plans contain no shuffle Exchange operator.
 
 Notes:
 - Bucketing requires ``saveAsTable`` (metastore-backed); plain
-  ``.parquet(path)`` writes lose bucket metadata.
+  ``.parquet(path)`` writes lose bucket metadata — but the bucket id
+  is ALSO encoded in each part-file name (``..._00003.c000``), which
+  is what lets :func:`bucketed_warehouse` re-register the tables in a
+  fresh session from the on-disk marker with a ``CREATE TABLE ...
+  CLUSTERED BY ... LOCATION`` DDL instead of rewriting the data.
 - Bucket count is a layout decision: pick ~(table size / 128 MB)
   rounded to a power of two, identical on both join sides. Changing
   it means rewriting the table — choose for the largest join family.
@@ -21,20 +27,28 @@ Notes:
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 # Columns the bucketed warehouse keeps — the orderkey join family's
-# working set (Q3/Q18 and kin). A layout is a standing decision: add
-# columns here (and rebuild) rather than minting per-query layouts.
+# working set (Q3/Q4/Q12/Q18/Q21 and kin). A layout is a standing
+# decision: add columns here rather than minting per-query layouts;
+# the marker records the column spec, so a spec change triggers ONE
+# rebuild and every session after that reuses the widened layout.
+# (r12: + l_linenumber/l_suppkey for the derived commit/receipt dates
+# and Q21's supplier profile; + o_orderstatus for Q21's finished-order
+# filter.)
 BW_LINEITEM_COLS = [
-    "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
-    "l_shipdate",
+    "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_shipdate",
 ]
 BW_ORDERS_COLS = [
     "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
-    "o_orderpriority",
+    "o_orderpriority", "o_orderstatus",
 ]
 
 
@@ -65,6 +79,40 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    schema_ddl: str,
+    bucket_cols: list[str],
+    sort_cols: list[str],
+    n_buckets: int,
+    location: str,
+) -> None:
+    """Re-register an EXISTING bucketed parquet directory as a catalog
+    table — metadata only, zero data writes. This is what makes the
+    layout durable: bucket membership is encoded in the part-file
+    names (``BucketingUtils`` parses the ``_NNNNN`` suffix), so a
+    fresh session only needs the DDL to plan bucket-to-bucket joins
+    over files a previous session wrote."""
+    if spark.catalog.tableExists(table):
+        return
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) "
+        f"SORTED BY ({', '.join(sort_cols)}) "
+        f"INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+
+
+def _bw_spec(n_buckets: int) -> dict:
+    return {
+        "n_buckets": n_buckets,
+        "lineitem_cols": BW_LINEITEM_COLS,
+        "orders_cols": BW_ORDERS_COLS,
+    }
+
+
 def bucketed_warehouse(
     spark: SparkSession,
     sf_dir: str,
@@ -78,45 +126,68 @@ def bucketed_warehouse(
     routed through these tables plans its fact⋈fact join — and any
     groupBy on a superset of the orderkey — with ZERO shuffle
     Exchange; at 100 TB that shuffle is the dominant cost of the
-    whole TPC-H Q3/Q18 family (module doc), paid once at layout time
-    instead of per query.
+    whole TPC-H orderkey family (module doc), paid once at layout
+    time instead of per query.
 
-    A layout decision is made once and amortized: the build is
-    CACHED per (scratch_base, process) — our own completion marker,
-    written after both saveAsTable calls return, gates the skip (a
-    bare directory from a crashed build is rebuilt, and a fresh
-    process/session rebuilds because bucket metadata lives in the
-    session catalog). External ``path=`` keeps the data out of the
-    repo's warehouse dir; per-process names keep a driver run and a
-    concurrent pytest from interleaving."""
-    import shutil
+    DURABLE across sessions (r11 verdict #2): the build is cached per
+    (scratch_base, sf_dir) on DISK — the ``_WF_BUILT`` marker records
+    the layout spec (bucket count, column sets) plus both schemas, and
+    a fresh process finding a valid marker RE-REGISTERS the external
+    tables from it via :func:`register_bucketed` (metadata-only DDL,
+    no data writes) instead of rewriting two fact tables per session.
+    The tag hashes ``realpath(sf_dir)`` so two scale dirs sharing a
+    basename can never alias (r12 advice). A spec change (new columns,
+    different bucket count) invalidates the marker and rebuilds once.
 
+    Concurrent-builder safe: the build lands in a pid-tagged sibling
+    scratch and enters service via one atomic ``os.rename`` — the
+    loser of a build race keeps the winner's tree and discards its
+    own. Dead builders' scratch dirs are swept by pid-liveness (scratch
+    is host-local, so the probe is meaningful)."""
     from weatherflow_spark.io import load_table
 
     tag = (
         sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-        + f"_{os.getpid()}"
+        + "_"
+        + hashlib.sha1(
+            os.path.realpath(sf_dir).encode()
+        ).hexdigest()[:8]
     )
     t_li, t_ord = f"wf_bw_lineitem_{tag}", f"wf_bw_orders_{tag}"
-    # The data dir carries the SAME (sf, pid) tag as the table names:
-    # a shared base under a caller-chosen scratch_base would let a
-    # second process (or a second sf in this process) rmtree the live
-    # files backing the first one's still-registered external tables
-    # (r11 review).
     base = os.path.join(scratch_base, f"bucketed_wh_{tag}")
     marker = os.path.join(base, "_WF_BUILT")
-    if (
-        os.path.isfile(marker)
-        and spark.catalog.tableExists(t_li)
-        and spark.catalog.tableExists(t_ord)
-    ):
+    spec = _bw_spec(n_buckets)
+
+    def _try_reuse() -> tuple[str, str] | None:
+        # Our own marker gates the skip (a bare directory from a
+        # crashed build is rebuilt); the recorded spec must match, or
+        # a widened column list / changed bucket count would silently
+        # serve the stale layout.
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return None
+        if meta.get("spec") != spec:
+            return None
+        register_bucketed(
+            spark, t_li, meta["lineitem_ddl"], ["l_orderkey"],
+            ["l_orderkey"], n_buckets, os.path.join(base, "lineitem"),
+        )
+        register_bucketed(
+            spark, t_ord, meta["orders_ddl"], ["o_orderkey"],
+            ["o_orderkey"], n_buckets, os.path.join(base, "orders"),
+        )
         return t_li, t_ord
-    # Reclaim siblings left by DEAD processes (r11 review: each run
-    # otherwise strands a full bucketed lineitem+orders copy forever).
-    # pid-liveness is meaningful here — scratch is host-local.
+
+    got = _try_reuse()
+    if got is not None:
+        return got
+    # Reclaim build scratch left by DEAD processes (each otherwise
+    # strands a full bucketed lineitem+orders copy forever).
     try:
         for n in os.listdir(scratch_base):
-            if not n.startswith("bucketed_wh_") or n == os.path.basename(base):
+            if "__building_" not in n or not n.startswith("bucketed_wh_"):
                 continue
             try:
                 pid = int(n.rsplit("_", 1)[-1])
@@ -131,21 +202,57 @@ def bucketed_warehouse(
                 continue  # alive-but-not-ours or unknowable: keep
     except OSError:
         pass
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
+    # Spec changed (or the marker is corrupt): the stale layout must
+    # not survive next to the new one — drop this session's catalog
+    # entries (external: metadata only) and clear the tree so the
+    # atomic rename below can land.
+    for t in (t_li, t_ord):
+        if spark.catalog.tableExists(t):
+            spark.sql(f"DROP TABLE {t}")
+    tmp = f"{base}__building_{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     li = load_table(spark, sf_dir, "lineitem").select(*BW_LINEITEM_COLS)
     orders = load_table(spark, sf_dir, "orders").select(*BW_ORDERS_COLS)
-    write_bucketed(
-        li, t_li, ["l_orderkey"], n_buckets,
-        sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
-    )
-    write_bucketed(
-        orders, t_ord, ["o_orderkey"], n_buckets,
-        sort_cols=["o_orderkey"], path=os.path.join(base, "orders"),
-    )
-    with open(marker, "w") as f:
-        f.write(f"{t_li} {t_ord}\n")
-    return t_li, t_ord
+    # Build under throwaway pid-tagged names: saveAsTable pins the
+    # catalog location to the scratch path, which goes stale at the
+    # rename — the durable names are registered at the final location
+    # by _try_reuse after the swap.
+    b_li, b_ord = f"{t_li}_b{os.getpid()}", f"{t_ord}_b{os.getpid()}"
+    try:
+        write_bucketed(
+            li, b_li, ["l_orderkey"], n_buckets,
+            sort_cols=["l_orderkey"], path=os.path.join(tmp, "lineitem"),
+        )
+        write_bucketed(
+            orders, b_ord, ["o_orderkey"], n_buckets,
+            sort_cols=["o_orderkey"], path=os.path.join(tmp, "orders"),
+        )
+        li_ddl = spark.table(b_li)._jdf.schema().toDDL()
+        ord_ddl = spark.table(b_ord)._jdf.schema().toDDL()
+    finally:
+        for t in (b_li, b_ord):
+            if spark.catalog.tableExists(t):
+                spark.sql(f"DROP TABLE {t}")  # external: data stays
+    with open(os.path.join(tmp, "_WF_BUILT"), "w") as f:
+        json.dump(
+            {"spec": spec, "lineitem_ddl": li_ddl, "orders_ddl": ord_ddl},
+            f,
+        )
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # A concurrent builder won the rename race; reuse its tree if
+        # the marker validates, else surface the real failure below.
+        shutil.rmtree(tmp, ignore_errors=True)
+    got = _try_reuse()
+    if got is None:
+        raise RuntimeError(
+            f"{base}: bucketed warehouse build did not land a valid "
+            "marker (concurrent builder with a different spec?)"
+        )
+    return got
 
 
 def colocated_join_is_shuffle_free(joined: DataFrame) -> bool:
@@ -160,12 +267,22 @@ def colocated_join_is_shuffle_free(joined: DataFrame) -> bool:
     co-located layout must separately disable broadcast and require a
     SortMergeJoin, or a small build side makes the check vacuous.
     (AQE wraps the plan; inspect the executed/final plan string.)"""
+    return count_shuffle_exchanges(joined) == 0
+
+
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Number of shuffle ``Exchange`` operators (any flavor) in the
+    executed plan. ``BroadcastExchange`` is excluded by the word
+    boundary — the shuffle operator's node name IS "Exchange". Used
+    by the adopted-layout certifications: a fully co-located join is
+    0; a query whose ONLY exchange is a tiny post-aggregation
+    re-group (e.g. TPC-H Q4's 5-row priority agg) certifies ≤ 1 —
+    if the fact⋈fact join itself had shuffled, both join sides would
+    add their own Exchanges and the count check still has teeth."""
     import re
 
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    # \bExchange\b: no word boundary splits "BroadcastExchange", so
-    # only the shuffle operator (whose node name IS "Exchange") hits.
-    return re.search(r"\bExchange\b", plan) is None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"\bExchange\b", plan))
 
 
 # Backwards-compatible alias for the typo'd pre-r11 name.

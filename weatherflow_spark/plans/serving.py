@@ -945,23 +945,44 @@ ORACLE_BUCKETED_JOIN = """
 """
 
 
-def _require_zero_shuffle_smj(df: DataFrame, what: str) -> None:
+def _durable_scratch_base() -> str:
+    """Scratch base for CROSS-SESSION layouts (the bucketed warehouse):
+    deliberately NOT pid-tagged — the whole point of a standing layout
+    is that a fresh session re-registers the on-disk build instead of
+    rewriting two fact tables (r11 verdict #2). Concurrent processes
+    are safe because bucketed_warehouse enters service via one atomic
+    rename and validates its marker+spec before reuse."""
+    return tempfile.gettempdir()
+
+
+def _require_zero_shuffle_smj(
+    df: DataFrame, what: str, max_exchanges: int = 0
+) -> None:
     """The adoption certification's teeth: RAISE unless the executed
-    plan is a zero-shuffle-Exchange SortMergeJoin plan. Broadcast is
-    disabled by the caller for the fact⋈fact join (a small build side
-    would make the check vacuous — r10 review), so SortMergeJoin must
-    appear; colocated_join_is_shuffle_free rejects every shuffle
-    flavor (hash, range, rebalance) while permitting the deliberate
-    BroadcastExchange of the dimension side."""
+    plan is a SortMergeJoin plan with at most ``max_exchanges``
+    shuffle Exchanges. Broadcast is disabled by the caller for the
+    fact⋈fact join (a small build side would make the check vacuous —
+    r10 review), so SortMergeJoin must appear; the Exchange count
+    rejects every shuffle flavor (hash, range, rebalance) while
+    permitting the deliberate BroadcastExchange of the dimension
+    side. ``max_exchanges=0`` is the fully co-located form (Q3/Q18);
+    queries whose FINAL aggregate re-groups on a non-bucket key
+    (Q4's 5-priority count, Q12's ship-mode counts, Q21's
+    per-supplier tally) certify with ``max_exchanges=1`` — the one
+    allowed Exchange moves the tiny post-aggregation partials, and if
+    the fact⋈fact join itself had shuffled, BOTH join sides would add
+    Exchanges and the bound still trips."""
     from weatherflow_spark.operators.bucketing import (
-        colocated_join_is_shuffle_free,
+        count_shuffle_exchanges,
     )
 
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "SortMergeJoin" not in plan or not colocated_join_is_shuffle_free(df):
+    n = count_shuffle_exchanges(df)
+    if "SortMergeJoin" not in plan or n > max_exchanges:
         raise RuntimeError(
-            f"{what}: expected a zero-Exchange sort-merge plan over the "
-            "bucketed warehouse — the adopted layout regressed"
+            f"{what}: expected a sort-merge plan with <= {max_exchanges} "
+            f"shuffle Exchange(s) over the bucketed warehouse (got {n}) "
+            "— the adopted layout regressed"
         )
 
 
@@ -983,7 +1004,7 @@ def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherflow_spark.operators.bucketing import bucketed_warehouse
     from weatherflow_spark.plans.queries import scaled_sum
 
-    t_li, t_ord = bucketed_warehouse(spark, sf_dir, _scratch_dir(sf_dir))
+    t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
     cust = (
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
@@ -1028,7 +1049,7 @@ def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherflow_spark.plans.queries import scaled_sum
     from weatherflow_spark.plans.tpch import Q18_QTY_THRESHOLD
 
-    t_li, t_ord = bucketed_warehouse(spark, sf_dir, _scratch_dir(sf_dir))
+    t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name"
     )
@@ -1081,6 +1102,186 @@ def _oracle_tpch_q18_bucketed() -> str:
     from weatherflow_spark.plans.tpch import ORACLE_TPCH_Q18
 
     return ORACLE_TPCH_Q18
+
+
+def q_tpch_q4_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98 (r12): TPC-H Q4 routed through the bucketed warehouse —
+    the EXISTS semi-join (orders ⋉ late lineitem) is bucket-to-bucket
+    on the orderkey with zero Exchange; the only shuffle left in the
+    whole plan is the 5-row priority re-group after the semi join
+    (``max_exchanges=1``). Predicate shape identical to the plain Q4
+    (plans/tpch.py): derived commit/receipt lateness is line-LOCAL,
+    filtering lineitem before the join. Hash-matches ORACLE_TPCH_Q4
+    verbatim."""
+    from weatherflow_spark.operators.bucketing import bucketed_warehouse
+    from weatherflow_spark.plans.tpch import with_commit_receipt
+
+    t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
+    orders = spark.table(t_ord).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = with_commit_receipt(
+        spark.table(t_li).select("l_orderkey", "l_linenumber", "l_shipdate")
+    ).where(F.col("l_commitdate") < F.col("l_receiptdate"))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            orders.join(
+                li.select("l_orderkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        )
+        _require_zero_shuffle_smj(out, "tpch q4 (bucketed)", max_exchanges=1)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    return out
+
+
+def q_tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98 (r12): TPC-H Q12 routed through the bucketed warehouse —
+    lineitem⋈orders is a pure bucket-to-bucket merge (the orderkey
+    equi-join), leaving only the 2-mode conditional-count re-group
+    (``max_exchanges=1``). Same predicate sandwich + derived shipmode
+    dictionary as the plain Q12 (plans/tpch_ps.py); hash-matches
+    ORACLE_TPCH_Q12 verbatim."""
+    from weatherflow_spark.operators.bucketing import bucketed_warehouse
+    from weatherflow_spark.plans.tpch import with_commit_receipt
+    from weatherflow_spark.plans.tpch_ps import SHIP_MODES
+
+    t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
+    li = spark.table(t_li).where(
+        (F.col("l_shipdate") >= F.lit("1995-12-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = with_commit_receipt(li).where(
+        (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+    )
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in SHIP_MODES]),
+        ((F.col("l_orderkey") + F.col("l_linenumber") * 3) % 7 + 1).cast(
+            "int"
+        ),
+    )
+    li = li.withColumn("l_shipmode", mode).where(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+    )
+    orders = spark.table(t_ord).select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_shipmode")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0))
+                .cast("long")
+                .alias("high_line_count"),
+                F.sum(F.when(high, 0).otherwise(1))
+                .cast("long")
+                .alias("low_line_count"),
+            )
+        )
+        _require_zero_shuffle_smj(out, "tpch q12 (bucketed)", max_exchanges=1)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    return out
+
+
+def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98 (r12): TPC-H Q21 routed through the bucketed warehouse —
+    the heaviest member of the orderkey family. BOTH heavy stages ride
+    the bucket partitioning: the lineitem⋈orders join merges
+    bucket-to-bucket AND the per-order supplier profile re-uses the
+    same hash partitioning, so neither shuffles. The plain form's two
+    countDistinct aggregates would break that — Spark rewrites
+    multi-distinct via ``Expand``, whose physical node reports
+    UnknownPartitioning and forces a full re-shuffle of the 3×
+    row-multiplied stream — so the profile is restated as a TWO-LEVEL
+    exact aggregation: dedupe to (order, supplier, was_late) first
+    (keys ⊇ the bucket key → no exchange, and no Expand row
+    multiplication at all), then fold per order (key = the bucket key
+    → no exchange). The only Exchange is the final per-supplier tally
+    re-group (``max_exchanges=1``); the supplier dim stays an
+    explicit broadcast and the top-20 is a TakeOrdered heap.
+    Hash-matches ORACLE_TPCH_Q21 verbatim."""
+    from weatherflow_spark.operators.bucketing import bucketed_warehouse
+    from weatherflow_spark.plans.tpch import with_commit_receipt
+    from weatherflow_spark.plans.tpch_ext import Q21_TOP
+
+    t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
+    orders = (
+        spark.table(t_ord)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = with_commit_receipt(
+        spark.table(t_li).select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate")
+    ).select("l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate")
+    late = F.col("l_receiptdate") > F.col("l_commitdate")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        per_supp = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(F.max(late.cast("int")).alias("was_late"))
+        )
+        profile = per_supp.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("was_late").alias("n_late"),
+            F.max(
+                F.when(F.col("was_late") == 1, F.col("l_suppkey"))
+            ).alias("late_suppkey"),
+        )
+        out = (
+            profile.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+            .groupBy("late_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(
+                F.broadcast(supplier),
+                F.col("late_suppkey") == F.col("s_suppkey"),
+            )
+            .select("s_suppkey", "s_name", "numwait")
+            .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+            .limit(Q21_TOP)
+        )
+        _require_zero_shuffle_smj(out, "tpch q21 (bucketed)", max_exchanges=1)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    return out
+
+
+def _oracle_tpch_q4_bucketed() -> str:
+    from weatherflow_spark.plans.tpch import ORACLE_TPCH_Q4
+
+    return ORACLE_TPCH_Q4
+
+
+def _oracle_tpch_q12_bucketed() -> str:
+    from weatherflow_spark.plans.tpch_ps import ORACLE_TPCH_Q12
+
+    return ORACLE_TPCH_Q12
+
+
+def _oracle_tpch_q21_bucketed() -> str:
+    from weatherflow_spark.plans.tpch_ext import ORACLE_TPCH_Q21
+
+    return ORACLE_TPCH_Q21
 
 
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2118,9 +2319,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``warehouse_snapshot`` (E97, r11): cross-table consistent
       snapshots — two multi-table loads, fact⋈dim read as-of load 1
       and at head, each a consistent cut (whlog.py).
-    - ``tpch_bucketed`` (E98, r11): the bucketed layout ADOPTED by
-      real TPC-H Q3+Q18 — zero-Exchange plans (raise-checked), hash
-      == the unbucketed oracles verbatim.
+    - ``tpch_bucketed`` (E98, r11; family widened r12): the bucketed
+      layout ADOPTED by real TPC-H Q3+Q18 (zero-Exchange plans,
+      raise-checked) and Q4+Q12+Q21 (≤ 1 Exchange — the tiny
+      post-agg re-group — raise-checked), hash == the unbucketed
+      oracles verbatim. The layout itself is DURABLE: a fresh session
+      re-registers the on-disk build instead of rewriting.
     - ``manifest_travel`` (E99, r11): the object-store retention
       mode walking E90's exact commit sequence — zero hard links
       (raise-checked), oracle == ORACLE_TIME_TRAVEL verbatim.
@@ -2249,6 +2453,29 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'total_qty_c', cast(floor(total_qty * 100 + 0.5) as bigint), "
             "'price_cents', price_cents, "
             "'c_custkey', cast(c_custkey as bigint)) AS (metric, value)",
+        )
+    ).unionByName(
+        # r12: the rest of the orderkey family, routed + raise-checked.
+        q_tpch_q4_bucketed(spark, sf_dir).selectExpr(
+            "'tpch_bucketed' AS op",
+            "concat('q4|', o_orderpriority) AS key",
+            "'order_count' AS metric",
+            "cast(order_count as bigint) AS value",
+        )
+    ).unionByName(
+        q_tpch_q12_bucketed(spark, sf_dir).selectExpr(
+            "'tpch_bucketed' AS op",
+            "concat('q12|', l_shipmode) AS key",
+            "stack(2, 'high_line_count', cast(high_line_count as bigint), "
+            "'low_line_count', cast(low_line_count as bigint))"
+            " AS (metric, value)",
+        )
+    ).unionByName(
+        q_tpch_q21_bucketed(spark, sf_dir).selectExpr(
+            "'tpch_bucketed' AS op",
+            "concat('q21|', s_suppkey, '|', s_name) AS key",
+            "'numwait' AS metric",
+            "cast(numwait as bigint) AS value",
         )
     )
     return (
@@ -2427,6 +2654,23 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'price_cents' THEN s.price_cents
                        ELSE s.c_custkey END AS BIGINT) AS value) u
     UNION ALL
+    SELECT 'tpch_bucketed', 'q4|' || o_orderpriority,
+           'order_count', CAST(order_count AS BIGINT)
+    FROM ({_oracle_tpch_q4_bucketed()})
+    UNION ALL
+    SELECT 'tpch_bucketed', 'q12|' || l_shipmode, u.metric, u.value
+    FROM ({_oracle_tpch_q12_bucketed()}) s,
+         (VALUES ('high_line_count'), ('low_line_count')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric WHEN 'high_line_count'
+                       THEN s.high_line_count
+                       ELSE s.low_line_count END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'tpch_bucketed',
+           'q21|' || s_suppkey || '|' || s_name,
+           'numwait', CAST(numwait AS BIGINT)
+    FROM ({_oracle_tpch_q21_bucketed()})
+    UNION ALL
     SELECT 'ann_serve', CAST(vec_id AS VARCHAR), u.metric, u.value
     FROM ({_oracle_ann_index_serve()}) s,
          (VALUES ('label'), ('cosine_e6')) AS m(metric),
@@ -2461,6 +2705,9 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warehouse_snapshot": q_warehouse_snapshot,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
+    "q_tpch_q4_bucketed": q_tpch_q4_bucketed,
+    "q_tpch_q12_bucketed": q_tpch_q12_bucketed,
+    "q_tpch_q21_bucketed": q_tpch_q21_bucketed,
     "q_time_travel_manifest": q_time_travel_manifest,
     "q_star_transaction": q_star_transaction,
 }
@@ -2489,6 +2736,11 @@ SERVING_ORACLES: dict[str, str] = {
     "q_warehouse_snapshot": ORACLE_WAREHOUSE_SNAPSHOT,
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
+    # r12: the rest of the orderkey family routed through the layout —
+    # the adoption claim IS oracle identity with the plain forms.
+    "q_tpch_q4_bucketed": _oracle_tpch_q4_bucketed(),
+    "q_tpch_q12_bucketed": _oracle_tpch_q12_bucketed(),
+    "q_tpch_q21_bucketed": _oracle_tpch_q21_bucketed(),
     # E99: the manifest-mode walk must reconstruct the SAME logical
     # history as the mirror-mode walk — oracle reused verbatim.
     "q_time_travel_manifest": ORACLE_TIME_TRAVEL,
