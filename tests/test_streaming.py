@@ -132,10 +132,13 @@ def test_weather_etl_stream_matches_batch_and_replays_idempotently(spark, tmp_pa
     q.awaitTermination()
 
     # batch twin: identical transform core on the batch-loaded events
+    # (denormalize_date matches the sink — the partition column reads
+    # back LAST, which is exactly where build_weather_star appends it)
     batch_events = load_table(spark, SF_SMALL, "events")
     batch_star = build_weather_star(
         weather_transform_core(events_as_weather_stream(batch_events)),
         station_col="station_id",
+        denormalize_date=True,
     )
     for name in ("w_fact", "w_time_dim", "w_param_dim", "w_temp_dim",
                  "w_heat_index_dim"):
@@ -154,6 +157,91 @@ def test_weather_etl_stream_matches_batch_and_replays_idempotently(spark, tmp_pa
     q2 = weather_etl_stream(spark, SF_SMALL, wh, str(tmp_path / "ckpt_parity_2"))
     q2.awaitTermination()
     assert spark.read.parquet(os.path.join(wh, "w_fact")).count() == n_before
+
+
+def test_weather_etl_stream_touches_only_its_date_partitions(spark, tmp_path):
+    """r11 verdict #1: the adopted streaming topology must be
+    date-partitioned — a micro-batch's five keyed merges may rewrite
+    ONLY the batch's date partitions. Two micro-batches on disjoint
+    dates through one logical query (same checkpoint, the second
+    availableNow run picks up only the new source file): after batch 2
+    lands, every part file batch 1 wrote must be byte-identical —
+    same path, inode, mtime, size — in all five star tables. An
+    unpartitioned load would have re-written them all."""
+    import os
+
+    from weatherflow_spark.operators.star import STAR_KEYS
+    from weatherflow_spark.operators.whlog import warehouse_loads
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt_iso")
+
+    def events(day: int, ids):
+        # ts pinned inside one UTC day; user_id % 25 == 12 keeps the
+        # timezone offset 0 so the LOCAL date equals the UTC date and
+        # the two batches stay on disjoint local dates.
+        base_ns = (1_700_000_000 + day * 86_400) * 1_000_000_000
+        return spark.createDataFrame(
+            [(i, base_ns + i * 1_000_000, 12, "t", float(i), "{}")
+             for i in ids],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    def snapshot():
+        out = {}
+        for name in STAR_KEYS:
+            for root, _, files in os.walk(os.path.join(wh, name)):
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_ino, st.st_mtime_ns, st.st_size)
+        return out
+
+    def land(day: int, ids, name: str) -> None:
+        # The stream's pathGlobFilter matches LEAF file names, so land
+        # each batch as ONE file named events.parquet_* (the
+        # production shape: files dropping into a landing dir).
+        stage = tmp_path / f"stage_{name}"
+        events(day, ids).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.rename(str(stage / part), str(src / name))
+
+    # micro-batch 1: day-0 events only
+    land(0, range(10), "events.parquet_b1")
+    weather_etl_stream(spark, str(src), wh, ckpt).awaitTermination()
+    assert warehouse_loads(wh) == [1]
+    before = snapshot()
+    day0_dirs = {p for p in before if "recorded_date=2023-11-14" in p}
+    assert day0_dirs, sorted(before)
+
+    # micro-batch 2: day-1 events, SAME checkpoint — the file source
+    # remembers batch 1's file, so only the new file forms batch 2.
+    land(1, range(10, 20), "events.parquet_b2")
+    weather_etl_stream(spark, str(src), wh, ckpt).awaitTermination()
+    assert warehouse_loads(wh) == [1, 2], "expected a second load"
+
+    after = snapshot()
+    # Batch 1's files are bitwise-untouched (same inode/mtime/size)…
+    for p, v in before.items():
+        assert after.get(p) == v, f"batch 2 rewrote {p}"
+    # …and batch 2's rows landed under its OWN date partitions only.
+    new_files = set(after) - set(before)
+    assert new_files, "batch 2 wrote nothing"
+    assert all("recorded_date=2023-11-15" in p for p in new_files), sorted(
+        new_files
+    )
+    # all five tables gained day-1 partitions
+    for name in STAR_KEYS:
+        assert any(f"/{name}/" in p for p in new_files), name
 
 
 def test_stream_session_window_matches_batch(spark, tmp_path):

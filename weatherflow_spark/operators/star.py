@@ -54,10 +54,28 @@ def with_star_keys(
     )
 
 
+# The denormalized date-layout column (r11 verdict #1): the reference
+# fact is keys-only (create_tables.sql:11-18), so an unpartitioned
+# star pays a FULL five-table read-modify-write per 5-minute load
+# (etl.py:129, catchup=False :131) — O(T²/b) cumulative. Carrying the
+# local calendar date on every star table (DATE-typed: a string
+# partition value like '2024-01-02' would be re-inferred as DATE on
+# read and split the schema) lets each load touch only its dates.
+STAR_DATE_COL = "recorded_date"
+STAR_DATE_PARTITIONING = {
+    "w_fact": [STAR_DATE_COL],
+    "w_time_dim": [STAR_DATE_COL],
+    "w_param_dim": [STAR_DATE_COL],
+    "w_temp_dim": [STAR_DATE_COL],
+    "w_heat_index_dim": [STAR_DATE_COL],
+}
+
+
 def build_weather_star(
     enriched: DataFrame,
     station_col: str = "station_id",
     natural_key_cols: list[str] | None = None,
+    denormalize_date: bool = False,
 ) -> dict[str, DataFrame]:
     """Split one enriched weather DataFrame into the five star tables.
 
@@ -73,6 +91,14 @@ def build_weather_star(
 
     Missing physical columns (e.g. events-based tests have no wind)
     are emitted as typed NULLs so the schema is stable.
+
+    ``denormalize_date=True`` appends :data:`STAR_DATE_COL` (the local
+    calendar date, DATE-typed) as the LAST column of every table — the
+    layout column :data:`STAR_DATE_PARTITIONING` partitions by, so a
+    partitioned load touches only its dates (100 TB posture). Appended
+    last deliberately: Spark returns hive partition columns after the
+    data columns on read, so the read-back column order equals the
+    build order and batch/stream parity stays column-exact.
     """
     natural_key_cols = natural_key_cols or [station_col, "recorded_datetime_local"]
     keyed = with_star_keys(enriched, natural_key_cols)
@@ -82,8 +108,16 @@ def build_weather_star(
     def col_or_null(name: str, dtype: str) -> Column:
         return (F.col(name) if name in cols else F.lit(None)).cast(dtype).alias(name)
 
+    date_tail: list[Column] = []
+    if denormalize_date:
+        keyed = keyed.withColumn(
+            STAR_DATE_COL, col_or_null("recorded_date_local", "date")
+        )
+        date_tail = [F.col(STAR_DATE_COL)]
+
     fact = keyed.select(
-        "record_id", station_col, "time_id", "parameter_id", "temp_id", "heat_index_id"
+        "record_id", station_col, "time_id", "parameter_id", "temp_id",
+        "heat_index_id", *date_tail,
     )
     time_dim = keyed.select(
         "time_id",
@@ -94,6 +128,7 @@ def build_weather_star(
         col_or_null("recorded_season_local", "string"),
         col_or_null("recorded_weekday_local", "string"),
         col_or_null("recorded_year_local", "int"),
+        *date_tail,
     )
     param_dim = keyed.select(
         "parameter_id",
@@ -104,6 +139,7 @@ def build_weather_star(
         col_or_null("visibility", "double"),
         col_or_null("cloudiness", "double"),
         col_or_null("dew_point", "double"),
+        *date_tail,
     )
     temp_dim = keyed.select(
         "temp_id",
@@ -111,12 +147,14 @@ def build_weather_star(
         col_or_null("temp_min", "double"),
         col_or_null("temp_max", "double"),
         col_or_null("feels_like", "double"),
+        *date_tail,
     )
     heat_dim = keyed.select(
         "heat_index_id",
         col_or_null("heat_index", "double"),
         F.lit(1).alias("heat_index_category"),
         F.lit("").alias("description"),
+        *date_tail,
     )
     return {
         "w_fact": fact,

@@ -197,6 +197,16 @@ def overwrite_partitions(
         partition_key,
     )
 
+    # Cluster the batch by its partition values before the write
+    # (r12): a dynamic overwrite otherwise emits one file per
+    # (upstream task × touched partition) — a 32-task batch touching
+    # 32 date partitions writes ~1000 tiny files, and every later
+    # scoped read, snapshot walk, and manifest entry pays for them
+    # forever. Hashing on the partition key bounds it to one file per
+    # partition dir (hash collisions co-locate dirs, never split
+    # them). A genuinely huge single partition lands in one task —
+    # that's compaction's resize job, not the merge's.
+    df = df.repartition(*partition_cols)
     if _manifest_mode(path):
         # Object-store discipline: append + logical replace, no
         # physical delete of committed files. record_snapshot=False
@@ -480,6 +490,9 @@ def _upsert_locked(
     if not exists:
         touched, keys = _touched_keys(new_batch, partition_cols)
         check_and_bump_versions(path, keys, expected_versions, bump=False)
+        if partition_cols:
+            # same per-partition-dir clustering as overwrite_partitions
+            new_batch = new_batch.repartition(*partition_cols)
         writer = new_batch.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)

@@ -1559,6 +1559,9 @@ def _star_enriched(spark: SparkSession, sf_dir: str, revised: bool):
                 "recorded_datetime_local": F.date_format(
                     local, "yyyy-MM-dd HH:mm:ss"
                 ),
+                # feeds the denormalized STAR_DATE_COL so the loads
+                # below are really date-scoped (r12)
+                "recorded_date_local": F.date_format(local, "yyyy-MM-dd"),
                 "recorded_season_local": season_bucket(local),
             }
         )
@@ -1588,6 +1591,7 @@ def q_star_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from weatherflow_spark.operators.star import (
+        STAR_DATE_PARTITIONING,
         build_weather_star,
         load_star_warehouse,
     )
@@ -1600,23 +1604,36 @@ def q_star_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(wh, ignore_errors=True)
     os.makedirs(wh)
 
+    # r12: the loads run DATE-PARTITIONED (denormalized STAR_DATE_COL
+    # + partition_cols) — the streaming topology's posture — with the
+    # oracle unchanged: partitioning is a layout decision, the
+    # transactional semantics this row certifies must not move.
     e1 = _star_enriched(spark, sf_dir, revised=False).where(
         F.col("event_id") % ST_SEED_MOD != 0
     )
     load1 = load_star_warehouse(
         spark,
         build_weather_star(
-            e1, station_col="station_id", natural_key_cols=["event_id"]
+            e1, station_col="station_id", natural_key_cols=["event_id"],
+            denormalize_date=True,
         ),
         wh,
         batch_id="star-load-1",
+        partition_cols=STAR_DATE_PARTITIONING,
     )
     e2 = _star_enriched(spark, sf_dir, revised=True)
     star2 = build_weather_star(
-        e2, station_col="station_id", natural_key_cols=["event_id"]
+        e2, station_col="station_id", natural_key_cols=["event_id"],
+        denormalize_date=True,
     )
-    load2 = load_star_warehouse(spark, star2, wh, batch_id="star-load-2")
-    replay = load_star_warehouse(spark, star2, wh, batch_id="star-load-2")
+    load2 = load_star_warehouse(
+        spark, star2, wh, batch_id="star-load-2",
+        partition_cols=STAR_DATE_PARTITIONING,
+    )
+    replay = load_star_warehouse(
+        spark, star2, wh, batch_id="star-load-2",
+        partition_cols=STAR_DATE_PARTITIONING,
+    )
     if not (load1 == 1 and load2 == 2 and replay == 2) or warehouse_loads(
         wh
     ) != [1, 2]:
