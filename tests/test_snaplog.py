@@ -377,12 +377,10 @@ def test_partition_commit_walks_only_touched_scope(spark, tmpdir, snap_mode):
     ).unionByName(batch)
     assert _digest(v2) == _digest(merged)
     # untouched partitions' files carried forward verbatim
-    import json as _json
+    from weatherflow_spark.operators.snaplog import entry_files
 
-    with open(path + ".__snaplog/v000002.json") as f:
-        v2_files = {r for r, _ in _json.load(f)["files"]}
-    with open(path + ".__snaplog/v000001.json") as f:
-        v1_files = {r for r, _ in _json.load(f)["files"]}
+    v2_files = {r for r, _ in entry_files(path, 2)}
+    v1_files = {r for r, _ in entry_files(path, 1)}
     untouched_v1 = {
         r for r in v1_files if not r.startswith(f"o_orderpriority={one_prio}/")
     }
@@ -1045,3 +1043,87 @@ def test_clone_table_zero_copy_and_divergence_isolation(spark, tmpdir, snap_mode
             .count()
             == 4
         )
+
+
+def test_scoped_commit_entry_io_bounded_by_touched_partitions(
+    spark, tmpdir, snap_mode
+):
+    """r11 verdict #3 (segmented manifests): a partition-scoped commit
+    must not re-read or re-write the untouched partitions' file lists.
+    Entries are split into one immutable content-addressed segment per
+    partition directory; after a one-partition upsert on a 5-partition
+    table, (a) every NEW log file is the v2 entry or a segment whose
+    recorded dir is the touched partition, (b) no pre-existing log
+    file changed (immutability), (c) the commit's new log bytes are a
+    fraction of v1's full listing, and (d) both versions still
+    reconstruct exactly. Runs in BOTH retention modes — manifest mode
+    reuses untouched segments via content addressing, mirror mode
+    carries them by name."""
+    import json
+
+    path = f"{tmpdir}/seg"
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        path
+    )
+    init_snapshot_log(path)
+    record_commit(path)  # v1 (full listing, segmented)
+
+    logd = path + ".__snaplog"
+
+    def log_state():
+        out = {}
+        for root, _, files in os.walk(logd):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, logd)] = os.path.getsize(p)
+        return out
+
+    v1_state = log_state()
+    v1_bytes = sum(v1_state.values())
+    assert any(p.startswith("seg/") for p in v1_state), v1_state
+
+    touched = "1-URGENT"
+    batch = (
+        orders.where(F.col("o_orderpriority") == touched)
+        .limit(5)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    upsert_by_key(
+        spark, batch, path, ["o_orderkey"], ["o_orderpriority"]
+    )
+    assert versions(path) == [1, 2]
+
+    after = log_state()
+    # (b) immutability: nothing that existed before the commit changed
+    for p, sz in v1_state.items():
+        assert after.get(p) == sz, f"scoped commit rewrote {p}"
+    new = {p: sz for p, sz in after.items() if p not in v1_state}
+    assert new, "commit wrote no log files?"
+    # (a) new log files: the v2 entry + touched-partition segments only
+    for p in new:
+        if p.startswith("seg/"):
+            with open(os.path.join(logd, p)) as f:
+                assert (
+                    json.load(f)["dir"] == f"o_orderpriority={touched}"
+                ), p
+        else:
+            assert p == "v000002.json", p
+    # the v2 entry references segments, never an inline file list
+    with open(os.path.join(logd, "v000002.json")) as f:
+        entry = json.load(f)
+    assert "segments" in entry and "files" not in entry
+    assert len(entry["segments"]) == 5  # one per partition dir
+    # (c) bounded bytes: far less than re-writing the full listing
+    assert sum(new.values()) < v1_bytes / 2, (sum(new.values()), v1_bytes)
+    # (d) both versions reconstruct exactly
+    n = orders.count()
+    assert read_version(spark, path, 1).count() == n
+    v2 = read_version(spark, path, 2)
+    assert v2.count() == n
+    assert (
+        v2.where(F.col("o_orderpriority") == touched).count()
+        == orders.where(F.col("o_orderpriority") == touched).count()
+    )

@@ -104,12 +104,9 @@ def _head_partition_cols(path: str) -> list[str] | None:
     None for an unpartitioned layout. Raises on a mixed layout — a
     rewrite that guessed wrong would flatten the table and break
     every later partition carve-out (r11 review)."""
-    import json as _json
+    from weatherflow_spark.operators.snaplog import entry_files
 
-    from weatherflow_spark.operators.snaplog import _entry_path
-
-    with open(_entry_path(path, _head_version(path))) as f:
-        files = _json.load(f)["files"]
+    files = entry_files(path, _head_version(path))
 
     def cols_of(rel: str) -> list[str]:
         return [
@@ -138,16 +135,12 @@ def _compact_out(
     """The compacted-output plan for a MANIFEST-mode table: source =
     the head version's file list (the live tree also holds superseded
     files, which must neither be read nor counted toward sizing)."""
-    import json as _json
+    from weatherflow_spark.operators.snaplog import entry_files, read_version
 
-    from weatherflow_spark.operators.snaplog import (
-        _entry_path,
-        read_version,
+    total_bytes = sum(
+        max(int(sz), 0)
+        for _, sz in entry_files(path, _head_version(path))
     )
-
-    with open(_entry_path(path, _head_version(path))) as f:
-        entry = _json.load(f)
-    total_bytes = sum(max(int(sz), 0) for _, sz in entry["files"])
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     df = read_version(spark, path)
     if sort_col is not None:

@@ -144,6 +144,88 @@ def _entry_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"v{version:06d}.json")
 
 
+def _seg_dir(path: str) -> str:
+    return os.path.join(_log_dir(path), "seg")
+
+
+def _seg_key(rel: str) -> str:
+    """A file's segment group: its containing directory ('' for root
+    files). One segment per partition directory is the natural unit —
+    the scope machinery already thinks in those directories."""
+    return os.path.dirname(rel)
+
+
+def _write_segments(
+    path: str, files: list[tuple[str, int]]
+) -> dict[str, str]:
+    """Group ``files`` by containing directory and persist one
+    IMMUTABLE segment file per group, returning {dirkey: segment
+    name}. Segments are content-addressed (name = hash of the sorted
+    group), so a directory whose file set did not change maps to the
+    SAME segment file and costs zero writes — the Iceberg
+    manifest-reuse shape (r11 verdict #3): entry I/O per commit is
+    O(directories) names + O(touched files) segment bytes, never
+    O(total files)."""
+    import hashlib
+
+    groups: dict[str, list[tuple[str, int]]] = {}
+    for rel, sz in files:
+        groups.setdefault(_seg_key(rel), []).append((rel, sz))
+    segdir = _seg_dir(path)
+    out: dict[str, str] = {}
+    for dirkey, grp in groups.items():
+        content = json.dumps(
+            {"dir": dirkey, "files": sorted(grp)}, sort_keys=True
+        )
+        name = (
+            "s_"
+            + hashlib.sha256(content.encode()).hexdigest()[:20]
+            + ".json"
+        )
+        full = os.path.join(segdir, name)
+        if not os.path.exists(full):
+            os.makedirs(segdir, exist_ok=True)
+            tmp = full + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(content)
+            os.replace(tmp, full)
+        out[dirkey] = name
+    return out
+
+
+def _segment_files(path: str, name: str) -> list[tuple[str, int]]:
+    with open(os.path.join(_seg_dir(path), name)) as f:
+        return [tuple(x) for x in json.load(f)["files"]]
+
+
+def _load_entry(path: str, version: int) -> dict:
+    with open(_entry_path(path, version)) as f:
+        return json.load(f)
+
+
+def _entry_segments(path: str, entry: dict) -> dict[str, str]:
+    """The entry's {dirkey: segment name} map. A pre-segmentation
+    entry (inline ``files`` list) is materialized into segments on
+    first touch — a one-time O(its files) migration per legacy
+    version, after which every consumer is segment-based."""
+    if "segments" in entry:
+        return dict(entry["segments"])
+    return _write_segments(path, [tuple(x) for x in entry["files"]])
+
+
+def entry_files(path: str, version: int) -> list[tuple[str, int]]:
+    """The COMPLETE (relpath, size) set a committed version recorded
+    — the one supported way to read an entry's file list (entries are
+    segmented since r12; inline-list legacy entries still resolve)."""
+    entry = _load_entry(path, version)
+    if "files" in entry:
+        return [tuple(x) for x in entry["files"]]
+    out: list[tuple[str, int]] = []
+    for name in entry["segments"].values():
+        out.extend(_segment_files(path, name))
+    return sorted(out)
+
+
 def versions(path: str) -> list[int]:
     """Committed version numbers, ascending (empty if log absent)."""
     try:
@@ -277,6 +359,16 @@ def record_commit(
       is nothing to carry from).
     - neither: full O(total files) walk (bulk builds, seeds).
 
+    Entries are SEGMENTED (r12): the file list is split into one
+    immutable content-addressed segment file per partition directory
+    (``seg/s_<hash>.json``); the entry records only {dir: segment
+    name}. A scoped commit re-references untouched directories'
+    segments BY NAME — their lists are never read or re-written — so
+    entry I/O per commit is O(directories) + O(touched files), where
+    the inline list was O(total files) read + write per commit.
+    Unreferenced segments are GC'd by vacuum. Pre-r12 inline entries
+    still resolve through :func:`entry_files`.
+
     ``batch_id`` makes the commit replay-keyed: if this id already
     minted a version (a re-delivered foreachBatch micro-batch), no
     new version is created and the recorded one is returned —
@@ -298,6 +390,7 @@ def record_commit(
         if files is not None:
             listed = [tuple(x) for x in files]
             to_link = listed
+            segments = _write_segments(path, listed)
         elif scope is not None and vs:
             if manifest:
                 # A manifest-mode writer never deletes, so touched
@@ -312,13 +405,28 @@ def record_commit(
                     "complete files= list"
                 )
             touched = _walk_data_files(path, subdirs=scope)
-            prefixes = tuple(s.rstrip("/") + "/" for s in scope)
-            with open(_entry_path(path, vs[-1])) as f:
-                prev = json.load(f)["files"]
-            carried = [
-                (r, sz) for r, sz in prev if not r.startswith(prefixes)
-            ]
-            listed = touched + carried
+            # Segment carry-forward (r11 verdict #3): untouched
+            # directories re-reference the previous entry's IMMUTABLE
+            # segments BY NAME — their file lists are never read, so
+            # a micro-batch commit writes O(touched files) segment
+            # bytes + an O(directories) entry, where the pre-r12
+            # inline list re-wrote (and first re-read) O(total files)
+            # per commit (~GB json per micro-batch at 10⁷ files).
+            scope_keys = [s.rstrip("/") for s in scope]
+
+            def covered(dirkey: str) -> bool:
+                return any(
+                    dirkey == s or dirkey.startswith(s + "/")
+                    for s in scope_keys
+                )
+
+            prev_segs = _entry_segments(path, _load_entry(path, vs[-1]))
+            segments = {
+                k: v for k, v in prev_segs.items() if not covered(k)
+            }
+            segments.update(_write_segments(path, touched))
+            # Emptied scoped dirs simply drop out: they are covered
+            # (not carried) and the walk found no files to segment.
             # Carried files were retained by the commit that first
             # listed them (inductively), so only the walked files can
             # need links.
@@ -331,6 +439,7 @@ def record_commit(
             # writers all pass files= after the seed.
             listed = _walk_data_files(path)
             to_link = listed
+            segments = _write_segments(path, listed)
         if manifest:
             to_link = []  # the file list IS the snapshot; nothing to copy
         retain = _retain_dir(path)
@@ -347,7 +456,7 @@ def record_commit(
             except OSError:
                 shutil.copy2(src, dst)  # cross-device fallback
         n = (vs[-1] if vs else 0) + 1
-        entry = {"version": n, "files": sorted(listed)}
+        entry = {"version": n, "segments": segments}
         if batch_id is not None:
             # inside the entry = atomically recorded with the version
             # (the marker below is only an index; see
@@ -472,8 +581,6 @@ def read_version(
             f"{path}: version {version} not in log "
             f"(have {vs[0]}..{vs[-1]}, vacuumed versions are gone)"
         )
-    with open(_entry_path(path, version)) as f:
-        entry = json.load(f)
     # Manifest mode: the entry's file list IS the snapshot — read it
     # straight from the LIVE tree (writers never delete committed
     # files until vacuum, the object-store contract). Mirror mode
@@ -483,7 +590,9 @@ def read_version(
         if snapshot_mode(path) == "manifest"
         else _retain_dir(path)
     )
-    paths = [os.path.join(base, rel) for rel, _ in entry["files"]]
+    paths = [
+        os.path.join(base, rel) for rel, _ in entry_files(path, version)
+    ]
     if not paths:
         raise ValueError(f"{path}: version {version} recorded no files")
     # mergeSchema: an E94 add-column evolution leaves untouched
@@ -627,8 +736,7 @@ def clone_table(src: str, dst: str, with_history: bool = False) -> int:
             # (writers never delete until vacuum) — the clone must be
             # the head VERSION's file list, not the raw walk, or it
             # would resurrect replaced rows.
-            with open(_entry_path(src, versions(src)[-1])) as f:
-                src_files = [tuple(x) for x in json.load(f)["files"]]
+            src_files = entry_files(src, versions(src)[-1])
         else:
             src_files = _walk_data_files(src)
         for rel, _size in src_files:
@@ -935,11 +1043,28 @@ def vacuum_versions(
                 )
         keep = [v for v in vs if v not in drop]
         referenced: set[str] = set()
+        referenced_segs: set[str] = set()
         for v in keep:
-            with open(_entry_path(path, v)) as f:
-                referenced.update(rel for rel, _ in json.load(f)["files"])
+            entry = _load_entry(path, v)
+            referenced_segs.update(_entry_segments(path, entry).values())
+            referenced.update(rel for rel, _ in entry_files(path, v))
         for v in drop:
             os.unlink(_entry_path(path, v))
+        # GC segment files no surviving entry references (dropped
+        # versions' exclusive segments, plus orphans from crashed
+        # commits — a segment written before its entry's rename is
+        # garbage by definition). Runs under the same dataset lock as
+        # every committer, so an in-flight commit can't lose its
+        # not-yet-referenced segments.
+        try:
+            for nme in os.listdir(_seg_dir(path)):
+                if nme.startswith("s_") and nme not in referenced_segs:
+                    try:
+                        os.unlink(os.path.join(_seg_dir(path), nme))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
         # GC batch markers whose version is gone: they would otherwise
         # grow the log dir without bound under a long-running stream
         # and point readers at vacuumed versions (r10 review). Replay

@@ -90,8 +90,8 @@ def _manifest_overwrite_partitions(
         partition_key,
     )
     from weatherflow_spark.operators.snaplog import (
-        _entry_path,
         _walk_data_files,
+        entry_files,
         record_commit,
         versions,
     )
@@ -121,8 +121,7 @@ def _manifest_overwrite_partitions(
         after = set(_walk_data_files(path, subdirs=all_replaced))
         new_files = sorted(after - before)
         if vs:
-            with open(_entry_path(path, vs[-1])) as f:
-                prev = json.load(f)["files"]
+            prev = entry_files(path, vs[-1])
             prefixes = tuple(k.rstrip("/") + "/" for k in all_replaced)
             carried = [
                 (r, sz) for r, sz in prev if not r.startswith(prefixes)

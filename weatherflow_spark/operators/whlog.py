@@ -132,8 +132,8 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
     (valid: replace-writers refuse manifest tables with no seed, so
     an unversioned tree holds no superseded files)."""
     from weatherflow_spark.operators.snaplog import (
-        _entry_path,
         _walk_data_files,
+        entry_files,
         record_commit,
         snapshot_mode,
         versions,
@@ -146,8 +146,7 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
         return record_commit(path, batch_id=batch_id)
     cur = sorted((r, s) for r, s in _walk_data_files(path))
     if vs:
-        with open(_entry_path(path, vs[-1])) as f:
-            prev = sorted(tuple(x) for x in json.load(f)["files"])
+        prev = sorted(entry_files(path, vs[-1]))
         if prev == cur:
             return vs[-1]
     return record_commit(path, files=cur, batch_id=batch_id)
