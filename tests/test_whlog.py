@@ -298,3 +298,118 @@ def test_stale_marker_never_vouches_for_a_gone_load(spark, wh):
     assert commit_warehouse(wh, ["fact", "dim"], batch_id="r:0") == 1
     assert warehouse_loads(wh) == [1]
     assert committed_load(wh, "r:0") == 1
+
+
+def test_covered_member_reuse_pays_zero_file_walks(spark, wh, monkeypatch):
+    """r11 verdict #5: a mirror-mode member whose writers all record
+    commits (the engine's choke points do) must be reused via the
+    O(dirs) fingerprint stamp — ZERO _walk_data_files calls inside
+    commit_warehouse — while a BULK-written member (files added behind
+    the snapshot log's back) falls back to the stat walk and gets a
+    fresh version."""
+    import weatherflow_spark.operators.snaplog as S
+
+    _seed(spark, wh)
+    commit_warehouse(wh, ["fact", "dim"])  # load 1 seeds both (walks)
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 0, 5.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+    )  # fact v2 via the choke point (stamps the fingerprint)
+
+    walks = []
+    real_walk = S._walk_data_files
+    monkeypatch.setattr(
+        S,
+        "_walk_data_files",
+        lambda *a, **k: (walks.append(a and a[0]), real_walk(*a, **k))[1],
+    )
+    # prelink also walks (lock-free by design) — silence it so the
+    # counter measures exactly the version-reuse decision.
+    monkeypatch.setattr(S, "prelink_retained", lambda p: 0)
+
+    assert commit_warehouse(wh, ["fact", "dim"]) == 2
+    assert walks == [], f"covered members paid {len(walks)} stat walk(s)"
+    e = load_entry(wh, 2)
+    assert e["tables"]["fact"] == 2  # the upsert's own version, reused
+    assert e["tables"]["dim"] == 1
+
+    # Bulk write behind the log: drop a raw parquet file into dim.
+    spark.createDataFrame(
+        [(9, "seg9", 1.0)], "cust long, seg string, bal double"
+    ).coalesce(1).write.mode("append").parquet(os.path.join(wh, "dim"))
+    walks.clear()
+    assert commit_warehouse(wh, ["fact", "dim"]) == 3
+    e3 = load_entry(wh, 3)
+    assert e3["tables"]["dim"] == 2, "bulk write must mint a new version"
+    assert e3["tables"]["fact"] == 2  # fact unchanged: still zero-walk reused
+    assert any(str(p).endswith("dim") for p in walks), walks
+    assert not any(str(p).endswith("fact") for p in walks), walks
+    # and the new version really carries the bulk row
+    assert read_warehouse(spark, wh, 3)["dim"].where("cust = 9").count() == 1
+
+
+def test_first_time_members_prelink_before_the_locks(spark, wh, monkeypatch):
+    """r12 advice: a member FIRST initialised by commit_warehouse must
+    still get its retention mirror pre-linked in the lock-free phase —
+    prelink is a no-op on an uninitialised table, so init must run
+    pre-lock too, or the first commit bulk-links the whole tree under
+    every member lock."""
+    import weatherflow_spark.operators.snaplog as S
+
+    _seed(spark, wh)  # bulk tables, NO snapshot logs yet
+    linked = {}
+    real = S.prelink_retained
+
+    def spy(path):
+        n = real(path)
+        linked[os.path.basename(path)] = n
+        return n
+
+    monkeypatch.setattr(S, "prelink_retained", spy)
+    commit_warehouse(wh, ["fact", "dim"])
+    assert linked.get("fact", 0) > 0 and linked.get("dim", 0) > 0, (
+        f"first-time members were not pre-linked lock-free: {linked}"
+    )
+
+
+def test_vacuum_warehouse_refuses_unexported_feeds_atomically(spark, wh):
+    """r11 verdict #4: vacuum_warehouse(require_exported={table:
+    feed}) must refuse — dropping NOTHING, neither load entries nor
+    member versions — while any would-dropped member version's change
+    feed is unexported; after export_change_feed it proceeds."""
+    from weatherflow_spark.operators.snaplog import export_change_feed
+    from weatherflow_spark.operators.whlog import vacuum_warehouse
+
+    _seed(spark, wh)
+    commit_warehouse(wh, ["fact", "dim"])  # load 1
+    for i in range(2, 5):  # loads 2..4, fact mutates each time
+        upsert_by_key(
+            spark,
+            spark.createDataFrame(
+                [(1, 0, float(i))], "k long, cust long, amt double"
+            ),
+            os.path.join(wh, "fact"),
+            ["k"],
+        )
+        commit_warehouse(wh, ["fact", "dim"])
+    feed = os.path.join(wh, "__fact_feed")
+    # mid-trail gap: nothing exported yet
+    with pytest.raises(ValueError, match="not fully exported"):
+        vacuum_warehouse(
+            wh, keep_last_loads=1, require_exported={"fact": feed}
+        )
+    # atomic refusal: nothing was dropped anywhere
+    assert warehouse_loads(wh) == [1, 2, 3, 4]
+    assert versions(os.path.join(wh, "fact")) == [1, 2, 3, 4]
+    assert versions(os.path.join(wh, "dim")) == [1]
+
+    export_change_feed(spark, os.path.join(wh, "fact"), feed, ["k"])
+    out = vacuum_warehouse(
+        wh, keep_last_loads=1, require_exported={"fact": feed}
+    )
+    assert out["__loads__"]["dropped_loads"] == 3
+    assert warehouse_loads(wh) == [4]
+    assert versions(os.path.join(wh, "fact")) == [4]
+    assert read_warehouse(spark, wh, 4)["fact"].where("k = 1").first().amt == 4.0

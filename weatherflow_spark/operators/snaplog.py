@@ -213,6 +213,49 @@ def _entry_segments(path: str, entry: dict) -> dict[str, str]:
     return _write_segments(path, [tuple(x) for x in entry["files"]])
 
 
+def _dirstamp_path(path: str) -> str:
+    return os.path.join(_log_dir(path), "dirstamp.json")
+
+
+def dir_fingerprint(path: str) -> dict[str, int]:
+    """{relative dir: mtime_ns} over the live tree's DIRECTORIES —
+    O(directories), never stats a data file. Any bulk write must add
+    or remove at least one file somewhere, which bumps its containing
+    directory's mtime (engine writers never modify a data file in
+    place — the clone/retention contracts already depend on that), so
+    fingerprint equality means the live content is exactly what the
+    last commit recorded. The multi-table coordinator uses this to
+    reuse a member's head version with O(dirs) metadata instead of an
+    O(files) stat walk under the all-locks window (r11 verdict #5)."""
+    out: dict[str, int] = {}
+    for root, dirs, _ in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        try:
+            out[os.path.relpath(root, path)] = os.stat(root).st_mtime_ns
+        except OSError:
+            out[os.path.relpath(root, path)] = -1
+    return out
+
+
+def refresh_dirstamp(path: str) -> None:
+    """Persist the current directory fingerprint (mirror mode; called
+    by record_commit after every entry write, under the dataset lock,
+    so the stamp always describes a committed state)."""
+    tmp = _dirstamp_path(path) + f".tmp.{os.getpid()}"
+    os.makedirs(_log_dir(path), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(dir_fingerprint(path), f)
+    os.replace(tmp, _dirstamp_path(path))
+
+
+def stored_dirstamp(path: str) -> dict[str, int] | None:
+    try:
+        with open(_dirstamp_path(path)) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        return None
+
+
 def entry_files(path: str, version: int) -> list[tuple[str, int]]:
     """The COMPLETE (relpath, size) set a committed version recorded
     — the one supported way to read an entry's file list (entries are
@@ -471,6 +514,11 @@ def record_commit(
             with open(btmp, "w") as f:
                 json.dump({"batch_id": str(batch_id), "version": n}, f)
             os.replace(btmp, _batch_marker(path, batch_id))
+        if not manifest:
+            # O(dirs) reuse stamp for the multi-table coordinator; a
+            # crash before this line leaves a stale stamp, which only
+            # costs the fallback stat walk (never a wrong reuse).
+            refresh_dirstamp(path)
         return n
 
 
@@ -987,6 +1035,7 @@ def vacuum_versions(
     keep_last: int = 1,
     require_exported: str | None = None,
     keep_versions: set[int] | None = None,
+    dry_run: bool = False,
 ) -> dict[str, int]:
     """Bound history: keep only the newest ``keep_last`` versions'
     log entries — plus every version a live reader holds pinned via
@@ -1009,6 +1058,12 @@ def vacuum_versions(
     the pins — the hook warehouse-level vacuum uses to protect every
     version a retained logical load still references
     (:func:`~weatherflow_spark.operators.whlog.vacuum_warehouse`).
+
+    ``dry_run`` runs the FULL decision logic — including the
+    ``require_exported`` refusal — but mutates nothing and returns
+    ``removed_files=0``; the warehouse vacuum pre-flights every member
+    with it so a multi-table vacuum either proceeds everywhere or
+    refuses before touching any member (r12).
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -1041,6 +1096,8 @@ def vacuum_versions(
                     "committed in the feed) — run export_change_feed "
                     "first"
                 )
+        if dry_run:
+            return {"dropped_versions": len(drop), "removed_files": 0}
         keep = [v for v in vs if v not in drop]
         referenced: set[str] = set()
         referenced_segs: set[str] = set()

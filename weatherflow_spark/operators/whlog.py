@@ -46,9 +46,13 @@ O(touched files) per-table commits — the coordinator adds no data
 I/O and no shuffle, and never holds locks across the load's Spark
 jobs (those run before, under their own per-table write discipline).
 The all-locks-held window is file-METADATA work: manifest-mode
-members reuse their head version (O(1)), mirror-mode members pay one
-stat walk, with the mirror pre-linked lock-free beforehand so a
-first commit never bulk-links under the locks (r11 review).
+members reuse their head version (O(1)); mirror-mode members whose
+writers record commits at the choke points reuse via the O(dirs)
+directory-fingerprint stamp (r12 — zero file stats under the locks),
+falling back to one stat walk only when the stamp is stale or a bulk
+write bypassed the log; the mirror is pre-linked lock-free
+beforehand — including members first initialised by this very commit
+(r12 advice) — so a first commit never bulk-links under the locks.
 """
 
 from __future__ import annotations
@@ -133,9 +137,12 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
     an unversioned tree holds no superseded files)."""
     from weatherflow_spark.operators.snaplog import (
         _walk_data_files,
+        dir_fingerprint,
         entry_files,
         record_commit,
+        refresh_dirstamp,
         snapshot_mode,
+        stored_dirstamp,
         versions,
     )
 
@@ -144,10 +151,28 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
         if vs:
             return vs[-1]
         return record_commit(path, batch_id=batch_id)
+    if vs:
+        # O(dirs) fast path (r11 verdict #5): every engine content
+        # writer records a commit at the choke points, and
+        # record_commit stamps the directory fingerprint after each
+        # entry — fingerprint equality therefore means no write of
+        # ANY kind (choke-point or bulk: both add/remove files, which
+        # bumps a directory mtime) happened since the head version,
+        # so the head is the current state and the stat walk is
+        # skipped entirely. Stale/missing stamps (pre-r12 tables, a
+        # crash between entry and stamp) only cost the fallback walk,
+        # never a wrong reuse.
+        stamp = stored_dirstamp(path)
+        if stamp is not None and stamp == dir_fingerprint(path):
+            return vs[-1]
     cur = sorted((r, s) for r, s in _walk_data_files(path))
     if vs:
         prev = sorted(entry_files(path, vs[-1]))
         if prev == cur:
+            # content equal but the stamp was stale/missing: refresh
+            # it (caller holds the table lock) so the NEXT load takes
+            # the O(dirs) path.
+            refresh_dirstamp(path)
             return vs[-1]
     return record_commit(path, files=cur, batch_id=batch_id)
 
@@ -235,10 +260,17 @@ def commit_warehouse(
     # Pre-warm the retention mirrors LOCK-FREE (idempotent links; a
     # superseded pre-link is garbage vacuum sweeps): the all-locks
     # window below then pays only the listing delta and the entry
-    # writes, not a first-commit bulk link pass (r11 review).
+    # writes, not a first-commit bulk link pass (r11 review). Members
+    # not yet snapshot-enabled are initialised HERE (init is
+    # idempotent metadata) — prelink is a mode-gated no-op on an
+    # uninitialised table, so deferring init to the locked loop would
+    # silently re-open the bulk-link-under-all-locks window for every
+    # first-time member (r12 advice).
     from weatherflow_spark.operators.snaplog import prelink_retained
 
     for p in paths.values():
+        if not snapshot_enabled(p):
+            init_snapshot_log(p)
         prelink_retained(p)
     with ExitStack() as stack:
         # Warehouse lock FIRST (serializes load numbering between two
@@ -297,7 +329,9 @@ def read_warehouse(
 
 
 def vacuum_warehouse(
-    wh_dir: str, keep_last_loads: int = 1
+    wh_dir: str,
+    keep_last_loads: int = 1,
+    require_exported: dict[str, str] | None = None,
 ) -> dict[str, dict[str, int]]:
     """Bound warehouse history WITHOUT breaking any retained load: a
     bare per-table ``vacuum_versions`` is load-blind — it can drop a
@@ -309,7 +343,18 @@ def vacuum_warehouse(
     so "the warehouse as of load N" keeps working for exactly the
     loads the log retains. Per-table histories between loads are
     still bounded by each member's own keep_last=1 tail. Returns
-    ``{table: vacuum counts}`` plus a ``"__loads__"`` entry."""
+    ``{table: vacuum counts}`` plus a ``"__loads__"`` entry.
+
+    ``require_exported`` maps member table → change-feed directory
+    (the warehouse form of ``vacuum_versions(require_exported=...)``,
+    r11 verdict #4): a load-aware vacuum must not drop a member
+    version whose CDC diff was never exported — that silently
+    truncates the replication trail ``foreach_batch_apply_change_feed``
+    consumers depend on. EVERY mapped member is pre-flighted with a
+    no-mutation dry run BEFORE any load entry or member version is
+    dropped, so the vacuum either proceeds everywhere or refuses
+    atomically with a per-table report — a mid-loop raise would leave
+    some members vacuumed and the load entries half-dropped."""
     from weatherflow_spark.operators.commit import dataset_lock
     from weatherflow_spark.operators.snaplog import vacuum_versions
 
@@ -329,6 +374,31 @@ def vacuum_warehouse(
         for n in drop:
             for t in load_entry(wh_dir, n)["tables"]:
                 referenced.setdefault(t, set())
+        # Feed-export pre-flight (r11 verdict #4): dry-run every
+        # mapped member BEFORE the first mutation — same decision
+        # logic as the real vacuum (keep_versions included), raising
+        # with a per-table report while nothing has been dropped yet.
+        bad: dict[str, str] = {}
+        for t, feed in sorted((require_exported or {}).items()):
+            if t not in referenced:
+                continue
+            try:
+                vacuum_versions(
+                    os.path.join(wh_dir, t),
+                    keep_last=1,
+                    keep_versions=referenced[t],
+                    require_exported=feed,
+                    dry_run=True,
+                )
+            except ValueError as exc:
+                bad[t] = str(exc)
+        if bad:
+            details = "; ".join(f"{t}: {m}" for t, m in bad.items())
+            raise ValueError(
+                f"{wh_dir}: refusing warehouse vacuum — change feed "
+                f"not fully exported for {len(bad)} member table(s) "
+                f"[{details}]"
+            )
         # GC batch markers BEFORE removing entries (a crash in
         # between then leaves an entry without a marker — the scan
         # fallback still resolves it — never a marker without an
@@ -359,6 +429,10 @@ def vacuum_warehouse(
             out[t] = vacuum_versions(
                 os.path.join(wh_dir, t), keep_last=1,
                 keep_versions=keep_vs,
+                # defense in depth: the pre-flight passed, but exports
+                # are append-only so re-checking here is free and
+                # closes any crash-window drift
+                require_exported=(require_exported or {}).get(t),
             )
         return out
 
