@@ -238,6 +238,9 @@ OPTIONAL = [
     # r11: the five-table transactional star load (2 loads x 5 keyed
     # merges of REAL I/O — the cost IS the certified claim)
     "q_star_transaction",
+    # r12: displaced from the window by q_lakehouse_suite (family
+    # certified via q_text_mining_suite's bpe branches)
+    "q_bpe_token_count",
 ]
 
 

@@ -107,7 +107,15 @@ _CERTIFICATION_WINDOW = [
     "q_text_profile_suite",       # E3 quality metrics + lang-ID, one hash
     "q_repetition_filter",
     "q_text_mining_suite",        # E30/E31 BM25 relevance + PMI pairs
-    "q_bpe_token_count",
+    # r12: q_bpe_token_count's slot rotates to the lakehouse suite —
+    # E38's BPE train+encode stays window-certified as
+    # q_text_mining_suite's 'bpe' branches, and the single keeps tail
+    # parity + an OPTIONAL bench row. The slot goes to the split-out
+    # lakehouse-HISTORY suite (VERDICT r11 'What's wrong' #2: the
+    # 16-branch pipeline suite reddened one shared bit for 16
+    # families; E90-E99's history branches now fail under their own
+    # name).
+    "q_lakehouse_suite",
     "q_curation_suite",           # decontamination + source-mixture sampling
     # E5 distributed statistics (all 5 families) / E10 distribution windows
     "q_stats_suite",

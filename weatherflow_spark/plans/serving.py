@@ -2319,32 +2319,20 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       written partition-by-shard and digested from disk.
     - ``ann_serve``     (E88, r9): ANN served from the persisted IVF
       index — probed cells only, decision-identical to one-shot.
-    - ``time_travel``   (E90, r10): snapshot-log versions + as-of
-      reads — v1/v2/replay/head digests from the retention mirror.
-    - ``version_diff``  (E91, r10): between-versions CDC feed + the
-      round-trip law (apply(diff(v1,v2)) to v1 reconstructs v2).
-    - ``ivm_rollup``    (E92, r10): delta-maintained aggregate ==
-      direct re-aggregation, facts never rescanned.
     - ``bucketed_join`` (E93, r10): co-located fact⋈fact join —
       raises unless zero-Exchange sort-merge, digest == plain join.
-    - ``schema_evolution`` (E94, r10): add-column evolution through
-      the keyed upsert — NULL backfill + merge-read, replayed.
-    - ``change_feed``   (E95, r10): materialized CDC feed from the
-      version trail — incremental, idempotent, stream-consumable.
-    - ``table_clone``   (E96, r10): zero-copy shallow clone — clone
-      complete AND divergence-isolated in one hash.
-    - ``warehouse_snapshot`` (E97, r11): cross-table consistent
-      snapshots — two multi-table loads, fact⋈dim read as-of load 1
-      and at head, each a consistent cut (whlog.py).
     - ``tpch_bucketed`` (E98, r11; family widened r12): the bucketed
       layout ADOPTED by real TPC-H Q3+Q18 (zero-Exchange plans,
       raise-checked) and Q4+Q12+Q21 (≤ 1 Exchange — the tiny
       post-agg re-group — raise-checked), hash == the unbucketed
       oracles verbatim. The layout itself is DURABLE: a fresh session
       re-registers the on-disk build instead of rewriting.
-    - ``manifest_travel`` (E99, r11): the object-store retention
-      mode walking E90's exact commit sequence — zero hard links
-      (raise-checked), oracle == ORACLE_TIME_TRAVEL verbatim.
+
+    r12 split (VERDICT r11 'What's wrong' #2): the seven
+    lakehouse-HISTORY branches moved to :func:`q_lakehouse_suite` so
+    one failing branch reddens a row that names its own family —
+    16 branches / 39 s / one shared red-or-green bit obscured which
+    certified component broke. Both suites stay under 10 branches.
 
     Every branch performs its real maintain-then-serve I/O (landing
     drops, index build, cube writes, shard writes) because that I/O
@@ -2390,57 +2378,11 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'order_fp', cast(order_fp as bigint), "
         "'chars_total', cast(chars_total as bigint)) AS (metric, value)",
     )
-    # E91 + E92 certify against the SAME versioned fixture by
-    # construction — build it once for both branches (the singles
-    # keep building their own; the claims and oracles are unchanged).
-    shared_tbl = _build_versioned_orders(spark, sf_dir, "pipe_vdiff_tbl")
-    vd = q_version_diff(spark, sf_dir, _table=shared_tbl).selectExpr(
-        "'version_diff' AS op",
-        "concat(section, '|', o_orderpriority) AS key",
-        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
-        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
-    )
-    tc = q_table_clone(spark, sf_dir).selectExpr(
-        "'table_clone' AS op",
-        "concat(side, '|', o_orderpriority) AS key",
-        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
-        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
-    )
-    cf = q_change_feed(spark, sf_dir, _table=shared_tbl).selectExpr(
-        "'change_feed' AS op",
-        "concat(change_version, '|', op, '|', o_orderpriority) AS key",
-        "stack(3, 'n_rows', n_rows, 'sum_cents', sum_cents, "
-        "'key_xor', key_xor) AS (metric, value)",
-    )
-    sev = q_schema_evolution(spark, sf_dir).selectExpr(
-        "'schema_evolution' AS op",
-        "o_orderpriority AS key",
-        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
-        "'n_scored', n_scored, 'churn_sum', churn_sum) AS (metric, value)",
-    )
     bj = q_bucketed_join_serve(spark, sf_dir).selectExpr(
         "'bucketed_join' AS op",
         "l_returnflag AS key",
         "stack(4, 'n_rows', n_rows, 'qty_c', qty_c, "
         "'price_c', price_c, 'key_xor', key_xor) AS (metric, value)",
-    )
-    iv = q_ivm_rollup(spark, sf_dir, _table=shared_tbl).selectExpr(
-        "'ivm_rollup' AS op",
-        "o_orderpriority AS key",
-        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
-        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
-    )
-    tt = q_time_travel(spark, sf_dir).selectExpr(
-        "'time_travel' AS op",
-        "concat(version_tag, '|', o_orderpriority) AS key",
-        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
-        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
-    )
-    tm = q_time_travel_manifest(spark, sf_dir).selectExpr(
-        "'manifest_travel' AS op",
-        "concat(version_tag, '|', o_orderpriority) AS key",
-        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
-        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
     av = q_ann_index_serve(spark, sf_dir).selectExpr(
         "'ann_serve' AS op",
@@ -2448,12 +2390,6 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'label', cast(label as bigint), "
         "'cosine_e6', cast(floor(cosine * 1e6 + 0.5) as bigint))"
         " AS (metric, value)",
-    )
-    ws = q_warehouse_snapshot(spark, sf_dir).selectExpr(
-        "'warehouse_snapshot' AS op",
-        "concat(version_tag, '|', c_mktsegment) AS key",
-        "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
-        "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
     )
     tb = q_tpch_q3_bucketed(spark, sf_dir).selectExpr(
         "'tpch_bucketed' AS op",
@@ -2501,15 +2437,99 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sk)
         .unionByName(se)
         .unionByName(av)
-        .unionByName(tt)
-        .unionByName(vd)
-        .unionByName(iv)
         .unionByName(bj)
+        .unionByName(tb)
+    )
+
+
+def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-HISTORY certification row (r12, split out of
+    ``q_pipeline_suite`` — VERDICT r11 'What's wrong' #2: 16 branches
+    behind one red-or-green bit obscured which certified family
+    broke). Eight branches, LONG format (op, key, metric,
+    value:bigint), all doubles pinned to integers per branch:
+
+    - ``time_travel``   (E90): snapshot-log versions + as-of reads —
+      v1/v2/replay/head digests from the retention mirror.
+    - ``version_diff``  (E91): between-versions CDC feed + the
+      round-trip law (apply(diff(v1,v2)) to v1 reconstructs v2).
+    - ``ivm_rollup``    (E92): delta-maintained aggregate == direct
+      re-aggregation, facts never rescanned.
+    - ``schema_evolution`` (E94): add-column evolution through the
+      keyed upsert — NULL backfill + merge-read, replayed.
+    - ``change_feed``   (E95): materialized CDC feed from the version
+      trail — incremental, idempotent, stream-consumable.
+    - ``table_clone``   (E96): zero-copy shallow clone — clone
+      complete AND divergence-isolated in one hash.
+    - ``warehouse_snapshot`` (E97): cross-table consistent snapshots
+      — two multi-table loads, fact⋈dim read as-of load 1 and at
+      head, each a consistent cut (whlog.py).
+    - ``manifest_travel`` (E99): the object-store retention mode
+      walking E90's exact commit sequence — zero hard links
+      (raise-checked), oracle == ORACLE_TIME_TRAVEL verbatim.
+
+    Every branch performs its real versioned I/O because that I/O IS
+    the certified claim; E91/E92/E95 share one versioned fixture by
+    construction (built once per call)."""
+    # E91 + E92 + E95 certify against the SAME versioned fixture by
+    # construction — build it once for the three branches (the
+    # singles keep building their own; claims and oracles unchanged).
+    shared_tbl = _build_versioned_orders(spark, sf_dir, "pipe_vdiff_tbl")
+    vd = q_version_diff(spark, sf_dir, _table=shared_tbl).selectExpr(
+        "'version_diff' AS op",
+        "concat(section, '|', o_orderpriority) AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
+    tc = q_table_clone(spark, sf_dir).selectExpr(
+        "'table_clone' AS op",
+        "concat(side, '|', o_orderpriority) AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
+    cf = q_change_feed(spark, sf_dir, _table=shared_tbl).selectExpr(
+        "'change_feed' AS op",
+        "concat(change_version, '|', op, '|', o_orderpriority) AS key",
+        "stack(3, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor) AS (metric, value)",
+    )
+    sev = q_schema_evolution(spark, sf_dir).selectExpr(
+        "'schema_evolution' AS op",
+        "o_orderpriority AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'n_scored', n_scored, 'churn_sum', churn_sum) AS (metric, value)",
+    )
+    iv = q_ivm_rollup(spark, sf_dir, _table=shared_tbl).selectExpr(
+        "'ivm_rollup' AS op",
+        "o_orderpriority AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
+    tt = q_time_travel(spark, sf_dir).selectExpr(
+        "'time_travel' AS op",
+        "concat(version_tag, '|', o_orderpriority) AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
+    tm = q_time_travel_manifest(spark, sf_dir).selectExpr(
+        "'manifest_travel' AS op",
+        "concat(version_tag, '|', o_orderpriority) AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    )
+    ws = q_warehouse_snapshot(spark, sf_dir).selectExpr(
+        "'warehouse_snapshot' AS op",
+        "concat(version_tag, '|', c_mktsegment) AS key",
+        "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
+    )
+    return (
+        tt.unionByName(vd)
+        .unionByName(iv)
         .unionByName(sev)
         .unionByName(cf)
         .unionByName(tc)
         .unionByName(ws)
-        .unionByName(tb)
         .unionByName(tm)
     )
 
@@ -2560,8 +2580,64 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'order_fp' THEN s.order_fp
                        ELSE s.chars_total END AS BIGINT) AS value) u
     UNION ALL
-    SELECT 'table_clone', side || '|' || o_orderpriority,
-           u.metric, u.value
+    SELECT 'bucketed_join', l_returnflag, u.metric, u.value
+    FROM ({ORACLE_BUCKETED_JOIN}) s,
+         (VALUES ('n_rows'), ('qty_c'), ('price_c'), ('key_xor'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'qty_c' THEN s.qty_c
+                       WHEN 'price_c' THEN s.price_c
+                       ELSE s.key_xor END AS value) u
+    UNION ALL
+    SELECT 'tpch_bucketed',
+           'q3|' || l_orderkey || '|' || strftime(o_orderdate, '%Y-%m-%d')
+               || '|' || o_orderpriority,
+           'revenue_e4', CAST(floor(revenue * 1e4 + 0.5) AS BIGINT)
+    FROM ({_oracle_tpch_q3_bucketed()})
+    UNION ALL
+    SELECT 'tpch_bucketed', 'q18|' || o_orderkey, u.metric, u.value
+    FROM ({_oracle_tpch_q18_bucketed()}) s,
+         (VALUES ('total_qty_c'), ('price_cents'), ('c_custkey'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric
+                       WHEN 'total_qty_c' THEN floor(s.total_qty * 100 + 0.5)
+                       WHEN 'price_cents' THEN s.price_cents
+                       ELSE s.c_custkey END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'tpch_bucketed', 'q4|' || o_orderpriority,
+           'order_count', CAST(order_count AS BIGINT)
+    FROM ({_oracle_tpch_q4_bucketed()})
+    UNION ALL
+    SELECT 'tpch_bucketed', 'q12|' || l_shipmode, u.metric, u.value
+    FROM ({_oracle_tpch_q12_bucketed()}) s,
+         (VALUES ('high_line_count'), ('low_line_count')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric WHEN 'high_line_count'
+                       THEN s.high_line_count
+                       ELSE s.low_line_count END AS BIGINT) AS value) u
+    UNION ALL
+    SELECT 'tpch_bucketed',
+           'q21|' || s_suppkey || '|' || s_name,
+           'numwait', CAST(numwait AS BIGINT)
+    FROM ({_oracle_tpch_q21_bucketed()})
+    UNION ALL
+    SELECT 'ann_serve', CAST(vec_id AS VARCHAR), u.metric, u.value
+    FROM ({_oracle_ann_index_serve()}) s,
+         (VALUES ('label'), ('cosine_e6')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CAST(CASE m.metric WHEN 'label' THEN s.label
+                       ELSE floor(s.cosine * 1e6 + 0.5) END AS BIGINT)
+                      AS value) u
+    """
+
+
+def _oracle_lakehouse_suite() -> str:
+    return f"""
+    SELECT 'table_clone' AS op,
+           side || '|' || o_orderpriority AS key,
+           u.metric AS metric, u.value AS value
     FROM ({ORACLE_TABLE_CLONE}) s,
          (VALUES ('n_rows'), ('sum_cents'), ('key_xor'), ('key_sum'))
              AS m(metric),
@@ -2590,16 +2666,6 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'sum_cents' THEN s.sum_cents
                        WHEN 'n_scored' THEN s.n_scored
                        ELSE s.churn_sum END AS value) u
-    UNION ALL
-    SELECT 'bucketed_join', l_returnflag, u.metric, u.value
-    FROM ({ORACLE_BUCKETED_JOIN}) s,
-         (VALUES ('n_rows'), ('qty_c'), ('price_c'), ('key_xor'))
-             AS m(metric),
-         LATERAL (SELECT m.metric AS metric,
-                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
-                       WHEN 'qty_c' THEN s.qty_c
-                       WHEN 'price_c' THEN s.price_c
-                       ELSE s.key_xor END AS value) u
     UNION ALL
     SELECT 'ivm_rollup', o_orderpriority, u.metric, u.value
     FROM ({ORACLE_IVM_ROLLUP}) s,
@@ -2654,52 +2720,12 @@ def _oracle_pipeline_suite() -> str:
                        WHEN 'sum_cents' THEN s.sum_cents
                        WHEN 'key_xor' THEN s.key_xor
                        ELSE s.key_sum END AS value) u
-    UNION ALL
-    SELECT 'tpch_bucketed',
-           'q3|' || l_orderkey || '|' || strftime(o_orderdate, '%Y-%m-%d')
-               || '|' || o_orderpriority,
-           'revenue_e4', CAST(floor(revenue * 1e4 + 0.5) AS BIGINT)
-    FROM ({_oracle_tpch_q3_bucketed()})
-    UNION ALL
-    SELECT 'tpch_bucketed', 'q18|' || o_orderkey, u.metric, u.value
-    FROM ({_oracle_tpch_q18_bucketed()}) s,
-         (VALUES ('total_qty_c'), ('price_cents'), ('c_custkey'))
-             AS m(metric),
-         LATERAL (SELECT m.metric AS metric,
-                  CAST(CASE m.metric
-                       WHEN 'total_qty_c' THEN floor(s.total_qty * 100 + 0.5)
-                       WHEN 'price_cents' THEN s.price_cents
-                       ELSE s.c_custkey END AS BIGINT) AS value) u
-    UNION ALL
-    SELECT 'tpch_bucketed', 'q4|' || o_orderpriority,
-           'order_count', CAST(order_count AS BIGINT)
-    FROM ({_oracle_tpch_q4_bucketed()})
-    UNION ALL
-    SELECT 'tpch_bucketed', 'q12|' || l_shipmode, u.metric, u.value
-    FROM ({_oracle_tpch_q12_bucketed()}) s,
-         (VALUES ('high_line_count'), ('low_line_count')) AS m(metric),
-         LATERAL (SELECT m.metric AS metric,
-                  CAST(CASE m.metric WHEN 'high_line_count'
-                       THEN s.high_line_count
-                       ELSE s.low_line_count END AS BIGINT) AS value) u
-    UNION ALL
-    SELECT 'tpch_bucketed',
-           'q21|' || s_suppkey || '|' || s_name,
-           'numwait', CAST(numwait AS BIGINT)
-    FROM ({_oracle_tpch_q21_bucketed()})
-    UNION ALL
-    SELECT 'ann_serve', CAST(vec_id AS VARCHAR), u.metric, u.value
-    FROM ({_oracle_ann_index_serve()}) s,
-         (VALUES ('label'), ('cosine_e6')) AS m(metric),
-         LATERAL (SELECT m.metric AS metric,
-                  CAST(CASE m.metric WHEN 'label' THEN s.label
-                       ELSE floor(s.cosine * 1e6 + 0.5) END AS BIGINT)
-                      AS value) u
     """
 
 
 SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pipeline_suite": q_pipeline_suite,
+    "q_lakehouse_suite": q_lakehouse_suite,
     "q_serving_suite": q_serving_suite,
     "q_rollup_serve": q_rollup_serve,
     "q_global_index": q_global_index,
@@ -2731,6 +2757,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 SERVING_ORACLES: dict[str, str] = {
     "q_pipeline_suite": _oracle_pipeline_suite(),
+    "q_lakehouse_suite": _oracle_lakehouse_suite(),
     "q_serving_suite": ORACLE_SERVING_SUITE,
     "q_rollup_serve": ORACLE_ROLLUP_SERVE,
     "q_global_index": ORACLE_GLOBAL_INDEX,
