@@ -241,6 +241,9 @@ OPTIONAL = [
     # r12: displaced from the window by q_lakehouse_suite (family
     # certified via q_text_mining_suite's bpe branches)
     "q_bpe_token_count",
+    # r12: per-load multi-table replication single (suite branch
+    # carries the window row)
+    "q_warehouse_replica",
 ]
 
 

@@ -413,3 +413,108 @@ def test_vacuum_warehouse_refuses_unexported_feeds_atomically(spark, wh):
     assert warehouse_loads(wh) == [4]
     assert versions(os.path.join(wh, "fact")) == [4]
     assert read_warehouse(spark, wh, 4)["fact"].where("k = 1").first().amt == 4.0
+
+
+def test_warehouse_feed_bundle_replicates_load_by_load(spark, wh):
+    """r11 verdict #7: export a per-LOAD multi-table feed bundle and
+    rebuild a replica warehouse from it — the replica must equal
+    read_warehouse(source, n) at EVERY load, applying each load
+    atomically (never fact-at-N with dim-at-M), replaying
+    exactly-once, and picking up later loads incrementally."""
+    from weatherflow_spark.operators.whlog import (
+        apply_warehouse_feed,
+        export_warehouse_feed,
+    )
+
+    keys = {"fact": ["k"], "dim": ["cust"]}
+    parts = {}
+
+    _seed(spark, wh)
+    commit_warehouse(wh, ["fact", "dim"], batch_id="L1")
+    # both tables mutate between loads; fact also mutates TWICE before
+    # load 2 (two feed versions inside one load interval — ordering)
+    for amt in (101.0, 102.0):
+        upsert_by_key(
+            spark,
+            spark.createDataFrame(
+                [(1, 0, amt)], "k long, cust long, amt double"
+            ),
+            os.path.join(wh, "fact"),
+            ["k"],
+        )
+    upsert_by_key(
+        spark,
+        spark.createDataFrame(
+            [(0, "seg0", 777.0)], "cust long, seg string, bal double"
+        ),
+        os.path.join(wh, "dim"),
+        ["cust"],
+    )
+    commit_warehouse(wh, ["fact", "dim"], batch_id="L2")
+
+    bundle = os.path.join(wh, "__bundle")
+    replica = os.path.join(wh, "__replica")
+    out = export_warehouse_feed(spark, wh, bundle, keys)
+    assert out["tables"] == 2
+    assert apply_warehouse_feed(spark, bundle, replica, keys, parts) == [1, 2]
+
+    def digest(wh_dir, load):
+        return _joined_digest(read_warehouse(spark, wh_dir, load))
+
+    for n in (1, 2):
+        assert digest(replica, n) == digest(wh, n), f"load {n} diverged"
+    # post-load source commits are invisible to the replica (they
+    # belong to no load yet)
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(2, 1, 0.5)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+    )
+    # replayed apply: exactly-once, nothing new
+    assert apply_warehouse_feed(spark, bundle, replica, keys, parts) == []
+    assert warehouse_loads(replica) == [1, 2]
+    assert digest(replica, 2) == digest(wh, 2)
+
+    # incremental: load 3 at the source, re-export, re-apply
+    commit_warehouse(wh, ["fact", "dim"], batch_id="L3")
+    export_warehouse_feed(spark, wh, bundle, keys)
+    assert apply_warehouse_feed(spark, bundle, replica, keys, parts) == [3]
+    assert digest(replica, 3) == digest(wh, 3)
+    assert read_warehouse(spark, replica, 3)["fact"].where(
+        "k = 2"
+    ).first().amt == 0.5
+
+
+def test_warehouse_feed_export_requires_keys_and_derivable_versions(
+    spark, wh
+):
+    """Bundle guardrails: a load-referenced table without key_cols
+    refuses; a load whose feed versions were vacuumed before first
+    export refuses by naming the gap."""
+    from weatherflow_spark.operators.snaplog import vacuum_versions
+    from weatherflow_spark.operators.whlog import export_warehouse_feed
+
+    _seed(spark, wh)
+    commit_warehouse(wh, ["fact", "dim"])
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 0, 5.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+    )
+    commit_warehouse(wh, ["fact", "dim"])
+
+    with pytest.raises(ValueError, match="no key_cols"):
+        export_warehouse_feed(
+            spark, wh, os.path.join(wh, "__b1"), {"fact": ["k"]}
+        )
+
+    # vacuum fact v1 away before any export: load 1 is now
+    # unreplicatable and the export must say so
+    vacuum_versions(os.path.join(wh, "fact"), keep_last=1)
+    with pytest.raises(ValueError, match="not exportable"):
+        export_warehouse_feed(
+            spark, wh, os.path.join(wh, "__b2"),
+            {"fact": ["k"], "dim": ["cust"]},
+        )

@@ -61,7 +61,7 @@ import json
 import os
 from contextlib import ExitStack, contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _wh_log_dir(wh_dir: str) -> str:
@@ -435,6 +435,173 @@ def vacuum_warehouse(
                 require_exported=(require_exported or {}).get(t),
             )
         return out
+
+
+def export_warehouse_feed(
+    spark: SparkSession,
+    wh_dir: str,
+    bundle_dir: str,
+    key_cols: dict[str, list[str]],
+) -> dict[str, int]:
+    """Per-LOAD multi-table replication bundle (E95 × E97, r12 —
+    VERDICT r11 #7): after E97 the natural replication unit is the
+    logical LOAD, not the single table — a replica that applies
+    table feeds independently can pair fact-at-load-N with
+    dim-at-load-M, exactly the mixed cut the warehouse log exists to
+    prevent. The bundle is (a) one standard change feed per member
+    table (``snaplog.export_change_feed`` — incremental, idempotent,
+    schema-stamped) and (b) a copy of every load entry
+    (``loads/L%06d.json``, immutable once written), which tells the
+    consumer WHICH feed versions form one atomic load.
+
+    ``key_cols`` maps member table → merge keys; every table any load
+    entry references must be mapped (a keyless table cannot be
+    replicated by keyed merge). Raises — exporting nothing new — if a
+    load references a feed version that can no longer be derived
+    (vacuumed before first export; the ``vacuum_warehouse``
+    ``require_exported`` interlock exists to prevent exactly that).
+    Returns ``{"loads_exported": n, "tables": t}``."""
+    from weatherflow_spark.operators.snaplog import (
+        export_change_feed,
+        exported_feed_versions,
+    )
+
+    loads = warehouse_loads(wh_dir)
+    if not loads:
+        raise ValueError(f"{wh_dir}: no committed warehouse loads")
+    entries = {n: load_entry(wh_dir, n) for n in loads}
+    referenced: dict[str, int] = {}
+    for e in entries.values():
+        for t, v in e["tables"].items():
+            referenced[t] = max(int(v), referenced.get(t, 0))
+    missing = sorted(set(referenced) - set(key_cols))
+    if missing:
+        raise ValueError(
+            f"{wh_dir}: no key_cols for member table(s) {missing} — "
+            "a keyless table cannot be replicated by keyed merge"
+        )
+    for t, max_v in sorted(referenced.items()):
+        feed = os.path.join(bundle_dir, t)
+        export_change_feed(
+            spark, os.path.join(wh_dir, t), feed, key_cols[t]
+        )
+        have = exported_feed_versions(feed)
+        gaps = [v for v in range(1, max_v + 1) if v not in have]
+        if gaps:
+            raise ValueError(
+                f"{wh_dir}/{t}: feed versions {gaps[:5]}"
+                f"{'…' if len(gaps) > 5 else ''} referenced by retained "
+                "loads are not exportable (vacuumed before first "
+                "export) — the bundle cannot rebuild the replica"
+            )
+    loads_dir = os.path.join(bundle_dir, "loads")
+    os.makedirs(loads_dir, exist_ok=True)
+    n_new = 0
+    for n, e in sorted(entries.items()):
+        dst = os.path.join(loads_dir, f"L{n:06d}.json")
+        if os.path.exists(dst):
+            continue  # immutable once written
+        tmp = dst + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(e, f)
+        os.replace(tmp, dst)
+        n_new += 1
+    return {"loads_exported": n_new, "tables": len(referenced)}
+
+
+def bundle_loads(bundle_dir: str) -> list[int]:
+    try:
+        names = os.listdir(os.path.join(bundle_dir, "loads"))
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("L") and n.endswith(".json"):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def apply_warehouse_feed(
+    spark: SparkSession,
+    bundle_dir: str,
+    replica_wh: str,
+    key_cols: dict[str, list[str]],
+    partition_cols: dict[str, list[str]] | None = None,
+) -> list[int]:
+    """Rebuild a replica warehouse LOAD-BY-LOAD from a bundle written
+    by :func:`export_warehouse_feed` — the multi-table form of
+    ``foreach_batch_apply_change_feed`` with its guarantees extended
+    across tables:
+
+    - **load atomicity**: all of load N's per-table feed versions are
+      merged, THEN one replica load entry commits (batch-keyed
+      ``whfeed:N``) — ``read_warehouse(replica, N)`` can never serve
+      a mixed cut; a crash mid-load leaves no entry and the rerun
+      re-applies idempotently.
+    - **version ordering**: each table applies its feed versions
+      ascending within ``(prev load's version, this load's version]``
+      — versions minted BETWEEN loads replay in order; versions after
+      the newest load are excluded (they belong to no load yet).
+    - **schema fail-fast + evolution**: per-version column stamps are
+      checked before each table's merge; evolved columns replicate
+      via ``merge_schema`` (E94 × E95).
+    - **exactly-once**: replayed loads short-circuit on the replica's
+      load log BEFORE touching any table.
+
+    Returns the NEWLY applied load numbers."""
+    from weatherflow_spark.operators.snaplog import (
+        check_feed_schema,
+        read_change_feed,
+    )
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    ls = bundle_loads(bundle_dir)
+    if not ls:
+        raise ValueError(f"{bundle_dir}: no load entries in bundle")
+    init_warehouse_log(replica_wh)
+    applied: list[int] = []
+    prev: dict[str, int] = {}
+    for n in ls:
+        with open(os.path.join(bundle_dir, "loads", f"L{n:06d}.json")) as f:
+            entry = json.load(f)
+        tables = entry["tables"]
+        if committed_load(replica_wh, f"whfeed:{n}") is not None:
+            prev = {t: int(v) for t, v in tables.items()}
+            continue
+        for t in sorted(tables):
+            target = int(tables[t])
+            lo = prev.get(t, 0)
+            if target <= lo:
+                continue  # version reused across loads: pure metadata
+            feed_dir = os.path.join(bundle_dir, t)
+            feed = read_change_feed(spark, feed_dir).where(
+                (F.col("change_version") > lo)
+                & (F.col("change_version") <= target)
+            )
+            vs = sorted(
+                r.change_version
+                for r in feed.select("change_version").distinct().collect()
+            )
+            check_feed_schema(feed_dir, feed.columns, vs)
+            for v in vs:
+                apply_changes(
+                    spark,
+                    feed.where(feed.change_version == v).drop(
+                        "change_version"
+                    ),
+                    os.path.join(replica_wh, t),
+                    key_cols[t],
+                    "op",
+                    (partition_cols or {}).get(t),
+                    merge_schema=True,
+                )
+        commit_warehouse(replica_wh, sorted(tables), batch_id=f"whfeed:{n}")
+        applied.append(n)
+        prev = {t: int(v) for t, v in tables.items()}
+    return applied
 
 
 @contextmanager

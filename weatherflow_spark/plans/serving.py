@@ -1702,17 +1702,32 @@ def q_warehouse_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture: the load entry is O(tables) metadata over O(touched
     files) per-table commits; locks are held for the metadata
     instant, never across Spark jobs."""
+    from weatherflow_spark.operators.whlog import read_warehouse
+
+    wh = _build_wh_tx(spark, sf_dir, "wh_tx")
+    return _wh_digest(read_warehouse(spark, wh, 1), "load1").unionByName(
+        _wh_digest(read_warehouse(spark, wh), "head")
+    )
+
+
+def _build_wh_tx(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """The E97 two-load scenario (shared by the snapshot and replica
+    rows): bulk-seed fact_orders (partitioned, minus every
+    %UPSERT_DEL_MOD key) + dim_customer, commit load 1; mutate BOTH
+    tables through the keyed choke point; commit load 2 (version
+    reuse) and raise unless the replayed load-2 batch id is
+    exactly-once. Returns the warehouse path (a per-(sf, pid) scratch
+    reset on every call, so replays are idempotent)."""
     import shutil
 
     from weatherflow_spark.operators.upsert import upsert_by_key
     from weatherflow_spark.operators.whlog import (
         commit_warehouse,
         init_warehouse_log,
-        read_warehouse,
         warehouse_loads,
     )
 
-    wh = os.path.join(_scratch_dir(sf_dir), "wh_tx")
+    wh = os.path.join(_scratch_dir(sf_dir), name)
     # Member tables and ALL their sibling state (snaplogs, retention
     # mirrors, locks, manifests, the load log) live INSIDE wh — one
     # rmtree resets everything, keeping replays idempotent.
@@ -1768,32 +1783,71 @@ def q_warehouse_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"[1, 2] with replay-keyed commits, got loads {warehouse_loads(wh)} "
             f"({load1}, {load2}, replay {replay})"
         )
+    return wh
 
-    def digest(tables: dict, tag: str) -> DataFrame:
-        j = tables["fact_orders"].join(
-            tables["dim_customer"],
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        return j.groupBy("c_mktsegment").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
-            ).alias("price_cents"),
-            F.sum(
-                F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")
-            ).alias("bal_cents"),
-            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
-        ).select(
-            F.lit(tag).alias("version_tag"),
-            "c_mktsegment",
-            "n_rows",
-            "price_cents",
-            "bal_cents",
-            "key_xor",
-        )
 
-    return digest(read_warehouse(spark, wh, 1), "load1").unionByName(
-        digest(read_warehouse(spark, wh), "head")
+def _wh_digest(tables: dict, tag: str) -> DataFrame:
+    j = tables["fact_orders"].join(
+        tables["dim_customer"],
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("price_cents"),
+        F.sum(
+            F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")
+        ).alias("bal_cents"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+    ).select(
+        F.lit(tag).alias("version_tag"),
+        "c_mktsegment",
+        "n_rows",
+        "price_cents",
+        "bal_cents",
+        "key_xor",
+    )
+
+
+def q_warehouse_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E97 × E95 driver row (r12 — VERDICT r11 #7): a REPLICA
+    warehouse rebuilt purely from the per-load multi-table feed
+    bundle must serve the SAME consistent cuts as the source. Runs
+    the E97 two-load scenario into a fresh source warehouse, exports
+    the bundle (``whlog.export_warehouse_feed``: one change feed per
+    member + the load entries), applies it to an empty replica
+    (``apply_warehouse_feed``: per-load atomic apply, version-ordered
+    within each table, exactly-once on replay — RAISES unless the
+    immediate re-apply is a no-op), and serves the load-1 + head
+    digests FROM THE REPLICA. Oracle: ORACLE_WAREHOUSE_SNAPSHOT
+    verbatim — replication correctness IS digest identity with the
+    source's own oracle."""
+    import shutil
+
+    from weatherflow_spark.operators.whlog import (
+        apply_warehouse_feed,
+        export_warehouse_feed,
+        read_warehouse,
+    )
+
+    src = _build_wh_tx(spark, sf_dir, "wh_repl_src")
+    bundle = os.path.join(_scratch_dir(sf_dir), "wh_repl_bundle")
+    replica = os.path.join(_scratch_dir(sf_dir), "wh_repl_dst")
+    shutil.rmtree(bundle, ignore_errors=True)
+    shutil.rmtree(replica, ignore_errors=True)
+    keys = {"fact_orders": ["o_orderkey"], "dim_customer": ["c_custkey"]}
+    parts = {"fact_orders": ["o_orderpriority"]}
+    export_warehouse_feed(spark, src, bundle, keys)
+    applied = apply_warehouse_feed(spark, bundle, replica, keys, parts)
+    replayed = apply_warehouse_feed(spark, bundle, replica, keys, parts)
+    if applied != [1, 2] or replayed != []:
+        raise RuntimeError(
+            f"replica apply broke: applied {applied}, replay {replayed} "
+            "(expected [1, 2] then [])"
+        )
+    return _wh_digest(read_warehouse(spark, replica, 1), "load1").unionByName(
+        _wh_digest(read_warehouse(spark, replica), "head")
     )
 
 
@@ -2467,6 +2521,10 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``manifest_travel`` (E99): the object-store retention mode
       walking E90's exact commit sequence — zero hard links
       (raise-checked), oracle == ORACLE_TIME_TRAVEL verbatim.
+    - ``warehouse_replica`` (E97 × E95, r12): a replica warehouse
+      rebuilt purely from the per-load multi-table feed bundle —
+      load-atomic apply, exactly-once replay (raise-checked), digests
+      == the SOURCE's own oracle verbatim.
 
     Every branch performs its real versioned I/O because that I/O IS
     the certified claim; E91/E92/E95 share one versioned fixture by
@@ -2523,6 +2581,12 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
     )
+    wr = q_warehouse_replica(spark, sf_dir).selectExpr(
+        "'warehouse_replica' AS op",
+        "concat(version_tag, '|', c_mktsegment) AS key",
+        "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
+    )
     return (
         tt.unionByName(vd)
         .unionByName(iv)
@@ -2530,6 +2594,7 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cf)
         .unionByName(tc)
         .unionByName(ws)
+        .unionByName(wr)
         .unionByName(tm)
     )
 
@@ -2710,6 +2775,17 @@ def _oracle_lakehouse_suite() -> str:
                        WHEN 'bal_cents' THEN s.bal_cents
                        ELSE s.key_xor END AS value) u
     UNION ALL
+    SELECT 'warehouse_replica', version_tag || '|' || c_mktsegment,
+           u.metric, u.value
+    FROM ({ORACLE_WAREHOUSE_SNAPSHOT}) s,
+         (VALUES ('n_rows'), ('price_cents'), ('bal_cents'), ('key_xor'))
+             AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'price_cents' THEN s.price_cents
+                       WHEN 'bal_cents' THEN s.bal_cents
+                       ELSE s.key_xor END AS value) u
+    UNION ALL
     SELECT 'manifest_travel', version_tag || '|' || o_orderpriority,
            u.metric, u.value
     FROM ({ORACLE_TIME_TRAVEL}) s,
@@ -2746,6 +2822,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_change_feed": q_change_feed,
     "q_table_clone": q_table_clone,
     "q_warehouse_snapshot": q_warehouse_snapshot,
+    "q_warehouse_replica": q_warehouse_replica,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
     "q_tpch_q4_bucketed": q_tpch_q4_bucketed,
@@ -2778,6 +2855,9 @@ SERVING_ORACLES: dict[str, str] = {
     "q_change_feed": ORACLE_CHANGE_FEED,
     "q_table_clone": ORACLE_TABLE_CLONE,
     "q_warehouse_snapshot": ORACLE_WAREHOUSE_SNAPSHOT,
+    # r12: replication correctness IS digest identity with the source
+    # warehouse's own oracle.
+    "q_warehouse_replica": ORACLE_WAREHOUSE_SNAPSHOT,
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
     # r12: the rest of the orderkey family routed through the layout —
