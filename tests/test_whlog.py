@@ -325,9 +325,9 @@ def test_covered_member_reuse_pays_zero_file_walks(spark, wh, monkeypatch):
         "_walk_data_files",
         lambda *a, **k: (walks.append(a and a[0]), real_walk(*a, **k))[1],
     )
-    # prelink also walks (lock-free by design) — silence it so the
-    # counter measures exactly the version-reuse decision.
-    monkeypatch.setattr(S, "prelink_retained", lambda p: 0)
+    # No prelink exclusion needed: the dirstamp gates the lock-free
+    # prelink walk too (r12 review), so a covered member's load is
+    # zero-file-walk END TO END, not just inside the locks.
 
     assert commit_warehouse(wh, ["fact", "dim"]) == 2
     assert walks == [], f"covered members paid {len(walks)} stat walk(s)"

@@ -183,14 +183,23 @@ def bucketed_warehouse(
     got = _try_reuse()
     if got is not None:
         return got
-    # Reclaim build scratch left by DEAD processes (each otherwise
-    # strands a full bucketed lineitem+orders copy forever).
+    # Reclaim scratch left by DEAD processes: in-flight __building_
+    # dirs, plus the pre-durability pid-tagged FINAL trees (legacy
+    # names ended in the builder's decimal pid; the durable tag ends
+    # in an 8-char hex hash, so a 1-7 digit numeric tail is
+    # unambiguously legacy — each strands a full bucketed copy
+    # forever otherwise, r12 review).
     try:
         for n in os.listdir(scratch_base):
-            if "__building_" not in n or not n.startswith("bucketed_wh_"):
+            if not n.startswith("bucketed_wh_"):
                 continue
+            tail = n.rsplit("_", 1)[-1]
+            if "__building_" not in n and not (
+                tail.isdigit() and len(tail) <= 7
+            ):
+                continue  # a durable hash-tagged tree: never swept
             try:
-                pid = int(n.rsplit("_", 1)[-1])
+                pid = int(tail)
                 os.kill(pid, 0)
             except ValueError:
                 continue  # foreign name shape: not ours to sweep
@@ -239,13 +248,31 @@ def bucketed_warehouse(
             {"spec": spec, "lineitem_ddl": li_ddl, "orders_ddl": ord_ddl},
             f,
         )
-    shutil.rmtree(base, ignore_errors=True)
+    # Enter service via rename, NEVER rmtree-then-rename of a possibly
+    # LIVE tree (r12 review: an unconditional rmtree(base) deletes the
+    # parquet files a concurrent winner's registered tables are
+    # actively scanning). If base exists it is either (a) a valid
+    # same-spec build a racer just landed — reuse it, discard ours —
+    # or (b) a stale/invalid/different-spec tree — move it ASIDE
+    # atomically (readers holding open files keep their inodes; our
+    # session's catalog entries were dropped above; other sessions
+    # must re-resolve through the marker, which shared mutable scratch
+    # cannot protect further) and land ours.
     try:
         os.rename(tmp, base)
     except OSError:
-        # A concurrent builder won the rename race; reuse its tree if
-        # the marker validates, else surface the real failure below.
-        shutil.rmtree(tmp, ignore_errors=True)
+        if _try_reuse() is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            aside = f"{base}__stale_{os.getpid()}"
+            shutil.rmtree(aside, ignore_errors=True)
+            try:
+                os.rename(base, aside)
+                os.rename(tmp, base)
+                shutil.rmtree(aside, ignore_errors=True)
+            except OSError:
+                # lost a second race; fall through to the final check
+                shutil.rmtree(tmp, ignore_errors=True)
     got = _try_reuse()
     if got is None:
         raise RuntimeError(

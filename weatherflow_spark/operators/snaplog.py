@@ -240,20 +240,56 @@ def dir_fingerprint(path: str) -> dict[str, int]:
 def refresh_dirstamp(path: str) -> None:
     """Persist the current directory fingerprint (mirror mode; called
     by record_commit after every entry write, under the dataset lock,
-    so the stamp always describes a committed state)."""
-    tmp = _dirstamp_path(path) + f".tmp.{os.getpid()}"
+    so the stamp always describes a committed state).
+
+    The stamp must be born NON-racy: a directory whose mtime shares
+    the stamp file's filesystem clock tick is indistinguishable from
+    one bulk-written inside that tick, so :func:`stored_dirstamp`
+    refuses such stamps. Commits land milliseconds after their writes
+    and would refuse forever — instead, wait out the tick (bounded,
+    ~ms) and re-fingerprint until every directory mtime is strictly
+    older than the stamp; if the tree keeps moving (a concurrent bulk
+    writer), leave the racy stamp and let the guard route readers to
+    the fallback walk — safe, never a wrong reuse."""
+    import time as _time
+
     os.makedirs(_log_dir(path), exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(dir_fingerprint(path), f)
-    os.replace(tmp, _dirstamp_path(path))
+    dst = _dirstamp_path(path)
+    for _ in range(8):
+        fp = dir_fingerprint(path)
+        tmp = dst + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(fp, f)
+        os.replace(tmp, dst)
+        try:
+            s = os.stat(dst).st_mtime_ns
+        except OSError:
+            return
+        if all(m < s for m in fp.values()):
+            return
+        _time.sleep(0.003)
 
 
 def stored_dirstamp(path: str) -> dict[str, int] | None:
+    """The persisted fingerprint, or None when it is missing, corrupt,
+    or RACILY CLEAN: a directory whose recorded mtime is not strictly
+    older than the stamp file's own mtime could have absorbed a bulk
+    write within the same filesystem clock tick as the stamping stat
+    — equality would then be indistinguishable from "unchanged", the
+    one wrong-reuse hole in the mtime scheme (git's index applies the
+    same rule). Returning None costs the fallback stat walk, never a
+    wrong reuse; record_commit stamps after the link+entry work, so
+    data-dir mtimes are normally strictly older and the fast path
+    stays live."""
     try:
         with open(_dirstamp_path(path)) as f:
-            return {k: int(v) for k, v in json.load(f).items()}
+            stamp = {k: int(v) for k, v in json.load(f).items()}
+        stamp_mtime = os.stat(_dirstamp_path(path)).st_mtime_ns
     except (OSError, ValueError):
         return None
+    if any(m >= stamp_mtime for m in stamp.values()):
+        return None
+    return stamp
 
 
 def entry_files(path: str, version: int) -> list[tuple[str, int]]:
@@ -1036,6 +1072,7 @@ def vacuum_versions(
     require_exported: str | None = None,
     keep_versions: set[int] | None = None,
     dry_run: bool = False,
+    allowed_drop: set[int] | None = None,
 ) -> dict[str, int]:
     """Bound history: keep only the newest ``keep_last`` versions'
     log entries — plus every version a live reader holds pinned via
@@ -1061,9 +1098,14 @@ def vacuum_versions(
 
     ``dry_run`` runs the FULL decision logic — including the
     ``require_exported`` refusal — but mutates nothing and returns
-    ``removed_files=0``; the warehouse vacuum pre-flights every member
-    with it so a multi-table vacuum either proceeds everywhere or
-    refuses before touching any member (r12).
+    ``removed_files=0`` plus the decided ``drop`` list; the warehouse
+    vacuum pre-flights every member with it so a multi-table vacuum
+    either proceeds everywhere or refuses before touching any member
+    (r12). ``allowed_drop`` CAPS the drop set to a previously decided
+    one — pin releases are lock-free, so between a dry run and the
+    real run the computed drop set can GROW past what was checked;
+    capping makes the real run drop at most what the pre-flight
+    cleared (anything newly droppable waits for the next vacuum).
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -1075,6 +1117,8 @@ def vacuum_versions(
         if keep_versions:
             pinned = pinned | set(keep_versions)
         drop = [v for v in vs[:-keep_last] if v not in pinned]
+        if allowed_drop is not None:
+            drop = [v for v in drop if v in allowed_drop]
         if require_exported is not None and drop:
             exported = exported_feed_versions(require_exported)
             # v+1's base-check applies only while v+1 is itself still
@@ -1097,7 +1141,11 @@ def vacuum_versions(
                     "first"
                 )
         if dry_run:
-            return {"dropped_versions": len(drop), "removed_files": 0}
+            return {
+                "dropped_versions": len(drop),
+                "removed_files": 0,
+                "drop": list(drop),
+            }
         keep = [v for v in vs if v not in drop]
         referenced: set[str] = set()
         referenced_segs: set[str] = set()

@@ -266,11 +266,25 @@ def commit_warehouse(
     # uninitialised table, so deferring init to the locked loop would
     # silently re-open the bulk-link-under-all-locks window for every
     # first-time member (r12 advice).
-    from weatherflow_spark.operators.snaplog import prelink_retained
+    from weatherflow_spark.operators.snaplog import (
+        dir_fingerprint,
+        prelink_retained,
+        stored_dirstamp,
+    )
 
     for p in paths.values():
         if not snapshot_enabled(p):
             init_snapshot_log(p)
+        # Skip the O(files) prelink walk when the dirstamp proves the
+        # table unchanged since its last commit (r12 review): every
+        # file present at that commit was linked by it (full-walk
+        # commits link everything; scoped commits link their touched
+        # files with carried files linked inductively), so a matching
+        # fingerprint means the mirror is already complete and a
+        # pure-metadata load is genuinely O(dirs) end to end.
+        stamp = stored_dirstamp(p)
+        if stamp is not None and stamp == dir_fingerprint(p):
+            continue
         prelink_retained(p)
     with ExitStack() as stack:
         # Warehouse lock FIRST (serializes load numbering between two
@@ -374,22 +388,28 @@ def vacuum_warehouse(
         for n in drop:
             for t in load_entry(wh_dir, n)["tables"]:
                 referenced.setdefault(t, set())
-        # Feed-export pre-flight (r11 verdict #4): dry-run every
-        # mapped member BEFORE the first mutation — same decision
-        # logic as the real vacuum (keep_versions included), raising
-        # with a per-table report while nothing has been dropped yet.
+        # Feed-export pre-flight (r11 verdict #4): dry-run EVERY
+        # member BEFORE the first mutation — same decision logic as
+        # the real vacuum (keep_versions included), raising with a
+        # per-table report while nothing has been dropped yet. The
+        # decided drop sets are FROZEN and passed to the real vacuums
+        # as allowed_drop: pin releases are lock-free, so a drop set
+        # recomputed later could have grown past what the pre-flight
+        # cleared and re-raise mid-loop with entries half-dropped —
+        # exactly the state the pre-flight exists to exclude (r12
+        # review). Newly droppable versions wait for the next vacuum.
         bad: dict[str, str] = {}
-        for t, feed in sorted((require_exported or {}).items()):
-            if t not in referenced:
-                continue
+        frozen_drop: dict[str, set[int]] = {}
+        for t, keep_vs in sorted(referenced.items()):
             try:
-                vacuum_versions(
+                pre = vacuum_versions(
                     os.path.join(wh_dir, t),
                     keep_last=1,
-                    keep_versions=referenced[t],
-                    require_exported=feed,
+                    keep_versions=keep_vs,
+                    require_exported=(require_exported or {}).get(t),
                     dry_run=True,
                 )
+                frozen_drop[t] = set(pre["drop"])
             except ValueError as exc:
                 bad[t] = str(exc)
         if bad:
@@ -433,6 +453,7 @@ def vacuum_warehouse(
                 # are append-only so re-checking here is free and
                 # closes any crash-window drift
                 require_exported=(require_exported or {}).get(t),
+                allowed_drop=frozen_drop[t],
             )
         return out
 
@@ -569,7 +590,11 @@ def apply_warehouse_feed(
             entry = json.load(f)
         tables = entry["tables"]
         if committed_load(replica_wh, f"whfeed:{n}") is not None:
-            prev = {t: int(v) for t, v in tables.items()}
+            # update, never reassign: a member absent from THIS load
+            # keeps its watermark, or the next load containing it
+            # would re-apply its whole feed history from version 0
+            # (r12 review).
+            prev.update({t: int(v) for t, v in tables.items()})
             continue
         for t in sorted(tables):
             target = int(tables[t])
@@ -585,6 +610,19 @@ def apply_warehouse_feed(
                 r.change_version
                 for r in feed.select("change_version").distinct().collect()
             )
+            if target not in vs:
+                # Fail fast on an incomplete bundle (copied mid-sync,
+                # partial feed partition): applying up to a LOWER
+                # version and then recording the load would pin the
+                # divergence forever — the exactly-once key makes the
+                # rerun a no-op even after the bundle completes (r12
+                # review).
+                raise ValueError(
+                    f"{bundle_dir}/{t}: load {n} needs feed version "
+                    f"{target} but the bundle only has "
+                    f"{vs or f'nothing in ({lo}, {target}]'} — "
+                    "incomplete bundle; re-export and re-apply"
+                )
             check_feed_schema(feed_dir, feed.columns, vs)
             for v in vs:
                 apply_changes(
@@ -600,7 +638,7 @@ def apply_warehouse_feed(
                 )
         commit_warehouse(replica_wh, sorted(tables), batch_id=f"whfeed:{n}")
         applied.append(n)
-        prev = {t: int(v) for t, v in tables.items()}
+        prev.update({t: int(v) for t, v in tables.items()})
     return applied
 
 

@@ -1672,7 +1672,9 @@ def q_star_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_warehouse_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_warehouse_snapshot(
+    spark: SparkSession, sf_dir: str, _wh: str | None = None
+) -> DataFrame:
     """E97 driver row: CROSS-TABLE consistent snapshots
     (operators/whlog.py) certified through two real multi-table
     loads. The reference's per-record transaction spans all five star
@@ -1704,7 +1706,7 @@ def q_warehouse_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     instant, never across Spark jobs."""
     from weatherflow_spark.operators.whlog import read_warehouse
 
-    wh = _build_wh_tx(spark, sf_dir, "wh_tx")
+    wh = _wh or _build_wh_tx(spark, sf_dir, "wh_tx")
     return _wh_digest(read_warehouse(spark, wh, 1), "load1").unionByName(
         _wh_digest(read_warehouse(spark, wh), "head")
     )
@@ -1810,7 +1812,9 @@ def _wh_digest(tables: dict, tag: str) -> DataFrame:
     )
 
 
-def q_warehouse_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_warehouse_replica(
+    spark: SparkSession, sf_dir: str, _src: str | None = None
+) -> DataFrame:
     """E97 × E95 driver row (r12 — VERDICT r11 #7): a REPLICA
     warehouse rebuilt purely from the per-load multi-table feed
     bundle must serve the SAME consistent cuts as the source. Runs
@@ -1831,7 +1835,7 @@ def q_warehouse_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_warehouse,
     )
 
-    src = _build_wh_tx(spark, sf_dir, "wh_repl_src")
+    src = _src or _build_wh_tx(spark, sf_dir, "wh_repl_src")
     bundle = os.path.join(_scratch_dir(sf_dir), "wh_repl_bundle")
     replica = os.path.join(_scratch_dir(sf_dir), "wh_repl_dst")
     shutil.rmtree(bundle, ignore_errors=True)
@@ -2382,7 +2386,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracles verbatim. The layout itself is DURABLE: a fresh session
       re-registers the on-disk build instead of rewriting.
 
-    r12 split (VERDICT r11 'What's wrong' #2): the seven
+    r12 split (VERDICT r11 'What's wrong' #2): the eight
     lakehouse-HISTORY branches moved to :func:`q_lakehouse_suite` so
     one failing branch reddens a row that names its own family —
     16 branches / 39 s / one shared red-or-green bit obscured which
@@ -2500,7 +2504,8 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse-HISTORY certification row (r12, split out of
     ``q_pipeline_suite`` — VERDICT r11 'What's wrong' #2: 16 branches
     behind one red-or-green bit obscured which certified family
-    broke). Eight branches, LONG format (op, key, metric,
+    broke). Nine branches (the eight moved histories + the r12
+    warehouse_replica row), LONG format (op, key, metric,
     value:bigint), all doubles pinned to integers per branch:
 
     - ``time_travel``   (E90): snapshot-log versions + as-of reads —
@@ -2575,13 +2580,18 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
-    ws = q_warehouse_snapshot(spark, sf_dir).selectExpr(
+    # E97 + its replica certify against the SAME two-load scenario by
+    # construction — build the source warehouse once for both rows
+    # (the singles keep building their own; claims and oracles
+    # unchanged, r12 review).
+    shared_wh = _build_wh_tx(spark, sf_dir, "wh_tx")
+    ws = q_warehouse_snapshot(spark, sf_dir, _wh=shared_wh).selectExpr(
         "'warehouse_snapshot' AS op",
         "concat(version_tag, '|', c_mktsegment) AS key",
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
     )
-    wr = q_warehouse_replica(spark, sf_dir).selectExpr(
+    wr = q_warehouse_replica(spark, sf_dir, _src=shared_wh).selectExpr(
         "'warehouse_replica' AS op",
         "concat(version_tag, '|', c_mktsegment) AS key",
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
