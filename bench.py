@@ -244,6 +244,8 @@ OPTIONAL = [
     # r12: per-load multi-table replication single (suite branch
     # carries the window row)
     "q_warehouse_replica",
+    # r12: E100 file-skipping single (suite branch carries the window row)
+    "q_file_skipping",
 ]
 
 

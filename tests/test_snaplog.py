@@ -1127,3 +1127,55 @@ def test_scoped_commit_entry_io_bounded_by_touched_partitions(
         v2.where(F.col("o_orderpriority") == touched).count()
         == orders.where(F.col("o_orderpriority") == touched).count()
     )
+
+
+def test_file_skipping_stats_prune_and_carry(spark, tmpdir, snap_mode):
+    """E100 (r12): file-skipping statistics ride the segments. A
+    range-partitioned seed records per-file o_orderkey min/max;
+    scan_version over a selective range opens only intersecting files
+    yet returns exactly the full-scan rows after the residual filter.
+    A scoped commit computes stats ONLY for its new files while
+    untouched segments keep theirs (carry), and files without stats
+    are always kept (pruning is an optimization, never a filter)."""
+    from weatherflow_spark.operators.snaplog import (
+        scan_version,
+        set_stats_columns,
+    )
+
+    path = f"{tmpdir}/fs"
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.repartitionByRange(8, F.col("o_orderkey")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["o_orderkey"])
+    record_commit(path)  # v1: stats for every file
+
+    lo, hi = 100, 200
+    df, info = scan_version(spark, path, "o_orderkey", lo=lo, hi=hi)
+    assert info["files_scanned"] < info["files_total"], info
+    got = sorted(
+        tuple(r)
+        for r in df.where(F.col("o_orderkey").between(lo, hi)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in orders.where(
+            F.col("o_orderkey").between(lo, hi)
+        ).collect()
+    )
+    assert got == want and got, "pruned scan lost or invented rows"
+
+    # out-of-range scan prunes everything yet keeps the schema
+    empty, info0 = scan_version(
+        spark, path, "o_orderkey", lo=10**12, hi=10**12 + 1
+    )
+    assert info0["files_scanned"] == 0
+    assert empty.count() == 0
+    assert set(empty.columns) == set(orders.columns)
+
+    # stats-less files are never pruned: a column with no stats
+    df_all, info_all = scan_version(spark, path, "o_totalprice", lo=0.0)
+    assert info_all["files_scanned"] == info_all["files_total"]

@@ -156,7 +156,9 @@ def _seg_key(rel: str) -> str:
 
 
 def _write_segments(
-    path: str, files: list[tuple[str, int]]
+    path: str,
+    files: list[tuple[str, int]],
+    stats: dict[str, dict] | None = None,
 ) -> dict[str, str]:
     """Group ``files`` by containing directory and persist one
     IMMUTABLE segment file per group, returning {dirkey: segment
@@ -165,7 +167,9 @@ def _write_segments(
     SAME segment file and costs zero writes — the Iceberg
     manifest-reuse shape (r11 verdict #3): entry I/O per commit is
     O(directories) names + O(touched files) segment bytes, never
-    O(total files)."""
+    O(total files). ``stats`` (rel → {col: [min, max]}, E100) rides
+    inside each segment so version readers can FILE-SKIP without
+    opening a single footer."""
     import hashlib
 
     groups: dict[str, list[tuple[str, int]]] = {}
@@ -174,9 +178,14 @@ def _write_segments(
     segdir = _seg_dir(path)
     out: dict[str, str] = {}
     for dirkey, grp in groups.items():
-        content = json.dumps(
-            {"dir": dirkey, "files": sorted(grp)}, sort_keys=True
-        )
+        payload: dict = {"dir": dirkey, "files": sorted(grp)}
+        if stats:
+            seg_stats = {
+                rel: stats[rel] for rel, _ in grp if stats.get(rel)
+            }
+            if seg_stats:
+                payload["stats"] = seg_stats
+        content = json.dumps(payload, sort_keys=True)
         name = (
             "s_"
             + hashlib.sha256(content.encode()).hexdigest()[:20]
@@ -211,6 +220,190 @@ def _entry_segments(path: str, entry: dict) -> dict[str, str]:
     if "segments" in entry:
         return dict(entry["segments"])
     return _write_segments(path, [tuple(x) for x in entry["files"]])
+
+
+def _stats_cols_path(path: str) -> str:
+    return os.path.join(_log_dir(path), "STATS_COLS.json")
+
+
+def set_stats_columns(path: str, cols: list[str]) -> None:
+    """Opt the table into FILE-SKIPPING statistics (E100, the zone-map
+    / Iceberg-metrics shape on the segmented log): from the next
+    commit on, every newly listed data file's parquet-footer min/max
+    for ``cols`` is recorded inside its segment, and
+    :func:`scan_version` prunes files whose range cannot intersect a
+    predicate — a point/range query on a 100 TB table reads only the
+    files that can match, without opening a single footer at read
+    time. Stats are collected ONLY for new files (carried segments are
+    immutable and keep theirs), so the per-commit cost is O(touched
+    files) footer reads. Only numeric / date / timestamp columns are
+    eligible — parquet string min/max may be truncated by writers,
+    and a truncated bound prunes wrongly."""
+    if not snapshot_enabled(path):
+        raise ValueError(
+            f"{path}: snapshot log not initialised (init_snapshot_log)"
+        )
+    tmp = _stats_cols_path(path) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(sorted(cols), f)
+    os.replace(tmp, _stats_cols_path(path))
+
+
+def stats_columns(path: str) -> list[str]:
+    try:
+        with open(_stats_cols_path(path)) as f:
+            return list(json.load(f))
+    except (OSError, ValueError):
+        return []
+
+
+def _jsonable_stat(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None  # booleans: pruning value ~nil; skip
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None  # strings/bytes: truncated parquet bounds prune wrongly
+
+
+def _file_stats(path: str, rel: str, cols: list[str]) -> dict:
+    """{col: [min, max]} from the parquet footer's row-group
+    statistics — bounds over all row groups; a column with any
+    row group missing min/max is omitted (no stats ⇒ never pruned)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+    except Exception:
+        return {}
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        i = idx.get(c)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _jsonable_stat(st.min), _jsonable_stat(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            out[c] = [lo, hi]
+    return out
+
+
+def _collect_stats(
+    path: str,
+    new_files: list[tuple[str, int]],
+    prev_stats: dict[str, dict],
+) -> dict[str, dict] | None:
+    """Stats map for a commit: new files read their footers once;
+    files already covered by the previous entry's segments reuse
+    those bounds verbatim (manifest full-list commits re-list carried
+    files, which must not re-pay footer reads)."""
+    cols = stats_columns(path)
+    if not cols:
+        return None
+    out = dict(prev_stats)
+    for rel, _sz in new_files:
+        if rel not in out:
+            out[rel] = _file_stats(path, rel, cols)
+    return out
+
+
+def _entry_stats(path: str, entry: dict) -> dict[str, dict]:
+    """rel → {col: [min, max]} across all of an entry's segments."""
+    out: dict[str, dict] = {}
+    if "segments" not in entry:
+        return out
+    for name in entry["segments"].values():
+        try:
+            with open(os.path.join(_seg_dir(path), name)) as f:
+                out.update(json.load(f).get("stats", {}))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def scan_version(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """FILE-SKIPPING version read (E100): return the version's rows
+    whose files can contain ``col ∈ [lo, hi]`` — files whose recorded
+    [min, max] cannot intersect the range are never opened (a file
+    with no recorded stats is always kept — pruning is only ever an
+    optimization, never a filter). The returned frame is a SUPERSET
+    of the range (file granularity); callers apply their own
+    predicate, which Spark additionally pushes into the surviving
+    footers. Second return: ``{"files_total": n, "files_scanned": k}``
+    for plan audits. At 100 TB with range-clustered layout (zorder /
+    repartitionByRange + compaction sort), a selective range touches
+    a handful of files instead of the table."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"{path}: no committed versions")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(
+            f"{path}: version {version} not in log "
+            f"(have {vs[0]}..{vs[-1]}, vacuumed versions are gone)"
+        )
+    entry = _load_entry(path, version)
+    files = entry_files(path, version)
+    if not files:
+        raise ValueError(f"{path}: version {version} recorded no files")
+    stats = _entry_stats(path, entry)
+    kept = []
+    for rel, _sz in files:
+        s = stats.get(rel, {}).get(col)
+        if s is not None:
+            fmin, fmax = s
+            if (hi is not None and fmin > hi) or (
+                lo is not None and fmax < lo
+            ):
+                continue
+        kept.append(rel)
+    base = (
+        path.rstrip("/")
+        if snapshot_mode(path) == "manifest"
+        else _retain_dir(path)
+    )
+    if not kept:
+        # empty selection: preserve the schema via an always-false
+        # filter over one file (cheap — footer only)
+        df = (
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(os.path.join(base, files[0][0]))
+            .where(F.lit(False))
+        )
+        return df, {"files_total": len(files), "files_scanned": 0}
+    df = (
+        spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(base, r) for r in kept])
+    )
+    return df, {"files_total": len(files), "files_scanned": len(kept)}
 
 
 def _dirstamp_path(path: str) -> str:
@@ -466,10 +659,21 @@ def record_commit(
             if prior is not None:
                 return prior
         vs = versions(path)
+        # E100 file-skipping stats: footers are read once per NEW
+        # file; files carried from the previous entry reuse their
+        # recorded bounds (and untouched segments aren't rewritten at
+        # all, so their stats ride for free).
+        prev_stats = (
+            _entry_stats(path, _load_entry(path, vs[-1]))
+            if vs and stats_columns(path)
+            else {}
+        )
         if files is not None:
             listed = [tuple(x) for x in files]
             to_link = listed
-            segments = _write_segments(path, listed)
+            segments = _write_segments(
+                path, listed, stats=_collect_stats(path, listed, prev_stats)
+            )
         elif scope is not None and vs:
             if manifest:
                 # A manifest-mode writer never deletes, so touched
@@ -503,7 +707,12 @@ def record_commit(
             segments = {
                 k: v for k, v in prev_segs.items() if not covered(k)
             }
-            segments.update(_write_segments(path, touched))
+            segments.update(
+                _write_segments(
+                    path, touched,
+                    stats=_collect_stats(path, touched, prev_stats),
+                )
+            )
             # Emptied scoped dirs simply drop out: they are covered
             # (not carried) and the walk found no files to segment.
             # Carried files were retained by the commit that first
@@ -518,7 +727,9 @@ def record_commit(
             # writers all pass files= after the seed.
             listed = _walk_data_files(path)
             to_link = listed
-            segments = _write_segments(path, listed)
+            segments = _write_segments(
+                path, listed, stats=_collect_stats(path, listed, prev_stats)
+            )
         if manifest:
             to_link = []  # the file list IS the snapshot; nothing to copy
         retain = _retain_dir(path)

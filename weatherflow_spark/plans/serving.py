@@ -1266,6 +1266,80 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+FSKIP_LO, FSKIP_HI = 100, 200  # a selective orderkey range at every SF
+
+
+def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E100 driver row: FILE-SKIPPING statistics on the segmented
+    snapshot log (the zone-map / Iceberg-metrics shape). Build a
+    range-clustered orders table (``repartitionByRange`` on the
+    orderkey — the layout compaction's sort_col restores at scale),
+    opt it into o_orderkey stats (``snaplog.set_stats_columns``), and
+    commit: every file's footer min/max rides inside its segment.
+    ``scan_version`` over a selective key range must then open only
+    the files whose recorded range can intersect — the query RAISES
+    unless at most a quarter of the files were scanned — and the
+    digest of the residual-filtered result hash-matches the oracle's
+    plain BETWEEN over raw orders, so one row certifies the pruning
+    is both real and lossless. At 100 TB this is the difference
+    between a point/range lookup reading a handful of files and
+    reading the table; no footer is opened at read time (bounds come
+    from the manifest segments)."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+        scan_version,
+        set_stats_columns,
+    )
+    from weatherflow_spark.plans.queries import scaled_sum
+
+    path = os.path.join(_scratch_dir(sf_dir), "fskip_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.repartitionByRange(16, F.col("o_orderkey")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["o_orderkey"])
+    record_commit(path)
+
+    df, info = scan_version(
+        spark, path, "o_orderkey", lo=FSKIP_LO, hi=FSKIP_HI
+    )
+    if info["files_scanned"] > max(1, info["files_total"] // 4):
+        raise RuntimeError(
+            f"file-skipping regressed: scanned {info['files_scanned']} of "
+            f"{info['files_total']} files for a selective range"
+        )
+    return (
+        df.where(F.col("o_orderkey").between(FSKIP_LO, FSKIP_HI))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("price_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        )
+    )
+
+
+ORACLE_FILE_SKIPPING = f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS price_cents,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders
+    WHERE o_orderkey BETWEEN {FSKIP_LO} AND {FSKIP_HI}
+    GROUP BY o_orderpriority
+"""
+
+
 def _oracle_tpch_q4_bucketed() -> str:
     from weatherflow_spark.plans.tpch import ORACLE_TPCH_Q4
 
@@ -2379,6 +2453,9 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       index — probed cells only, decision-identical to one-shot.
     - ``bucketed_join`` (E93, r10): co-located fact⋈fact join —
       raises unless zero-Exchange sort-merge, digest == plain join.
+    - ``file_skip``     (E100, r12): zone-map file-skipping on the
+      segmented log — a selective range scan opens ≤¼ of the files
+      (raise-checked) and hash-matches the plain BETWEEN oracle.
     - ``tpch_bucketed`` (E98, r11; family widened r12): the bucketed
       layout ADOPTED by real TPC-H Q3+Q18 (zero-Exchange plans,
       raise-checked) and Q4+Q12+Q21 (≤ 1 Exchange — the tiny
@@ -2449,6 +2526,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'cosine_e6', cast(floor(cosine * 1e6 + 0.5) as bigint))"
         " AS (metric, value)",
     )
+    fs = q_file_skipping(spark, sf_dir).selectExpr(
+        "'file_skip' AS op",
+        "o_orderpriority AS key",
+        "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'key_xor', key_xor) AS (metric, value)",
+    )
     tb = q_tpch_q3_bucketed(spark, sf_dir).selectExpr(
         "'tpch_bucketed' AS op",
         "concat('q3|', l_orderkey, '|', "
@@ -2496,6 +2579,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(se)
         .unionByName(av)
         .unionByName(bj)
+        .unionByName(fs)
         .unionByName(tb)
     )
 
@@ -2698,6 +2782,14 @@ def _oracle_pipeline_suite() -> str:
            'numwait', CAST(numwait AS BIGINT)
     FROM ({_oracle_tpch_q21_bucketed()})
     UNION ALL
+    SELECT 'file_skip', o_orderpriority, u.metric, u.value
+    FROM ({ORACLE_FILE_SKIPPING}) s,
+         (VALUES ('n_rows'), ('price_cents'), ('key_xor')) AS m(metric),
+         LATERAL (SELECT m.metric AS metric,
+                  CASE m.metric WHEN 'n_rows' THEN s.n_rows
+                       WHEN 'price_cents' THEN s.price_cents
+                       ELSE s.key_xor END AS value) u
+    UNION ALL
     SELECT 'ann_serve', CAST(vec_id AS VARCHAR), u.metric, u.value
     FROM ({_oracle_ann_index_serve()}) s,
          (VALUES ('label'), ('cosine_e6')) AS m(metric),
@@ -2833,6 +2925,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_table_clone": q_table_clone,
     "q_warehouse_snapshot": q_warehouse_snapshot,
     "q_warehouse_replica": q_warehouse_replica,
+    "q_file_skipping": q_file_skipping,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
     "q_tpch_q4_bucketed": q_tpch_q4_bucketed,
@@ -2868,6 +2961,7 @@ SERVING_ORACLES: dict[str, str] = {
     # r12: replication correctness IS digest identity with the source
     # warehouse's own oracle.
     "q_warehouse_replica": ORACLE_WAREHOUSE_SNAPSHOT,
+    "q_file_skipping": ORACLE_FILE_SKIPPING,
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
     # r12: the rest of the orderkey family routed through the layout —
