@@ -1179,3 +1179,68 @@ def test_file_skipping_stats_prune_and_carry(spark, tmpdir, snap_mode):
     # stats-less files are never pruned: a column with no stats
     df_all, info_all = scan_version(spark, path, "o_totalprice", lo=0.0)
     assert info_all["files_scanned"] == info_all["files_total"]
+
+
+def test_file_skipping_stats_carry_across_scoped_commits(
+    spark, tmpdir, snap_mode, monkeypatch
+):
+    """E100 carry contract (r12 review: the first test never exercised
+    it): a partition-scoped upsert computes footer stats ONLY for its
+    new files — untouched segments keep their recorded bounds without
+    a single footer re-read — and pruning over the merged version
+    still partitions the file set correctly."""
+    import weatherflow_spark.operators.snaplog as S
+    from weatherflow_spark.operators.snaplog import (
+        scan_version,
+        set_stats_columns,
+    )
+
+    path = f"{tmpdir}/fsc"
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        path
+    )
+    init_snapshot_log(path)
+    set_stats_columns(path, ["o_orderkey"])
+    record_commit(path)  # v1: stats for every file
+
+    # instrument footer reads
+    reads = []
+    real = S._file_stats
+    monkeypatch.setattr(
+        S, "_file_stats", lambda p, rel, cols: (reads.append(rel), real(p, rel, cols))[1]
+    )
+
+    touched = "1-URGENT"
+    batch = (
+        orders.where(F.col("o_orderpriority") == touched)
+        .limit(5)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    upsert_by_key(spark, batch, path, ["o_orderkey"], ["o_orderpriority"])
+    assert versions(path) == [1, 2]
+    # stats were computed ONLY for the touched partition's new files
+    assert reads, "scoped commit read no footers at all"
+    assert all(r.startswith(f"o_orderpriority={touched}/") for r in reads), reads
+
+    # the merged version still carries bounds for EVERY file (carried
+    # segments kept theirs): a full-range scan prunes nothing, and a
+    # max-key probe prunes at least the files whose range ends early
+    from weatherflow_spark.operators.snaplog import (
+        _entry_stats,
+        _load_entry,
+        entry_files,
+    )
+
+    files2 = entry_files(path, 2)
+    stats2 = _entry_stats(path, _load_entry(path, 2))
+    missing = [r for r, _ in files2 if "o_orderkey" not in stats2.get(r, {})]
+    assert not missing, f"files lost their stats across the carry: {missing}"
+
+    top = orders.agg(F.max("o_orderkey")).first()[0]
+    df, info = scan_version(spark, path, "o_orderkey", lo=top, hi=top)
+    assert info["files_scanned"] < info["files_total"], info
+    got = df.where(F.col("o_orderkey") == top).count()
+    assert got == orders.where(F.col("o_orderkey") == top).count()

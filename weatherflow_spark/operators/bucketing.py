@@ -269,10 +269,15 @@ def bucketed_warehouse(
             try:
                 os.rename(base, aside)
                 os.rename(tmp, base)
-                shutil.rmtree(aside, ignore_errors=True)
             except OSError:
                 # lost a second race; fall through to the final check
                 shutil.rmtree(tmp, ignore_errors=True)
+            finally:
+                # the moved-aside tree is stale by construction
+                # (invalid/mismatched marker) — reclaim it on BOTH
+                # exits, or a lost second race strands a full
+                # bucketed copy for the process lifetime (r12 review)
+                shutil.rmtree(aside, ignore_errors=True)
     got = _try_reuse()
     if got is None:
         raise RuntimeError(

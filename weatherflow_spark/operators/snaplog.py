@@ -257,16 +257,27 @@ def stats_columns(path: str) -> list[str]:
         return []
 
 
-def _jsonable_stat(v):
+def _jsonable_stat(v, side: str = "min"):
     import datetime
     import decimal
+    import math
 
     if isinstance(v, bool) or v is None:
         return None  # booleans: pruning value ~nil; skip
-    if isinstance(v, (int, float)):
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
         return v
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # float() rounds to NEAREST — a min rounded up (or max
+        # rounded down) would prune a file holding in-range rows
+        # (r12 review). Widen each bound outward instead.
+        f = float(v)
+        if side == "min" and decimal.Decimal(f) > v:
+            return math.nextafter(f, -math.inf)
+        if side == "max" and decimal.Decimal(f) < v:
+            return math.nextafter(f, math.inf)
+        return f
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return None  # strings/bytes: truncated parquet bounds prune wrongly
@@ -295,7 +306,8 @@ def _file_stats(path: str, rel: str, cols: list[str]) -> dict:
             if st is None or not st.has_min_max:
                 ok = False
                 break
-            mn, mx = _jsonable_stat(st.min), _jsonable_stat(st.max)
+            mn = _jsonable_stat(st.min, "min")
+            mx = _jsonable_stat(st.max, "max")
             if mn is None or mx is None:
                 ok = False
                 break
@@ -357,22 +369,17 @@ def scan_version(
     footers. Second return: ``{"files_total": n, "files_scanned": k}``
     for plan audits. At 100 TB with range-clustered layout (zorder /
     repartitionByRange + compaction sort), a selective range touches
-    a handful of files instead of the table."""
-    vs = versions(path)
-    if not vs:
-        raise ValueError(f"{path}: no committed versions")
-    if version is None:
-        version = vs[-1]
-    if version not in vs:
-        raise ValueError(
-            f"{path}: version {version} not in log "
-            f"(have {vs[0]}..{vs[-1]}, vacuumed versions are gone)"
-        )
-    entry = _load_entry(path, version)
-    files = entry_files(path, version)
-    if not files:
-        raise ValueError(f"{path}: version {version} recorded no files")
-    stats = _entry_stats(path, entry)
+    a handful of files instead of the table. Date/datetime bounds
+    may be passed as Python objects (normalized to the stored
+    isoformat — 'T' separator) or as ISO-8601 'T' strings; Decimal
+    bounds widen OUTWARD on float conversion so conversion error can
+    only keep an extra file, never drop one."""
+    version, files, base = _resolve_version(path, version)
+    stats = _entry_stats(path, _load_entry(path, version))
+    if lo is not None and not isinstance(lo, (int, float, str)):
+        lo = _jsonable_stat(lo, "min")
+    if hi is not None and not isinstance(hi, (int, float, str)):
+        hi = _jsonable_stat(hi, "max")
     kept = []
     for rel, _sz in files:
         s = stats.get(rel, {}).get(col)
@@ -383,27 +390,55 @@ def scan_version(
             ):
                 continue
         kept.append(rel)
+    if not kept:
+        # empty selection: preserve the schema via an always-false
+        # filter over one file (cheap — footer only)
+        df = _read_retained(spark, base, [files[0][0]]).where(F.lit(False))
+        return df, {"files_total": len(files), "files_scanned": 0}
+    df = _read_retained(spark, base, kept)
+    return df, {"files_total": len(files), "files_scanned": len(kept)}
+
+
+def _resolve_version(
+    path: str, version: int | None
+) -> tuple[int, list[tuple[str, int]], str]:
+    """Shared version-read plumbing (read_version + scan_version, r12
+    review): validate the version, load its non-empty file list, and
+    resolve the read base — the LIVE tree in manifest mode (the
+    entry's list IS the snapshot; committed files are never deleted
+    until vacuum), the hard-linked retention mirror otherwise."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"{path}: no committed versions")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(
+            f"{path}: version {version} not in log "
+            f"(have {vs[0]}..{vs[-1]}, vacuumed versions are gone)"
+        )
+    files = entry_files(path, version)
+    if not files:
+        raise ValueError(f"{path}: version {version} recorded no files")
     base = (
         path.rstrip("/")
         if snapshot_mode(path) == "manifest"
         else _retain_dir(path)
     )
-    if not kept:
-        # empty selection: preserve the schema via an always-false
-        # filter over one file (cheap — footer only)
-        df = (
-            spark.read.option("basePath", base)
-            .option("mergeSchema", "true")
-            .parquet(os.path.join(base, files[0][0]))
-            .where(F.lit(False))
-        )
-        return df, {"files_total": len(files), "files_scanned": 0}
-    df = (
+    return version, files, base
+
+
+def _read_retained(spark: SparkSession, base: str, rels: list[str]) -> DataFrame:
+    # mergeSchema: an E94 add-column evolution leaves untouched
+    # partitions' pre-evolution footers in the version's file list
+    # forever — a sampled-footer read would silently drop the evolved
+    # column from time-travel results (r10 review). Merging is
+    # footer-metadata work over an explicitly bounded file list.
+    return (
         spark.read.option("basePath", base)
         .option("mergeSchema", "true")
-        .parquet(*[os.path.join(base, r) for r in kept])
+        .parquet(*[os.path.join(base, r) for r in rels])
     )
-    return df, {"files_total": len(files), "files_scanned": len(kept)}
 
 
 def _dirstamp_path(path: str) -> str:
@@ -430,59 +465,69 @@ def dir_fingerprint(path: str) -> dict[str, int]:
     return out
 
 
-def refresh_dirstamp(path: str) -> None:
-    """Persist the current directory fingerprint (mirror mode; called
-    by record_commit after every entry write, under the dataset lock,
-    so the stamp always describes a committed state).
-
-    The stamp must be born NON-racy: a directory whose mtime shares
-    the stamp file's filesystem clock tick is indistinguishable from
-    one bulk-written inside that tick, so :func:`stored_dirstamp`
-    refuses such stamps. Commits land milliseconds after their writes
-    and would refuse forever — instead, wait out the tick (bounded,
-    ~ms) and re-fingerprint until every directory mtime is strictly
-    older than the stamp; if the tree keeps moving (a concurrent bulk
-    writer), leave the racy stamp and let the guard route readers to
-    the fallback walk — safe, never a wrong reuse."""
+def _clean_fingerprint(path: str) -> dict[str, int] | None:
+    """A directory fingerprint PROVEN quiescent: every recorded mtime
+    is strictly older than a probe timestamp taken BEFORE the scan
+    (same-filesystem clock, so granularity cancels). Any write at or
+    after the scan lands a dir mtime >= the probe tick > every
+    recorded value — so a later fingerprint comparison MUST detect it
+    (the same-granule blind spot of comparing against the stamp
+    file's own mtime, r12 review). Freshly written trees need the
+    clock to tick past the write; wait bounded ~ms, None if the tree
+    never quiets (a concurrent bulk writer) — callers then simply
+    don't stamp, which only costs the fallback walk."""
     import time as _time
 
     os.makedirs(_log_dir(path), exist_ok=True)
-    dst = _dirstamp_path(path)
-    for _ in range(8):
-        fp = dir_fingerprint(path)
-        tmp = dst + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(fp, f)
-        os.replace(tmp, dst)
+    probe = os.path.join(_log_dir(path), f".probe.{os.getpid()}")
+    try:
+        for _ in range(8):
+            with open(probe, "w") as f:
+                f.write("")
+            t0 = os.stat(probe).st_mtime_ns
+            fp = dir_fingerprint(path)
+            if all(m < t0 for m in fp.values()):
+                return fp
+            _time.sleep(0.003)
+        return None
+    finally:
         try:
-            s = os.stat(dst).st_mtime_ns
+            os.unlink(probe)
         except OSError:
-            return
-        if all(m < s for m in fp.values()):
-            return
-        _time.sleep(0.003)
+            pass
+
+
+def _write_dirstamp(path: str, fp: dict[str, int]) -> None:
+    dst = _dirstamp_path(path)
+    tmp = dst + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(fp, f)
+    os.replace(tmp, dst)
+
+
+def _drop_dirstamp(path: str) -> None:
+    try:
+        os.unlink(_dirstamp_path(path))
+    except OSError:
+        pass
 
 
 def stored_dirstamp(path: str) -> dict[str, int] | None:
-    """The persisted fingerprint, or None when it is missing, corrupt,
-    or RACILY CLEAN: a directory whose recorded mtime is not strictly
-    older than the stamp file's own mtime could have absorbed a bulk
-    write within the same filesystem clock tick as the stamping stat
-    — equality would then be indistinguishable from "unchanged", the
-    one wrong-reuse hole in the mtime scheme (git's index applies the
-    same rule). Returning None costs the fallback stat walk, never a
-    wrong reuse; record_commit stamps after the link+entry work, so
-    data-dir mtimes are normally strictly older and the fast path
-    stays live."""
+    """The persisted fingerprint, or None when missing/corrupt. Sound
+    by CONSTRUCTION rather than by a read-time guard (r12 review):
+    record_commit only stamps a :func:`_clean_fingerprint` — taken
+    BEFORE its file listing and re-verified unchanged after the entry
+    lands — so the stamp always describes exactly the tree state the
+    head entry lists, with every recorded mtime strictly older than a
+    pre-scan probe tick. Any later write (bulk or choke-point) bumps
+    its directory to at least that tick, so a reuse-time fingerprint
+    comparison can never miss it, including writes landing in the
+    same mtime granule as the stamping scan."""
     try:
         with open(_dirstamp_path(path)) as f:
-            stamp = {k: int(v) for k, v in json.load(f).items()}
-        stamp_mtime = os.stat(_dirstamp_path(path)).st_mtime_ns
+            return {k: int(v) for k, v in json.load(f).items()}
     except (OSError, ValueError):
         return None
-    if any(m >= stamp_mtime for m in stamp.values()):
-        return None
-    return stamp
 
 
 def entry_files(path: str, version: int) -> list[tuple[str, int]]:
@@ -658,6 +703,13 @@ def record_commit(
             prior = committed_batch_version(path, batch_id)
             if prior is not None:
                 return prior
+        # The reuse stamp's basis must predate the LISTING (r12
+        # review): a fingerprint taken after the entry lands could
+        # absorb a lock-free bulk write that the listing missed, and
+        # the stamp would then vouch for a head entry that excludes
+        # those files. Proven-quiescent fingerprint first; stamp only
+        # if it is still exactly current after the entry is durable.
+        stamp_fp = None if manifest else _clean_fingerprint(path)
         vs = versions(path)
         # E100 file-skipping stats: footers are read once per NEW
         # file; files carried from the previous entry reuse their
@@ -762,10 +814,17 @@ def record_commit(
                 json.dump({"batch_id": str(batch_id), "version": n}, f)
             os.replace(btmp, _batch_marker(path, batch_id))
         if not manifest:
-            # O(dirs) reuse stamp for the multi-table coordinator; a
-            # crash before this line leaves a stale stamp, which only
-            # costs the fallback stat walk (never a wrong reuse).
-            refresh_dirstamp(path)
+            # O(dirs) reuse stamp for the multi-table coordinator —
+            # written only when the pre-listing fingerprint is still
+            # exactly current, so the stamp describes precisely the
+            # tree this entry listed; any interleaved write (its dir
+            # mtime >= the pre-scan probe tick > every recorded
+            # value) voids it and the stale stamp is dropped instead
+            # (fallback walk — never a wrong reuse).
+            if stamp_fp is not None and dir_fingerprint(path) == stamp_fp:
+                _write_dirstamp(path, stamp_fp)
+            else:
+                _drop_dirstamp(path)
         return n
 
 
@@ -866,40 +925,8 @@ def read_version(
     this version — long reads that may overlap a vacuum should wrap
     in :func:`pinned_version`.
     """
-    vs = versions(path)
-    if not vs:
-        raise ValueError(f"{path}: no committed versions")
-    if version is None:
-        version = vs[-1]
-    if version not in vs:
-        raise ValueError(
-            f"{path}: version {version} not in log "
-            f"(have {vs[0]}..{vs[-1]}, vacuumed versions are gone)"
-        )
-    # Manifest mode: the entry's file list IS the snapshot — read it
-    # straight from the LIVE tree (writers never delete committed
-    # files until vacuum, the object-store contract). Mirror mode
-    # reads the hard-linked retention store.
-    base = (
-        path.rstrip("/")
-        if snapshot_mode(path) == "manifest"
-        else _retain_dir(path)
-    )
-    paths = [
-        os.path.join(base, rel) for rel, _ in entry_files(path, version)
-    ]
-    if not paths:
-        raise ValueError(f"{path}: version {version} recorded no files")
-    # mergeSchema: an E94 add-column evolution leaves untouched
-    # partitions' pre-evolution footers in the version's file list
-    # forever — a sampled-footer read would silently drop the evolved
-    # column from time-travel results (r10 review). Merging is
-    # footer-metadata work over an explicitly bounded file list.
-    return (
-        spark.read.option("basePath", base)
-        .option("mergeSchema", "true")
-        .parquet(*paths)
-    )
+    version, files, base = _resolve_version(path, version)
+    return _read_retained(spark, base, [rel for rel, _ in files])
 
 
 def read_live(spark: SparkSession, path: str) -> DataFrame:

@@ -136,11 +136,12 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
     (valid: replace-writers refuse manifest tables with no seed, so
     an unversioned tree holds no superseded files)."""
     from weatherflow_spark.operators.snaplog import (
+        _clean_fingerprint,
         _walk_data_files,
+        _write_dirstamp,
         dir_fingerprint,
         entry_files,
         record_commit,
-        refresh_dirstamp,
         snapshot_mode,
         stored_dirstamp,
         versions,
@@ -165,14 +166,21 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
         stamp = stored_dirstamp(path)
         if stamp is not None and stamp == dir_fingerprint(path):
             return vs[-1]
+    # Same basis-before-listing discipline as record_commit's stamp
+    # (r12 review): the fingerprint that may be persisted below must
+    # predate the walk, or a bulk write between walk and stamp would
+    # be vouched for by a stamp whose entry excludes it.
+    pre_fp = _clean_fingerprint(path)
     cur = sorted((r, s) for r, s in _walk_data_files(path))
     if vs:
         prev = sorted(entry_files(path, vs[-1]))
         if prev == cur:
             # content equal but the stamp was stale/missing: refresh
             # it (caller holds the table lock) so the NEXT load takes
-            # the O(dirs) path.
-            refresh_dirstamp(path)
+            # the O(dirs) path — only if the tree stayed exactly as
+            # fingerprinted through the walk.
+            if pre_fp is not None and dir_fingerprint(path) == pre_fp:
+                _write_dirstamp(path, pre_fp)
             return vs[-1]
     return record_commit(path, files=cur, batch_id=batch_id)
 
@@ -575,6 +583,7 @@ def apply_warehouse_feed(
     Returns the NEWLY applied load numbers."""
     from weatherflow_spark.operators.snaplog import (
         check_feed_schema,
+        exported_feed_versions,
         read_change_feed,
     )
     from weatherflow_spark.operators.upsert import apply_changes
@@ -602,6 +611,25 @@ def apply_warehouse_feed(
             if target <= lo:
                 continue  # version reused across loads: pure metadata
             feed_dir = os.path.join(bundle_dir, t)
+            # Fail fast on an incomplete bundle (copied mid-sync,
+            # partial feed partition): applying up to a LOWER version
+            # and then recording the load would pin the divergence
+            # forever — the exactly-once key makes the rerun a no-op
+            # even after the bundle completes (r12 review). The check
+            # keys on the feed's COMMIT MARKERS, not data rows — a
+            # compaction version (empty logical diff) or an
+            # empty-at-seed table legitimately exports a version with
+            # zero rows (r12 review #2).
+            have = exported_feed_versions(feed_dir)
+            missing = [v for v in range(lo + 1, target + 1) if v not in have]
+            if missing:
+                raise ValueError(
+                    f"{bundle_dir}/{t}: load {n} needs feed versions "
+                    f"({lo}, {target}] but {missing[:5]}"
+                    f"{'…' if len(missing) > 5 else ''} are not committed "
+                    "in the bundle — incomplete bundle; re-export and "
+                    "re-apply"
+                )
             feed = read_change_feed(spark, feed_dir).where(
                 (F.col("change_version") > lo)
                 & (F.col("change_version") <= target)
@@ -610,19 +638,6 @@ def apply_warehouse_feed(
                 r.change_version
                 for r in feed.select("change_version").distinct().collect()
             )
-            if target not in vs:
-                # Fail fast on an incomplete bundle (copied mid-sync,
-                # partial feed partition): applying up to a LOWER
-                # version and then recording the load would pin the
-                # divergence forever — the exactly-once key makes the
-                # rerun a no-op even after the bundle completes (r12
-                # review).
-                raise ValueError(
-                    f"{bundle_dir}/{t}: load {n} needs feed version "
-                    f"{target} but the bundle only has "
-                    f"{vs or f'nothing in ({lo}, {target}]'} — "
-                    "incomplete bundle; re-export and re-apply"
-                )
             check_feed_schema(feed_dir, feed.columns, vs)
             for v in vs:
                 apply_changes(

@@ -1661,7 +1661,17 @@ def q_star_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (enrichment + revision in SQL), so one hash certifies: the load
     entry pairs all five tables consistently at both points in time,
     the keyed merges replaced revised records exactly once, and the
-    derived dims track the revision."""
+    derived dims track the revision.
+
+    Measured cost note (r12): switching the loads to the
+    DATE-PARTITIONED posture moved this row 5.4 → ~14.5 s at sf0.1
+    (calm session) — the ten keyed merges now do per-date scoped
+    commits across ~32 date partitions × 5 tables, and that
+    partition-scoped I/O IS the newly certified claim (at 100 TB it
+    is what makes a 5-minute micro-batch O(batch) instead of a
+    five-table rewrite). The per-partition-dir clustering in
+    overwrite_partitions keeps it one file per touched partition
+    (26 s unclustered → 18 s → 14.5 s calm)."""
     import shutil
 
     from weatherflow_spark.operators.star import (
