@@ -380,15 +380,30 @@ def scan_version(
         lo = _jsonable_stat(lo, "min")
     if hi is not None and not isinstance(hi, (int, float, str)):
         hi = _jsonable_stat(hi, "max")
+    def ckey(x):
+        # A bare date ('YYYY-MM-DD') and a datetime
+        # ('YYYY-MM-DDTHH:MM:SS') may meet in one comparison (date
+        # column vs datetime bound or vice versa); lexicographic
+        # comparison across the two formats mis-prunes ('2020-01-01'
+        # < '2020-01-01T00:00:00'). Normalize dates to their midnight
+        # instant — exactly Spark's date→timestamp coercion (r12
+        # review #3).
+        if isinstance(x, str) and len(x) == 10 and x[4:5] == "-":
+            return x + "T00:00:00"
+        return x
+
     kept = []
     for rel, _sz in files:
         s = stats.get(rel, {}).get(col)
         if s is not None:
             fmin, fmax = s
-            if (hi is not None and fmin > hi) or (
-                lo is not None and fmax < lo
-            ):
-                continue
+            try:
+                if (hi is not None and ckey(fmin) > ckey(hi)) or (
+                    lo is not None and ckey(fmax) < ckey(lo)
+                ):
+                    continue
+            except TypeError:
+                pass  # incomparable bound vs stat types: never prune
         kept.append(rel)
     if not kept:
         # empty selection: preserve the schema via an always-false
@@ -478,7 +493,11 @@ def _clean_fingerprint(path: str) -> dict[str, int] | None:
     don't stamp, which only costs the fallback walk."""
     import time as _time
 
-    os.makedirs(_log_dir(path), exist_ok=True)
+    if not os.path.isdir(_log_dir(path)):
+        # never CREATE the log dir from a read-style probe — isdir of
+        # the log dir IS snapshot_enabled, and a probe must not opt an
+        # uninitialised table into versioning (r12 review #3)
+        return None
     probe = os.path.join(_log_dir(path), f".probe.{os.getpid()}")
     try:
         for _ in range(8):
@@ -498,10 +517,15 @@ def _clean_fingerprint(path: str) -> dict[str, int] | None:
 
 
 def _write_dirstamp(path: str, fp: dict[str, int]) -> None:
+    # "clean" versions the format: pre-r12.2 stamps (plain dict, which
+    # the old code could legitimately leave RACY after its bounded
+    # retries) must not be trusted by the new unconditional reader —
+    # they lack the marker and read as None (one fallback walk, then
+    # the next commit rewrites them in the new format).
     dst = _dirstamp_path(path)
     tmp = dst + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump(fp, f)
+        json.dump({"clean": True, "dirs": fp}, f)
     os.replace(tmp, dst)
 
 
@@ -525,8 +549,11 @@ def stored_dirstamp(path: str) -> dict[str, int] | None:
     same mtime granule as the stamping scan."""
     try:
         with open(_dirstamp_path(path)) as f:
-            return {k: int(v) for k, v in json.load(f).items()}
-    except (OSError, ValueError):
+            d = json.load(f)
+        if d.get("clean") is not True:
+            return None  # legacy/unversioned stamp: not provably clean
+        return {k: int(v) for k, v in d["dirs"].items()}
+    except (OSError, ValueError, KeyError, AttributeError, TypeError):
         return None
 
 
@@ -648,11 +675,15 @@ def committed_batch_version(path: str, batch_id: object) -> int | None:
     return None
 
 
+_STAMP_SELF = object()  # sentinel: record_commit takes its own basis
+
+
 def record_commit(
     path: str,
     files: list[tuple[str, int]] | None = None,
     scope: list[str] | None = None,
     batch_id: object | None = None,
+    stamp_basis=_STAMP_SELF,
 ) -> int:
     """Record the dataset's CURRENT file set as the next version and
     retain every NEW file. Runs under the dataset lock (reentrant —
@@ -709,7 +740,16 @@ def record_commit(
         # the stamp would then vouch for a head entry that excludes
         # those files. Proven-quiescent fingerprint first; stamp only
         # if it is still exactly current after the entry is durable.
-        stamp_fp = None if manifest else _clean_fingerprint(path)
+        # files= commits did their LISTING IN THE CALLER — a basis
+        # taken here would already be post-listing (the same hole, r12
+        # review #3), so they must pass their own pre-walk basis via
+        # ``stamp_basis`` (possibly None: then no stamp is written).
+        if manifest:
+            stamp_fp = None
+        elif files is not None:
+            stamp_fp = None if stamp_basis is _STAMP_SELF else stamp_basis
+        else:
+            stamp_fp = _clean_fingerprint(path)
         vs = versions(path)
         # E100 file-skipping stats: footers are read once per NEW
         # file; files carried from the previous entry reuse their
@@ -1157,6 +1197,8 @@ def export_change_feed(
                 "require_exported=feed_dir), or re-seed a fresh feed "
                 "directory."
             )
+        feed = feed.localCheckpoint(eager=True)
+        n_rows = feed.count()
         feed.write.mode("overwrite").parquet(part)
         # Schema stamp BEFORE the completion marker (a crash between
         # the two re-exports the version, never leaves a marked
@@ -1167,9 +1209,24 @@ def export_change_feed(
             json.dump({"version": v, "columns": feed.columns}, f)
         os.replace(stmp + ".tmp", stmp)
         with open(os.path.join(part, "_WF_EXPORTED"), "w") as f:
-            f.write(f"{v}\n")
+            # row count lets consumers detect a partially copied
+            # partition (marker present, data missing — a sorted-order
+            # copier lands '_WF_EXPORTED' before 'part-*', r12 review)
+            json.dump({"version": v, "n_rows": n_rows}, f)
         exported.append(v)
     return exported
+
+
+def feed_version_rows(feed_dir: str, version: int) -> int | None:
+    """The row count stamped on one exported feed version, or None for
+    pre-r12.2 markers (older feeds keep working; partial-copy
+    detection just can't protect them)."""
+    m = os.path.join(feed_dir, f"change_version={version}", "_WF_EXPORTED")
+    try:
+        with open(m) as f:
+            return int(json.load(f)["n_rows"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
 
 
 def feed_version_columns(feed_dir: str, version: int) -> list[str] | None:

@@ -182,7 +182,13 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
             if pre_fp is not None and dir_fingerprint(path) == pre_fp:
                 _write_dirstamp(path, pre_fp)
             return vs[-1]
-    return record_commit(path, files=cur, batch_id=batch_id)
+    # files= commits must carry the pre-walk basis into record_commit
+    # (its own fingerprint would be post-listing — the wrong-reuse
+    # hole again, r12 review #3); record_commit re-verifies the tree
+    # is still exactly this before stamping.
+    return record_commit(
+        path, files=cur, batch_id=batch_id, stamp_basis=pre_fp
+    )
 
 
 def _load_batch_marker(wh_dir: str, batch_id: object) -> str:
@@ -584,6 +590,7 @@ def apply_warehouse_feed(
     from weatherflow_spark.operators.snaplog import (
         check_feed_schema,
         exported_feed_versions,
+        feed_version_rows,
         read_change_feed,
     )
     from weatherflow_spark.operators.upsert import apply_changes
@@ -594,6 +601,9 @@ def apply_warehouse_feed(
     init_warehouse_log(replica_wh)
     applied: list[int] = []
     prev: dict[str, int] = {}
+    # markers are immutable for the apply's duration: list each
+    # table's feed once, not per (load, table) (r12 review #3)
+    have_cache: dict[str, set[int]] = {}
     for n in ls:
         with open(os.path.join(bundle_dir, "loads", f"L{n:06d}.json")) as f:
             entry = json.load(f)
@@ -620,7 +630,9 @@ def apply_warehouse_feed(
             # compaction version (empty logical diff) or an
             # empty-at-seed table legitimately exports a version with
             # zero rows (r12 review #2).
-            have = exported_feed_versions(feed_dir)
+            if t not in have_cache:
+                have_cache[t] = exported_feed_versions(feed_dir)
+            have = have_cache[t]
             missing = [v for v in range(lo + 1, target + 1) if v not in have]
             if missing:
                 raise ValueError(
@@ -634,10 +646,30 @@ def apply_warehouse_feed(
                 (F.col("change_version") > lo)
                 & (F.col("change_version") <= target)
             )
-            vs = sorted(
-                r.change_version
-                for r in feed.select("change_version").distinct().collect()
-            )
+            counts = {
+                r.change_version: r.n
+                for r in feed.groupBy("change_version")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # partial-copy detection (r12 review #3): a sorted-order
+            # copier lands '_WF_EXPORTED' before 'part-*', so a marker
+            # alone cannot vouch for the data; the marker's stamped
+            # row count must match what the bundle actually holds
+            # (pre-stamp legacy markers return None and skip the
+            # check). Applying a short partition and recording the
+            # load would pin the divergence forever.
+            for v in range(lo + 1, target + 1):
+                expect = feed_version_rows(feed_dir, v)
+                got_n = counts.get(v, 0)
+                if expect is not None and got_n != expect:
+                    raise ValueError(
+                        f"{bundle_dir}/{t}: feed version {v} holds "
+                        f"{got_n} row(s) but its export marker stamped "
+                        f"{expect} — partially copied bundle; re-copy "
+                        "and re-apply"
+                    )
+            vs = sorted(counts)
             check_feed_schema(feed_dir, feed.columns, vs)
             for v in vs:
                 apply_changes(
