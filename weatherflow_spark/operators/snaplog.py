@@ -380,16 +380,23 @@ def scan_version(
         lo = _jsonable_stat(lo, "min")
     if hi is not None and not isinstance(hi, (int, float, str)):
         hi = _jsonable_stat(hi, "max")
+    import re as _re
+
     def ckey(x):
         # A bare date ('YYYY-MM-DD') and a datetime
         # ('YYYY-MM-DDTHH:MM:SS') may meet in one comparison (date
         # column vs datetime bound or vice versa); lexicographic
         # comparison across the two formats mis-prunes ('2020-01-01'
         # < '2020-01-01T00:00:00'). Normalize dates to their midnight
-        # instant — exactly Spark's date→timestamp coercion (r12
-        # review #3).
-        if isinstance(x, str) and len(x) == 10 and x[4:5] == "-":
-            return x + "T00:00:00"
+        # instant — exactly Spark's date→timestamp coercion — and the
+        # space-separator datetime form (str(datetime)) to the 'T'
+        # form; both matches are FULL-pattern so non-date strings are
+        # never mutated (r12 review #4).
+        if isinstance(x, str):
+            if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", x):
+                return x + "T00:00:00"
+            if _re.fullmatch(r"\d{4}-\d{2}-\d{2} .*", x):
+                return x.replace(" ", "T", 1)
         return x
 
     kept = []
@@ -457,7 +464,12 @@ def _read_retained(spark: SparkSession, base: str, rels: list[str]) -> DataFrame
 
 
 def _dirstamp_path(path: str) -> str:
-    return os.path.join(_log_dir(path), "dirstamp.json")
+    # dirstamp2: the r12.2 format ({"clean": true, "dirs": {...}});
+    # a DIFFERENT name than the short-lived plain-dict dirstamp.json
+    # so a pre-r12.2 reader on shared storage keeps hitting its own
+    # (absent) file and falls back to the walk instead of crashing on
+    # the new shape (r12 review #4).
+    return os.path.join(_log_dir(path), "dirstamp2.json")
 
 
 def dir_fingerprint(path: str) -> dict[str, int]:
@@ -1197,9 +1209,11 @@ def export_change_feed(
                 "require_exported=feed_dir), or re-seed a fresh feed "
                 "directory."
             )
-        feed = feed.localCheckpoint(eager=True)
-        n_rows = feed.count()
         feed.write.mode("overwrite").parquet(part)
+        # ground truth from the WRITTEN partition (footer-metadata
+        # count — no second scan, no checkpoint pinning a seed-sized
+        # snapshot in the block manager, r12 review #4)
+        n_rows = spark.read.parquet(part).count()
         # Schema stamp BEFORE the completion marker (a crash between
         # the two re-exports the version, never leaves a marked
         # partition without its stamp): consumers use it to fail fast
@@ -1208,25 +1222,47 @@ def export_change_feed(
         with open(stmp + ".tmp", "w") as f:
             json.dump({"version": v, "columns": feed.columns}, f)
         os.replace(stmp + ".tmp", stmp)
-        with open(os.path.join(part, "_WF_EXPORTED"), "w") as f:
+        mtmp = os.path.join(part, "_WF_EXPORTED") + f".tmp.{os.getpid()}"
+        with open(mtmp, "w") as f:
             # row count lets consumers detect a partially copied
             # partition (marker present, data missing — a sorted-order
-            # copier lands '_WF_EXPORTED' before 'part-*', r12 review)
+            # copier lands '_WF_EXPORTED' before 'part-*', r12 review);
+            # tmp+replace so marker existence implies complete content
+            # (a torn marker would silently disable the check forever:
+            # the export skip is keyed on the marker's existence)
             json.dump({"version": v, "n_rows": n_rows}, f)
+        os.replace(mtmp, os.path.join(part, "_WF_EXPORTED"))
         exported.append(v)
     return exported
 
 
 def feed_version_rows(feed_dir: str, version: int) -> int | None:
-    """The row count stamped on one exported feed version, or None for
-    pre-r12.2 markers (older feeds keep working; partial-copy
-    detection just can't protect them)."""
+    """The row count stamped on one exported feed version; None ONLY
+    for pre-r12.2 legacy markers (bare "v\\n" content — older feeds
+    keep working, partial-copy detection just can't protect them) or
+    a missing marker. A marker that exists but fails to parse as
+    either format RAISES: a truncated JSON marker is precisely the
+    partial-copy evidence this check exists for, and mapping it to
+    None would disable the guard in its own target scenario (r12
+    review #4)."""
     m = os.path.join(feed_dir, f"change_version={version}", "_WF_EXPORTED")
     try:
         with open(m) as f:
-            return int(json.load(f)["n_rows"])
-    except (OSError, ValueError, KeyError, TypeError):
+            raw = f.read()
+    except OSError:
         return None
+    try:
+        return int(json.loads(raw)["n_rows"])
+    except (ValueError, KeyError, TypeError):
+        pass
+    try:
+        int(raw.strip())
+        return None  # legacy marker: just the version number
+    except ValueError:
+        raise ValueError(
+            f"{m}: unreadable export marker ({raw[:40]!r}…) — "
+            "truncated/partially copied feed; re-export or re-copy"
+        )
 
 
 def feed_version_columns(feed_dir: str, version: int) -> list[str] | None:
