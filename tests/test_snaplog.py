@@ -1244,3 +1244,53 @@ def test_file_skipping_stats_carry_across_scoped_commits(
     assert info["files_scanned"] < info["files_total"], info
     got = df.where(F.col("o_orderkey") == top).count()
     assert got == orders.where(F.col("o_orderkey") == top).count()
+
+
+def test_feed_marker_formats_and_scan_bound_normalization(tmp_path):
+    """r12 review #5 coverage (pure-python, no Spark): the
+    partial-copy guard's three marker outcomes — legacy bare-int →
+    None (check skipped), valid JSON → stamped count, truncated/
+    garbage → RAISE (a torn marker IS partial-copy evidence) — and
+    the scan-bound normalizer's date/datetime unification."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from weatherflow_spark.operators.snaplog import (
+        _scan_cmp_key,
+        feed_version_rows,
+    )
+
+    feed = tmp_path / "feed"
+
+    def marker(v, content):
+        d = feed / f"change_version={v}"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "_WF_EXPORTED").write_text(content)
+
+    marker(1, "1\n")  # legacy
+    marker(2, _json.dumps({"version": 2, "n_rows": 17}))
+    marker(3, '{"version": 3, "n_r')  # torn mid-copy
+    marker(4, "")  # torn at zero bytes
+
+    assert feed_version_rows(str(feed), 1) is None
+    assert feed_version_rows(str(feed), 2) == 17
+    assert feed_version_rows(str(feed), 99) is None  # absent
+    with _pytest.raises(ValueError, match="unreadable export marker"):
+        feed_version_rows(str(feed), 3)
+    with _pytest.raises(ValueError, match="unreadable export marker"):
+        feed_version_rows(str(feed), 4)
+
+    # bound normalization: dates meet datetimes at the midnight
+    # instant, str(datetime) space form and reduced precision unify,
+    # non-date strings and numbers pass through untouched
+    k = _scan_cmp_key
+    assert k("2020-01-01") == "2020-01-01T00:00:00"
+    assert k("2020-01-01 12:00:00") == "2020-01-01T12:00:00"
+    assert k("2020-01-01T12:00") == "2020-01-01T12:00:00"
+    assert k("2020-01-01T12:00:00.000000") == "2020-01-01T12:00:00"
+    assert k("2020-01-01T12:00:00.500") == "2020-01-01T12:00:00.500"
+    assert k("2020-01-01 daily") == "2020-01-01 daily"
+    assert k(42) == 42
+    assert not (k("2020-01-01") < k("2020-01-01 00:00:00"))
+    assert k("2020-01-01") < k("2020-01-01T12:00:00")

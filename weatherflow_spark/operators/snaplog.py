@@ -351,6 +351,34 @@ def _entry_stats(path: str, entry: dict) -> dict[str, dict]:
     return out
 
 
+def _scan_cmp_key(x):
+    """Normalize a stats bound / predicate bound for comparison: a
+    bare date ('YYYY-MM-DD') and a datetime ('YYYY-MM-DDTHH:MM:SS')
+    may meet in one comparison (date column vs datetime bound or vice
+    versa); lexicographic comparison across formats mis-prunes
+    ('2020-01-01' < '2020-01-01T00:00:00'). Dates extend to their
+    midnight instant (Spark's date→timestamp coercion), the
+    space-separator str(datetime) form normalizes to 'T' (only a REAL
+    time-of-day qualifies — arbitrary 'YYYY-MM-DD text' strings are
+    never mutated), reduced-precision ISO pads to seconds, and an
+    all-zero fraction drops (it equals the second). r12 reviews
+    #3-#5."""
+    import re as _re
+
+    if isinstance(x, str):
+        if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", x):
+            x = x + "T00:00:00"
+        elif _re.fullmatch(
+            r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}(:\d{2}(\.\d+)?)?", x
+        ):
+            x = x.replace(" ", "T", 1)
+        if _re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}", x):
+            x = x + ":00"  # reduced-precision ISO: pad to seconds
+        if _re.fullmatch(r"\d{4}-\d{2}-\d{2}T[\d:]{8}\.0+", x):
+            x = _re.sub(r"\.0+$", "", x)  # zero fraction == second
+    return x
+
+
 def scan_version(
     spark: SparkSession,
     path: str,
@@ -380,24 +408,6 @@ def scan_version(
         lo = _jsonable_stat(lo, "min")
     if hi is not None and not isinstance(hi, (int, float, str)):
         hi = _jsonable_stat(hi, "max")
-    import re as _re
-
-    def ckey(x):
-        # A bare date ('YYYY-MM-DD') and a datetime
-        # ('YYYY-MM-DDTHH:MM:SS') may meet in one comparison (date
-        # column vs datetime bound or vice versa); lexicographic
-        # comparison across the two formats mis-prunes ('2020-01-01'
-        # < '2020-01-01T00:00:00'). Normalize dates to their midnight
-        # instant — exactly Spark's date→timestamp coercion — and the
-        # space-separator datetime form (str(datetime)) to the 'T'
-        # form; both matches are FULL-pattern so non-date strings are
-        # never mutated (r12 review #4).
-        if isinstance(x, str):
-            if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", x):
-                return x + "T00:00:00"
-            if _re.fullmatch(r"\d{4}-\d{2}-\d{2} .*", x):
-                return x.replace(" ", "T", 1)
-        return x
 
     kept = []
     for rel, _sz in files:
@@ -405,8 +415,8 @@ def scan_version(
         if s is not None:
             fmin, fmax = s
             try:
-                if (hi is not None and ckey(fmin) > ckey(hi)) or (
-                    lo is not None and ckey(fmax) < ckey(lo)
+                if (hi is not None and _scan_cmp_key(fmin) > _scan_cmp_key(hi)) or (
+                    lo is not None and _scan_cmp_key(fmax) < _scan_cmp_key(lo)
                 ):
                     continue
             except TypeError:
@@ -539,6 +549,10 @@ def _write_dirstamp(path: str, fp: dict[str, int]) -> None:
     with open(tmp, "w") as f:
         json.dump({"clean": True, "dirs": fp}, f)
     os.replace(tmp, dst)
+    try:  # sweep the short-lived pre-r12.2 stamp (nothing reads it)
+        os.unlink(os.path.join(_log_dir(path), "dirstamp.json"))
+    except OSError:
+        pass
 
 
 def _drop_dirstamp(path: str) -> None:
