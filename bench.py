@@ -246,6 +246,7 @@ OPTIONAL = [
     "q_warehouse_replica",
     # r12: E100 file-skipping single (suite branch carries the window row)
     "q_file_skipping",
+    "q_partition_compaction",
 ]
 
 

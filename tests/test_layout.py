@@ -286,3 +286,93 @@ def test_heartbeat_never_refreshes_a_successors_lock(tmp_path):
     # and release spared it too (token isn't ours)
     assert C._read_token(lp) == "successor-host 123 0123abcd"
     os.unlink(lp)
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_compact_partitions_plans_from_segments(spark, tmpdir, mode):
+    """E101 (r12): partition-scoped small-file compaction planned
+    entirely from the head entry's segments — only partitions over
+    the file threshold are rewritten (one file each, one scoped
+    commit each), untouched partitions stay byte-identical, content
+    survives exactly, time travel keeps the pre-compaction layout,
+    and a second run is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        versions,
+    )
+
+    path = f"{tmpdir}/pc"
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    hot = "1-URGENT"
+    # cold partitions: one file each; hot partition: 12 small files
+    orders.where(F.col("o_orderpriority") != hot).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(path)
+    orders.where(F.col("o_orderpriority") == hot).repartition(12).write.mode(
+        "append"
+    ).partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path, mode=mode)
+    record_commit(path)  # v1
+
+    def digest():
+        live = read_version(spark, path)
+        r = live.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(o_orderkey)").alias("x"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("c"),
+        ).first()
+        return (r.n, r.x, r.c)
+
+    def file_state():
+        return {
+            os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    d0 = digest()
+    before = file_state()
+    out = compact_partitions(
+        spark, path, ["o_orderpriority"], max_files=8
+    )
+    assert out["partitions_compacted"] == 1
+    assert out["files_before"] == 12
+    assert out["files_after"] == 1
+    assert versions(path) == [1, 2]
+    assert digest() == d0, "compaction changed content"
+    # untouched partitions byte-identical
+    after = file_state()
+    for p, m in before.items():
+        if f"o_orderpriority={hot}" not in p:
+            assert after.get(p) == m, f"cold partition touched: {p}"
+    # the hot partition's LIVE file count really dropped (mirror mode
+    # deletes the replaced files; manifest keeps them for v1 but the
+    # head entry lists one)
+    from weatherflow_spark.operators.snaplog import entry_files
+
+    hot_live = [
+        r
+        for r, _ in entry_files(path, 2)
+        if r.startswith(f"o_orderpriority={hot}/")
+    ]
+    assert len(hot_live) == 1, hot_live
+    # time travel: v1 still reads the pre-compaction content
+    assert read_version(spark, path, 1).count() == d0[0]
+    # idempotent: nothing left over the threshold
+    out2 = compact_partitions(
+        spark, path, ["o_orderpriority"], max_files=8
+    )
+    assert out2["partitions_compacted"] == 0
+    assert versions(path) == [1, 2]

@@ -528,3 +528,96 @@ def rewrite_widen(
         if not swapped:
             shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    max_files: int = 8,
+) -> dict[str, int]:
+    """Partition-scoped small-file maintenance PLANNED from the head
+    entry's segments (E101, r12): the snapshot log already records
+    every partition directory's live file list in an immutable
+    segment, so deciding WHICH partitions need compaction is O(dirs)
+    of metadata — not a single directory listing or file stat at any
+    table size. Partitions holding more than ``max_files`` live files
+    are rewritten IN PLACE through the scoped overwrite choke point
+    (one commit per offender: versioned, stats re-collected, time
+    travel intact, one output file per partition — the clustering the
+    choke point enforces). Untouched partitions keep their files
+    byte-identical.
+
+    Complements :func:`compact` (the whole-table resize/re-sort
+    rewrite): this is the incremental form a streaming warehouse runs
+    between loads — a micro-batch cadence accumulates one file per
+    commit per touched date, and at 100 TB re-listing the table to
+    find the hot dirs would dwarf the rewrite itself. A partition
+    whose single file outgrows the file-size target is the root
+    ``compact``'s resize job, not this one's.
+
+    Requires a VERSIONED table (the segments are the planner's
+    input). Runs the plan+rewrite under the dataset lock, so the
+    decision can't go stale against a concurrent writer; manifest
+    mode reads each offender's exact head file list (the live tree
+    also holds superseded files) — which the mirror-mode tree equals
+    under the lock, so both modes read by the entry's list. Returns
+    ``{"partitions_compacted": n, "files_before": b, "files_after":
+    a}`` (before/after counted over the compacted partitions only).
+    """
+    from weatherflow_spark.operators.commit import dataset_lock
+    from weatherflow_spark.operators.snaplog import (
+        _entry_segments,
+        _load_entry,
+        _segment_files,
+        snapshot_enabled,
+        versions,
+    )
+    from weatherflow_spark.operators.upsert import overwrite_partitions
+
+    if not snapshot_enabled(path):
+        raise ValueError(
+            f"{path}: partition compaction plans from the snapshot "
+            "log's segments — init_snapshot_log + record_commit first"
+        )
+    with dataset_lock(path):
+        vs = versions(path)
+        if not vs:
+            raise ValueError(
+                f"{path}: no committed versions — record_commit the "
+                "seed first"
+            )
+        segs = _entry_segments(path, _load_entry(path, vs[-1]))
+        plan: list[tuple[str, list[tuple[str, int]]]] = []
+        for dirkey, segname in sorted(segs.items()):
+            if not dirkey:
+                continue  # root-level files are not a partition
+            files = _segment_files(path, segname)
+            if len(files) > max_files:
+                plan.append((dirkey, files))
+        files_before = sum(len(fs) for _, fs in plan)
+        live = path.rstrip("/")
+        for dirkey, files in plan:
+            df = (
+                spark.read.option("basePath", live)
+                .option("mergeSchema", "true")
+                .parquet(*[os.path.join(live, rel) for rel, _ in files])
+            )
+            # Materialize BEFORE the overwrite: the rewrite replaces
+            # (mirror mode: deletes) the very files this plan reads.
+            merged = df.localCheckpoint(eager=True)
+            overwrite_partitions(merged, path, partition_cols)
+        files_after = 0
+        if plan:
+            head = _entry_segments(path, _load_entry(path, versions(path)[-1]))
+            done = {d for d, _ in plan}
+            files_after = sum(
+                len(_segment_files(path, head[d]))
+                for d in done
+                if d in head
+            )
+        return {
+            "partitions_compacted": len(plan),
+            "files_before": files_before,
+            "files_after": files_after,
+        }

@@ -1266,6 +1266,89 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+PC_HOT = "1-URGENT"  # the partition seeded with small files
+
+
+def q_partition_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E101 driver row: partition-scoped small-file compaction PLANNED
+    from the snapshot log's segments (operators/layout.py
+    ``compact_partitions``) certified through real writes. Seed a
+    priority-partitioned orders table with ONE hot partition holding
+    12 small files (cold partitions hold one each), version it, run
+    the planner — O(dirs) metadata, zero directory listing — and
+    RAISE unless exactly the hot partition was compacted to one live
+    file, a second run is a no-op, and the pre-compaction version
+    still time-travels. Serve a per-priority digest of the compacted
+    table; the oracle derives it from raw orders, so one hash
+    certifies the maintenance rewrote the right partition and changed
+    nothing."""
+    import shutil
+
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import (
+        entry_files,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        versions,
+    )
+
+    path = os.path.join(_scratch_dir(sf_dir), "pcompact_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.where(F.col("o_orderpriority") != PC_HOT).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(path)
+    orders.where(F.col("o_orderpriority") == PC_HOT).repartition(
+        12
+    ).write.mode("append").partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)
+    n_v1 = read_version(spark, path, 1).count()
+
+    out = compact_partitions(spark, path, ["o_orderpriority"], max_files=8)
+    hot_live = [
+        r
+        for r, _ in entry_files(path, versions(path)[-1])
+        if r.startswith(f"o_orderpriority={PC_HOT}/")
+    ]
+    replay = compact_partitions(spark, path, ["o_orderpriority"], max_files=8)
+    if (
+        out["partitions_compacted"] != 1
+        or len(hot_live) != 1
+        or replay["partitions_compacted"] != 0
+        or read_version(spark, path, 1).count() != n_v1
+    ):
+        raise RuntimeError(
+            f"partition compaction regressed: {out} -> {len(hot_live)} "
+            f"live hot file(s), replay {replay}"
+        )
+    return (
+        read_version(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("price_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        )
+    )
+
+
+ORACLE_PARTITION_COMPACTION = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS price_cents,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
 FSKIP_LO, FSKIP_HI = 100, 200  # a selective orderkey range at every SF
 
 
@@ -2936,6 +3019,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warehouse_snapshot": q_warehouse_snapshot,
     "q_warehouse_replica": q_warehouse_replica,
     "q_file_skipping": q_file_skipping,
+    "q_partition_compaction": q_partition_compaction,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
     "q_tpch_q4_bucketed": q_tpch_q4_bucketed,
@@ -2972,6 +3056,7 @@ SERVING_ORACLES: dict[str, str] = {
     # warehouse's own oracle.
     "q_warehouse_replica": ORACLE_WAREHOUSE_SNAPSHOT,
     "q_file_skipping": ORACLE_FILE_SKIPPING,
+    "q_partition_compaction": ORACLE_PARTITION_COMPACTION,
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
     # r12: the rest of the orderkey family routed through the layout —
