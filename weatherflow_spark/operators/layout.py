@@ -557,14 +557,22 @@ def compact_partitions(
     ``compact``'s resize job, not this one's.
 
     Requires a VERSIONED table (the segments are the planner's
-    input). Runs the plan+rewrite under the dataset lock, so the
-    decision can't go stale against a concurrent writer; manifest
-    mode reads each offender's exact head file list (the live tree
-    also holds superseded files) — which the mirror-mode tree equals
-    under the lock, so both modes read by the entry's list. Returns
-    ``{"partitions_compacted": n, "files_before": b, "files_after":
-    a}`` (before/after counted over the compacted partitions only).
-    """
+    input). Locking follows the keyed-upsert discipline, per
+    PARTITION: the plan is taken under one short lock hold, then each
+    offender re-validates its segment is still the planned one inside
+    its own hold before rewriting — a concurrent writer that touched
+    the partition in between just makes this run skip it (the next
+    maintenance pass re-plans), and writers never wait behind more
+    than one partition's rewrite (r12 review). ``partition_cols``
+    must name the table's FULL partition layout — a subset would
+    dynamic-overwrite (and carve out) whole parent directories whose
+    sibling sub-partitions were never read; every planned dirkey is
+    validated against it. Each offender is staged through an on-disk
+    scratch (not localCheckpoint) so the rewrite never reads the
+    files it replaces and executor storage holds nothing across a
+    long maintenance loop. Returns ``{"partitions_compacted": n,
+    "files_before": b, "files_after": a}`` (counted over the
+    compacted partitions only)."""
     from weatherflow_spark.operators.commit import dataset_lock
     from weatherflow_spark.operators.snaplog import (
         _entry_segments,
@@ -588,36 +596,92 @@ def compact_partitions(
                 "seed first"
             )
         segs = _entry_segments(path, _load_entry(path, vs[-1]))
-        plan: list[tuple[str, list[tuple[str, int]]]] = []
+        plan: list[tuple[str, str, int]] = []
         for dirkey, segname in sorted(segs.items()):
             if not dirkey:
                 continue  # root-level files are not a partition
-            files = _segment_files(path, segname)
-            if len(files) > max_files:
-                plan.append((dirkey, files))
-        files_before = sum(len(fs) for _, fs in plan)
-        live = path.rstrip("/")
-        for dirkey, files in plan:
-            df = (
-                spark.read.option("basePath", live)
-                .option("mergeSchema", "true")
-                .parquet(*[os.path.join(live, rel) for rel, _ in files])
-            )
-            # Materialize BEFORE the overwrite: the rewrite replaces
-            # (mirror mode: deletes) the very files this plan reads.
-            merged = df.localCheckpoint(eager=True)
-            overwrite_partitions(merged, path, partition_cols)
-        files_after = 0
-        if plan:
-            head = _entry_segments(path, _load_entry(path, versions(path)[-1]))
-            done = {d for d, _ in plan}
-            files_after = sum(
-                len(_segment_files(path, head[d]))
-                for d in done
-                if d in head
-            )
-        return {
-            "partitions_compacted": len(plan),
-            "files_before": files_before,
-            "files_after": files_after,
-        }
+            keys = [seg.split("=", 1)[0] for seg in dirkey.split("/")]
+            if keys != list(partition_cols):
+                # A SUBSET (or re-ordered) partition_cols would
+                # dynamic-overwrite whole parent dirs whose sibling
+                # sub-partitions were never read — silent data loss,
+                # not a maintenance op (r12 review).
+                raise ValueError(
+                    f"{path}: partition layout in the log is {keys} "
+                    f"but partition_cols={list(partition_cols)} — pass "
+                    "the table's full partition column sequence"
+                )
+            n_files = len(_segment_files(path, segname))
+            if n_files > max_files:
+                plan.append((dirkey, segname, n_files))
+    planned_n = {d: n for d, _, n in plan}
+    live = path.rstrip("/")
+    compacted: list[str] = []
+    scratch = f"{live}__pcompact_{os.getpid()}"
+    prev_inf = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+    )
+    try:
+        for dirkey, segname, _n in plan:
+            with dataset_lock(path):
+                # re-validate under THIS hold: a writer that committed
+                # to the partition since planning replaced its segment
+                # — rewriting the planned (stale) file list would
+                # discard that commit. Skip; the next pass re-plans.
+                head = _entry_segments(
+                    path, _load_entry(path, versions(path)[-1])
+                )
+                if head.get(dirkey) != segname:
+                    continue
+                files = _segment_files(path, segname)
+                # partition values must come back EXACTLY as the
+                # directory spells them: type inference would re-type
+                # 'hour=00' to int 0 and the rewrite would land under
+                # a DIFFERENT directory (hour=0) while the scoped
+                # carve-out kept the old one — every row duplicated
+                # (r12 review). Inference off → string values →
+                # byte-identical dir names.
+                spark.conf.set(
+                    "spark.sql.sources."
+                    "partitionColumnTypeInference.enabled",
+                    "false",
+                )
+                try:
+                    df = (
+                        spark.read.option("basePath", live)
+                        .option("mergeSchema", "true")
+                        .parquet(
+                            *[os.path.join(live, rel) for rel, _ in files]
+                        )
+                    )
+                    # Stage on DISK, not localCheckpoint: the rewrite
+                    # replaces the very files this read lists, and a
+                    # long maintenance loop must not pin every
+                    # compacted partition's data in executor storage
+                    # until GC (r12 review). Deterministic cleanup.
+                    shutil.rmtree(scratch, ignore_errors=True)
+                    df.write.mode("overwrite").parquet(scratch)
+                    staged = spark.read.parquet(scratch)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources."
+                        "partitionColumnTypeInference.enabled",
+                        prev_inf,
+                    )
+                overwrite_partitions(staged, path, partition_cols)
+                compacted.append(dirkey)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    files_after = 0
+    if compacted:
+        head = _entry_segments(path, _load_entry(path, versions(path)[-1]))
+        files_after = sum(
+            len(_segment_files(path, head[d]))
+            for d in compacted
+            if d in head
+        )
+    return {
+        "partitions_compacted": len(compacted),
+        "files_before": sum(planned_n[d] for d in compacted),
+        "files_after": files_after,
+    }

@@ -1294,7 +1294,12 @@ def q_partition_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = os.path.join(_scratch_dir(sf_dir), "pcompact_tbl")
+    # reset the table AND its snapshot siblings — a stale log would
+    # make record_commit mint v3 and the retain mirror grow without
+    # bound across bench reps (r12 review)
     shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + ".__snaplog", ignore_errors=True)
+    shutil.rmtree(path + ".__retain", ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
@@ -1305,8 +1310,8 @@ def q_partition_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         12
     ).write.mode("append").partitionBy("o_orderpriority").parquet(path)
     init_snapshot_log(path)
-    record_commit(path)
-    n_v1 = read_version(spark, path, 1).count()
+    v_seed = record_commit(path)
+    n_v1 = read_version(spark, path, v_seed).count()
 
     out = compact_partitions(spark, path, ["o_orderpriority"], max_files=8)
     hot_live = [
@@ -1319,7 +1324,7 @@ def q_partition_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["partitions_compacted"] != 1
         or len(hot_live) != 1
         or replay["partitions_compacted"] != 0
-        or read_version(spark, path, 1).count() != n_v1
+        or read_version(spark, path, v_seed).count() != n_v1
     ):
         raise RuntimeError(
             f"partition compaction regressed: {out} -> {len(hot_live)} "
