@@ -530,3 +530,143 @@ def test_duplicate_key_batches_are_refused(spark, tmp_path):
     )
     apply_changes(spark, mixed, path, ["n_nationkey"], "op", ["n_regionkey"])
     assert spark.read.parquet(path).count() == nation.count()
+
+
+# ---------------------------------------------------------------- E102
+# delete_where: predicate-scoped row-level delete.
+
+
+def _dw_seed(spark, path, versioned=True, mode="mirror"):
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+        set_stats_columns,
+    )
+
+    rows = [
+        {"k": i, "day": f"2026-01-0{1 + i % 3}", "v": float(i)}
+        for i in range(30)
+    ]
+    _mk(spark, rows).repartition(1).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+    if versioned:
+        init_snapshot_log(path, mode=mode)
+        set_stats_columns(path, ["k"])
+        record_commit(path)
+    return rows
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_delete_where_scoped_and_time_travels(spark, tmp_path, mode):
+    from weatherflow_spark.operators.snaplog import read_version, versions
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _dw_seed(spark, path, mode=mode)
+    v1 = versions(path)[-1]
+
+    def day_files(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            n: os.stat(os.path.join(d, n)).st_ino
+            for n in os.listdir(d)
+            if not n.startswith(("_", "."))
+        }
+
+    cold_before = day_files("2026-01-02")
+    rep = delete_where(
+        spark, path,
+        (F.col("day") == "2026-01-01") & (F.col("k") % 2 == 0),
+        ["k"], partition_cols=["day"], prune=("k", 0, 28),
+    )
+    # k%3==0 puts k ∈ {0,6,12,18,24} ∩ even on day 1 → 5 victims
+    assert rep["rows_matched"] == 5 and rep["keys_deleted"] == 5
+    assert rep["partitions_touched"] == 1
+    # prune bound covers nearly everything here — counters recorded,
+    # superset contract: never fewer rows than the predicate matches
+    assert 0 <= rep["files_scanned"] <= rep["files_total"]
+    # untouched partition byte-identical
+    assert day_files("2026-01-02") == cold_before
+    # deleted keys gone at head, present at v1 (read_version: a
+    # manifest-mode live tree keeps superseded files until vacuum)
+    head = read_version(spark, path)
+    assert head.where((F.col("day") == "2026-01-01")).count() == 5
+    assert read_version(spark, path, v1).count() == 30
+    assert read_version(spark, path).count() == 25
+    # replay: victims gone -> zero matches, no new version
+    n_vs = len(versions(path))
+    rep2 = delete_where(
+        spark, path,
+        (F.col("day") == "2026-01-01") & (F.col("k") % 2 == 0),
+        ["k"], partition_cols=["day"], prune=("k", 0, 28),
+    )
+    assert rep2["rows_matched"] == 0
+    assert len(versions(path)) == n_vs
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_delete_where_can_empty_a_partition(spark, tmp_path, mode):
+    from weatherflow_spark.operators.snaplog import read_version, versions
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _dw_seed(spark, path, mode=mode)
+    v1 = versions(path)[-1]
+    rep = delete_where(
+        spark, path, F.col("day") == "2026-01-03", ["k"],
+        partition_cols=["day"],
+    )
+    assert rep["rows_matched"] == 10 and rep["partitions_touched"] == 1
+    # head: the emptied partition is really gone (no resurrection)
+    assert read_version(spark, path).where(
+        F.col("day") == "2026-01-03"
+    ).count() == 0
+    assert read_version(spark, path).count() == 20
+    # time travel still serves the deleted partition
+    assert read_version(spark, path, v1).count() == 30
+
+
+def test_delete_where_unversioned_and_unpartitioned(spark, tmp_path):
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    rows = [{"k": i, "v": float(i)} for i in range(10)]
+    _mk(spark, rows).write.mode("overwrite").parquet(path)
+    # prune requested but no snapshot log: falls back to a plain scan
+    rep = delete_where(
+        spark, path, "k >= 7", ["k"], prune=("k", 7, 9)
+    )
+    assert rep["rows_matched"] == 3
+    assert rep["files_scanned"] == -1  # not stats-pruned
+    assert sorted(
+        r.k for r in spark.read.parquet(path).collect()
+    ) == list(range(7))
+
+
+def test_delete_where_prunes_with_stats(spark, tmp_path):
+    """A narrow key-range delete on a range-clustered versioned table
+    must open only intersecting files (zone-map prune, E100×E102)."""
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+        set_stats_columns,
+    )
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    rows = [{"k": i, "v": float(i)} for i in range(1000)]
+    _mk(spark, rows).repartitionByRange(10, F.col("k")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["k"])
+    record_commit(path)
+    rep = delete_where(
+        spark, path, "k BETWEEN 100 AND 150 AND k % 2 = 0", ["k"],
+        prune=("k", 100, 150),
+    )
+    assert rep["rows_matched"] == 26
+    assert rep["files_total"] >= 8
+    assert rep["files_scanned"] <= max(1, rep["files_total"] // 4)
+    assert spark.read.parquet(path).count() == 1000 - 26

@@ -758,3 +758,115 @@ def _apply_changes_locked(
             check_and_bump_versions(path, keys)
             # full overwrite deletes old files
             _record_snapshot(path, batch_id=snapshot_batch_id)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    prune: tuple | None = None,
+    snapshot_batch_id: object | None = None,
+) -> dict[str, int]:
+    """Predicate-scoped row-level DELETE (E102): remove every row
+    matching ``predicate`` from a parquet table — the
+    right-to-be-forgotten / bad-ingest-rollback operation a
+    training-data warehouse runs routinely (``DELETE FROM t WHERE
+    ...`` without a transactional table format). The reference has no
+    delete at all (its star only ever INSERTs,
+    dags/utils/database.py:25-34); this is the engine-native form.
+
+    Two-phase, each phase the scale-correct shape:
+
+    1. **Victim scan** — one column-pruned pass finds matching rows.
+       On a versioned table that records file-skipping stats (E100),
+       ``prune=(col, lo, hi)`` — a caller-supplied SUPERSET bound on
+       the predicate — routes the scan through
+       :func:`~weatherflow_spark.operators.snaplog.scan_version`, so
+       only files whose zone-map range can contain matches are ever
+       opened (deleting one ingest range from a 100 TB key-clustered
+       table reads a handful of files, not the table). Pruning is a
+       superset by contract: a too-wide bound only scans more, never
+       misses a victim; the predicate is always re-applied.
+    2. **Scoped rewrite** — victims become full-row ``op='D'``
+       tombstones into :func:`apply_changes`, inheriting every
+       hardened property of the CDC choke point verbatim: only
+       partitions holding victims are read and rewritten (dynamic
+       overwrite), partitions emptied by the delete are really
+       removed (mirror) or carved out of the manifest, the commit is
+       versioned so the pre-delete state still time-travels until
+       vacuum, and the whole read-modify-write runs under the dataset
+       lock.
+
+    ``key_cols`` is the table's merge key (the keyed-upsert
+    contract: keys are unique — the tombstone anti-join deletes BY
+    KEY, so on a key-duplicated table it would remove every row
+    sharing a victim's key). A predicate matching nothing returns
+    early: no commit, no version minted, replay-idempotent by
+    construction. ``predicate`` is a Column or a SQL string.
+
+    Returns ``{"rows_matched": r, "keys_deleted": k,
+    "partitions_touched": p, "files_scanned": s, "files_total": t}``
+    (scan counters are -1 when the scan was not stats-pruned)."""
+    from weatherflow_spark.operators.snaplog import (
+        read_version,
+        snapshot_enabled,
+        scan_version,
+        stats_columns,
+        versions,
+    )
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    scanned, total = -1, -1
+    src = None
+    versioned = snapshot_enabled(path) and bool(versions(path))
+    if prune is not None and versioned:
+        col, lo, hi = prune
+        if col in stats_columns(path):
+            src, info = scan_version(spark, path, col, lo=lo, hi=hi)
+            scanned, total = info["files_scanned"], info["files_total"]
+        # else: fall through to the head read — pruning is an
+        # optimization, never a correctness dependency
+    if src is None:
+        # The versioned read serves the committed head — mandatory on
+        # a manifest-mode table, whose LIVE tree keeps superseded
+        # files until vacuum: a plain directory read would re-match
+        # (and re-delete) rows that were already replaced.
+        src = (
+            read_version(spark, path)
+            if versioned
+            else spark.read.option("mergeSchema", "true").parquet(path)
+        )
+    victims = src.where(pred)
+    # One bounded collect decides emptiness and the touched-partition
+    # count in the same job (victims are small by the delete
+    # contract: a user's rows, a bad batch — never the table).
+    rows_matched = victims.count()
+    if rows_matched == 0:
+        return {
+            "rows_matched": 0, "keys_deleted": 0,
+            "partitions_touched": 0,
+            "files_scanned": scanned, "files_total": total,
+        }
+    tombstones = victims.dropDuplicates(key_cols).withColumn(
+        "op", F.lit("D")
+    )
+    keys_deleted = tombstones.count()
+    n_parts = (
+        victims.select(*partition_cols).distinct().count()
+        if partition_cols
+        else 0
+    )
+    apply_changes(
+        spark, tombstones, path, key_cols,
+        partition_cols=partition_cols,
+        snapshot_batch_id=snapshot_batch_id,
+    )
+    return {
+        "rows_matched": rows_matched,
+        "keys_deleted": keys_deleted,
+        "partitions_touched": n_parts,
+        "files_scanned": scanned,
+        "files_total": total,
+    }

@@ -1354,6 +1354,133 @@ ORACLE_PARTITION_COMPACTION = """
 """
 
 
+# delete_where constants: one partition's victims inside a narrow key
+# range — fixed so the oracle SQL is a plain literal at every SF.
+DW_PRI = "3-MEDIUM"
+DW_LO, DW_HI = 100, 600
+
+
+def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E102 driver row: predicate-scoped row-level DELETE
+    (``operators/upsert.delete_where`` — the right-to-be-forgotten /
+    bad-ingest-rollback op; the reference's star only ever INSERTs,
+    dags/utils/database.py:25-34). Build a priority-partitioned,
+    key-range-clustered orders copy, version it with o_orderkey
+    file-skipping stats (E100), and delete one priority's rows inside
+    a narrow key range. The query RAISES unless:
+
+    - the victim scan was stats-PRUNED (≤ half the files opened — the
+      sharp ≤¼ claim is ``q_file_skipping``'s; at the smallest SF the
+      fixed range spans a third of the key space),
+    - only the victim priority's partition was rewritten — the four
+      untouched partitions' files are inode/mtime byte-identical,
+    - the pre-delete version still serves ALL rows (time travel:
+      deleted data recoverable until vacuum),
+    - re-running the same delete matches ZERO rows (idempotent by
+      construction — the victims are gone).
+
+    Serve a per-priority digest of the head; the oracle applies
+    ``WHERE NOT (predicate)`` to raw orders, so one hash certifies
+    the delete removed exactly the matching rows and nothing else."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        set_stats_columns,
+    )
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = os.path.join(_scratch_dir(sf_dir), "delwhere_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + ".__snaplog", ignore_errors=True)
+    shutil.rmtree(path + ".__retain", ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    # Range-cluster by key, hive-partition by priority: each task's
+    # per-priority file covers one narrow key range, so the zone maps
+    # prune key-range predicates inside every partition.
+    orders.repartitionByRange(16, F.col("o_orderkey")).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["o_orderkey"])
+    v_seed = record_commit(path)
+    n_seed = read_version(spark, path, v_seed).count()
+
+    def cold_files() -> dict[str, tuple[int, int]]:
+        out: dict[str, tuple[int, int]] = {}
+        for root, _dirs, names in os.walk(path):
+            if f"o_orderpriority={DW_PRI}" in root:
+                continue
+            for nme in names:
+                if nme.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, nme))
+                rel = os.path.relpath(os.path.join(root, nme), path)
+                out[rel] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    before = cold_files()
+    pred = (
+        (F.col("o_orderpriority") == DW_PRI)
+        & F.col("o_orderkey").between(DW_LO, DW_HI)
+        & (F.col("o_custkey") % 3 == 0)
+    )
+    rep = delete_where(
+        spark, path, pred, ["o_orderkey"],
+        partition_cols=["o_orderpriority"],
+        prune=("o_orderkey", DW_LO, DW_HI),
+    )
+    replay = delete_where(
+        spark, path, pred, ["o_orderkey"],
+        partition_cols=["o_orderpriority"],
+        prune=("o_orderkey", DW_LO, DW_HI),
+    )
+    if (
+        rep["rows_matched"] == 0
+        or rep["partitions_touched"] != 1
+        or rep["files_scanned"] < 0
+        or rep["files_scanned"] > max(2, rep["files_total"] // 2)
+        or replay["rows_matched"] != 0
+        or cold_files() != before
+        or read_version(spark, path, v_seed).count() != n_seed
+    ):
+        raise RuntimeError(
+            f"delete_where regressed: {rep}, replay {replay}, "
+            f"cold-partition identity "
+            f"{cold_files() == before}, seed-version count "
+            f"{read_version(spark, path, v_seed).count()} != {n_seed}"
+        )
+    return (
+        read_version(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("price_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        )
+    )
+
+
+ORACLE_DELETE_WHERE = f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS price_cents,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders
+    WHERE NOT (o_orderpriority = '{DW_PRI}'
+               AND o_orderkey BETWEEN {DW_LO} AND {DW_HI}
+               AND o_custkey % 3 = 0)
+    GROUP BY o_orderpriority
+"""
+
+
 FSKIP_LO, FSKIP_HI = 100, 200  # a selective orderkey range at every SF
 
 
@@ -3025,6 +3152,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warehouse_replica": q_warehouse_replica,
     "q_file_skipping": q_file_skipping,
     "q_partition_compaction": q_partition_compaction,
+    "q_delete_where": q_delete_where,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
     "q_tpch_q4_bucketed": q_tpch_q4_bucketed,
@@ -3062,6 +3190,7 @@ SERVING_ORACLES: dict[str, str] = {
     "q_warehouse_replica": ORACLE_WAREHOUSE_SNAPSHOT,
     "q_file_skipping": ORACLE_FILE_SKIPPING,
     "q_partition_compaction": ORACLE_PARTITION_COMPACTION,
+    "q_delete_where": ORACLE_DELETE_WHERE,
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
     # r12: the rest of the orderkey family routed through the layout —
