@@ -518,3 +518,139 @@ def test_warehouse_feed_export_requires_keys_and_derivable_versions(
             spark, wh, os.path.join(wh, "__b2"),
             {"fact": ["k"], "dim": ["cust"]},
         )
+
+
+# ---------------------------------------------------------------- E103
+# maintain_warehouse: the between-loads maintenance entry point.
+
+
+def _seed_partitioned(spark, wh_dir, hot_files=6):
+    """fact partitioned by `cust`, cust=0 fragmented into hot_files."""
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(1, 31)],
+        "k long, cust long, amt double",
+    )
+    fp = os.path.join(wh_dir, "fact")
+    fact.where("cust <> 0").coalesce(1).write.mode("overwrite").partitionBy(
+        "cust"
+    ).parquet(fp)
+    fact.where("cust = 0").repartition(hot_files).write.mode(
+        "append"
+    ).partitionBy("cust").parquet(fp)
+    dim = spark.createDataFrame(
+        [(c, f"seg{c}", 100.0 * (c + 1)) for c in range(3)],
+        "cust long, seg string, bal double",
+    )
+    dim.write.mode("overwrite").parquet(os.path.join(wh_dir, "dim"))
+    init_warehouse_log(wh_dir)
+
+
+def test_maintain_warehouse_compacts_recuts_and_vacuums(spark, wh):
+    from weatherflow_spark.operators.whlog import (
+        bundle_loads,
+        maintain_warehouse,
+    )
+
+    _seed_partitioned(spark, wh)
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L1") == 1
+    # streaming-cadence load 2: touches only cust=1
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 1, 999.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+        ["cust"],
+    )
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L2") == 2
+    digest_l2 = _joined_digest(read_warehouse(spark, wh, 2))
+
+    bundle = os.path.join(wh, "bundle")
+    args = dict(
+        partition_cols={"fact": ["cust"]},
+        max_files=3,
+        feed_bundle=bundle,
+        key_cols={"fact": ["k"], "dim": ["cust"]},
+        keep_last_loads=2,
+        batch_id="M1",
+    )
+    rep = maintain_warehouse(spark, wh, **args)
+    assert rep["members"] == ["dim", "fact"]
+    assert rep["compaction"]["fact"]["partitions_compacted"] == 1
+    assert rep["load"] == 3
+    assert rep["feed"]["tables"] == 2
+    assert rep["vacuum"]["__loads__"]["dropped_loads"] == 1
+    assert warehouse_loads(wh) == [2, 3]
+    assert bundle_loads(bundle) == [1, 2, 3]
+    # maintenance is content-neutral: load 2 and head digests equal
+    assert _joined_digest(read_warehouse(spark, wh, 2)) == digest_l2
+    assert _joined_digest(read_warehouse(spark, wh)) == digest_l2
+    # hot partition really has one live file at the head
+    from weatherflow_spark.operators.snaplog import entry_files
+
+    fp = os.path.join(wh, "fact")
+    hot = [
+        r
+        for r, _ in entry_files(fp, versions(fp)[-1])
+        if r.startswith("cust=0/")
+    ]
+    assert len(hot) == 1
+    # replay: keyed load returned, nothing compacted, nothing dropped
+    rep2 = maintain_warehouse(spark, wh, **args)
+    assert rep2["load"] == 3
+    assert rep2["compaction"]["fact"]["partitions_compacted"] == 0
+    assert rep2["vacuum"]["__loads__"]["dropped_loads"] == 0
+
+
+def test_maintain_warehouse_noop_mints_no_load(spark, wh):
+    from weatherflow_spark.operators.whlog import maintain_warehouse
+
+    _seed_partitioned(spark, wh, hot_files=2)  # under max_files
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L1") == 1
+    rep = maintain_warehouse(
+        spark, wh, partition_cols={"fact": ["cust"]}, max_files=3
+    )
+    assert rep["compaction"]["fact"]["partitions_compacted"] == 0
+    assert rep["load"] is None
+    assert warehouse_loads(wh) == [1]
+
+
+def test_maintain_warehouse_guards(spark, wh):
+    from weatherflow_spark.operators.whlog import maintain_warehouse
+
+    with pytest.raises(ValueError, match="no committed warehouse loads"):
+        init_warehouse_log(wh)
+        maintain_warehouse(spark, wh)
+    _seed_partitioned(spark, wh)
+    commit_warehouse(wh, ["fact", "dim"], batch_id="L1")
+    with pytest.raises(ValueError, match="unknown member"):
+        maintain_warehouse(
+            spark, wh, partition_cols={"factt": ["cust"]}
+        )
+    with pytest.raises(ValueError, match="requires key_cols"):
+        maintain_warehouse(
+            spark, wh, feed_bundle=os.path.join(wh, "b")
+        )
+
+
+def test_maintain_vacuum_without_feed_is_not_interlocked(spark, wh):
+    """No bundle -> the vacuum is load-aware only (the caller opted
+    out of replication); with a bundle the interlock is automatic."""
+    from weatherflow_spark.operators.whlog import maintain_warehouse
+
+    _seed_partitioned(spark, wh)
+    commit_warehouse(wh, ["fact", "dim"], batch_id="L1")
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(2, 1, 5.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"),
+        ["k"],
+        ["cust"],
+    )
+    commit_warehouse(wh, ["fact", "dim"], batch_id="L2")
+    rep = maintain_warehouse(
+        spark, wh, partition_cols={"fact": ["cust"]}, max_files=3,
+        keep_last_loads=1, batch_id="M1",
+    )
+    assert rep["feed"] is None
+    assert rep["vacuum"]["__loads__"]["dropped_loads"] == 2
+    assert warehouse_loads(wh) == [rep["load"]]

@@ -705,3 +705,101 @@ def pinned_load(wh_dir: str, load: int | None = None):
                 pinned_version(os.path.join(wh_dir, t), v)
             )
         yield entry
+
+
+def maintain_warehouse(
+    spark: SparkSession,
+    wh_dir: str,
+    partition_cols: dict[str, list[str]] | None = None,
+    max_files: int = 8,
+    feed_bundle: str | None = None,
+    key_cols: dict[str, list[str]] | None = None,
+    keep_last_loads: int | None = None,
+    batch_id: object | None = None,
+) -> dict:
+    """BETWEEN-LOADS warehouse maintenance (E103): the one entry point
+    a streaming warehouse schedules after every N micro-batch loads,
+    composing the engine's maintenance primitives in the only order
+    that preserves every retention contract:
+
+    1. **Compact** — each member mapped in ``partition_cols`` runs
+       :func:`~weatherflow_spark.operators.layout.compact_partitions`:
+       offender partitions are found from the snapshot log's segments
+       (O(dirs) metadata — no directory listing at any table size)
+       and rewritten through the scoped choke point, versioned.
+    2. **Re-cut** — if anything compacted (or ``batch_id`` is given),
+       a NEW warehouse load is committed pairing every member's
+       compacted head (``commit_warehouse`` — pure metadata via the
+       O(dirs) dirstamp reuse for untouched members), so warehouse
+       readers see the compacted layout NOW instead of after the next
+       data load. Without it, ``read_warehouse()`` would keep serving
+       the pre-compaction file sets forever on an idle warehouse.
+    3. **Export** — ``feed_bundle`` runs
+       :func:`export_warehouse_feed` (compaction versions export as
+       EMPTY feed versions — content-identical commits — keeping the
+       bundle gap-free for replicas).
+    4. **Vacuum** — ``keep_last_loads`` runs :func:`vacuum_warehouse`
+       load-aware AND feed-aware: when a bundle was exported the
+       vacuum passes ``require_exported`` for every member, so
+       history can never be dropped past what replicas can still
+       fetch. Vacuum runs LAST so the maintenance load itself counts
+       toward the retained window.
+
+    Replay-idempotent end to end: a re-run finds no offender
+    partitions (no-op compactions), ``batch_id`` returns the recorded
+    maintenance load, exports skip existing versions, vacuum is
+    already-bounded. Returns ``{"members", "compaction", "load",
+    "feed", "vacuum"}`` (None for skipped phases)."""
+    from weatherflow_spark.operators.layout import compact_partitions
+
+    loads = warehouse_loads(wh_dir)
+    if not loads:
+        raise ValueError(f"{wh_dir}: no committed warehouse loads")
+    members = sorted(load_entry(wh_dir, loads[-1])["tables"])
+    bad = sorted(set(partition_cols or {}) - set(members))
+    if bad:
+        # a typo'd member would silently skip its compaction forever
+        raise ValueError(
+            f"{wh_dir}: partition_cols for unknown member table(s) "
+            f"{bad} (head load has {members})"
+        )
+    if feed_bundle is not None and not key_cols:
+        raise ValueError(
+            "feed_bundle requires key_cols (a keyless table cannot "
+            "be replicated by keyed merge)"
+        )
+    compaction: dict[str, dict[str, int]] = {}
+    for t in sorted(partition_cols or {}):
+        compaction[t] = compact_partitions(
+            spark, os.path.join(wh_dir, t), partition_cols[t],
+            max_files=max_files,
+        )
+    any_rewrite = any(
+        c["partitions_compacted"] > 0 for c in compaction.values()
+    )
+    load = None
+    if any_rewrite or batch_id is not None:
+        load = commit_warehouse(wh_dir, members, batch_id=batch_id)
+    feed = None
+    if feed_bundle is not None:
+        feed = export_warehouse_feed(
+            spark, wh_dir, feed_bundle, key_cols
+        )
+    vacuum = None
+    if keep_last_loads is not None:
+        vacuum = vacuum_warehouse(
+            wh_dir,
+            keep_last_loads=keep_last_loads,
+            require_exported=(
+                {t: os.path.join(feed_bundle, t) for t in members}
+                if feed_bundle is not None
+                else None
+            ),
+        )
+    return {
+        "members": members,
+        "compaction": compaction,
+        "load": load,
+        "feed": feed,
+        "vacuum": vacuum,
+    }

@@ -2192,6 +2192,173 @@ ORACLE_WAREHOUSE_SNAPSHOT = f"""
 """
 
 
+def q_warehouse_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E103 driver row: BETWEEN-LOADS warehouse maintenance
+    (``operators/whlog.maintain_warehouse``) certified through the
+    full phase chain on real writes. Seed a two-member warehouse
+    whose fact carries one fragmented partition (12 small files — a
+    bulk backfill's layout), run one keyed-upsert load that touches
+    only the OTHER partitions (the streaming cadence keeps them tidy;
+    the hot partition stays fragmented), then run maintenance:
+    segment-planned compaction → a metadata re-cut load pairing the
+    compacted heads → per-load feed-bundle export → load-aware,
+    feed-interlocked vacuum. RAISES unless:
+
+    - exactly the hot partition compacted to ONE live file,
+    - the maintenance load is load 3 and vacuum kept loads [2, 3]
+      (load 1 dropped) while the bundle retains ALL THREE loads —
+      replicas can still rebuild history the source vacuumed,
+    - the replay is idempotent end to end: same load number (keyed),
+      zero compactions, zero loads dropped.
+
+    Serve fact⋈dim digests as-of load 2 and at head; maintenance is
+    content-neutral, so BOTH must equal the oracle's derivation of
+    the post-load-2 state from raw orders+customer — one hash
+    certifies the whole maintenance pass changed layout and history
+    bounds, never data."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import entry_files, versions
+    from weatherflow_spark.operators.upsert import upsert_by_key
+    from weatherflow_spark.operators.whlog import (
+        bundle_loads,
+        commit_warehouse,
+        init_warehouse_log,
+        maintain_warehouse,
+        read_warehouse,
+        warehouse_loads,
+    )
+
+    wh = os.path.join(_scratch_dir(sf_dir), "wh_maint")
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+    fact_p = os.path.join(wh, "fact_orders")
+    dim_p = os.path.join(wh, "dim_customer")
+    k = F.col("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = orders.where(k % UPSERT_DEL_MOD != 0)
+    base.where(F.col("o_orderpriority") != PC_HOT).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(fact_p)
+    base.where(F.col("o_orderpriority") == PC_HOT).repartition(
+        12
+    ).write.mode("append").partitionBy("o_orderpriority").parquet(fact_p)
+    customer.write.mode("overwrite").parquet(dim_p)
+    init_warehouse_log(wh)
+    commit_warehouse(
+        wh, ["fact_orders", "dim_customer"], batch_id="whm-load-1"
+    )
+
+    # Load 2: the streaming cadence — keyed merges that avoid the hot
+    # partition, so the backfill fragmentation is maintenance's to fix.
+    batch = orders.where(
+        (k % UPSERT_BATCH_MOD == 0) & (F.col("o_orderpriority") != PC_HOT)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    upsert_by_key(
+        spark, batch, fact_p, ["o_orderkey"], ["o_orderpriority"]
+    )
+    dim_batch = customer.where(
+        F.col("c_custkey") % WH_DIM_UPS_MOD == 0
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    )
+    upsert_by_key(spark, dim_batch, dim_p, ["c_custkey"])
+    commit_warehouse(
+        wh, ["fact_orders", "dim_customer"], batch_id="whm-load-2"
+    )
+
+    bundle = os.path.join(wh, "bundle")  # inside wh: one rmtree resets
+    maint_args = dict(
+        partition_cols={"fact_orders": ["o_orderpriority"]},
+        max_files=8,
+        feed_bundle=bundle,
+        key_cols={
+            "fact_orders": ["o_orderkey"],
+            "dim_customer": ["c_custkey"],
+        },
+        keep_last_loads=2,
+        batch_id="whm-maint-1",
+    )
+    rep = maintain_warehouse(spark, wh, **maint_args)
+    hot_live = [
+        r
+        for r, _ in entry_files(fact_p, versions(fact_p)[-1])
+        if r.startswith(f"o_orderpriority={PC_HOT}/")
+    ]
+    replay = maintain_warehouse(spark, wh, **maint_args)
+    if not (
+        rep["compaction"]["fact_orders"]["partitions_compacted"] == 1
+        and len(hot_live) == 1
+        and rep["load"] == 3
+        and rep["vacuum"]["__loads__"]["dropped_loads"] == 1
+        and warehouse_loads(wh) == [2, 3]
+        and bundle_loads(bundle) == [1, 2, 3]
+        and replay["load"] == 3
+        and replay["compaction"]["fact_orders"]["partitions_compacted"] == 0
+        and replay["vacuum"]["__loads__"]["dropped_loads"] == 0
+    ):
+        raise RuntimeError(
+            f"warehouse maintenance regressed: {rep} -> "
+            f"{len(hot_live)} live hot file(s), loads "
+            f"{warehouse_loads(wh)}, bundle {bundle_loads(bundle)}, "
+            f"replay {replay}"
+        )
+    return _wh_digest(read_warehouse(spark, wh, 2), "load2").unionByName(
+        _wh_digest(read_warehouse(spark, wh), "head")
+    )
+
+
+ORACLE_WAREHOUSE_MAINTENANCE = f"""
+    WITH f2 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey % {UPSERT_DEL_MOD} <> 0
+          AND NOT (o_orderkey % {UPSERT_BATCH_MOD} = 0
+                   AND o_orderpriority <> '{PC_HOT}')
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice + 1.0
+        FROM orders
+        WHERE o_orderkey % {UPSERT_BATCH_MOD} = 0
+          AND o_orderpriority <> '{PC_HOT}'
+    ),
+    d2 AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % {WH_DIM_UPS_MOD} = 0
+                    THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        FROM customer
+    ),
+    tagged AS (
+        SELECT 'load2' AS version_tag, f2.o_orderkey, d2.c_mktsegment,
+               f2.o_totalprice, d2.c_acctbal
+        FROM f2 JOIN d2 ON f2.o_custkey = d2.c_custkey
+        UNION ALL
+        SELECT 'head', f2.o_orderkey, d2.c_mktsegment,
+               f2.o_totalprice, d2.c_acctbal
+        FROM f2 JOIN d2 ON f2.o_custkey = d2.c_custkey
+    )
+    SELECT version_tag, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+           bit_xor(o_orderkey) AS key_xor
+    FROM tagged GROUP BY version_tag, c_mktsegment
+"""
+
+
 def _oracle_star_transaction() -> str:
     from weatherflow_spark.plans.oracles import (
         EVENTS_SIM,
@@ -3153,6 +3320,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_file_skipping": q_file_skipping,
     "q_partition_compaction": q_partition_compaction,
     "q_delete_where": q_delete_where,
+    "q_warehouse_maintenance": q_warehouse_maintenance,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
     "q_tpch_q4_bucketed": q_tpch_q4_bucketed,
@@ -3191,6 +3359,7 @@ SERVING_ORACLES: dict[str, str] = {
     "q_file_skipping": ORACLE_FILE_SKIPPING,
     "q_partition_compaction": ORACLE_PARTITION_COMPACTION,
     "q_delete_where": ORACLE_DELETE_WHERE,
+    "q_warehouse_maintenance": ORACLE_WAREHOUSE_MAINTENANCE,
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
     # r12: the rest of the orderkey family routed through the layout —
