@@ -1555,6 +1555,74 @@ ORACLE_FILE_SKIPPING = f"""
 """
 
 
+def q_tpch_q6_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E100 ADOPTION row (the E98 pattern: certifying the layout on
+    scratch is not the same as routing a real query through it):
+    TPC-H Q6 answered from a shipdate-range-clustered, versioned
+    lineitem via ``scan_version`` — the query's one-year date band
+    prunes on the segments' recorded min/max alone, so only files
+    whose range can intersect 1996 are ever opened. RAISES unless at
+    most a QUARTER of the files were scanned (the clustered layout
+    spans ~7 ship years; one year is ~2-3 of 16 range files), and the
+    result must hash-match the plain Q6 oracle verbatim — the
+    adoption claim IS identity with the unclustered form. At 100 TB
+    this turns the canonical 'did every predicate reach the scan'
+    query into one that never opens six sevenths of the table; the
+    surviving footers still get the pushed residual predicates."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+        scan_version,
+        set_stats_columns,
+    )
+    from weatherflow_spark.plans.queries import scaled_sum
+
+    path = os.path.join(_scratch_dir(sf_dir), "q6skip_lineitem")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + ".__snaplog", ignore_errors=True)
+    shutil.rmtree(path + ".__retain", ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartitionByRange(16, F.col("l_shipdate")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["l_shipdate"])
+    record_commit(path)
+
+    df, info = scan_version(
+        spark, path, "l_shipdate",
+        lo="1996-01-01T00:00:00", hi="1997-01-01T00:00:00",
+    )
+    if info["files_scanned"] > max(1, info["files_total"] // 4):
+        raise RuntimeError(
+            f"Q6 file-skipping regressed: scanned "
+            f"{info['files_scanned']} of {info['files_total']} files "
+            "for a one-year band over a shipdate-clustered layout"
+        )
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+    return (
+        df.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+            & disc_c.between(5, 7)
+        )
+        .agg(
+            scaled_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 10_000
+            ).alias("revenue")
+        )
+    )
+
+
+def _oracle_tpch_q6_skipping() -> str:
+    from weatherflow_spark.plans.tpch_ext import ORACLE_TPCH_Q6
+
+    return ORACLE_TPCH_Q6
+
+
 def _oracle_tpch_q4_bucketed() -> str:
     from weatherflow_spark.plans.tpch import ORACLE_TPCH_Q4
 
@@ -3321,6 +3389,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_partition_compaction": q_partition_compaction,
     "q_delete_where": q_delete_where,
     "q_warehouse_maintenance": q_warehouse_maintenance,
+    "q_tpch_q6_skipping": q_tpch_q6_skipping,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
     "q_tpch_q4_bucketed": q_tpch_q4_bucketed,
@@ -3360,6 +3429,8 @@ SERVING_ORACLES: dict[str, str] = {
     "q_partition_compaction": ORACLE_PARTITION_COMPACTION,
     "q_delete_where": ORACLE_DELETE_WHERE,
     "q_warehouse_maintenance": ORACLE_WAREHOUSE_MAINTENANCE,
+    # E100 adoption: identity with the plain Q6 oracle verbatim.
+    "q_tpch_q6_skipping": _oracle_tpch_q6_skipping(),
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
     # r12: the rest of the orderkey family routed through the layout —
