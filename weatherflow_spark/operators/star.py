@@ -257,8 +257,7 @@ def load_star_warehouse(
         prior = committed_load(wh_dir, batch_id)
         if prior is not None:
             return prior  # replayed load: nothing touched
-    order = sorted(n for n in tables if n != "w_fact") + ["w_fact"]
-    for name in order:
+    def _merge(name: str) -> None:
         key = STAR_KEYS[name]
         upsert_by_key(
             spark,
@@ -267,4 +266,24 @@ def load_star_warehouse(
             [key],
             (partition_cols or {}).get(name),
         )
+
+    # Dims-before-fact is the ONLY ordering constraint (crash-safety:
+    # never facts whose dims don't exist) — the four dim merges are
+    # independent tables and run CONCURRENTLY (r12): each holds its
+    # own dataset lock, the overwrite choke point scopes its dynamic
+    # mode per-writer (no shared session-conf mutation), and Spark's
+    # scheduler interleaves the jobs. At any scale the load's wall
+    # clock is max(dim merge) + fact merge instead of the sum of all
+    # five — on a 1000-executor cluster the five merges are far too
+    # small individually to saturate it serially. (dataset_lock's
+    # reentrancy counter is per-path: concurrent holders of DISTINCT
+    # paths are safe; same-path writers stay single-threaded by the
+    # loader's contract.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    dims = sorted(n for n in tables if n != "w_fact")
+    with ThreadPoolExecutor(max_workers=len(dims)) as pool:
+        for fut in [pool.submit(_merge, d) for d in dims]:
+            fut.result()  # re-raise the first failure; fact not yet touched
+    _merge("w_fact")
     return commit_warehouse(wh_dir, sorted(tables), batch_id=batch_id)

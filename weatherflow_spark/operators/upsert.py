@@ -218,33 +218,38 @@ def overwrite_partitions(
         )
         return
 
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # The advisory commit lock serializes this write against a
-        # concurrent compaction's validate-and-swap (commit.py): a
-        # swap cannot land mid-write and discard this batch, and this
-        # write's file changes force the racing compaction to abort
-        # and re-run rather than clobber.
-        with dataset_lock(path):
-            df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-            keys = [
-                partition_key(
-                    partition_cols, tuple(r[c] for c in partition_cols)
-                )
-                for r in df.select(*partition_cols).distinct().collect()
-            ]
-            check_and_bump_versions(path, keys)
-            # ``record_snapshot=False`` lets a caller whose commit is
-            # NOT finished at this point (apply_changes with emptied
-            # partitions still to rmtree) defer the version until the
-            # live tree matches the logical result — otherwise the
-            # head snapshot would resurrect deleted rows (r9 ADVICE).
-            if record_snapshot:
-                _record_snapshot(path, scope=keys, batch_id=snapshot_batch_id)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # The dynamic-overwrite mode rides on the WRITER as a data-source
+    # option, not a session-conf mutation (r12): the former global
+    # set/restore made concurrent merges into DIFFERENT tables unsafe
+    # — one thread's restore-to-static could land while another's
+    # write was still planning, silently turning its scoped overwrite
+    # into a whole-table replace. Per-writer scoping removes the race
+    # entirely (and the engine no longer mutates shared session state
+    # inside its hottest choke point).
+    #
+    # The advisory commit lock serializes this write against a
+    # concurrent compaction's validate-and-swap (commit.py): a
+    # swap cannot land mid-write and discard this batch, and this
+    # write's file changes force the racing compaction to abort
+    # and re-run rather than clobber.
+    with dataset_lock(path):
+        df.write.option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        keys = [
+            partition_key(
+                partition_cols, tuple(r[c] for c in partition_cols)
+            )
+            for r in df.select(*partition_cols).distinct().collect()
+        ]
+        check_and_bump_versions(path, keys)
+        # ``record_snapshot=False`` lets a caller whose commit is
+        # NOT finished at this point (apply_changes with emptied
+        # partitions still to rmtree) defer the version until the
+        # live tree matches the logical result — otherwise the
+        # head snapshot would resurrect deleted rows (r9 ADVICE).
+        if record_snapshot:
+            _record_snapshot(path, scope=keys, batch_id=snapshot_batch_id)
 
 
 def upsert_by_key(
