@@ -1055,3 +1055,80 @@ def test_stream_cms_matches_one_shot(spark, tmp_path):
     sink(docs.where("doc_id % 3 = 0"), 0)
     again = {(r.j, r.bucket): r.n for r in read_stream_cms(spark, cube).collect()}
     assert again == want
+
+
+def test_weather_etl_stream_runs_maintenance_between_loads(spark, tmp_path):
+    """E103 adopted by the topology: with ``maintenance_every=1`` the
+    sink bounds its own history between micro-batches — after three
+    data loads with ``keep_last_loads=2``, only the last two load
+    entries survive, the feed bundle retains ALL THREE (replicas can
+    rebuild history the source vacuumed), the head still serves every
+    event, and the scoped merges kept every live date partition at
+    one file so the compaction phase had nothing to rewrite."""
+    import os
+
+    from weatherflow_spark.operators.star import STAR_KEYS
+    from weatherflow_spark.operators.whlog import (
+        bundle_loads,
+        read_warehouse,
+        warehouse_loads,
+    )
+    from weatherflow_spark.streaming.pipeline import weather_etl_stream
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt_maint")
+    bundle = str(tmp_path / "bundle")
+
+    def land(day: int, ids, name: str) -> None:
+        base_ns = (1_700_000_000 + day * 86_400) * 1_000_000_000
+        df = spark.createDataFrame(
+            [(i, base_ns + i * 1_000_000, 12, "t", float(i), "{}")
+             for i in ids],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.rename(str(stage / part), str(src / name))
+
+    def run() -> None:
+        weather_etl_stream(
+            spark, str(src), wh, ckpt,
+            maintenance_every=1,
+            maintenance_keep_last_loads=2,
+            maintenance_feed_bundle=bundle,
+        ).awaitTermination()
+
+    land(0, range(10), "events.parquet_b1")
+    run()
+    assert warehouse_loads(wh) == [1]
+    land(1, range(10, 20), "events.parquet_b2")
+    run()
+    assert warehouse_loads(wh) == [1, 2]
+    land(2, range(20, 30), "events.parquet_b3")
+    run()
+    # history bounded by the in-sink vacuum; bundle retains everything
+    assert warehouse_loads(wh) == [2, 3]
+    assert bundle_loads(bundle) == [1, 2, 3]
+    # the head cut still serves every event across all three batches
+    head = read_warehouse(spark, wh)
+    assert head["w_fact"].count() == 30
+    assert read_warehouse(spark, wh, 2)["w_fact"].count() == 20
+    # tidy-by-construction: one live file per date partition, so the
+    # compaction phase was a planned no-op (asserted, not assumed)
+    for name in STAR_KEYS:
+        root = os.path.join(wh, name)
+        for d in os.listdir(root):
+            if not d.startswith("recorded_date="):
+                continue
+            files = [
+                f
+                for f in os.listdir(os.path.join(root, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (name, d, files)

@@ -240,6 +240,9 @@ def weather_etl_stream(
     checkpoint_dir: str,
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
+    maintenance_every: int | None = None,
+    maintenance_keep_last_loads: int | None = None,
+    maintenance_feed_bundle: str | None = None,
 ):
     """The full reference topology as a streaming query: source →
     transform core → foreachBatch star-schema load. ``trigger``
@@ -247,7 +250,25 @@ def weather_etl_stream(
     ``{"processingTime": "5 minutes"}`` for the reference's cadence
     (etl.py:129). ``max_files_per_trigger`` bounds each micro-batch by
     source files — the partition-isolation test drives two
-    different-date batches through one query with it."""
+    different-date batches through one query with it.
+
+    ``maintenance_every=N`` runs
+    :func:`~weatherflow_spark.operators.whlog.maintain_warehouse`
+    after every Nth data load, INSIDE the sink (E103 adopted by the
+    topology): at the reference's 288-loads/day-forever cadence
+    (etl.py:129, catchup=False :131) the unbounded load history —
+    not the live data — is what grows without bound, so the stream
+    itself bounds it: per-date compaction planning (a no-op while the
+    scoped merges keep partitions at one file each — asserted, not
+    assumed, by the pytest), optional per-load feed-bundle export
+    (``maintenance_feed_bundle``; replica keys come from
+    ``STAR_KEYS``), then a load-aware, feed-interlocked vacuum
+    keeping ``maintenance_keep_last_loads``. Maintenance is
+    replay-safe WITHOUT a batch key: every phase is idempotent and a
+    no-op pass mints no load, so a replayed Nth batch just re-runs a
+    bounded check. Synchronous by design — maintenance serializes
+    with the next batch's merges instead of racing them; size N so
+    the pass fits the trigger interval."""
     observations = events_as_weather_stream(
         read_events_stream(
             spark, sf_dir, max_files_per_trigger=max_files_per_trigger
@@ -312,13 +333,31 @@ def weather_etl_stream(
             tables = build_weather_star(
                 deduped, station_col="station_id", denormalize_date=True
             )
-            load_star_warehouse(
+            load = load_star_warehouse(
                 batch_df.sparkSession,
                 tables,
                 warehouse_dir,
                 batch_id=f"{scope}:{batch_id}",
                 partition_cols=STAR_DATE_PARTITIONING,
             )
+            if maintenance_every and load % maintenance_every == 0:
+                from weatherflow_spark.operators.star import STAR_KEYS
+                from weatherflow_spark.operators.whlog import (
+                    maintain_warehouse,
+                )
+
+                maintain_warehouse(
+                    batch_df.sparkSession,
+                    warehouse_dir,
+                    partition_cols=STAR_DATE_PARTITIONING,
+                    feed_bundle=maintenance_feed_bundle,
+                    key_cols=(
+                        {t: [k] for t, k in STAR_KEYS.items()}
+                        if maintenance_feed_bundle is not None
+                        else None
+                    ),
+                    keep_last_loads=maintenance_keep_last_loads,
+                )
         finally:
             deduped.unpersist()
 
