@@ -670,3 +670,79 @@ def test_delete_where_prunes_with_stats(spark, tmp_path):
     assert rep["files_total"] >= 8
     assert rep["files_scanned"] <= max(1, rep["files_total"] // 4)
     assert spark.read.parquet(path).count() == 1000 - 26
+
+
+def test_concurrent_merges_into_different_tables_stay_scoped(spark, tmp_path):
+    """r12.2: the dynamic-overwrite mode rides on each writer, not on
+    the session conf — two threads merging DIFFERENT tables at once
+    must each rewrite only their touched partitions. Under the old
+    global set/restore, one thread's restore-to-static could turn the
+    other's scoped overwrite into a whole-table replace."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = [str(tmp_path / f"t{i}") for i in range(4)]
+    for p in paths:
+        _mk(spark, DAY1 + DAY2).write.partitionBy("day").parquet(p)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == "static"
+    )
+
+    def merge(p):
+        upsert_by_key(
+            spark,
+            _mk(spark, [{"k": 1, "day": "2026-01-01", "v": 99.0}]),
+            p,
+            ["k"],
+            ["day"],
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f in [pool.submit(merge, p) for p in paths]:
+            f.result()
+    for p in paths:
+        rows = _read_sorted(spark, p)
+        # day 2 untouched in every table — a static overwrite would
+        # have dropped it
+        assert (3, "2026-01-02", 30.0) in rows and (4, "2026-01-02", 40.0) in rows
+        assert (1, "2026-01-01", 99.0) in rows and len(rows) == 4, (p, rows)
+
+
+def test_star_load_merges_dims_before_fact(spark, tmp_path, monkeypatch):
+    """The concurrent dim merges must still ALL complete before the
+    fact merge starts (crash-safety: never facts whose dims don't
+    exist)."""
+    import threading
+
+    from weatherflow_spark.operators import upsert as upsert_mod
+    from weatherflow_spark.operators.star import (
+        build_weather_star,
+        load_star_warehouse,
+    )
+
+    events = spark.createDataFrame(
+        [(i, 7, f"2026-01-01 00:00:{i:02d}", 20.0) for i in range(5)],
+        "event_id long, station_id long, "
+        "recorded_datetime_local string, temp double",
+    )
+    tables = build_weather_star(
+        events, station_col="station_id", natural_key_cols=["event_id"]
+    )
+    seen, lock = [], threading.Lock()
+    real = upsert_mod.upsert_by_key
+
+    def spy(spark_, batch, path, keys, pc=None, **kw):
+        import os as _os
+
+        with lock:
+            seen.append(_os.path.basename(path))
+        return real(spark_, batch, path, keys, pc, **kw)
+
+    # the loader imports upsert_by_key at call time from the upsert
+    # module, so patch it at the source
+    monkeypatch.setattr(upsert_mod, "upsert_by_key", spy)
+    load_star_warehouse(spark, tables, str(tmp_path / "wh"), batch_id="b1")
+    assert len(seen) == 5 and seen[-1] == "w_fact", seen
+    assert set(seen[:4]) == {
+        "w_time_dim", "w_param_dim", "w_temp_dim", "w_heat_index_dim"
+    }, seen
