@@ -58,3 +58,23 @@ def test_cli_quality_gate_blocks_bad_load(spark, tmp_path):
               "--checkpoint", str(tmp_path / "ck2"), "--quality-gate"])
     assert exc.value.code == 2
     assert not os.path.exists(os.path.join(wh2, "w_fact"))  # nothing written
+
+
+def test_cli_maintenance_flags(spark, tmp_path):
+    """--maintenance-every wires the between-loads pass into the
+    production runner; --keep-last-loads without it is refused."""
+    import pytest
+
+    from weatherflow_spark.operators.whlog import warehouse_loads
+
+    wh = str(tmp_path / "wh_m")
+    main(["--source", SF_SMALL, "--warehouse", wh,
+          "--checkpoint", str(tmp_path / "ckm"),
+          "--maintenance-every", "1", "--keep-last-loads", "1"])
+    assert os.path.isdir(os.path.join(wh, "w_fact"))
+    assert len(warehouse_loads(wh)) >= 1  # bounded, not emptied
+
+    with pytest.raises(SystemExit):
+        main(["--source", SF_SMALL, "--warehouse", wh,
+              "--checkpoint", str(tmp_path / "ckm2"),
+              "--keep-last-loads", "2"])

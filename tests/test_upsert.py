@@ -746,3 +746,23 @@ def test_star_load_merges_dims_before_fact(spark, tmp_path, monkeypatch):
     assert set(seen[:4]) == {
         "w_time_dim", "w_param_dim", "w_temp_dim", "w_heat_index_dim"
     }, seen
+
+
+def test_delete_where_serializable_holds_the_lock(spark, tmp_path):
+    """serializable=True runs both phases under one dataset-lock hold
+    (reentrant through apply_changes) and deletes correctly."""
+    from weatherflow_spark.operators import commit as commit_mod
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _dw_seed(spark, path)
+    rep = delete_where(
+        spark, path, "k >= 25", ["k"], partition_cols=["day"],
+        serializable=True,
+    )
+    assert rep["rows_matched"] == 5
+    # lock released after the call
+    assert commit_mod._HELD.get(commit_mod._lock_path(path), 0) == 0
+    from weatherflow_spark.operators.snaplog import read_version
+
+    assert read_version(spark, path).count() == 25

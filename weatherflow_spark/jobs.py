@@ -33,7 +33,29 @@ def main(argv: list[str] | None = None) -> None:
         "the source tables aborts with exit code 2 BEFORE anything "
         "is written",
     )
+    p.add_argument(
+        "--maintenance-every",
+        type=int,
+        default=None,
+        metavar="N",
+        help="run the between-loads maintenance pass "
+        "(whlog.maintain_warehouse: segment-planned compaction, "
+        "metadata re-cut load, load-aware vacuum) inside the sink "
+        "after every Nth data load — at the 288-loads/day cadence the "
+        "unbounded load history is what grows, so the stream bounds "
+        "its own",
+    )
+    p.add_argument(
+        "--keep-last-loads",
+        type=int,
+        default=None,
+        metavar="K",
+        help="maintenance vacuum retention: keep the last K warehouse "
+        "loads (requires --maintenance-every)",
+    )
     args = p.parse_args(argv)
+    if args.keep_last_loads is not None and args.maintenance_every is None:
+        p.error("--keep-last-loads requires --maintenance-every")
 
     spark = get_spark(app_name="weatherflow-etl")
 
@@ -69,6 +91,8 @@ def main(argv: list[str] | None = None) -> None:
         args.warehouse,
         args.checkpoint or f"{args.warehouse}/_checkpoint",
         trigger=trigger,
+        maintenance_every=args.maintenance_every,
+        maintenance_keep_last_loads=args.keep_last_loads,
     )
     q.awaitTermination()
 

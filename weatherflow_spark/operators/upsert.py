@@ -773,6 +773,7 @@ def delete_where(
     partition_cols: list[str] | None = None,
     prune: tuple | None = None,
     snapshot_batch_id: object | None = None,
+    serializable: bool = False,
 ) -> dict[str, int]:
     """Predicate-scoped row-level DELETE (E102): remove every row
     matching ``predicate`` from a parquet table — the
@@ -806,14 +807,32 @@ def delete_where(
 
     ``key_cols`` is the table's merge key (the keyed-upsert
     contract: keys are unique — the tombstone anti-join deletes BY
-    KEY, so on a key-duplicated table it would remove every row
+    KEY, so on a key-duplicated table it would remove all rows
     sharing a victim's key). A predicate matching nothing returns
     early: no commit, no version minted, replay-idempotent by
     construction. ``predicate`` is a Column or a SQL string.
 
+    Isolation: the default deletes the rows matching **as of the
+    victim scan** — a writer committing a new matching row between
+    the scan and the rewrite keeps that row (the rewrite itself is
+    still lock-serialized and conflict-safe; this is the standard
+    snapshot-delete contract). ``serializable=True`` holds the
+    dataset lock across BOTH phases, so the delete covers every row
+    any prior writer committed — at the cost of running the victim
+    scan inside the critical section that serializes all writers;
+    use it for small pruned scans, not table-wide sweeps.
+
     Returns ``{"rows_matched": r, "keys_deleted": k,
     "partitions_touched": p, "files_scanned": s, "files_total": t}``
     (scan counters are -1 when the scan was not stats-pruned)."""
+    from weatherflow_spark.operators.commit import dataset_lock
+
+    if serializable:
+        with dataset_lock(path):  # reentrant through apply_changes
+            return delete_where(
+                spark, path, predicate, key_cols, partition_cols,
+                prune, snapshot_batch_id, serializable=False,
+            )
     from weatherflow_spark.operators.snaplog import (
         read_version,
         snapshot_enabled,
