@@ -83,8 +83,12 @@ _CERTIFICATION_WINDOW = [
     "q_count_distinct",           # A2
     "q_olap_suite",               # A3 (rollup+cube+gsets) + pivot + percentiles
     "q_window_suite",             # W1+W2+W3
-    "q_sort",                     # O1
-    "q_topk",                     # O2
+    # r12.2: the separate q_sort/q_topk slots consolidate into
+    # q_order_suite (O1's rank digest + O2's heap top-k in one hash;
+    # the singles keep tail parity and q_topk keeps its
+    # TakeOrdered plan audit). The freed slot goes to the
+    # table-maintenance suite below.
+    "q_order_suite",              # O1 + O2
     "q_set_ops",                  # U1
     "q_event_window_suite",       # T2 tumbling + session forms (batch twins
                                   # of the streaming expressions)
@@ -116,6 +120,11 @@ _CERTIFICATION_WINDOW = [
     # families; E90-E99's history branches now fail under their own
     # name).
     "q_lakehouse_suite",
+    # r12.2: the slot freed by the q_sort/q_topk consolidation —
+    # the round's three operational verbs, each raise-checked:
+    # E102 delete_where, E103 maintain_warehouse, the E100 adoption
+    # (TPC-H Q6 over the file-skipping layout).
+    "q_maintenance_suite",
     "q_curation_suite",           # decontamination + source-mixture sampling
     # E5 distributed statistics (all 5 families) / E10 distribution windows
     "q_stats_suite",

@@ -423,6 +423,42 @@ ORACLES.update(
             ORDER BY p_retailprice DESC, p_partkey ASC
             LIMIT 10
         """,
+        "q_order_suite": """
+            WITH top AS (
+                SELECT o_orderkey, o_totalprice
+                FROM orders
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+                LIMIT 1000
+            ),
+            ranked AS (
+                SELECT row_number() OVER (
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS sort_rank,
+                       o_orderkey, o_totalprice
+                FROM top
+            ),
+            tk AS (
+                SELECT p_partkey, p_name, p_retailprice
+                FROM part
+                ORDER BY p_retailprice DESC, p_partkey ASC
+                LIMIT 10
+            )
+            SELECT 'sort' AS op, CAST(sort_rank AS VARCHAR) AS key,
+                   'key_id' AS metric, CAST(o_orderkey AS BIGINT) AS value
+            FROM ranked
+            UNION ALL
+            SELECT 'sort', CAST(sort_rank AS VARCHAR), 'price_cents',
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+            FROM ranked
+            UNION ALL
+            SELECT 'topk', CAST(p_partkey AS VARCHAR), 'price_cents',
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+            FROM tk
+            UNION ALL
+            SELECT 'topk', CAST(p_partkey AS VARCHAR), 'name_len',
+                   CAST(length(p_name) AS BIGINT)
+            FROM tk
+        """,
         "q_union": """
             SELECT p_partkey, p_size, p_brand FROM part WHERE p_size <= 10
             UNION ALL

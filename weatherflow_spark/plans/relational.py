@@ -414,6 +414,31 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2 consolidated window row (r12.2 — frees one certification
+    slot, the house rotation pattern: the ``q_sort``/``q_topk``
+    singles keep tail parity and their plan audits). LONG format
+    (op, key, metric, value:bigint): the 'sort' branch emits the
+    explicit global rank with its key and scaled price (the rank IS
+    the sort's observable output under an order-insensitive hash),
+    the 'topk' branch the heap-planned top-10 membership."""
+    s = q_sort(spark, sf_dir).selectExpr(
+        "'sort' AS op",
+        "cast(sort_rank AS string) AS key",
+        "stack(2, 'key_id', cast(o_orderkey AS bigint), "
+        "'price_cents', cast(floor(o_totalprice * 100 + 0.5) AS bigint)"
+        ") AS (metric, value)",
+    )
+    t = q_topk(spark, sf_dir).selectExpr(
+        "'topk' AS op",
+        "cast(p_partkey AS string) AS key",
+        "stack(2, 'price_cents', "
+        "cast(floor(p_retailprice * 100 + 0.5) AS bigint), "
+        "'name_len', cast(length(p_name) AS bigint)) AS (metric, value)",
+    )
+    return s.unionByName(t)
+
+
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: unionByName of two filtered scans (bag semantics, like SQL
     UNION ALL — no dedup shuffle)."""
@@ -511,6 +536,7 @@ RELATIONAL_QUERIES = {
     "q_join_mix": q_join_mix,
     "q_sort": q_sort,
     "q_topk": q_topk,
+    "q_order_suite": q_order_suite,
     "q_union": q_union,
     "q_except": q_except,
     "q_intersect": q_intersect,

@@ -2450,6 +2450,81 @@ ORACLE_WAREHOUSE_MAINTENANCE = f"""
 """
 
 
+def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-MAINTENANCE certification row (r12.2): the three
+    operational verbs added this round, each with its own raise
+    checks intact, in one LONG-format window row so the driver
+    certifies them per family:
+
+    - ``delete_where``          (E102): predicate-scoped row-level
+      delete — zone-map-pruned victim scan, partition-scoped rewrite,
+      byte-identical cold partitions, time travel, idempotent replay.
+    - ``warehouse_maintenance`` (E103): the between-loads pass —
+      segment-planned compaction, metadata re-cut load, feed-bundle
+      export, feed-interlocked load-aware vacuum, exactly-once
+      replay.
+    - ``q6_skipping``           (E100 adoption): TPC-H Q6 from the
+      shipdate-clustered layout, ≤¼ of files opened, result equal to
+      the plain oracle.
+
+    Every branch performs its real versioned I/O because that I/O IS
+    the certified claim."""
+    dw = q_delete_where(spark, sf_dir).selectExpr(
+        "'delete_where' AS op",
+        "o_orderpriority AS key",
+        "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'key_xor', key_xor) AS (metric, value)",
+    )
+    wm = q_warehouse_maintenance(spark, sf_dir).selectExpr(
+        "'warehouse_maintenance' AS op",
+        "concat(version_tag, '|', c_mktsegment) AS key",
+        "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
+    )
+    q6 = q_tpch_q6_skipping(spark, sf_dir).selectExpr(
+        "'q6_skipping' AS op",
+        "'all' AS key",
+        "stack(1, 'revenue', revenue) AS (metric, value)",
+    )
+    return dw.unionByName(wm).unionByName(q6)
+
+
+def _oracle_maintenance_suite() -> str:
+    from weatherflow_spark.plans.tpch_ext import ORACLE_TPCH_Q6
+
+    return f"""
+        WITH dw AS ({ORACLE_DELETE_WHERE}),
+        wm AS ({ORACLE_WAREHOUSE_MAINTENANCE}),
+        q6 AS ({ORACLE_TPCH_Q6})
+        SELECT 'delete_where' AS op, o_orderpriority AS key,
+               'n_rows' AS metric, n_rows AS value FROM dw
+        UNION ALL
+        SELECT 'delete_where', o_orderpriority, 'price_cents',
+               price_cents FROM dw
+        UNION ALL
+        SELECT 'delete_where', o_orderpriority, 'key_xor', key_xor
+        FROM dw
+        UNION ALL
+        SELECT 'warehouse_maintenance',
+               version_tag || '|' || c_mktsegment, 'n_rows', n_rows
+        FROM wm
+        UNION ALL
+        SELECT 'warehouse_maintenance',
+               version_tag || '|' || c_mktsegment, 'price_cents',
+               price_cents FROM wm
+        UNION ALL
+        SELECT 'warehouse_maintenance',
+               version_tag || '|' || c_mktsegment, 'bal_cents',
+               bal_cents FROM wm
+        UNION ALL
+        SELECT 'warehouse_maintenance',
+               version_tag || '|' || c_mktsegment, 'key_xor', key_xor
+        FROM wm
+        UNION ALL
+        SELECT 'q6_skipping', 'all', 'revenue', revenue FROM q6
+    """
+
+
 def _oracle_star_transaction() -> str:
     from weatherflow_spark.plans.oracles import (
         EVENTS_SIM,
@@ -3413,6 +3488,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_delete_where": q_delete_where,
     "q_warehouse_maintenance": q_warehouse_maintenance,
     "q_tpch_q6_skipping": q_tpch_q6_skipping,
+    "q_maintenance_suite": q_maintenance_suite,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
     "q_tpch_q4_bucketed": q_tpch_q4_bucketed,
@@ -3454,6 +3530,7 @@ SERVING_ORACLES: dict[str, str] = {
     "q_warehouse_maintenance": ORACLE_WAREHOUSE_MAINTENANCE,
     # E100 adoption: identity with the plain Q6 oracle verbatim.
     "q_tpch_q6_skipping": _oracle_tpch_q6_skipping(),
+    "q_maintenance_suite": _oracle_maintenance_suite(),
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
     # r12: the rest of the orderkey family routed through the layout —
