@@ -390,3 +390,42 @@ def check_and_bump_versions(
     with open(tmp, "w") as f:
         json.dump(cur, f, sort_keys=True)
     os.replace(tmp, _manifest_path(path))
+
+
+def unescape_path_name(s: str) -> str:
+    """Exact inverse of :func:`escape_path_name` (Spark's
+    ExternalCatalogUtils.unescapePathName): every ``%XX`` hex escape
+    decodes to its character; anything else passes through."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def partition_key_values(dirkey: str) -> list[tuple[str, str | None]]:
+    """Decode one hive directory key (``c1=v1/c2=v2`` as Spark wrote
+    it) back to ``[(column, value), ...]`` — values unescaped, the
+    default-partition marker mapped to None exactly as Spark's own
+    partition read would surface it."""
+    out: list[tuple[str, str | None]] = []
+    for seg in dirkey.strip("/").split("/"):
+        name, _, raw = seg.partition("=")
+        out.append(
+            (
+                unescape_path_name(name),
+                None
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else unescape_path_name(raw),
+            )
+        )
+    return out

@@ -618,9 +618,6 @@ def compact_partitions(
     live = path.rstrip("/")
     compacted: list[str] = []
     scratch = f"{live}__pcompact_{os.getpid()}"
-    prev_inf = spark.conf.get(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
-    )
     try:
         for dirkey, segname, _n in plan:
             with dataset_lock(path):
@@ -639,35 +636,32 @@ def compact_partitions(
                 # 'hour=00' to int 0 and the rewrite would land under
                 # a DIFFERENT directory (hour=0) while the scoped
                 # carve-out kept the old one — every row duplicated
-                # (r12 review). Inference off → string values →
-                # byte-identical dir names.
-                spark.conf.set(
-                    "spark.sql.sources."
-                    "partitionColumnTypeInference.enabled",
-                    "false",
+                # (r12 review). r12.2: read the leaf files WITHOUT a
+                # basePath (no partition columns derived, so no
+                # inference to disable) and attach the values decoded
+                # from the dirkey itself — byte-exact by construction,
+                # and no session-conf set/restore: the old global
+                # toggle raced every concurrent partitioned READ in
+                # the process (a second streaming query's merge could
+                # plan its date column as STRING mid-window) once
+                # maintenance moved inside the sink (r12.2 review).
+                from weatherflow_spark.operators.commit import (
+                    partition_key_values,
                 )
-                try:
-                    df = (
-                        spark.read.option("basePath", live)
-                        .option("mergeSchema", "true")
-                        .parquet(
-                            *[os.path.join(live, rel) for rel, _ in files]
-                        )
-                    )
-                    # Stage on DISK, not localCheckpoint: the rewrite
-                    # replaces the very files this read lists, and a
-                    # long maintenance loop must not pin every
-                    # compacted partition's data in executor storage
-                    # until GC (r12 review). Deterministic cleanup.
-                    shutil.rmtree(scratch, ignore_errors=True)
-                    df.write.mode("overwrite").parquet(scratch)
-                    staged = spark.read.parquet(scratch)
-                finally:
-                    spark.conf.set(
-                        "spark.sql.sources."
-                        "partitionColumnTypeInference.enabled",
-                        prev_inf,
-                    )
+
+                df = spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(live, rel) for rel, _ in files]
+                )
+                for col, val in partition_key_values(dirkey):
+                    df = df.withColumn(col, F.lit(val).cast("string"))
+                # Stage on DISK, not localCheckpoint: the rewrite
+                # replaces the very files this read lists, and a
+                # long maintenance loop must not pin every
+                # compacted partition's data in executor storage
+                # until GC (r12 review). Deterministic cleanup.
+                shutil.rmtree(scratch, ignore_errors=True)
+                df.write.mode("overwrite").parquet(scratch)
+                staged = spark.read.parquet(scratch)
                 overwrite_partitions(staged, path, partition_cols)
                 compacted.append(dirkey)
     finally:

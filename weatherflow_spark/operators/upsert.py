@@ -862,35 +862,46 @@ def delete_where(
             if versioned
             else spark.read.option("mergeSchema", "true").parquet(path)
         )
-    victims = src.where(pred)
-    # One bounded collect decides emptiness and the touched-partition
-    # count in the same job (victims are small by the delete
-    # contract: a user's rows, a bad batch — never the table).
-    rows_matched = victims.count()
-    if rows_matched == 0:
+    # Persist the victims for the operation's duration: the counters
+    # below and apply_changes' own jobs (key validation, touched-set
+    # collect, the merge checkpoint) would otherwise each re-run the
+    # victim scan — an unpruned delete on a large table would pay the
+    # full table read four or five times (r12.2 review). Victims are
+    # small by the delete contract (a user's rows, a bad batch), so
+    # pinning them is cheap; the three report counters collapse into
+    # ONE aggregation job over the pinned set.
+    victims = src.where(pred).persist()
+    try:
+        part_count = (
+            F.countDistinct(F.struct(*partition_cols))
+            if partition_cols
+            else F.lit(0).cast("long")
+        )
+        stats = victims.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct(*[F.col(c) for c in key_cols]).alias("keys"),
+            part_count.alias("parts"),
+        ).first()
+        if stats["rows"] == 0:
+            return {
+                "rows_matched": 0, "keys_deleted": 0,
+                "partitions_touched": 0,
+                "files_scanned": scanned, "files_total": total,
+            }
+        tombstones = victims.dropDuplicates(key_cols).withColumn(
+            "op", F.lit("D")
+        )
+        apply_changes(
+            spark, tombstones, path, key_cols,
+            partition_cols=partition_cols,
+            snapshot_batch_id=snapshot_batch_id,
+        )
         return {
-            "rows_matched": 0, "keys_deleted": 0,
-            "partitions_touched": 0,
-            "files_scanned": scanned, "files_total": total,
+            "rows_matched": stats["rows"],
+            "keys_deleted": stats["keys"],
+            "partitions_touched": stats["parts"],
+            "files_scanned": scanned,
+            "files_total": total,
         }
-    tombstones = victims.dropDuplicates(key_cols).withColumn(
-        "op", F.lit("D")
-    )
-    keys_deleted = tombstones.count()
-    n_parts = (
-        victims.select(*partition_cols).distinct().count()
-        if partition_cols
-        else 0
-    )
-    apply_changes(
-        spark, tombstones, path, key_cols,
-        partition_cols=partition_cols,
-        snapshot_batch_id=snapshot_batch_id,
-    )
-    return {
-        "rows_matched": rows_matched,
-        "keys_deleted": keys_deleted,
-        "partitions_touched": n_parts,
-        "files_scanned": scanned,
-        "files_total": total,
-    }
+    finally:
+        victims.unpersist()

@@ -2481,10 +2481,16 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
     )
+    # revenue re-scales to the exact underlying bigint (identical
+    # deterministic transform on the oracle side): a raw double here
+    # would widen the WHOLE union's value column to double and the
+    # dw/wm branches' bigint digests would hash at double precision —
+    # silently lossy past 2^53 (r12.2 review).
     q6 = q_tpch_q6_skipping(spark, sf_dir).selectExpr(
         "'q6_skipping' AS op",
         "'all' AS key",
-        "stack(1, 'revenue', revenue) AS (metric, value)",
+        "stack(1, 'revenue_e4', "
+        "cast(floor(revenue * 10000 + 0.5) AS bigint)) AS (metric, value)",
     )
     return dw.unionByName(wm).unionByName(q6)
 
@@ -2521,7 +2527,8 @@ def _oracle_maintenance_suite() -> str:
                version_tag || '|' || c_mktsegment, 'key_xor', key_xor
         FROM wm
         UNION ALL
-        SELECT 'q6_skipping', 'all', 'revenue', revenue FROM q6
+        SELECT 'q6_skipping', 'all', 'revenue_e4',
+               CAST(floor(revenue * 10000 + 0.5) AS BIGINT) FROM q6
     """
 
 

@@ -333,14 +333,19 @@ def weather_etl_stream(
             tables = build_weather_star(
                 deduped, station_col="station_id", denormalize_date=True
             )
-            load = load_star_warehouse(
+            load_star_warehouse(
                 batch_df.sparkSession,
                 tables,
                 warehouse_dir,
                 batch_id=f"{scope}:{batch_id}",
                 partition_cols=STAR_DATE_PARTITIONING,
             )
-            if maintenance_every and load % maintenance_every == 0:
+            # Cadence keys on the DATA batch number, not the warehouse
+            # load number: maintenance itself mints a re-cut load when
+            # it compacts, so a load-numbered cadence would skew —
+            # one compaction shifts every data load's parity and the
+            # pass starts running after every batch (r12.2 review).
+            if maintenance_every and (batch_id + 1) % maintenance_every == 0:
                 from weatherflow_spark.operators.star import STAR_KEYS
                 from weatherflow_spark.operators.whlog import (
                     maintain_warehouse,
