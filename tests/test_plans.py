@@ -130,6 +130,11 @@ def test_quality_gate_budget_pinned(spark):
     from weatherflow_spark.plans.quality import q_quality_gate
 
     sf01 = "/root/testdata/sf0.1"
+    # One untimed warm-up rep — bench.py's own methodology: JVM /
+    # codegen / first-file-listing warm-up is not the gate's cost,
+    # and billing it here made the pin flake at +2% depending on
+    # which tests happened to run before this one (r12.2).
+    q_quality_gate(spark, sf01).write.format("noop").mode("overwrite").save()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -1963,7 +1963,11 @@ def q_star_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes a 5-minute micro-batch O(batch) instead of a
     five-table rewrite). The per-partition-dir clustering in
     overwrite_partitions keeps it one file per touched partition
-    (26 s unclustered → 18 s → 14.5 s calm)."""
+    (26 s unclustered → 18 s → 14.5 s calm). r12.2 claws most of it
+    back without touching the claim: the four dim merges run
+    CONCURRENTLY (star.py — safe since the overwrite mode rides on
+    each writer) and each load's enriched frame is persisted for the
+    load's duration; min-of-3 24.5 → 11.3 s on an idle session."""
     import shutil
 
     from weatherflow_spark.operators.star import (
