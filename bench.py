@@ -247,6 +247,14 @@ OPTIONAL = [
     # r12: E100 file-skipping single (suite branch carries the window row)
     "q_file_skipping",
     "q_partition_compaction",
+    # r12.2: maintenance-tier singles + the slots q_order_suite
+    # consolidated (window rows ride q_maintenance_suite /
+    # q_order_suite; the singles keep their own bench trend lines)
+    "q_delete_where",
+    "q_warehouse_maintenance",
+    "q_tpch_q6_skipping",
+    "q_sort",
+    "q_topk",
 ]
 
 
