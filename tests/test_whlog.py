@@ -654,3 +654,31 @@ def test_maintain_vacuum_without_feed_is_not_interlocked(spark, wh):
     assert rep["feed"] is None
     assert rep["vacuum"]["__loads__"]["dropped_loads"] == 2
     assert warehouse_loads(wh) == [rep["load"]]
+
+
+def test_member_delete_needs_a_recut_load(spark, wh):
+    """GDPR shape (E102 × E97): a member-level delete_where is
+    invisible to warehouse readers until a load re-cut —
+    read_warehouse serves the load entry's recorded (pre-delete)
+    version by design. A metadata re-cut load exposes the post-delete
+    cut, and the load-aware vacuum then ages the pre-delete history
+    out."""
+    from weatherflow_spark.operators.upsert import delete_where
+    from weatherflow_spark.operators.whlog import vacuum_warehouse
+
+    _seed(spark, wh)
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L1") == 1
+    fact_p = os.path.join(wh, "fact")
+
+    rep = delete_where(spark, fact_p, "cust = 1", ["k"])
+    assert rep["rows_matched"] == 10
+    # warehouse head STILL serves the pre-delete cut (by design)
+    assert read_warehouse(spark, wh)["fact"].count() == 30
+    # metadata re-cut: version reuse, no data I/O
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L2") == 2
+    assert read_warehouse(spark, wh)["fact"].count() == 20
+    # pre-delete load still time-travels until the vacuum ages it out
+    assert read_warehouse(spark, wh, 1)["fact"].count() == 30
+    vacuum_warehouse(wh, keep_last_loads=1)
+    assert warehouse_loads(wh) == [2]
+    assert read_warehouse(spark, wh)["fact"].count() == 20

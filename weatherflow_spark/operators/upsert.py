@@ -822,6 +822,28 @@ def delete_where(
     scan inside the critical section that serializes all writers;
     use it for small pruned scans, not table-wide sweeps.
 
+    Right-to-be-forgotten is a PIPELINE, not this one call — the
+    delete is logical at the head; three more surfaces retain the
+    rows until their own expiry step runs (the same contract as
+    Delta/Iceberg DELETE + VACUUM):
+
+    - **History**: pre-delete versions time-travel until
+      ``vacuum_versions`` drops them — that retention is a feature
+      for rollback and a liability for erasure; run the vacuum when
+      the grace window closes.
+    - **Warehouse loads** (E97 members): ``read_warehouse`` serves
+      the LOAD ENTRY's recorded version, which predates the delete —
+      re-cut a load (``commit_warehouse``, pure metadata via version
+      reuse — ``maintain_warehouse`` does it as part of its pass)
+      so warehouse readers see the post-delete cut, then
+      ``vacuum_warehouse`` ages out the pre-delete loads
+      (tests/test_whlog.py::test_member_delete_needs_a_recut_load).
+    - **Exported change feeds**: already-exported versions are
+      immutable and still carry the rows; the delete itself exports
+      as 'D' tombstones (downstream replicas converge), but true
+      erasure of old feed partitions is the feed owner's
+      retention/redaction step.
+
     Returns ``{"rows_matched": r, "keys_deleted": k,
     "partitions_touched": p, "files_scanned": s, "files_total": t}``
     (scan counters are -1 when the scan was not stats-pruned)."""
