@@ -766,3 +766,19 @@ def test_delete_where_serializable_holds_the_lock(spark, tmp_path):
     from weatherflow_spark.operators.snaplog import read_version
 
     assert read_version(spark, path).count() == 25
+
+
+def test_delete_where_refuses_null_key_victims(spark, tmp_path):
+    """A NULL-key victim cannot be removed by the null-unsafe keyed
+    anti-join — the delete must refuse loudly, never report success
+    while the row silently survives (r12.2 review)."""
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 1.0), (None, 2.0), (3, 3.0)], "k long, v double"
+    ).write.mode("overwrite").parquet(path)
+    with pytest.raises(ValueError, match="NULL in key column"):
+        delete_where(spark, path, "v >= 2.0", ["k"])
+    # table untouched
+    assert spark.read.parquet(path).count() == 3

@@ -573,7 +573,10 @@ def compact_partitions(
     long maintenance loop. Returns ``{"partitions_compacted": n,
     "files_before": b, "files_after": a}`` (counted over the
     compacted partitions only)."""
-    from weatherflow_spark.operators.commit import dataset_lock
+    from weatherflow_spark.operators.commit import (
+        dataset_lock,
+        partition_key_values,
+    )
     from weatherflow_spark.operators.snaplog import (
         _entry_segments,
         _load_entry,
@@ -645,10 +648,6 @@ def compact_partitions(
                 # the process (a second streaming query's merge could
                 # plan its date column as STRING mid-window) once
                 # maintenance moved inside the sink (r12.2 review).
-                from weatherflow_spark.operators.commit import (
-                    partition_key_values,
-                )
-
                 df = spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(live, rel) for rel, _ in files]
                 )

@@ -833,9 +833,11 @@ def delete_where(
       the grace window closes.
     - **Warehouse loads** (E97 members): ``read_warehouse`` serves
       the LOAD ENTRY's recorded version, which predates the delete —
-      re-cut a load (``commit_warehouse``, pure metadata via version
-      reuse — ``maintain_warehouse`` does it as part of its pass)
-      so warehouse readers see the post-delete cut, then
+      re-cut a load (``commit_warehouse`` directly — pure metadata
+      via version reuse; ``maintain_warehouse`` re-cuts too, but only
+      when a compaction landed or it was given a ``batch_id``, so an
+      idle-warehouse erasure must not rely on a bare maintenance
+      pass) so warehouse readers see the post-delete cut, then
       ``vacuum_warehouse`` ages out the pre-delete loads
       (tests/test_whlog.py::test_member_delete_needs_a_recut_load).
     - **Exported change feeds**: already-exported versions are
@@ -899,11 +901,32 @@ def delete_where(
             if partition_cols
             else F.lit(0).cast("long")
         )
+        null_any = None
+        for c in key_cols:
+            cond = F.col(c).isNull()
+            null_any = cond if null_any is None else (null_any | cond)
         stats = victims.agg(
             F.count(F.lit(1)).alias("rows"),
             F.countDistinct(*[F.col(c) for c in key_cols]).alias("keys"),
             part_count.alias("parts"),
+            F.sum(null_any.cast("long")).alias("null_keys"),
         ).first()
+        if stats["null_keys"]:
+            # A NULL-key victim cannot be deleted by the keyed
+            # rewrite at all — the anti-join is null-UNSAFE, so its
+            # tombstone would match nothing and the row would
+            # silently survive while the report claimed it deleted
+            # (and countDistinct would skip it from keys_deleted,
+            # r12.2 review). Refuse loudly; such a row can only
+            # come from a table written OUTSIDE the keyed choke
+            # points, which validate keys non-null on every batch.
+            raise ValueError(
+                f"{path}: {stats['null_keys']} matching row(s) carry "
+                f"NULL in key column(s) {key_cols} — the keyed delete "
+                "cannot remove them (null-unsafe anti-join). Repair "
+                "the keys or delete their partition via apply_changes "
+                "with explicit partition tombstones."
+            )
         if stats["rows"] == 0:
             return {
                 "rows_matched": 0, "keys_deleted": 0,
