@@ -253,6 +253,7 @@ OPTIONAL = [
     "q_delete_where",
     "q_warehouse_maintenance",
     "q_tpch_q6_skipping",
+    "q_restore_version",
     "q_sort",
     "q_topk",
 ]

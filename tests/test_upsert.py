@@ -782,3 +782,74 @@ def test_delete_where_refuses_null_key_victims(spark, tmp_path):
         delete_where(spark, path, "v >= 2.0", ["k"])
     # table untouched
     assert spark.read.parquet(path).count() == 3
+
+
+# ---------------------------------------------------------------- E104
+# restore_version: roll a versioned table back as a new commit.
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_restore_version_rolls_back_as_new_commit(spark, tmp_path, mode):
+    from weatherflow_spark.operators.snaplog import read_version, versions
+    from weatherflow_spark.operators.upsert import restore_version
+
+    path = str(tmp_path / "t")
+    _dw_seed(spark, path, mode=mode)  # 30 rows over 3 day partitions
+    v1 = versions(path)[-1]
+
+    def day_files(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            n: os.stat(os.path.join(d, n)).st_ino
+            for n in os.listdir(d)
+            if not n.startswith(("_", "."))
+        }
+
+    # bad load: replace day-1 rows and insert strays (day-2 untouched)
+    bad = _mk(
+        spark,
+        [{"k": 0, "day": "2026-01-01", "v": 999.0},
+         {"k": 100, "day": "2026-01-01", "v": 100.0}],
+    )
+    upsert_by_key(spark, bad, path, ["k"], ["day"])
+    cold_before = day_files("2026-01-02")
+
+    rep = restore_version(spark, path, v1, ["k"], ["day"])
+    # one replaced row back + one inserted key tombstoned
+    assert rep["changes_applied"] == 2
+    assert rep["new_version"] > rep["from_version"]
+    # content == v1 exactly; untouched partition byte-identical
+    assert read_version(spark, path).exceptAll(
+        read_version(spark, path, v1)
+    ).count() == 0
+    assert read_version(spark, path).count() == 30
+    assert day_files("2026-01-02") == cold_before
+    # the bad version still time-travels (history append-only)
+    bad_v = rep["from_version"]
+    assert read_version(spark, path, bad_v).where("k = 100").count() == 1
+    # idempotent: a second restore applies an empty diff, mints nothing
+    n_vs = len(versions(path))
+    rep2 = restore_version(spark, path, v1, ["k"], ["day"])
+    assert rep2["changes_applied"] == 0
+    assert len(versions(path)) == n_vs
+    # roll FORWARD to the bad version — same verb, no branch surgery
+    rep3 = restore_version(spark, path, bad_v, ["k"], ["day"])
+    assert rep3["changes_applied"] == 2
+    assert read_version(spark, path).where("k = 100").count() == 1
+
+
+def test_restore_version_guards(spark, tmp_path):
+    from weatherflow_spark.operators.upsert import restore_version
+
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="no committed versions"):
+        _mk(spark, DAY1).write.mode("overwrite").parquet(path)
+        from weatherflow_spark.operators.snaplog import init_snapshot_log
+
+        init_snapshot_log(path)
+        restore_version(spark, path, 1, ["k"])
+    from weatherflow_spark.operators.snaplog import record_commit
+
+    record_commit(path)
+    with pytest.raises(ValueError, match="not in log"):
+        restore_version(spark, path, 99, ["k"])

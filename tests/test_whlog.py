@@ -682,3 +682,44 @@ def test_member_delete_needs_a_recut_load(spark, wh):
     vacuum_warehouse(wh, keep_last_loads=1)
     assert warehouse_loads(wh) == [2]
     assert read_warehouse(spark, wh)["fact"].count() == 20
+
+
+def test_restore_warehouse_load_rolls_back_every_member(spark, wh):
+    """E104 × E97: a bad multi-table load rolls back as ONE new load
+    — every member O(diff)-restored to the target entry's version,
+    read_warehouse serving the rolled-back cut immediately, history
+    append-only, replay keyed exactly-once."""
+    from weatherflow_spark.operators.whlog import restore_warehouse_load
+
+    _seed(spark, wh)
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L1") == 1
+    good = _joined_digest(read_warehouse(spark, wh, 1))
+
+    # bad load: both members mutated
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 1, 9999.0)], "k long, cust long, amt double"),
+        os.path.join(wh, "fact"), ["k"],
+    )
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, "segX", 0.0)], "cust long, seg string, bal double"),
+        os.path.join(wh, "dim"), ["cust"],
+    )
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L2") == 2
+    assert _joined_digest(read_warehouse(spark, wh)) != good
+
+    keys = {"fact": ["k"], "dim": ["cust"]}
+    rep = restore_warehouse_load(spark, wh, 1, keys, batch_id="R1")
+    assert rep["load"] == 3
+    assert rep["restored"]["fact"] == 1 and rep["restored"]["dim"] == 1
+    assert _joined_digest(read_warehouse(spark, wh)) == good
+    # the bad load still time-travels
+    assert _joined_digest(read_warehouse(spark, wh, 2)) != good
+    # replay: keyed re-cut returned, nothing re-applied
+    rep2 = restore_warehouse_load(spark, wh, 1, keys, batch_id="R1")
+    assert rep2["load"] == 3
+    assert rep2["restored"] == {"dim": 0, "fact": 0}
+    # keyless member refused before anything is touched
+    with pytest.raises(ValueError, match="no key_cols"):
+        restore_warehouse_load(spark, wh, 1, {"fact": ["k"]})

@@ -950,3 +950,79 @@ def delete_where(
         }
     finally:
         victims.unpersist()
+
+
+def restore_version(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    batch_id: object | None = None,
+) -> dict[str, int]:
+    """RESTORE a versioned table to an earlier version AS A NEW
+    COMMIT (E104, the Delta ``RESTORE TABLE ... VERSION AS OF``
+    verb): the rollback every warehouse needs the day a bad load
+    lands. Nothing is rewound — the restore derives the CDC feed
+    that transforms the current head into the target
+    (:func:`~weatherflow_spark.operators.snaplog.diff_versions`) and
+    applies it through :func:`apply_changes`, so:
+
+    - the WRITE cost is O(changed partitions), never a table rewrite
+      — rolling back one bad micro-batch on a 100 TB table rewrites
+      that batch's partitions (the diff's compute is two version
+      scans; its output is only the drift);
+    - untouched partitions keep their files byte-identical;
+    - history stays intact and append-only: the bad version still
+      time-travels (until vacuum), the restore is itself a version,
+      and a second restore to the bad version rolls FORWARD — no
+      branch surgery, exactly the lakehouse restore contract;
+    - re-running the same restore applies an EMPTY diff (content
+      no-op; with no changes it returns early without minting a
+      version), so crash-retry is safe.
+
+    ``key_cols`` is the table's merge key (tombstones delete by key).
+    Returns ``{"from_version", "to_version", "changes_applied",
+    "new_version"}`` (``new_version`` == the old head when the table
+    already matched the target)."""
+    from weatherflow_spark.operators.snaplog import (
+        diff_versions,
+        versions,
+    )
+
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"{path}: no committed versions to restore")
+    if version not in vs:
+        raise ValueError(
+            f"{path}: version {version} not in log "
+            f"(have {vs[0]}..{vs[-1]}, vacuumed versions are gone)"
+        )
+    head = vs[-1]
+    if version == head:
+        return {
+            "from_version": head, "to_version": version,
+            "changes_applied": 0, "new_version": head,
+        }
+    changes = diff_versions(spark, path, head, version, key_cols).persist()
+    try:
+        n = changes.count()
+        if n == 0:
+            # content-identical versions (e.g. a compaction between
+            # them): nothing to write, nothing to mint
+            return {
+                "from_version": head, "to_version": version,
+                "changes_applied": 0, "new_version": head,
+            }
+        apply_changes(
+            spark, changes, path, key_cols, "op", partition_cols,
+            snapshot_batch_id=batch_id,
+        )
+    finally:
+        changes.unpersist()
+    return {
+        "from_version": head,
+        "to_version": version,
+        "changes_applied": n,
+        "new_version": versions(path)[-1],
+    }

@@ -803,3 +803,57 @@ def maintain_warehouse(
         "feed": feed,
         "vacuum": vacuum,
     }
+
+
+def restore_warehouse_load(
+    spark: SparkSession,
+    wh_dir: str,
+    load: int,
+    key_cols: dict[str, list[str]],
+    partition_cols: dict[str, list[str]] | None = None,
+    batch_id: object | None = None,
+) -> dict:
+    """RESTORE the whole warehouse to an earlier LOAD as a new load
+    (E104 × E97): every member rolls back to the version the target
+    load entry recorded — each an O(changed partitions) CDC restore
+    (:func:`~weatherflow_spark.operators.upsert.restore_version`),
+    never a table rewrite — and ONE new load entry pairs the restored
+    heads, so ``read_warehouse()`` serves the rolled-back cut the
+    instant the entry lands and a replica applying the feed bundle
+    converges to the same state through ordinary 'D'/'U' changes.
+    History stays append-only: the bad loads still time-travel until
+    ``vacuum_warehouse`` ages them out, and restoring again to the
+    bad load rolls forward.
+
+    ``key_cols`` must map every member the target load references (a
+    keyless table cannot be rolled back by keyed merge). ``batch_id``
+    keys the RE-CUT load exactly-once; member restores are
+    content-idempotent by construction (an already-restored member
+    applies an empty diff). Returns ``{"load": new_load,
+    "restored": {table: changes_applied}}``."""
+    from weatherflow_spark.operators.upsert import restore_version
+
+    entry = load_entry(wh_dir, load)
+    members = sorted(entry["tables"])
+    missing = sorted(set(members) - set(key_cols))
+    if missing:
+        raise ValueError(
+            f"{wh_dir}: no key_cols for member table(s) {missing} — "
+            "a keyless table cannot be restored by keyed merge"
+        )
+    if batch_id is not None:
+        prior = committed_load(wh_dir, batch_id)
+        if prior is not None:
+            return {"load": prior, "restored": {t: 0 for t in members}}
+    restored = {}
+    for t in members:
+        rep = restore_version(
+            spark,
+            os.path.join(wh_dir, t),
+            int(entry["tables"][t]),
+            key_cols[t],
+            (partition_cols or {}).get(t),
+        )
+        restored[t] = rep["changes_applied"]
+    new_load = commit_warehouse(wh_dir, members, batch_id=batch_id)
+    return {"load": new_load, "restored": restored}

@@ -2454,6 +2454,125 @@ ORACLE_WAREHOUSE_MAINTENANCE = f"""
 """
 
 
+RST_PRI = "2-HIGH"  # the partition the bad load corrupts
+
+
+def q_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E104 driver row: RESTORE-as-new-commit
+    (``operators/upsert.restore_version`` — the Delta ``RESTORE TABLE
+    ... VERSION AS OF`` verb re-derived): seed a priority-partitioned
+    versioned orders copy, land a BAD load (price bump + stray
+    inserts, confined to one priority), and roll back to the seed.
+    The restore applies the head→seed CDC diff through the scoped
+    choke point, so the query RAISES unless:
+
+    - only the corrupted priority's partition was rewritten — the
+      four cold partitions' files are inode/mtime byte-identical
+      across BOTH the bad load and the restore,
+    - the bad version still time-travels after the rollback (history
+      is append-only; no branch surgery),
+    - re-running the restore applies an EMPTY diff and mints nothing.
+
+    Serve the per-priority digest of the head; the oracle is the
+    plain derivation from raw orders — the restore must reproduce the
+    seed exactly."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        versions,
+    )
+    from weatherflow_spark.operators.upsert import (
+        restore_version,
+        upsert_by_key,
+    )
+
+    path = os.path.join(_scratch_dir(sf_dir), "restore_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + ".__snaplog", ignore_errors=True)
+    shutil.rmtree(path + ".__retain", ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.coalesce(4).write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    init_snapshot_log(path)
+    v1 = record_commit(path)
+
+    def cold_files() -> dict[str, tuple[int, int]]:
+        out: dict[str, tuple[int, int]] = {}
+        for root, _dirs, names in os.walk(path):
+            if f"o_orderpriority={RST_PRI}" in root:
+                continue
+            for nme in names:
+                if nme.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, nme))
+                rel = os.path.relpath(os.path.join(root, nme), path)
+                out[rel] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    before = cold_files()
+    bad = orders.where(
+        (F.col("o_orderkey") % 5 == 0)
+        & (F.col("o_orderpriority") == RST_PRI)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(7.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    upsert_by_key(spark, bad, path, ["o_orderkey"], ["o_orderpriority"])
+    bad_v = versions(path)[-1]
+
+    rep = restore_version(
+        spark, path, v1, ["o_orderkey"], ["o_orderpriority"]
+    )
+    replay = restore_version(
+        spark, path, v1, ["o_orderkey"], ["o_orderpriority"]
+    )
+    def pri_cents(v=None) -> int:
+        return (
+            read_version(spark, path, v)
+            .where(F.col("o_orderpriority") == RST_PRI)
+            .agg(
+                F.sum(
+                    F.expr(
+                        "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                    )
+                ).alias("c")
+            )
+            .first()["c"]
+        )
+
+    bad_cents, head_cents = pri_cents(bad_v), pri_cents()
+    if (
+        rep["changes_applied"] == 0
+        or rep["new_version"] <= bad_v
+        or replay["changes_applied"] != 0
+        or cold_files() != before
+        or bad_cents <= head_cents  # bad version must still carry the bump
+    ):
+        raise RuntimeError(
+            f"restore regressed: {rep}, replay {replay}, cold-identity "
+            f"{cold_files() == before}, bad/head cents "
+            f"{bad_cents}/{head_cents}"
+        )
+    return (
+        read_version(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("price_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        )
+    )
+
+
 def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-MAINTENANCE certification row (r12.2): the three
     operational verbs added this round, each with its own raise
@@ -2470,6 +2589,10 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``q6_skipping``           (E100 adoption): TPC-H Q6 from the
       shipdate-clustered layout, ≤¼ of files opened, result equal to
       the plain oracle.
+    - ``restore``               (E104): rollback-as-new-commit — the
+      head→seed CDC diff applied through the scoped choke point,
+      cold partitions byte-identical, history append-only, replay an
+      empty diff.
 
     Every branch performs its real versioned I/O because that I/O IS
     the certified claim."""
@@ -2496,7 +2619,13 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(1, 'revenue_e4', "
         "cast(floor(revenue * 10000 + 0.5) AS bigint)) AS (metric, value)",
     )
-    return dw.unionByName(wm).unionByName(q6)
+    rst = q_restore_version(spark, sf_dir).selectExpr(
+        "'restore' AS op",
+        "o_orderpriority AS key",
+        "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'key_xor', key_xor) AS (metric, value)",
+    )
+    return dw.unionByName(wm).unionByName(q6).unionByName(rst)
 
 
 def _oracle_maintenance_suite() -> str:
@@ -2505,7 +2634,8 @@ def _oracle_maintenance_suite() -> str:
     return f"""
         WITH dw AS ({ORACLE_DELETE_WHERE}),
         wm AS ({ORACLE_WAREHOUSE_MAINTENANCE}),
-        q6 AS ({ORACLE_TPCH_Q6})
+        q6 AS ({ORACLE_TPCH_Q6}),
+        rst AS ({ORACLE_PARTITION_COMPACTION})
         SELECT 'delete_where' AS op, o_orderpriority AS key,
                'n_rows' AS metric, n_rows AS value FROM dw
         UNION ALL
@@ -2533,6 +2663,13 @@ def _oracle_maintenance_suite() -> str:
         UNION ALL
         SELECT 'q6_skipping', 'all', 'revenue_e4',
                CAST(floor(revenue * 10000 + 0.5) AS BIGINT) FROM q6
+        UNION ALL
+        SELECT 'restore', o_orderpriority, 'n_rows', n_rows FROM rst
+        UNION ALL
+        SELECT 'restore', o_orderpriority, 'price_cents', price_cents
+        FROM rst
+        UNION ALL
+        SELECT 'restore', o_orderpriority, 'key_xor', key_xor FROM rst
     """
 
 
@@ -3499,6 +3636,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_delete_where": q_delete_where,
     "q_warehouse_maintenance": q_warehouse_maintenance,
     "q_tpch_q6_skipping": q_tpch_q6_skipping,
+    "q_restore_version": q_restore_version,
     "q_maintenance_suite": q_maintenance_suite,
     "q_tpch_q3_bucketed": q_tpch_q3_bucketed,
     "q_tpch_q18_bucketed": q_tpch_q18_bucketed,
@@ -3541,6 +3679,9 @@ SERVING_ORACLES: dict[str, str] = {
     "q_warehouse_maintenance": ORACLE_WAREHOUSE_MAINTENANCE,
     # E100 adoption: identity with the plain Q6 oracle verbatim.
     "q_tpch_q6_skipping": _oracle_tpch_q6_skipping(),
+    # E104: the restore must reproduce the seed exactly — plain
+    # raw-orders digest, shared with the compaction row.
+    "q_restore_version": ORACLE_PARTITION_COMPACTION,
     "q_maintenance_suite": _oracle_maintenance_suite(),
     "q_tpch_q3_bucketed": _oracle_tpch_q3_bucketed(),
     "q_tpch_q18_bucketed": _oracle_tpch_q18_bucketed(),
