@@ -78,3 +78,18 @@ def test_cli_maintenance_flags(spark, tmp_path):
         main(["--source", SF_SMALL, "--warehouse", wh,
               "--checkpoint", str(tmp_path / "ckm2"),
               "--keep-last-loads", "2"])
+
+    # r12 ADVICE: a zero/negative cadence makes (batch_id + 1) % N == 0
+    # true for every batch — reject at the CLI and in the topology.
+    for bad in ("0", "-1"):
+        with pytest.raises(SystemExit):
+            main(["--source", SF_SMALL, "--warehouse", wh,
+                  "--checkpoint", str(tmp_path / "ckm3"),
+                  "--maintenance-every", bad])
+    from weatherflow_spark.streaming.pipeline import weather_etl_stream
+
+    with pytest.raises(ValueError, match="maintenance_every"):
+        weather_etl_stream(
+            spark, SF_SMALL, wh, str(tmp_path / "ckm4"),
+            maintenance_every=-1,
+        )

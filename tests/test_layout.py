@@ -376,3 +376,64 @@ def test_compact_partitions_plans_from_segments(spark, tmpdir, mode):
     )
     assert out2["partitions_compacted"] == 0
     assert versions(path) == [1, 2]
+
+
+def test_lock_blocks_cross_thread_same_path(tmp_path):
+    """r12 ADVICE: the reentrancy counter is per (path, THREAD), not
+    per path — two threads of one process writing the SAME dataset
+    must serialize through the lock file instead of both passing the
+    'already ours' check and entering the critical section together."""
+    import os
+    import threading
+    import time
+
+    from weatherflow_spark.operators.commit import dataset_lock
+
+    path = str(tmp_path / "ds")
+    os.makedirs(path)
+    events: list[str] = []
+    inner_started = threading.Event()
+
+    def other():
+        inner_started.set()
+        with dataset_lock(path, timeout=10.0):
+            events.append("other-in")
+
+    with dataset_lock(path):
+        t = threading.Thread(target=other)
+        t.start()
+        inner_started.wait(5.0)
+        time.sleep(0.4)  # give the other thread time to (wrongly) enter
+        events.append("holder-out")
+    t.join(10.0)
+    assert events == ["holder-out", "other-in"], events
+
+    # same-THREAD reentrancy still works after the keying change
+    with dataset_lock(path):
+        with dataset_lock(path, timeout=0.3):
+            pass
+
+
+def test_unescape_rejects_non_ascii_hex_forms():
+    """r12 ADVICE: Python's int(s, 16) accepts whitespace/sign/unicode
+    digits that Java's Integer.parseInt rejects — such sequences must
+    pass through undecoded so externally-written directory names round
+    trip exactly as a Spark read would see them."""
+    from weatherflow_spark.operators.commit import (
+        escape_path_name,
+        unescape_path_name,
+    )
+
+    assert unescape_path_name("%41") == "A"
+    assert unescape_path_name("g%3A0") == "g:0"
+    # forms int(_, 16) would decode but Spark would not:
+    assert unescape_path_name("% 4") == "% 4"
+    assert unescape_path_name("%+4") == "%+4"
+    assert unescape_path_name("%-4") == "%-4"
+    assert unescape_path_name("%٤٤") == "%٤٤"
+    # truncated escape at end-of-string passes through
+    assert unescape_path_name("%4") == "%4"
+    assert unescape_path_name("%") == "%"
+    # round trip over every escaped char
+    for s in ["a:b", "x=y", "p%q", "h#1", "a/b", 'q"r']:
+        assert unescape_path_name(escape_path_name(s)) == s

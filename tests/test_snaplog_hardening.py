@@ -245,9 +245,7 @@ def test_apply_changes_deferred_snapshot_stays_locked(spark, tmpdir, monkeypatch
     orig = upsert_mod._record_snapshot
 
     def spy(p, scope=None, batch_id=None):
-        held_at_record.append(
-            commit_mod._HELD.get(commit_mod._lock_path(p), 0)
-        )
+        held_at_record.append(commit_mod.lock_held_by_me(p))
         return orig(p, scope=scope, batch_id=batch_id)
 
     monkeypatch.setattr(upsert_mod, "_record_snapshot", spy)
@@ -256,7 +254,7 @@ def test_apply_changes_deferred_snapshot_stays_locked(spark, tmpdir, monkeypatch
         "k long, grp string, val double, op string",
     )
     apply_changes(spark, changes, path, ["k"], partition_cols=["grp"])
-    assert held_at_record and all(h > 0 for h in held_at_record), (
+    assert held_at_record and all(held_at_record), (
         "snapshot recorded outside the dataset lock hold"
     )
     assert read_version(spark, path).count() == 5  # head matches live

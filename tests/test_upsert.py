@@ -762,7 +762,7 @@ def test_delete_where_serializable_holds_the_lock(spark, tmp_path):
     )
     assert rep["rows_matched"] == 5
     # lock released after the call
-    assert commit_mod._HELD.get(commit_mod._lock_path(path), 0) == 0
+    assert not commit_mod.lock_held_by_me(path)
     from weatherflow_spark.operators.snaplog import read_version
 
     assert read_version(spark, path).count() == 25

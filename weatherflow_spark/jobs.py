@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
     if args.keep_last_loads is not None and args.maintenance_every is None:
         p.error("--keep-last-loads requires --maintenance-every")
+    if args.maintenance_every is not None and args.maintenance_every < 1:
+        # a negative N makes (batch_id + 1) % N == 0 true for every
+        # batch — reject the typo here too (r12 ADVICE)
+        p.error("--maintenance-every must be >= 1")
 
     spark = get_spark(app_name="weatherflow-etl")
 

@@ -85,12 +85,25 @@ def _lock_path(path: str) -> str:
     return path.rstrip("/") + ".__lock"
 
 
-# Per-process reentrancy: a writer that takes the lock for its whole
+# Per-THREAD reentrancy: a writer that takes the lock for its whole
 # read-modify-write calls helpers (overwrite_partitions) that take it
 # again — the inner acquisition must not deadlock on our own lock.
-# Writers are driver-side and single-threaded per dataset (foreachBatch
-# sinks, CLI jobs), which this counter assumes.
-_HELD: dict[str, int] = {}
+# Keyed by (lock path, thread ident), not lock path alone (r12
+# ADVICE): with in-process multithreading (ThreadPoolExecutor dim
+# merges in star.py lock DISTINCT paths, but nothing enforced that),
+# a path-only key let two threads writing the SAME dataset both pass
+# the "already ours" check and enter the critical section together.
+# Cross-thread same-path acquisitions now fall through to the O_EXCL
+# file and block until the holder thread releases (the holder's own
+# pid is alive, so the waiter never expires it as dead).
+_HELD: dict[tuple[str, int], int] = {}
+
+
+def lock_held_by_me(path: str) -> bool:
+    """True iff the CURRENT THREAD holds the dataset lock for
+    ``path`` — the assertion hook for internal helpers that require
+    their caller to have locked the whole read-modify-write."""
+    return _HELD.get((_lock_path(path), threading.get_ident()), 0) > 0
 
 
 def _lock_token() -> str:
@@ -165,12 +178,13 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 3600.0):
     exactly one waiter, so two waiters can never both
     break-and-acquire."""
     lp = _lock_path(path)
-    if _HELD.get(lp, 0) > 0:  # reentrant: already ours
-        _HELD[lp] += 1
+    held_key = (lp, threading.get_ident())
+    if _HELD.get(held_key, 0) > 0:  # reentrant: already ours, THIS thread
+        _HELD[held_key] += 1
         try:
             yield
         finally:
-            _HELD[lp] -= 1
+            _HELD[held_key] -= 1
         return
     # First-ever write: the dataset's parent may not exist yet (the
     # writer would create it) — the lock file needs it now.
@@ -205,7 +219,7 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 3600.0):
                     f"lock on {path} held for {age:.0f}s; timed out"
                 )
             time.sleep(0.05)
-    _HELD[lp] = 1
+    _HELD[held_key] = 1
     # Heartbeat: holders keep the lock for full Spark writes, which
     # can legitimately exceed any fixed stale_after. Refreshing mtime
     # makes staleness mean "heartbeat stopped" (crashed process /
@@ -233,7 +247,7 @@ def dataset_lock(path: str, timeout: float = 60.0, stale_after: float = 3600.0):
     try:
         yield
     finally:
-        _HELD[lp] = 0
+        _HELD.pop(held_key, None)
         stop.set()
         beat.join(timeout=1.0)
         # Release ONLY our own acquisition: if a waiter broke this
@@ -398,15 +412,19 @@ def unescape_path_name(s: str) -> str:
     decodes to its character; anything else passes through."""
     out = []
     i = 0
+    hexd = "0123456789abcdefABCDEF"
     while i < len(s):
         c = s[i]
-        if c == "%" and i + 3 <= len(s):
-            try:
-                out.append(chr(int(s[i + 1 : i + 3], 16)))
-                i += 3
-                continue
-            except ValueError:
-                pass
+        # Both escape chars must be ASCII hex digits, exactly as
+        # Java's Integer.parseInt(s, 16) would accept: Python's
+        # int(s, 16) also tolerates whitespace/sign/unicode-digit
+        # forms ('% 4', '%+4', '%٤٤') that Spark rejects, so decoding
+        # them here would break the byte-exact round trip that
+        # compact_partitions relies on (r12 ADVICE).
+        if c == "%" and i + 3 <= len(s) and s[i + 1] in hexd and s[i + 2] in hexd:
+            out.append(chr(int(s[i + 1 : i + 3], 16)))
+            i += 3
+            continue
         out.append(c)
         i += 1
     return "".join(out)

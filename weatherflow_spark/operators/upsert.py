@@ -480,7 +480,7 @@ def _upsert_locked(
 
     # Same lock contract as _apply_changes_locked: the whole
     # read-modify-write must run inside the caller's hold.
-    if not _commit._HELD.get(_commit._lock_path(path), 0) > 0:
+    if not _commit.lock_held_by_me(path):
         # RuntimeError, not assert: python -O would compile an assert
         # away and silently reopen the deferred-snapshot window (r11
         # review).
@@ -636,7 +636,7 @@ def _apply_changes_locked(
     # half-applied state in between (r10 ADVICE). Assert the
     # invariant so a future direct caller can't silently reopen the
     # window.
-    if not _commit._HELD.get(_commit._lock_path(path), 0) > 0:
+    if not _commit.lock_held_by_me(path):
         raise RuntimeError(
             f"{path}: _apply_changes_locked requires the caller to "
             "hold the dataset lock (use apply_changes)"
@@ -894,7 +894,19 @@ def delete_where(
     # small by the delete contract (a user's rows, a bad batch), so
     # pinning them is cheap; the three report counters collapse into
     # ONE aggregation job over the pinned set.
-    victims = src.where(pred).persist()
+    # Pinning mode depends on recompute safety (r12 ADVICE): versioned
+    # reads are vacuum-protected immutable file sets, so persist() —
+    # whose blocks can be dropped and recomputed — is safe. An
+    # UNVERSIONED read serves the live directory; once apply_changes
+    # starts rewriting those same files, a recomputation would read a
+    # mutated/deleted tree (FileNotFound or wrong tombstones), so the
+    # victims must be cut from lineage entirely: localCheckpoint
+    # materializes them eagerly and truncates the plan back to the
+    # stored blocks.
+    if versioned:
+        victims = src.where(pred).persist()
+    else:
+        victims = src.where(pred).localCheckpoint(eager=True)
     try:
         part_count = (
             F.countDistinct(F.struct(*partition_cols))
@@ -985,41 +997,50 @@ def restore_version(
     Returns ``{"from_version", "to_version", "changes_applied",
     "new_version"}`` (``new_version`` == the old head when the table
     already matched the target)."""
+    from weatherflow_spark.operators.commit import dataset_lock
     from weatherflow_spark.operators.snaplog import (
         diff_versions,
         versions,
     )
 
-    vs = versions(path)
-    if not vs:
-        raise ValueError(f"{path}: no committed versions to restore")
-    if version not in vs:
-        raise ValueError(
-            f"{path}: version {version} not in log "
-            f"(have {vs[0]}..{vs[-1]}, vacuumed versions are gone)"
-        )
-    head = vs[-1]
-    if version == head:
-        return {
-            "from_version": head, "to_version": version,
-            "changes_applied": 0, "new_version": head,
-        }
-    changes = diff_versions(spark, path, head, version, key_cols).persist()
-    try:
-        n = changes.count()
-        if n == 0:
-            # content-identical versions (e.g. a compaction between
-            # them): nothing to write, nothing to mint
+    # The whole resolve→diff→apply runs under the dataset lock (r12
+    # ADVICE): head resolution and the diff computed from it must not
+    # race a writer committing in between, or the restore applies a
+    # STALE diff over the new commit — the result is neither the
+    # target version nor a consistent head. Restore is a rare
+    # administrative verb; serializing it against writers is the
+    # correct default, and apply_changes re-enters the same lock.
+    with dataset_lock(path):
+        vs = versions(path)
+        if not vs:
+            raise ValueError(f"{path}: no committed versions to restore")
+        if version not in vs:
+            raise ValueError(
+                f"{path}: version {version} not in log "
+                f"(have {vs[0]}..{vs[-1]}, vacuumed versions are gone)"
+            )
+        head = vs[-1]
+        if version == head:
             return {
                 "from_version": head, "to_version": version,
                 "changes_applied": 0, "new_version": head,
             }
-        apply_changes(
-            spark, changes, path, key_cols, "op", partition_cols,
-            snapshot_batch_id=batch_id,
-        )
-    finally:
-        changes.unpersist()
+        changes = diff_versions(spark, path, head, version, key_cols).persist()
+        try:
+            n = changes.count()
+            if n == 0:
+                # content-identical versions (e.g. a compaction between
+                # them): nothing to write, nothing to mint
+                return {
+                    "from_version": head, "to_version": version,
+                    "changes_applied": 0, "new_version": head,
+                }
+            apply_changes(
+                spark, changes, path, key_cols, "op", partition_cols,
+                snapshot_batch_id=batch_id,
+            )
+        finally:
+            changes.unpersist()
     return {
         "from_version": head,
         "to_version": version,

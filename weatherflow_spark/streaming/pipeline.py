@@ -269,6 +269,14 @@ def weather_etl_stream(
     bounded check. Synchronous by design — maintenance serializes
     with the next batch's merges instead of racing them; size N so
     the pass fits the trigger interval."""
+    if maintenance_every is not None and maintenance_every < 1:
+        # (batch_id + 1) % -1 == 0 for EVERY batch: a typo'd negative
+        # cadence would silently run the full maintenance pass
+        # (compaction plan, possible re-cut, vacuum) after every
+        # single load instead of being rejected (r12 ADVICE).
+        raise ValueError(
+            f"maintenance_every must be >= 1, got {maintenance_every}"
+        )
     observations = events_as_weather_stream(
         read_events_stream(
             spark, sf_dir, max_files_per_trigger=max_files_per_trigger
