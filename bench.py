@@ -256,6 +256,12 @@ OPTIONAL = [
     "q_restore_version",
     "q_sort",
     "q_topk",
+    # r13: displaced from the window by q_warehouse_suite (family
+    # certified via q_stats_suite's 'window_dist' branch)
+    "q_window_dist",
+    # r13: merge-on-read deletion-vector single (suite branch
+    # 'delete_dv' carries the window row)
+    "q_delete_where_dv",
 ]
 
 

@@ -1,0 +1,286 @@
+"""Merge-on-read deletion vectors (r12 verdict #1): delete_where
+(use_dv=True) commits the victim KEYS as a sidecar parquet recorded in
+the version entry — zero data files rewritten — and every reader
+anti-joins them until a rewrite of the covered partition folds the
+delete into data files. The reference's warehouse cannot delete at all
+(reference dags/utils/database.py:25-34); the eager mode (E102) can
+but rewrites every victim partition — DV mode is what makes a
+scattered-key right-to-be-forgotten O(victims) instead of O(table)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def _seed(spark, path, mode="mirror"):
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+        set_stats_columns,
+    )
+
+    # k scattered across all three day partitions — the RTBF shape
+    rows = [
+        {"k": i, "day": f"2026-01-0{1 + i % 3}", "v": float(i)}
+        for i in range(30)
+    ]
+    _mk(spark, rows).repartition(1).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+    init_snapshot_log(path, mode=mode)
+    set_stats_columns(path, ["k"])
+    record_commit(path)
+    return rows
+
+
+def _inodes(path):
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, f)
+            out[os.path.relpath(full, path)] = os.stat(full).st_ino
+    return out
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_dv_delete_rewrites_zero_files_and_time_travels(spark, tmp_path, mode):
+    from weatherflow_spark.operators.snaplog import (
+        head_dv,
+        read_live,
+        read_version,
+        scan_version,
+        versions,
+    )
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, mode=mode)
+    v1 = versions(path)[-1]
+    before = _inodes(path)
+
+    # RTBF by key: victims k % 10 == 3 scatter across EVERY partition
+    rep = delete_where(
+        spark, path, "k % 10 = 3", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    assert rep["rows_matched"] == 3 and rep["keys_deleted"] == 3
+    assert rep["partitions_touched"] == 3
+    assert rep["files_rewritten"] == 0
+    # THE claim: not one data file rewritten — all inodes identical
+    assert _inodes(path) == before
+    assert head_dv(path), "head entry must carry the DV"
+
+    got = {r["k"] for r in read_version(spark, path).collect()}
+    assert got == {i for i in range(30) if i % 10 != 3}
+    # read_live agrees (mirror live tree still holds the rows physically)
+    assert {r["k"] for r in read_live(spark, path).collect()} == got
+    # pruned scan applies the DV too
+    df, info = scan_version(spark, path, "k", lo=0, hi=29)
+    assert {r["k"] for r in df.collect()} == got
+    # time travel: pre-delete version intact
+    assert read_version(spark, path, v1).count() == 30
+    # replay: same predicate matches nothing post-DV → no new version
+    head = versions(path)[-1]
+    rep2 = delete_where(
+        spark, path, "k % 10 = 3", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    assert rep2["rows_matched"] == 0
+    assert versions(path)[-1] == head
+
+
+def test_dv_batch_id_replay_returns_prior_version(spark, tmp_path):
+    from weatherflow_spark.operators.snaplog import versions
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    rep = delete_where(
+        spark, path, "k = 7", ["k"], partition_cols=["day"],
+        use_dv=True, snapshot_batch_id="job-42",
+    )
+    assert rep["keys_deleted"] == 1
+    head = versions(path)[-1]
+    rep2 = delete_where(
+        spark, path, "k = 8", ["k"], partition_cols=["day"],
+        use_dv=True, snapshot_batch_id="job-42",  # re-delivered batch
+    )
+    assert rep2["new_version"] == rep["new_version"]
+    assert versions(path)[-1] == head  # nothing minted, k=8 survives
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_upsert_folds_dv_on_touched_partition_only(spark, tmp_path, mode):
+    """A keyed upsert into a covered partition reads post-DV content,
+    rewrites it, and the new entry drops THAT partition's DV while
+    untouched partitions carry theirs — re-inserted keys come back."""
+    from weatherflow_spark.operators.snaplog import head_dv, read_version
+    from weatherflow_spark.operators.upsert import delete_where, upsert_by_key
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, mode=mode)
+    delete_where(
+        spark, path, "k % 10 = 3", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    # k=3 lives on day=2026-01-01 (3 % 3 == 0 → day index 1)
+    batch = _mk(spark, [{"k": 3, "day": "2026-01-01", "v": 300.0}])
+    upsert_by_key(spark, batch, path, ["k"], ["day"])
+    dv = head_dv(path)
+    assert "day=2026-01-01" not in dv, "touched partition must fold"
+    assert "day=2026-01-02" in dv and "day=2026-01-03" in dv
+    rows = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    assert rows[3] == 300.0          # re-inserted key visible
+    assert 13 not in rows and 23 not in rows  # carried DVs still apply
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_compaction_folds_dvs_and_vacuum_gcs_them(spark, tmp_path, mode):
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import (
+        _dv_dir,
+        head_dv,
+        read_version,
+        vacuum_versions,
+        versions,
+    )
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, mode=mode)
+    delete_where(
+        spark, path, "k % 10 = 3", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    assert len(os.listdir(_dv_dir(path))) == 1
+    # DV-covered partitions are offenders regardless of file count
+    out = compact_partitions(spark, path, ["day"], max_files=100)
+    assert out["partitions_compacted"] == 3
+    assert head_dv(path) == {}, "fold must drop every DV"
+    got = {r["k"] for r in read_version(spark, path).collect()}
+    assert got == {i for i in range(30) if i % 10 != 3}
+    # history: the DV version still time-travels until vacuum
+    pre_fold = versions(path)[-2]
+    assert read_version(spark, path, pre_fold).count() == 27
+    vacuum_versions(path, keep_last=1)
+    assert os.listdir(_dv_dir(path)) == [], "unreferenced DV not GC'd"
+    assert {r["k"] for r in read_version(spark, path).collect()} == got
+
+
+def test_dv_fold_that_empties_a_partition_deletes_it(spark, tmp_path):
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import head_dv, read_version
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    # wipe one whole partition by key predicate (day 3 ⇔ k % 3 == 2)
+    delete_where(
+        spark, path, "k % 3 = 2", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    compact_partitions(spark, path, ["day"], max_files=100)
+    assert head_dv(path) == {}
+    assert not os.path.isdir(os.path.join(path, "day=2026-01-03"))
+    got = read_version(spark, path)
+    assert got.count() == 20
+    assert {
+        str(r["day"]) for r in got.select("day").distinct().collect()
+    } == {"2026-01-01", "2026-01-02"}
+
+
+def test_dv_requires_versioned_table_and_nonnull_keys(spark, tmp_path):
+    from weatherflow_spark.operators.upsert import delete_where
+
+    bare = str(tmp_path / "bare")
+    _mk(spark, [{"k": 1, "day": "d", "v": 1.0}]).write.parquet(bare)
+    with pytest.raises(ValueError, match="snapshot log"):
+        delete_where(spark, bare, "k = 1", ["k"], use_dv=True)
+
+    path = str(tmp_path / "t")
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+    )
+
+    rows = [{"k": None, "day": "2026-01-01", "v": 0.0}] + [
+        {"k": i, "day": "2026-01-01", "v": float(i)} for i in range(1, 4)
+    ]
+    spark.createDataFrame(
+        rows, "k long, day string, v double"
+    ).write.partitionBy("day").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)
+    with pytest.raises(ValueError, match="NULL in key"):
+        delete_where(
+            spark, path, "v < 10", ["k"], partition_cols=["day"],
+            use_dv=True,
+        )
+
+
+def test_clone_refuses_live_dvs(spark, tmp_path):
+    from weatherflow_spark.operators.snaplog import clone_table
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_where(
+        spark, path, "k = 5", ["k"], partition_cols=["day"], use_dv=True
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        clone_table(path, str(tmp_path / "c"))
+
+
+def test_dv_delete_conflicts_cas_writers(spark, tmp_path):
+    """A DV delete bumps the covered partitions' CAS versions: a
+    writer whose batch predates the delete must raise, not silently
+    merge over it."""
+    from weatherflow_spark.operators.commit import (
+        UpsertConflict,
+        partition_versions,
+    )
+    from weatherflow_spark.operators.upsert import delete_where, upsert_by_key
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    expected = partition_versions(path)
+    delete_where(
+        spark, path, "k = 6", ["k"], partition_cols=["day"], use_dv=True
+    )
+    batch = _mk(spark, [{"k": 6, "day": "2026-01-01", "v": -1.0}])
+    with pytest.raises(UpsertConflict):
+        upsert_by_key(
+            spark, batch, path, ["k"], ["day"],
+            expected_versions=expected,
+        )
+
+
+def test_dv_restore_rolls_back_a_dv_delete(spark, tmp_path):
+    """RESTORE across a DV version: the diff re-inserts the deleted
+    rows through apply_changes (which reads post-DV), and the covered
+    partitions fold on the rewrite."""
+    from weatherflow_spark.operators.snaplog import (
+        head_dv,
+        read_version,
+        versions,
+    )
+    from weatherflow_spark.operators.upsert import delete_where, restore_version
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    v1 = versions(path)[-1]
+    delete_where(
+        spark, path, "k % 10 = 3", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    out = restore_version(spark, path, v1, ["k"], ["day"])
+    assert out["changes_applied"] == 3  # the three deleted rows return
+    assert read_version(spark, path).count() == 30
+    assert head_dv(path) == {}, "restored partitions must fold their DVs"

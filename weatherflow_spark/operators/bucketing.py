@@ -41,14 +41,28 @@ from pyspark.sql import DataFrame, SparkSession
 # rebuild and every session after that reuses the widened layout.
 # (r12: + l_linenumber/l_suppkey for the derived commit/receipt dates
 # and Q21's supplier profile; + o_orderstatus for Q21's finished-order
-# filter.)
+# filter; r13: + l_returnflag for Q10's returned-item scan.)
 BW_LINEITEM_COLS = [
     "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
-    "l_extendedprice", "l_discount", "l_shipdate",
+    "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate",
 ]
 BW_ORDERS_COLS = [
     "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
     "o_orderpriority", "o_orderstatus",
+]
+
+# The CUSTKEY join family's working set (r13, VERDICT r12 #5): the
+# second standing layout — orders⋈customer (Q13's outer-join
+# distribution, Q10's join-back, Q22's shape) shuffles both sides at
+# every scale without it. Storage trade: orders is stored TWICE
+# (once per layout, pruned to each family's columns) — the standard
+# warehouse answer, documented in ARCHITECTURE.md.
+BWC_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+]
+BWC_CUSTOMER_COLS = [
+    "c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment",
 ]
 
 
@@ -113,6 +127,16 @@ def _bw_spec(n_buckets: int) -> dict:
     }
 
 
+def _sf_tag(sf_dir: str) -> str:
+    # Hashes realpath(sf_dir) so two scale dirs sharing a basename can
+    # never alias (r12 advice).
+    return (
+        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        + "_"
+        + hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    )
+
+
 def bucketed_warehouse(
     spark: SparkSession,
     sf_dir: str,
@@ -144,21 +168,97 @@ def bucketed_warehouse(
     loser of a build race keeps the winner's tree and discards its
     own. Dead builders' scratch dirs are swept by pid-liveness (scratch
     is host-local, so the probe is meaningful)."""
+    tag = _sf_tag(sf_dir)
+    names = _standing_layout(
+        spark,
+        sf_dir,
+        scratch_base,
+        dir_name=f"bucketed_wh_{tag}",
+        spec=_bw_spec(n_buckets),
+        n_buckets=n_buckets,
+        members=[
+            {
+                "name": "lineitem", "source": "lineitem",
+                "table": f"wf_bw_lineitem_{tag}",
+                "cols": BW_LINEITEM_COLS, "key": "l_orderkey",
+            },
+            {
+                "name": "orders", "source": "orders",
+                "table": f"wf_bw_orders_{tag}",
+                "cols": BW_ORDERS_COLS, "key": "o_orderkey",
+            },
+        ],
+    )
+    return names[0], names[1]
+
+
+def bucketed_warehouse_cust(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_base: str,
+    n_buckets: int = 8,
+) -> tuple[str, str]:
+    """The SECOND standing layout (r13, VERDICT r12 #5): orders and
+    customer co-bucketed + sorted by the CUSTKEY, returned as
+    ``(orders_table, customer_table)``. The custkey join family —
+    Q13's customer⟕orders distribution, Q10's per-customer revenue
+    join-back, Q22's account-balance shape — shuffles BOTH sides at
+    every scale without it; with it the join is bucket-to-bucket and
+    a groupBy on the custkey is exchange-free. Same durability /
+    marker / atomic-rename machinery as :func:`bucketed_warehouse`
+    (one shared implementation). Storage trade: orders is stored once
+    per layout, pruned to each family's columns — documented in
+    ARCHITECTURE.md; a real warehouse materializes its two or three
+    hottest join layouts exactly like this."""
+    tag = _sf_tag(sf_dir)
+    names = _standing_layout(
+        spark,
+        sf_dir,
+        scratch_base,
+        dir_name=f"bucketed_whc_{tag}",
+        spec={
+            "n_buckets": n_buckets,
+            "orders_cols": BWC_ORDERS_COLS,
+            "customer_cols": BWC_CUSTOMER_COLS,
+        },
+        n_buckets=n_buckets,
+        members=[
+            {
+                "name": "orders", "source": "orders",
+                "table": f"wf_bwc_orders_{tag}",
+                "cols": BWC_ORDERS_COLS, "key": "o_custkey",
+            },
+            {
+                "name": "customer", "source": "customer",
+                "table": f"wf_bwc_customer_{tag}",
+                "cols": BWC_CUSTOMER_COLS, "key": "c_custkey",
+            },
+        ],
+    )
+    return names[0], names[1]
+
+
+def _standing_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_base: str,
+    dir_name: str,
+    spec: dict,
+    n_buckets: int,
+    members: list[dict],
+) -> list[str]:
+    """Shared builder for marker-durable co-bucketed layouts (see
+    :func:`bucketed_warehouse` for the full contract). ``members``:
+    ``{name, source, table, cols, key}`` per table — ``name`` keys the
+    marker's DDL entries (``<name>_ddl``, the pre-r13 format, so
+    existing orderkey-pair markers keep validating), ``table`` is the
+    durable catalog name, ``key`` the bucket+sort column."""
     from weatherflow_spark.io import load_table
 
-    tag = (
-        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-        + "_"
-        + hashlib.sha1(
-            os.path.realpath(sf_dir).encode()
-        ).hexdigest()[:8]
-    )
-    t_li, t_ord = f"wf_bw_lineitem_{tag}", f"wf_bw_orders_{tag}"
-    base = os.path.join(scratch_base, f"bucketed_wh_{tag}")
+    base = os.path.join(scratch_base, dir_name)
     marker = os.path.join(base, "_WF_BUILT")
-    spec = _bw_spec(n_buckets)
 
-    def _try_reuse() -> tuple[str, str] | None:
+    def _try_reuse() -> list[str] | None:
         # Our own marker gates the skip (a bare directory from a
         # crashed build is rebuilt); the recorded spec must match, or
         # a widened column list / changed bucket count would silently
@@ -170,15 +270,12 @@ def bucketed_warehouse(
             return None
         if meta.get("spec") != spec:
             return None
-        register_bucketed(
-            spark, t_li, meta["lineitem_ddl"], ["l_orderkey"],
-            ["l_orderkey"], n_buckets, os.path.join(base, "lineitem"),
-        )
-        register_bucketed(
-            spark, t_ord, meta["orders_ddl"], ["o_orderkey"],
-            ["o_orderkey"], n_buckets, os.path.join(base, "orders"),
-        )
-        return t_li, t_ord
+        for m in members:
+            register_bucketed(
+                spark, m["table"], meta[f"{m['name']}_ddl"], [m["key"]],
+                [m["key"]], n_buckets, os.path.join(base, m["name"]),
+            )
+        return [m["table"] for m in members]
 
     got = _try_reuse()
     if got is not None:
@@ -189,9 +286,11 @@ def bucketed_warehouse(
     # in an 8-char hex hash, so a 1-7 digit numeric tail is
     # unambiguously legacy — each strands a full bucketed copy
     # forever otherwise, r12 review).
+    prefix = dir_name.split("_", 2)
+    prefix = "_".join(prefix[:2]) + "_"  # "bucketed_wh_" / "bucketed_whc_"
     try:
         for n in os.listdir(scratch_base):
-            if not n.startswith("bucketed_wh_"):
+            if not n.startswith(prefix):
                 continue
             tail = n.rsplit("_", 1)[-1]
             if "__building_" not in n and not (
@@ -215,39 +314,36 @@ def bucketed_warehouse(
     # not survive next to the new one — drop this session's catalog
     # entries (external: metadata only) and clear the tree so the
     # atomic rename below can land.
-    for t in (t_li, t_ord):
-        if spark.catalog.tableExists(t):
-            spark.sql(f"DROP TABLE {t}")
+    for m in members:
+        if spark.catalog.tableExists(m["table"]):
+            spark.sql(f"DROP TABLE {m['table']}")
     tmp = f"{base}__building_{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    li = load_table(spark, sf_dir, "lineitem").select(*BW_LINEITEM_COLS)
-    orders = load_table(spark, sf_dir, "orders").select(*BW_ORDERS_COLS)
     # Build under throwaway pid-tagged names: saveAsTable pins the
     # catalog location to the scratch path, which goes stale at the
     # rename — the durable names are registered at the final location
     # by _try_reuse after the swap.
-    b_li, b_ord = f"{t_li}_b{os.getpid()}", f"{t_ord}_b{os.getpid()}"
+    ddls: dict[str, str] = {}
+    build_names = {
+        m["name"]: f"{m['table']}_b{os.getpid()}" for m in members
+    }
     try:
-        write_bucketed(
-            li, b_li, ["l_orderkey"], n_buckets,
-            sort_cols=["l_orderkey"], path=os.path.join(tmp, "lineitem"),
-        )
-        write_bucketed(
-            orders, b_ord, ["o_orderkey"], n_buckets,
-            sort_cols=["o_orderkey"], path=os.path.join(tmp, "orders"),
-        )
-        li_ddl = spark.table(b_li)._jdf.schema().toDDL()
-        ord_ddl = spark.table(b_ord)._jdf.schema().toDDL()
+        for m in members:
+            df = load_table(spark, sf_dir, m["source"]).select(*m["cols"])
+            write_bucketed(
+                df, build_names[m["name"]], [m["key"]], n_buckets,
+                sort_cols=[m["key"]], path=os.path.join(tmp, m["name"]),
+            )
+            ddls[f"{m['name']}_ddl"] = (
+                spark.table(build_names[m["name"]])._jdf.schema().toDDL()
+            )
     finally:
-        for t in (b_li, b_ord):
+        for t in build_names.values():
             if spark.catalog.tableExists(t):
                 spark.sql(f"DROP TABLE {t}")  # external: data stays
     with open(os.path.join(tmp, "_WF_BUILT"), "w") as f:
-        json.dump(
-            {"spec": spec, "lineitem_ddl": li_ddl, "orders_ddl": ord_ddl},
-            f,
-        )
+        json.dump({"spec": spec, **ddls}, f)
     # Enter service via rename, NEVER rmtree-then-rename of a possibly
     # LIVE tree (r12 review: an unconditional rmtree(base) deletes the
     # parquet files a concurrent winner's registered tables are

@@ -305,7 +305,15 @@ def compact(
         except OSError:
             pass
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    df = spark.read.parquet(path)
+    from weatherflow_spark.operators.snaplog import head_dv, read_version
+
+    if head_dv(path):
+        # Mirror-mode live files still hold DV-deleted rows physically
+        # — read the post-DV head so the rewrite FOLDS the deletes
+        # (the post-swap full-walk commit then drops every DV, r13).
+        df = read_version(spark, path)
+    else:
+        df = spark.read.parquet(path)
     if sort_col is not None:
         out = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
             sort_col
@@ -437,6 +445,8 @@ def rewrite_widen(
             "the table root; a subdirectory swap would delete files "
             "retained versions still reference"
         )
+    from weatherflow_spark.operators.snaplog import head_dv
+
     manifest = snapshot_mode(path) == "manifest"
     manifest_snap0 = None
     # Token BEFORE the source resolves (r11 review principle; the r12
@@ -450,6 +460,10 @@ def rewrite_widen(
     if manifest and versions(path):
         manifest_snap0 = snap0
         df = read_version(spark, path)  # superseded files must not be read
+    elif head_dv(path):
+        # live mirror files still hold DV-deleted rows — the widen
+        # rewrite must fold them, not resurrect them (r13)
+        df = read_version(spark, path)
     else:
         df = spark.read.option("mergeSchema", "true").parquet(path)
     types = dict(df.dtypes)
@@ -578,8 +592,10 @@ def compact_partitions(
         partition_key_values,
     )
     from weatherflow_spark.operators.snaplog import (
+        _entry_dv,
         _entry_segments,
         _load_entry,
+        _read_dv_keys,
         _segment_files,
         snapshot_enabled,
         versions,
@@ -598,8 +614,10 @@ def compact_partitions(
                 f"{path}: no committed versions — record_commit the "
                 "seed first"
             )
-        segs = _entry_segments(path, _load_entry(path, vs[-1]))
-        plan: list[tuple[str, str, int]] = []
+        head_entry = _load_entry(path, vs[-1])
+        segs = _entry_segments(path, head_entry)
+        head_dvs = _entry_dv(head_entry)
+        plan: list[tuple[str, str, int, tuple[str, ...]]] = []
         for dirkey, segname in sorted(segs.items()):
             if not dirkey:
                 continue  # root-level files are not a partition
@@ -615,23 +633,33 @@ def compact_partitions(
                     "the table's full partition column sequence"
                 )
             n_files = len(_segment_files(path, segname))
-            if n_files > max_files:
-                plan.append((dirkey, segname, n_files))
-    planned_n = {d: n for d, _, n in plan}
+            dv_names = tuple(sorted(head_dvs.get(dirkey) or ()))
+            # DV-covered partitions are offenders regardless of file
+            # count: compaction is where merge-on-read deletes FOLD
+            # into data files (r12 verdict #1) — every read of a
+            # covered partition pays the anti-join until then.
+            if n_files > max_files or dv_names:
+                plan.append((dirkey, segname, n_files, dv_names))
+    planned_n = {d: n for d, _, n, _dv in plan}
     live = path.rstrip("/")
     compacted: list[str] = []
     scratch = f"{live}__pcompact_{os.getpid()}"
     try:
-        for dirkey, segname, _n in plan:
+        for dirkey, segname, _n, dv_names in plan:
             with dataset_lock(path):
                 # re-validate under THIS hold: a writer that committed
                 # to the partition since planning replaced its segment
                 # — rewriting the planned (stale) file list would
                 # discard that commit. Skip; the next pass re-plans.
-                head = _entry_segments(
-                    path, _load_entry(path, versions(path)[-1])
-                )
+                # The DV set re-validates too: a delete landing since
+                # planning adds a DV this rewrite would not fold —
+                # rewriting with the stale set would RESURRECT its
+                # victims (the fresh commit drops the dir's DVs).
+                head_e = _load_entry(path, versions(path)[-1])
+                head = _entry_segments(path, head_e)
                 if head.get(dirkey) != segname:
+                    continue
+                if tuple(sorted(_entry_dv(head_e).get(dirkey) or ())) != dv_names:
                     continue
                 files = _segment_files(path, segname)
                 # partition values must come back EXACTLY as the
@@ -651,8 +679,52 @@ def compact_partitions(
                 df = spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(live, rel) for rel, _ in files]
                 )
+                if dv_names:
+                    # FOLD the partition's deletion vectors: the
+                    # rewrite is the merge-on-read delete's merge
+                    # half — anti-join the victim keys so the new
+                    # files physically exclude them; the scoped
+                    # commit below then drops the dir's DVs (its
+                    # segment changed).
+                    dvk = _read_dv_keys(spark, path, list(dv_names))
+                    df = df.join(
+                        F.broadcast(dvk),
+                        on=list(dvk.columns),
+                        how="left_anti",
+                    )
                 for col, val in partition_key_values(dirkey):
                     df = df.withColumn(col, F.lit(val).cast("string"))
+                if dv_names and not df.head(1):
+                    # The fold emptied the partition (the DV covered
+                    # every row): an empty dynamic overwrite writes
+                    # nothing and the scoped commit would carry the
+                    # old segment — delete the directory explicitly,
+                    # exactly like apply_changes' emptied-partition
+                    # branch (mirror), or carve it out of the new
+                    # entry (manifest).
+                    from weatherflow_spark.operators.snaplog import (
+                        snapshot_mode as _sm,
+                    )
+                    from weatherflow_spark.operators.upsert import (
+                        _record_snapshot,
+                    )
+                    from weatherflow_spark.operators.commit import (
+                        check_and_bump_versions,
+                    )
+
+                    if _sm(path) == "manifest":
+                        overwrite_partitions(
+                            df, path, partition_cols,
+                            replaced_keys=[dirkey],
+                        )
+                    else:
+                        shutil.rmtree(
+                            os.path.join(live, dirkey), ignore_errors=True
+                        )
+                        check_and_bump_versions(path, [dirkey])
+                        _record_snapshot(path, scope=[dirkey])
+                    compacted.append(dirkey)
+                    continue
                 # Stage on DISK, not localCheckpoint: the rewrite
                 # replaces the very files this read lists, and a
                 # long maintenance loop must not pin every

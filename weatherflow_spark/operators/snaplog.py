@@ -222,6 +222,147 @@ def _entry_segments(path: str, entry: dict) -> dict[str, str]:
     return _write_segments(path, [tuple(x) for x in entry["files"]])
 
 
+def _dv_dir(path: str) -> str:
+    return os.path.join(_log_dir(path), "dv")
+
+
+def _entry_dv(entry: dict) -> dict[str, list[str]]:
+    """The entry's deletion-vector map: {segment dirkey: [dv names]}.
+    Each name is a small parquet dataset of MERGE-KEY rows under
+    ``<log>/dv/<name>`` — rows of the covered directories whose key
+    appears in any referenced DV are logically deleted as of this
+    version (anti-joined at read). Empty for entries with no DVs."""
+    return dict(entry.get("dv") or {})
+
+
+def head_dv(path: str) -> dict[str, list[str]]:
+    """The HEAD version's deletion-vector map (empty when the table
+    has no versions or no live DVs). Writers that read the live tree
+    of a mirror-mode table directly must check this: with active DVs
+    the live files still hold the deleted rows physically, so the
+    only correct current-content read is :func:`read_version`."""
+    vs = versions(path)
+    if not vs:
+        return {}
+    try:
+        return _entry_dv(_load_entry(path, vs[-1]))
+    except (OSError, ValueError):
+        return {}
+
+
+def _read_dv_keys(spark: SparkSession, path: str, names: list[str]) -> DataFrame:
+    """One frame of deleted keys across ``names`` (deduplicated; the
+    DV write path stores one key per row, key columns only)."""
+    out = None
+    for n in names:
+        df = spark.read.parquet(os.path.join(_dv_dir(path), n))
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
+    return out.dropDuplicates()
+
+
+def _read_files_with_dv(
+    spark: SparkSession,
+    path: str,
+    base: str,
+    rels: list[str],
+    dv: dict[str, list[str]],
+) -> DataFrame:
+    """Version read with deletion vectors applied: files in covered
+    directories anti-join their DV keys (broadcast — DVs are victim
+    keys, small by the delete contract); uncovered directories read
+    plain. One branch per distinct DV-name set, so N deletes over the
+    same dirs still cost one anti-join each, not one per directory."""
+    plain: list[str] = []
+    by_dvset: dict[tuple[str, ...], list[str]] = {}
+    for rel in rels:
+        names = dv.get(_seg_key(rel))
+        if names:
+            by_dvset.setdefault(tuple(sorted(names)), []).append(rel)
+        else:
+            plain.append(rel)
+    branches = []
+    if plain:
+        branches.append(_read_retained(spark, base, plain))
+    for names, group in sorted(by_dvset.items()):
+        df = _read_retained(spark, base, group)
+        keys = _read_dv_keys(spark, path, list(names))
+        # Keys are non-null by the delete contract (delete_where
+        # refuses NULL-key victims), so the plain anti-join is exact.
+        df = df.join(F.broadcast(keys), on=list(keys.columns), how="left_anti")
+        branches.append(df)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
+def record_dv_commit(
+    path: str,
+    dv_name: str,
+    dirkeys: list[str],
+    batch_id: object | None = None,
+) -> int:
+    """Mint a version whose ONLY change is a new deletion vector
+    (merge-on-read DELETE, the Delta deletion-vector / Iceberg
+    positional-delete shape re-derived for keyed parquet): the new
+    entry carries the head's segments VERBATIM — zero data files
+    rewritten, zero links — plus ``dv_name`` attached to every
+    directory in ``dirkeys``. Existing DVs on other directories carry
+    forward. The caller must already have written the key parquet to
+    ``<log>/dv/<dv_name>`` (a crash before this entry lands leaves it
+    unreferenced — vacuum sweeps it). ``batch_id`` gives the commit
+    the same replay-keyed exactly-once contract as
+    :func:`record_commit`."""
+    from weatherflow_spark.operators.commit import dataset_lock
+
+    if not snapshot_enabled(path):
+        raise ValueError(
+            f"{path}: snapshot log not initialised (init_snapshot_log)"
+        )
+    with dataset_lock(path):
+        if batch_id is not None:
+            prior = committed_batch_version(path, batch_id)
+            if prior is not None:
+                return prior
+        vs = versions(path)
+        if not vs:
+            raise ValueError(
+                f"{path}: no committed versions — a DV attaches to an "
+                "existing version's file set; record_commit the seed first"
+            )
+        prev = _load_entry(path, vs[-1])
+        segments = _entry_segments(path, prev)
+        unknown = [k for k in dirkeys if k not in segments]
+        if unknown:
+            raise ValueError(
+                f"{path}: DV covers director{'ies' if len(unknown) > 1 else 'y'} "
+                f"{unknown[:5]} not present in the head version"
+            )
+        dv = _entry_dv(prev)
+        for k in dirkeys:
+            names = dv.setdefault(k, [])
+            if dv_name not in names:
+                names.append(dv_name)
+        n = vs[-1] + 1
+        entry: dict = {"version": n, "segments": segments, "dv": dv}
+        if batch_id is not None:
+            entry["batch_id"] = str(batch_id)
+        tmp = _entry_path(path, n) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, _entry_path(path, n))
+        if batch_id is not None:
+            btmp = _batch_marker(path, batch_id) + f".tmp.{os.getpid()}"
+            with open(btmp, "w") as f:
+                json.dump({"batch_id": str(batch_id), "version": n}, f)
+            os.replace(btmp, _batch_marker(path, batch_id))
+        # The live tree did not change, so an existing dirstamp still
+        # describes exactly what the (carried) segments list — keep it.
+        return n
+
+
 def _stats_cols_path(path: str) -> str:
     return os.path.join(_log_dir(path), "STATS_COLS.json")
 
@@ -403,7 +544,9 @@ def scan_version(
     bounds widen OUTWARD on float conversion so conversion error can
     only keep an extra file, never drop one."""
     version, files, base = _resolve_version(path, version)
-    stats = _entry_stats(path, _load_entry(path, version))
+    entry = _load_entry(path, version)
+    stats = _entry_stats(path, entry)
+    dv = _entry_dv(entry)
     if lo is not None and not isinstance(lo, (int, float, str)):
         lo = _jsonable_stat(lo, "min")
     if hi is not None and not isinstance(hi, (int, float, str)):
@@ -427,7 +570,13 @@ def scan_version(
         # filter over one file (cheap — footer only)
         df = _read_retained(spark, base, [files[0][0]]).where(F.lit(False))
         return df, {"files_total": len(files), "files_scanned": 0}
-    df = _read_retained(spark, base, kept)
+    # Deletion vectors apply to the PRUNED read too — a skipped scan
+    # must never resurrect DV-deleted rows its full-read twin hides.
+    df = (
+        _read_files_with_dv(spark, path, base, kept, dv)
+        if dv
+        else _read_retained(spark, base, kept)
+    )
     return df, {"files_total": len(files), "files_scanned": len(kept)}
 
 
@@ -865,6 +1014,26 @@ def record_commit(
                 shutil.copy2(src, dst)  # cross-device fallback
         n = (vs[-1] if vs else 0) + 1
         entry = {"version": n, "segments": segments}
+        if vs:
+            # Deletion-vector carry: a directory whose segment NAME is
+            # unchanged (content-addressed — identical file list) was
+            # untouched by this commit, so its DVs still apply. A
+            # changed/new segment means a writer REWROTE the directory
+            # — and every engine writer rewrites from a post-DV read
+            # (read_version / read_live / _read_and_evolve), so the
+            # delete is materialized in the new files and the DV must
+            # drop, or re-inserted keys would be wrongly hidden.
+            prev_entry = _load_entry(path, vs[-1])
+            prev_dv = _entry_dv(prev_entry)
+            if prev_dv:
+                prev_segs = _entry_segments(path, prev_entry)
+                dv_carry = {
+                    k: names
+                    for k, names in prev_dv.items()
+                    if k in segments and segments[k] == prev_segs.get(k)
+                }
+                if dv_carry:
+                    entry["dv"] = dv_carry
         if batch_id is not None:
             # inside the entry = atomically recorded with the version
             # (the marker below is only an index; see
@@ -992,7 +1161,11 @@ def read_version(
     in :func:`pinned_version`.
     """
     version, files, base = _resolve_version(path, version)
-    return _read_retained(spark, base, [rel for rel, _ in files])
+    rels = [rel for rel, _ in files]
+    dv = _entry_dv(_load_entry(path, version))
+    if dv:
+        return _read_files_with_dv(spark, path, base, rels, dv)
+    return _read_retained(spark, base, rels)
 
 
 def read_live(spark: SparkSession, path: str) -> DataFrame:
@@ -1000,9 +1173,13 @@ def read_live(spark: SparkSession, path: str) -> DataFrame:
     mode: a raw directory read for plain / mirror-mode tables, the
     HEAD version for manifest-mode tables — whose live tree also
     holds superseded files a raw read would double-count (r11
-    review). Every engine read of a possibly-manifest table must go
-    through this (or read_version directly)."""
-    if snapshot_mode(path) == "manifest" and versions(path):
+    review) — and for mirror-mode tables with live DELETION VECTORS,
+    whose live files still physically hold the DV-deleted rows (r13).
+    Every engine read of a possibly-manifest / possibly-DV table must
+    go through this (or read_version directly)."""
+    if versions(path) and (
+        snapshot_mode(path) == "manifest" or head_dv(path)
+    ):
         return read_version(spark, path)
     return spark.read.parquet(path)
 
@@ -1119,6 +1296,17 @@ def clone_table(src: str, dst: str, with_history: bool = False) -> int:
             os.unlink(dst.rstrip("/") + ".__versions.json")
         except OSError:
             pass
+        if head_dv(src):
+            # A file-level clone of a table with live deletion vectors
+            # would resurrect every DV-deleted row (the files still
+            # hold them physically). Folding DVs is a rewrite — the
+            # opposite of a zero-copy clone — so refuse and point at
+            # the fold instead of silently linking deleted data (r13).
+            raise ValueError(
+                f"{src}: head version carries deletion vectors — fold "
+                "them first (compact_partitions rewrites covered "
+                "partitions), then clone"
+            )
         if snapshot_mode(src) == "manifest" and versions(src):
             # A manifest-mode live tree also holds SUPERSEDED files
             # (writers never delete until vacuum) — the clone must be
@@ -1494,10 +1682,13 @@ def vacuum_versions(
         keep = [v for v in vs if v not in drop]
         referenced: set[str] = set()
         referenced_segs: set[str] = set()
+        referenced_dv: set[str] = set()
         for v in keep:
             entry = _load_entry(path, v)
             referenced_segs.update(_entry_segments(path, entry).values())
             referenced.update(rel for rel, _ in entry_files(path, v))
+            for names in _entry_dv(entry).values():
+                referenced_dv.update(names)
         for v in drop:
             os.unlink(_entry_path(path, v))
         # GC segment files no surviving entry references (dropped
@@ -1513,6 +1704,19 @@ def vacuum_versions(
                         os.unlink(os.path.join(_seg_dir(path), nme))
                     except OSError:
                         pass
+        except OSError:
+            pass
+        # GC deletion-vector datasets no surviving entry references
+        # (folded by a later rewrite/compaction, or orphaned by a
+        # crashed delete). Same lock as the committers, so an
+        # in-flight DV delete can't lose its not-yet-referenced keys.
+        try:
+            for nme in os.listdir(_dv_dir(path)):
+                if nme not in referenced_dv:
+                    shutil.rmtree(
+                        os.path.join(_dv_dir(path), nme),
+                        ignore_errors=True,
+                    )
         except OSError:
             pass
         # GC batch markers whose version is gone: they would otherwise

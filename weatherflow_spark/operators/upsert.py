@@ -363,12 +363,17 @@ def _read_and_evolve(
     :func:`weatherflow_spark.operators.layout.rewrite_widen` (one
     partition-preserving validate-and-swap rewrite, r11; upserts with
     the wide type are accepted afterwards)."""
-    if _manifest_mode(path):
-        # A manifest-mode live tree also holds superseded files — the
-        # ONLY correct read is the head version's file list (always
-        # schema-merged, the read_version contract).
-        from weatherflow_spark.operators.snaplog import read_version
+    from weatherflow_spark.operators.snaplog import head_dv, read_version
 
+    if _manifest_mode(path) or head_dv(path):
+        # A manifest-mode live tree also holds superseded files, and a
+        # mirror-mode tree with live DELETION VECTORS still physically
+        # holds the deleted rows — either way the ONLY correct read is
+        # the head version (always schema-merged, the read_version
+        # contract; DVs anti-joined). This is also what makes the DV
+        # carry rule sound: every partition this writer rewrites was
+        # read post-DV, so dropping its DVs materializes the delete
+        # instead of losing it.
         current = read_version(spark, path)
     else:
         reader = spark.read
@@ -774,6 +779,7 @@ def delete_where(
     prune: tuple | None = None,
     snapshot_batch_id: object | None = None,
     serializable: bool = False,
+    use_dv: bool = False,
 ) -> dict[str, int]:
     """Predicate-scoped row-level DELETE (E102): remove every row
     matching ``predicate`` from a parquet table — the
@@ -846,11 +852,38 @@ def delete_where(
       erasure of old feed partitions is the feed owner's
       retention/redaction step.
 
+    ``use_dv=True`` switches to **merge-on-read** (r12 verdict #1, the
+    Delta deletion-vector / Iceberg positional-delete shape re-derived
+    for keyed parquet): instead of rewriting every victim partition,
+    the victim KEYS land as one small parquet sidecar
+    (``<log>/dv/<name>``) recorded in a new version entry whose
+    segments carry the head's VERBATIM — zero data files rewritten at
+    delete time, every partition's inodes untouched. Readers
+    (``read_version`` / ``scan_version`` / ``read_live`` / the write
+    choke points) anti-join the DV; the next rewrite of a covered
+    partition — an upsert, or ``compact_partitions``, which plans
+    DV-covered partitions as offenders — folds the delete into data
+    files and drops the DV. This is THE economical shape for
+    right-to-be-forgotten by key, whose victims scatter across
+    essentially all date partitions: the eager mode would rewrite the
+    whole table; DV mode writes O(victims) bytes. Requires a
+    versioned table (the DV rides the version entry); runs entirely
+    under the dataset lock (serializable by construction — the victim
+    scan is the bounded pruned scan, not a table sweep). Trade-off:
+    reads of covered partitions pay a broadcast anti-join until the
+    fold — run maintenance compaction to clear long-lived DVs.
+
     Returns ``{"rows_matched": r, "keys_deleted": k,
     "partitions_touched": p, "files_scanned": s, "files_total": t}``
-    (scan counters are -1 when the scan was not stats-pruned)."""
+    (scan counters are -1 when the scan was not stats-pruned); DV
+    mode adds ``"files_rewritten": 0`` and ``"new_version"``."""
     from weatherflow_spark.operators.commit import dataset_lock
 
+    if use_dv:
+        return _delete_where_dv(
+            spark, path, predicate, key_cols, partition_cols,
+            prune, snapshot_batch_id,
+        )
     if serializable:
         with dataset_lock(path):  # reentrant through apply_changes
             return delete_where(
@@ -962,6 +995,137 @@ def delete_where(
         }
     finally:
         victims.unpersist()
+
+
+def _delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    key_cols: list[str],
+    partition_cols: list[str] | None,
+    prune: tuple | None,
+    snapshot_batch_id: object | None,
+) -> dict[str, int]:
+    """Merge-on-read DELETE core (see :func:`delete_where` use_dv).
+    The whole scan→write-keys→mint runs under one dataset-lock hold:
+    the victim scan reads the locked head, so the delete covers every
+    row any prior writer committed (serializable), and no writer can
+    commit between the scan and the version entry."""
+    from weatherflow_spark.operators.commit import (
+        check_and_bump_versions,
+        dataset_lock,
+        partition_key,
+    )
+    from weatherflow_spark.operators.snaplog import (
+        _dv_dir,
+        committed_batch_version,
+        read_version,
+        record_dv_commit,
+        scan_version,
+        snapshot_enabled,
+        stats_columns,
+        versions,
+    )
+
+    if not (snapshot_enabled(path) and versions(path)):
+        raise ValueError(
+            f"{path}: deletion vectors ride the snapshot log — "
+            "init_snapshot_log + a seed commit first, or use the "
+            "eager rewrite mode (use_dv=False)"
+        )
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    with dataset_lock(path):
+        if snapshot_batch_id is not None:
+            prior = committed_batch_version(path, snapshot_batch_id)
+            if prior is not None:
+                # replayed batch: the DV already committed; nothing to
+                # re-scan (the post-DV head would match nothing anyway)
+                return {
+                    "rows_matched": 0, "keys_deleted": 0,
+                    "partitions_touched": 0,
+                    "files_scanned": -1, "files_total": -1,
+                    "files_rewritten": 0, "new_version": prior,
+                }
+        scanned, total = -1, -1
+        src = None
+        if prune is not None:
+            col, lo, hi = prune
+            if col in stats_columns(path):
+                src, info = scan_version(spark, path, col, lo=lo, hi=hi)
+                scanned, total = info["files_scanned"], info["files_total"]
+        if src is None:
+            src = read_version(spark, path)  # post-DV head
+        victims = src.where(pred).persist()
+        try:
+            part_count = (
+                F.countDistinct(F.struct(*partition_cols))
+                if partition_cols
+                else F.lit(0).cast("long")
+            )
+            null_any = None
+            for c in key_cols:
+                cond = F.col(c).isNull()
+                null_any = cond if null_any is None else (null_any | cond)
+            stats = victims.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct(*[F.col(c) for c in key_cols]).alias("keys"),
+                part_count.alias("parts"),
+                F.sum(null_any.cast("long")).alias("null_keys"),
+            ).first()
+            if stats["null_keys"]:
+                # same refusal as the eager mode: the DV anti-join is
+                # null-unsafe, a NULL-key victim would silently survive
+                raise ValueError(
+                    f"{path}: {stats['null_keys']} matching row(s) carry "
+                    f"NULL in key column(s) {key_cols} — the keyed DV "
+                    "cannot remove them (null-unsafe anti-join)."
+                )
+            if stats["rows"] == 0:
+                return {
+                    "rows_matched": 0, "keys_deleted": 0,
+                    "partitions_touched": 0,
+                    "files_scanned": scanned, "files_total": total,
+                    "files_rewritten": 0,
+                    "new_version": versions(path)[-1],
+                }
+            if partition_cols:
+                dirkeys = [
+                    partition_key(
+                        partition_cols, tuple(r[c] for c in partition_cols)
+                    )
+                    for r in victims.select(*partition_cols)
+                    .distinct()
+                    .collect()
+                ]
+                manifest_keys = dirkeys
+            else:
+                dirkeys = [""]  # segment dirkey of root-level files
+                manifest_keys = [partition_key(None, ())]
+            name = f"dv_{os.getpid()}_{os.urandom(6).hex()}"
+            # One small parquet of victim keys — O(victims) bytes, the
+            # whole point: a scattered-key RTBF writes keys, not the
+            # table. coalesce(1): victim sets are small by contract.
+            victims.select(*key_cols).dropDuplicates().coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(_dv_dir(path), name))
+            # CAS bump: a DV delete changes the covered partitions'
+            # logical content — concurrent expected_versions writers
+            # must conflict on it exactly like an eager rewrite.
+            check_and_bump_versions(path, manifest_keys)
+            n = record_dv_commit(
+                path, name, dirkeys, batch_id=snapshot_batch_id
+            )
+            return {
+                "rows_matched": stats["rows"],
+                "keys_deleted": stats["keys"],
+                "partitions_touched": stats["parts"],
+                "files_scanned": scanned,
+                "files_total": total,
+                "files_rewritten": 0,
+                "new_version": n,
+            }
+        finally:
+            victims.unpersist()
 
 
 def restore_version(

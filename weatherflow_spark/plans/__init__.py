@@ -120,15 +120,22 @@ _CERTIFICATION_WINDOW = [
     # families; E90-E99's history branches now fail under their own
     # name).
     "q_lakehouse_suite",
+    # r13: the lakehouse suite's three WAREHOUSE-tier branches split
+    # into their own row (VERDICT r12 'What's wrong' #1 — nine
+    # branches behind one bit). The slot comes from q_window_dist,
+    # whose E10 family is now certified as q_stats_suite's
+    # 'window_dist' branch (the single keeps tail parity).
+    "q_warehouse_suite",
     # r12.2: the slot freed by the q_sort/q_topk consolidation —
     # the round's three operational verbs, each raise-checked:
     # E102 delete_where, E103 maintain_warehouse, the E100 adoption
     # (TPC-H Q6 over the file-skipping layout).
     "q_maintenance_suite",
     "q_curation_suite",           # decontamination + source-mixture sampling
-    # E5 distributed statistics (all 5 families) / E10 distribution windows
+    # E5 distributed statistics (all 5 families) + E10 distribution
+    # windows (r13: the 'window_dist' branch — the single stays in
+    # the tail)
     "q_stats_suite",
-    "q_window_dist",
     # E6 TPC-H compositions (consolidated: Q3+Q5+Q14 in one suite)
     "q_tpch_suite",
     # E20/E21/E24 sketches: CMS + HLL + bloom semi-join, one hash

@@ -1266,6 +1266,140 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tpch_q13_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98 continuation (r13, VERDICT r12 #5): TPC-H Q13 routed
+    through the SECOND standing layout — orders and customer
+    co-bucketed + sorted by the custkey
+    (``bucketing.bucketed_warehouse_cust``). The plain form shuffles
+    BOTH sides of customer⟕orders at every scale; here the outer join
+    merges bucket-to-bucket and the per-customer order count groups
+    on the bucket key, so the ONLY Exchange in the whole plan is the
+    tiny (c_count) distribution re-group (``max_exchanges=1``,
+    broadcast disabled — raise-checked). Hash-matches ORACLE_TPCH_Q13
+    verbatim."""
+    from weatherflow_spark.operators.bucketing import (
+        bucketed_warehouse_cust,
+    )
+
+    t_ord, t_cust = bucketed_warehouse_cust(
+        spark, sf_dir, _durable_scratch_base()
+    )
+    customer = spark.table(t_cust).select("c_custkey")
+    orders = (
+        spark.table(t_ord)
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            customer.join(
+                orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+            )
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+        )
+        _require_zero_shuffle_smj(out, "tpch q13 (bucketed)", max_exchanges=1)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    return out
+
+
+def q_tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98 continuation (r13): TPC-H Q10 composed over BOTH standing
+    layouts — the orderkey pair makes lineitem(R)⋈orders(quarter) a
+    bucket-to-bucket merge (zero Exchange on either side), and the
+    custkey pair makes the per-customer revenue join-back read
+    customer WITHOUT a shuffle. The aggregate's single re-key
+    (``repartition(n_buckets, o_custkey)`` — REPARTITION_BY_NUM, so
+    AQE cannot coalesce it away from the bucket count) is the one
+    Exchange in the plan (``max_exchanges=1``, broadcast disabled
+    except the explicit 25-row nation hint — raise-checked): its
+    output partitioning matches customer's bucketing exactly, so the
+    join-back merges in place. The plain form (broadcast off) pays
+    FOUR shuffles on the same shape. Hash-matches ORACLE_TPCH_Q10
+    verbatim."""
+    from weatherflow_spark.operators.bucketing import (
+        bucketed_warehouse,
+        bucketed_warehouse_cust,
+    )
+    from weatherflow_spark.plans.queries import scaled_sum
+
+    n_buckets = 8
+    t_li, t_ord = bucketed_warehouse(
+        spark, sf_dir, _durable_scratch_base(), n_buckets=n_buckets
+    )
+    _, t_cust = bucketed_warehouse_cust(
+        spark, sf_dir, _durable_scratch_base(), n_buckets=n_buckets
+    )
+    li = spark.table(t_li).where(F.col("l_returnflag") == "R")
+    orders = spark.table(t_ord).where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = spark.table(t_cust).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        per_cust = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            # ONE re-key, placed BEFORE the aggregate so the groupBy
+            # reuses it and its count equals the custkey bucket count
+            # — the join-back then needs no further exchange on
+            # either side.
+            .repartition(n_buckets, F.col("o_custkey"))
+            .groupBy("o_custkey")
+            .agg(scaled_sum(rev, 10_000).alias("revenue"))
+        )
+        out = (
+            per_cust.join(
+                customer, F.col("o_custkey") == F.col("c_custkey")
+            )
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select(
+                "c_custkey",
+                "c_name",
+                "revenue",
+                F.expr(
+                    "cast(floor(c_acctbal * 100 + 0.5) as bigint)"
+                ).alias("acctbal_cents"),
+                "n_name",
+            )
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20)
+        )
+        _require_zero_shuffle_smj(out, "tpch q10 (bucketed)", max_exchanges=1)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    return out
+
+
+def _oracle_tpch_q13_bucketed() -> str:
+    from weatherflow_spark.plans.tpch_ext import ORACLE_TPCH_Q13
+
+    return ORACLE_TPCH_Q13
+
+
+def _oracle_tpch_q10_bucketed() -> str:
+    from weatherflow_spark.plans.tpch_ext import ORACLE_TPCH_Q10
+
+    return ORACLE_TPCH_Q10
+
+
 PC_HOT = "1-URGENT"  # the partition seeded with small files
 
 
@@ -1477,6 +1611,145 @@ ORACLE_DELETE_WHERE = f"""
     WHERE NOT (o_orderpriority = '{DW_PRI}'
                AND o_orderkey BETWEEN {DW_LO} AND {DW_HI}
                AND o_custkey % 3 = 0)
+    GROUP BY o_orderpriority
+"""
+
+
+DV_MOD = 53  # scattered victims: every priority partition is hit
+
+
+def q_delete_where_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (r12 verdict #1 —
+    the Delta DV / Iceberg positional-delete shape on keyed parquet,
+    ``operators/upsert.delete_where(use_dv=True)``). The eager E102
+    mode rewrites every victim partition, so the operation its own
+    doc leads with — right-to-be-forgotten by key, whose victims
+    scatter across ALL partitions — would rewrite the whole table;
+    here the victim keys land as one sidecar parquet recorded in the
+    version entry and readers anti-join them until compaction folds
+    the delete into data files. The query RAISES unless:
+
+    - the delete rewrote ZERO data files — every partition's live
+      files are inode+mtime byte-identical after the delete (the
+      claim that distinguishes DV from eager mode),
+    - the victims really scattered (≥ 2 partitions touched),
+    - the pre-delete version still serves all rows (time travel),
+    - replaying the delete matches zero rows and mints no version,
+    - ``compact_partitions`` FOLDS every DV (covered partitions are
+      planned as offenders regardless of file count; the head entry
+      carries no DV afterwards) and the per-priority digest is
+      IDENTICAL before and after the fold.
+
+    Oracle: ``WHERE NOT (predicate)`` on raw orders — one hash
+    certifies the merge-on-read read path AND the fold rewrite
+    produce exactly the eager delete's answer."""
+    import shutil
+
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import (
+        head_dv,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        set_stats_columns,
+        versions,
+    )
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = os.path.join(_scratch_dir(sf_dir), "delwhere_dv_tbl")
+    for side in ("", ".__snaplog", ".__retain"):
+        shutil.rmtree(path + side, ignore_errors=True)
+    try:
+        os.unlink(path + ".__versions.json")
+    except OSError:
+        pass
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.repartitionByRange(8, F.col("o_orderkey")).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["o_orderkey"])
+    v_seed = record_commit(path)
+    n_seed = read_version(spark, path, v_seed).count()
+
+    def live_files() -> dict[str, tuple[int, int]]:
+        out: dict[str, tuple[int, int]] = {}
+        for root, _dirs, names in os.walk(path):
+            for nme in names:
+                if nme.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, nme))
+                rel = os.path.relpath(os.path.join(root, nme), path)
+                out[rel] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    before = live_files()
+    pred = F.col("o_custkey") % DV_MOD == 0
+    rep = delete_where(
+        spark, path, pred, ["o_orderkey"],
+        partition_cols=["o_orderpriority"], use_dv=True,
+    )
+    head_after_delete = versions(path)[-1]
+    replay = delete_where(
+        spark, path, pred, ["o_orderkey"],
+        partition_cols=["o_orderpriority"], use_dv=True,
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("price_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        )
+
+    pre_fold = sorted(map(tuple, digest(read_version(spark, path)).collect()))
+    if (
+        rep["rows_matched"] == 0
+        or rep["files_rewritten"] != 0
+        or rep["partitions_touched"] < 2
+        or live_files() != before
+        or not head_dv(path)
+        or read_version(spark, path, v_seed).count() != n_seed
+        or replay["rows_matched"] != 0
+        or versions(path)[-1] != head_after_delete
+    ):
+        raise RuntimeError(
+            f"DV delete regressed: {rep}, replay {replay}, "
+            f"file identity {live_files() == before}, "
+            f"head_dv {head_dv(path)}, seed count "
+            f"{read_version(spark, path, v_seed).count()} != {n_seed}"
+        )
+    # The fold: covered partitions are compaction offenders even at
+    # one file each; afterwards the data files physically exclude the
+    # victims and the head carries no DV.
+    folded = compact_partitions(
+        spark, path, ["o_orderpriority"], max_files=1_000_000
+    )
+    post_fold = sorted(map(tuple, digest(read_version(spark, path)).collect()))
+    if (
+        folded["partitions_compacted"] < rep["partitions_touched"]
+        or head_dv(path)
+        or pre_fold != post_fold
+    ):
+        raise RuntimeError(
+            f"DV fold regressed: {folded}, head_dv {head_dv(path)}, "
+            f"digest identity {pre_fold == post_fold}"
+        )
+    return digest(read_version(spark, path))
+
+
+ORACLE_DELETE_WHERE_DV = f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS price_cents,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders
+    WHERE NOT (o_custkey % {DV_MOD} = 0)
     GROUP BY o_orderpriority
 """
 
@@ -2593,11 +2866,21 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       head→seed CDC diff applied through the scoped choke point,
       cold partitions byte-identical, history append-only, replay an
       empty diff.
+    - ``delete_dv``             (r13): merge-on-read delete via
+      deletion vectors — zero files rewritten at delete time (every
+      partition inode-identical), replay no-op, compaction folds the
+      DVs with an identical digest.
 
     Every branch performs its real versioned I/O because that I/O IS
     the certified claim."""
     dw = q_delete_where(spark, sf_dir).selectExpr(
         "'delete_where' AS op",
+        "o_orderpriority AS key",
+        "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'key_xor', key_xor) AS (metric, value)",
+    )
+    dv = q_delete_where_dv(spark, sf_dir).selectExpr(
+        "'delete_dv' AS op",
         "o_orderpriority AS key",
         "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'key_xor', key_xor) AS (metric, value)",
@@ -2625,7 +2908,10 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'key_xor', key_xor) AS (metric, value)",
     )
-    return dw.unionByName(wm).unionByName(q6).unionByName(rst)
+    return (
+        dw.unionByName(wm).unionByName(q6).unionByName(rst)
+        .unionByName(dv)
+    )
 
 
 def _oracle_maintenance_suite() -> str:
@@ -2635,7 +2921,8 @@ def _oracle_maintenance_suite() -> str:
         WITH dw AS ({ORACLE_DELETE_WHERE}),
         wm AS ({ORACLE_WAREHOUSE_MAINTENANCE}),
         q6 AS ({ORACLE_TPCH_Q6}),
-        rst AS ({ORACLE_PARTITION_COMPACTION})
+        rst AS ({ORACLE_PARTITION_COMPACTION}),
+        dv AS ({ORACLE_DELETE_WHERE_DV})
         SELECT 'delete_where' AS op, o_orderpriority AS key,
                'n_rows' AS metric, n_rows AS value FROM dw
         UNION ALL
@@ -2670,6 +2957,13 @@ def _oracle_maintenance_suite() -> str:
         FROM rst
         UNION ALL
         SELECT 'restore', o_orderpriority, 'key_xor', key_xor FROM rst
+        UNION ALL
+        SELECT 'delete_dv', o_orderpriority, 'n_rows', n_rows FROM dv
+        UNION ALL
+        SELECT 'delete_dv', o_orderpriority, 'price_cents', price_cents
+        FROM dv
+        UNION ALL
+        SELECT 'delete_dv', o_orderpriority, 'key_xor', key_xor FROM dv
     """
 
 
@@ -3292,11 +3586,12 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse-HISTORY certification row (r12, split out of
-    ``q_pipeline_suite`` — VERDICT r11 'What's wrong' #2: 16 branches
-    behind one red-or-green bit obscured which certified family
-    broke). Nine branches (the eight moved histories + the r12
-    warehouse_replica row), LONG format (op, key, metric,
-    value:bigint), all doubles pinned to integers per branch:
+    ``q_pipeline_suite``; r13: the three WAREHOUSE-tier branches
+    split again into ``q_warehouse_suite`` — VERDICT r12 'What's
+    wrong' #1: nine branches / one red-or-green bit was the same
+    monolith problem the r12 split fixed). Six single-table history
+    branches, LONG format (op, key, metric, value:bigint), all
+    doubles pinned to integers per branch:
 
     - ``time_travel``   (E90): snapshot-log versions + as-of reads —
       v1/v2/replay/head digests from the retention mirror.
@@ -3310,16 +3605,6 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       trail — incremental, idempotent, stream-consumable.
     - ``table_clone``   (E96): zero-copy shallow clone — clone
       complete AND divergence-isolated in one hash.
-    - ``warehouse_snapshot`` (E97): cross-table consistent snapshots
-      — two multi-table loads, fact⋈dim read as-of load 1 and at
-      head, each a consistent cut (whlog.py).
-    - ``manifest_travel`` (E99): the object-store retention mode
-      walking E90's exact commit sequence — zero hard links
-      (raise-checked), oracle == ORACLE_TIME_TRAVEL verbatim.
-    - ``warehouse_replica`` (E97 × E95, r12): a replica warehouse
-      rebuilt purely from the per-load multi-table feed bundle —
-      load-atomic apply, exactly-once replay (raise-checked), digests
-      == the SOURCE's own oracle verbatim.
 
     Every branch performs its real versioned I/O because that I/O IS
     the certified claim; E91/E92/E95 share one versioned fixture by
@@ -3364,16 +3649,36 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
-    tm = q_time_travel_manifest(spark, sf_dir).selectExpr(
-        "'manifest_travel' AS op",
-        "concat(version_tag, '|', o_orderpriority) AS key",
-        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
-        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
+    return (
+        tt.unionByName(vd)
+        .unionByName(iv)
+        .unionByName(sev)
+        .unionByName(cf)
+        .unionByName(tc)
     )
-    # E97 + its replica certify against the SAME two-load scenario by
-    # construction — build the source warehouse once for both rows
-    # (the singles keep building their own; claims and oracles
-    # unchanged, r12 review).
+
+
+def q_warehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAREHOUSE-tier certification row (r13, split out of
+    ``q_lakehouse_suite`` — VERDICT r12 'What's wrong' #1): the three
+    multi-table / object-store branches, LONG format, each keeping
+    its raise checks:
+
+    - ``warehouse_snapshot`` (E97): cross-table consistent snapshots
+      — two multi-table loads, fact⋈dim read as-of load 1 and at
+      head, each a consistent cut (whlog.py).
+    - ``warehouse_replica`` (E97 × E95, r12): a replica warehouse
+      rebuilt purely from the per-load multi-table feed bundle —
+      load-atomic apply, exactly-once replay (raise-checked), digests
+      == the SOURCE's own oracle verbatim.
+    - ``manifest_travel`` (E99): the object-store retention mode
+      walking E90's exact commit sequence — zero hard links
+      (raise-checked), oracle == ORACLE_TIME_TRAVEL verbatim.
+
+    E97 + its replica certify against the SAME two-load scenario by
+    construction — the source warehouse is built once for both rows
+    (the singles keep building their own; claims and oracles
+    unchanged)."""
     shared_wh = _build_wh_tx(spark, sf_dir, "wh_tx")
     ws = q_warehouse_snapshot(spark, sf_dir, _wh=shared_wh).selectExpr(
         "'warehouse_snapshot' AS op",
@@ -3387,16 +3692,13 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
     )
-    return (
-        tt.unionByName(vd)
-        .unionByName(iv)
-        .unionByName(sev)
-        .unionByName(cf)
-        .unionByName(tc)
-        .unionByName(ws)
-        .unionByName(wr)
-        .unionByName(tm)
+    tm = q_time_travel_manifest(spark, sf_dir).selectExpr(
+        "'manifest_travel' AS op",
+        "concat(version_tag, '|', o_orderpriority) AS key",
+        "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
+        "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
+    return ws.unionByName(wr).unionByName(tm)
 
 
 def _oracle_pipeline_suite() -> str:
@@ -3571,9 +3873,14 @@ def _oracle_lakehouse_suite() -> str:
                        WHEN 'sum_cents' THEN s.sum_cents
                        WHEN 'key_xor' THEN s.key_xor
                        ELSE s.key_sum END AS value) u
-    UNION ALL
-    SELECT 'warehouse_snapshot', version_tag || '|' || c_mktsegment,
-           u.metric, u.value
+    """
+
+
+def _oracle_warehouse_suite() -> str:
+    return f"""
+    SELECT 'warehouse_snapshot' AS op,
+           version_tag || '|' || c_mktsegment AS key,
+           u.metric AS metric, u.value AS value
     FROM ({ORACLE_WAREHOUSE_SNAPSHOT}) s,
          (VALUES ('n_rows'), ('price_cents'), ('bal_cents'), ('key_xor'))
              AS m(metric),
@@ -3610,6 +3917,7 @@ def _oracle_lakehouse_suite() -> str:
 SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pipeline_suite": q_pipeline_suite,
     "q_lakehouse_suite": q_lakehouse_suite,
+    "q_warehouse_suite": q_warehouse_suite,
     "q_serving_suite": q_serving_suite,
     "q_rollup_serve": q_rollup_serve,
     "q_global_index": q_global_index,
@@ -3634,6 +3942,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_file_skipping": q_file_skipping,
     "q_partition_compaction": q_partition_compaction,
     "q_delete_where": q_delete_where,
+    "q_delete_where_dv": q_delete_where_dv,
     "q_warehouse_maintenance": q_warehouse_maintenance,
     "q_tpch_q6_skipping": q_tpch_q6_skipping,
     "q_restore_version": q_restore_version,
@@ -3643,6 +3952,8 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_q4_bucketed": q_tpch_q4_bucketed,
     "q_tpch_q12_bucketed": q_tpch_q12_bucketed,
     "q_tpch_q21_bucketed": q_tpch_q21_bucketed,
+    "q_tpch_q13_bucketed": q_tpch_q13_bucketed,
+    "q_tpch_q10_bucketed": q_tpch_q10_bucketed,
     "q_time_travel_manifest": q_time_travel_manifest,
     "q_star_transaction": q_star_transaction,
 }
@@ -3650,6 +3961,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SERVING_ORACLES: dict[str, str] = {
     "q_pipeline_suite": _oracle_pipeline_suite(),
     "q_lakehouse_suite": _oracle_lakehouse_suite(),
+    "q_warehouse_suite": _oracle_warehouse_suite(),
     "q_serving_suite": ORACLE_SERVING_SUITE,
     "q_rollup_serve": ORACLE_ROLLUP_SERVE,
     "q_global_index": ORACLE_GLOBAL_INDEX,
@@ -3676,6 +3988,9 @@ SERVING_ORACLES: dict[str, str] = {
     "q_file_skipping": ORACLE_FILE_SKIPPING,
     "q_partition_compaction": ORACLE_PARTITION_COMPACTION,
     "q_delete_where": ORACLE_DELETE_WHERE,
+    # r13: the merge-on-read twin must produce the eager delete's
+    # answer — same WHERE NOT (predicate) oracle shape.
+    "q_delete_where_dv": ORACLE_DELETE_WHERE_DV,
     "q_warehouse_maintenance": ORACLE_WAREHOUSE_MAINTENANCE,
     # E100 adoption: identity with the plain Q6 oracle verbatim.
     "q_tpch_q6_skipping": _oracle_tpch_q6_skipping(),
@@ -3690,6 +4005,10 @@ SERVING_ORACLES: dict[str, str] = {
     "q_tpch_q4_bucketed": _oracle_tpch_q4_bucketed(),
     "q_tpch_q12_bucketed": _oracle_tpch_q12_bucketed(),
     "q_tpch_q21_bucketed": _oracle_tpch_q21_bucketed(),
+    # r13: the custkey family routed through the second standing
+    # layout — adoption claim IS oracle identity with the plain forms.
+    "q_tpch_q13_bucketed": _oracle_tpch_q13_bucketed(),
+    "q_tpch_q10_bucketed": _oracle_tpch_q10_bucketed(),
     # E99: the manifest-mode walk must reconstruct the SAME logical
     # history as the mirror-mode walk — oracle reused verbatim.
     "q_time_travel_manifest": ORACLE_TIME_TRAVEL,

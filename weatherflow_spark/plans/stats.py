@@ -1350,10 +1350,14 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 consolidated certification row: all five distributed-
     statistics families (exact moments, OLS regression, mode,
     histogram, entropy) projected to one tagged (part, key, n, v1..v4)
-    shape and unioned. Each branch keeps its own physical plan — every
-    one is a single partial-agg pass over its scan (see the per-query
-    docstrings); the union is plan-level only, no cross-branch
-    shuffle. Single-family twins stay registered in the tail."""
+    shape and unioned — plus the E10 distribution-window family
+    (percent_rank / cume_dist / lead / nth_value, r13: folded in from
+    the q_window_dist window slot, which rotated to the split-out
+    warehouse suite; the single keeps tail parity). Each branch keeps
+    its own physical plan — every one is a single partial-agg or
+    window pass over its scan (see the per-query docstrings); the
+    union is plan-level only, no cross-branch shuffle. Single-family
+    twins stay registered in the tail."""
     cov = q_covariance_matrix(spark, sf_dir).select(
         F.lit("cov_matrix").alias("part"),
         F.concat_ws("|", F.col("dim_i"), F.col("dim_j")).alias("key"),
@@ -1437,6 +1441,20 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_values").cast("double").alias("v3"),
         nul.alias("v4"),
     )
+    # E10 distribution windows (r13 fold-in): percent_rank/cume_dist
+    # divide two small exact integers, next_price/class_floor are
+    # parquet-exact prices — all four hash-match as doubles.
+    wdist = q_window_dist(spark, sf_dir).select(
+        F.lit("window_dist").alias("part"),
+        F.concat_ws(
+            "|", F.col("o_orderpriority"), F.col("o_orderkey")
+        ).alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("pct_rank").alias("v1"),
+        F.col("cume").alias("v2"),
+        F.col("next_price").alias("v3"),
+        F.col("class_floor").alias("v4"),
+    )
     return (
         moments.unionByName(regression)
         .unionByName(mode)
@@ -1446,6 +1464,7 @@ def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pca)
         .unionByName(outl)
         .unionByName(edh)
+        .unionByName(wdist)
     )
 
 
@@ -1484,6 +1503,12 @@ ORACLE_STATS_SUITE = f"""
            CAST(lo_cents AS DOUBLE), CAST(hi_cents AS DOUBLE),
            CAST(n_values AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM edh_side
+    UNION ALL
+    SELECT 'window_dist',
+           o_orderpriority || '|' || CAST(o_orderkey AS VARCHAR),
+           CAST(NULL AS BIGINT),
+           pct_rank, cume, next_price, class_floor
+    FROM ({ORACLE_WINDOW_DIST}) wdist_side
 """
 
 
