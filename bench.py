@@ -262,6 +262,13 @@ OPTIONAL = [
     # r13: merge-on-read deletion-vector single (suite branch
     # 'delete_dv' carries the window row)
     "q_delete_where_dv",
+    # r13: conjunctive two-column skipping over the Morton layout
+    # (suite branch 'zorder_skipping' carries the window row)
+    "q_zorder_skipping",
+    # r13: the custkey family routed through the second standing
+    # layout (plain q10/q13 stay benched above for the delta)
+    "q_tpch_q13_bucketed",
+    "q_tpch_q10_bucketed",
 ]
 
 

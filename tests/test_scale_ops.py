@@ -488,3 +488,56 @@ def test_bucketed_warehouse_is_durable_across_sessions(spark, tmp_path):
 
     with open(os.path.join(scratch, os.listdir(scratch)[0], "_WF_BUILT")) as f:
         assert json.load(f)["spec"]["n_buckets"] == 2
+
+
+def test_bucketed_warehouse_cust_is_durable_across_sessions(spark, tmp_path):
+    """r12 verdict #5: the SECOND standing layout (orders+customer
+    co-bucketed by custkey) gets the same durability contract as the
+    orderkey pair — catalog wipe then re-call re-registers with zero
+    new data files, the custkey join still plans zero Exchange, and
+    it coexists with the orderkey layout in the same scratch."""
+    import os
+
+    from weatherflow_spark.operators.bucketing import (
+        bucketed_warehouse,
+        bucketed_warehouse_cust,
+    )
+
+    scratch = str(tmp_path)
+    # Both layouts side by side: neither invalidates the other.
+    bucketed_warehouse(spark, SF_SMALL, scratch, n_buckets=4)
+    t_ord, t_cust = bucketed_warehouse_cust(
+        spark, SF_SMALL, scratch, n_buckets=4
+    )
+
+    def file_set():
+        out = {}
+        for root, _, files in os.walk(scratch):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    built = file_set()
+    spark.sql(f"DROP TABLE {t_ord}")
+    spark.sql(f"DROP TABLE {t_cust}")
+    t_ord2, t_cust2 = bucketed_warehouse_cust(
+        spark, SF_SMALL, scratch, n_buckets=4
+    )
+    assert (t_ord2, t_cust2) == (t_ord, t_cust)
+    assert file_set() == built, "reuse path wrote/touched data files"
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(t_cust2).join(
+            spark.table(t_ord2),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert colocated_join_is_shuffle_free(j), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -523,10 +523,11 @@ def _scan_cmp_key(x):
 def scan_version(
     spark: SparkSession,
     path: str,
-    col: str,
+    col: str | None = None,
     lo=None,
     hi=None,
     version: int | None = None,
+    predicates: list[tuple] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """FILE-SKIPPING version read (E100): return the version's rows
     whose files can contain ``col ∈ [lo, hi]`` — files whose recorded
@@ -542,28 +543,55 @@ def scan_version(
     may be passed as Python objects (normalized to the stored
     isoformat — 'T' separator) or as ISO-8601 'T' strings; Decimal
     bounds widen OUTWARD on float conversion so conversion error can
-    only keep an extra file, never drop one."""
+    only keep an extra file, never drop one.
+
+    ``predicates=[(col, lo, hi), ...]`` is the CONJUNCTIVE
+    multi-column form (r12 verdict #2): a file is opened only if
+    EVERY range can intersect its recorded bounds — the read shape a
+    Z-ordered layout exists for (operators/zorder.py gives each file
+    a small rectangle of the two-column key space, so a
+    two-dimensional band prunes on BOTH axes where single-column
+    sorting prunes on one). Mutually exclusive with ``col``."""
+    if predicates is not None and col is not None:
+        raise ValueError("pass either col/lo/hi or predicates, not both")
+    if predicates is None:
+        if col is None:
+            raise ValueError("pass col (single range) or predicates")
+        predicates = [(col, lo, hi)]
     version, files, base = _resolve_version(path, version)
     entry = _load_entry(path, version)
     stats = _entry_stats(path, entry)
     dv = _entry_dv(entry)
-    if lo is not None and not isinstance(lo, (int, float, str)):
-        lo = _jsonable_stat(lo, "min")
-    if hi is not None and not isinstance(hi, (int, float, str)):
-        hi = _jsonable_stat(hi, "max")
+    norm: list[tuple] = []
+    for pcol, plo, phi in predicates:
+        if plo is not None and not isinstance(plo, (int, float, str)):
+            plo = _jsonable_stat(plo, "min")
+        if phi is not None and not isinstance(phi, (int, float, str)):
+            phi = _jsonable_stat(phi, "max")
+        norm.append((pcol, plo, phi))
 
     kept = []
     for rel, _sz in files:
-        s = stats.get(rel, {}).get(col)
-        if s is not None:
+        drop = False
+        for pcol, plo, phi in norm:
+            s = stats.get(rel, {}).get(pcol)
+            if s is None:
+                continue  # no stats for this column ⇒ cannot prune on it
             fmin, fmax = s
             try:
-                if (hi is not None and _scan_cmp_key(fmin) > _scan_cmp_key(hi)) or (
-                    lo is not None and _scan_cmp_key(fmax) < _scan_cmp_key(lo)
+                if (
+                    phi is not None
+                    and _scan_cmp_key(fmin) > _scan_cmp_key(phi)
+                ) or (
+                    plo is not None
+                    and _scan_cmp_key(fmax) < _scan_cmp_key(plo)
                 ):
-                    continue
+                    drop = True
+                    break
             except TypeError:
                 pass  # incomparable bound vs stat types: never prune
+        if drop:
+            continue
         kept.append(rel)
     if not kept:
         # empty selection: preserve the schema via an always-false

@@ -1828,6 +1828,108 @@ ORACLE_FILE_SKIPPING = f"""
 """
 
 
+ZSKIP_BITS = 24  # covers keys < 2^24 — sf1's 6M orderkeys included
+
+
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 × E100 (r12 verdict #2): CONJUNCTIVE multi-column file
+    skipping over a Z-ORDERED versioned table. Single-column range
+    clustering gives tight per-file bounds on one axis only; the
+    Morton layout (operators/zorder.py) gives every file a small
+    rectangle of (custkey, orderkey) space, so a TWO-dimensional band
+    — the multi-predicate ``scan_version(predicates=[...])`` form,
+    each range ANDed at file granularity — prunes on both axes.
+
+    The band is derived from the table itself (the lowest eighth of
+    each key's span, so the claim holds at every SF): selecting
+    (1/8)² of the key space over 64 z-files must open at most a
+    QUARTER of them (RAISES otherwise; the curve's locality makes the
+    true number ~2-6 — a one-axis layout would scan ~1/8 of files on
+    its sorted axis and ALL files once the second predicate is the
+    selective one). The residual-filtered digest hash-matches the
+    oracle's plain two-BETWEEN over raw orders with the same derived
+    bounds, so one row certifies the pruning is real AND lossless."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+        scan_version,
+        set_stats_columns,
+    )
+    from weatherflow_spark.operators.zorder import write_zordered
+
+    path = os.path.join(_scratch_dir(sf_dir), "zskip_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + ".__snaplog", ignore_errors=True)
+    shutil.rmtree(path + ".__retain", ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    write_zordered(
+        orders, path, "o_custkey", "o_orderkey",
+        num_files=64, bits=ZSKIP_BITS,
+    )
+    init_snapshot_log(path)
+    set_stats_columns(path, ["o_custkey", "o_orderkey"])
+    record_commit(path)
+
+    # Band bounds derived from the data (deterministic integer
+    # arithmetic, mirrored verbatim in the oracle): the lowest eighth
+    # of each key's span.
+    b = orders.agg(
+        F.min("o_custkey").alias("c_lo"), F.max("o_custkey").alias("c_mx"),
+        F.min("o_orderkey").alias("k_lo"), F.max("o_orderkey").alias("k_mx"),
+    ).first()
+    c_lo, c_hi = b["c_lo"], b["c_lo"] + (b["c_mx"] - b["c_lo"]) // 8
+    k_lo, k_hi = b["k_lo"], b["k_lo"] + (b["k_mx"] - b["k_lo"]) // 8
+    df, info = scan_version(
+        spark, path,
+        predicates=[("o_custkey", c_lo, c_hi), ("o_orderkey", k_lo, k_hi)],
+    )
+    if info["files_scanned"] > max(2, info["files_total"] // 4):
+        raise RuntimeError(
+            f"z-order two-column skipping regressed: scanned "
+            f"{info['files_scanned']} of {info['files_total']} files for "
+            f"a (1/8)^2 band"
+        )
+    return (
+        df.where(
+            F.col("o_custkey").between(c_lo, c_hi)
+            & F.col("o_orderkey").between(k_lo, k_hi)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("price_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+            F.expr("bit_xor(o_custkey)").alias("cust_xor"),
+        )
+    )
+
+
+ORACLE_ZORDER_SKIPPING = """
+    WITH b AS (
+        SELECT min(o_custkey) AS c_lo,
+               min(o_custkey)
+                   + (max(o_custkey) - min(o_custkey)) // 8 AS c_hi,
+               min(o_orderkey) AS k_lo,
+               min(o_orderkey)
+                   + (max(o_orderkey) - min(o_orderkey)) // 8 AS k_hi
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS price_cents,
+           bit_xor(o_orderkey) AS key_xor,
+           bit_xor(o_custkey) AS cust_xor
+    FROM orders, b
+    WHERE o_custkey BETWEEN b.c_lo AND b.c_hi
+      AND o_orderkey BETWEEN b.k_lo AND b.k_hi
+"""
+
+
 def q_tpch_q6_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E100 ADOPTION row (the E98 pattern: certifying the layout on
     scratch is not the same as routing a real query through it):
@@ -2870,6 +2972,10 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       deletion vectors — zero files rewritten at delete time (every
       partition inode-identical), replay no-op, compaction folds the
       DVs with an identical digest.
+    - ``zorder_skipping``       (r13, E19×E100): conjunctive
+      two-column file skipping over the Morton layout — a (1/8)²
+      band opens ≤¼ of the z-files, digest == the plain
+      two-predicate oracle.
 
     Every branch performs its real versioned I/O because that I/O IS
     the certified claim."""
@@ -2884,6 +2990,12 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority AS key",
         "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'key_xor', key_xor) AS (metric, value)",
+    )
+    zs = q_zorder_skipping(spark, sf_dir).selectExpr(
+        "'zorder_skipping' AS op",
+        "'all' AS key",
+        "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'key_xor', key_xor, 'cust_xor', cust_xor) AS (metric, value)",
     )
     wm = q_warehouse_maintenance(spark, sf_dir).selectExpr(
         "'warehouse_maintenance' AS op",
@@ -2910,7 +3022,7 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dw.unionByName(wm).unionByName(q6).unionByName(rst)
-        .unionByName(dv)
+        .unionByName(dv).unionByName(zs)
     )
 
 
@@ -2922,7 +3034,8 @@ def _oracle_maintenance_suite() -> str:
         wm AS ({ORACLE_WAREHOUSE_MAINTENANCE}),
         q6 AS ({ORACLE_TPCH_Q6}),
         rst AS ({ORACLE_PARTITION_COMPACTION}),
-        dv AS ({ORACLE_DELETE_WHERE_DV})
+        dv AS ({ORACLE_DELETE_WHERE_DV}),
+        zs AS ({ORACLE_ZORDER_SKIPPING})
         SELECT 'delete_where' AS op, o_orderpriority AS key,
                'n_rows' AS metric, n_rows AS value FROM dw
         UNION ALL
@@ -2964,6 +3077,15 @@ def _oracle_maintenance_suite() -> str:
         FROM dv
         UNION ALL
         SELECT 'delete_dv', o_orderpriority, 'key_xor', key_xor FROM dv
+        UNION ALL
+        SELECT 'zorder_skipping', 'all', 'n_rows', n_rows FROM zs
+        UNION ALL
+        SELECT 'zorder_skipping', 'all', 'price_cents', price_cents
+        FROM zs
+        UNION ALL
+        SELECT 'zorder_skipping', 'all', 'key_xor', key_xor FROM zs
+        UNION ALL
+        SELECT 'zorder_skipping', 'all', 'cust_xor', cust_xor FROM zs
     """
 
 
@@ -3940,6 +4062,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_warehouse_snapshot": q_warehouse_snapshot,
     "q_warehouse_replica": q_warehouse_replica,
     "q_file_skipping": q_file_skipping,
+    "q_zorder_skipping": q_zorder_skipping,
     "q_partition_compaction": q_partition_compaction,
     "q_delete_where": q_delete_where,
     "q_delete_where_dv": q_delete_where_dv,
@@ -3986,6 +4109,9 @@ SERVING_ORACLES: dict[str, str] = {
     # warehouse's own oracle.
     "q_warehouse_replica": ORACLE_WAREHOUSE_SNAPSHOT,
     "q_file_skipping": ORACLE_FILE_SKIPPING,
+    # r13: the two-column Z-order band must equal the plain
+    # two-predicate oracle with the same derived bounds.
+    "q_zorder_skipping": ORACLE_ZORDER_SKIPPING,
     "q_partition_compaction": ORACLE_PARTITION_COMPACTION,
     "q_delete_where": ORACLE_DELETE_WHERE,
     # r13: the merge-on-read twin must produce the eager delete's
