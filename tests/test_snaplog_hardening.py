@@ -414,3 +414,68 @@ def test_packaged_feed_consumer_replicates_orders_and_evolution(spark, tmpdir):
     assert rep.count() == spark.read.option(
         "mergeSchema", "true"
     ).parquet(src).count()
+
+
+def test_string_zone_maps_prune_without_false_drops(spark, tmpdir):
+    """r12 verdict #3: truncation-aware string bounds (Iceberg
+    truncate(k)). Pruning on a string range must be real for
+    well-separated values AND lossless under adversarial ones —
+    common prefixes longer than the truncation width, unicode,
+    bound-equal keys."""
+    from weatherflow_spark.operators.snaplog import (
+        STR_STAT_TRUNC,
+        _trunc_lower,
+        _trunc_upper,
+        scan_version,
+        set_stats_columns,
+    )
+    from pyspark.sql import functions as F
+
+    # --- unit contract of the truncated bounds ---------------------
+    assert _trunc_upper("short") == "short"          # <= k: exact
+    long = "prefix" * 5                              # 30 chars
+    up = _trunc_upper(long)
+    assert len(up) <= STR_STAT_TRUNC and up > long   # strict superset
+    assert _trunc_lower(long) <= long
+    # unicode: multibyte code points increment in code-point order
+    uni = "é" * (STR_STAT_TRUNC + 4)
+    assert _trunc_upper(uni) > uni
+    # incrementing into the surrogate gap skips it
+    edge = "a" * (STR_STAT_TRUNC - 1) + "퟿" + "zz"
+    up_edge = _trunc_upper(edge)
+    assert up_edge > edge and "" in up_edge
+    # un-incrementable prefix: no finite bound
+    assert _trunc_upper(chr(0x10FFFF) * (STR_STAT_TRUNC + 1)) is None
+
+    # --- integration: prune + losslessness -------------------------
+    path = f"{tmpdir}/strmap"
+    prefix = "x" * (STR_STAT_TRUNC + 2)  # longer than the truncation
+    rows = (
+        # file-separable short values (one per range file)
+        [(i, f"g{i % 4}") for i in range(40)]
+        # adversarial: shared long prefix, distinct tails; bound-equal
+        + [(100 + i, prefix + c) for i, c in enumerate("abcd")]
+        + [(200, "g1"), (201, "g1")]  # bound-equal keys (min == max)
+    )
+    df = spark.createDataFrame(rows, "k long, s string")
+    df.repartitionByRange(4, F.col("s")).write.parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["s"])
+    record_commit(path)
+
+    # a well-separated point range prunes to fewer files
+    got, info = scan_version(spark, path, "s", lo="g0", hi="g0")
+    assert info["files_scanned"] < info["files_total"]
+    assert got.where(F.col("s") == "g0").count() == 10
+
+    # adversarial long-prefix band: every qualifying row survives
+    lo, hi = prefix + "a", prefix + "d"
+    got2, _ = scan_version(spark, path, "s", lo=lo, hi=hi)
+    assert got2.where(F.col("s").between(lo, hi)).count() == 4
+
+    # a range ABOVE the truncated upper bound of every file still
+    # never drops rows it shouldn't (superset contract): full scan of
+    # the right-most file only
+    got3, info3 = scan_version(spark, path, "s", lo=prefix, hi=prefix + "zz")
+    assert got3.where(F.col("s") >= prefix).count() == 4
+    assert info3["files_scanned"] < info3["files_total"]

@@ -377,9 +377,12 @@ def set_stats_columns(path: str, cols: list[str]) -> None:
     files that can match, without opening a single footer at read
     time. Stats are collected ONLY for new files (carried segments are
     immutable and keep theirs), so the per-commit cost is O(touched
-    files) footer reads. Only numeric / date / timestamp columns are
-    eligible — parquet string min/max may be truncated by writers,
-    and a truncated bound prunes wrongly."""
+    files) footer reads. Numeric / date / timestamp columns record
+    exact bounds; STRING columns record truncation-aware bounds
+    (r13 — lower truncated to :data:`STR_STAT_TRUNC` chars, upper
+    truncated-then-incremented per the Iceberg truncate(k) contract,
+    see :func:`_file_stats`), so priority/mktsegment-style string
+    ranges prune safely. Bytes columns are ineligible."""
     if not snapshot_enabled(path):
         raise ValueError(
             f"{path}: snapshot log not initialised (init_snapshot_log)"
@@ -421,13 +424,58 @@ def _jsonable_stat(v, side: str = "min"):
         return f
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
-    return None  # strings/bytes: truncated parquet bounds prune wrongly
+    return None  # bytes / exotic types: no safe ordering to prune on
+
+
+STR_STAT_TRUNC = 16  # chars kept per string bound (Iceberg truncate(k))
+
+
+def _trunc_lower(s: str, k: int = STR_STAT_TRUNC) -> str:
+    """A guaranteed LOWER bound for every string >= ``s``: its k-char
+    prefix (a prefix is <= the string it prefixes)."""
+    return s[:k]
+
+
+def _trunc_upper(s: str, k: int = STR_STAT_TRUNC) -> str | None:
+    """A guaranteed UPPER bound for every string <= ``s``, at most k
+    chars: ``s`` itself when short enough, else its k-prefix with the
+    last incrementable code point bumped and the tail dropped — the
+    Iceberg ``truncate(k)`` upper-bound contract. Incrementing the
+    LAST KEPT character yields a string strictly greater than every
+    string sharing the original prefix (UTF-8 byte order == code
+    point order, so the comparison agrees with Spark/parquet).
+    Surrogate code points are skipped; returns None when no prefix
+    character is incrementable (all U+10FFFF — no finite bound)."""
+    if len(s) <= k:
+        return s
+    chars = list(s[:k])
+    for i in reversed(range(len(chars))):
+        cp = ord(chars[i])
+        if cp >= 0x10FFFF:
+            continue  # cannot bump: drop it and carry left
+        ncp = cp + 1
+        if 0xD800 <= ncp <= 0xDFFF:
+            ncp = 0xE000  # skip the surrogate gap
+        chars[i] = chr(ncp)
+        return "".join(chars[: i + 1])
+    return None
 
 
 def _file_stats(path: str, rel: str, cols: list[str]) -> dict:
     """{col: [min, max]} from the parquet footer's row-group
     statistics — bounds over all row groups; a column with any
-    row group missing min/max is omitted (no stats ⇒ never pruned)."""
+    row group missing min/max is omitted (no stats ⇒ never pruned).
+
+    STRING columns (r13, VERDICT r12 #3) record truncation-aware
+    bounds: min truncated to :data:`STR_STAT_TRUNC` chars (still a
+    valid lower bound), max truncated-then-incremented
+    (:func:`_trunc_upper` — a guaranteed superset). This is safe even
+    when the WRITER already truncated the footer stat, because
+    parquet-mr's truncation increments the max (BinaryTruncator) and
+    arrow omits over-long stats entirely (``has_min_max`` false) —
+    either way the stored max is >= the true max, and our
+    truncate+increment of it can only widen further. Bytes columns
+    stay excluded (no logical ordering contract)."""
     import pyarrow.parquet as pq
 
     try:
@@ -447,8 +495,12 @@ def _file_stats(path: str, rel: str, cols: list[str]) -> dict:
             if st is None or not st.has_min_max:
                 ok = False
                 break
-            mn = _jsonable_stat(st.min, "min")
-            mx = _jsonable_stat(st.max, "max")
+            if isinstance(st.min, str) and isinstance(st.max, str):
+                mn = _trunc_lower(st.min)
+                mx = _trunc_upper(st.max)
+            else:
+                mn = _jsonable_stat(st.min, "min")
+                mx = _jsonable_stat(st.max, "max")
             if mn is None or mx is None:
                 ok = False
                 break
