@@ -479,3 +479,90 @@ def test_string_zone_maps_prune_without_false_drops(spark, tmpdir):
     got3, info3 = scan_version(spark, path, "s", lo=prefix, hi=prefix + "zz")
     assert got3.where(F.col("s") >= prefix).count() == 4
     assert info3["files_scanned"] < info3["files_total"]
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_checkpoint_pointer_bounds_head_resolution_io(
+    spark, tmpdir, monkeypatch, mode
+):
+    """r12 verdict #6: snapshot-log checkpoints. Entries are already
+    self-contained state maps, so the ``_last_checkpoint`` pointer is
+    the whole fix: head resolution (read_version / head_version /
+    read_live / record_commit's predecessor lookup) must never LIST
+    the log directory — at 288 loads/day a year of history is ~10^5
+    entries per table, paid on every read without the pointer. A
+    lagging pointer self-heals by forward probe (entries are gap-free
+    above it); a corrupt or missing pointer falls back to the full
+    listing; vacuum refreshes it."""
+    import json as _json
+
+    from weatherflow_spark.operators.snaplog import (
+        _ckpt_path,
+        head_version,
+    )
+
+    path = f"{tmpdir}/ckpt_{mode}"
+    s = "k int, v string"
+    init_snapshot_log(path)
+    # manifest mode forbids plain overwrites after the seed — drive
+    # commits through the keyed choke point in both modes.
+    spark.createDataFrame([(1, "a"), (2, "b")], s).write.parquet(path)
+    # re-init with the requested mode BEFORE the seed commit
+    shutil.rmtree(path + ".__snaplog", ignore_errors=True)
+    init_snapshot_log(path, mode=mode)
+    record_commit(path)
+    for i in range(2, 6):
+        upsert_by_key(
+            spark,
+            spark.createDataFrame([(1, f"a{i}")], s),
+            path,
+            ["k"],
+        )
+    vs = versions(path)
+    assert len(vs) == 5 and head_version(path) == vs[-1]
+
+    # Instrument: head reads must not list the log directory.
+    calls: list[str] = []
+    real_listdir = os.listdir
+
+    def spy(p="."):
+        calls.append(str(p))
+        return real_listdir(p)
+
+    monkeypatch.setattr(os, "listdir", spy)
+    assert head_version(path) == vs[-1]
+    got = read_version(spark, path)
+    assert got.where("k = 1").first().v == "a5"
+    log_listings = [c for c in calls if c.endswith(".__snaplog")]
+    assert not log_listings, log_listings
+    monkeypatch.undo()
+
+    # Lagging pointer (crash between entry and pointer): forward
+    # probe self-heals without a listing.
+    with open(_ckpt_path(path), "w") as f:
+        _json.dump({"version": 1}, f)
+    calls.clear()
+    monkeypatch.setattr(os, "listdir", spy)
+    assert head_version(path) == vs[-1]
+    assert not [c for c in calls if c.endswith(".__snaplog")]
+    monkeypatch.undo()
+
+    # Corrupt pointer: falls back to the listing, still correct.
+    with open(_ckpt_path(path), "w") as f:
+        f.write("not json")
+    assert head_version(path) == vs[-1]
+    # Missing pointer (pre-r13 log): same fallback.
+    os.unlink(_ckpt_path(path))
+    assert head_version(path) == vs[-1]
+    # The next commit restores the pointer.
+    upsert_by_key(
+        spark, spark.createDataFrame([(2, "z")], s), path, ["k"]
+    )
+    with open(_ckpt_path(path)) as f:
+        assert _json.load(f)["version"] == vs[-1] + 1
+
+    # Vacuum keeps the pointer at the surviving head.
+    vacuum_versions(path, keep_last=2)
+    with open(_ckpt_path(path)) as f:
+        assert _json.load(f)["version"] == head_version(path)
+    assert read_version(spark, path).count() == 2
