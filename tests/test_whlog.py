@@ -723,3 +723,113 @@ def test_restore_warehouse_load_rolls_back_every_member(spark, wh):
     # keyless member refused before anything is touched
     with pytest.raises(ValueError, match="no key_cols"):
         restore_warehouse_load(spark, wh, 1, {"fact": ["k"]})
+
+
+def test_load_checkpoint_bounds_head_resolution_io(spark, wh, monkeypatch):
+    """r13 (the warehouse analog of the snapshot-log checkpoint): the
+    latest load resolves by the _last_load pointer + forward probe —
+    no listing of the load log on the read path; lagging / corrupt /
+    missing pointers self-heal or fall back; vacuum refreshes the
+    pointer."""
+    import json as _json
+
+    from weatherflow_spark.operators.whlog import (
+        _load_ckpt_path,
+        head_load,
+        vacuum_warehouse,
+    )
+
+    _seed(spark, wh)
+    for i in range(1, 4):
+        batch = spark.createDataFrame(
+            [(1, 1, float(100 * i))], "k long, cust long, amt double"
+        )
+        upsert_by_key(spark, batch, os.path.join(wh, "fact"), ["k"])
+        commit_warehouse(wh, ["fact", "dim"], batch_id=f"L{i}")
+    assert warehouse_loads(wh) == [1, 2, 3]
+    assert head_load(wh) == 3
+
+    calls: list[str] = []
+    real_listdir = os.listdir
+
+    def spy(p="."):
+        calls.append(str(p))
+        return real_listdir(p)
+
+    monkeypatch.setattr(os, "listdir", spy)
+    assert head_load(wh) == 3
+    entry = load_entry(wh)
+    assert entry["load"] == 3
+    log_listings = [c for c in calls if c.endswith(".__whlog")]
+    assert not log_listings, log_listings
+    monkeypatch.undo()
+
+    # lagging pointer self-heals by forward probe (no listing)
+    with open(_load_ckpt_path(wh), "w") as f:
+        _json.dump({"load": 1}, f)
+    calls.clear()
+    monkeypatch.setattr(os, "listdir", spy)
+    assert head_load(wh) == 3
+    assert not [c for c in calls if c.endswith(".__whlog")]
+    monkeypatch.undo()
+
+    # corrupt + missing pointer fall back to the listing
+    with open(_load_ckpt_path(wh), "w") as f:
+        f.write("junk")
+    assert head_load(wh) == 3
+    os.unlink(_load_ckpt_path(wh))
+    assert head_load(wh) == 3
+    # next commit restores it
+    commit_warehouse(wh, ["fact", "dim"], batch_id="L4")
+    with open(_load_ckpt_path(wh)) as f:
+        assert _json.load(f)["load"] == 4
+    # vacuum keeps the pointer at the surviving head
+    vacuum_warehouse(wh, keep_last_loads=2)
+    with open(_load_ckpt_path(wh)) as f:
+        assert _json.load(f)["load"] == head_load(wh) == 4
+    assert _joined_digest(read_warehouse(spark, wh))[0] > 0
+
+
+def test_maintenance_folds_member_deletion_vectors(spark, wh):
+    """r13: the right-to-be-forgotten shape BETWEEN loads — a DV
+    delete on a member (zero files rewritten) followed by
+    maintain_warehouse, whose compaction pass plans DV-covered
+    partitions as offenders: the DVs fold into data files, the re-cut
+    load serves the post-delete cut, and the feed bundle ships the
+    tombstones so replicas converge."""
+    from weatherflow_spark.operators.snaplog import head_dv
+    from weatherflow_spark.operators.upsert import delete_where
+    from weatherflow_spark.operators.whlog import maintain_warehouse
+
+    _seed_partitioned(spark, wh)
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L1") == 1
+    fp = os.path.join(wh, "fact")
+
+    # RTBF by key: victims scatter across every cust partition
+    rep = delete_where(
+        spark, fp, "k % 10 = 7", ["k"], partition_cols=["cust"],
+        use_dv=True,
+    )
+    assert rep["files_rewritten"] == 0 and rep["partitions_touched"] == 3
+    assert head_dv(fp)
+
+    bundle = os.path.join(wh, "bundle")
+    out = maintain_warehouse(
+        spark, wh,
+        partition_cols={"fact": ["cust"]},
+        max_files=100,  # nothing is fragmented: ONLY the DV fold plans
+        feed_bundle=bundle,
+        key_cols={"fact": ["k"], "dim": ["cust"]},
+        keep_last_loads=2,
+        batch_id="M1",
+    )
+    assert out["compaction"]["fact"]["partitions_compacted"] == 3
+    assert head_dv(fp) == {}, "maintenance must fold the member's DVs"
+    # the re-cut load serves the post-delete cut
+    tables = read_warehouse(spark, wh)
+    ks = {r["k"] for r in tables["fact"].collect()}
+    assert ks == {i for i in range(1, 31) if i % 10 != 7}
+    # and the feed bundle carries the delete as tombstones
+    fact_feed = spark.read.parquet(os.path.join(bundle, "fact"))
+    dels = fact_feed.where("op = 'D'")
+    assert {r["k"] for r in dels.collect()} == {7, 17, 27}

@@ -89,7 +89,9 @@ def init_warehouse_log(wh_dir: str) -> None:
 
 
 def warehouse_loads(wh_dir: str) -> list[int]:
-    """Committed logical-load numbers, ascending."""
+    """Committed logical-load numbers, ascending. O(#loads) listing —
+    full-history consumers (vacuum, bundle export, restore) need it;
+    head resolution uses :func:`head_load` (O(since-pointer), r13)."""
     try:
         names = os.listdir(_wh_log_dir(wh_dir))
     except OSError:
@@ -104,15 +106,54 @@ def warehouse_loads(wh_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _load_ckpt_path(wh_dir: str) -> str:
+    return os.path.join(_wh_log_dir(wh_dir), "_last_load")
+
+
+def _write_load_checkpoint(wh_dir: str, n: int) -> None:
+    tmp = _load_ckpt_path(wh_dir) + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"load": n}, f)
+    os.replace(tmp, _load_ckpt_path(wh_dir))
+
+
+def head_load(wh_dir: str) -> int | None:
+    """The newest committed load, resolved in O(loads since the
+    ``_last_load`` pointer) — the warehouse analog of the snapshot
+    log's ``_last_checkpoint`` (r13): at the reference's 288-loads/day
+    cadence, resolving "the latest load" by listing the log directory
+    pays ~10^5 entries/year on EVERY warehouse read. Pointer +
+    forward probe (loads are gap-free above it — vacuum only drops
+    prefixes); a lagging pointer self-heals, a corrupt/missing/
+    stale-past-vacuum pointer falls back to the full listing."""
+    try:
+        with open(_load_ckpt_path(wh_dir)) as f:
+            v = int(json.load(f)["load"])
+    except (OSError, ValueError, KeyError, TypeError):
+        ls = warehouse_loads(wh_dir)
+        return ls[-1] if ls else None
+    n = v
+    while os.path.isfile(_load_path(wh_dir, n + 1)):
+        n += 1
+    if not os.path.isfile(_load_path(wh_dir, n)):
+        ls = warehouse_loads(wh_dir)
+        return ls[-1] if ls else None
+    return n
+
+
 def load_entry(wh_dir: str, load: int | None = None) -> dict:
     """The load entry (``{"load": N, "tables": {name: version}, ...}``);
-    default latest."""
-    ls = warehouse_loads(wh_dir)
-    if not ls:
-        raise ValueError(f"{wh_dir}: no committed warehouse loads")
+    default latest. Head resolution and explicit-load validation are
+    O(since-pointer) / one entry stat (r13) — the listing only runs
+    to build the error message."""
     if load is None:
-        load = ls[-1]
-    if load not in ls:
+        load = head_load(wh_dir)
+        if load is None:
+            raise ValueError(f"{wh_dir}: no committed warehouse loads")
+    elif not os.path.isfile(_load_path(wh_dir, load)):
+        ls = warehouse_loads(wh_dir)
+        if not ls:
+            raise ValueError(f"{wh_dir}: no committed warehouse loads")
         raise ValueError(
             f"{wh_dir}: load {load} not in log (have {ls[0]}..{ls[-1]})"
         )
@@ -318,8 +359,8 @@ def commit_warehouse(
             if not snapshot_enabled(p):
                 init_snapshot_log(p)
             table_versions[t] = _record_or_reuse(p, batch_id)
-        ls = warehouse_loads(wh_dir)
-        n = (ls[-1] if ls else 0) + 1
+        h = head_load(wh_dir)  # pointer-resolved: no O(#loads) listdir
+        n = (h if h is not None else 0) + 1
         entry = {"load": n, "tables": table_versions}
         if batch_id is not None:
             entry["batch_id"] = str(batch_id)
@@ -334,6 +375,7 @@ def commit_warehouse(
             with open(mtmp, "w") as f:
                 json.dump({"batch_id": str(batch_id), "load": n}, f)
             os.replace(mtmp, _load_batch_marker(wh_dir, batch_id))
+        _write_load_checkpoint(wh_dir, n)
         return n
 
 
@@ -392,6 +434,10 @@ def vacuum_warehouse(
         ls = warehouse_loads(wh_dir)
         drop = ls[:-keep_last_loads]
         keep = [n for n in ls if n not in drop]
+        if keep:
+            # refresh the head pointer while the full listing is in
+            # hand — heals any pre-r13 or lagging pointer (r13)
+            _write_load_checkpoint(wh_dir, keep[-1])
         referenced: dict[str, set[int]] = {}
         for n in keep:
             for t, v in load_entry(wh_dir, n)["tables"].items():
