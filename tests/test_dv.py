@@ -284,3 +284,65 @@ def test_dv_restore_rolls_back_a_dv_delete(spark, tmp_path):
     assert out["changes_applied"] == 3  # the three deleted rows return
     assert read_version(spark, path).count() == 30
     assert head_dv(path) == {}, "restored partitions must fold their DVs"
+
+
+def test_dv_read_plans_broadcast_anti_join(spark, tmp_path):
+    """The DV read tax must be a BROADCAST anti-join (victim keys are
+    small by contract) — a shuffled SMJ anti-join would pay two
+    exchanges per covered directory group at every read."""
+    from weatherflow_spark.operators.snaplog import read_version
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_where(
+        spark, path, "k % 10 = 3", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    df = read_version(spark, path)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    import re
+
+    assert not re.search(r"\bExchange hashpartitioning\b", plan), plan
+
+
+def test_delete_where_multi_range_prune(spark, tmp_path):
+    """E102×E106: prune accepts a list of (col, lo, hi) ranges ANDed
+    at file granularity — on a two-column-clustered layout the victim
+    rectangle opens fewer files than either axis alone, in BOTH
+    delete modes, with identical results to the unpruned delete."""
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        set_stats_columns,
+    )
+    from weatherflow_spark.operators.upsert import delete_where
+    from weatherflow_spark.operators.zorder import write_zordered
+    from pyspark.sql import functions as F
+
+    for mode, use_dv in (("eager", False), ("dv", True)):
+        path = str(tmp_path / f"t_{mode}")
+        rows = [(i, i % 64, float(i)) for i in range(4096)]
+        df = spark.createDataFrame(rows, "k long, g long, v double")
+        write_zordered(df, path, "g", "k", num_files=16, bits=13)
+        init_snapshot_log(path)
+        set_stats_columns(path, ["k", "g"])
+        record_commit(path)
+        pred = (
+            (F.col("g").between(0, 7))
+            & (F.col("k").between(0, 511))
+            & (F.col("k") % 2 == 0)
+        )
+        rep = delete_where(
+            spark, path, pred, ["k"],
+            prune=[("g", 0, 7), ("k", 0, 511)],
+            use_dv=use_dv,
+        )
+        assert rep["rows_matched"] > 0
+        assert 0 < rep["files_scanned"] < rep["files_total"], rep
+        got = read_version(spark, path)
+        assert got.count() == 4096 - rep["keys_deleted"]
+        assert got.where(pred).count() == 0

@@ -253,15 +253,18 @@ def head_dv(path: str) -> dict[str, list[str]]:
 
 
 def _read_dv_keys(spark: SparkSession, path: str, names: list[str]) -> DataFrame:
-    """One frame of deleted keys across ``names`` (deduplicated; the
-    DV write path stores one key per row, key columns only)."""
+    """One frame of deleted keys across ``names`` (key columns only;
+    the write path already stores one key per row, and anti-join
+    semantics ignore build-side duplicates anyway — no dedup here, or
+    its aggregation would put a shuffle Exchange in front of every
+    DV-covered read's broadcast)."""
     out = None
     for n in names:
         df = spark.read.parquet(os.path.join(_dv_dir(path), n))
         out = df if out is None else out.unionByName(
             df, allowMissingColumns=True
         )
-    return out.dropDuplicates()
+    return out
 
 
 def _read_files_with_dv(

@@ -800,7 +800,11 @@ def delete_where(
        opened (deleting one ingest range from a 100 TB key-clustered
        table reads a handful of files, not the table). Pruning is a
        superset by contract: a too-wide bound only scans more, never
-       misses a victim; the predicate is always re-applied.
+       misses a victim; the predicate is always re-applied. ``prune``
+       also accepts a LIST of ``(col, lo, hi)`` ranges, ANDed at file
+       granularity (r13, E106) — on a Z-ordered layout a
+       date×key victim rectangle opens the intersection's files, not
+       one axis's whole stripe.
     2. **Scoped rewrite** — victims become full-row ``op='D'``
        tombstones into :func:`apply_changes`, inheriting every
        hardened property of the CDC choke point verbatim: only
@@ -903,12 +907,18 @@ def delete_where(
     src = None
     versioned = snapshot_enabled(path) and bool(versions(path))
     if prune is not None and versioned:
-        col, lo, hi = prune
-        if col in stats_columns(path):
-            src, info = scan_version(spark, path, col, lo=lo, hi=hi)
+        # E102×E106: prune may be ONE (col, lo, hi) or a LIST of them
+        # — a multi-dimensional victim bound over a Z-ordered layout
+        # prunes on every axis (a date×key rectangle opens the
+        # intersection's files, not one axis's stripe). Ranges whose
+        # column records no stats are dropped (they'd never prune);
+        # pruning stays an optimization, never a correctness
+        # dependency — the predicate is always re-applied.
+        ranges = [prune] if isinstance(prune, tuple) else list(prune)
+        eligible = [r for r in ranges if r[0] in stats_columns(path)]
+        if eligible:
+            src, info = scan_version(spark, path, predicates=eligible)
             scanned, total = info["files_scanned"], info["files_total"]
-        # else: fall through to the head read — pruning is an
-        # optimization, never a correctness dependency
     if src is None:
         # The versioned read serves the committed head — mandatory on
         # a manifest-mode table, whose LIVE tree keeps superseded
@@ -1049,9 +1059,11 @@ def _delete_where_dv(
         scanned, total = -1, -1
         src = None
         if prune is not None:
-            col, lo, hi = prune
-            if col in stats_columns(path):
-                src, info = scan_version(spark, path, col, lo=lo, hi=hi)
+            # single (col, lo, hi) or a list of them — see delete_where
+            ranges = [prune] if isinstance(prune, tuple) else list(prune)
+            eligible = [r for r in ranges if r[0] in stats_columns(path)]
+            if eligible:
+                src, info = scan_version(spark, path, predicates=eligible)
                 scanned, total = info["files_scanned"], info["files_total"]
         if src is None:
             src = read_version(spark, path)  # post-DV head
