@@ -597,8 +597,8 @@ def compact_partitions(
         _load_entry,
         _read_dv_keys,
         _segment_files,
+        head_version,
         snapshot_enabled,
-        versions,
     )
     from weatherflow_spark.operators.upsert import overwrite_partitions
 
@@ -608,13 +608,13 @@ def compact_partitions(
             "log's segments — init_snapshot_log + record_commit first"
         )
     with dataset_lock(path):
-        vs = versions(path)
-        if not vs:
+        head_v = head_version(path)
+        if head_v is None:
             raise ValueError(
                 f"{path}: no committed versions — record_commit the "
                 "seed first"
             )
-        head_entry = _load_entry(path, vs[-1])
+        head_entry = _load_entry(path, head_v)
         segs = _entry_segments(path, head_entry)
         head_dvs = _entry_dv(head_entry)
         plan: list[tuple[str, str, int, tuple[str, ...]]] = []
@@ -655,7 +655,7 @@ def compact_partitions(
                 # planning adds a DV this rewrite would not fold —
                 # rewriting with the stale set would RESURRECT its
                 # victims (the fresh commit drops the dir's DVs).
-                head_e = _load_entry(path, versions(path)[-1])
+                head_e = _load_entry(path, head_version(path))
                 head = _entry_segments(path, head_e)
                 if head.get(dirkey) != segname:
                     continue
@@ -739,7 +739,7 @@ def compact_partitions(
         shutil.rmtree(scratch, ignore_errors=True)
     files_after = 0
     if compacted:
-        head = _entry_segments(path, _load_entry(path, versions(path)[-1]))
+        head = _entry_segments(path, _load_entry(path, head_version(path)))
         files_after = sum(
             len(_segment_files(path, head[d]))
             for d in compacted

@@ -92,8 +92,8 @@ def _manifest_overwrite_partitions(
     from weatherflow_spark.operators.snaplog import (
         _walk_data_files,
         entry_files,
+        head_version,
         record_commit,
-        versions,
     )
 
     spark = df.sparkSession
@@ -105,8 +105,8 @@ def _manifest_overwrite_partitions(
             for r in df.select(*partition_cols).distinct().collect()
         ]
         all_replaced = sorted(set(keys) | set(replaced_keys))
-        vs = versions(path)
-        if not vs and _walk_data_files(path):
+        head = head_version(path)  # pointer-resolved: no per-commit listdir
+        if head is None and _walk_data_files(path):
             # BEFORE the physical append (r11 review #3): raising
             # after it would strand the batch's files in the live
             # tree, where the error's own recovery step (a full-walk
@@ -120,8 +120,8 @@ def _manifest_overwrite_partitions(
         df.write.mode("append").partitionBy(*partition_cols).parquet(path)
         after = set(_walk_data_files(path, subdirs=all_replaced))
         new_files = sorted(after - before)
-        if vs:
-            prev = entry_files(path, vs[-1])
+        if head is not None:
+            prev = entry_files(path, head)
             prefixes = tuple(k.rstrip("/") + "/" for k in all_replaced)
             carried = [
                 (r, sz) for r, sz in prev if not r.startswith(prefixes)
@@ -895,17 +895,17 @@ def delete_where(
                 prune, snapshot_batch_id, serializable=False,
             )
     from weatherflow_spark.operators.snaplog import (
+        head_version,
         read_version,
         snapshot_enabled,
         scan_version,
         stats_columns,
-        versions,
     )
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     scanned, total = -1, -1
     src = None
-    versioned = snapshot_enabled(path) and bool(versions(path))
+    versioned = snapshot_enabled(path) and head_version(path) is not None
     if prune is not None and versioned:
         # E102×E106: prune may be ONE (col, lo, hi) or a LIST of them
         # — a multi-dimensional victim bound over a Z-ordered layout
@@ -1029,15 +1029,15 @@ def _delete_where_dv(
     from weatherflow_spark.operators.snaplog import (
         _dv_dir,
         committed_batch_version,
+        head_version,
         read_version,
         record_dv_commit,
         scan_version,
         snapshot_enabled,
         stats_columns,
-        versions,
     )
 
-    if not (snapshot_enabled(path) and versions(path)):
+    if not (snapshot_enabled(path) and head_version(path) is not None):
         raise ValueError(
             f"{path}: deletion vectors ride the snapshot log — "
             "init_snapshot_log + a seed commit first, or use the "
@@ -1098,7 +1098,7 @@ def _delete_where_dv(
                     "partitions_touched": 0,
                     "files_scanned": scanned, "files_total": total,
                     "files_rewritten": 0,
-                    "new_version": versions(path)[-1],
+                    "new_version": head_version(path),
                 }
             if partition_cols:
                 dirkeys = [

@@ -182,18 +182,18 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
         _write_dirstamp,
         dir_fingerprint,
         entry_files,
+        head_version,
         record_commit,
         snapshot_mode,
         stored_dirstamp,
-        versions,
     )
 
-    vs = versions(path)
+    head = head_version(path)  # pointer-resolved: no per-load listdir
     if snapshot_mode(path) == "manifest":
-        if vs:
-            return vs[-1]
+        if head is not None:
+            return head
         return record_commit(path, batch_id=batch_id)
-    if vs:
+    if head is not None:
         # O(dirs) fast path (r11 verdict #5): every engine content
         # writer records a commit at the choke points, and
         # record_commit stamps the directory fingerprint after each
@@ -206,15 +206,15 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
         # never a wrong reuse.
         stamp = stored_dirstamp(path)
         if stamp is not None and stamp == dir_fingerprint(path):
-            return vs[-1]
+            return head
     # Same basis-before-listing discipline as record_commit's stamp
     # (r12 review): the fingerprint that may be persisted below must
     # predate the walk, or a bulk write between walk and stamp would
     # be vouched for by a stamp whose entry excludes it.
     pre_fp = _clean_fingerprint(path)
     cur = sorted((r, s) for r, s in _walk_data_files(path))
-    if vs:
-        prev = sorted(entry_files(path, vs[-1]))
+    if head is not None:
+        prev = sorted(entry_files(path, head))
         if prev == cur:
             # content equal but the stamp was stale/missing: refresh
             # it (caller holds the table lock) so the NEXT load takes
@@ -222,7 +222,7 @@ def _record_or_reuse(path: str, batch_id: object | None) -> int:
             # fingerprinted through the walk.
             if pre_fp is not None and dir_fingerprint(path) == pre_fp:
                 _write_dirstamp(path, pre_fp)
-            return vs[-1]
+            return head
     # files= commits must carry the pre-walk basis into record_commit
     # (its own fingerprint would be post-listing — the wrong-reuse
     # hole again, r12 review #3); record_commit re-verifies the tree
