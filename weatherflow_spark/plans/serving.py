@@ -1803,6 +1803,38 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"file-skipping regressed: scanned {info['files_scanned']} of "
             f"{info['files_total']} files for a selective range"
         )
+    # STRING zone maps (E107, r13): a second, priority-clustered copy
+    # proves the truncation-aware string bounds prune AND are lossless
+    # — raise-checked internally (the returned digest is unchanged, so
+    # the suite branch and the oracle certify this leg for free).
+    spath = os.path.join(_scratch_dir(sf_dir), "fskip_str_tbl")
+    shutil.rmtree(spath, ignore_errors=True)
+    shutil.rmtree(spath + ".__snaplog", ignore_errors=True)
+    shutil.rmtree(spath + ".__retain", ignore_errors=True)
+    orders.repartitionByRange(
+        8, F.col("o_orderpriority"), F.col("o_orderkey")
+    ).write.mode("overwrite").parquet(spath)
+    init_snapshot_log(spath)
+    set_stats_columns(spath, ["o_orderpriority"])
+    record_commit(spath)
+    sdf, sinfo = scan_version(
+        spark, spath, "o_orderpriority", lo="1-URGENT", hi="2-HIGH"
+    )
+    n_pruned = sdf.where(
+        F.col("o_orderpriority").between("1-URGENT", "2-HIGH")
+    ).count()
+    n_full = orders.where(
+        F.col("o_orderpriority").between("1-URGENT", "2-HIGH")
+    ).count()
+    if (
+        sinfo["files_scanned"] > max(1, sinfo["files_total"] // 2)
+        or n_pruned != n_full
+    ):
+        raise RuntimeError(
+            f"string zone maps regressed: scanned {sinfo['files_scanned']} "
+            f"of {sinfo['files_total']} files for a 2-of-5 priority band, "
+            f"rows {n_pruned} vs {n_full}"
+        )
     return (
         df.where(F.col("o_orderkey").between(FSKIP_LO, FSKIP_HI))
         .groupBy("o_orderpriority")
