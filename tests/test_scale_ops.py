@@ -399,17 +399,26 @@ def test_bucketed_tpch_adoption_plans_zero_shuffle(spark):
     forms. r11 verdict #2 widened the family: Q4/Q12/Q21 route through
     the same layout with exactly ONE Exchange each (the tiny
     post-aggregation re-group on a non-bucket key — the builders
-    raise if the bound is exceeded) and stay row-identical too."""
+    raise if the bound is exceeded) and stay row-identical too.
+    r13 (VERDICT r12 #5): the custkey family joins — Q13 over the
+    second standing layout and Q10 composing BOTH layouts, each with
+    at most ONE Exchange (raise-checked in the builders)."""
     from weatherflow_spark.plans.serving import (
         q_tpch_q3_bucketed,
         q_tpch_q4_bucketed,
+        q_tpch_q10_bucketed,
         q_tpch_q12_bucketed,
+        q_tpch_q13_bucketed,
         q_tpch_q18_bucketed,
         q_tpch_q21_bucketed,
     )
     from weatherflow_spark.plans.stats import q_tpch_q3
     from weatherflow_spark.plans.tpch import q_tpch_q4, q_tpch_q18
-    from weatherflow_spark.plans.tpch_ext import q_tpch_q21
+    from weatherflow_spark.plans.tpch_ext import (
+        q_tpch_q10,
+        q_tpch_q13,
+        q_tpch_q21,
+    )
     from weatherflow_spark.plans.tpch_ps import q_tpch_q12
 
     for bucketed, plain in [
@@ -418,6 +427,8 @@ def test_bucketed_tpch_adoption_plans_zero_shuffle(spark):
         (q_tpch_q4_bucketed, q_tpch_q4),     # raises unless <= 1
         (q_tpch_q12_bucketed, q_tpch_q12),   # raises unless <= 1
         (q_tpch_q21_bucketed, q_tpch_q21),   # raises unless <= 1
+        (q_tpch_q13_bucketed, q_tpch_q13),   # raises unless <= 1 (r13)
+        (q_tpch_q10_bucketed, q_tpch_q10),   # raises unless <= 1 (r13)
     ]:
         b = bucketed(spark, SF_SMALL)
         p = plain(spark, SF_SMALL)
