@@ -346,3 +346,43 @@ def test_delete_where_multi_range_prune(spark, tmp_path):
         got = read_version(spark, path)
         assert got.count() == 4096 - rep["keys_deleted"]
         assert got.where(pred).count() == 0
+
+
+def test_table_status_reports_dv_and_checkpoint_state(spark, tmp_path):
+    """table_status: the metadata-only DESCRIBE DETAIL an operator
+    polls before scheduling maintenance — correct head/file/partition
+    counts, live-DV signal that clears after the fold, checkpoint
+    freshness."""
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import table_status
+    from weatherflow_spark.operators.upsert import delete_where
+
+    bare = str(tmp_path / "bare")
+    _mk(spark, [{"k": 1, "day": "d", "v": 1.0}]).write.parquet(bare)
+    assert table_status(bare) == {
+        "versioned": False, "mode": None, "head_version": None,
+    }
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    st = table_status(path)
+    assert st["versioned"] and st["mode"] == "mirror"
+    assert st["head_version"] == 1 and st["n_versions"] == 1
+    assert st["partitions"] == 3 and st["files"] >= 3
+    assert st["bytes"] > 0 and st["dv_dirs"] == 0
+    assert st["stats_columns"] == ["k"]
+    assert st["checkpoint_fresh"], "commit must leave a fresh pointer"
+
+    delete_where(
+        spark, path, "k % 10 = 3", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    st = table_status(path)
+    assert st["head_version"] == 2
+    assert st["dv_dirs"] == 3 and st["dv_files"] == 1
+    assert st["checkpoint_fresh"]
+
+    compact_partitions(spark, path, ["day"], max_files=100)
+    st = table_status(path)
+    assert st["dv_dirs"] == 0 and st["dv_files"] == 0
+    assert st["checkpoint_fresh"]

@@ -1919,3 +1919,60 @@ def vacuum_versions(
             if root != gc_root and not os.listdir(root):
                 os.rmdir(root)
         return {"dropped_versions": len(drop), "removed_files": removed}
+
+
+def table_status(path: str) -> dict:
+    """DESCRIBE DETAIL for a versioned table (r13): one metadata-only
+    call an operator runs before deciding maintenance — no Spark job,
+    no data reads, O(head entry) I/O. Returns::
+
+        {"versioned": bool, "mode": "mirror"|"manifest"|None,
+         "head_version": int|None, "n_versions": int,
+         "files": int, "bytes": int, "partitions": int,
+         "dv_dirs": int, "dv_files": int,        # live deletion vectors
+         "stats_columns": [...], "pinned_versions": [...],
+         "checkpoint_fresh": bool}               # pointer == listed head
+
+    ``dv_dirs`` > 0 means reads of those directories pay the
+    merge-on-read anti-join until the next compaction folds them —
+    the signal ``maintain_warehouse``-style schedulers act on.
+    ``checkpoint_fresh`` False means head reads fall back to an
+    O(#versions) listing (pre-r13 log or a crashed commit) — the next
+    commit or vacuum heals it. ``n_versions`` is the one O(#versions)
+    listing in here, acceptable for an explicitly diagnostic call."""
+    if not snapshot_enabled(path):
+        return {"versioned": False, "mode": None, "head_version": None}
+    vs = versions(path)
+    head = vs[-1] if vs else None
+    out: dict = {
+        "versioned": True,
+        "mode": snapshot_mode(path),
+        "head_version": head,
+        "n_versions": len(vs),
+        "files": 0,
+        "bytes": 0,
+        "partitions": 0,
+        "dv_dirs": 0,
+        "dv_files": 0,
+        "stats_columns": stats_columns(path),
+        "pinned_versions": sorted(pinned_versions(path)),
+        "checkpoint_fresh": False,
+    }
+    if head is None:
+        return out
+    entry = _load_entry(path, head)
+    files = entry_files(path, head)
+    dv = _entry_dv(entry)
+    out["files"] = len(files)
+    out["bytes"] = sum(max(int(sz), 0) for _, sz in files)
+    out["partitions"] = len(
+        {d for d in (_seg_key(rel) for rel, _ in files) if d}
+    )
+    out["dv_dirs"] = len(dv)
+    out["dv_files"] = len({n for names in dv.values() for n in names})
+    try:
+        with open(_ckpt_path(path)) as f:
+            out["checkpoint_fresh"] = int(json.load(f)["version"]) == head
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    return out
