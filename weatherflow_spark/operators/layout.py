@@ -595,7 +595,6 @@ def compact_partitions(
         _entry_dv,
         _entry_segments,
         _load_entry,
-        _read_dv_keys,
         _segment_files,
         head_version,
         snapshot_enabled,
@@ -679,21 +678,46 @@ def compact_partitions(
                 df = spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(live, rel) for rel, _ in files]
                 )
+                # partition values attach BEFORE the DV fold (r13
+                # review): a DV whose key_cols include a partition
+                # column would otherwise anti-join against a frame
+                # that lacks the column entirely (this leaf read has
+                # no basePath, so partition columns exist only in the
+                # directory name) and the fold would raise forever.
+                for col, val in partition_key_values(dirkey):
+                    df = df.withColumn(col, F.lit(val).cast("string"))
+                part_cols_set = {c for c, _ in partition_key_values(dirkey)}
                 if dv_names:
                     # FOLD the partition's deletion vectors: the
                     # rewrite is the merge-on-read delete's merge
-                    # half — anti-join the victim keys so the new
-                    # files physically exclude them; the scoped
+                    # half — one broadcast anti-join PER DV on its
+                    # own key columns (heterogeneous key sets must
+                    # not union, see snaplog._apply_dvs); partition
+                    # key columns compare on their STRING form (the
+                    # directory spelling this read attaches) against
+                    # the DV's typed value cast to string. The scoped
                     # commit below then drops the dir's DVs (its
                     # segment changed).
-                    dvk = _read_dv_keys(spark, path, list(dv_names))
-                    df = df.join(
-                        F.broadcast(dvk),
-                        on=list(dvk.columns),
-                        how="left_anti",
-                    )
-                for col, val in partition_key_values(dirkey):
-                    df = df.withColumn(col, F.lit(val).cast("string"))
+                    for dv_name in dv_names:
+                        from weatherflow_spark.operators.snaplog import (
+                            _dv_dir,
+                        )
+
+                        dvk = spark.read.parquet(
+                            os.path.join(_dv_dir(path), dv_name)
+                        )
+                        cond = None
+                        for c in dvk.columns:
+                            rhs = (
+                                dvk[c].cast("string")
+                                if c in part_cols_set
+                                else dvk[c]
+                            )
+                            eq = df[c] == rhs
+                            cond = eq if cond is None else (cond & eq)
+                        df = df.join(
+                            F.broadcast(dvk), cond, "left_anti"
+                        )
                 if dv_names and not df.head(1):
                     # The fold emptied the partition (the DV covered
                     # every row): an empty dynamic overwrite writes

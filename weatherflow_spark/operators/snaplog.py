@@ -252,19 +252,23 @@ def head_dv(path: str) -> dict[str, list[str]]:
         return {}
 
 
-def _read_dv_keys(spark: SparkSession, path: str, names: list[str]) -> DataFrame:
-    """One frame of deleted keys across ``names`` (key columns only;
-    the write path already stores one key per row, and anti-join
-    semantics ignore build-side duplicates anyway — no dedup here, or
-    its aggregation would put a shuffle Exchange in front of every
-    DV-covered read's broadcast)."""
-    out = None
+def _apply_dvs(
+    spark: SparkSession, path: str, df: DataFrame, names: list[str]
+) -> DataFrame:
+    """Anti-join ``df`` against each deletion vector in ``names`` —
+    one broadcast anti-join PER DV, each on that DV's OWN key columns
+    (r13 review: two DVs written with different key_cols must not be
+    unioned into one null-padded frame — the null-unsafe anti-join
+    would match nothing and resurrect every victim of both deletes).
+    No dedup on the build side: anti-join semantics ignore build-side
+    duplicates, and a dedup aggregation would put a shuffle Exchange
+    in front of every covered read's broadcast."""
     for n in names:
-        df = spark.read.parquet(os.path.join(_dv_dir(path), n))
-        out = df if out is None else out.unionByName(
-            df, allowMissingColumns=True
+        keys = spark.read.parquet(os.path.join(_dv_dir(path), n))
+        df = df.join(
+            F.broadcast(keys), on=list(keys.columns), how="left_anti"
         )
-    return out
+    return df
 
 
 def _read_files_with_dv(
@@ -276,9 +280,11 @@ def _read_files_with_dv(
 ) -> DataFrame:
     """Version read with deletion vectors applied: files in covered
     directories anti-join their DV keys (broadcast — DVs are victim
-    keys, small by the delete contract); uncovered directories read
-    plain. One branch per distinct DV-name set, so N deletes over the
-    same dirs still cost one anti-join each, not one per directory."""
+    keys, small by the delete contract; keys are non-null by the
+    delete contract, so the plain anti-join is exact); uncovered
+    directories read plain. One branch per distinct DV-name set, so N
+    deletes over the same dirs still cost one anti-join each, not one
+    per directory."""
     plain: list[str] = []
     by_dvset: dict[tuple[str, ...], list[str]] = {}
     for rel in rels:
@@ -291,12 +297,11 @@ def _read_files_with_dv(
     if plain:
         branches.append(_read_retained(spark, base, plain))
     for names, group in sorted(by_dvset.items()):
-        df = _read_retained(spark, base, group)
-        keys = _read_dv_keys(spark, path, list(names))
-        # Keys are non-null by the delete contract (delete_where
-        # refuses NULL-key victims), so the plain anti-join is exact.
-        df = df.join(F.broadcast(keys), on=list(keys.columns), how="left_anti")
-        branches.append(df)
+        branches.append(
+            _apply_dvs(
+                spark, path, _read_retained(spark, base, group), list(names)
+            )
+        )
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)
