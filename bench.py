@@ -79,6 +79,28 @@ CONTROL_REFS = {
 }
 CONTROL_REFS_LONG = {"q_graph_suite": 11.417}
 
+# Pin provenance (r14, VERDICT r13 'What's wrong' #3): normalized
+# totals are only comparable BETWEEN rounds that share a pin set —
+# BENCH_r12 (r8 pins) vs BENCH_r13 (r13 re-pin) normalized totals
+# differ 1.9x on a 1.10x raw basis purely because the divisor
+# changed. The payload therefore stamps the pin set's identity; the
+# cross-round rule is: same pin_generation → compare normalized,
+# different pin_generation → compare RAW on the common-query basis
+# only.
+PIN_GENERATION = {
+    "pinned": "r13",  # round whose calm session produced the refs
+    "hash": None,     # filled below from the ref values themselves
+}
+
+
+def _pin_hash() -> str:
+    import hashlib
+
+    blob = json.dumps(
+        {**CONTROL_REFS, **CONTROL_REFS_LONG}, sort_keys=True
+    ).encode()
+    return hashlib.sha256(blob).hexdigest()[:12]
+
 # Every certified-window query gets a timing row (round-5 change: a
 # certified query with no timing history can regress silently — the
 # window IS the headline set). The window is the registry's first 50
@@ -286,6 +308,9 @@ OPTIONAL = [
     # layout (plain q10/q13 stay benched above for the delta)
     "q_tpch_q13_bucketed",
     "q_tpch_q10_bucketed",
+    # r14: displaced from the window by q_maintenance2_suite (E19
+    # certified via that row's 'zorder_skipping' branch)
+    "q_zorder_key",
 ]
 
 
@@ -376,6 +401,7 @@ def main() -> None:
         "controls": controls,
         "ambient_factor": ambient,
         "ambient_factor_long": ambient_long,
+        "pin_generation": {**PIN_GENERATION, "hash": _pin_hash()},
     }
     # The driver only keeps a ~2,000-char stdout tail, which the full
     # per-query payload outgrew rounds ago (BENCH_r04..r07 all recorded
@@ -404,6 +430,7 @@ def main() -> None:
         "controls": {n: [c["ref"], c["now"]] for n, c in controls.items()},
         "ambient_factor": ambient,
         "ambient_factor_long": ambient_long,
+        "pin_generation": payload["pin_generation"],
         "full_payload": "bench_last.json",
     }
     print(json.dumps(compact))

@@ -386,3 +386,232 @@ def test_table_status_reports_dv_and_checkpoint_state(spark, tmp_path):
     st = table_status(path)
     assert st["dv_dirs"] == 0 and st["dv_files"] == 0
     assert st["checkpoint_fresh"]
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_compact_swap_conflicts_on_concurrent_dv_delete(spark, tmp_path, mode):
+    """A merge-on-read DV delete rewrites ZERO data files, so the
+    file-set fingerprint alone waves it through compact()'s swap-time
+    re-check — the pre-DV rewrite would then swap in un-deleted rows
+    and its full-walk commit would drop the fresh DV: a silently lost
+    RTBF delete (r13 advice, high). The head-version half of the swap
+    token must catch it."""
+    from weatherflow_spark.operators.commit import CompactionConflict
+    from weatherflow_spark.operators.layout import compact
+    from weatherflow_spark.operators.snaplog import head_dv, read_version
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, mode=mode)
+
+    def racing_dv_delete():
+        delete_where(
+            spark, path, "k % 10 = 3", ["k"], partition_cols=["day"],
+            use_dv=True,
+        )
+
+    with pytest.raises(CompactionConflict):
+        compact(spark, path, _before_swap=racing_dv_delete)
+    # the delete survived: DV still on the head, victims invisible
+    assert head_dv(path), "the racing DV must still be on the head"
+    got = {r["k"] for r in read_version(spark, path).collect()}
+    assert got == {i for i in range(30) if i % 10 != 3}
+    # the retry reads the post-DV head, folds, and succeeds
+    compact(spark, path)
+    assert head_dv(path) == {}
+    assert {r["k"] for r in read_version(spark, path).collect()} == got
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_widen_swap_conflicts_on_concurrent_dv_delete(spark, tmp_path, mode):
+    """Same race as the compact form, through rewrite_widen's swap."""
+    from weatherflow_spark.operators.commit import CompactionConflict
+    from weatherflow_spark.operators.layout import rewrite_widen
+    from weatherflow_spark.operators.snaplog import head_dv, read_version
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, mode=mode)
+
+    def racing_dv_delete():
+        delete_where(
+            spark, path, "k = 7", ["k"], partition_cols=["day"],
+            use_dv=True,
+        )
+
+    with pytest.raises(CompactionConflict):
+        rewrite_widen(
+            spark, path, {"k": "bigint"}, partition_cols=["day"],
+            _before_swap=racing_dv_delete,
+        )
+    assert head_dv(path), "the racing DV must still be on the head"
+    got = {r["k"] for r in read_version(spark, path).collect()}
+    assert 7 not in got and len(got) == 29
+
+
+def test_dv_fold_partition_key_compares_typed(spark, tmp_path):
+    """A DV whose key columns include a PARTITION column must fold on
+    typed values (r13 advice, medium): the directory spelling
+    ('p=0.0001') and Spark's cast-to-string of the typed DV value
+    ('1.0E-4' for double 1e-4) can disagree — a stringified compare
+    silently misses, the scoped commit drops the DV, and the victims
+    resurrect. The fold casts the dir-spelled literal to the DV
+    column's type instead."""
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import (
+        _dv_dir,
+        head_dv,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        record_dv_commit,
+    )
+
+    path = str(tmp_path / "t")
+    # dirs spelled in Python-str form (a non-Spark writer laid the
+    # table out); double 1e-4 is exactly the spelling Spark's own
+    # cast-to-string would NOT reproduce
+    for p_spell, p_val in [("0.0001", 1e-4), ("2.5", 2.5)]:
+        _mk(
+            spark,
+            [{"k": i, "v": float(i)} for i in range(10)],
+        ).repartition(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"p={p_spell}")
+        )
+    init_snapshot_log(path)
+    record_commit(path)
+    # handcrafted DV covering p=0.0001 with a TYPED partition column:
+    # victims k in {1, 2} of that partition only
+    dv = _mk(spark, [{"k": 1, "p": 1e-4}, {"k": 2, "p": 1e-4}])
+    name = "dv_typed_part"
+    dv.coalesce(1).write.parquet(os.path.join(_dv_dir(path), name))
+    record_dv_commit(path, name, ["p=0.0001"])
+    got = read_version(spark, path)
+    assert got.where("p = 0.0001").count() == 8  # read path: typed join
+    # the fold must remove the victims, not silently drop the DV
+    compact_partitions(spark, path, ["p"], max_files=100)
+    assert head_dv(path) == {}
+    post = read_version(spark, path)
+    assert post.where("p = 0.0001").count() == 8
+    assert {
+        r["k"] for r in post.where("p = 0.0001").collect()
+    } == set(range(10)) - {1, 2}
+    assert post.where("p = 2.5").count() == 10
+
+
+def test_dv_fold_preserves_range_clustering(spark, tmp_path):
+    """compact_partitions(sort_col=...) — the clustering-preserving
+    fold (r13 verdict #2): a DV fold on a range-clustered table must
+    NOT collapse each partition to one wide-min/max file, or
+    scan_version pruning silently decays until a full rewrite. With
+    sort_col the offender rewrites as the same number of
+    range-disjoint sorted files."""
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import (
+        head_dv,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        scan_version,
+        set_stats_columns,
+    )
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    rows = [
+        {"k": i, "day": f"2026-01-0{1 + i % 2}", "v": float(i)}
+        for i in range(400)
+    ]
+    # range-clustered layout: 4 range-disjoint sorted files per
+    # partition directory (each range task writes into both days)
+    _mk(spark, rows).repartitionByRange(4, F.col("k")).sortWithinPartitions(
+        "k"
+    ).write.mode("overwrite").partitionBy("day").parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["k"])
+    record_commit(path)
+
+    def band_scan():
+        df, info = scan_version(spark, path, "k", lo=0, hi=79)
+        return df, info
+
+    _, pre = band_scan()
+    assert pre["files_total"] == 8
+    assert pre["files_scanned"] <= 4, "seed layout must already prune"
+
+    # scattered-key RTBF across both partitions
+    delete_where(
+        spark, path, "k % 25 = 7", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    out = compact_partitions(
+        spark, path, ["day"], max_files=100, sort_col="k"
+    )
+    assert out["partitions_compacted"] == 2
+    assert head_dv(path) == {}, "fold must drop the DV"
+    got = {r["k"] for r in read_version(spark, path).collect()}
+    assert got == {i for i in range(400) if i % 25 != 7}
+
+    df, post = band_scan()
+    # clustering preserved: same file count, same pruning fraction
+    assert post["files_total"] == pre["files_total"]
+    assert post["files_scanned"] <= pre["files_scanned"]
+    assert {r["k"] for r in df.where("k between 0 and 79").collect()} == {
+        i for i in range(80) if i % 25 != 7
+    }
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_dv_commit_merges_same_schema_sidecars(spark, tmp_path, mode):
+    """K deletes between folds must cost ONE anti-join per covered
+    directory, not K (r13 verdict #4): same-key-schema sidecars merge
+    at DV-commit time; a heterogeneous-key DV stays separate (a
+    null-padded union would resurrect every victim)."""
+    from weatherflow_spark.operators.snaplog import (
+        _dv_dir,
+        head_dv,
+        read_version,
+    )
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path, mode=mode)
+    # three scattered-key deletes, each covering ALL three day dirs
+    for pred in ["k % 10 = 3", "k % 10 = 4", "k % 10 = 5"]:
+        delete_where(
+            spark, path, pred, ["k"], partition_cols=["day"],
+            use_dv=True,
+        )
+    victims = {3, 13, 23, 4, 14, 24, 5, 15, 25}
+    dv = head_dv(path)
+    # every covered dir references exactly ONE (merged) sidecar
+    assert dv and all(len(names) == 1 for names in dv.values()), dv
+    df = read_version(spark, path)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_anti = plan.count("LeftAnti")
+    # all three dirs share ONE merged DV name → one DV-set branch →
+    # ONE anti-join total (was 3 pre-merge: one per delete)
+    assert n_anti == 1, f"{n_anti} anti-joins in plan:\n{plan}"
+    assert {r["k"] for r in df.collect()} == set(range(30)) - victims
+
+    # heterogeneous key schema: must NOT merge with the (k) sidecar
+    delete_where(
+        spark, path, "k = 7", ["k", "day"], partition_cols=["day"],
+        use_dv=True,
+    )
+    dv = head_dv(path)
+    covered_day = "day=2026-01-02"  # k=7 → day index 1 + 7%3=1 → 02
+    assert len(dv[covered_day]) == 2, dv
+    df = read_version(spark, path)
+    assert {r["k"] for r in df.collect()} == set(range(30)) - victims - {7}
+    # a fifth delete with the (k) schema merges into the existing
+    # (k)-sidecar, never into the (k, day) one
+    delete_where(
+        spark, path, "k = 8", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    dv = head_dv(path)
+    assert all(len(names) <= 2 for names in dv.values()), dv
+    assert {r["k"] for r in read_version(spark, path).collect()} == (
+        set(range(30)) - victims - {7, 8}
+    )

@@ -126,6 +126,28 @@ def _head_partition_cols(path: str) -> list[str] | None:
     return first or None
 
 
+def _head_token(path: str) -> int | None:
+    """The versioned head number (None for an unversioned table) —
+    the METADATA half of the optimistic swap token. ``dataset_snapshot``
+    fingerprints only the live data-file set, so a metadata-only
+    commit — a merge-on-read ``delete_where(use_dv=True)``, which
+    rewrites ZERO data files — slips straight past the file-set
+    re-check; the rewrite (read pre-DV) would then swap in un-deleted
+    rows and its full-walk ``record_commit`` would drop the fresh DV
+    (every segment name changed), silently losing an RTBF delete
+    (r13 advice, high). Re-checking the head version at swap time
+    catches any commit, file-touching or not. O(1): checkpoint
+    pointer + forward probe."""
+    from weatherflow_spark.operators.snaplog import (
+        head_version,
+        snapshot_enabled,
+    )
+
+    if not snapshot_enabled(path):
+        return None
+    return head_version(path)
+
+
 def _compact_out(
     spark: SparkSession,
     path: str,
@@ -150,12 +172,16 @@ def _compact_out(
     return df.repartition(n_files)
 
 
+_HEAD_SELF = object()  # sentinel: _manifest_rewrite takes its own token
+
+
 def _manifest_rewrite(
     spark: SparkSession,
     path: str,
     out: DataFrame,
     partition_cols: list[str] | None = None,
     snap0: frozenset | None = None,
+    head0=_HEAD_SELF,
     _before_swap=None,
 ) -> int:
     """Manifest-mode full-table rewrite commit (shared by compaction
@@ -183,6 +209,8 @@ def _manifest_rewrite(
         # rows (r11 review #2). This fallback exists only for sources
         # built in the same expression as the call.
         snap0 = dataset_snapshot(path)
+    if head0 is _HEAD_SELF:
+        head0 = _head_token(path)
     tmp = path.rstrip("/") + "__rewriting"
     shutil.rmtree(tmp, ignore_errors=True)
     try:
@@ -206,6 +234,15 @@ def _manifest_rewrite(
             if dataset_snapshot(path) != snap0:
                 raise CompactionConflict(
                     f"{path}: dataset changed during the rewrite; re-run"
+                )
+            if _head_token(path) != head0:
+                # metadata-only commit (merge-on-read DV delete): zero
+                # data files changed, so only the head token sees it —
+                # the rewrite read pre-DV and would erase the delete
+                raise CompactionConflict(
+                    f"{path}: a version committed during the rewrite "
+                    "(metadata-only, e.g. a deletion-vector delete); "
+                    "re-run"
                 )
             moved: list[tuple[str, int]] = []
             for root, _, files in os.walk(tmp):
@@ -281,7 +318,10 @@ def compact(
         # landing between head-resolution and a later snapshot would
         # otherwise survive the swap-time re-check while the rewrite
         # reproduces the stale head — dropping that commit's rows.
+        # Both halves: the file-set fingerprint AND the head version
+        # (a DV delete changes only the latter — r13 advice, high).
         snap0 = dataset_snapshot(path)
+        head0 = _head_token(path)
         # Partition-preserving: the flattened mirror-style rewrite
         # would leave root-level files no partition carve-out ever
         # matches — every later overwrite would resurrect replaced
@@ -290,10 +330,12 @@ def compact(
             spark, path, _compact_out(spark, path, target_file_bytes, sort_col),
             partition_cols=_head_partition_cols(path),
             snap0=snap0,
+            head0=head0,
             _before_swap=_before_swap,
         )
 
     snap0 = dataset_snapshot(path)
+    head0 = _head_token(path)
     # Per-file guard: a concurrent dynamic overwrite can delete a part
     # file between the listing and the stat (the dataset_snapshot
     # sentinel race, r9 review) — a vanished file contributes 0 bytes
@@ -338,6 +380,17 @@ def compact(
             if dataset_snapshot(path) != snap0:
                 raise CompactionConflict(
                     f"{path}: dataset changed during compaction; re-run"
+                )
+            if _head_token(path) != head0:
+                # A merge-on-read DV delete rewrites ZERO data files —
+                # invisible to the file-set fingerprint above — but the
+                # rewrite read pre-DV; swapping would resurrect its
+                # victims and the full-walk record_commit below would
+                # drop the fresh DV (r13 advice, high).
+                raise CompactionConflict(
+                    f"{path}: a version committed during compaction "
+                    "(metadata-only, e.g. a deletion-vector delete); "
+                    "re-run"
                 )
             # Swap via rename-aside, not delete-then-rename: with
             # rmtree(path) first, a crash between the two calls loses
@@ -404,6 +457,7 @@ def rewrite_widen(
     path: str,
     widen: dict[str, str],
     partition_cols: list[str] | None = None,
+    _before_swap=None,
 ) -> None:
     """WIDEN column types via a full table rewrite (E94's missing
     half, r10 verdict #4): the keyed upsert refuses type changes by
@@ -456,7 +510,10 @@ def rewrite_widen(
     # yet EXCLUDED from the rewrite — the swap-time re-check would pass
     # while silently dropping that commit's rows. Taking the token
     # first makes any post-listing commit fail the swap comparison.
+    # The head-version half catches metadata-only commits (DV deletes
+    # rewrite zero data files — r13 advice, high).
     snap0 = dataset_snapshot(path)
+    head0 = _head_token(path)
     if manifest and versions(path):
         manifest_snap0 = snap0
         df = read_version(spark, path)  # superseded files must not be read
@@ -510,6 +567,8 @@ def rewrite_widen(
         _manifest_rewrite(
             spark, path, out, partition_cols or head_cols,
             snap0=manifest_snap0,
+            head0=head0,
+            _before_swap=_before_swap,
         )
         return
     tmp = path.rstrip("/") + "__widening"
@@ -520,11 +579,21 @@ def rewrite_widen(
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(tmp)
+        if _before_swap is not None:
+            _before_swap()
         with dataset_lock(path):
             if dataset_snapshot(path) != snap0:
                 raise CompactionConflict(
                     f"{path}: dataset changed during the widen rewrite; "
                     "re-run"
+                )
+            if _head_token(path) != head0:
+                # metadata-only commit (DV delete) — zero data files
+                # changed; swapping the pre-DV rewrite would erase it
+                raise CompactionConflict(
+                    f"{path}: a version committed during the widen "
+                    "rewrite (metadata-only, e.g. a deletion-vector "
+                    "delete); re-run"
                 )
             if os.path.exists(old):
                 shutil.rmtree(old)
@@ -549,6 +618,8 @@ def compact_partitions(
     path: str,
     partition_cols: list[str],
     max_files: int = 8,
+    sort_col: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict[str, int]:
     """Partition-scoped small-file maintenance PLANNED from the head
     entry's segments (E101, r12): the snapshot log already records
@@ -586,7 +657,20 @@ def compact_partitions(
     files it replaces and executor storage holds nothing across a
     long maintenance loop. Returns ``{"partitions_compacted": n,
     "files_before": b, "files_after": a}`` (counted over the
-    compacted partitions only)."""
+    compacted partitions only).
+
+    ``sort_col`` makes the rewrite CLUSTERING-PRESERVING (r13 verdict
+    #2): without it, each offender collapses to one file per
+    partition whose min/max spans the whole partition — after a DV
+    fold on a range-clustered table (the E100/E106 layouts), file
+    skipping silently decays until a full re-sort; the maintenance
+    loop un-maintains the layout it maintains. With it, each
+    offender rewrites as N range-disjoint files sorted on
+    ``sort_col`` (same repartitionByRange + sortWithinPartitions
+    path as whole-table :func:`compact`), where N preserves the
+    partition's file count for a pure DV fold (its files were sized
+    deliberately) and resizes by ``target_file_bytes`` for a genuine
+    small-file offender."""
     from weatherflow_spark.operators.commit import (
         dataset_lock,
         partition_key_values,
@@ -631,20 +715,22 @@ def compact_partitions(
                     f"but partition_cols={list(partition_cols)} — pass "
                     "the table's full partition column sequence"
                 )
-            n_files = len(_segment_files(path, segname))
+            seg_files = _segment_files(path, segname)
+            n_files = len(seg_files)
+            n_bytes = sum(max(int(sz), 0) for _, sz in seg_files)
             dv_names = tuple(sorted(head_dvs.get(dirkey) or ()))
             # DV-covered partitions are offenders regardless of file
             # count: compaction is where merge-on-read deletes FOLD
             # into data files (r12 verdict #1) — every read of a
             # covered partition pays the anti-join until then.
             if n_files > max_files or dv_names:
-                plan.append((dirkey, segname, n_files, dv_names))
-    planned_n = {d: n for d, _, n, _dv in plan}
+                plan.append((dirkey, segname, n_files, n_bytes, dv_names))
+    planned_n = {d: n for d, _, n, _b, _dv in plan}
     live = path.rstrip("/")
     compacted: list[str] = []
     scratch = f"{live}__pcompact_{os.getpid()}"
     try:
-        for dirkey, segname, _n, dv_names in plan:
+        for dirkey, segname, n_files, n_bytes, dv_names in plan:
             with dataset_lock(path):
                 # re-validate under THIS hold: a writer that committed
                 # to the partition since planning replaced its segment
@@ -692,12 +778,19 @@ def compact_partitions(
                     # rewrite is the merge-on-read delete's merge
                     # half — one broadcast anti-join PER DV on its
                     # own key columns (heterogeneous key sets must
-                    # not union, see snaplog._apply_dvs); partition
-                    # key columns compare on their STRING form (the
-                    # directory spelling this read attaches) against
-                    # the DV's typed value cast to string. The scoped
-                    # commit below then drops the dir's DVs (its
-                    # segment changed).
+                    # not union, see snaplog._apply_dvs). Partition
+                    # key columns compare TYPED (r13 advice, medium):
+                    # cast the attached dir-spelled string to the DV
+                    # column's type — string→T parses every standard
+                    # hive spelling — never T→string, because Spark's
+                    # rendering can differ from the Python str() that
+                    # spelled the directory at delete time (double
+                    # 1e-4 → '1.0E-4' vs '0.0001'; fractional-second
+                    # timestamps), and a silent mismatch here means
+                    # the victims survive the rewrite while the
+                    # scoped commit drops the DV — resurrection. The
+                    # scoped commit below then drops the dir's DVs
+                    # (its segment changed).
                     for dv_name in dv_names:
                         from weatherflow_spark.operators.snaplog import (
                             _dv_dir,
@@ -706,14 +799,15 @@ def compact_partitions(
                         dvk = spark.read.parquet(
                             os.path.join(_dv_dir(path), dv_name)
                         )
+                        dvk_types = dict(dvk.dtypes)
                         cond = None
                         for c in dvk.columns:
-                            rhs = (
-                                dvk[c].cast("string")
+                            lhs = (
+                                df[c].cast(dvk_types[c])
                                 if c in part_cols_set
-                                else dvk[c]
+                                else df[c]
                             )
-                            eq = df[c] == rhs
+                            eq = lhs == dvk[c]
                             cond = eq if cond is None else (cond & eq)
                         df = df.join(
                             F.broadcast(dvk), cond, "left_anti"
@@ -757,7 +851,33 @@ def compact_partitions(
                 shutil.rmtree(scratch, ignore_errors=True)
                 df.write.mode("overwrite").parquet(scratch)
                 staged = spark.read.parquet(scratch)
-                overwrite_partitions(staged, path, partition_cols)
+                if sort_col is not None and sort_col in staged.columns:
+                    # Clustering-preserving rewrite (r13 verdict #2):
+                    # range-arrange on the STAGED read (a plain read
+                    # would let Spark's small-file split packing mix
+                    # ranges within one task) so each task writes one
+                    # range-disjoint sorted file into the partition.
+                    # A pure DV fold keeps the partition's file count
+                    # (its files were range-sized deliberately); a
+                    # genuine small-file offender resizes by bytes.
+                    if n_files > max_files:
+                        n_out = max(
+                            1,
+                            min(
+                                n_files,
+                                math.ceil(n_bytes / target_file_bytes),
+                            ),
+                        )
+                    else:
+                        n_out = n_files
+                    staged = staged.repartitionByRange(
+                        n_out, F.col(sort_col)
+                    ).sortWithinPartitions(sort_col)
+                    overwrite_partitions(
+                        staged, path, partition_cols, presorted=True
+                    )
+                else:
+                    overwrite_partitions(staged, path, partition_cols)
                 compacted.append(dirkey)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -758,6 +758,7 @@ def maintain_warehouse(
     wh_dir: str,
     partition_cols: dict[str, list[str]] | None = None,
     max_files: int = 8,
+    sort_cols: dict[str, str] | None = None,
     feed_bundle: str | None = None,
     key_cols: dict[str, list[str]] | None = None,
     keep_last_loads: int | None = None,
@@ -773,6 +774,10 @@ def maintain_warehouse(
        offender partitions are found from the snapshot log's segments
        (O(dirs) metadata — no directory listing at any table size)
        and rewritten through the scoped choke point, versioned.
+       ``sort_cols`` maps a member to its clustering column so the
+       rewrite (including a DV fold) PRESERVES the member's
+       range-sorted file layout instead of collapsing each partition
+       to one wide-min/max file (r13 verdict #2).
     2. **Re-cut** — if anything compacted (or ``batch_id`` is given),
        a NEW warehouse load is committed pairing every member's
        compacted head (``commit_warehouse`` — pure metadata via the
@@ -809,6 +814,14 @@ def maintain_warehouse(
             f"{wh_dir}: partition_cols for unknown member table(s) "
             f"{bad} (head load has {members})"
         )
+    orphan_sorts = sorted(set(sort_cols or {}) - set(partition_cols or {}))
+    if orphan_sorts:
+        # a sort_col whose member never compacts would silently do
+        # nothing — surface the config mistake instead
+        raise ValueError(
+            f"{wh_dir}: sort_cols for member(s) {orphan_sorts} that "
+            "have no partition_cols mapping (nothing would compact)"
+        )
     if feed_bundle is not None and not key_cols:
         raise ValueError(
             "feed_bundle requires key_cols (a keyless table cannot "
@@ -819,6 +832,7 @@ def maintain_warehouse(
         compaction[t] = compact_partitions(
             spark, os.path.join(wh_dir, t), partition_cols[t],
             max_files=max_files,
+            sort_col=(sort_cols or {}).get(t),
         )
     any_rewrite = any(
         c["partitions_compacted"] > 0 for c in compaction.values()

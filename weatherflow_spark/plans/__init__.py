@@ -131,6 +131,15 @@ _CERTIFICATION_WINDOW = [
     # E102 delete_where, E103 maintain_warehouse, the E100 adoption
     # (TPC-H Q6 over the file-skipping layout).
     "q_maintenance_suite",
+    # r14: the six-branch maintenance monolith split (VERDICT r13
+    # 'What's wrong' #2, the r11/r12 playbook's third application):
+    # E104 restore + E105 delete_dv + E106 zorder_skipping fail under
+    # their own bit here. The slot comes from q_zorder_key, whose E19
+    # Morton family is certified by this row's 'zorder_skipping'
+    # branch (write_zordered + conjunctive band scan, hash == the
+    # plain two-predicate oracle); the single keeps tail parity + an
+    # OPTIONAL bench row.
+    "q_maintenance2_suite",
     "q_curation_suite",           # decontamination + source-mixture sampling
     # E5 distributed statistics (all 5 families) + E10 distribution
     # windows (r13: the 'window_dist' branch — the single stays in
@@ -169,7 +178,8 @@ _CERTIFICATION_WINDOW = [
     "q_product_analytics_suite",
     # iterative + sketch + layout + time-series + graph surfaces
     "q_graph_suite",              # connected components + triangle count
-    "q_zorder_key",               # E19
+    # (q_zorder_key rotated to the tail in r14 — E19 certified via
+    # q_maintenance2_suite's 'zorder_skipping' branch)
     "q_sampling_suite",           # hash + stratified + E36 weighted ES
     "q_inverted_index",           # E37 capped posting lists
     "q_timeseries_suite",         # E22 gap fill + E45 EWMA, one hash
