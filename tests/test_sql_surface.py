@@ -1,0 +1,119 @@
+"""SQL-string surface for the lakehouse verbs (r13 verdict #7): time
+travel via ``wf_version('<path>'[, v])`` table substitution and
+maintenance via ``CALL <verb>(...)`` — a warehouse operator works a
+SQL console; every verb below runs with NO Python API in sight.
+The reference's only entry style is raw SQL handed to MySQL
+(reference dags/utils/database.py:16-23); SURVEY §3 commits this
+engine to SQL alongside the DataFrame API."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from weatherflow_spark import sql as wf_sql
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def _seed(spark, path, mode="mirror"):
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+    )
+
+    rows = [
+        {"k": i, "day": f"2026-01-0{1 + i % 3}", "v": float(i)}
+        for i in range(30)
+    ]
+    _mk(spark, rows).repartition(1).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+    init_snapshot_log(path, mode=mode)
+    record_commit(path)
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_sql_delete_time_travel_restore_cycle(spark, tmp_path, mode):
+    """The full operator loop — DV delete, as-of reads of both sides,
+    rollback — driven purely through SQL strings."""
+    path = str(tmp_path / "t")
+    _seed(spark, path, mode=mode)
+
+    rep = wf_sql.execute(
+        spark,
+        f"CALL delete_where_dv('{path}', 'k % 10 = 3', 'k', 'day')",
+    ).first()
+    assert rep["keys_deleted"] == "3"
+    assert rep["files_rewritten"] == "0"
+
+    # head read sees the delete; VERSION AS OF 1 still has every row
+    head_n = wf_sql.execute(
+        spark, f"SELECT count(*) AS n FROM wf_version('{path}')"
+    ).first()["n"]
+    v1_n = wf_sql.execute(
+        spark, f"SELECT count(*) AS n FROM wf_version('{path}', 1)"
+    ).first()["n"]
+    assert (head_n, v1_n) == (27, 30)
+    # composes inside a join like any table
+    joined = wf_sql.execute(
+        spark,
+        f"SELECT count(*) AS n FROM wf_version('{path}', 1) a "
+        f"LEFT ANTI JOIN wf_version('{path}') b ON a.k = b.k",
+    ).first()["n"]
+    assert joined == 3  # exactly the victims
+
+    # rollback-as-new-commit, then the head serves the seed again
+    wf_sql.execute(spark, f"CALL restore('{path}', 1, 'k', 'day')")
+    assert (
+        wf_sql.execute(
+            spark, f"SELECT count(*) AS n FROM wf_version('{path}')"
+        ).first()["n"]
+        == 30
+    )
+
+
+def test_sql_call_compact_partitions_and_vacuum(spark, tmp_path):
+    from weatherflow_spark.operators.snaplog import head_dv, versions
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    wf_sql.execute(
+        spark, f"CALL delete_where_dv('{path}', 'k = 7', 'k', 'day')"
+    )
+    assert head_dv(path)
+    rep = wf_sql.execute(
+        spark,
+        f"CALL compact_partitions('{path}', 'day', 100, 'k')",
+    ).first()
+    assert int(rep["partitions_compacted"]) == 1
+    assert head_dv(path) == {}, "SQL-driven fold must drop the DV"
+    wf_sql.execute(spark, f"CALL vacuum_versions('{path}', 1)")
+    assert len(versions(path)) == 1
+
+
+def test_sql_call_rejects_unknown_verb_and_bad_args(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown CALL verb"):
+        wf_sql.execute(spark, "CALL drop_everything('/x')")
+    with pytest.raises(ValueError, match="unterminated"):
+        wf_sql.execute(spark, "CALL restore('/x, 1, 'k')")
+
+
+def test_sql_string_literal_escaping(spark, tmp_path):
+    """Predicates with quoted literals pass through '' escaping."""
+    from weatherflow_spark.operators.snaplog import read_version
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    wf_sql.execute(
+        spark,
+        f"CALL delete_where_dv('{path}', "
+        "'day = ''2026-01-02''', 'k', 'day')",
+    )
+    days = {
+        str(r["day"])
+        for r in read_version(spark, path).select("day").distinct().collect()
+    }
+    assert days == {"2026-01-01", "2026-01-03"}

@@ -453,11 +453,42 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def digest(df: DataFrame, tag: str) -> DataFrame:
         return _priority_digest(df, "version_tag", tag)
 
+    # E108 certification (r13 verdict #6): the head read's version
+    # resolution must be O(commits since the checkpoint pointer) —
+    # ZERO listings of the log directory. At the reference's own 288
+    # loads/day cadence a year of history is ~10^5 entries per table;
+    # an O(#versions) listdir on every head read is the cost the
+    # pointer exists to remove, and a regression here is invisible to
+    # hash checks (the listing is correct, just unbounded). Spy on
+    # os.listdir for exactly the head-resolution window.
+    calls: list[str] = []
+    real_listdir = os.listdir
+
+    def _spy(p="."):
+        calls.append(str(p))
+        return real_listdir(p)
+
+    os.listdir = _spy
+    try:
+        head_read = read_version(spark, path)
+    finally:
+        os.listdir = real_listdir
+    log_listings = [
+        c for c in calls if c.rstrip("/").endswith(".__snaplog")
+    ]
+    if log_listings:
+        raise RuntimeError(
+            "E108 regressed: head resolution listed the snapshot log "
+            f"directory {len(log_listings)} time(s) — the checkpoint "
+            "pointer + forward probe must bound it to zero "
+            f"({log_listings[:3]})"
+        )
+
     return (
         digest(read_version(spark, path, 1), "v1")
         .unionByName(digest(read_version(spark, path, 2), "v2"))
         .unionByName(digest(read_version(spark, path, 3), "v3"))
-        .unionByName(digest(read_version(spark, path), "head"))
+        .unionByName(digest(head_read, "head"))
     )
 
 
@@ -3790,7 +3821,10 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles pinned to integers per branch:
 
     - ``time_travel``   (E90): snapshot-log versions + as-of reads —
-      v1/v2/replay/head digests from the retention mirror.
+      v1/v2/replay/head digests from the retention mirror. r14: the
+      head read RAISES unless its version resolution performed ZERO
+      log-directory listings (E108, the checkpoint pointer — driver-
+      certified instead of pytest-only per r13 verdict #6).
     - ``version_diff``  (E91): between-versions CDC feed + the
       round-trip law (apply(diff(v1,v2)) to v1 reconstructs v2).
     - ``ivm_rollup``    (E92): delta-maintained aggregate == direct

@@ -10,7 +10,9 @@ pushdown/broadcast/AQE behavior is identical.
 
 from __future__ import annotations
 
+import itertools
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,5 +37,213 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
     ``MySQLHandler.execute`` surface on Catalyst (database.py:16-23),
     minus the injection-prone f-string interpolation (etl.py:105-120),
     which has no equivalent here: callers pass complete statements and
-    parameterization belongs to the caller's binding layer."""
-    return spark.sql(sql)
+    parameterization belongs to the caller's binding layer.
+
+    Two lakehouse extensions make the versioned-table verbs reachable
+    from SQL strings (r13 verdict #7 — a real warehouse's operators
+    live in SQL consoles, and SURVEY §3 promises both entry styles):
+
+    - ``wf_version('<path>'[, <version>])`` anywhere a table may
+      appear — the ``VERSION AS OF`` read: each occurrence resolves
+      through :func:`~weatherflow_spark.operators.snaplog.read_version`
+      (retention-mirror / manifest file sets, deletion vectors
+      applied) and is substituted as a temp view before Catalyst
+      parses the statement. Omitting the version reads the head.
+    - ``CALL <verb>(<literal args>)`` — maintenance entry points
+      (:data:`CALL_VERBS`): delete_where / delete_where_dv / restore /
+      compact / compact_partitions / vacuum_versions /
+      maintain_warehouse. Args are SQL literals ('str', int, float,
+      TRUE/FALSE, NULL); list-valued parameters (key/partition/sort
+      columns) are comma-separated inside one string ('k,day').
+      Returns the verb's report as a one-row DataFrame so the result
+      stays SQL-composable.
+    """
+    m = _CALL_RE.match(sql)
+    if m:
+        return _dispatch_call(
+            spark, m.group(1).lower(), _parse_call_args(m.group(2))
+        )
+    return spark.sql(_substitute_versions(spark, sql))
+
+
+_VERSION_RE = re.compile(
+    r"wf_version\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE
+)
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(?:wf\.)?(\w+)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_view_counter = itertools.count()
+
+
+def _substitute_versions(spark: SparkSession, sql: str) -> str:
+    """Replace every ``wf_version('<path>'[, v])`` with a temp view
+    of that versioned read. Substitution happens BEFORE parsing, so
+    the call form composes anywhere a table name may appear (joins,
+    CTEs, subqueries). Views are process-unique; re-registration per
+    statement keeps the resolved file set current (a view cached from
+    an earlier statement would pin a stale head)."""
+    from weatherflow_spark.operators.snaplog import read_version
+
+    def sub(m: re.Match) -> str:
+        path, v = m.group(1), m.group(2)
+        df = read_version(spark, path, int(v) if v is not None else None)
+        name = f"__wf_version_{next(_view_counter)}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    return _VERSION_RE.sub(sub, sql)
+
+
+def _parse_call_args(raw: str) -> list:
+    """SQL-literal argument list → Python values: 'str' (with ''
+    escaping), integers, floats, TRUE/FALSE, NULL. Top-level commas
+    split; commas inside quotes don't."""
+    args: list = []
+    buf, in_str, i = [], False, 0
+    parts: list[str] = []
+    while i < len(raw):
+        ch = raw[i]
+        if in_str:
+            if ch == "'" and i + 1 < len(raw) and raw[i + 1] == "'":
+                buf.append("''")
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            buf.append(ch)
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ",":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if in_str:
+        raise ValueError(f"unterminated string literal in CALL args: {raw!r}")
+    if "".join(buf).strip() or parts:
+        parts.append("".join(buf))
+    for p in parts:
+        p = p.strip()
+        if not p:
+            raise ValueError(f"empty argument in CALL args: {raw!r}")
+        up = p.upper()
+        if p.startswith("'") and p.endswith("'"):
+            args.append(p[1:-1].replace("''", "'"))
+        elif up == "NULL":
+            args.append(None)
+        elif up in ("TRUE", "FALSE"):
+            args.append(up == "TRUE")
+        else:
+            try:
+                args.append(int(p))
+            except ValueError:
+                args.append(float(p))
+    return args
+
+
+def _cols(v) -> list[str] | None:
+    """'k,day' → ['k', 'day']; None passes through (optional params)."""
+    if v is None:
+        return None
+    return [c.strip() for c in str(v).split(",") if c.strip()]
+
+
+def _report_df(spark: SparkSession, report: dict) -> DataFrame:
+    """One-row DataFrame of a maintenance verb's report, values
+    stringified so heterogeneous reports share one stable schema."""
+    cols = sorted(report)
+    return spark.createDataFrame(
+        [tuple(str(report[c]) for c in cols)], cols
+    )
+
+
+def _call_delete_where(spark, args, use_dv: bool):
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path, predicate, key_cols = args[0], args[1], _cols(args[2])
+    partition_cols = _cols(args[3]) if len(args) > 3 else None
+    return delete_where(
+        spark, path, predicate, key_cols,
+        partition_cols=partition_cols, use_dv=use_dv,
+    )
+
+
+def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
+    from weatherflow_spark.operators.layout import (
+        compact,
+        compact_partitions,
+    )
+    from weatherflow_spark.operators.snaplog import vacuum_versions
+    from weatherflow_spark.operators.upsert import restore_version
+    from weatherflow_spark.operators.whlog import maintain_warehouse
+
+    if verb == "delete_where":
+        report = _call_delete_where(spark, args, use_dv=False)
+    elif verb == "delete_where_dv":
+        report = _call_delete_where(spark, args, use_dv=True)
+    elif verb == "restore":
+        # restore('<path>', <version>, '<key_cols>'[, '<partition_cols>'])
+        report = restore_version(
+            spark, args[0], int(args[1]), _cols(args[2]),
+            partition_cols=_cols(args[3]) if len(args) > 3 else None,
+        )
+    elif verb == "compact":
+        # compact('<path>'[, <target_file_bytes>[, '<sort_col>']])
+        n = compact(
+            spark, args[0],
+            target_file_bytes=(
+                int(args[1]) if len(args) > 1 and args[1] is not None
+                else 128 * 1024 * 1024
+            ),
+            sort_col=args[2] if len(args) > 2 else None,
+        )
+        report = {"files_after": n}
+    elif verb == "compact_partitions":
+        # compact_partitions('<path>', '<partition_cols>'
+        #                    [, <max_files>[, '<sort_col>']])
+        report = compact_partitions(
+            spark, args[0], _cols(args[1]),
+            max_files=int(args[2]) if len(args) > 2 else 8,
+            sort_col=args[3] if len(args) > 3 else None,
+        )
+    elif verb == "vacuum_versions":
+        # vacuum_versions('<path>', <keep_last>)
+        report = vacuum_versions(args[0], keep_last=int(args[1]))
+        if not isinstance(report, dict):
+            report = {"result": report}
+    elif verb == "maintain_warehouse":
+        # maintain_warehouse('<wh_dir>', '<member=cols;member=cols>'
+        #                    [, <max_files>[, <keep_last_loads>]])
+        pcols = {}
+        for part in str(args[1]).split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            member, _, cols = part.partition("=")
+            pcols[member.strip()] = _cols(cols)
+        out = maintain_warehouse(
+            spark, args[0], partition_cols=pcols,
+            max_files=int(args[2]) if len(args) > 2 else 8,
+            keep_last_loads=(
+                int(args[3]) if len(args) > 3 and args[3] is not None
+                else None
+            ),
+        )
+        report = {
+            "members": ",".join(out["members"]),
+            "partitions_compacted": sum(
+                c["partitions_compacted"]
+                for c in (out["compaction"] or {}).values()
+            ),
+            "load": out["load"],
+        }
+    else:
+        raise ValueError(
+            f"unknown CALL verb {verb!r} (supported: delete_where, "
+            "delete_where_dv, restore, compact, compact_partitions, "
+            "vacuum_versions, maintain_warehouse)"
+        )
+    return _report_df(spark, dict(report))
