@@ -615,3 +615,33 @@ def test_dv_commit_merges_same_schema_sidecars(spark, tmp_path, mode):
     assert {r["k"] for r in read_version(spark, path).collect()} == (
         set(range(30)) - victims - {7, 8}
     )
+
+
+def test_append_to_dv_covered_dir_is_refused(spark, tmp_path):
+    """The DV-carry rule drops a directory's DVs whenever its segment
+    changes, relying on every writer REWRITING from a post-DV read. A
+    rogue append (old files kept + new added) would drop the DV and
+    resurrect the deleted rows with no diagnostic — record_commit must
+    refuse it (r13 advice, low)."""
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import record_commit
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_where(
+        spark, path, "k = 7", ["k"], partition_cols=["day"],
+        use_dv=True,
+    )
+    # rogue append: keep the covered dir's files, add one more
+    covered = os.path.join(path, "day=2026-01-02")
+    src = next(
+        f for f in os.listdir(covered) if f.endswith(".parquet")
+    )
+    shutil.copy2(
+        os.path.join(covered, src),
+        os.path.join(covered, "part-rogue-append.parquet"),
+    )
+    with pytest.raises(ValueError, match="covered directory"):
+        record_commit(path, scope=["day=2026-01-02"])

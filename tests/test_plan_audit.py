@@ -1031,3 +1031,45 @@ def test_version_diff_plans_no_cartesian_or_python(spark):
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "LeftAnti" in p, f"D side must plan as an anti join:\n{p}"
+
+
+def test_dim_broadcast_degrades_to_shuffle_by_size(spark):
+    """Size-based broadcast decision (r13 verdict #8): under the
+    bucketed routes' broadcast-off conf, _dim_broadcast pins the hint
+    only while the dim's on-disk bytes are under the ceiling — an
+    outgrown dim must plan a shuffle join instead of OOMing the
+    driver with a pinned broadcast."""
+    from weatherflow_spark.plans.serving import (
+        DIM_BROADCAST_MAX_BYTES,
+        _dim_broadcast,
+    )
+
+    fact = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 50).withColumnRenamed("id", "k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = fact.join(_dim_broadcast(dim, 1024), "k")
+        p_small = _plan(small)
+        assert "BroadcastHashJoin" in p_small, p_small
+        big = fact.join(
+            _dim_broadcast(dim, DIM_BROADCAST_MAX_BYTES + 1), "k"
+        )
+        p_big = _plan(big)
+        assert "BroadcastHashJoin" not in p_big, p_big
+        assert "SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_table_bytes_reads_real_sizes():
+    """table_bytes feeds the broadcast decision — it must report the
+    actual on-disk size for the single-file testdata tables."""
+    import os
+
+    from weatherflow_spark.io import table_bytes
+
+    n = table_bytes(SF_SMALL, "nation")
+    assert n == os.path.getsize(os.path.join(SF_SMALL, "nation.parquet"))
+    assert table_bytes(SF_SMALL, "customer") > n
+    assert table_bytes(SF_SMALL, "no_such_table") == 0

@@ -149,3 +149,46 @@ def test_scan_version_conjunctive_predicates(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="pass col"):
         scan_version(spark, path)
+
+
+def test_write_zordered_validates_bit_width(spark, tmp_path):
+    """bits must cover the actual key maxima (r13 advice, low): a key
+    >= 2^bits would silently drop high bits and alias far-apart keys
+    into one z-rectangle — the skipping certification then raises
+    spuriously at larger scale factors. Too-narrow bits raise loudly;
+    bits=None derives the width from the data."""
+    import pytest
+
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+        scan_version,
+        set_stats_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 3) for i in range(5000)], "a long, b long"
+    )  # max(b) = 14997 needs 14 bits
+    path = str(tmp_path / "z")
+    with pytest.raises(ValueError, match="too narrow"):
+        write_zordered(df, path, "a", "b", num_files=8, bits=10)
+    with pytest.raises(ValueError, match="non-negative"):
+        write_zordered(
+            df.selectExpr("a - 100 as a", "b"), path, "a", "b",
+            num_files=8, bits=None,
+        )
+    with pytest.raises(ValueError, match="exceeds 31"):
+        write_zordered(
+            df.selectExpr("a * 1000000 as a", "b"), path, "a", "b",
+            num_files=8, bits=None,
+        )
+    # derived width: layout lands and both axes prune
+    write_zordered(df, path, "a", "b", num_files=16, bits=None)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["a", "b"])
+    record_commit(path)
+    _, info = scan_version(
+        spark, path, predicates=[("a", 0, 624), ("b", 0, 1874)]
+    )
+    assert info["files_total"] == 16
+    assert info["files_scanned"] <= 4

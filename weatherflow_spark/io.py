@@ -73,6 +73,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk (compressed parquet) byte size of one testdata table —
+    the input to size-based broadcast decisions (r13 verdict #8): a
+    dim that outgrows the threshold must degrade to a shuffle join
+    instead of OOMing the driver. Handles both single-file and
+    directory-shaped parquet datasets; 0 when absent (callers treat
+    unknown as small — the explicit-path caller knows its data)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    total = 0
+    for root, _, files in os.walk(p):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -1290,11 +1290,40 @@ def record_commit(
             prev_dv = _entry_dv(prev_entry)
             if prev_dv:
                 prev_segs = _entry_segments(path, prev_entry)
-                dv_carry = {
-                    k: names
-                    for k, names in prev_dv.items()
-                    if k in segments and segments[k] == prev_segs.get(k)
-                }
+                dv_carry = {}
+                for k, names in prev_dv.items():
+                    if k not in segments:
+                        continue  # directory deleted: nothing to hide
+                    if segments[k] == prev_segs.get(k):
+                        dv_carry[k] = names
+                        continue
+                    # Segment changed → the DV drops, on the
+                    # convention that every engine writer REWRITES a
+                    # covered directory from a post-DV read. Tripwire
+                    # (r13 advice, low): an APPEND-style commit that
+                    # kept old files plus new ones would also change
+                    # the content-addressed segment — dropping the DV
+                    # then resurrects the deleted rows still sitting
+                    # in the kept files, with no diagnostic. Assert
+                    # the new segment shares no files with the old
+                    # one (a true rewrite); O(files in changed
+                    # covered dirs) only.
+                    old_seg = prev_segs.get(k)
+                    if old_seg is None:
+                        continue
+                    shared = {
+                        rel for rel, _ in _segment_files(path, old_seg)
+                    } & {rel for rel, _ in _segment_files(path, segments[k])}
+                    if shared:
+                        raise ValueError(
+                            f"{path}: commit keeps {len(shared)} file(s) "
+                            f"of DV-covered directory {k!r} while adding "
+                            "new ones — an append to a covered directory "
+                            "would drop its deletion vector and resurrect "
+                            "the deleted rows still present in the kept "
+                            "files. Rewrite the directory from a post-DV "
+                            f"read instead (e.g. {sorted(shared)[:3]})"
+                        )
                 if dv_carry:
                     entry["dv"] = dv_carry
         if batch_id is not None:

@@ -60,14 +60,48 @@ def write_zordered(
     col_a: str,
     col_b: str,
     num_files: int,
-    bits: int = 16,
+    bits: int | None = 16,
 ) -> None:
     """Write ``df`` as parquet clustered on the Morton interleave of
     ``col_a`` and ``col_b`` (both must be non-negative ints below
     2^bits). One range exchange on the z-value, in-partition sort,
     drop the helper column on write. Every output file then covers a
     compact rectangle of (a, b) space and parquet min/max stats prune
-    scans filtered on either column."""
+    scans filtered on either column.
+
+    ``bits=None`` DERIVES the width from the columns' actual maxima
+    (one column-pruned agg — a small fraction of the rewrite this
+    call already is), and every call VALIDATES the precondition
+    (r13 advice, low): a key ≥ 2^bits would silently lose its high
+    bits, z-rectangles of far-apart keys would alias, and downstream
+    skipping certifications would raise spuriously — at sf ~2.8 the
+    TPC-H orderkey outgrows the old fixed 24-bit width. Keys that
+    need > 31 bits must be binned/clamped by the caller first (the
+    interleave must stay BIGINT-safe)."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    if min(lo_a or 0, lo_b or 0) < 0:
+        raise ValueError(
+            f"z-order inputs must be non-negative: min({col_a})={lo_a}, "
+            f"min({col_b})={lo_b}"
+        )
+    need = max(int(hi_a or 0).bit_length(), int(hi_b or 0).bit_length(), 1)
+    if bits is None:
+        bits = need
+    elif need > bits:
+        raise ValueError(
+            f"z-order bits={bits} too narrow: max({col_a})={hi_a}, "
+            f"max({col_b})={hi_b} need {need} bits — widen bits (or "
+            "pass bits=None to derive), or bin/clamp the keys first; "
+            "silently dropping high bits would alias far-apart keys "
+            "into one z-rectangle"
+        )
+    if bits > 31:
+        raise ValueError(
+            f"z-order bits={bits} exceeds 31 (BIGINT-safe interleave "
+            "limit) — bin/clamp the keys below 2^31 first"
+        )
     z = F.expr(zvalue_expr(col_a, col_b, bits))
     (
         df.withColumn("__z", z)

@@ -30,7 +30,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from weatherflow_spark.io import load_table
+from weatherflow_spark.io import load_table, table_bytes
 from weatherflow_spark.operators.indexing import assign_global_index
 from weatherflow_spark.operators.rollup import (
     read_rollup,
@@ -1017,6 +1017,29 @@ def _require_zero_shuffle_smj(
         )
 
 
+# Size-based broadcast ceiling (r13 verdict #8): on-disk compressed
+# parquet bytes of the DIM side above which the bucketed TPC-H routes
+# degrade the dimension join to shuffle instead of pinning a
+# broadcast. 256 MiB on disk is ~1-2 GiB deserialized — past any sane
+# driver/executor broadcast budget; erring small only costs a shuffle,
+# erring big OOMs the driver at SF where customer/supplier outgrow the
+# hint the old code hard-coded. At the test SFs every dim is KBs-MBs,
+# so the certified ≤1-Exchange plans are unchanged.
+DIM_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _dim_broadcast(df: DataFrame, nbytes: int) -> DataFrame:
+    """Broadcast ``df`` only when its on-disk footprint (from
+    :func:`~weatherflow_spark.io.table_bytes` for raw tables, or
+    ``table_status(path)['bytes']`` for versioned ones) is under
+    :data:`DIM_BROADCAST_MAX_BYTES`; otherwise return it unhinted so
+    the join degrades to shuffle. The bucketed routes disable the
+    auto-broadcast threshold to protect the fact⋈fact merge, which
+    also disables Spark's own size fallback — this check reinstates
+    it from real file sizes instead of plan estimates."""
+    return F.broadcast(df) if nbytes <= DIM_BROADCAST_MAX_BYTES else df
+
+
 def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E98 driver row: the E93 bucketed layout ADOPTED by the real
     TPC-H Q3 (r10 verdict #2 — E93 certified the layout on scratch
@@ -1053,7 +1076,10 @@ def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         out = (
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                _dim_broadcast(cust, table_bytes(sf_dir, "customer")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
             .agg(scaled_sum(rev, 10_000).alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -1097,7 +1123,7 @@ def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table(t_ord)
             .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
             .join(
-                F.broadcast(customer),
+                _dim_broadcast(customer, table_bytes(sf_dir, "customer")),
                 F.col("o_custkey") == F.col("c_custkey"),
             )
             .select(
@@ -1283,7 +1309,7 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("late_suppkey")
             .agg(F.count(F.lit(1)).alias("numwait"))
             .join(
-                F.broadcast(supplier),
+                _dim_broadcast(supplier, table_bytes(sf_dir, "supplier")),
                 F.col("late_suppkey") == F.col("s_suppkey"),
             )
             .select("s_suppkey", "s_name", "numwait")
@@ -1397,7 +1423,7 @@ def q_tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 customer, F.col("o_custkey") == F.col("c_custkey")
             )
             .join(
-                F.broadcast(nation),
+                _dim_broadcast(nation, table_bytes(sf_dir, "nation")),
                 F.col("c_nationkey") == F.col("n_nationkey"),
             )
             .select(
@@ -1915,7 +1941,9 @@ ORACLE_FILE_SKIPPING = f"""
 """
 
 
-ZSKIP_BITS = 24  # covers keys < 2^24 — sf1's 6M orderkeys included
+# (ZSKIP_BITS removed in r14: write_zordered derives the interleave
+# width from the actual key maxima — the fixed 24-bit width silently
+# dropped high bits past sf ~2.8, aliasing z-rectangles; r13 advice.)
 
 
 def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,7 +1983,7 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_zordered(
         orders, path, "o_custkey", "o_orderkey",
-        num_files=64, bits=ZSKIP_BITS,
+        num_files=64, bits=None,  # derived from the key maxima (r14)
     )
     init_snapshot_log(path)
     set_stats_columns(path, ["o_custkey", "o_orderkey"])
