@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from weatherflow_spark.io import load_table
 from weatherflow_spark.operators.layout import parquet_files
+import pytest
+
 from weatherflow_spark.operators.zorder import write_zordered
 from weatherflow_spark.plans.sketches import q_cms_heavy_hitters
 from tests.conftest import SF_SMALL
@@ -192,3 +194,53 @@ def test_write_zordered_validates_bit_width(spark, tmp_path):
     )
     assert info["files_total"] == 16
     assert info["files_scanned"] <= 4
+
+
+@pytest.mark.parametrize("mode", ["mirror", "manifest"])
+def test_compact_zorder_folds_dv_and_preserves_two_axis_pruning(
+    spark, tmp_path, mode
+):
+    """E113 (r14): an unpartitioned Z-ordered table folds its
+    deletion vectors only through the whole-table rewrite (root files
+    are not a partition, so compact_partitions never plans them), and
+    compact(zorder=...) must reproduce the Morton rectangles — a 1-D
+    sort_col fold would silently destroy the two-axis pruning E106
+    certifies."""
+    from weatherflow_spark.operators.layout import compact
+    from weatherflow_spark.operators.snaplog import (
+        head_dv,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        scan_version,
+        set_stats_columns,
+    )
+    from weatherflow_spark.operators.upsert import delete_where
+
+    path = str(tmp_path / "z")
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 4096, float(i)) for i in range(4096)],
+        "a long, b long, v double",
+    )
+    write_zordered(df, path, "a", "b", num_files=16, bits=None)
+    init_snapshot_log(path, mode=mode)
+    set_stats_columns(path, ["a", "b"])
+    record_commit(path)
+    band = [("a", 0, 511), ("b", 0, 511)]
+    _, pre = scan_version(spark, path, predicates=band)
+    assert pre["files_scanned"] <= pre["files_total"] // 4
+
+    delete_where(spark, path, "a % 100 = 7", ["a"], use_dv=True)
+    assert head_dv(path), "DV must land on the root segment"
+    with pytest.raises(ValueError, match="not both"):
+        compact(spark, path, sort_col="a", zorder=("a", "b"))
+    compact(spark, path, target_file_bytes=8 * 1024, zorder=("a", "b"))
+    assert head_dv(path) == {}, "the z rewrite must fold the DV"
+    got = {r["a"] for r in read_version(spark, path).collect()}
+    assert got == {i for i in range(4096) if i % 100 != 7}
+    _, post = scan_version(spark, path, predicates=band)
+    assert post["files_total"] >= 4
+    assert post["files_scanned"] <= max(2, post["files_total"] // 4), (
+        pre,
+        post,
+    )

@@ -153,11 +153,13 @@ def _compact_out(
     path: str,
     target_file_bytes: int,
     sort_col: str | None,
+    zorder: tuple[str, str] | None = None,
 ) -> DataFrame:
     """The compacted-output plan for a MANIFEST-mode table: source =
     the head version's file list (the live tree also holds superseded
     files, which must neither be read nor counted toward sizing)."""
     from weatherflow_spark.operators.snaplog import entry_files, read_version
+    from weatherflow_spark.operators.zorder import zorder_arrange
 
     total_bytes = sum(
         max(int(sz), 0)
@@ -165,6 +167,8 @@ def _compact_out(
     )
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     df = read_version(spark, path)
+    if zorder is not None:
+        return zorder_arrange(df, zorder[0], zorder[1], n_files, bits=None)
     if sort_col is not None:
         return df.repartitionByRange(
             n_files, F.col(sort_col)
@@ -275,6 +279,7 @@ def compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_col: str | None = None,
+    zorder: tuple[str, str] | None = None,
     _before_swap=None,
 ) -> int:
     """Rewrite the parquet dataset at ``path`` into ~target-sized
@@ -282,6 +287,15 @@ def compact(
     size (compressed) to pick the file count, so the rewrite is one
     job with no second pass. ``sort_col`` re-sorts during the rewrite
     to restore min/max clustering that incremental appends destroyed.
+    ``zorder=(col_a, col_b)`` re-MORTONS instead (r14, E113): an
+    unpartitioned Z-ordered table (the E106 layout) can only fold a
+    deletion vector through THIS whole-table rewrite — its root files
+    are not a partition, so ``compact_partitions`` never plans them —
+    and a 1-D ``sort_col`` rewrite would silently destroy the
+    two-axis rectangles E106's pruning certifies; the z form folds
+    the DVs AND reproduces the interleaved clustering (bit width
+    re-derived from the key maxima). Mutually exclusive with
+    ``sort_col``.
 
     Idempotent: compacting an already-compacted dataset yields the
     same file count again. At cluster scale, run per partition
@@ -306,6 +320,11 @@ def compact(
     )
     from weatherflow_spark.operators.snaplog import snapshot_mode
 
+    if zorder is not None and sort_col is not None:
+        raise ValueError(
+            "pass either sort_col (1-D range clustering) or zorder "
+            "(two-axis Morton clustering), not both"
+        )
     root = _manifest_table_root(path)
     if root is not None and root != os.path.abspath(path.rstrip("/")):
         raise ValueError(
@@ -327,7 +346,8 @@ def compact(
         # matches — every later overwrite would resurrect replaced
         # rows (r11 review).
         return _manifest_rewrite(
-            spark, path, _compact_out(spark, path, target_file_bytes, sort_col),
+            spark, path,
+            _compact_out(spark, path, target_file_bytes, sort_col, zorder),
             partition_cols=_head_partition_cols(path),
             snap0=snap0,
             head0=head0,
@@ -356,7 +376,11 @@ def compact(
         df = read_version(spark, path)
     else:
         df = spark.read.parquet(path)
-    if sort_col is not None:
+    if zorder is not None:
+        from weatherflow_spark.operators.zorder import zorder_arrange
+
+        out = zorder_arrange(df, zorder[0], zorder[1], n_files, bits=None)
+    elif sort_col is not None:
         out = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
             sort_col
         )

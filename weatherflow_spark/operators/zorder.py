@@ -78,6 +78,27 @@ def write_zordered(
     TPC-H orderkey outgrows the old fixed 24-bit width. Keys that
     need > 31 bits must be binned/clamped by the caller first (the
     interleave must stay BIGINT-safe)."""
+    zorder_arrange(df, col_a, col_b, num_files, bits).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def zorder_arrange(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    bits: int | None = None,
+) -> DataFrame:
+    """The Morton ARRANGEMENT as a DataFrame transform (r14): one
+    range exchange on the interleaved z-value, in-partition sort,
+    helper column dropped — each output task then holds a compact
+    (a, b)-rectangle. Shared by :func:`write_zordered` (fresh layout)
+    and ``layout.compact(zorder=...)`` (the versioned Z-preserving
+    rewrite — folding a deletion vector through plain ``compact``
+    would 1-D-sort the table and silently destroy the two-axis
+    pruning E106 certifies). Validates the bit-width precondition;
+    ``bits=None`` derives it from the columns' maxima."""
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
@@ -103,11 +124,9 @@ def write_zordered(
             "limit) — bin/clamp the keys below 2^31 first"
         )
     z = F.expr(zvalue_expr(col_a, col_b, bits))
-    (
+    return (
         df.withColumn("__z", z)
         .repartitionByRange(num_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
     )

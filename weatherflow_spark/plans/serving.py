@@ -1963,7 +1963,18 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     its sorted axis and ALL files once the second predicate is the
     selective one). The residual-filtered digest hash-matches the
     oracle's plain two-BETWEEN over raw orders with the same derived
-    bounds, so one row certifies the pruning is real AND lossless."""
+    bounds, so one row certifies the pruning is real AND lossless.
+
+    r14 (E113): the row then DV-deletes scattered keys strictly
+    OUTSIDE the band and folds them through ``compact(zorder=...)`` —
+    the only fold path an unpartitioned z-table has (root files are
+    not a partition, compact_partitions never plans them) — RAISING
+    unless the DV dropped, the victims are physically gone, the
+    re-Mortoned band fraction is ≤¼ again, and the band digest is
+    bit-identical (victims avoid the band by construction, so the
+    oracle is fold-invariant). A fold that 1-D-sorts or skips the
+    re-interleave trips the fraction check here instead of silently
+    decaying E106's pruning."""
     import shutil
 
     from weatherflow_spark.operators.snaplog import (
@@ -1972,6 +1983,7 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_version,
         set_stats_columns,
     )
+    from weatherflow_spark.operators.upsert import delete_where
     from weatherflow_spark.operators.zorder import write_zordered
 
     path = os.path.join(_scratch_dir(sf_dir), "zskip_tbl")
@@ -2008,20 +2020,80 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{info['files_scanned']} of {info['files_total']} files for "
             f"a (1/8)^2 band"
         )
-    return (
-        df.where(
-            F.col("o_custkey").between(c_lo, c_hi)
-            & F.col("o_orderkey").between(k_lo, k_hi)
+
+    def band_digest(frame: DataFrame) -> DataFrame:
+        return (
+            frame.where(
+                F.col("o_custkey").between(c_lo, c_hi)
+                & F.col("o_orderkey").between(k_lo, k_hi)
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+                ).alias("price_cents"),
+                F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+                F.expr("bit_xor(o_custkey)").alias("cust_xor"),
+            )
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
-            ).alias("price_cents"),
-            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
-            F.expr("bit_xor(o_custkey)").alias("cust_xor"),
-        )
+
+    pre_band = tuple(band_digest(df).first())
+    # E113 fold leg (r14): a DV delete on this UNPARTITIONED z-table
+    # can only fold through the whole-table rewrite (root files are
+    # not a partition — compact_partitions never plans them), and the
+    # rewrite must re-MORTON, not 1-D sort. Victims sit strictly
+    # outside the certified band (top seven-eighths of the orderkey
+    # axis), so the band digest — and the oracle — are fold-invariant
+    # by construction; the raise below certifies the fold really
+    # happened (DV dropped, victims physically gone) AND the
+    # rectangles survived (band fraction ≤ ¼ again on re-derived
+    # bits).
+    from weatherflow_spark.operators.layout import compact
+    from weatherflow_spark.operators.snaplog import (
+        entry_files,
+        head_dv,
+        head_version,
+        read_version,
     )
+
+    n_before = read_version(spark, path).count()
+    rep = delete_where(
+        spark, path,
+        (F.col("o_orderkey") > k_hi) & (F.col("o_custkey") % 97 == 0),
+        ["o_orderkey"], use_dv=True,
+    )
+    # target sized to reproduce the 64-file layout (the default
+    # 128 MiB target would collapse the test-SF table to ONE file and
+    # make the post-fold fraction check vacuous)
+    total_bytes = sum(
+        max(int(sz), 0)
+        for _, sz in entry_files(path, head_version(path))
+    )
+    compact(
+        spark, path,
+        target_file_bytes=max(1, total_bytes // 64),
+        zorder=("o_custkey", "o_orderkey"),
+    )
+    df2, info2 = scan_version(
+        spark, path,
+        predicates=[("o_custkey", c_lo, c_hi), ("o_orderkey", k_lo, k_hi)],
+    )
+    post_band = tuple(band_digest(df2).first())
+    n_after = read_version(spark, path).count()
+    if (
+        rep["rows_matched"] == 0
+        or rep["files_rewritten"] != 0
+        or head_dv(path)
+        or n_after != n_before - rep["keys_deleted"]
+        or info2["files_scanned"] > max(2, info2["files_total"] // 4)
+        or post_band != pre_band
+    ):
+        raise RuntimeError(
+            f"z-preserving fold regressed: delete {rep}, head_dv "
+            f"{head_dv(path)}, rows {n_before}->{n_after}, band scan "
+            f"{info2}, band digest identity {post_band == pre_band}"
+        )
+    return band_digest(df2)
 
 
 ORACLE_ZORDER_SKIPPING = """
