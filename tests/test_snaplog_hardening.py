@@ -566,3 +566,59 @@ def test_checkpoint_pointer_bounds_head_resolution_io(
     with open(_ckpt_path(path)) as f:
         assert _json.load(f)["version"] == head_version(path)
     assert read_version(spark, path).count() == 2
+
+
+def test_export_pointer_bounds_feed_export_io(spark, tmpdir, monkeypatch):
+    """r13 'What's missing' #3: a scheduled feed export must not pay
+    an O(#versions) log listing + O(#versions) marker stats per call
+    forever — the feed's _WF_LAST_EXPORT pointer bounds incremental
+    passes to O(new versions) entry probes, while correctness
+    (markers, mid-trail underivability) is untouched."""
+    import json as _json
+
+    path = f"{tmpdir}/feedptr"
+    feed = f"{tmpdir}/feedptr_feed"
+    s = "k int, v string"
+    spark.createDataFrame([(1, "a"), (2, "b")], s).write.parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)
+    for i in range(2, 5):
+        upsert_by_key(
+            spark, spark.createDataFrame([(1, f"a{i}")], s), path, ["k"]
+        )
+    assert sorted(
+        export_change_feed(spark, path, feed, ["k"])
+    ) == [1, 2, 3, 4]
+    ptr = os.path.join(feed, "_WF_LAST_EXPORT")
+    assert _json.load(open(ptr))["version"] == 4
+
+    # two more commits; the incremental pass must export exactly them
+    # WITHOUT listing the log directory or re-statting old markers
+    for i in range(5, 7):
+        upsert_by_key(
+            spark, spark.createDataFrame([(1, f"a{i}")], s), path, ["k"]
+        )
+    calls: list[str] = []
+    real_listdir = os.listdir
+
+    def spy(p="."):
+        calls.append(str(p))
+        return real_listdir(p)
+
+    monkeypatch.setattr(os, "listdir", spy)
+    got = export_change_feed(spark, path, feed, ["k"])
+    monkeypatch.undo()
+    assert sorted(got) == [5, 6]
+    log_listings = [c for c in calls if c.rstrip("/").endswith(".__snaplog")]
+    assert not log_listings, log_listings
+    assert _json.load(open(ptr))["version"] == 6
+    # replay: nothing new, pointer stands
+    assert export_change_feed(spark, path, feed, ["k"]) == []
+    assert _json.load(open(ptr))["version"] == 6
+    # corrupt pointer falls back to the full listing, still idempotent
+    with open(ptr, "w") as f:
+        f.write("not json")
+    assert export_change_feed(spark, path, feed, ["k"]) == []
+    assert _json.load(open(ptr))["version"] == 6
+    # feed content unaffected: full trail still reads back
+    assert sorted(exported_feed_versions(feed)) == [1, 2, 3, 4, 5, 6]

