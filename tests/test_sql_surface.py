@@ -117,3 +117,53 @@ def test_sql_string_literal_escaping(spark, tmp_path):
         for r in read_version(spark, path).select("day").distinct().collect()
     }
     assert days == {"2026-01-01", "2026-01-03"}
+
+
+def test_timestamp_as_of_travel(spark, tmp_path):
+    """TIMESTAMP AS OF (r14): resolve a version by commit instant —
+    the Delta/Iceberg second travel axis — through both the Python
+    API and the SQL wf_version('<path>', [TIMESTAMP] '<iso>') form."""
+    import datetime as dt
+    import time
+
+    from weatherflow_spark.operators.snaplog import (
+        read_version,
+        version_as_of,
+    )
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # v1: 30 rows
+    time.sleep(0.05)
+    t_mid = dt.datetime.now(dt.timezone.utc)
+    time.sleep(0.05)
+    upsert_by_key(
+        spark,
+        _mk(spark, [{"k": 99, "day": "2026-01-01", "v": 99.0}]),
+        path,
+        ["k"],
+        ["day"],
+    )  # v2: 31 rows
+
+    assert version_as_of(path, t_mid) == 1
+    assert read_version(spark, path, as_of=t_mid).count() == 30
+    assert (
+        version_as_of(path, dt.datetime.now(dt.timezone.utc)) == 2
+    )
+    iso = t_mid.isoformat()
+    n = wf_sql.execute(
+        spark, f"SELECT count(*) AS n FROM wf_version('{path}', '{iso}')"
+    ).first()["n"]
+    assert n == 30
+    n2 = wf_sql.execute(
+        spark,
+        f"SELECT count(*) AS n FROM wf_version('{path}', TIMESTAMP '{iso}')",
+    ).first()["n"]
+    assert n2 == 30
+
+    with pytest.raises(ValueError, match="at or before"):
+        version_as_of(path, "2000-01-01T00:00:00")
+    with pytest.raises(ValueError, match="not both"):
+        read_version(spark, path, version=1, as_of=t_mid)
+    with pytest.raises(TypeError):
+        version_as_of(path, 12345)

@@ -1439,20 +1439,77 @@ def pinned_version(path: str, version: int):
             pass
 
 
+def version_as_of(path: str, ts) -> int:
+    """TIMESTAMP AS OF resolution (r14): the newest committed version
+    whose entry landed at or before ``ts`` — the second travel axis
+    every Delta/Iceberg console exposes next to ``VERSION AS OF``.
+    ``ts`` is a ``datetime`` or an ISO-8601 string; NAIVE values are
+    UTC (the engine pins every session to UTC — session.py). Entry
+    commit times are the entry files' own mtimes (entries land once
+    via os.replace and are never modified, so the mtime IS the commit
+    instant; ``clone_table`` copies them with copy2, preserving
+    history times). Resolution walks BACKWARD from the checkpoint
+    head — O(versions newer than ts), never a log listing — and stops
+    at the vacuum horizon: a timestamp older than the earliest
+    retained entry raises (the state no longer exists; pinned islands
+    below a vacuumed gap are unreachable by timestamp — address those
+    by version number)."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        t = _dt.datetime.fromisoformat(ts)
+    elif isinstance(ts, _dt.datetime):
+        t = ts
+    else:
+        raise TypeError(
+            f"as_of expects a datetime or ISO-8601 string, got {type(ts)}"
+        )
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=_dt.timezone.utc)
+    epoch_ns = int(t.timestamp() * 1_000_000_000)
+    head = head_version(path)
+    if head is None:
+        raise ValueError(f"{path}: no committed versions")
+    v = head
+    while v >= 1:
+        try:
+            st = os.stat(_entry_path(path, v))
+        except OSError:
+            break  # below the vacuum horizon
+        if st.st_mtime_ns <= epoch_ns:
+            return v
+        v -= 1
+    raise ValueError(
+        f"{path}: no retained version committed at or before {ts} — "
+        "the earliest retained entry is newer (or the state was "
+        "vacuumed); travel by version number for pinned islands"
+    )
+
+
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of=None,
 ) -> DataFrame:
     """The dataset AS OF ``version`` (default: latest). Reads the
     version's file list from the retention mirror only — no lock, no
     dependence on what concurrent writers are doing to the live tree.
     Partition columns come back via Spark's partition discovery
     (``basePath`` = the mirror, which replicates the hive layout).
+    ``as_of`` (datetime / ISO string, mutually exclusive with
+    ``version``) travels by TIMESTAMP instead — see
+    :func:`version_as_of`.
 
     Isolation: immune to concurrent upserts/compactions (they never
     modify retained inodes), NOT to a concurrent vacuum that drops
     this version — long reads that may overlap a vacuum should wrap
     in :func:`pinned_version`.
     """
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_as_of(path, as_of)
     version, files, base = _resolve_version(path, version)
     rels = [rel for rel, _ in files]
     dv = _entry_dv(_load_entry(path, version))

@@ -43,12 +43,16 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
     from SQL strings (r13 verdict #7 — a real warehouse's operators
     live in SQL consoles, and SURVEY §3 promises both entry styles):
 
-    - ``wf_version('<path>'[, <version>])`` anywhere a table may
-      appear — the ``VERSION AS OF`` read: each occurrence resolves
-      through :func:`~weatherflow_spark.operators.snaplog.read_version`
+    - ``wf_version('<path>'[, <version> | [TIMESTAMP] '<iso-ts>'])``
+      anywhere a table may appear — the ``VERSION AS OF`` /
+      ``TIMESTAMP AS OF`` read: each occurrence resolves through
+      :func:`~weatherflow_spark.operators.snaplog.read_version`
       (retention-mirror / manifest file sets, deletion vectors
-      applied) and is substituted as a temp view before Catalyst
-      parses the statement. Omitting the version reads the head.
+      applied; timestamps via
+      :func:`~weatherflow_spark.operators.snaplog.version_as_of` —
+      naive ISO strings are UTC) and is substituted as a temp view
+      before Catalyst parses the statement. Omitting the second
+      argument reads the head.
     - ``CALL <verb>(<literal args>)`` — maintenance entry points
       (:data:`CALL_VERBS`): delete_where / delete_where_dv / restore /
       compact / compact_partitions / vacuum_versions /
@@ -67,7 +71,9 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
 
 
 _VERSION_RE = re.compile(
-    r"wf_version\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE
+    r"wf_version\(\s*'([^']+)'\s*"
+    r"(?:,\s*(?:(\d+)|(?:TIMESTAMP\s+)?'([^']+)')\s*)?\)",
+    re.IGNORECASE,
 )
 _CALL_RE = re.compile(
     r"^\s*CALL\s+(?:wf\.)?(\w+)\s*\((.*)\)\s*;?\s*$",
@@ -86,8 +92,12 @@ def _substitute_versions(spark: SparkSession, sql: str) -> str:
     from weatherflow_spark.operators.snaplog import read_version
 
     def sub(m: re.Match) -> str:
-        path, v = m.group(1), m.group(2)
-        df = read_version(spark, path, int(v) if v is not None else None)
+        path, v, ts = m.group(1), m.group(2), m.group(3)
+        if ts is not None:
+            # TIMESTAMP AS OF: wf_version('<path>', [TIMESTAMP] '<iso>')
+            df = read_version(spark, path, as_of=ts)
+        else:
+            df = read_version(spark, path, int(v) if v is not None else None)
         name = f"__wf_version_{next(_view_counter)}"
         df.createOrReplaceTempView(name)
         return name
