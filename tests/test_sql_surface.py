@@ -167,3 +167,41 @@ def test_timestamp_as_of_travel(spark, tmp_path):
         read_version(spark, path, version=1, as_of=t_mid)
     with pytest.raises(TypeError):
         version_as_of(path, 12345)
+
+
+def test_sql_call_compact_zorder(spark, tmp_path):
+    """CALL compact_zorder drives the E113 Z-preserving rewrite from
+    a SQL string — fold a DV and keep two-axis pruning."""
+    from weatherflow_spark.operators.snaplog import (
+        head_dv,
+        init_snapshot_log,
+        record_commit,
+        scan_version,
+        set_stats_columns,
+    )
+    from weatherflow_spark.operators.zorder import write_zordered
+
+    path = str(tmp_path / "z")
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 4096, float(i)) for i in range(4096)],
+        "a long, b long, v double",
+    )
+    write_zordered(df, path, "a", "b", num_files=16, bits=None)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["a", "b"])
+    record_commit(path)
+    wf_sql.execute(
+        spark, f"CALL delete_where_dv('{path}', 'a % 100 = 7', 'a')"
+    )
+    assert head_dv(path)
+    with pytest.raises(ValueError, match="exactly two"):
+        wf_sql.execute(spark, f"CALL compact_zorder('{path}', 'a')")
+    rep = wf_sql.execute(
+        spark, f"CALL compact_zorder('{path}', 'a,b', 8192)"
+    ).first()
+    assert int(rep["files_after"]) >= 4
+    assert head_dv(path) == {}
+    _, info = scan_version(
+        spark, path, predicates=[("a", 0, 511), ("b", 0, 511)]
+    )
+    assert info["files_scanned"] <= max(2, info["files_total"] // 4)

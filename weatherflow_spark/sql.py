@@ -54,8 +54,8 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
       before Catalyst parses the statement. Omitting the second
       argument reads the head.
     - ``CALL <verb>(<literal args>)`` — maintenance entry points
-      (:data:`CALL_VERBS`): delete_where / delete_where_dv / restore /
-      compact / compact_partitions / vacuum_versions /
+      delete_where / delete_where_dv / restore /
+      compact / compact_zorder / compact_partitions / vacuum_versions /
       maintain_warehouse. Args are SQL literals ('str', int, float,
       TRUE/FALSE, NULL); list-valued parameters (key/partition/sort
       columns) are comma-separated inside one string ('k,day').
@@ -211,6 +211,23 @@ def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
             sort_col=args[2] if len(args) > 2 else None,
         )
         report = {"files_after": n}
+    elif verb == "compact_zorder":
+        # compact_zorder('<path>', '<col_a,col_b>'[, <target_file_bytes>])
+        pair = _cols(args[1]) or []
+        if len(pair) != 2:
+            raise ValueError(
+                "compact_zorder needs exactly two comma-separated "
+                f"columns, got {args[1]!r}"
+            )
+        n = compact(
+            spark, args[0],
+            target_file_bytes=(
+                int(args[2]) if len(args) > 2 and args[2] is not None
+                else 128 * 1024 * 1024
+            ),
+            zorder=(pair[0], pair[1]),
+        )
+        report = {"files_after": n}
     elif verb == "compact_partitions":
         # compact_partitions('<path>', '<partition_cols>'
         #                    [, <max_files>[, '<sort_col>']])
@@ -253,7 +270,7 @@ def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
     else:
         raise ValueError(
             f"unknown CALL verb {verb!r} (supported: delete_where, "
-            "delete_where_dv, restore, compact, compact_partitions, "
-            "vacuum_versions, maintain_warehouse)"
+            "delete_where_dv, restore, compact, compact_zorder, "
+            "compact_partitions, vacuum_versions, maintain_warehouse)"
         )
     return _report_df(spark, dict(report))
