@@ -169,6 +169,101 @@ def test_timestamp_as_of_travel(spark, tmp_path):
         version_as_of(path, 12345)
 
 
+def test_sql_warehouse_travel_restore_vacuum_status(spark, tmp_path):
+    """The warehouse tier from SQL strings (r14): wf_warehouse()
+    load-travel reads, CALL restore_warehouse_load, CALL
+    vacuum_warehouse, CALL table_status — an operator works the E97
+    surface end-to-end with no Python API in sight."""
+    import os as _os
+
+    from weatherflow_spark.operators.upsert import upsert_by_key
+    from weatherflow_spark.operators.whlog import (
+        commit_warehouse,
+        init_warehouse_log,
+        warehouse_loads,
+    )
+
+    wh = str(tmp_path / "wh")
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(1, 31)],
+        "k long, cust long, amt double",
+    )
+    dim = spark.createDataFrame(
+        [(c, f"seg{c}") for c in range(3)], "cust long, seg string"
+    )
+    fact.write.mode("overwrite").parquet(_os.path.join(wh, "fact"))
+    dim.write.mode("overwrite").parquet(_os.path.join(wh, "dim"))
+    init_warehouse_log(wh)
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L1") == 1
+
+    # mutate fact between loads, then cut load 2
+    upsert_by_key(
+        spark,
+        spark.createDataFrame([(1, 0, 999.0)], "k long, cust long, amt double"),
+        _os.path.join(wh, "fact"),
+        ["k"],
+    )
+    assert commit_warehouse(wh, ["fact", "dim"], batch_id="L2") == 2
+
+    # load-travel: the load-1 read misses the 999 upsert, the head
+    # (load omitted) sees it; a same-load fact⋈dim join composes.
+    amt1 = wf_sql.execute(
+        spark,
+        f"SELECT sum(cast(amt as bigint)) AS s "
+        f"FROM wf_warehouse('{wh}', 'fact', 1)",
+    ).first()["s"]
+    amt_head = wf_sql.execute(
+        spark,
+        f"SELECT sum(cast(amt as bigint)) AS s "
+        f"FROM wf_warehouse('{wh}', 'fact')",
+    ).first()["s"]
+    assert (amt1, amt_head) == (465, 465 - 1 + 999)
+    n = wf_sql.execute(
+        spark,
+        f"SELECT count(*) AS n FROM wf_warehouse('{wh}', 'fact', 1) f "
+        f"JOIN wf_warehouse('{wh}', 'dim', 1) d ON f.cust = d.cust",
+    ).first()["n"]
+    assert n == 30
+    with pytest.raises(ValueError, match="not a member"):
+        wf_sql.execute(
+            spark, f"SELECT * FROM wf_warehouse('{wh}', 'nope', 1)"
+        )
+
+    # rollback the whole warehouse to load 1 through SQL
+    rep = wf_sql.execute(
+        spark,
+        f"CALL restore_warehouse_load('{wh}', 1, "
+        "'fact=k;dim=cust')",
+    ).first()
+    assert rep["load"] == "3"
+    assert int(rep["restored_fact"]) >= 1
+    amt3 = wf_sql.execute(
+        spark,
+        f"SELECT sum(cast(amt as bigint)) AS s "
+        f"FROM wf_warehouse('{wh}', 'fact', 3)",
+    ).first()["s"]
+    assert amt3 == 465
+
+    # diagnostic: metadata-only DESCRIBE DETAIL over a member
+    st = wf_sql.execute(
+        spark, f"CALL table_status('{_os.path.join(wh, 'fact')}')"
+    ).first()
+    assert st["versioned"] == "True"
+    assert int(st["n_versions"]) >= 3
+
+    # bound history: keep the last 2 loads, then load 1 is gone
+    vrep = wf_sql.execute(
+        spark, f"CALL vacuum_warehouse('{wh}', 2)"
+    ).first()
+    assert int(vrep["loads_dropped"]) == 1
+    assert "fact" in vrep["members_vacuumed"]
+    assert warehouse_loads(wh) == [2, 3]
+    with pytest.raises(ValueError, match="not in log"):
+        wf_sql.execute(
+            spark, f"SELECT * FROM wf_warehouse('{wh}', 'fact', 1)"
+        )
+
+
 def test_sql_call_compact_zorder(spark, tmp_path):
     """CALL compact_zorder drives the E113 Z-preserving rewrite from
     a SQL string — fold a DV and keep two-axis pruning."""

@@ -1132,3 +1132,130 @@ def test_weather_etl_stream_runs_maintenance_between_loads(spark, tmp_path):
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1, (name, d, files)
+
+
+def test_streaming_forget_sink_dv_commits_replay_and_fold(spark, tmp_path):
+    """r14: erasure requests as a STREAM — each micro-batch of victim
+    keys lands as one replay-keyed deletion-vector commit (zero data
+    files rewritten), receipts record the audit trail, a fresh
+    checkpoint's redelivery short-circuits, and the scheduled fold
+    materializes the deletes."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import (
+        head_dv,
+        head_version,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        set_stats_columns,
+    )
+    from weatherflow_spark.streaming.pipeline import foreach_batch_forget
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"2026-01-0{1 + i % 3}", float(i)) for i in range(30)],
+        "k long, day string, v double",
+    ).repartition(1).write.mode("overwrite").partitionBy("day").parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["k"])
+    record_commit(path)
+    inodes0 = {
+        os.path.join(d, f): os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(path)
+        for d, f in ((os.path.relpath(r, path), x) for x in fs)
+        if f.endswith(".parquet") and "_wf_snapshots" not in r
+    }
+
+    landing = tmp_path / "requests"
+    landing.mkdir()
+    receipts = str(tmp_path / "receipts")
+    sink = foreach_batch_forget(
+        path, ["k"], partition_cols=["day"], receipts_path=receipts
+    )
+    schema = StructType([StructField("k", LongType())])
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(landing))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (landing / "b0.json").write_text(
+        json.dumps({"k": 3}) + "\n" + json.dumps({"k": 7}) + "\n"
+    )
+    drain("ckpt1")
+    assert read_version(spark, path).count() == 28
+    assert head_dv(path), "delete must be merge-on-read"
+    assert head_version(path) == 2
+
+    (landing / "b1.json").write_text(json.dumps({"k": 11}) + "\n")
+    drain("ckpt1")  # same checkpoint: only the new file is batch 1
+    assert read_version(spark, path).count() == 27
+    v_after = head_version(path)
+    assert v_after == 3
+
+    # zero data files rewritten by either delete
+    inodes1 = {
+        os.path.join(d, f): os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(path)
+        for d, f in ((os.path.relpath(r, path), x) for x in fs)
+        if f.endswith(".parquet") and "_wf_snapshots" not in r
+    }
+    assert inodes1 == inodes0
+
+    # receipts: one row per batch, real counts, minted versions
+    rec = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(receipts).collect()
+    }
+    assert rec[0]["keys_requested"] == 2 and rec[0]["keys_deleted"] == 2
+    assert rec[1]["keys_deleted"] == 1
+    assert (rec[0]["new_version"], rec[1]["new_version"]) == (2, 3)
+
+    # fresh checkpoint redelivers both files as batches 0/1 — the
+    # forget:<n> keys short-circuit: no new versions, receipts intact
+    drain("ckpt2")
+    assert head_version(path) == v_after
+    assert read_version(spark, path).count() == 27
+    rec2 = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(receipts).collect()
+    }
+    assert rec2[0]["keys_deleted"] == 2  # not clobbered by the replay
+
+    # the scheduled fold materializes the deletes and drops the DVs
+    rep = compact_partitions(spark, path, ["day"], max_files=100)
+    assert rep["partitions_compacted"] >= 1
+    assert head_dv(path) == {}
+    after = read_version(spark, path)
+    assert after.count() == 27
+    assert {r["k"] for r in after.select("k").collect()}.isdisjoint({3, 7, 11})
+
+
+def test_forget_sink_refuses_null_keys(spark, tmp_path):
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        record_commit,
+    )
+    from weatherflow_spark.streaming.pipeline import foreach_batch_forget
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 1.0)], "k long, v double"
+    ).write.mode("overwrite").parquet(path)
+    init_snapshot_log(path)
+    record_commit(path)
+    sink = foreach_batch_forget(path, ["k"])
+    bad = spark.createDataFrame([(None,)], "k long")
+    with pytest.raises(ValueError, match="NULL"):
+        sink(bad, 0)

@@ -53,14 +53,22 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
       naive ISO strings are UTC) and is substituted as a temp view
       before Catalyst parses the statement. Omitting the second
       argument reads the head.
+    - ``wf_warehouse('<wh_dir>', '<table>'[, <load>])`` anywhere a
+      table may appear — the warehouse-tier travel read (E97 from
+      SQL): the member table at the version the logical LOAD entry
+      recorded, so two ``wf_warehouse`` occurrences with the same
+      load number are mutually consistent by construction (the entry
+      is one atomic cut). Omitting the load reads the latest load.
     - ``CALL <verb>(<literal args>)`` — maintenance entry points
       delete_where / delete_where_dv / restore /
       compact / compact_zorder / compact_partitions / vacuum_versions /
-      maintain_warehouse. Args are SQL literals ('str', int, float,
+      maintain_warehouse / vacuum_warehouse / restore_warehouse_load /
+      table_status. Args are SQL literals ('str', int, float,
       TRUE/FALSE, NULL); list-valued parameters (key/partition/sort
-      columns) are comma-separated inside one string ('k,day').
-      Returns the verb's report as a one-row DataFrame so the result
-      stays SQL-composable.
+      columns) are comma-separated inside one string ('k,day'); and
+      per-member maps are semicolon-packed ('orders=o_orderkey;
+      customer=c_custkey'). Returns the verb's report as a one-row
+      DataFrame so the result stays SQL-composable.
     """
     m = _CALL_RE.match(sql)
     if m:
@@ -73,6 +81,10 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
 _VERSION_RE = re.compile(
     r"wf_version\(\s*'([^']+)'\s*"
     r"(?:,\s*(?:(\d+)|(?:TIMESTAMP\s+)?'([^']+)')\s*)?\)",
+    re.IGNORECASE,
+)
+_WAREHOUSE_RE = re.compile(
+    r"wf_warehouse\(\s*'([^']+)'\s*,\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)",
     re.IGNORECASE,
 )
 _CALL_RE = re.compile(
@@ -102,7 +114,30 @@ def _substitute_versions(spark: SparkSession, sql: str) -> str:
         df.createOrReplaceTempView(name)
         return name
 
-    return _VERSION_RE.sub(sub, sql)
+    def sub_wh(m: re.Match) -> str:
+        # wf_warehouse('<wh_dir>', '<table>'[, <load>]): resolve the
+        # load entry's recorded version for the member, then read it
+        # through the same versioned path. Two occurrences naming the
+        # same load read one atomic cut — the E97 consistency
+        # contract, now composable inside one SQL statement.
+        from weatherflow_spark.operators.whlog import load_entry
+
+        wh, table, load = m.group(1), m.group(2), m.group(3)
+        entry = load_entry(wh, int(load) if load is not None else None)
+        if table not in entry["tables"]:
+            raise ValueError(
+                f"wf_warehouse: table {table!r} is not a member of "
+                f"load {entry['load']} at {wh!r} "
+                f"(members: {sorted(entry['tables'])})"
+            )
+        df = read_version(
+            spark, os.path.join(wh, table), entry["tables"][table]
+        )
+        name = f"__wf_warehouse_{next(_view_counter)}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    return _WAREHOUSE_RE.sub(sub_wh, _VERSION_RE.sub(sub, sql))
 
 
 def _parse_call_args(raw: str) -> list:
@@ -159,6 +194,19 @@ def _cols(v) -> list[str] | None:
     if v is None:
         return None
     return [c.strip() for c in str(v).split(",") if c.strip()]
+
+
+def _member_map(v) -> dict[str, list[str] | None]:
+    """'orders=o_orderkey;customer=c_custkey,c_day' → per-member
+    column lists; a bare 'member' maps to None (verb default)."""
+    out: dict[str, list[str] | None] = {}
+    for part in str(v).split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        member, eq, cols = part.partition("=")
+        out[member.strip()] = _cols(cols) if eq else None
+    return out
 
 
 def _report_df(spark: SparkSession, report: dict) -> DataFrame:
@@ -244,13 +292,7 @@ def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
     elif verb == "maintain_warehouse":
         # maintain_warehouse('<wh_dir>', '<member=cols;member=cols>'
         #                    [, <max_files>[, <keep_last_loads>]])
-        pcols = {}
-        for part in str(args[1]).split(";"):
-            part = part.strip()
-            if not part:
-                continue
-            member, _, cols = part.partition("=")
-            pcols[member.strip()] = _cols(cols)
+        pcols = _member_map(args[1])
         out = maintain_warehouse(
             spark, args[0], partition_cols=pcols,
             max_files=int(args[2]) if len(args) > 2 else 8,
@@ -267,10 +309,68 @@ def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
             ),
             "load": out["load"],
         }
+    elif verb == "vacuum_warehouse":
+        # vacuum_warehouse('<wh_dir>'[, <keep_last_loads>
+        #                  [, '<member=feed_dir;...>']])
+        from weatherflow_spark.operators.whlog import vacuum_warehouse
+
+        require = None
+        if len(args) > 2 and args[2] is not None:
+            # member=feed_dir pairs; the RHS is a PATH (may contain
+            # commas), so split only on ';' and '=' — not _member_map
+            require = {}
+            for part in str(args[2]).split(";"):
+                part = part.strip()
+                if not part:
+                    continue
+                member, _, feed = part.partition("=")
+                require[member.strip()] = feed.strip()
+        out = vacuum_warehouse(
+            args[0],
+            keep_last_loads=int(args[1]) if len(args) > 1 else 1,
+            require_exported=require,
+        )
+        loads = out.pop("__loads__", {})
+        report = {
+            "loads_dropped": loads.get("dropped_loads", 0),
+            "members_vacuumed": ",".join(sorted(out)),
+        }
+    elif verb == "restore_warehouse_load":
+        # restore_warehouse_load('<wh_dir>', <load>,
+        #     '<member=key_cols;member=key_cols>'
+        #     [, '<member=partition_cols;...>'[, '<batch_id>']])
+        from weatherflow_spark.operators.whlog import (
+            restore_warehouse_load,
+        )
+
+        out = restore_warehouse_load(
+            spark, args[0], int(args[1]), _member_map(args[2]),
+            partition_cols=(
+                _member_map(args[3])
+                if len(args) > 3 and args[3] is not None else None
+            ),
+            batch_id=args[4] if len(args) > 4 else None,
+        )
+        report = {
+            "load": out["load"],
+            **{
+                f"restored_{t}": n
+                for t, n in sorted(out["restored"].items())
+            },
+        }
+    elif verb == "table_status":
+        # table_status('<path>') — metadata-only DESCRIBE DETAIL
+        from weatherflow_spark.operators.snaplog import table_status
+
+        report = {
+            k: (",".join(map(str, v)) if isinstance(v, list) else v)
+            for k, v in table_status(args[0]).items()
+        }
     else:
         raise ValueError(
             f"unknown CALL verb {verb!r} (supported: delete_where, "
             "delete_where_dv, restore, compact, compact_zorder, "
-            "compact_partitions, vacuum_versions, maintain_warehouse)"
+            "compact_partitions, vacuum_versions, maintain_warehouse, "
+            "vacuum_warehouse, restore_warehouse_load, table_status)"
         )
     return _report_df(spark, dict(report))

@@ -913,6 +913,132 @@ def run_available_now(
     return spark.table(query_name)
 
 
+def foreach_batch_forget(
+    path: str,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    receipts_path: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming right-to-be-forgotten sink (r14; E105 × T1): erasure
+    requests ARRIVE as a stream in production — a queue of user/doc
+    keys, not a weekly batch job — and each micro-batch of victim
+    keys lands as ONE merge-on-read deletion-vector commit
+    (:func:`~weatherflow_spark.operators.upsert.delete_where` with
+    ``use_dv=True``): O(victims) bytes written, zero data files
+    rewritten, the scheduled maintenance pass folds the DVs later
+    (E110/E111 keep reads at one anti-join per directory and folds
+    clustering-preserving). The 100 TB posture is the point: per
+    batch, work is bounded by the REQUEST batch — a victim-key
+    min/max prune bound (superset by construction) routes the victim
+    scan through the zone maps, so a key-clustered table opens a
+    handful of files, never the table.
+
+    Replay safety: the DV commit is keyed ``forget:<batch_id>``
+    (namespaced so an upsert stream checkpointing raw ints on the
+    same table can never collide), so checkpoint recovery re-delivers
+    the batch into a short-circuit — no duplicate version, no second
+    DV. A batch whose keys match nothing commits nothing and stays
+    replay-idempotent by construction.
+
+    ``receipts_path``: optional compliance trail — each batch
+    OVERWRITES ``batch_id=<n>/`` with a one-row report (keys
+    requested / matched / deleted, the minted version), so an auditor
+    can join request batches to table versions; overwrite keeps
+    replays from duplicating receipts. NULL request keys are refused
+    loudly (a NULL forget key is a malformed request — the DV
+    anti-join is null-unsafe and would silently forget nothing)."""
+    from weatherflow_spark.operators.upsert import delete_where
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keys = (
+            batch_df.select(*key_cols).dropDuplicates().collect()
+        )  # bounded: a batch of erasure REQUESTS, not table data
+        if any(r[c] is None for r in keys for c in key_cols):
+            raise ValueError(
+                f"forget sink: NULL in key column(s) {key_cols} — "
+                "a NULL erasure key matches nothing (null-unsafe "
+                "anti-join); repair the request stream"
+            )
+        from weatherflow_spark.operators.snaplog import (
+            committed_batch_version,
+        )
+
+        if committed_batch_version(path, f"forget:{batch_id}") is not None:
+            # pure replay: the DV committed AND (if the crash fell
+            # between the commit and the receipt) the receipt below
+            # may be missing — but re-deriving its counts would need
+            # the pre-delete head, so a replayed receipt records the
+            # minted version with -1 counts rather than silently
+            # overwriting the original's real ones with zeros
+            if receipts_path is not None and not os.path.exists(
+                os.path.join(receipts_path, f"batch_id={int(batch_id)}")
+            ):
+                spark.createDataFrame(
+                    [(
+                        len(keys), -1, -1,
+                        committed_batch_version(path, f"forget:{batch_id}"),
+                    )],
+                    "keys_requested long, rows_matched long, "
+                    "keys_deleted long, new_version long",
+                ).write.mode("overwrite").parquet(
+                    os.path.join(receipts_path, f"batch_id={int(batch_id)}")
+                )
+            return
+        report = {
+            "rows_matched": 0, "keys_deleted": 0, "new_version": None,
+        }
+        if keys:
+            if len(key_cols) == 1:
+                c = key_cols[0]
+                pred = F.col(c).isin([r[c] for r in keys])
+            else:
+                pred = None
+                for r in keys:
+                    clause = None
+                    for c in key_cols:
+                        eq = F.col(c) == F.lit(r[c])
+                        clause = eq if clause is None else (clause & eq)
+                    pred = clause if pred is None else (pred | clause)
+            # superset prune bound per key column: min/max of the
+            # requested keys — on a key-clustered/Z-ordered table the
+            # victim scan opens the bound's files, not the table
+            # (ineligible columns are dropped by delete_where itself)
+            prune = [
+                (c, min(r[c] for r in keys), max(r[c] for r in keys))
+                for c in key_cols
+            ]
+            report = delete_where(
+                spark, path, pred, key_cols,
+                partition_cols=partition_cols,
+                prune=prune,
+                snapshot_batch_id=f"forget:{batch_id}",
+                use_dv=True,
+            )
+        if receipts_path is not None:
+            # the batch_id=<n> directory name IS the batch key (read
+            # back as a partition column — a data column of the same
+            # name would collide with it)
+            spark.createDataFrame(
+                [(
+                    len(keys),
+                    int(report["rows_matched"]),
+                    int(report["keys_deleted"]),
+                    (
+                        int(report["new_version"])
+                        if report.get("new_version") is not None
+                        else None
+                    ),
+                )],
+                "keys_requested long, rows_matched long, "
+                "keys_deleted long, new_version long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(receipts_path, f"batch_id={int(batch_id)}")
+            )
+
+    return _sink
+
+
 def foreach_batch_admission(index_path: str, verdicts_path: str):
     """Streaming corpus ADMISSION sink (r8): each micro-batch of
     documents is decided against the persisted signature index
