@@ -319,6 +319,9 @@ OPTIONAL = [
     # r14: displaced from the window by q_maintenance2_suite (E19
     # certified via that row's 'zorder_skipping' branch)
     "q_zorder_key",
+    # r14: streaming right-to-be-forgotten single (suite branch
+    # 'forget_stream' carries the window row)
+    "q_forget_stream",
 ]
 
 

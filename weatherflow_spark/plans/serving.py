@@ -1835,6 +1835,176 @@ ORACLE_DELETE_WHERE_DV = f"""
 """
 
 
+FORGET_MOD = 97  # stream victims: o_orderkey % FORGET_MOD == 3
+
+
+def q_forget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E114 driver row: streaming right-to-be-forgotten
+    (``streaming/pipeline.foreach_batch_forget`` — E105 × T1).
+    Erasure requests arrive as a QUEUE in production; this row runs a
+    REAL two-batch availableNow request stream against a versioned
+    partitioned orders table and certifies the whole contract. The
+    query RAISES unless:
+
+    - each micro-batch landed as ONE deletion-vector commit — the
+      stream rewrote ZERO data files (every partition inode+mtime
+      byte-identical) and exactly two versions were minted,
+    - the pre-stream version still serves all rows (time travel),
+    - per-batch receipts carry the REAL counts and the two minted
+      versions (the compliance trail),
+    - a FRESH-checkpoint redelivery of both request files
+      short-circuits on the ``forget:<batch_id>`` keys: no new
+      versions, head unchanged, receipts not clobbered.
+
+    The returned digest reads the post-forget HEAD — the
+    merge-on-read anti-join path itself is what hashes against the
+    oracle (``WHERE NOT (victim predicate)`` on raw orders); the
+    fold path is certified separately by the delete_dv branch.
+    Victim batches are bounded by the REQUEST stream (an erasure
+    queue, never table data), and the sink's min/max prune bound
+    routes each victim scan through the o_orderkey zone maps."""
+    import json as _json
+    import shutil
+
+    from weatherflow_spark.operators.snaplog import (
+        head_dv,
+        head_version,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        set_stats_columns,
+    )
+    from weatherflow_spark.streaming.pipeline import foreach_batch_forget
+
+    base = _scratch_dir(sf_dir)
+    path = os.path.join(base, "forget_tbl")
+    req = os.path.join(base, "forget_requests")
+    receipts = os.path.join(base, "forget_receipts")
+    cks = (os.path.join(base, "forget_ck1"), os.path.join(base, "forget_ck2"))
+    for side in ("", ".__snaplog", ".__retain"):
+        shutil.rmtree(path + side, ignore_errors=True)
+    for d in (req, receipts, *cks):
+        shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.unlink(path + ".__versions.json")
+    except OSError:
+        pass
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.repartitionByRange(4, F.col("o_orderkey")).write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["o_orderkey"])
+    v_seed = record_commit(path)
+    n_seed = read_version(spark, path, v_seed).count()
+
+    # the erasure queue: every %-derived victim key, split into two
+    # deterministic request files (both non-empty at any SF)
+    victims = sorted(
+        r[0]
+        for r in orders.where(F.col("o_orderkey") % FORGET_MOD == 3)
+        .select("o_orderkey")
+        .collect()
+    )
+    os.makedirs(req, exist_ok=True)
+    for i, half in enumerate((victims[::2], victims[1::2])):
+        with open(os.path.join(req, f"r{i}.json"), "w") as f:
+            f.write(
+                "\n".join(_json.dumps({"o_orderkey": k}) for k in half)
+                + "\n"
+            )
+
+    def live_files() -> dict[str, tuple[int, int]]:
+        out: dict[str, tuple[int, int]] = {}
+        for root, _dirs, names in os.walk(path):
+            for nme in names:
+                if nme.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, nme))
+                rel = os.path.relpath(os.path.join(root, nme), path)
+                out[rel] = (st.st_ino, st.st_mtime_ns)
+        return out
+
+    before = live_files()
+    sink = foreach_batch_forget(
+        path, ["o_orderkey"],
+        partition_cols=["o_orderpriority"],
+        receipts_path=receipts,
+    )
+
+    def drain(ck: str) -> None:
+        q = (
+            spark.readStream.schema("o_orderkey long")
+            .option("maxFilesPerTrigger", "1")
+            .json(req)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(cks[0])
+    head1 = head_version(path)
+    n_head = read_version(spark, path).count()
+    rec = {
+        r["batch_id"]: r for r in spark.read.parquet(receipts).collect()
+    }
+    drain(cks[1])  # fresh checkpoint: full redelivery
+    rec2 = {
+        r["batch_id"]: r for r in spark.read.parquet(receipts).collect()
+    }
+    if not (
+        live_files() == before
+        and bool(head_dv(path))
+        and head1 == v_seed + 2
+        and head_version(path) == head1
+        and n_head == n_seed - len(victims)
+        and read_version(spark, path, v_seed).count() == n_seed
+        and sorted(rec) == [0, 1]
+        and sum(r["keys_deleted"] for r in rec.values()) == len(victims)
+        and {r["new_version"] for r in rec.values()}
+        == {v_seed + 1, v_seed + 2}
+        and all(
+            rec2[b]["keys_deleted"] == rec[b]["keys_deleted"] for b in rec
+        )
+    ):
+        raise RuntimeError(
+            "forget stream regressed: "
+            f"file identity {live_files() == before}, "
+            f"head_dv {bool(head_dv(path))}, versions {v_seed}->{head1}"
+            f"->{head_version(path)}, rows {n_seed}->{n_head} "
+            f"(victims {len(victims)}), receipts {sorted(rec)} "
+            f"deleted {[r['keys_deleted'] for _, r in sorted(rec.items())]}"
+            f" replay {[r['keys_deleted'] for _, r in sorted(rec2.items())]}"
+        )
+    return (
+        read_version(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("price_cents"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        )
+    )
+
+
+ORACLE_FORGET_STREAM = f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS price_cents,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders
+    WHERE NOT (o_orderkey % {FORGET_MOD} = 3)
+    GROUP BY o_orderpriority
+"""
+
+
 FSKIP_LO, FSKIP_HI = 100, 200  # a selective orderkey range at every SF
 
 
@@ -3202,6 +3372,12 @@ def q_maintenance2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       two-column file skipping over the Morton layout — a (1/8)²
       band opens ≤¼ of the z-files, digest == the plain
       two-predicate oracle.
+    - ``forget_stream``         (E114, r14): a REAL two-batch
+      availableNow erasure-request stream through
+      ``foreach_batch_forget`` — zero files rewritten, per-batch
+      receipts with minted versions, fresh-checkpoint redelivery
+      short-circuits, merge-on-read head digest == the plain
+      victim-predicate oracle.
 
     Every branch performs its real versioned I/O because that I/O IS
     the certified claim."""
@@ -3223,7 +3399,13 @@ def q_maintenance2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'key_xor', key_xor, 'cust_xor', cust_xor) AS (metric, value)",
     )
-    return rst.unionByName(dv).unionByName(zs)
+    fg = q_forget_stream(spark, sf_dir).selectExpr(
+        "'forget_stream' AS op",
+        "o_orderpriority AS key",
+        "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
+        "'key_xor', key_xor) AS (metric, value)",
+    )
+    return rst.unionByName(dv).unionByName(zs).unionByName(fg)
 
 
 def _oracle_maintenance_suite() -> str:
@@ -3267,7 +3449,8 @@ def _oracle_maintenance2_suite() -> str:
     return f"""
         WITH rst AS ({ORACLE_PARTITION_COMPACTION}),
         dv AS ({ORACLE_DELETE_WHERE_DV}),
-        zs AS ({ORACLE_ZORDER_SKIPPING})
+        zs AS ({ORACLE_ZORDER_SKIPPING}),
+        fg AS ({ORACLE_FORGET_STREAM})
         SELECT 'restore' AS op, o_orderpriority AS key,
                'n_rows' AS metric, n_rows AS value FROM rst
         UNION ALL
@@ -3291,6 +3474,14 @@ def _oracle_maintenance2_suite() -> str:
         SELECT 'zorder_skipping', 'all', 'key_xor', key_xor FROM zs
         UNION ALL
         SELECT 'zorder_skipping', 'all', 'cust_xor', cust_xor FROM zs
+        UNION ALL
+        SELECT 'forget_stream', o_orderpriority, 'n_rows', n_rows FROM fg
+        UNION ALL
+        SELECT 'forget_stream', o_orderpriority, 'price_cents',
+               price_cents FROM fg
+        UNION ALL
+        SELECT 'forget_stream', o_orderpriority, 'key_xor', key_xor
+        FROM fg
     """
 
 
@@ -4274,6 +4465,7 @@ SERVING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_partition_compaction": q_partition_compaction,
     "q_delete_where": q_delete_where,
     "q_delete_where_dv": q_delete_where_dv,
+    "q_forget_stream": q_forget_stream,
     "q_warehouse_maintenance": q_warehouse_maintenance,
     "q_tpch_q6_skipping": q_tpch_q6_skipping,
     "q_restore_version": q_restore_version,
@@ -4326,6 +4518,10 @@ SERVING_ORACLES: dict[str, str] = {
     # r13: the merge-on-read twin must produce the eager delete's
     # answer — same WHERE NOT (predicate) oracle shape.
     "q_delete_where_dv": ORACLE_DELETE_WHERE_DV,
+    # r14 E114: the streamed forget must produce the batch delete's
+    # answer — WHERE NOT (victim predicate) on raw orders, hashed
+    # through the merge-on-read head read.
+    "q_forget_stream": ORACLE_FORGET_STREAM,
     "q_warehouse_maintenance": ORACLE_WAREHOUSE_MAINTENANCE,
     # E100 adoption: identity with the plain Q6 oracle verbatim.
     "q_tpch_q6_skipping": _oracle_tpch_q6_skipping(),
