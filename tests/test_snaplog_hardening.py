@@ -622,3 +622,91 @@ def test_export_pointer_bounds_feed_export_io(spark, tmpdir, monkeypatch):
     assert _json.load(open(ptr))["version"] == 6
     # feed content unaffected: full trail still reads back
     assert sorted(exported_feed_versions(feed)) == [1, 2, 3, 4, 5, 6]
+
+
+def test_clustering_status_tracks_decay_and_restore(spark, tmp_path):
+    """r14 clustering-health diagnostic: metadata-only, tracks the
+    decay appends cause and the restore a sorted compaction buys —
+    the signal a maintenance scheduler keys re-clustering on."""
+    from weatherflow_spark.operators.layout import compact
+    from weatherflow_spark.operators.snaplog import (
+        clustering_status,
+        init_snapshot_log,
+        record_commit,
+        set_stats_columns,
+    )
+    from weatherflow_spark import sql as wf_sql
+
+    path = str(tmp_path / "t")
+    spark.range(0, 4000).selectExpr(
+        "id AS k", "cast(id as double) AS v"
+    ).repartitionByRange(4, "k").write.mode("overwrite").parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["k"])
+    record_commit(path)
+    st = clustering_status(path, ["k"])
+    assert st["files_total"] == 4
+    assert st["columns"]["k"]["disjoint"]
+    assert st["columns"]["k"]["files_with_stats"] == 4
+
+    # append traffic: two whole-range files decay the clustering
+    spark.range(0, 4000).selectExpr(
+        "id AS k", "cast(id + 1 as double) AS v"
+    ).repartition(2).write.mode("append").parquet(path)
+    record_commit(path)
+    m = clustering_status(path, ["k"])["columns"]["k"]
+    assert not m["disjoint"]
+    assert m["max_overlap_depth"] >= 3  # every point now opens >=3 files
+    assert m["overlap_fraction"] > 0
+
+    # sorted compaction restores range-disjoint files
+    compact(spark, path, sort_col="k", target_file_bytes=20_000)
+    st3 = clustering_status(path, ["k"])
+    assert st3["columns"]["k"]["disjoint"]
+    assert st3["columns"]["k"]["files_with_stats"] == st3["files_total"]
+
+    # a column with no recorded stats reports zeros, never raises
+    z = clustering_status(path, ["v"])["columns"]["v"]
+    assert z == {
+        "files_with_stats": 0, "max_overlap_depth": 0,
+        "overlap_fraction": 0.0, "disjoint": True,
+    }
+
+    # SQL surface: one flattened diagnostic row
+    rep = wf_sql.execute(
+        spark, f"CALL clustering_status('{path}', 'k,v')"
+    ).first()
+    assert rep["k_disjoint"] == "True"
+    assert rep["v_files"] == "0"
+    assert int(rep["files_total"]) == int(rep["k_files"])
+
+
+def test_clustering_status_zorder_axes_overlap_by_design(spark, tmp_path):
+    """A healthy Morton layout is NOT per-axis disjoint — each axis
+    shows ~sqrt(n) depth (the grid's stripes), far from full overlap:
+    the diagnostic must report the numbers, not a false alarm."""
+    from weatherflow_spark.operators.snaplog import (
+        clustering_status,
+        init_snapshot_log,
+        record_commit,
+        set_stats_columns,
+    )
+    from weatherflow_spark.operators.zorder import write_zordered
+
+    path = str(tmp_path / "z")
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 4096, float(i)) for i in range(4096)],
+        "a long, b long, v double",
+    )
+    write_zordered(df, path, "a", "b", num_files=16, bits=None)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["a", "b"])
+    record_commit(path)
+    st = clustering_status(path, ["a", "b"])
+    for c in ("a", "b"):
+        m = st["columns"][c]
+        assert m["files_with_stats"] == 16
+        assert not m["disjoint"]
+        # stripes: depth around sqrt(16)=4, well below all-16 overlap
+        assert 2 <= m["max_overlap_depth"] <= 8
+        assert m["overlap_fraction"] < 0.8

@@ -2220,3 +2220,85 @@ def table_status(path: str) -> dict:
     except (OSError, ValueError, KeyError, TypeError):
         pass
     return out
+
+
+def clustering_status(
+    path: str, cols: list[str], version: int | None = None
+) -> dict:
+    """Clustering-health diagnostic (r14; the operator question the
+    E106/E110/E113 layouts leave open: *has append traffic decayed my
+    range/Morton clustering enough that file skipping stopped
+    paying, i.e. is it time to re-cluster?*). Pure metadata — one
+    entry read plus the already-recorded per-file zone maps, no Spark
+    job, no data I/O — so a scheduler can run it every maintenance
+    cadence at any table count. Returns::
+
+        {"version": v, "files_total": n, "columns": {col: {
+            "files_with_stats": k,
+            "max_overlap_depth": d,   # most files any point query opens
+            "overlap_fraction": f,    # intersecting pairs / all pairs
+            "disjoint": d <= 1,       # perfect range clustering
+        }}}
+
+    Interpretation is the caller's policy, because healthy depends on
+    the layout: a range-clustered table (repartitionByRange +
+    sort_col compaction) is healthy at ``disjoint`` — any decay means
+    appends landed overlapping files and a ``compact(sort_col=...)``
+    restores pruning; a two-column Morton table is NOT per-axis
+    disjoint by design (an 8×8 z-grid shows depth ~√n per axis), so
+    compare depth against ~√files_with_stats and re-Z via
+    ``compact(zorder=...)`` when it drifts toward n. Closed-interval
+    semantics: two files touching at one value both open for a point
+    query at it, so they count as overlapping. Files with no recorded
+    stats for a column are excluded from that column's metrics (they
+    are never pruned either way); a column nobody recorded stats for
+    reports zeros rather than raising — like pruning itself, the
+    diagnostic is an optimization surface, not a correctness one."""
+    version, files, _base = _resolve_version(path, version)
+    entry = _load_entry(path, version)
+    stats = _entry_stats(path, entry)
+    out_cols: dict[str, dict] = {}
+    for c in cols:
+        ivals = []
+        for rel, _sz in files:
+            s = stats.get(rel, {}).get(c)
+            if s is None:
+                continue
+            lo, hi = _scan_cmp_key(s[0]), _scan_cmp_key(s[1])
+            ivals.append((lo, hi))
+        n = len(ivals)
+        if n == 0:
+            out_cols[c] = {
+                "files_with_stats": 0, "max_overlap_depth": 0,
+                "overlap_fraction": 0.0, "disjoint": True,
+            }
+            continue
+        # sweep over endpoints: starts before ends at equal value
+        # (closed intervals), so touching files register as depth 2
+        events = []
+        for lo, hi in ivals:
+            events.append((lo, 0))  # start
+            events.append((hi, 1))  # end
+        events.sort(key=lambda e: (e[0], e[1]))
+        depth = max_depth = pairs = 0
+        for _val, kind in events:
+            if kind == 0:
+                pairs += depth  # this start overlaps every active file
+                depth += 1
+                max_depth = max(max_depth, depth)
+            else:
+                depth -= 1
+        all_pairs = n * (n - 1) // 2
+        out_cols[c] = {
+            "files_with_stats": n,
+            "max_overlap_depth": max_depth,
+            "overlap_fraction": (
+                round(pairs / all_pairs, 6) if all_pairs else 0.0
+            ),
+            "disjoint": max_depth <= 1,
+        }
+    return {
+        "version": version,
+        "files_total": len(files),
+        "columns": out_cols,
+    }

@@ -63,7 +63,7 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
       delete_where / delete_where_dv / restore /
       compact / compact_zorder / compact_partitions / vacuum_versions /
       maintain_warehouse / vacuum_warehouse / restore_warehouse_load /
-      table_status. Args are SQL literals ('str', int, float,
+      table_status / clustering_status. Args are SQL literals ('str', int, float,
       TRUE/FALSE, NULL); list-valued parameters (key/partition/sort
       columns) are comma-separated inside one string ('k,day'); and
       per-member maps are semicolon-packed ('orders=o_orderkey;
@@ -366,11 +366,30 @@ def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
             k: (",".join(map(str, v)) if isinstance(v, list) else v)
             for k, v in table_status(args[0]).items()
         }
+    elif verb == "clustering_status":
+        # clustering_status('<path>', '<cols>'[, <version>]) —
+        # metadata-only clustering-health diagnostic, one flattened
+        # row: <col>_depth / <col>_overlap / <col>_disjoint per column
+        from weatherflow_spark.operators.snaplog import clustering_status
+
+        st = clustering_status(
+            args[0], _cols(args[1]) or [],
+            version=int(args[2]) if len(args) > 2 else None,
+        )
+        report = {
+            "version": st["version"], "files_total": st["files_total"],
+        }
+        for c, m in st["columns"].items():
+            report[f"{c}_files"] = m["files_with_stats"]
+            report[f"{c}_depth"] = m["max_overlap_depth"]
+            report[f"{c}_overlap"] = m["overlap_fraction"]
+            report[f"{c}_disjoint"] = m["disjoint"]
     else:
         raise ValueError(
             f"unknown CALL verb {verb!r} (supported: delete_where, "
             "delete_where_dv, restore, compact, compact_zorder, "
             "compact_partitions, vacuum_versions, maintain_warehouse, "
-            "vacuum_warehouse, restore_warehouse_load, table_status)"
+            "vacuum_warehouse, restore_warehouse_load, table_status, "
+            "clustering_status)"
         )
     return _report_df(spark, dict(report))
