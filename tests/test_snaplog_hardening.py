@@ -710,3 +710,72 @@ def test_clustering_status_zorder_axes_overlap_by_design(spark, tmp_path):
         # stripes: depth around sqrt(16)=4, well below all-16 overlap
         assert 2 <= m["max_overlap_depth"] <= 8
         assert m["overlap_fraction"] < 0.8
+
+
+def test_compact_partitions_recluster_repairs_decayed_partition(
+    spark, tmp_path
+):
+    """r14 third offender class: a partition whose live files overlap
+    on sort_col is planned for rewrite even under max_files, the
+    rewrite restores range-disjoint files, and partitions still
+    clustered stay byte-identical."""
+    import os as _os
+
+    from weatherflow_spark.operators.layout import compact_partitions
+    from weatherflow_spark.operators.snaplog import (
+        clustering_status,
+        init_snapshot_log,
+        read_version,
+        record_commit,
+        set_stats_columns,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "d1" if i % 2 == 0 else "d2", float(i)) for i in range(4000)],
+        "k long, day string, v double",
+    ).repartitionByRange(2, "k").write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+    init_snapshot_log(path)
+    set_stats_columns(path, ["k"])
+    record_commit(path)
+
+    # decay ONE partition: a whole-range append lands next to the
+    # two range-disjoint files
+    spark.createDataFrame(
+        [(i + 10_000, "d1", float(i)) for i in range(0, 4000, 7)],
+        "k long, day string, v double",
+    ).withColumn("k", (F.col("k") - 10_000)).repartition(1).write.mode(
+        "append"
+    ).partitionBy("day").parquet(path)
+    record_commit(path)
+    n_before = read_version(spark, path).count()
+
+    def inodes(day):
+        d = _os.path.join(path, f"day={day}")
+        return {
+            f: _os.stat(_os.path.join(d, f)).st_ino
+            for f in _os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    d2_before = inodes("d2")
+
+    with pytest.raises(ValueError, match="recluster=True needs sort_col"):
+        compact_partitions(spark, path, ["day"], recluster=True)
+
+    rep = compact_partitions(
+        spark, path, ["day"], max_files=8, sort_col="k", recluster=True
+    )
+    assert rep["partitions_compacted"] == 1  # only the decayed one
+    assert inodes("d2") == d2_before  # clean partition untouched
+    assert read_version(spark, path).count() == n_before
+    st = clustering_status(path, ["k"])
+    assert st["columns"]["k"]["disjoint"]
+
+    # replay: nothing left to repair
+    rep2 = compact_partitions(
+        spark, path, ["day"], max_files=8, sort_col="k", recluster=True
+    )
+    assert rep2["partitions_compacted"] == 0

@@ -644,6 +644,7 @@ def compact_partitions(
     max_files: int = 8,
     sort_col: str | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    recluster: bool = False,
 ) -> dict[str, int]:
     """Partition-scoped small-file maintenance PLANNED from the head
     entry's segments (E101, r12): the snapshot log already records
@@ -694,7 +695,20 @@ def compact_partitions(
     path as whole-table :func:`compact`), where N preserves the
     partition's file count for a pure DV fold (its files were sized
     deliberately) and resizes by ``target_file_bytes`` for a genuine
-    small-file offender."""
+    small-file offender.
+
+    ``recluster=True`` (r14, requires ``sort_col``) adds a THIRD
+    offender class beyond small-files and DV-coverage: partitions
+    whose live files OVERLAP on ``sort_col``'s recorded zone maps
+    (:func:`~weatherflow_spark.operators.snaplog._interval_depth`
+    over the partition's segment stats — pure metadata, the
+    per-partition form of ``clustering_status``). Append traffic
+    lands whole-range files next to range-disjoint ones and file
+    skipping silently decays even while file counts stay under
+    ``max_files``; with this flag the maintenance cadence detects
+    and repairs the decay autonomously. Files with no recorded
+    stats can't be assessed and don't trigger the class on their
+    own (like pruning, the diagnostic is an optimization surface)."""
     from weatherflow_spark.operators.commit import (
         dataset_lock,
         partition_key_values,
@@ -702,9 +716,12 @@ def compact_partitions(
     from weatherflow_spark.operators.snaplog import (
         _entry_dv,
         _entry_segments,
+        _interval_depth,
         _load_entry,
+        _scan_cmp_key,
         _segment_files,
         head_version,
+        segment_stats,
         snapshot_enabled,
     )
     from weatherflow_spark.operators.upsert import overwrite_partitions
@@ -713,6 +730,11 @@ def compact_partitions(
         raise ValueError(
             f"{path}: partition compaction plans from the snapshot "
             "log's segments — init_snapshot_log + record_commit first"
+        )
+    if recluster and not sort_col:
+        raise ValueError(
+            "recluster=True needs sort_col — a re-sort-less rewrite "
+            "cannot restore the clustering it would be repairing"
         )
     with dataset_lock(path):
         head_v = head_version(path)
@@ -747,7 +769,24 @@ def compact_partitions(
             # count: compaction is where merge-on-read deletes FOLD
             # into data files (r12 verdict #1) — every read of a
             # covered partition pays the anti-join until then.
-            if n_files > max_files or dv_names:
+            decayed = False
+            if recluster and not dv_names and n_files <= max_files:
+                # third offender class (r14): files overlapping on
+                # sort_col's zone maps — pure metadata from the
+                # partition's own segment stats
+                sst = segment_stats(path, segname)
+                ivals = [
+                    (
+                        _scan_cmp_key(sst[rel][sort_col][0]),
+                        _scan_cmp_key(sst[rel][sort_col][1]),
+                    )
+                    for rel, _sz in seg_files
+                    if sst.get(rel, {}).get(sort_col) is not None
+                ]
+                decayed = (
+                    len(ivals) >= 2 and _interval_depth(ivals)[0] > 1
+                )
+            if n_files > max_files or dv_names or decayed:
                 plan.append((dirkey, segname, n_files, n_bytes, dv_names))
     planned_n = {d: n for d, _, n, _b, _dv in plan}
     live = path.rstrip("/")

@@ -2222,6 +2222,38 @@ def table_status(path: str) -> dict:
     return out
 
 
+def _interval_depth(ivals: list[tuple]) -> tuple[int, int]:
+    """(max_depth, overlapping_pairs) of closed intervals via an
+    endpoint sweep — starts sort before ends at equal value, so two
+    files touching at one value count as overlapping (a point query
+    at it opens both)."""
+    events = []
+    for lo, hi in ivals:
+        events.append((lo, 0))  # start
+        events.append((hi, 1))  # end
+    events.sort(key=lambda e: (e[0], e[1]))
+    depth = max_depth = pairs = 0
+    for _val, kind in events:
+        if kind == 0:
+            pairs += depth  # this start overlaps every active file
+            depth += 1
+            max_depth = max(max_depth, depth)
+        else:
+            depth -= 1
+    return max_depth, pairs
+
+
+def segment_stats(path: str, name: str) -> dict[str, dict]:
+    """rel → {col: [min, max]} recorded inside ONE segment — the
+    per-partition slice of the zone maps (the clustering-decay
+    planner's input, r14)."""
+    try:
+        with open(os.path.join(_seg_dir(path), name)) as f:
+            return json.load(f).get("stats", {})
+    except (OSError, ValueError):
+        return {}
+
+
 def clustering_status(
     path: str, cols: list[str], version: int | None = None
 ) -> dict:
@@ -2240,8 +2272,12 @@ def clustering_status(
             "disjoint": d <= 1,       # perfect range clustering
         }}}
 
-    Interpretation is the caller's policy, because healthy depends on
-    the layout: a range-clustered table (repartitionByRange +
+    Metrics group intervals WITHIN each partition directory and
+    report the worst directory (a partitioned table's every partition
+    legitimately spans the sort column's domain — cross-directory
+    overlap is partition pruning's job); unpartitioned and Morton
+    tables have one group. Interpretation is the caller's policy,
+    because healthy depends on the layout: a range-clustered table (repartitionByRange +
     sort_col compaction) is healthy at ``disjoint`` — any decay means
     appends landed overlapping files and a ``compact(sort_col=...)``
     restores pruning; a two-column Morton table is NOT per-axis
@@ -2259,36 +2295,33 @@ def clustering_status(
     stats = _entry_stats(path, entry)
     out_cols: dict[str, dict] = {}
     for c in cols:
-        ivals = []
+        # group intervals WITHIN each partition directory: on a
+        # partitioned table every partition legitimately spans the
+        # sort column's whole domain (cross-directory overlap is
+        # partition pruning's job, not the sort column's), so the
+        # actionable decay signal is the worst per-directory depth —
+        # exactly the unit compact_partitions(recluster=True) repairs.
+        # Unpartitioned and Morton tables have one group (the root).
+        by_dir: dict[str, list[tuple]] = {}
         for rel, _sz in files:
             s = stats.get(rel, {}).get(c)
             if s is None:
                 continue
             lo, hi = _scan_cmp_key(s[0]), _scan_cmp_key(s[1])
-            ivals.append((lo, hi))
-        n = len(ivals)
+            by_dir.setdefault(_seg_key(rel), []).append((lo, hi))
+        n = sum(len(v) for v in by_dir.values())
         if n == 0:
             out_cols[c] = {
                 "files_with_stats": 0, "max_overlap_depth": 0,
                 "overlap_fraction": 0.0, "disjoint": True,
             }
             continue
-        # sweep over endpoints: starts before ends at equal value
-        # (closed intervals), so touching files register as depth 2
-        events = []
-        for lo, hi in ivals:
-            events.append((lo, 0))  # start
-            events.append((hi, 1))  # end
-        events.sort(key=lambda e: (e[0], e[1]))
-        depth = max_depth = pairs = 0
-        for _val, kind in events:
-            if kind == 0:
-                pairs += depth  # this start overlaps every active file
-                depth += 1
-                max_depth = max(max_depth, depth)
-            else:
-                depth -= 1
-        all_pairs = n * (n - 1) // 2
+        max_depth = pairs = all_pairs = 0
+        for ivals in by_dir.values():
+            d, p = _interval_depth(ivals)
+            max_depth = max(max_depth, d)
+            pairs += p
+            all_pairs += len(ivals) * (len(ivals) - 1) // 2
         out_cols[c] = {
             "files_with_stats": n,
             "max_overlap_depth": max_depth,

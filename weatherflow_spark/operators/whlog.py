@@ -759,6 +759,7 @@ def maintain_warehouse(
     partition_cols: dict[str, list[str]] | None = None,
     max_files: int = 8,
     sort_cols: dict[str, str] | None = None,
+    recluster: bool = False,
     feed_bundle: str | None = None,
     key_cols: dict[str, list[str]] | None = None,
     keep_last_loads: int | None = None,
@@ -777,7 +778,13 @@ def maintain_warehouse(
        ``sort_cols`` maps a member to its clustering column so the
        rewrite (including a DV fold) PRESERVES the member's
        range-sorted file layout instead of collapsing each partition
-       to one wide-min/max file (r13 verdict #2).
+       to one wide-min/max file (r13 verdict #2). ``recluster=True``
+       (r14) additionally plans partitions whose live files OVERLAP
+       on the member's sort column as offenders (the clustering-decay
+       class — append traffic decays file skipping long before file
+       counts trip ``max_files``); it applies to exactly the members
+       mapped in ``sort_cols``, since a re-sort-less rewrite cannot
+       repair clustering.
     2. **Re-cut** — if anything compacted (or ``batch_id`` is given),
        a NEW warehouse load is committed pairing every member's
        compacted head (``commit_warehouse`` — pure metadata via the
@@ -833,6 +840,7 @@ def maintain_warehouse(
             spark, os.path.join(wh_dir, t), partition_cols[t],
             max_files=max_files,
             sort_col=(sort_cols or {}).get(t),
+            recluster=recluster and t in (sort_cols or {}),
         )
     any_rewrite = any(
         c["partitions_compacted"] > 0 for c in compaction.values()
