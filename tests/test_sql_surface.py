@@ -300,3 +300,46 @@ def test_sql_call_compact_zorder(spark, tmp_path):
         spark, path, predicates=[("a", 0, 511), ("b", 0, 511)]
     )
     assert info["files_scanned"] <= max(2, info["files_total"] // 4)
+
+
+def test_table_history_bounded_describe_history(spark, tmp_path):
+    """r14 DESCRIBE HISTORY: newest-first version metadata, bounded
+    by limit and by the vacuum horizon — never a full log listing."""
+    from weatherflow_spark.operators.snaplog import (
+        table_history,
+        vacuum_versions,
+    )
+    from weatherflow_spark.operators.upsert import upsert_by_key
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # v1
+    wf_sql.execute(
+        spark, f"CALL delete_where_dv('{path}', 'k = 7', 'k', 'day')"
+    )  # v2: carries a DV
+    upsert_by_key(
+        spark,
+        _mk(spark, [{"k": 99, "day": "2026-01-02", "v": 99.0}]),
+        path,
+        ["k"],
+        ["day"],
+    )  # v3: rewrites k=7's partition (7 % 3 = 1 → day=02) → DV folds
+
+    hist = table_history(path)
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert hist[1]["dv_dirs"] == 1 and hist[0]["dv_dirs"] == 0
+    assert hist[2]["files"] == 3  # one file per day partition
+    assert all(h["bytes"] > 0 for h in hist)
+    assert hist[0]["committed_at"] >= hist[2]["committed_at"]
+    assert [h["version"] for h in table_history(path, limit=2)] == [3, 2]
+
+    rows = wf_sql.execute(
+        spark, f"CALL table_history('{path}', 2)"
+    ).collect()
+    assert [r["version"] for r in rows] == [3, 2]
+    assert rows[1]["dv_dirs"] == 1
+
+    # vacuum horizon bounds the walk instead of erroring
+    vacuum_versions(path, keep_last=1)
+    assert [h["version"] for h in table_history(path)] == [3]
+    # unversioned path: empty history, no raise
+    assert table_history(str(tmp_path / "nope")) == []

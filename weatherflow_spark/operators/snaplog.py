@@ -2335,3 +2335,55 @@ def clustering_status(
         "files_total": len(files),
         "columns": out_cols,
     }
+
+
+def table_history(path: str, limit: int = 20) -> list[dict]:
+    """DESCRIBE HISTORY for a versioned table (r14): the last
+    ``limit`` versions' metadata, newest first — the audit view an
+    operator reads before a RESTORE or vacuum decision. BOUNDED I/O
+    by construction: resolves the head through the checkpoint pointer
+    and walks BACKWARD at most ``limit`` entries (entries are
+    gap-free above the vacuum horizon, so the walk stops at the first
+    missing predecessor) — never the O(#versions) full listing
+    ``versions()`` pays. Per version::
+
+        {"version": v, "committed_at": iso-utc, "files": n,
+         "bytes": b, "partitions": p, "dv_dirs": d,
+         "batch_id": str|None}
+
+    ``committed_at`` is the entry file's mtime — entries land once
+    via ``os.replace`` and are never modified (the same clock
+    ``version_as_of`` travels by)."""
+    import datetime as _dt
+
+    if not snapshot_enabled(path):
+        return []
+    head = head_version(path)
+    if head is None:
+        return []
+    out: list[dict] = []
+    v = head
+    while v >= 1 and len(out) < max(1, limit):
+        p = _entry_path(path, v)
+        try:
+            st = os.stat(p)
+            entry = _load_entry(path, v)
+        except (OSError, ValueError):
+            break  # vacuum horizon: older history is gone
+        files = entry_files(path, v)
+        dv = _entry_dv(entry)
+        out.append({
+            "version": v,
+            "committed_at": _dt.datetime.fromtimestamp(
+                st.st_mtime, _dt.timezone.utc
+            ).isoformat(),
+            "files": len(files),
+            "bytes": sum(max(int(sz), 0) for _, sz in files),
+            "partitions": len(
+                {d for d in (_seg_key(rel) for rel, _ in files) if d}
+            ),
+            "dv_dirs": len(dv),
+            "batch_id": entry.get("batch_id"),
+        })
+        v -= 1
+    return out

@@ -63,7 +63,7 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
       delete_where / delete_where_dv / restore /
       compact / compact_zorder / compact_partitions / vacuum_versions /
       maintain_warehouse / vacuum_warehouse / restore_warehouse_load /
-      table_status / clustering_status. Args are SQL literals ('str', int, float,
+      table_status / table_history / clustering_status. Args are SQL literals ('str', int, float,
       TRUE/FALSE, NULL); list-valued parameters (key/partition/sort
       columns) are comma-separated inside one string ('k,day'); and
       per-member maps are semicolon-packed ('orders=o_orderkey;
@@ -366,6 +366,28 @@ def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
             k: (",".join(map(str, v)) if isinstance(v, list) else v)
             for k, v in table_status(args[0]).items()
         }
+    elif verb == "table_history":
+        # table_history('<path>'[, <limit>]) — bounded DESCRIBE
+        # HISTORY: one row per version, newest first (multi-row,
+        # unlike the one-row reports)
+        from weatherflow_spark.operators.snaplog import table_history
+
+        rows = table_history(
+            args[0], limit=int(args[1]) if len(args) > 1 else 20
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    int(r["version"]), str(r["committed_at"]),
+                    int(r["files"]), int(r["bytes"]),
+                    int(r["partitions"]), int(r["dv_dirs"]),
+                    None if r["batch_id"] is None else str(r["batch_id"]),
+                )
+                for r in rows
+            ],
+            "version long, committed_at string, files long, "
+            "bytes long, partitions long, dv_dirs long, batch_id string",
+        )
     elif verb == "clustering_status":
         # clustering_status('<path>', '<cols>'[, <version>]) —
         # metadata-only clustering-health diagnostic, one flattened
@@ -390,6 +412,6 @@ def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
             "delete_where_dv, restore, compact, compact_zorder, "
             "compact_partitions, vacuum_versions, maintain_warehouse, "
             "vacuum_warehouse, restore_warehouse_load, table_status, "
-            "clustering_status)"
+            "table_history, clustering_status)"
         )
     return _report_df(spark, dict(report))
