@@ -343,3 +343,53 @@ def test_table_history_bounded_describe_history(spark, tmp_path):
     assert [h["version"] for h in table_history(path)] == [3]
     # unversioned path: empty history, no raise
     assert table_history(str(tmp_path / "nope")) == []
+
+
+def test_sql_view_sourced_upsert_and_apply_changes(spark, tmp_path):
+    """r14: the WRITE path from SQL — CALL upsert / apply_changes
+    source their rows from a registered temp view (a write needs
+    rows, which no literal can carry), so the whole
+    merge→CDC→delete→history loop runs on SQL strings."""
+    from weatherflow_spark.operators.snaplog import read_version
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # v1: 30 rows, k in 0..29
+
+    _mk(
+        spark,
+        [
+            {"k": 7, "day": "2026-01-02", "v": 700.0},   # update
+            {"k": 50, "day": "2026-01-01", "v": 50.0},   # insert
+        ],
+    ).createOrReplaceTempView("src_upserts")
+    rep = wf_sql.execute(
+        spark, f"CALL upsert('{path}', 'src_upserts', 'k', 'day')"
+    ).first()
+    assert rep["merged_from"] == "src_upserts"
+    head = read_version(spark, path)
+    assert head.count() == 31
+    assert head.where("k = 7").first()["v"] == 700.0
+
+    _mk(
+        spark,
+        [
+            {"k": 50, "day": "2026-01-01", "v": 51.0, "op": "U"},
+            {"k": 7, "day": "2026-01-02", "v": 0.0, "op": "D"},
+        ],
+    ).createOrReplaceTempView("src_changes")
+    wf_sql.execute(
+        spark,
+        f"CALL apply_changes('{path}', 'src_changes', 'k', 'op', 'day')",
+    )
+    head = read_version(spark, path)
+    assert head.count() == 30  # one delete
+    assert head.where("k = 50").first()["v"] == 51.0
+    assert head.where("k = 7").count() == 0
+    # the loop left an auditable trail
+    versions = [
+        r["version"]
+        for r in wf_sql.execute(
+            spark, f"CALL table_history('{path}')"
+        ).collect()
+    ]
+    assert versions == [3, 2, 1]

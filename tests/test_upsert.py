@@ -853,3 +853,51 @@ def test_restore_version_guards(spark, tmp_path):
     record_commit(path)
     with pytest.raises(ValueError, match="not in log"):
         restore_version(spark, path, 99, ["k"])
+
+
+def test_apply_changes_aligns_feed_partition_types(spark, tmp_path):
+    """r14 review: a STRING-typed partition value in a feed against a
+    DATE-partitioned table flowed into the touched set as a string
+    while the merged output collected dates — every touched partition
+    compared 'emptied' and was rmtree'd after the merge (silent loss
+    of whole partitions). The feed's partition/key columns now cast
+    to the table's types first; values that cannot cast are refused
+    loudly instead of redirecting to the NULL partition."""
+    from pyspark.sql import Row
+
+    from weatherflow_spark.operators.snaplog import (
+        init_snapshot_log,
+        read_version,
+        record_commit,
+    )
+    from weatherflow_spark.operators.upsert import apply_changes
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [
+            Row(k=i, day=f"2026-01-0{1 + i % 3}", v=float(i))
+            for i in range(30)
+        ]
+    ).repartition(1).write.mode("overwrite").partitionBy("day").parquet(
+        path
+    )
+    init_snapshot_log(path)
+    record_commit(path)
+
+    # string-typed day in the feed; the table's day reads as DATE
+    ch = spark.createDataFrame(
+        [
+            Row(k=5, day="2026-01-03", v=500.0, op="U"),
+            Row(k=7, day="2026-01-02", v=0.0, op="D"),
+        ]
+    )
+    apply_changes(spark, ch, path, ["k"], "op", ["day"])
+    head = read_version(spark, path)
+    assert head.count() == 29  # 30 - 1 delete
+    assert head.where("k = 5").first()["v"] == 500.0
+    assert head.where("k = 7").count() == 0
+    assert head.groupBy("day").count().count() == 3  # no partition lost
+
+    bad = spark.createDataFrame([Row(k=1, day="not-a-date", v=1.0, op="D")])
+    with pytest.raises(ValueError, match="do not cast"):
+        apply_changes(spark, bad, path, ["k"], "op", ["day"])

@@ -678,6 +678,52 @@ def _apply_changes_locked(
     # columns the feed lacks NULL-backfill — under the flag only.
     # Evolution + type alignment: shared contract (helpers above).
     current = _read_and_evolve(spark, path, upserts, merge_schema, "feed")
+    # Align the feed's PARTITION and KEY column types to the table's
+    # BEFORE the touched-set / anti-join / emptied-partition
+    # comparisons (r14 review): a string-typed partition value in a
+    # date-partitioned feed flowed into ``touched`` as a string while
+    # ``remaining`` collected dates from the merged output — every
+    # touched partition compared "emptied" and its directory was
+    # removed AFTER the merge wrote it: the delete path silently
+    # dropped whole partitions. Casts that fail produce NULL, which
+    # would redirect rows to the NULL partition — refuse loudly
+    # instead.
+    cur_types = dict(current.dtypes)
+    feed_types = dict(changes.dtypes)
+    misaligned = [
+        c
+        for c in [*(partition_cols or []), *key_cols]
+        if c in cur_types
+        and c in feed_types
+        and feed_types[c] != cur_types[c]
+    ]
+    if misaligned:
+        # try_cast, not cast: under ANSI (the session default) a bad
+        # value would throw a raw DateTimeException mid-job instead
+        # of this check's named refusal
+        bad = changes.agg(*[
+            F.sum(
+                (
+                    F.col(c).isNotNull()
+                    & F.col(c).try_cast(cur_types[c]).isNull()
+                ).cast("long")
+            ).alias(c)
+            for c in misaligned
+        ]).first()
+        badcols = [c for c in misaligned if bad[c]]
+        if badcols:
+            raise ValueError(
+                f"{path}: feed column(s) {badcols} carry values that "
+                f"do not cast to the table's type(s) "
+                f"({ {c: cur_types[c] for c in badcols} }) — a NULL "
+                "cast would silently redirect rows to the NULL "
+                "partition / match no key"
+            )
+        for c in misaligned:
+            changes = changes.withColumn(
+                c, F.col(c).try_cast(cur_types[c])
+            )
+        upserts = changes.where(F.col(op_col) == "U").drop(op_col)
     upserts = _align_to_table(
         upserts, current, key_cols, allow_missing_columns, "feed", path
     )

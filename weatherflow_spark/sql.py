@@ -59,7 +59,9 @@ def execute(spark: SparkSession, sql: str) -> DataFrame:
       recorded, so two ``wf_warehouse`` occurrences with the same
       load number are mutually consistent by construction (the entry
       is one atomic cut). Omitting the load reads the latest load.
-    - ``CALL <verb>(<literal args>)`` — maintenance entry points
+    - ``CALL <verb>(<literal args>)`` — maintenance + write entry
+      points upsert / apply_changes (view-sourced: a write needs
+      rows, so the source argument names a registered temp view) /
       delete_where / delete_where_dv / restore /
       compact / compact_zorder / compact_partitions / vacuum_versions /
       maintain_warehouse / vacuum_warehouse / restore_warehouse_load /
@@ -238,7 +240,32 @@ def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
     from weatherflow_spark.operators.upsert import restore_version
     from weatherflow_spark.operators.whlog import maintain_warehouse
 
-    if verb == "delete_where":
+    if verb == "upsert":
+        # upsert('<path>', '<source_view>', '<key_cols>'
+        #        [, '<partition_cols>']) — the keyed MERGE from SQL:
+        # the source is a registered temp view / table name (a write
+        # needs rows, which no literal can carry), resolved through
+        # spark.table at dispatch time
+        from weatherflow_spark.operators.upsert import upsert_by_key
+
+        upsert_by_key(
+            spark, spark.table(args[1]), args[0], _cols(args[2]),
+            partition_cols=_cols(args[3]) if len(args) > 3 else None,
+        )
+        report = {"merged_from": args[1]}
+    elif verb == "apply_changes":
+        # apply_changes('<path>', '<source_view>', '<key_cols>'
+        #               [, '<op_col>'[, '<partition_cols>']]) — the
+        # CDC merge (U/D tombstones) from SQL, same view-sourced shape
+        from weatherflow_spark.operators.upsert import apply_changes
+
+        apply_changes(
+            spark, spark.table(args[1]), args[0], _cols(args[2]),
+            args[3] if len(args) > 3 and args[3] is not None else "op",
+            _cols(args[4]) if len(args) > 4 else None,
+        )
+        report = {"applied_from": args[1]}
+    elif verb == "delete_where":
         report = _call_delete_where(spark, args, use_dv=False)
     elif verb == "delete_where_dv":
         report = _call_delete_where(spark, args, use_dv=True)
@@ -408,7 +435,8 @@ def _dispatch_call(spark: SparkSession, verb: str, args: list) -> DataFrame:
             report[f"{c}_disjoint"] = m["disjoint"]
     else:
         raise ValueError(
-            f"unknown CALL verb {verb!r} (supported: delete_where, "
+            f"unknown CALL verb {verb!r} (supported: upsert, "
+            "apply_changes, delete_where, "
             "delete_where_dv, restore, compact, compact_zorder, "
             "compact_partitions, vacuum_versions, maintain_warehouse, "
             "vacuum_warehouse, restore_warehouse_load, table_status, "
