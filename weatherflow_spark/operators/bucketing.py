@@ -31,6 +31,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -238,7 +239,39 @@ def bucketed_warehouse_cust(
     return names[0], names[1]
 
 
+_LAYOUT_LOCKS: dict[str, threading.Lock] = {}
+_LAYOUT_LOCKS_GUARD = threading.Lock()
+
+
+def _layout_lock(base: str) -> threading.Lock:
+    """Per-layout-path thread lock: the builder below is race-safe
+    ACROSS processes (pid-tagged scratch + atomic rename) but its
+    scratch names key on the pid alone, so two THREADS of one process
+    (overlapped suite branches, r14) would share a __building_ dir
+    and rmtree each other mid-build; catalog DROP/CREATE of the
+    durable names races the same way. Serialize per layout path —
+    the loser of the race reuses the winner's marker instantly."""
+    with _LAYOUT_LOCKS_GUARD:
+        return _LAYOUT_LOCKS.setdefault(base, threading.Lock())
+
+
 def _standing_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_base: str,
+    dir_name: str,
+    spec: dict,
+    n_buckets: int,
+    members: list[dict],
+) -> list[str]:
+    with _layout_lock(os.path.join(scratch_base, dir_name)):
+        return _standing_layout_unlocked(
+            spark, sf_dir, scratch_base, dir_name, spec, n_buckets,
+            members,
+        )
+
+
+def _standing_layout_unlocked(
     spark: SparkSession,
     sf_dir: str,
     scratch_base: str,

@@ -230,7 +230,13 @@ def _load_entry(path: str, version: int) -> dict:
     with open(p) as f:
         entry = json.load(f)
     if len(_ENTRY_CACHE) >= _ENTRY_CACHE_MAX:
-        _ENTRY_CACHE.pop(next(iter(_ENTRY_CACHE)))
+        # Tolerate concurrent eviction: overlapped suite branches
+        # (r14) parse entries from several driver threads; two
+        # evictors racing on the same first key must not raise.
+        try:
+            _ENTRY_CACHE.pop(next(iter(_ENTRY_CACHE)), None)
+        except RuntimeError:
+            pass  # dict resized between iter() and next(): skip once
     _ENTRY_CACHE[p] = (sig, entry)
     return entry
 

@@ -3325,14 +3325,24 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       the plain oracle.
 
     Every branch performs its real versioned I/O because that I/O IS
-    the certified claim."""
-    dw = q_delete_where(spark, sf_dir).selectExpr(
+    the certified claim. r14 (optimization round): the three branches
+    are independent (disjoint scratch tables) — builders run through
+    ``overlap_branches`` (guide §2.6); union, raise checks, and
+    oracle hash unchanged."""
+    from weatherflow_spark.operators.overlap import overlap_branches
+
+    dw_df, wm_df, q6_df = overlap_branches([
+        lambda: q_delete_where(spark, sf_dir),
+        lambda: q_warehouse_maintenance(spark, sf_dir),
+        lambda: q_tpch_q6_skipping(spark, sf_dir),
+    ])
+    dw = dw_df.selectExpr(
         "'delete_where' AS op",
         "o_orderpriority AS key",
         "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'key_xor', key_xor) AS (metric, value)",
     )
-    wm = q_warehouse_maintenance(spark, sf_dir).selectExpr(
+    wm = wm_df.selectExpr(
         "'warehouse_maintenance' AS op",
         "concat(version_tag, '|', c_mktsegment) AS key",
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
@@ -3343,7 +3353,7 @@ def q_maintenance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would widen the WHOLE union's value column to double and the
     # dw/wm branches' bigint digests would hash at double precision —
     # silently lossy past 2^53 (r12.2 review).
-    q6 = q_tpch_q6_skipping(spark, sf_dir).selectExpr(
+    q6 = q6_df.selectExpr(
         "'q6_skipping' AS op",
         "'all' AS key",
         "stack(1, 'revenue_e4', "
@@ -3380,26 +3390,38 @@ def q_maintenance2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       victim-predicate oracle.
 
     Every branch performs its real versioned I/O because that I/O IS
-    the certified claim."""
-    rst = q_restore_version(spark, sf_dir).selectExpr(
+    the certified claim. r14 (optimization round): the four branches
+    are INDEPENDENT — disjoint scratch tables, per-path commit locks
+    — so their builders run through ``overlap_branches`` (guide
+    §2.6 idle-capacity back-fill); the union, every raise check, and
+    the oracle hash are unchanged."""
+    from weatherflow_spark.operators.overlap import overlap_branches
+
+    rst_df, dv_df, zs_df, fg_df = overlap_branches([
+        lambda: q_restore_version(spark, sf_dir),
+        lambda: q_delete_where_dv(spark, sf_dir),
+        lambda: q_zorder_skipping(spark, sf_dir),
+        lambda: q_forget_stream(spark, sf_dir),
+    ])
+    rst = rst_df.selectExpr(
         "'restore' AS op",
         "o_orderpriority AS key",
         "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'key_xor', key_xor) AS (metric, value)",
     )
-    dv = q_delete_where_dv(spark, sf_dir).selectExpr(
+    dv = dv_df.selectExpr(
         "'delete_dv' AS op",
         "o_orderpriority AS key",
         "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'key_xor', key_xor) AS (metric, value)",
     )
-    zs = q_zorder_skipping(spark, sf_dir).selectExpr(
+    zs = zs_df.selectExpr(
         "'zorder_skipping' AS op",
         "'all' AS key",
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'key_xor', key_xor, 'cust_xor', cust_xor) AS (metric, value)",
     )
-    fg = q_forget_stream(spark, sf_dir).selectExpr(
+    fg = fg_df.selectExpr(
         "'forget_stream' AS op",
         "o_orderpriority AS key",
         "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
@@ -3822,14 +3844,26 @@ def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     format (op, key, metric, value:bigint). Every branch performs its
     REAL maintain-then-serve I/O (partial writes, keyed merges, an
     actual compaction) because that I/O is what the certified
-    surfaces claim; the singles stay registered in the tail."""
-    rs = q_rollup_serve(spark, sf_dir).selectExpr(
+    surfaces claim; the singles stay registered in the tail. r14
+    (optimization round): the five branches are independent (disjoint
+    scratch tables) — builders run through ``overlap_branches``
+    (guide §2.6); union, raise checks, and oracle hash unchanged."""
+    from weatherflow_spark.operators.overlap import overlap_branches
+
+    rs_df, gi_df, up_df, cp_df, cdc_df = overlap_branches([
+        lambda: q_rollup_serve(spark, sf_dir),
+        lambda: q_global_index(spark, sf_dir),
+        lambda: q_upsert_serve(spark, sf_dir),
+        lambda: q_compact_serve(spark, sf_dir),
+        lambda: q_cdc_apply(spark, sf_dir),
+    ])
+    rs = rs_df.selectExpr(
         "'rollup_serve' AS op",
         "concat(month, '|', event_type) AS key",
         "stack(5, 'n', n, 'sum_cents', sum_cents, 'avg_e6', avg_e6, "
         "'min_cents', min_cents, 'max_cents', max_cents) AS (metric, value)",
     )
-    gi = q_global_index(spark, sf_dir).selectExpr(
+    gi = gi_df.selectExpr(
         "'global_index' AS op",
         "cast(o_orderkey as string) AS key",
         "'row_index' AS metric",
@@ -3837,20 +3871,20 @@ def q_serving_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r8 additions: K3 (idempotent keyed upsert through real writes)
     # and E9 (content-exact compaction digest).
-    up = q_upsert_serve(spark, sf_dir).selectExpr(
+    up = up_df.selectExpr(
         "'upsert' AS op",
         "o_orderpriority AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
-    cp = q_compact_serve(spark, sf_dir).selectExpr(
+    cp = cp_df.selectExpr(
         "'compact' AS op",
         "'all' AS key",
         "stack(6, 'n_rows', n_rows, 'key_xor', key_xor, 'key_sum', key_sum, "
         "'sum_cents', sum_cents, 'min_key', min_key, 'max_key', max_key) "
         "AS (metric, value)",
     )
-    cdc = q_cdc_apply(spark, sf_dir).selectExpr(
+    cdc = cdc_df.selectExpr(
         "'cdc' AS op",
         "o_orderpriority AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
@@ -3992,7 +4026,32 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the certified claim. Doubles are pinned to integers per branch
     (cents / e2 / e6) before the union; the singles stay registered
     in the tail for parity + timing continuity."""
-    ss = q_stream_serve(spark, sf_dir).selectExpr(
+    # r14 (optimization round): the thirteen branch builders are
+    # independent (disjoint scratch/index dirs; the standing bucketed
+    # layout is resolved under a per-layout thread lock) — run them
+    # through ``overlap_branches`` (guide §2.6); union, raise
+    # checks, and oracle hash unchanged.
+    from weatherflow_spark.operators.overlap import overlap_branches
+
+    (
+        ss_df, gr_df, ia_df, sk_df, se_df, bj_df, av_df, fs_df,
+        tb3_df, tb18_df, tb4_df, tb12_df, tb21_df,
+    ) = overlap_branches([
+        lambda: q_stream_serve(spark, sf_dir),
+        lambda: q_grouped_rank(spark, sf_dir),
+        lambda: q_index_admit(spark, sf_dir),
+        lambda: q_sketch_serve(spark, sf_dir),
+        lambda: q_shard_export(spark, sf_dir),
+        lambda: q_bucketed_join_serve(spark, sf_dir),
+        lambda: q_ann_index_serve(spark, sf_dir),
+        lambda: q_file_skipping(spark, sf_dir),
+        lambda: q_tpch_q3_bucketed(spark, sf_dir),
+        lambda: q_tpch_q18_bucketed(spark, sf_dir),
+        lambda: q_tpch_q4_bucketed(spark, sf_dir),
+        lambda: q_tpch_q12_bucketed(spark, sf_dir),
+        lambda: q_tpch_q21_bucketed(spark, sf_dir),
+    ])
+    ss = ss_df.selectExpr(
         "'stream_serve' AS op",
         "date_format(cast(window_start as timestamp), 'yyyy-MM-dd HH:mm:ss')"
         " AS key",
@@ -4000,13 +4059,13 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'sum_cents', cast(floor(sum_value * 100 + 0.5) as bigint))"
         " AS (metric, value)",
     )
-    gr = q_grouped_rank(spark, sf_dir).selectExpr(
+    gr = gr_df.selectExpr(
         "'grouped_rank' AS op",
         "concat(o_orderpriority, '|', cast(o_orderkey as string)) AS key",
         "'rank' AS metric",
         "cast(rank as bigint) AS value",
     )
-    ia = q_index_admit(spark, sf_dir).selectExpr(
+    ia = ia_df.selectExpr(
         "'index_admit' AS op",
         "cast(doc_id as string) AS key",
         "stack(2, 'verdict_code', cast(CASE verdict WHEN 'exact_dup' THEN 0 "
@@ -4014,7 +4073,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'best_j_e6', coalesce(cast(floor(best_jaccard * 1e6 + 0.5) "
         "as bigint), -1)) AS (metric, value)",
     )
-    sk = q_sketch_serve(spark, sf_dir).selectExpr(
+    sk = sk_df.selectExpr(
         "'sketch_cube' AS op",
         "event_type AS key",
         "stack(3, 'exact_distinct', cast(exact_distinct as bigint), "
@@ -4022,7 +4081,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'n_zero_registers', cast(n_zero_registers as bigint))"
         " AS (metric, value)",
     )
-    se = q_shard_export(spark, sf_dir).selectExpr(
+    se = se_df.selectExpr(
         "'shard_export' AS op",
         "cast(shard_id as string) AS key",
         "stack(5, 'n_docs', cast(n_docs as bigint), "
@@ -4031,26 +4090,26 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'order_fp', cast(order_fp as bigint), "
         "'chars_total', cast(chars_total as bigint)) AS (metric, value)",
     )
-    bj = q_bucketed_join_serve(spark, sf_dir).selectExpr(
+    bj = bj_df.selectExpr(
         "'bucketed_join' AS op",
         "l_returnflag AS key",
         "stack(4, 'n_rows', n_rows, 'qty_c', qty_c, "
         "'price_c', price_c, 'key_xor', key_xor) AS (metric, value)",
     )
-    av = q_ann_index_serve(spark, sf_dir).selectExpr(
+    av = av_df.selectExpr(
         "'ann_serve' AS op",
         "cast(vec_id as string) AS key",
         "stack(2, 'label', cast(label as bigint), "
         "'cosine_e6', cast(floor(cosine * 1e6 + 0.5) as bigint))"
         " AS (metric, value)",
     )
-    fs = q_file_skipping(spark, sf_dir).selectExpr(
+    fs = fs_df.selectExpr(
         "'file_skip' AS op",
         "o_orderpriority AS key",
         "stack(3, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'key_xor', key_xor) AS (metric, value)",
     )
-    tb = q_tpch_q3_bucketed(spark, sf_dir).selectExpr(
+    tb = tb3_df.selectExpr(
         "'tpch_bucketed' AS op",
         "concat('q3|', l_orderkey, '|', "
         "date_format(o_orderdate, 'yyyy-MM-dd'), '|', o_orderpriority)"
@@ -4058,7 +4117,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'revenue_e4' AS metric",
         "cast(floor(revenue * 1e4 + 0.5) as bigint) AS value",
     ).unionByName(
-        q_tpch_q18_bucketed(spark, sf_dir).selectExpr(
+        tb18_df.selectExpr(
             "'tpch_bucketed' AS op",
             "concat('q18|', o_orderkey) AS key",
             "stack(3, "
@@ -4068,14 +4127,14 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).unionByName(
         # r12: the rest of the orderkey family, routed + raise-checked.
-        q_tpch_q4_bucketed(spark, sf_dir).selectExpr(
+        tb4_df.selectExpr(
             "'tpch_bucketed' AS op",
             "concat('q4|', o_orderpriority) AS key",
             "'order_count' AS metric",
             "cast(order_count as bigint) AS value",
         )
     ).unionByName(
-        q_tpch_q12_bucketed(spark, sf_dir).selectExpr(
+        tb12_df.selectExpr(
             "'tpch_bucketed' AS op",
             "concat('q12|', l_shipmode) AS key",
             "stack(2, 'high_line_count', cast(high_line_count as bigint), "
@@ -4083,7 +4142,7 @@ def q_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (metric, value)",
         )
     ).unionByName(
-        q_tpch_q21_bucketed(spark, sf_dir).selectExpr(
+        tb21_df.selectExpr(
             "'tpch_bucketed' AS op",
             "concat('q21|', s_suppkey, '|', s_name) AS key",
             "'numwait' AS metric",
@@ -4134,37 +4193,52 @@ def q_lakehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction — build it once for the three branches (the
     # singles keep building their own; claims and oracles unchanged).
     shared_tbl = _build_versioned_orders(spark, sf_dir, "pipe_vdiff_tbl")
-    vd = q_version_diff(spark, sf_dir, _table=shared_tbl).selectExpr(
+    # r14 (optimization round): after the shared fixture lands, the
+    # six branches are independent (the three fixture consumers only
+    # READ it; the rest build their own tables) — builders run
+    # through ``overlap_branches`` (guide §2.6); union, raise
+    # checks, and oracle hash unchanged.
+    from weatherflow_spark.operators.overlap import overlap_branches
+
+    vd_df, tc_df, cf_df, sev_df, iv_df, tt_df = overlap_branches([
+        lambda: q_version_diff(spark, sf_dir, _table=shared_tbl),
+        lambda: q_table_clone(spark, sf_dir),
+        lambda: q_change_feed(spark, sf_dir, _table=shared_tbl),
+        lambda: q_schema_evolution(spark, sf_dir),
+        lambda: q_ivm_rollup(spark, sf_dir, _table=shared_tbl),
+        lambda: q_time_travel(spark, sf_dir),
+    ])
+    vd = vd_df.selectExpr(
         "'version_diff' AS op",
         "concat(section, '|', o_orderpriority) AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
-    tc = q_table_clone(spark, sf_dir).selectExpr(
+    tc = tc_df.selectExpr(
         "'table_clone' AS op",
         "concat(side, '|', o_orderpriority) AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
-    cf = q_change_feed(spark, sf_dir, _table=shared_tbl).selectExpr(
+    cf = cf_df.selectExpr(
         "'change_feed' AS op",
         "concat(change_version, '|', op, '|', o_orderpriority) AS key",
         "stack(3, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor) AS (metric, value)",
     )
-    sev = q_schema_evolution(spark, sf_dir).selectExpr(
+    sev = sev_df.selectExpr(
         "'schema_evolution' AS op",
         "o_orderpriority AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'n_scored', n_scored, 'churn_sum', churn_sum) AS (metric, value)",
     )
-    iv = q_ivm_rollup(spark, sf_dir, _table=shared_tbl).selectExpr(
+    iv = iv_df.selectExpr(
         "'ivm_rollup' AS op",
         "o_orderpriority AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
         "'key_xor', key_xor, 'key_sum', key_sum) AS (metric, value)",
     )
-    tt = q_time_travel(spark, sf_dir).selectExpr(
+    tt = tt_df.selectExpr(
         "'time_travel' AS op",
         "concat(version_tag, '|', o_orderpriority) AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
@@ -4201,19 +4275,31 @@ def q_warehouse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the singles keep building their own; claims and oracles
     unchanged)."""
     shared_wh = _build_wh_tx(spark, sf_dir, "wh_tx")
-    ws = q_warehouse_snapshot(spark, sf_dir, _wh=shared_wh).selectExpr(
+    # r14 (optimization round): after the shared two-load scenario
+    # lands, the three branches are independent (snapshot + replica
+    # only READ the source; manifest_travel builds its own table) —
+    # builders run through ``overlap_branches`` (guide §2.6); union,
+    # raise checks, and oracle hash unchanged.
+    from weatherflow_spark.operators.overlap import overlap_branches
+
+    ws_df, wr_df, tm_df = overlap_branches([
+        lambda: q_warehouse_snapshot(spark, sf_dir, _wh=shared_wh),
+        lambda: q_warehouse_replica(spark, sf_dir, _src=shared_wh),
+        lambda: q_time_travel_manifest(spark, sf_dir),
+    ])
+    ws = ws_df.selectExpr(
         "'warehouse_snapshot' AS op",
         "concat(version_tag, '|', c_mktsegment) AS key",
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
     )
-    wr = q_warehouse_replica(spark, sf_dir, _src=shared_wh).selectExpr(
+    wr = wr_df.selectExpr(
         "'warehouse_replica' AS op",
         "concat(version_tag, '|', c_mktsegment) AS key",
         "stack(4, 'n_rows', n_rows, 'price_cents', price_cents, "
         "'bal_cents', bal_cents, 'key_xor', key_xor) AS (metric, value)",
     )
-    tm = q_time_travel_manifest(spark, sf_dir).selectExpr(
+    tm = tm_df.selectExpr(
         "'manifest_travel' AS op",
         "concat(version_tag, '|', o_orderpriority) AS key",
         "stack(4, 'n_rows', n_rows, 'sum_cents', sum_cents, "
