@@ -66,3 +66,39 @@ def overlap_branches(
         futures = [pool.submit(_itt(t)) for t in thunks]
         # Collect in order; .result() re-raises a branch's raise check.
         return [f.result() for f in futures]
+
+
+def overlap_materialize(
+    thunks: Sequence[Callable[[], T]], max_workers: int | None = None
+) -> list[T]:
+    """``overlap_branches`` for PURE-COMPUTE suites: build AND
+    materialize each branch concurrently (persist + count in the
+    pool), so the suite's single downstream action reads the branch
+    caches instead of executing one mega-union plan whose independent
+    legs the scheduler walks mostly serially.
+
+    Why this is the right shape for the compute suites (guide §2.6):
+    the serving suites' branches carry their own real I/O actions, so
+    overlapping the BUILDERS overlaps the work. A compute suite's
+    branches are lazy — all cost lands in one giant union action
+    where (a) catalyst analyzes/optimizes the whole 10-20-branch plan
+    as one unit and (b) each leg's stage chain serializes behind
+    shared scheduler breadth. Materializing per-branch turns that
+    into N small independent jobs that back-fill each other, while
+    the returned union — and therefore column order, row set, and
+    oracle hash — is byte-identical (branch outputs are the
+    certification digests themselves: top-k rows, merge tables,
+    grouped tallies — KBs, so the persists are negligible and are
+    released by the bench/parity harness via ``release_caches``).
+    """
+    from weatherflow_spark.operators.caching import tracked_persist
+
+    def _eager(build: Callable[[], T]) -> Callable[[], T]:
+        def run() -> T:
+            df = tracked_persist(build())
+            df.count()
+            return df
+
+        return run
+
+    return overlap_branches([_eager(t) for t in thunks], max_workers)

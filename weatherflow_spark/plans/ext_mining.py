@@ -470,6 +470,8 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (op, key, metric, value:bigint) — the same consolidation shape as
     :func:`ext_text.q_curation_suite`. Union is plan-level only; the
     single-op twins stay registered in the tail."""
+    from weatherflow_spark.operators.overlap import overlap_materialize
+
     bm = q_tfidf_topk(spark, sf_dir).selectExpr(
         "'bm25' AS op",
         "cast(doc_id as string) AS key",
@@ -543,6 +545,16 @@ def q_text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(5, 'n_rel', n_rel, 'n_hits', n_hits, 'mrr_e6', mrr_e6, "
         "'ndcg_e6', ndcg_e6, 'precision_e6', precision_e6) "
         "AS (metric, value)",
+    )
+    # r14: materialize the nine branches concurrently (guide §2.6 —
+    # persist + count in a bounded pool). Every fixture branches share
+    # (the persisted BM25 table, the BPE word/argmax tables, the fused
+    # shortlist hyb_df) is tracked-persisted, so concurrent branches
+    # compute it once through the cache; the union action then reads
+    # nine small branch caches instead of walking one nine-leg
+    # mega-plan serially. Union order and oracle hash unchanged.
+    bm, pm, bpe, enc, fh, hyb, rr, hn, ev = overlap_materialize(
+        [lambda d=d: d for d in (bm, pm, bpe, enc, fh, hyb, rr, hn, ev)]
     )
     return (
         bm.unionByName(pm)

@@ -1456,6 +1456,21 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("label"),
         F.col("margin_e6").cast("double").alias("cosine"),
     )
+    # r14: materialize the eleven branches concurrently (guide §2.6 —
+    # persist + count in a bounded pool); the fixtures branches share
+    # (the persisted kNN graph, the corpus-side persisted relations)
+    # are tracked-persisted so they compute once through the cache.
+    # Union order and oracle hash unchanged.
+    from weatherflow_spark.operators.overlap import overlap_materialize
+
+    (brute, ivf, lsh, batch, knn, vote, recall, srp, pq, admit,
+     margin) = overlap_materialize(
+        [
+            lambda d=d: d
+            for d in (brute, ivf, lsh, batch, knn, vote, recall, srp,
+                      pq, admit, margin)
+        ]
+    )
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)

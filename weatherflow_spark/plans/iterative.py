@@ -301,9 +301,20 @@ def q_iterative_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_members / n_rule_kept / rep_n_words — documented column reuse,
     so the hash pins the full per-cluster selection. Single-algorithm
     twins stay registered in the tail."""
+    from weatherflow_spark.operators.overlap import overlap_materialize
     from weatherflow_spark.plans.graph import q_pagerank
 
-    pr = q_pagerank(spark, sf_dir).select(
+    # r14: the three branches are independent fixed-round algorithms;
+    # build + materialize them concurrently (guide §2.6) so their
+    # small per-round jobs back-fill each other instead of the union
+    # action walking the three loop chains serially. Union order and
+    # oracle hash unchanged.
+    pr_b, km_b, reps_b = overlap_materialize([
+        lambda: q_pagerank(spark, sf_dir),
+        lambda: q_kmeans(spark, sf_dir),
+        lambda: q_cluster_representatives(spark, sf_dir),
+    ])
+    pr = pr_b.select(
         F.lit("pagerank").alias("algo"),
         F.col("node").alias("entity_id"),
         F.col("node_type").alias("tag"),
@@ -311,7 +322,7 @@ def q_iterative_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("metric2"),
         F.lit(None).cast("long").alias("metric3"),
     )
-    km = q_kmeans(spark, sf_dir).select(
+    km = km_b.select(
         F.lit("kmeans").alias("algo"),
         F.col("cluster").alias("entity_id"),
         F.lit(None).cast("string").alias("tag"),
@@ -319,7 +330,7 @@ def q_iterative_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_vec_id").alias("metric2"),
         F.lit(None).cast("long").alias("metric3"),
     )
-    reps = q_cluster_representatives(spark, sf_dir).select(
+    reps = reps_b.select(
         F.lit("representatives").alias("algo"),
         F.col("cluster_id").alias("entity_id"),
         F.concat_ws(":", F.col("rep_doc_id"), F.col("rep_keep")).alias("tag"),
