@@ -37,6 +37,7 @@ comparable when the driver re-runs it at a lower core count.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable, Sequence
 from concurrent.futures import ThreadPoolExecutor
 from typing import TypeVar
@@ -44,6 +45,47 @@ from typing import TypeVar
 T = TypeVar("T")
 
 OVERLAP_WORKERS = int(os.environ.get("WF_SUITE_OVERLAP", "4"))
+
+# --- shared no-auto-broadcast guard -----------------------------------
+# The bucketed-layout certifications force the sort-merge path by
+# setting spark.sql.autoBroadcastJoinThreshold=-1 around plan build +
+# raise check. SQL confs are SESSION-wide, so two overlapped branches
+# using plain save/restore race: the first branch's restore re-enables
+# broadcast while a sibling is still planning, SortMergeJoin vanishes,
+# and the sibling's certification raises spuriously. Every toggler
+# wants the SAME value (-1), so the fix is a refcount, not a mutex:
+# the first enter saves the previous threshold and sets -1, the last
+# exit restores it, and concurrent togglers keep overlapping.
+_NB_LOCK = threading.Lock()
+_NB_DEPTH = 0
+_NB_PREV: str | None = None
+
+
+def no_broadcast_enter(spark) -> None:
+    """Disable auto-broadcast (refcounted; thread-safe across
+    overlapped suite branches). Pair with ``no_broadcast_exit`` in a
+    try/finally."""
+    global _NB_DEPTH, _NB_PREV
+    with _NB_LOCK:
+        if _NB_DEPTH == 0:
+            _NB_PREV = spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _NB_DEPTH += 1
+
+
+def no_broadcast_exit(spark) -> None:
+    """Release one hold on the no-auto-broadcast guard; the last
+    holder restores the saved session threshold."""
+    global _NB_DEPTH, _NB_PREV
+    with _NB_LOCK:
+        _NB_DEPTH -= 1
+        if _NB_DEPTH == 0 and _NB_PREV is not None:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", _NB_PREV
+            )
+            _NB_PREV = None
 
 
 def overlap_branches(

@@ -32,6 +32,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weatherflow_spark.io import load_table, table_bytes
 from weatherflow_spark.operators.indexing import assign_global_index
+from weatherflow_spark.operators.overlap import (
+    no_broadcast_enter,
+    no_broadcast_exit,
+)
 from weatherflow_spark.operators.rollup import (
     read_rollup,
     refresh_rollup,
@@ -930,8 +934,7 @@ def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a lost bucket layout would still "pass" — r10 review): force
     # the sort-merge path for the certification join so the property
     # being asserted is the bucketed co-location itself.
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    no_broadcast_enter(spark)
     try:
         joined = spark.table(t_li).join(
             spark.table(t_orders),
@@ -959,7 +962,7 @@ def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join is the certified one, then restore the session setting.
         out = out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        no_broadcast_exit(spark)
     return out
 
 
@@ -1071,8 +1074,7 @@ def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    no_broadcast_enter(spark)
     try:
         out = (
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1088,7 +1090,7 @@ def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require_zero_shuffle_smj(out, "tpch q3 (bucketed)")
         out = out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        no_broadcast_exit(spark)
     return out
 
 
@@ -1110,8 +1112,7 @@ def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name"
     )
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    no_broadcast_enter(spark)
     try:
         big = (
             spark.table(t_li)
@@ -1144,7 +1145,7 @@ def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require_zero_shuffle_smj(out, "tpch q18 (bucketed)")
         out = out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        no_broadcast_exit(spark)
     return out
 
 
@@ -1181,8 +1182,7 @@ def q_tpch_q4_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = with_commit_receipt(
         spark.table(t_li).select("l_orderkey", "l_linenumber", "l_shipdate")
     ).where(F.col("l_commitdate") < F.col("l_receiptdate"))
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    no_broadcast_enter(spark)
     try:
         out = (
             orders.join(
@@ -1196,7 +1196,7 @@ def q_tpch_q4_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require_zero_shuffle_smj(out, "tpch q4 (bucketed)", max_exchanges=1)
         out = out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        no_broadcast_exit(spark)
     return out
 
 
@@ -1233,8 +1233,7 @@ def q_tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = spark.table(t_ord).select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    no_broadcast_enter(spark)
     try:
         out = (
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1251,7 +1250,7 @@ def q_tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require_zero_shuffle_smj(out, "tpch q12 (bucketed)", max_exchanges=1)
         out = out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        no_broadcast_exit(spark)
     return out
 
 
@@ -1289,8 +1288,7 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    no_broadcast_enter(spark)
     try:
         per_supp = (
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1319,7 +1317,7 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require_zero_shuffle_smj(out, "tpch q21 (bucketed)", max_exchanges=1)
         out = out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        no_broadcast_exit(spark)
     return out
 
 
@@ -1347,8 +1345,7 @@ def q_tpch_q13_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") != "1-URGENT")
         .select("o_custkey", "o_orderkey")
     )
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    no_broadcast_enter(spark)
     try:
         out = (
             customer.join(
@@ -1362,7 +1359,7 @@ def q_tpch_q13_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require_zero_shuffle_smj(out, "tpch q13 (bucketed)", max_exchanges=1)
         out = out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        no_broadcast_exit(spark)
     return out
 
 
@@ -1405,8 +1402,7 @@ def q_tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    no_broadcast_enter(spark)
     try:
         per_cust = (
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1441,7 +1437,7 @@ def q_tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _require_zero_shuffle_smj(out, "tpch q10 (bucketed)", max_exchanges=1)
         out = out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        no_broadcast_exit(spark)
     return out
 
 
