@@ -25,19 +25,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _spread_expr(x: str, bits: int) -> str:
+    """Spark SQL: spread the low ``bits`` bits of a non-negative
+    integer expression so bit i lands at bit 2i — the constant-time
+    magic-number interleave half (5 shift/mask steps over a 64-bit
+    lane) instead of a per-row ``aggregate(sequence(...))`` lambda
+    fold, which allocates a ``bits``-element array and runs a
+    2·``bits``-step interpreted fold per row (guide §4.1: prefer
+    flat built-in expressions; measured on q_zorder_skipping's 6M-row
+    Morton build). Exactly equal to the fold for every non-negative
+    input: the leading mask keeps only the low ``bits`` bits, just as
+    the fold reads exactly ``bits`` bit positions."""
+    e = f"(cast({x} as bigint) & {(1 << bits) - 1})"
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        e = f"((({e}) | shiftleft(({e}), {shift})) & {mask})"
+    return e
+
+
 def zvalue_expr(a: str, b: str, bits: int = 16) -> str:
     """Spark SQL: interleave the low ``bits`` bits of two non-negative
     integer expressions — a occupies even bit positions, b odd. With
     bits ≤ 31 the result stays under 2^62 (BIGINT-safe in any engine).
     Inputs must already be bounded to [0, 2^bits): callers clamp via
-    pmod / width_bucket-style binning first."""
-    return (
-        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
-        f"acc + ((cast({a} as bigint) div shiftleft(cast(1 as bigint), i)) % 2) "
-        f"* shiftleft(cast(1 as bigint), 2 * i) "
-        f"+ ((cast({b} as bigint) div shiftleft(cast(1 as bigint), i)) % 2) "
-        f"* shiftleft(cast(1 as bigint), 2 * i + 1))"
-    )
+    pmod / width_bucket-style binning first. Implemented as the
+    constant-time magic-number bit spread (see :func:`_spread_expr`);
+    value-identical to the DuckDB fold twin :func:`zvalue_sql`."""
+    return f"({_spread_expr(a, bits)} + 2 * {_spread_expr(b, bits)})"
 
 
 def zvalue_sql(a: str, b: str, bits: int = 16) -> str:
