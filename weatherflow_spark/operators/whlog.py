@@ -63,6 +63,8 @@ from contextlib import ExitStack, contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from weatherflow_spark.operators.overlap import overlap_branches
+
 
 def _wh_log_dir(wh_dir: str) -> str:
     # Dot-prefixed sibling INSIDE the warehouse dir: invisible to any
@@ -561,7 +563,7 @@ def export_warehouse_feed(
             f"{wh_dir}: no key_cols for member table(s) {missing} — "
             "a keyless table cannot be replicated by keyed merge"
         )
-    for t, max_v in sorted(referenced.items()):
+    def _export_one(t: str, max_v: int) -> None:
         feed = os.path.join(bundle_dir, t)
         export_change_feed(
             spark, os.path.join(wh_dir, t), feed, key_cols[t]
@@ -575,6 +577,16 @@ def export_warehouse_feed(
                 "loads are not exportable (vacuumed before first "
                 "export) — the bundle cannot rebuild the replica"
             )
+
+    # Member tables export INDEPENDENT feeds (disjoint source tables,
+    # disjoint bundle dirs) — run them through the bounded suite pool
+    # so each table's small derive-diff jobs back-fill the others'
+    # scheduler tails (guide §2.6); per-table derivation order and
+    # every raise check are unchanged.
+    overlap_branches([
+        (lambda t=t, mv=max_v: _export_one(t, mv))
+        for t, max_v in sorted(referenced.items())
+    ])
     loads_dir = os.path.join(bundle_dir, "loads")
     os.makedirs(loads_dir, exist_ok=True)
     n_new = 0
@@ -661,11 +673,11 @@ def apply_warehouse_feed(
             # (r12 review).
             prev.update({t: int(v) for t, v in tables.items()})
             continue
-        for t in sorted(tables):
+        def _apply_table(t: str) -> None:
             target = int(tables[t])
             lo = prev.get(t, 0)
             if target <= lo:
-                continue  # version reused across loads: pure metadata
+                return  # version reused across loads: pure metadata
             feed_dir = os.path.join(bundle_dir, t)
             # Fail fast on an incomplete bundle (copied mid-sync,
             # partial feed partition): applying up to a LOWER version
@@ -729,6 +741,17 @@ def apply_warehouse_feed(
                     (partition_cols or {}).get(t),
                     merge_schema=True,
                 )
+
+        # Tables within ONE load are independent (disjoint replica
+        # paths, path-keyed commit locks) — run their keyed merges
+        # through the bounded suite pool (guide §2.6). Each table's
+        # feed versions still apply strictly ascending inside its own
+        # thunk, and the load entry below commits only after EVERY
+        # table's merge returned, so load atomicity, version ordering
+        # and the exactly-once key are unchanged.
+        overlap_branches([
+            (lambda t=t: _apply_table(t)) for t in sorted(tables)
+        ])
         commit_warehouse(replica_wh, sorted(tables), batch_id=f"whfeed:{n}")
         applied.append(n)
         prev.update({t: int(v) for t, v in tables.items()})
