@@ -39,6 +39,20 @@ _REQUIRED_RUNTIME_CONFS: dict[str, str] = {
     # Arrow for any pandas_udf / mapInPandas path (vector ops,
     # multimodal decode): batch columnar transfer, not per-row pickle.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Cap plan-string construction (r14). Every AQE plan update calls
+    # QueryExecution.explainString and the UI retains the result; the
+    # iterative/certification suites' loop plans run to hundreds of
+    # KB each, and on a DEFAULT-memory driver session (1 GiB heap, UI
+    # on — the harness posture) a long session accumulates retained
+    # plan strings until StringConcat.toString OOMs the driver
+    # (reproduced: q_iterative_suite Java-heap OOM inside
+    # AdaptiveSparkPlanExec.onUpdatePlan on the second same-session
+    # run). 1 M chars bounds any single build and the UI store while
+    # never truncating a current plan (largest formatted explain in
+    # plans/r14 is ~530 K chars; a 256 K cap was measured to truncate
+    # the loop-suite plans the pytest plan audits parse); diagnostics
+    # that need more (plan-capture scripts) raise it per-session.
+    "spark.sql.maxPlanStringLength": "1048576",
 }
 
 
