@@ -425,7 +425,17 @@ def test_bpe_encode_one_corpus_exchange_per_round_pair_aggs(spark):
     ]
     word_ex = [b for b in hash_ex if "hashpartitioning(word" in b]
     pair_ex = [b for b in hash_ex if "hashpartitioning(x#" in b]
-    assert len(word_ex) <= 2, f"expected at most two word exchanges:\n{p}"
+    # r14: each word-type lineage is agg exchange + the explicit
+    # REPARTITION_BY_NUM spread that keeps the per-type symbol folds
+    # off a single AQE-coalesced partition (_bpe_word_types). The
+    # spread MUST survive optimization — a dropped spread silently
+    # single-cores the fold again — and the agg count stays ≤2.
+    word_spread = [b for b in word_ex if "REPARTITION_BY_NUM" in b]
+    word_agg = [b for b in word_ex if "REPARTITION_BY_NUM" not in b]
+    assert 1 <= len(word_spread) <= 2, (
+        f"word-type spread repartition missing or multiplied:\n{p}"
+    )
+    assert len(word_agg) <= 2, f"expected at most two word agg exchanges:\n{p}"
     assert len(pair_ex) == BPE_MERGES, (
         f"expected {BPE_MERGES} pair exchanges, got {len(pair_ex)}:\n{p}"
     )

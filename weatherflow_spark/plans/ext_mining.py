@@ -821,6 +821,40 @@ def _oracle_text_profile_suite() -> str:
 BPE_MERGES = 4
 
 
+def _bpe_word_types(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The corpus collapsed to its word-type frequency table — the ONE
+    relation both BPE halves iterate on. Train persists it and encode
+    rebuilds the SAME lineage so the CacheManager substitutes the
+    cached relation (no second corpus pass); keep every change here
+    mirrored in both callers' expectations.
+
+    The trailing hash repartition is a performance property, not a
+    semantic one (r14, guide §2.5/§1 'AQE byte-coalescing single-tasks
+    CPU-bound kB-scale shuffles'): the aggregated type table is only
+    KBs, so AQE coalesces the post-agg exchange to ONE partition — and
+    every downstream BPE round then runs its interpreted
+    per-type symbol folds (the expensive part of both train and
+    encode) on a single core. REPARTITION_BY_NUM is immune to AQE
+    coalescing; 2×defaultParallelism keeps the spread scale-adaptive
+    (core count locally, executor total on a cluster). The factor of
+    two is load-bearing, not tuning: a repartition whose (keys, n)
+    equal the upstream agg exchange's is dropped by the optimizer as
+    redundant (verified in the formatted plan — 0 REPARTITION_BY_NUM
+    markers at n=defaultParallelism when shuffle.partitions matches),
+    and AQE then coalesces the agg exchange to one partition anyway;
+    at 2× the node survives and pins the spread (1 marker, measured
+    coalesce-off min 4.5 s vs coalesced 9.8 s same-session)."""
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.sum(F.lit(1)).alias("freq"))
+        .repartition(
+            2 * spark.sparkContext.defaultParallelism, F.col("word")
+        )
+    )
+
+
 def _merge_fold_spark(a: str, b: str) -> str:
     """Leftmost-non-overlapping merge of adjacent pair ({a}, {b}) in a
     symbol array, as a Spark SQL fold. The freshly merged symbol can
@@ -859,12 +893,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherflow_spark.operators.caching import tracked_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    words = tracked_persist(
-        docs.select(F.explode(T.tokens("text")).alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.sum(F.lit(1)).alias("freq"))
-    )
+    words = tracked_persist(_bpe_word_types(spark, docs))
     cur = words.select(
         "word", "freq", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
     )
@@ -1047,13 +1076,9 @@ def q_bpe_encode(
         ).alias("mlist")
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Same lineage as q_bpe_train's persisted word table → cache hit.
-    types = (
-        docs.select(F.explode(T.tokens("text")).alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.sum(F.lit(1)).alias("freq"))
-    )
+    # Same lineage as q_bpe_train's persisted word table → cache hit
+    # (including the spread repartition — see _bpe_word_types).
+    types = _bpe_word_types(spark, docs)
     enc_word = (
         "aggregate(mlist, regexp_extract_all(word, '.', 0), (cursyms, m) -> "
         "aggregate(cursyms, cast(array() as array<string>), (acc, s) -> "
