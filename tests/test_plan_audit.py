@@ -32,9 +32,20 @@ def _fresh_cache(spark):
 
 
 def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
+    p = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    # Plan strings are capped (session.py maxPlanStringLength, ~2x
+    # headroom over the largest current plan). A plan outgrowing the
+    # cap is silently truncated with a marker — against which every
+    # absence/count assertion below would pass VACUOUSLY (r15 ADVICE:
+    # "'SortMergeJoin' not in p" is true of any truncated tail). Fail
+    # loudly instead so the cap gets raised with the plan.
+    assert "more characters" not in p and "Truncated" not in p, (
+        "formatted plan hit spark.sql.maxPlanStringLength — raise the "
+        "cap in session.py before trusting any plan audit"
+    )
+    return p
 
 
 def _detail_headers(plan: str, node: str) -> list[str]:
@@ -1083,3 +1094,36 @@ def test_table_bytes_reads_real_sizes():
     assert n == os.path.getsize(os.path.join(SF_SMALL, "nation.parquet"))
     assert table_bytes(SF_SMALL, "customer") > n
     assert table_bytes(SF_SMALL, "no_such_table") == 0
+
+
+def test_no_broadcast_twin_scopes_the_guard(spark):
+    """r15 (VERDICT r14 #5): forcing sort-merge for the bucketed-layout
+    certifications must not leak into sibling branches. The guard is a
+    CLONED planning session holding autoBroadcastJoinThreshold=-1; the
+    parent session — where every other overlapped branch plans — keeps
+    its threshold, so a dim-join sibling still plans BroadcastHashJoin
+    WHILE a guarded branch is active."""
+    from weatherflow_spark.io import load_table
+    from weatherflow_spark.operators.overlap import no_broadcast_session
+
+    twin = no_broadcast_session(spark)
+    assert twin is not spark
+    assert twin.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    # one twin per parent, shared by all guarded branches
+    assert no_broadcast_session(spark) is twin
+    # the parent's threshold is untouched by the twin's existence
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+    def small_join(sess):
+        o = load_table(sess, SF_SMALL, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        c = load_table(sess, SF_SMALL, "customer").select("c_custkey")
+        return o.join(c, o.o_custkey == c.c_custkey)
+
+    # identical join, both built while the guard session is live:
+    # sibling (parent) broadcasts, guarded (twin) sort-merges.
+    assert "BroadcastHashJoin" in _plan(small_join(spark))
+    twin_plan = _plan(small_join(twin))
+    assert "BroadcastHashJoin" not in twin_plan, twin_plan
+    assert "SortMergeJoin" in twin_plan or "ShuffledHashJoin" in twin_plan

@@ -46,46 +46,58 @@ T = TypeVar("T")
 
 OVERLAP_WORKERS = int(os.environ.get("WF_SUITE_OVERLAP", "4"))
 
-# --- shared no-auto-broadcast guard -----------------------------------
+# --- scoped no-auto-broadcast planning session -------------------------
 # The bucketed-layout certifications force the sort-merge path by
-# setting spark.sql.autoBroadcastJoinThreshold=-1 around plan build +
-# raise check. SQL confs are SESSION-wide, so two overlapped branches
-# using plain save/restore race: the first branch's restore re-enables
-# broadcast while a sibling is still planning, SortMergeJoin vanishes,
-# and the sibling's certification raises spuriously. Every toggler
-# wants the SAME value (-1), so the fix is a refcount, not a mutex:
-# the first enter saves the previous threshold and sets -1, the last
-# exit restores it, and concurrent togglers keep overlapping.
+# planning under spark.sql.autoBroadcastJoinThreshold=-1. SQL confs
+# are SESSION-wide, so any toggle on the shared session leaks into
+# concurrently-planning sibling branches: r14's refcounted guard fixed
+# the restore RACE but still held -1 session-wide while any branch was
+# inside it, so an unrelated overlapped branch could plan SortMergeJoin
+# where it would legitimately broadcast (r14 VERDICT #5 — run-to-run
+# plan nondeterminism). r15: the togglers now plan in a CLONED session
+# (``SparkSession.newSession``) that shares the SparkContext, external
+# catalog and CacheManager with the parent but owns its own SQLConf —
+# -1 lives only there, permanently, and the parent session's planning
+# is never touched. One clone per parent is shared by all togglers
+# (they all want the same value and never restore), so overlapped
+# guarded branches keep overlapping.
 _NB_LOCK = threading.Lock()
-_NB_DEPTH = 0
-_NB_PREV: str | None = None
+_NB_SESSIONS: "weakref.WeakKeyDictionary" = None  # built lazily below
 
 
-def no_broadcast_enter(spark) -> None:
-    """Disable auto-broadcast (refcounted; thread-safe across
-    overlapped suite branches). Pair with ``no_broadcast_exit`` in a
-    try/finally."""
-    global _NB_DEPTH, _NB_PREV
+def no_broadcast_session(spark):
+    """The parent session's no-auto-broadcast planning twin: same
+    SparkContext / catalog / cached relations, own SQLConf with
+    ``autoBroadcastJoinThreshold=-1``. Build every input of a
+    forced-sort-merge certification plan from THIS session (reads of
+    the parent's DataFrames would plan under the parent's conf);
+    explicit ``F.broadcast`` hints still work — hints override the
+    threshold."""
+    global _NB_SESSIONS
+    import weakref
+
+    from weatherflow_spark.session import configure_session
+
     with _NB_LOCK:
-        if _NB_DEPTH == 0:
-            _NB_PREV = spark.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold"
-            )
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        _NB_DEPTH += 1
-
-
-def no_broadcast_exit(spark) -> None:
-    """Release one hold on the no-auto-broadcast guard; the last
-    holder restores the saved session threshold."""
-    global _NB_DEPTH, _NB_PREV
-    with _NB_LOCK:
-        _NB_DEPTH -= 1
-        if _NB_DEPTH == 0 and _NB_PREV is not None:
-            spark.conf.set(
-                "spark.sql.autoBroadcastJoinThreshold", _NB_PREV
-            )
-            _NB_PREV = None
+        if _NB_SESSIONS is None:
+            _NB_SESSIONS = weakref.WeakKeyDictionary()
+        twin = _NB_SESSIONS.get(spark)
+        if twin is None:
+            twin = spark.newSession()
+            # newSession starts from the CONTEXT conf: re-apply the
+            # engine's required runtime confs and mirror the parent's
+            # dynamic shuffle breadth so guarded plans stay comparable.
+            configure_session(twin)
+            try:
+                twin.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    spark.conf.get("spark.sql.shuffle.partitions"),
+                )
+            except Exception:
+                pass
+            twin.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            _NB_SESSIONS[spark] = twin
+        return twin
 
 
 def overlap_branches(

@@ -843,15 +843,25 @@ def _bpe_word_types(spark: SparkSession, docs: DataFrame) -> DataFrame:
     markers at n=defaultParallelism when shuffle.partitions matches),
     and AQE then coalesces the agg exchange to one partition anyway;
     at 2× the node survives and pins the spread (1 marker, measured
-    coalesce-off min 4.5 s vs coalesced 9.8 s same-session)."""
+    coalesce-off min 4.5 s vs coalesced 9.8 s same-session). The +1
+    guard (r15 ADVICE): the agg exchange's partition count is
+    ``spark.sql.shuffle.partitions``, not defaultParallelism — on a
+    session where 2×dp happens to EQUAL shuffle.partitions (e.g.
+    dp=100 under Spark's default 200) the same-(keys, n) redundancy
+    elision would silently drop the spread again; bumping off the
+    collision keeps the node alive in every config."""
+    n_spread = 2 * spark.sparkContext.defaultParallelism
+    try:
+        if n_spread == int(spark.conf.get("spark.sql.shuffle.partitions")):
+            n_spread += 1
+    except (TypeError, ValueError):
+        pass  # "auto"/unset: no equal-(keys, n) exchange to collide with
     return (
         docs.select(F.explode(T.tokens("text")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.sum(F.lit(1)).alias("freq"))
-        .repartition(
-            2 * spark.sparkContext.defaultParallelism, F.col("word")
-        )
+        .repartition(n_spread, F.col("word"))
     )
 
 

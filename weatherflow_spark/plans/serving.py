@@ -32,10 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from weatherflow_spark.io import load_table, table_bytes
 from weatherflow_spark.operators.indexing import assign_global_index
-from weatherflow_spark.operators.overlap import (
-    no_broadcast_enter,
-    no_broadcast_exit,
-)
+from weatherflow_spark.operators.overlap import no_broadcast_session
 from weatherflow_spark.operators.rollup import (
     read_rollup,
     refresh_rollup,
@@ -931,39 +928,35 @@ def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Broadcast would make the zero-Exchange check vacuous (a small
     # orders side planning BroadcastHashJoin has no shuffle either,
-    # so a lost bucket layout would still "pass" — r10 review): force
-    # the sort-merge path for the certification join so the property
-    # being asserted is the bucketed co-location itself.
-    no_broadcast_enter(spark)
-    try:
-        joined = spark.table(t_li).join(
-            spark.table(t_orders),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    # so a lost bucket layout would still "pass" — r10 review): build
+    # the certification join in the no-broadcast planning twin so the
+    # property asserted is the bucketed co-location itself — without
+    # ever touching the shared session's threshold (r15).
+    nbs = no_broadcast_session(spark)
+    joined = nbs.table(t_li).join(
+        nbs.table(t_orders),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan or not colocated_join_is_shuffle_free(
+        joined
+    ):
+        raise RuntimeError(
+            "bucketed lineitem⋈orders did not plan a zero-Exchange "
+            "sort-merge join — the co-located layout regressed"
         )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        if "SortMergeJoin" not in plan or not colocated_join_is_shuffle_free(
-            joined
-        ):
-            raise RuntimeError(
-                "bucketed lineitem⋈orders did not plan a zero-Exchange "
-                "sort-merge join — the co-located layout regressed"
-            )
-        out = joined.groupBy("l_returnflag").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.expr("cast(floor(l_quantity * 100 + 0.5) as bigint)")
-            ).alias("qty_c"),
-            F.sum(
-                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
-            ).alias("price_c"),
-            F.expr("bit_xor(l_orderkey)").alias("key_xor"),
-        )
-        # Materialize under the forced-sort-merge conf so the executed
-        # join is the certified one, then restore the session setting.
-        out = out.localCheckpoint(eager=True)
-    finally:
-        no_broadcast_exit(spark)
-    return out
+    out = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr("cast(floor(l_quantity * 100 + 0.5) as bigint)")
+        ).alias("qty_c"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("price_c"),
+        F.expr("bit_xor(l_orderkey)").alias("key_xor"),
+    )
+    # Materialize in the twin so the executed join is the certified one.
+    return out.localCheckpoint(eager=True)
 
 
 ORACLE_BUCKETED_JOIN = """
@@ -1062,36 +1055,32 @@ def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherflow_spark.plans.queries import scaled_sum
 
     t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
+    nbs = no_broadcast_session(spark)  # scoped -1: plan in the twin
     cust = (
-        load_table(spark, sf_dir, "customer")
+        load_table(nbs, sf_dir, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    orders = spark.table(t_ord).where(
+    orders = nbs.table(t_ord).where(
         F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
     )
-    li = spark.table(t_li).where(
+    li = nbs.table(t_li).where(
         F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    no_broadcast_enter(spark)
-    try:
-        out = (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(
-                _dim_broadcast(cust, table_bytes(sf_dir, "customer")),
-                F.col("o_custkey") == F.col("c_custkey"),
-            )
-            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(scaled_sum(rev, 10_000).alias("revenue"))
-            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-            .limit(10)
+    out = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            _dim_broadcast(cust, table_bytes(sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
-        _require_zero_shuffle_smj(out, "tpch q3 (bucketed)")
-        out = out.localCheckpoint(eager=True)
-    finally:
-        no_broadcast_exit(spark)
-    return out
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(scaled_sum(rev, 10_000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    _require_zero_shuffle_smj(out, "tpch q3 (bucketed)")
+    return out.localCheckpoint(eager=True)
 
 
 def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1109,44 +1098,40 @@ def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherflow_spark.plans.tpch import Q18_QTY_THRESHOLD
 
     t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
-    customer = load_table(spark, sf_dir, "customer").select(
+    nbs = no_broadcast_session(spark)  # scoped -1: plan in the twin
+    customer = load_table(nbs, sf_dir, "customer").select(
         "c_custkey", "c_name"
     )
-    no_broadcast_enter(spark)
-    try:
-        big = (
-            spark.table(t_li)
-            .groupBy("l_orderkey")
-            .agg(scaled_sum(F.col("l_quantity"), 100).alias("total_qty"))
-            .where(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    big = (
+        nbs.table(t_li)
+        .groupBy("l_orderkey")
+        .agg(scaled_sum(F.col("l_quantity"), 100).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    out = (
+        nbs.table(t_ord)
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            _dim_broadcast(customer, table_bytes(sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
-        out = (
-            spark.table(t_ord)
-            .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-            .join(
-                _dim_broadcast(customer, table_bytes(sf_dir, "customer")),
-                F.col("o_custkey") == F.col("c_custkey"),
-            )
-            .select(
-                "c_custkey",
-                "c_name",
-                "o_orderkey",
-                F.date_format("o_orderdate", "yyyy-MM-dd").alias(
-                    "o_orderdate"
-                ),
-                F.expr(
-                    "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
-                ).alias("price_cents"),
-                "total_qty",
-            )
-            .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
-            .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            F.expr(
+                "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            ).alias("price_cents"),
+            "total_qty",
         )
-        _require_zero_shuffle_smj(out, "tpch q18 (bucketed)")
-        out = out.localCheckpoint(eager=True)
-    finally:
-        no_broadcast_exit(spark)
-    return out
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+    _require_zero_shuffle_smj(out, "tpch q18 (bucketed)")
+    return out.localCheckpoint(eager=True)
 
 
 def _oracle_tpch_q3_bucketed() -> str:
@@ -1175,29 +1160,25 @@ def q_tpch_q4_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherflow_spark.plans.tpch import with_commit_receipt
 
     t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
-    orders = spark.table(t_ord).where(
+    nbs = no_broadcast_session(spark)  # scoped -1: plan in the twin
+    orders = nbs.table(t_ord).where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     li = with_commit_receipt(
-        spark.table(t_li).select("l_orderkey", "l_linenumber", "l_shipdate")
+        nbs.table(t_li).select("l_orderkey", "l_linenumber", "l_shipdate")
     ).where(F.col("l_commitdate") < F.col("l_receiptdate"))
-    no_broadcast_enter(spark)
-    try:
-        out = (
-            orders.join(
-                li.select("l_orderkey"),
-                F.col("o_orderkey") == F.col("l_orderkey"),
-                "left_semi",
-            )
-            .groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("order_count"))
+    out = (
+        orders.join(
+            li.select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
         )
-        _require_zero_shuffle_smj(out, "tpch q4 (bucketed)", max_exchanges=1)
-        out = out.localCheckpoint(eager=True)
-    finally:
-        no_broadcast_exit(spark)
-    return out
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    _require_zero_shuffle_smj(out, "tpch q4 (bucketed)", max_exchanges=1)
+    return out.localCheckpoint(eager=True)
 
 
 def q_tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,7 +1193,8 @@ def q_tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherflow_spark.plans.tpch_ps import SHIP_MODES
 
     t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
-    li = spark.table(t_li).where(
+    nbs = no_broadcast_session(spark)  # scoped -1: plan in the twin
+    li = nbs.table(t_li).where(
         (F.col("l_shipdate") >= F.lit("1995-12-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
@@ -1231,27 +1213,22 @@ def q_tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.withColumn("l_shipmode", mode).where(
         F.col("l_shipmode").isin("MAIL", "SHIP")
     )
-    orders = spark.table(t_ord).select("o_orderkey", "o_orderpriority")
+    orders = nbs.table(t_ord).select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    no_broadcast_enter(spark)
-    try:
-        out = (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("l_shipmode")
-            .agg(
-                F.sum(F.when(high, 1).otherwise(0))
-                .cast("long")
-                .alias("high_line_count"),
-                F.sum(F.when(high, 0).otherwise(1))
-                .cast("long")
-                .alias("low_line_count"),
-            )
+    out = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
         )
-        _require_zero_shuffle_smj(out, "tpch q12 (bucketed)", max_exchanges=1)
-        out = out.localCheckpoint(eager=True)
-    finally:
-        no_broadcast_exit(spark)
-    return out
+    )
+    _require_zero_shuffle_smj(out, "tpch q12 (bucketed)", max_exchanges=1)
+    return out.localCheckpoint(eager=True)
 
 
 def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,49 +1253,45 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weatherflow_spark.plans.tpch_ext import Q21_TOP
 
     t_li, t_ord = bucketed_warehouse(spark, sf_dir, _durable_scratch_base())
+    nbs = no_broadcast_session(spark)  # scoped -1: plan in the twin
     orders = (
-        spark.table(t_ord)
+        nbs.table(t_ord)
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
     li = with_commit_receipt(
-        spark.table(t_li).select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate")
+        nbs.table(t_li).select("l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate")
     ).select("l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate")
     late = F.col("l_receiptdate") > F.col("l_commitdate")
-    supplier = load_table(spark, sf_dir, "supplier").select(
+    supplier = load_table(nbs, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
-    no_broadcast_enter(spark)
-    try:
-        per_supp = (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("l_orderkey", "l_suppkey")
-            .agg(F.max(late.cast("int")).alias("was_late"))
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("was_late"))
+    )
+    profile = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("was_late").alias("n_late"),
+        F.max(
+            F.when(F.col("was_late") == 1, F.col("l_suppkey"))
+        ).alias("late_suppkey"),
+    )
+    out = (
+        profile.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("late_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            _dim_broadcast(supplier, table_bytes(sf_dir, "supplier")),
+            F.col("late_suppkey") == F.col("s_suppkey"),
         )
-        profile = per_supp.groupBy("l_orderkey").agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.sum("was_late").alias("n_late"),
-            F.max(
-                F.when(F.col("was_late") == 1, F.col("l_suppkey"))
-            ).alias("late_suppkey"),
-        )
-        out = (
-            profile.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-            .groupBy("late_suppkey")
-            .agg(F.count(F.lit(1)).alias("numwait"))
-            .join(
-                _dim_broadcast(supplier, table_bytes(sf_dir, "supplier")),
-                F.col("late_suppkey") == F.col("s_suppkey"),
-            )
-            .select("s_suppkey", "s_name", "numwait")
-            .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
-            .limit(Q21_TOP)
-        )
-        _require_zero_shuffle_smj(out, "tpch q21 (bucketed)", max_exchanges=1)
-        out = out.localCheckpoint(eager=True)
-    finally:
-        no_broadcast_exit(spark)
-    return out
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(Q21_TOP)
+    )
+    _require_zero_shuffle_smj(out, "tpch q21 (bucketed)", max_exchanges=1)
+    return out.localCheckpoint(eager=True)
 
 
 def q_tpch_q13_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1339,28 +1312,24 @@ def q_tpch_q13_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_ord, t_cust = bucketed_warehouse_cust(
         spark, sf_dir, _durable_scratch_base()
     )
-    customer = spark.table(t_cust).select("c_custkey")
+    nbs = no_broadcast_session(spark)  # scoped -1: plan in the twin
+    customer = nbs.table(t_cust).select("c_custkey")
     orders = (
-        spark.table(t_ord)
+        nbs.table(t_ord)
         .where(F.col("o_orderpriority") != "1-URGENT")
         .select("o_custkey", "o_orderkey")
     )
-    no_broadcast_enter(spark)
-    try:
-        out = (
-            customer.join(
-                orders, F.col("c_custkey") == F.col("o_custkey"), "left"
-            )
-            .groupBy("c_custkey")
-            .agg(F.count("o_orderkey").alias("c_count"))
-            .groupBy("c_count")
-            .agg(F.count(F.lit(1)).alias("custdist"))
+    out = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
         )
-        _require_zero_shuffle_smj(out, "tpch q13 (bucketed)", max_exchanges=1)
-        out = out.localCheckpoint(eager=True)
-    finally:
-        no_broadcast_exit(spark)
-    return out
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+    _require_zero_shuffle_smj(out, "tpch q13 (bucketed)", max_exchanges=1)
+    return out.localCheckpoint(eager=True)
 
 
 def q_tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,55 +1359,51 @@ def q_tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, t_cust = bucketed_warehouse_cust(
         spark, sf_dir, _durable_scratch_base(), n_buckets=n_buckets
     )
-    li = spark.table(t_li).where(F.col("l_returnflag") == "R")
-    orders = spark.table(t_ord).where(
+    nbs = no_broadcast_session(spark)  # scoped -1: plan in the twin
+    li = nbs.table(t_li).where(F.col("l_returnflag") == "R")
+    orders = nbs.table(t_ord).where(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    customer = spark.table(t_cust).select(
+    customer = nbs.table(t_cust).select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
-    nation = load_table(spark, sf_dir, "nation").select(
+    nation = load_table(nbs, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    no_broadcast_enter(spark)
-    try:
-        per_cust = (
-            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            # ONE re-key, placed BEFORE the aggregate so the groupBy
-            # reuses it and its count equals the custkey bucket count
-            # — the join-back then needs no further exchange on
-            # either side.
-            .repartition(n_buckets, F.col("o_custkey"))
-            .groupBy("o_custkey")
-            .agg(scaled_sum(rev, 10_000).alias("revenue"))
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        # ONE re-key, placed BEFORE the aggregate so the groupBy
+        # reuses it and its count equals the custkey bucket count
+        # — the join-back then needs no further exchange on
+        # either side.
+        .repartition(n_buckets, F.col("o_custkey"))
+        .groupBy("o_custkey")
+        .agg(scaled_sum(rev, 10_000).alias("revenue"))
+    )
+    out = (
+        per_cust.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
         )
-        out = (
-            per_cust.join(
-                customer, F.col("o_custkey") == F.col("c_custkey")
-            )
-            .join(
-                _dim_broadcast(nation, table_bytes(sf_dir, "nation")),
-                F.col("c_nationkey") == F.col("n_nationkey"),
-            )
-            .select(
-                "c_custkey",
-                "c_name",
-                "revenue",
-                F.expr(
-                    "cast(floor(c_acctbal * 100 + 0.5) as bigint)"
-                ).alias("acctbal_cents"),
-                "n_name",
-            )
-            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-            .limit(20)
+        .join(
+            _dim_broadcast(nation, table_bytes(sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
         )
-        _require_zero_shuffle_smj(out, "tpch q10 (bucketed)", max_exchanges=1)
-        out = out.localCheckpoint(eager=True)
-    finally:
-        no_broadcast_exit(spark)
-    return out
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.expr(
+                "cast(floor(c_acctbal * 100 + 0.5) as bigint)"
+            ).alias("acctbal_cents"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+    _require_zero_shuffle_smj(out, "tpch q10 (bucketed)", max_exchanges=1)
+    return out.localCheckpoint(eager=True)
 
 
 def _oracle_tpch_q13_bucketed() -> str:

@@ -51,16 +51,33 @@ _REQUIRED_RUNTIME_CONFS: dict[str, str] = {
     # never truncating a current plan (largest formatted explain in
     # plans/r14 is ~530 K chars; a 256 K cap was measured to truncate
     # the loop-suite plans the pytest plan audits parse); diagnostics
-    # that need more (plan-capture scripts) raise it per-session.
+    # that need more (plan-capture scripts) raise it per-session —
+    # configure_session treats this knob as a FLOOR (r15 ADVICE: the
+    # old equality re-application silently reverted a per-session
+    # raise on the very next engine call), so a session that set it
+    # higher keeps its value.
     "spark.sql.maxPlanStringLength": "1048576",
 }
+
+# Floor-semantics knobs: configure_session raises them to the required
+# value when below it but never lowers a session that asked for more
+# (the escape-hatch contract documented on maxPlanStringLength above).
+_FLOOR_CONFS = {"spark.sql.maxPlanStringLength"}
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an existing session (idempotent)."""
     for key, value in _REQUIRED_RUNTIME_CONFS.items():
         try:
-            if spark.conf.get(key, None) != value:
+            current = spark.conf.get(key, None)
+            if key in _FLOOR_CONFS:
+                try:
+                    if current is not None and int(current) >= int(value):
+                        continue
+                except (TypeError, ValueError):
+                    pass  # non-numeric current value: re-apply the floor
+                spark.conf.set(key, value)
+            elif current != value:
                 spark.conf.set(key, value)
         except Exception:
             # Non-settable in this deployment: leave as-is rather than fail.
